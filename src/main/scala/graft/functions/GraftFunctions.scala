@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Session-level registration of graft's native expressions, plus
+  * Column-API wrappers.
+  *
+  * Registration goes through the public FunctionRegistry so the
+  * expressions are usable from both the Column API (`call_function`)
+  * and plain SQL; [[graft.plans.GraftExtensions]] injects the same
+  * builders at session build time for spark.sql-only users.
+  */
+object GraftFunctions {
+
+  /** 8 hyperplanes over the 64-d embedding space, fixed seed: 256
+    * buckets — coarse enough that buckets stay populated, refined by
+    * multiprobe on the query side.
+    */
+  private lazy val lshPlanes = HyperplaneLsh.planes(nPlanes = 8, dim = 64)
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_sig32" -> (es => MinHashSignature(es(0), 32)),
+    "lsh_bucket8" -> (es => HyperplaneLsh(es(0), lshPlanes))
+  )
+
+  /** Idempotent per-session registration — call before using wrappers. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** 32-hash MinHash signature of a shingle array. */
+  def minhashSig(shingles: Column): Column = call_function("minhash_sig32", shingles)
+
+  /** 8-bit hyperplane-LSH bucket id for a 64-d embedding. */
+  def lshBucket(embedding: Column): Column = call_function("lsh_bucket8", embedding)
+}

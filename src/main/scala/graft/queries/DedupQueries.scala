@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Near-duplicate detection over `documents` (north star): exact n-gram
+  * Jaccard (q25, oracle-checked), MinHash+LSH banding (q26), and
+  * SimHash Hamming-distance blocking (q27).
+  *
+  * Scale shape: q25's shingle-inverted-index self-join is exact and
+  * shuffle-bound by shingle frequency; q26/q27 are the 100 TB paths —
+  * candidates only meet when a band/block collides, so the join key
+  * space shrinks from |docs|² to bucket-local pairs, and the exact
+  * verify runs on candidates only.
+  */
+object DedupQueries {
+  import Q._
+
+  /** Distinct 3-gram token shingles of a text column (codegen'd
+    * higher-order fns; empty array below 3 tokens).
+    */
+  private def shingles(textCol: Column): Column = {
+    val toks = filter(split(textCol, " "), tk => length(tk) > 0)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), shingles(col("text")).as("s"))
+
+  /** Exact Jaccard over candidate pairs given per-doc shingle arrays. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.toDF("doc_a", "sa"), "doc_a")
+      .join(sh.toDF("doc_b", "sb"), "doc_b")
+      .withColumn("inter_cnt",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") /
+          (size(col("sa")).cast("long") + size(col("sb")).cast("long") -
+            col("inter_cnt")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q25: exact n-gram Jaccard near-dup pairs via shingle inverted
+    // index (ref: normalized-key dedup `Batch Processor.py:263-265`
+    // generalized to fuzzy content keys).
+    QueryDef(
+      "q25_dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = docShingles(s, d)
+        val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        val inter = ex.as("x")
+          .join(ex.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_cnt"))
+        inter
+          .join(card.toDF("doc_a", "na"), "doc_a")
+          .join(card.toDF("doc_b", "nb"), "doc_b")
+          .withColumn("jaccard",
+            col("inter_cnt").cast("double") /
+              (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(t) - 1, 1)),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |  FROM toks),
+             |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+             |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    count(*) AS inter_cnt
+             |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+             |  GROUP BY x.doc_id, y.doc_id)
+             |SELECT doc_a, doc_b, inter_cnt,
+             |  CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+             |    AS jaccard
+             |FROM inter
+             |JOIN card ca ON ca.doc_id = doc_a
+             |JOIN card cb ON cb.doc_id = doc_b
+             |WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+             |  >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── q26: MinHash + LSH banding (north star scale path). 32 hashes,
+    // 16 bands × 2 rows; candidates verified with exact Jaccard, so
+    // output ⊆ q25's (approximate recall — rows-only driver check,
+    // equality vs q25 asserted probabilistically in scalatest).
+    QueryDef(
+      "q26_dedup_minhash",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val sh = docShingles(s, d).filter(size(col("s")) > 0)
+        val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("s")).as("sig"))
+        val bandArr = transform(sequence(lit(0), lit(15)),
+          j => xxhash64(element_at(col("sig"), j * 2 + 1),
+            element_at(col("sig"), j * 2 + 2)))
+        val bands = sig.select(col("doc_id"), posexplode(bandArr))
+          .toDF("doc_id", "band_idx", "band_hash")
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_hash") === col("y.band_hash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        verifyJaccard(cands, sh.select(col("doc_id"), col("s")))
+      },
+      None),
+
+    // ── q27: SimHash near-dup pairs (north star). 64-bit signatures,
+    // 4×16-bit block index (any pair within Hamming distance 3 shares
+    // at least one block), exact Hamming verify on candidates.
+    QueryDef(
+      "q27_dedup_simhash",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val toksDf = t(s, d, "documents").select(col("doc_id"),
+          filter(split(col("text"), " "), tk => length(tk) > 0).as("t"))
+        val sigs = toksDf.select(col("doc_id"),
+          GraftFunctions.simhash64(col("t")).as("sig"))
+        val blockArr = array((0 until 4).map(k =>
+          shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+        val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(blockArr))
+          .toDF("doc_id", "sig", "block_idx", "block_val")
+        blocks.as("x")
+          .join(blocks.as("y"),
+            col("x.block_idx") === col("y.block_idx") &&
+              col("x.block_val") === col("y.block_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,427 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational core — scans, projections, set ops, joins, aggregates,
+  * windows, rollup (SURVEY.md §2.3 q01–q21).
+  *
+  * Each query generalizes a reference behavior (cited per-query from
+  * `Batch Processor.py` and the lisp stage scripts) into the idiomatic
+  * shape; Catalyst supplies pushdown, pruning, join selection, partial
+  * aggregation and AQE (SURVEY.md §4.2) — nothing here is hand-scheduled.
+  *
+  * Scale notes (100 TB design points) are on each query: small dims are
+  * broadcast explicitly, aggregates are map-side-combinable, top-k uses
+  * TakeOrderedAndProject rather than a global sort.
+  */
+object Relational {
+  import Q._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q01: scan + predicate filter (ref: drop_files suffix predicate
+    // `Batch Processor.py:240`, case-insensitive scan `:58`). All three
+    // predicates push into the parquet scan (PushedFilters).
+    QueryDef(
+      "q01_scan_filter",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1997-01-01") &&
+            col("l_shipdate") < ts("1998-01-01") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), day(col("l_shipdate")).as("ship_day"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── q02: projection / column pruning (ref: enabled-stage path
+    // projection `Batch Processor.py:304`). ReadSchema must show only the
+    // three source columns.
+    QueryDef(
+      "q02_project_prune",
+      (s, d) => {
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            day(col("o_orderdate")).as("order_day"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             |  o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ── q03: distinct (ref: exact corpus dedup `Batch Processor.py:231`).
+    // Planned as a partial+final hash aggregate on the key — map-side
+    // combine keeps the shuffle at |distinct users|, not |events|.
+    QueryDef(
+      "q03_distinct",
+      (s, d) => t(s, d, "events").select(col("user_id")).distinct()
+        .orderBy(col("user_id")),
+      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id")),
+
+    // ── q04: union + dedup (ref: two ingest paths merged with dedup,
+    // `Batch Processor.py:228-244`).
+    QueryDef(
+      "q04_union_dedup",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click").select(col("user_id"))
+        val buys = e.filter(col("event_type") === "purchase").select(col("user_id"))
+        clicks.union(buys).dropDuplicates("user_id").orderBy(col("user_id"))
+      },
+      Some("""SELECT DISTINCT user_id FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── q05: left anti join (ref: delete-by-key `Batch Processor.py:
+    // 246-252`; epurge's remove-unreferenced `lisp/epurge.lsp:4`).
+    // At scale: anti join shuffles both sides on the key; with a small
+    // right side AQE flips it to broadcast.
+    QueryDef(
+      "q05_anti_join",
+      (s, d) => {
+        val early = t(s, d, "orders")
+          .filter(col("o_orderdate") < ts("1995-07-01"))
+        t(s, d, "customer")
+          .join(early, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_orderdate < TIMESTAMP '1995-07-01')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── q06: left semi join (ref: is_document_open membership probe on a
+    // normalized key, `Batch Processor.py:367-374`).
+    QueryDef(
+      "q06_semi_join",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── q07: multi-way join denormalization + agg (ref: ebind's
+    // xref-bind = resolve foreign refs and inline them, `lisp/ebind.lsp:4`).
+    // lineitem⋈orders is the only big-big join (shuffle on orderkey);
+    // customer joins on the already-shuffled side; nation/region are
+    // broadcast explicitly — at 100 TB the dims stay broadcast and the
+    // fact-fact join is the single unavoidable shuffle.
+    QueryDef(
+      "q07_join_denorm",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1997-01-01"))
+        li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("r_name"))
+      },
+      Some(s"""SELECT r_name,
+              |  ${fxSumSql("l_extendedprice*(1-l_discount)", 10000)} AS revenue,
+              |  count(*) AS n_lines
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01'
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ── q08: hash aggregate, partial+final (ref: run counters
+    // `Batch Processor.py:312,:329`).
+    QueryDef(
+      "q08_hash_agg",
+      (s, d) => {
+        t(s, d, "events").groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            fxSum(col("value"), 100).as("sum_value"),
+            (fxSum(col("value"), 100) / count(lit(1))).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt,
+              |  ${fxSumSql("value", 100)} AS sum_value,
+              |  ${fxSumSql("value", 100)}/count(*) AS avg_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── q09: ratio-of-total window agg (ref: progress ratio
+    // `Batch Processor.py:420-421`). The empty-frame window runs on the
+    // tiny aggregated result, never on the raw table.
+    QueryDef(
+      "q09_ratio_of_total",
+      (s, d) => {
+        t(s, d, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ratio",
+            col("cnt").cast("double") /
+              sum(col("cnt")).over(Window.partitionBy()).cast("double"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH a AS (SELECT event_type, count(*) AS cnt
+             |  FROM events GROUP BY event_type)
+             |SELECT event_type, cnt,
+             |  CAST(cnt AS DOUBLE)/CAST(sum(cnt) OVER () AS DOUBLE) AS ratio
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ── q10: CASE WHEN + substring classification (ref: error classing
+    // `Batch Processor.py:313-320`, severity tagging `:405-416`).
+    QueryDef(
+      "q10_case_when",
+      (s, d) => {
+        t(s, d, "events")
+          .withColumn("severity",
+            when(col("event_type").contains("error"), "red")
+              .when(col("event_type").isin("purchase", "signup"), "green")
+              .otherwise("blue"))
+          .groupBy(col("severity"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value"), 100).as("sum_value"))
+          .orderBy(col("severity"))
+      },
+      Some(s"""SELECT CASE WHEN event_type LIKE '%error%' THEN 'red'
+              |  WHEN event_type IN ('purchase','signup') THEN 'green'
+              |  ELSE 'blue' END AS severity,
+              |  count(*) AS cnt, ${fxSumSql("value", 100)} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY severity""".stripMargin)),
+
+    // ── q11: ranking window (ref: per-stage ordinal "(Lisp i of n)"
+    // `Batch Processor.py:346`, user-defined order `:338`).
+    QueryDef(
+      "q11_rownum_order",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // extend the window order to a total order so row_number is
+        // deterministic across engines.
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"))
+        t(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("l_orderkey"), col("l_linenumber"), col("rn"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("rn"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, rn, l_quantity FROM (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice, l_partkey) AS rn
+             |  FROM lineitem) t
+             |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin)),
+
+    // ── q12: top-k (ref: first-match scan `Batch Processor.py:470-479`).
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition heaps,
+    // no global sort; this is what survives a 100× scale-up.
+    QueryDef(
+      "q12_topk",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(fxSum(col("o_totalprice"), 100).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+              |  ${fxSumSql("o_totalprice", 100)} AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |GROUP BY c_custkey, c_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // ── q13: existence/boolean aggregate (ref: readiness predicate
+    // `Batch Processor.py:276-280`).
+    QueryDef(
+      "q13_exists_flag",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_custs"),
+            max(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("has_negative"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_custs,
+             |  CAST(max(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS has_negative
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ── q14: grand-total multi-measure summary (ref: final run summary
+    // "`success_count` of `total_files`" `Batch Processor.py:329`).
+    QueryDef(
+      "q14_multi_measure_summary",
+      (s, d) => {
+        t(s, d, "orders").agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          (sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("f_ratio"),
+          fxSum(col("o_totalprice"), 100).as("total_price"),
+          (fxSum(col("o_totalprice"), 100) / count(lit(1))).as("avg_price"))
+      },
+      Some(s"""SELECT count(*) AS n_orders,
+              |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+              |  CAST(count_if(o_orderstatus = 'F') AS DOUBLE)/CAST(count(*) AS DOUBLE)
+              |    AS f_ratio,
+              |  ${fxSumSql("o_totalprice", 100)} AS total_price,
+              |  ${fxSumSql("o_totalprice", 100)}/count(*) AS avg_price
+              |FROM orders""".stripMargin)),
+
+    // ── q16: string normalization suite (ref: abspath normalize
+    // `Batch Processor.py:263`, separator replace `:339`, normcase `:370`,
+    // basename `:345`).
+    QueryDef(
+      "q16_string_fns",
+      (s, d) => {
+        t(s, d, "part").select(
+          col("p_partkey"),
+          lower(col("p_type")).as("type_norm"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("long").as("brand_num"),
+          element_at(split(col("p_name"), " "), 1).as("name_head"),
+          regexp_replace(col("p_name"), " ", "/").as("name_path"),
+          concat_ws(":", lower(col("p_type")), col("p_brand")).as("label"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, lower(p_type) AS type_norm,
+             |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+             |  string_split(p_name, ' ')[1] AS name_head,
+             |  replace(p_name, ' ', '/') AS name_path,
+             |  concat_ws(':', lower(p_type), p_brand) AS label
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ── q17: time bucketing (ref: D4 event stream + `events.ts`;
+    // batch form of a tumbling window).
+    QueryDef(
+      "q17_time_bucket",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(day(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value"), 100).as("sum_value"))
+          .orderBy(col("day"))
+      },
+      Some(s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              |  count(*) AS cnt, ${fxSumSql("value", 100)} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ── q18: analytic window `lag` (ref: fixed-sleep pacing
+    // `Batch Processor.py:341-350` → inter-event gap analysis).
+    // Gap math stays in exact integer microseconds until one final
+    // double division.
+    QueryDef(
+      "q18_lag_gap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            count(col("gap_us")).as("n_gaps"),
+            (sum(col("gap_us")).cast("double") /
+              count(col("gap_us")).cast("double") / 1000000.0).as("avg_gap_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) -
+             |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS gap_us
+             |  FROM events)
+             |SELECT user_id, count(gap_us) AS n_gaps,
+             |  CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)/CAST(count(gap_us) AS DOUBLE)/1000000.0
+             |    AS avg_gap_s
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── q20: rollup / grouping sets (ref: the two agg granularities —
+    // per-file `Batch Processor.py:307` vs per-run `:329`).
+    QueryDef(
+      "q20_grouping_rollup",
+      (s, d) => {
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            fxSum(col("o_totalprice"), 100).as("revenue"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_orders,
+              |  ${fxSumSql("o_totalprice", 100)} AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    // ── q21: INTERSECT / EXCEPT (ref: delete-by-key ≈ except,
+    // `Batch Processor.py:246-252`).
+    QueryDef(
+      "q21_intersect_except",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicked = e.filter(col("event_type") === "click").select(col("user_id"))
+        val bigBuy = e.filter(col("event_type") === "purchase" && col("value") > 250.0)
+          .select(col("user_id"))
+        val bigErr = e.filter(col("event_type") === "error" && col("value") > 300.0)
+          .select(col("user_id"))
+        clicked.intersect(bigBuy).except(bigErr).orderBy(col("user_id"))
+      },
+      Some("""(SELECT user_id FROM events WHERE event_type = 'click'
+             | INTERSECT
+             | SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 250.0)
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── q22: exact content-hash dedup (north star; ref corpus dedup
+    // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
+    // Survivor choice is made deterministic (min doc_id per hash) —
+    // dropDuplicates alone is partition-order-dependent.
+    QueryDef(
+      "q22_dedup_docs",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("h", md5(lower(col("text"))))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+          .select(col("doc_id"), col("dup_cnt"), col("h"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt,
+             |  md5(lower(text)) AS h
+             |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin))
+  )
+}

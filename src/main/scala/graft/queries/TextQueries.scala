@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** JSON, tokenization, and text-analysis queries (SURVEY.md §2.3 q15,
+  * q19, q24 + north-star text-analysis extensions q30–q33): language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  *
+  * All token work uses codegen'd higher-order functions
+  * (`split`/`filter`/`explode`) — no UDFs — so the per-doc loops stay
+  * inside whole-stage codegen and scale linearly with corpus bytes.
+  */
+object TextQueries {
+  import Q._
+
+  /** Stopword list for the n-gram/stopword language heuristic (q30). */
+  private val EnStops = Seq("the", "a", "of", "to", "in", "and")
+  private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q15: JSON extraction (ref: JSON settings read/write
+    // `Batch Processor.py:87-97`; fixture `events.props`).
+    // Oracle uses a regexp so the driver's DuckDB needs no json
+    // extension; Spark side uses the real JSON path function.
+    QueryDef(
+      "q15_json_extract",
+      (s, d) => {
+        t(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            (sum(col("k")).cast("double") / count(col("k")).cast("double"))
+              .as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH j AS (SELECT event_type,
+             |  CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k,
+             |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)/CAST(count(k) AS DOUBLE) AS avg_k
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── q19: generator / explode + top-k word counts (ref: directory
+    // tree flatten `Batch Processor.py:53-60`).
+    QueryDef(
+      "q19_explode_tokens",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20)
+      },
+      Some("""SELECT tok AS token, count(*) AS cnt
+             |FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |WHERE length(tok) > 0
+             |GROUP BY tok ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
+    // ── q24: per-language text stats (north star "text analysis";
+    // ref severity classes D4).
+    QueryDef(
+      "q24_text_stats",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("n_tokens",
+            size(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).cast("long"))
+          .withColumn("n_ch", length(col("text")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("sum_tokens"),
+            (sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"))
+              .as("avg_tokens"),
+            (sum(col("n_ch")).cast("double") / count(lit(1)).cast("double"))
+              .as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH s AS (SELECT lang,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_ch
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+             |    AS avg_tokens,
+             |  CAST(CAST(sum(n_ch) AS BIGINT) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+             |    AS avg_chars
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── q30: language-ID heuristic (north star) — stopword-ratio
+    // scoring, the classic cheap lang-ID signal.
+    QueryDef(
+      "q30_lang_id",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(filter(toks, tk => tk.isin(EnStops: _*))).cast("long")
+              .as("stop_cnt"))
+          .withColumn("en_ratio",
+            col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("pred_lang",
+            when(col("en_ratio") >= 0.05, "en").otherwise("unknown"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id,
+              |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+              |    AS n_tokens,
+              |  CAST(len(list_filter(string_split(text,' '),
+              |    x -> x IN ($EnStopsSql))) AS BIGINT) AS stop_cnt
+              |  FROM documents)
+              |SELECT doc_id, n_tokens, stop_cnt,
+              |  CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS en_ratio,
+              |  CASE WHEN CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 0.05
+              |    THEN 'en' ELSE 'unknown' END AS pred_lang
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ── q31: quality scoring (north star) — length/word-shape ratios
+    // combined into one deterministic score.
+    QueryDef(
+      "q31_quality_score",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_ch"),
+            size(toks).cast("long").as("n_tokens"),
+            length(regexp_replace(col("text"), " ", "")).cast("long")
+              .as("n_letters"),
+            size(filter(toks, tk => length(tk) > 4)).cast("long")
+              .as("n_long_tokens"))
+          .withColumn("avg_token_len",
+            col("n_letters").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("long_frac",
+            col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("score",
+            col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
+          .withColumn("quality",
+            when(col("score") >= 0.6, "high").otherwise("low"))
+          .select(col("doc_id"), col("n_ch"), col("n_tokens"),
+            col("avg_token_len"), col("long_frac"), col("score"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_ch,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tokens,
+             |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 4)) AS BIGINT)
+             |    AS n_long_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_ch, n_tokens,
+             |  CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+             |  CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS long_frac
+             |  FROM s)
+             |SELECT doc_id, n_ch, n_tokens, avg_token_len, long_frac,
+             |  avg_token_len*0.1 + long_frac*0.5 AS score,
+             |  CASE WHEN avg_token_len*0.1 + long_frac*0.5 >= 0.6
+             |    THEN 'high' ELSE 'low' END AS quality
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ── q32: token counting (north star) — whitespace tokens + a
+    // BPE-ish regex token count, aggregated per source.
+    QueryDef(
+      "q32_token_count",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(filter(split(col("text"), " "), tk => length(tk) > 0))
+              .cast("long"))
+          .withColumn("re_tokens",
+            size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).cast("long").as("sum_ws_tokens"),
+            sum(col("re_tokens")).cast("long").as("sum_re_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH s AS (SELECT source,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             |    AS BIGINT) AS re_tokens
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+             |  CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens
+             |FROM s GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── q33: document fingerprinting (north star) — whitespace-collapse
+    // normalize then md5; head prefix as a short fingerprint.
+    QueryDef(
+      "q33_fingerprint",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fp"))
+          .withColumn("fp_head", substring(col("fp"), 1, 8))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             |  substring(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 8)
+             |    AS fp_head
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Similarity search over the `embeddings` fixture (north star): exact
+  * cosine top-k as the correctness baseline (q23), threshold near-dup
+  * pairs (q28), and the hyperplane-LSH-bucketed ANN scale path (q29).
+  *
+  * All cosine math runs through the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression — no UDF boxing in
+  * the pairwise loops.
+  *
+  * Scale notes: q23 broadcasts the single query vector (one pass over
+  * the corpus, TakeOrderedAndProject top-k — no shuffle of the corpus);
+  * q28's all-pairs form is the *oracle-checkable* baseline, and q29 is
+  * the shape that survives 100×: candidates meet only inside an LSH
+  * bucket, turning O(n²) into a bucket-local equi-join.
+  */
+object VectorQueries {
+  import Q._
+
+  /** DuckDB-side exact cosine between embeddings, computed in double
+    * via positional unnest (works without any DuckDB extension).
+    */
+  private def cosSql(filterA: String, filterB: String): String =
+    s"""WITH a AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings WHERE $filterA),
+       |b AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings WHERE $filterB),
+       |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    sum(a.v*b.v) AS dot, sum(a.v*a.v) AS na, sum(b.v*b.v) AS nb
+       |  FROM a JOIN b ON a.i = b.i GROUP BY a.vec_id, b.vec_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q23: brute-force cosine top-k of vec_id=0's neighbors (ref:
+    // membership probe generalized to nearest-neighbor probe,
+    // `Batch Processor.py:367-374`).
+    QueryDef(
+      "q23_sim_topk",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""${cosSql("vec_id = 0", "vec_id <> 0")}
+              |SELECT vec_b AS vec_id,
+              |  round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
+              |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── q28: embedding-cosine near-duplicate pairs (north star
+    // "embedding near-dup"). Exact all-pairs baseline; the filter runs
+    // on the 6-decimal-rounded value on both sides so the threshold
+    // cannot straddle float noise.
+    QueryDef(
+      "q28_dedup_embedding",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""${cosSql("TRUE", "TRUE")}
+              |SELECT vec_a, vec_b, round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
+              |FROM s WHERE vec_a < vec_b
+              |  AND round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ── q29: LSH-bucketed ANN (scale path; approximate — no SQL oracle,
+    // rows-only check + scalatest recall assertions). Top-3 bucket-local
+    // neighbors for query vectors 0..9.
+    QueryDef(
+      "q29_ann_lsh",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .withColumn("bucket", GraftFunctions.lshBucket(col("embedding")))
+        // Multiprobe: each query probes its own bucket plus the 8
+        // Hamming-1 neighbors, recovering recall lost to sign-flips on
+        // near-boundary planes.
+        val probes = array((lit(0) +: (0 until 8).map(b => lit(1 << b))): _*)
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+              .as("bucket"))
+        val cands = queries
+          .join(e.select(col("vec_id"), col("embedding"), col("bucket")), Seq("bucket"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(GraftFunctions.cosineSim(col("q_emb"), col("embedding")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        cands.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None)
+  )
+}

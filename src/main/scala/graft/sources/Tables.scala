@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table source layer.
+  *
+  * Generalizes the reference's two ingest paths (file-dialog scan and
+  * drag-drop, `Batch Processor.py:228-244`) into a declarative parquet
+  * source: one call per table, schema carried by the file, predicate
+  * pushdown + column pruning left to Catalyst.
+  *
+  * At 100 TB these would be partitioned/bucketed table roots rather than
+  * single files; the API is directory-based so that swap is a no-op.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table $name")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects (SPARK-40819). Read nanos as long, then rebuild a
+      // microsecond timestamp with exact integer division (a double
+      // roundtrip would lose precision at 1.7e18 nanos).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Recursive-scan source with suffix predicate — the Spark shape of the
+    * reference's `get_lisp_files` (`Batch Processor.py:53-60`): flatten a
+    * directory tree into a path DataFrame, filter case-insensitively.
+    */
+  def scanFiles(spark: SparkSession, root: String, suffix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*")
+      .load(root)
+      .select(col("path"), col("length"))
+      .filter(lower(col("path")).endsWith(suffix.toLowerCase))
+  }
+}
