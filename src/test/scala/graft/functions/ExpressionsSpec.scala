@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Native-expression semantics: cosine (codegen and interpreted paths,
+  * nulls, zero vectors), minhash/simhash locality properties, LSH
+  * bucket determinism.
+  */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cosRows(rows: Seq[(Array[Float], Array[Float])],
+      codegen: Boolean): Seq[Option[Double]] = {
+    GraftFunctions.register(spark)
+    val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try {
+      rows.toDF("a", "b")
+        .select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+        .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("cosine matches manual computation; codegen == interpreted") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = dot /
+      (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    val rows = Seq((a, b), (a, a))
+    val cg = cosRows(rows, codegen = true)
+    val in = cosRows(rows, codegen = false)
+    assert(cg == in)
+    assert(math.abs(cg.head.get - expected) < 1e-12)
+    assert(math.abs(cg(1).get - 1.0) < 1e-12)
+  }
+
+  test("cosine: zero vector yields 0.0, null yields null") {
+    val z = Array(0.0f, 0.0f)
+    val v = Array(1.0f, 2.0f)
+    assert(cosRows(Seq((z, v)), codegen = true).head.contains(0.0))
+    GraftFunctions.register(spark)
+    val withNull = Seq((Some(v), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("cosine works via SQL registration too") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 0f), Array(0f, 1.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val c = spark.sql("SELECT cosine_sim(a, b) AS c FROM vecs").head().getDouble(0)
+    assert(math.abs(c) < 1e-12)
+  }
+
+  test("simhash: identical token sets hash identically; near sets are close") {
+    GraftFunctions.register(spark)
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.updated(0, "changed")
+    val far = (1 to 40).map(i => s"other$i")
+    val sigs = Seq(("a", base), ("b", base), ("c", near), ("d", far))
+      .toDF("id", "toks")
+      .select(col("id"), GraftFunctions.simhash64(col("toks")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(sigs("a") == sigs("b"))
+    assert(ham(sigs("a"), sigs("c")) < ham(sigs("a"), sigs("d")),
+      s"near=${ham(sigs("a"), sigs("c"))} far=${ham(sigs("a"), sigs("d"))}")
+  }
+
+  test("minhash: signature length 32; jaccard estimate tracks exact overlap") {
+    GraftFunctions.register(spark)
+    val x = (1 to 100).map(i => s"sh$i")
+    val y = (51 to 150).map(i => s"sh$i") // exact J = 50/150 = 1/3
+    val rows = Seq(("x", x), ("y", y)).toDF("id", "sh")
+      .select(col("id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("x").size == 32)
+    val est = rows("x").zip(rows("y")).count { case (a, b) => a == b } / 32.0
+    assert(est > 0.05 && est < 0.7, s"estimate $est far from 1/3")
+  }
+
+  test("lsh bucket: deterministic across invocations and in [0, 256)") {
+    GraftFunctions.register(spark)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat)))
+    def buckets() = vecs.toDF("id", "e")
+      .select(col("id"), GraftFunctions.lshBucket(col("e")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = buckets(); val b2 = buckets()
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+  }
+}
