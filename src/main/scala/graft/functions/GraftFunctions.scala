@@ -22,6 +22,8 @@ object GraftFunctions {
 
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "vec_norm" -> (es => VecNorm(es(0))),
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sig32" -> (es => MinHashSignature(es(0), 32)),
     "lsh_bucket8" -> (es => HyperplaneLsh(es(0), lshPlanes))
@@ -36,6 +38,10 @@ object GraftFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  def vecNorm(a: Column): Column = call_function("vec_norm", a)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 

@@ -7,8 +7,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** MinHash signature of a string array (shingle set): for each of `k`
-  * hash families, the minimum xxhash64(shingle, seed=i) over the set.
+/** MinHash signature of a shingle set — accepts `array<string>` (raw
+  * shingles) or `array<long>` (pre-hashed shingles: the scale path —
+  * hashing each 8-byte long per seed is far cheaper than re-hashing
+  * full shingle strings k times): for each of `k` hash families, the
+  * minimum xxhash64(shingle, seed=i) over the set.
   *
   * Per-doc O(|shingles| * k) stays in one JVM loop per row instead of k
   * exploded aggregate passes — the standard Spark-side layout for
@@ -22,9 +25,15 @@ case class MinHashSignature(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case o => TypeCheckResult.TypeCheckFailure(
-      s"minhash expects array<string>, got ${o.catalogString}")
+      s"minhash expects array<string> or array<long>, got ${o.catalogString}")
+  }
+
+  private lazy val isString = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -34,12 +43,21 @@ case class MinHashSignature(child: Expression, k: Int)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
         var i = 0
-        while (i < k) {
-          val h = XxHash64Function.hash(s, StringType, i.toLong)
-          if (h < sig(i)) sig(i) = h
-          i += 1
+        if (isString) {
+          val s = arr.getUTF8String(j)
+          while (i < k) {
+            val h = XxHash64Function.hash(s, StringType, i.toLong)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        } else {
+          val l = arr.getLong(j)
+          while (i < k) {
+            val h = XxHash64Function.hash(l, LongType, i.toLong)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
         }
       }
       j += 1

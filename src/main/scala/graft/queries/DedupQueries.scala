@@ -17,22 +17,42 @@ import graft.functions.GraftFunctions
 object DedupQueries {
   import Q._
 
-  /** Distinct 3-gram token shingles of a text column (codegen'd
-    * higher-order fns; empty array below 3 tokens).
+  /** Distinct 3-gram token shingles of a text column, pre-hashed to
+    * 64-bit keys (codegen'd higher-order fns; empty array below 3
+    * tokens). Joining/intersecting on 8-byte hashes instead of shingle
+    * strings shrinks the shuffle and makes per-seed MinHash rehashing
+    * O(1) per shingle; a 64-bit collision (~|shingles|²/2⁶⁴) is the
+    * standard accepted error of hashed-shingle dedup.
     */
-  private def shingles(textCol: Column): Column = {
+  private def shingleHashes(textCol: Column): Column = {
     val toks = filter(split(textCol, " "), tk => length(tk) > 0)
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
+        i => xxhash64(concat_ws(" ",
           element_at(toks, i + 1),
           element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+          element_at(toks, i + 3))))))
+      .otherwise(array().cast("array<long>"))
   }
 
+  /** Per-doc shingle-hash arrays, spread across the cluster and
+    * persisted: every dedup query fans this frame into several join
+    * branches, and at 100 TB you materialize the shingle index once,
+    * never thrice. The explicit repartition matters on small/few-file
+    * inputs too — a single parquet file is one split, and without it
+    * the whole O(n·k) shingle pass and the pair joins downstream run
+    * on one core.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), shingles(col("text")).as("s"))
+    shingleCache.computeIfAbsent((s, d), { case (ss, dir) =>
+      t(ss, dir, "documents")
+        .repartition(ss.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingleHashes(col("text")).as("s"))
+        .persist()
+    })
 
   /** Exact Jaccard over candidate pairs given per-doc shingle arrays. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
@@ -131,8 +151,10 @@ object DedupQueries {
       "q27_dedup_simhash",
       (s, d) => {
         GraftFunctions.register(s)
-        val toksDf = t(s, d, "documents").select(col("doc_id"),
-          filter(split(col("text"), " "), tk => length(tk) > 0).as("t"))
+        val toksDf = t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), tk => length(tk) > 0).as("t"))
         val sigs = toksDf.select(col("doc_id"),
           GraftFunctions.simhash64(col("t")).as("sig"))
         val blockArr = array((0 until 4).map(k =>

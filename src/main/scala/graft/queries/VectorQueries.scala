@@ -67,12 +67,22 @@ object VectorQueries {
       "q28_dedup_embedding",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        // Precompute each vector's norm once; the O(n²) pair loop then
+        // does only the dot product (1/3 the flops of full cosine).
+        // Repartition the streamed side: a single-file input is one
+        // split, and the nested-loop pair scan must spread across
+        // cores/executors or it runs serially.
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+          GraftFunctions.vecNorm(col("embedding")).as("nrm"))
+        val a = e.repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6).as("cos_sim"))
+            round(GraftFunctions.dotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },
@@ -90,6 +100,7 @@ object VectorQueries {
       (s, d) => {
         GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("bucket", GraftFunctions.lshBucket(col("embedding")))
         // Multiprobe: each query probes its own bucket plus the 8
         // Hamming-1 neighbors, recovering recall lost to sign-flips on
