@@ -406,6 +406,46 @@ object Relational {
              |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300.0
              |ORDER BY user_id""".stripMargin)),
 
+    // ── q35: sessionization (batch form of the stateful-streaming
+    // session operator in graft.streaming — gap-based session ids via
+    // lag + running sum, the classic two-window shape; the shuffle is
+    // a single partition-by-user exchange reused by both windows).
+    QueryDef(
+      "q35_sessionize",
+      (s, d) => {
+        val gapUs = 7200000000L // 2h
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            ((max(col("ts_us")) - min(col("ts_us"))).cast("double") / 1000000.0)
+              .as("duration_s"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+             |g AS (SELECT user_id, event_id, ts_us,
+             |  CASE WHEN ts_us - lag(ts_us) OVER
+             |    (PARTITION BY user_id ORDER BY ts_us, event_id) > 7200000000
+             |  THEN 1 ELSE 0 END AS new_sess FROM e),
+             |s AS (SELECT user_id, ts_us,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS session_id FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+             |  CAST(max(ts_us) - min(ts_us) AS DOUBLE)/1000000.0 AS duration_s
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —

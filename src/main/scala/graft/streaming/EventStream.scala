@@ -45,3 +45,44 @@ object EventStream {
         .when(col("event_type").isin("purchase", "signup"), "green")
         .otherwise("blue"))
 }
+
+/** Stateful sessionization over a user-keyed stream via
+  * `flatMapGroupsWithState` — custom per-key state, the capability the
+  * built-in windowed aggs can't express. The batch twin is
+  * `q35_sessionize` (lag + running sum), verified against the DuckDB
+  * oracle; this streaming form emits a session as soon as a gap closes
+  * it and keeps the open session in state across micro-batches.
+  */
+object Sessionize {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  final case class SessEvent(user_id: Long, ts_us: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def sessions(events: Dataset[SessEvent], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val evs = it.toArray.sortBy(_.ts_us)
+          var closed = List.newBuilder[Session]
+          var open = state.getOption.orNull
+          evs.foreach { e =>
+            open match {
+              case null =>
+                open = OpenSession(e.ts_us, e.ts_us, 1L)
+              case o if e.ts_us - o.last_us > gapUs =>
+                closed += Session(uid, o.start_us, o.last_us, o.n)
+                open = OpenSession(e.ts_us, e.ts_us, 1L)
+              case o =>
+                open = o.copy(last_us = e.ts_us, n = o.n + 1)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class DedupClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("known graph: components get min-id labels") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; {20} self-pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = DedupClusters.assign(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("chain needing multiple propagation rounds converges") {
+    // a path 0-1-2-...-9: min label must travel the whole chain
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupClusters.assign(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10 && got.values.forall(_ == 0L))
+  }
+
+  test("survivors: one min-id survivor per cluster with size") {
+    val pairs = Seq((5L, 7L), (7L, 6L), (100L, 42L)).toDF("a", "b")
+    val got = DedupClusters.survivors(pairs, "a", "b")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((5L, 5L, 3L), (42L, 42L, 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.streaming.Sessionize._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Stateful sessionization: the streaming operator's *closed* sessions
+  * must agree with a batch gap-split over the same events (the open
+  * tail session stays in state and is correctly absent from output).
+  */
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gapUs = 100L
+
+  private def batchSessions(evs: Seq[SessEvent]): Set[Session] =
+    evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.map(_.ts_us).sorted
+      val splits = sorted.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) if t - cur.head > gapUs =>
+          List(t) :: cur :: done
+        case (cur :: done, t) => (t :: cur) :: done
+      }
+      // head of `splits` is the open (last) session — drop it
+      splits.tail.map(s =>
+        Session(uid, s.last, s.head, s.size.toLong))
+    }.toSet
+
+  test("closed sessions from the stream match a batch gap-split") {
+    val evs = Seq(
+      SessEvent(1L, 0L), SessEvent(1L, 50L), SessEvent(1L, 90L), // s1
+      SessEvent(1L, 300L), SessEvent(1L, 350L), // s2
+      SessEvent(1L, 900L), // open tail
+      SessEvent(2L, 10L), SessEvent(2L, 500L), // s1 + open tail
+      SessEvent(3L, 5L)) // open tail only — no output
+    val dir = Files.createTempDirectory("graft-sess").toString
+    evs.toDS().write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(evs.toDS().schema)
+      .parquet(dir)
+      .as[SessEvent]
+    val q = Sessionize.sessions(stream, gapUs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sess_out").as[Session].collect().toSet
+    assert(got == batchSessions(evs))
+    assert(!got.exists(_.user_id == 3L))
+  }
+}
