@@ -26,8 +26,12 @@ object DedupClusters {
     */
   def assign(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    // Persist the input edges BEFORE fanning them into the 4-way union:
+    // `pairs` is typically an expensive candidate-pair plan (q36 feeds
+    // the full shingle inverted-index join in), and without the persist
+    // each union branch would recompute it.
     val edges = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
+      col(bCol).cast("long").as("b")).persist()
     // undirected: keep both directions, plus self-loops to retain ids
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -36,6 +40,7 @@ object DedupClusters {
       .distinct()
       .persist()
     sym.count() // materialize once; iterations reuse
+    edges.unpersist()
 
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("cluster"))

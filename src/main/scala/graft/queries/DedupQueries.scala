@@ -69,6 +69,44 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Exact Jaccard-≥0.5 near-dup pairs via shingle inverted index —
+    * shared by q25 (pair listing) and q36 (cluster assignment).
+    */
+  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val inter = ex.as("x")
+      .join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(card.toDF("doc_a", "na"), "doc_a")
+      .join(card.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") /
+          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
+  }
+
+  /** The q25 pair-derivation CTE chain, reused verbatim by q36's oracle. */
+  private val pairsSql =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 1, 1)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    count(*) AS inter_cnt
+      |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q25: exact n-gram Jaccard near-dup pairs via shingle inverted
@@ -76,47 +114,56 @@ object DedupQueries {
     // generalized to fuzzy content keys).
     QueryDef(
       "q25_dedup_ngram_jaccard",
+      (s, d) => exactPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $pairsSql
+              |SELECT doc_a, doc_b, inter_cnt,
+              |  CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+              |    AS jaccard
+              |FROM inter
+              |JOIN card ca ON ca.doc_id = doc_a
+              |JOIN card cb ON cb.doc_id = doc_b
+              |WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+              |  >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── q36: near-dup *cluster* assignment (north star: dedup keeps one
+    // survivor per cluster, not per pair). Exact q25 pairs → iterative
+    // min-label connected components ([[graft.operators.DedupClusters]],
+    // one shuffle per round, O(log n) rounds) → full-corpus mapping with
+    // singletons self-clustered. Oracle: recursive-CTE reachability min.
+    QueryDef(
+      "q36_dedup_clusters",
       (s, d) => {
-        val sh = docShingles(s, d)
-        val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-        val inter = ex.as("x")
-          .join(ex.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter_cnt"))
-        inter
-          .join(card.toDF("doc_a", "na"), "doc_a")
-          .join(card.toDF("doc_b", "nb"), "doc_b")
-          .withColumn("jaccard",
-            col("inter_cnt").cast("double") /
-              (col("na") + col("nb") - col("inter_cnt")).cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        val pairs = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val labels = graft.operators.DedupClusters
+          .assign(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("id", "doc_id")
+        t(s, d, "documents").select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("is_dup",
+            when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
+          .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id,
-             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-             |  FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(
-             |    range(1, greatest(len(t) - 1, 1)),
-             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-             |  FROM toks),
-             |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-             |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
-             |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-             |    count(*) AS inter_cnt
-             |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
-             |  GROUP BY x.doc_id, y.doc_id)
-             |SELECT doc_a, doc_b, inter_cnt,
-             |  CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
-             |    AS jaccard
-             |FROM inter
-             |JOIN card ca ON ca.doc_id = doc_a
-             |JOIN card cb ON cb.doc_id = doc_b
-             |WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
-             |  >= 0.5
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |pairs AS (SELECT doc_a, doc_b FROM inter
+              |  JOIN card ca ON ca.doc_id = doc_a
+              |  JOIN card cb ON cb.doc_id = doc_b
+              |  WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+              |    >= 0.5),
+              |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs
+              |  UNION SELECT doc_a, doc_a FROM pairs
+              |  UNION SELECT doc_b, doc_b FROM pairs),
+              |reach AS (SELECT a AS id, b AS r FROM sym
+              |  UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+              |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+              |  CAST(CASE WHEN COALESCE(l.cluster, d.doc_id) <> d.doc_id
+              |    THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+              |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
 
     // ── q26: MinHash + LSH banding (north star scale path). 32 hashes,
     // 16 bands × 2 rows; candidates verified with exact Jaccard, so

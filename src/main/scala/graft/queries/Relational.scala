@@ -446,6 +446,121 @@ object Relational {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ── q37: as-of join — each purchase matched to the user's most
+    // recent click at or before it (ref: membership probe against an
+    // external set `Batch Processor.py:367-374`, generalized to a
+    // temporal probe). Implementation is the single-shuffle union+window
+    // form, NOT a range join: both sides union into one stream tagged
+    // is_p, one partition-by-user exchange, and a running max over the
+    // prefix frame recovers the latest click ts ≤ each purchase
+    // (clicks sort before purchases at equal ts ⇒ inclusive as-of). At
+    // 100 TB this stays one exchange + one sort; a naive inequality
+    // join would be O(clicks×purchases) per user.
+    QueryDef(
+      "q37_asof_join",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            (col("event_type") === "purchase").cast("int").as("is_p"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.withColumn("click_ts_us",
+            max(when(col("is_p") === 0, col("ts_us"))).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("ts_us").as("purchase_ts_us"), col("click_ts_us"),
+            ((col("ts_us") - col("click_ts_us")).cast("double") / 1000000.0)
+              .as("gap_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |m AS (SELECT event_id, user_id, ts_us, is_p,
+             |    max(CASE WHEN is_p = 0 THEN ts_us END) OVER
+             |      (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS click_ts_us
+             |  FROM e)
+             |SELECT event_id, user_id, ts_us AS purchase_ts_us, click_ts_us,
+             |  CAST(ts_us - click_ts_us AS DOUBLE)/1000000.0 AS gap_s
+             |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin)),
+
+    // ── q38: time-range join — per error event, count same-user clicks
+    // in the preceding 60 s. Implementation is the bucketed band join:
+    // clicks key into one 60 s bucket, errors probe their own bucket
+    // plus the previous one, the exact range predicate filters after the
+    // equi-join. Turns an O(n·m) inequality join into a bucket-local
+    // equi-join (the 100 TB shape); each click lands in exactly one
+    // bucket so no dedup pass is needed.
+    QueryDef(
+      "q38_range_join",
+      (s, d) => {
+        val winUs = 60000000L
+        val e = t(s, d, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val err = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val clk = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("c_ts"),
+            (col("ts_us") / winUs).cast("long").as("bucket"))
+        val probes = err.withColumn("bucket",
+          explode(array((col("ts_us") / winUs).cast("long"),
+            (col("ts_us") / winUs).cast("long") - 1)))
+        val cnt = probes.join(clk, Seq("user_id", "bucket"))
+          .filter(col("c_ts") >= col("ts_us") - winUs &&
+            col("c_ts") < col("ts_us"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+        err.join(cnt, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             |  FROM events WHERE event_type = 'error'),
+             |clk AS (SELECT user_id, epoch_us(ts) AS c_ts
+             |  FROM events WHERE event_type = 'click'),
+             |cnt AS (SELECT e.event_id, count(*) AS n_clicks
+             |  FROM err e JOIN clk c ON c.user_id = e.user_id
+             |    AND c.c_ts >= e.ts_us - 60000000 AND c.c_ts < e.ts_us
+             |  GROUP BY e.event_id)
+             |SELECT e.event_id, e.user_id, e.ts_us,
+             |  COALESCE(cnt.n_clicks, 0) AS n_clicks
+             |FROM err e LEFT JOIN cnt ON cnt.event_id = e.event_id
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ── q39: CUBE — all four grouping granularities of (status,
+    // priority) in one pass (ref: the rollup analog of q20 taken to the
+    // full lattice; Spark plans one Expand + one hash agg, no re-scan
+    // per grouping set). Group keys are coalesced to 'ALL' on both
+    // sides so the subtotal rows sort identically cross-engine.
+    QueryDef(
+      "q39_cube",
+      (s, d) => {
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            fxSum(col("o_totalprice"), 100).as("revenue"))
+          .select(col("gid"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("revenue"))
+          .orderBy(col("gid"), col("status"), col("priority"))
+      },
+      Some(s"""SELECT CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+              |    + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+              |    AS INTEGER) AS gid,
+              |  COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  count(*) AS n,
+              |  ${Q.fxSumSql("o_totalprice", 100)} AS revenue
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY gid, status, priority""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —

@@ -123,6 +123,58 @@ object VectorQueries {
           .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
           .orderBy(col("q_id"), col("rn"))
       },
+      None),
+
+    // ── q40: IVF-style ANN (the second north-star scale path next to
+    // q29's LSH). Coarse quantizer = 16 deterministic centroids (the
+    // first 16 vectors — a stand-in for k-means at fixture scale);
+    // every vector is assigned to its nearest centroid in ONE broadcast
+    // pass with a map-side max_by (no per-vector window shuffle), and a
+    // query probes only its nprobe=4 nearest inverted lists. At 100 TB
+    // the corpus assignment is a single broadcast-join scan and the
+    // candidate join is list-local — the O(n²) pair space never forms.
+    // Approximate ⇒ rows-only driver check; recall vs the q23 brute
+    // force is asserted in scalatest.
+    QueryDef(
+      "q40_ann_ivf",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        // nearest centroid per vector: broadcast the 16 centroids,
+        // max_by on (cos, -cent_id) — deterministic under ties, fully
+        // map-side partial-aggregated.
+        val assigned = e.crossJoin(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cent_id"), col("embedding")),
+            struct(GraftFunctions.cosineSim(col("embedding"), col("cent")),
+              -col("cent_id"))).as("m"))
+          .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+            col("m.embedding").as("embedding"))
+        val probes = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cent_id"),
+            GraftFunctions.cosineSim(col("embedding"), col("cent")).as("cs"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cs").desc, col("cent_id"))))
+          .filter(col("rn") <= 4)
+          .select(col("q_id"), col("q_emb"), col("cent_id"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        probes.join(assigned, Seq("cent_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(GraftFunctions.cosineSim(col("q_emb"), col("embedding")), 6)
+              .as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rn"))
+      },
       None)
   )
 }

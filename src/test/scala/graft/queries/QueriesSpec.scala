@@ -89,6 +89,87 @@ class QueriesSpec extends SparkTestBase {
     assert(anti + semi == cust)
   }
 
+  test("q36 clusters: labels are component minima consistent with q25 pairs") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair shares a cluster; every cluster label is a member's id
+    pairs.foreach { case (a, b) => assert(lab(a) == lab(b)) }
+    lab.foreach { case (id, c) => assert(c <= id && lab(c) == c) }
+    // docs in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    lab.foreach { case (id, c) => if (!paired(id)) assert(c == id) }
+  }
+
+  test("q37 as-of: matched click is the latest same-user click <= purchase") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q37_asof_join")(spark, sf()).collect()
+    val clicks = graft.sources.Tables(spark, sf(), "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (uid, pts) = (r.getLong(1), r.getLong(2))
+      val expected = clicks.getOrElse(uid, Array.empty[Long])
+        .takeWhile(_ <= pts).lastOption
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == expected, s"user $uid purchase $pts")
+    }
+  }
+
+  test("q38 range join matches a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q38_range_join")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clicks = graft.sources.Tables(spark, sf(), "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, uid, ts, n) =>
+      val brute = clicks.count { case (u, c) =>
+        u == uid && c >= ts - 60000000L && c < ts }
+      assert(n == brute)
+    }
+  }
+
+  test("q39 cube: grand total row equals sum of leaf rows") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q39_cube")(spark, sf()).cache()
+    val grand = df.filter(col("gid") === 3).select("n").head().getLong(0)
+    val leaves = df.filter(col("gid") === 0).agg(sum("n")).head().getLong(0)
+    assert(grand == leaves && grand > 0)
+    df.unpersist()
+  }
+
+  test("q40 IVF top-3 achieves >=0.5 recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val ivf = SparkEntry.queries("q40_ann_ivf")(spark, sf())
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force top-3 per query from the exact all-pairs cosine
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.sources.Tables(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = q.crossJoin(e).filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions
+          .cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
