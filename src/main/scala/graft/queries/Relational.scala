@@ -561,6 +561,84 @@ object Relational {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY gid, status, priority""".stripMargin)),
 
+    // ── q41: exact percentiles (median + p95 per event_type). Exact
+    // `percentile` — sort-based, deterministic — not approx_percentile,
+    // whose sketch would never hash-match; both engines interpolate
+    // linearly, and the 6-decimal round absorbs last-ulp noise.
+    QueryDef(
+      "q41_percentile",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.95)"), 6).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  round(quantile_cont(value, 0.95), 6) AS p95,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── q42: pivot — event counts per day fanned into one column per
+    // event_type (explicit value list ⇒ no extra distinct pass and a
+    // deterministic column set; one hash agg, no per-column re-scan).
+    QueryDef(
+      "q42_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, d, "events")
+          .withColumn("day", day(col("ts")))
+          .groupBy(col("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("day") +: types.map(tp =>
+            coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  count(*) FILTER (event_type = 'click') AS n_click,
+             |  count(*) FILTER (event_type = 'error') AS n_error,
+             |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             |  count(*) FILTER (event_type = 'signup') AS n_signup,
+             |  count(*) FILTER (event_type = 'view') AS n_view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ── q43: RANGE-frame moving aggregate — per user, trailing-24h
+    // average of `value` at every event. The frame is value-based
+    // (RANGE on the microsecond key), not row-based; the average is
+    // built from an exact integer window sum so segment-tree vs
+    // sequential accumulation order can't split the engines.
+    QueryDef(
+      "q43_moving_avg",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-dayUs, 0)
+        t(s, d, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("sum_fx", sum(fxUnits(col("value"), 100)).over(w))
+          .withColumn("n_win", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            round((col("sum_fx").cast("double") / 100.0) /
+              col("n_win").cast("double"), 6).as("mavg_24h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(value*100) AS BIGINT) AS fx
+             |  FROM events),
+             |w AS (SELECT event_id, user_id, ts_us,
+             |    sum(fx) OVER win AS sum_fx,
+             |    count(*) OVER win AS n_win
+             |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+             |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, ts_us,
+             |  round((CAST(sum_fx AS DOUBLE)/100.0)/CAST(n_win AS DOUBLE), 6)
+             |    AS mavg_24h
+             |FROM w ORDER BY event_id""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —

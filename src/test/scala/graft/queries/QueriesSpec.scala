@@ -170,6 +170,32 @@ class QueriesSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("q37/q38 plans avoid quadratic joins (no CartesianProduct/BNLJ)") {
+    Seq("q37_asof_join", "q38_range_join").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name is cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name is BNLJ")
+    }
+  }
+
+  test("q43 moving average matches brute force at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q43_moving_avg")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.foreach { case (eid, uid, ts, _) =>
+      val frame = evs.filter { case (_, u, t2, _) =>
+        u == uid && t2 >= ts - 86400000000L && t2 <= ts }
+      val exact = frame.map { case (_, _, _, v) => math.round(v * 100) }.sum /
+        100.0 / frame.size
+      assert(math.abs(out(eid) - exact) < 1e-6, s"event $eid")
+    }
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
