@@ -200,6 +200,42 @@ object TextQueries {
              |  CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens
              |FROM s GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ── q44: rolling-window fingerprint (north star "rolling hash" —
+    // winnowing-lite, cf. MOSS): hash every 4-token sliding window,
+    // keep the minimum as the doc fingerprint. Content-shift-robust
+    // where q33's whole-doc hash is not; md5 as the window hash keeps
+    // both engines bit-identical. All inside codegen'd higher-order
+    // fns — the window pass is one linear scan per doc.
+    QueryDef(
+      "q44_winnow_fingerprint",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        t(s, d, "documents")
+          .withColumn("tk", toks)
+          .select(
+            col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            when(size(col("tk")) >= 4,
+              array_min(transform(sequence(lit(0), size(col("tk")) - 4),
+                i => md5(concat_ws(" ",
+                  element_at(col("tk"), i + 1),
+                  element_at(col("tk"), i + 2),
+                  element_at(col("tk"), i + 3),
+                  element_at(col("tk"), i + 4))))))
+              .otherwise(md5(col("text"))).as("fp_win"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  CASE WHEN len(tk) >= 4 THEN
+             |    list_min(list_transform(range(1, len(tk) - 2),
+             |      i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |        || ' ' || tk[i+3])))
+             |  ELSE md5(text) END AS fp_win
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ── q33: document fingerprinting (north star) — whitespace-collapse
     // normalize then md5; head prefix as a short fingerprint.
     QueryDef(
