@@ -36,6 +36,45 @@ object EventStream {
         col("cnt"), col("sum_value"))
   }
 
+  /** Streaming dedup with watermark-bounded state (the reference's
+    * corpus dedup `Batch Processor.py:231` lifted to an unbounded
+    * stream): duplicates of a key arriving within the watermark window
+    * are dropped, and state for keys older than the watermark is
+    * evicted — so state size is O(keys per watermark window), not
+    * O(all keys ever).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-stream interval join: each purchase matched to same-user
+    * clicks at most `horizon` before it. Both sides carry watermarks so
+    * the join state is bounded — a click can be evicted once the
+    * purchase-side watermark passes click_ts + horizon.
+    */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Severity classification of the live stream — the q10/A13 CASE
     * WHEN applied before sinking to a status log.
     */
