@@ -639,6 +639,23 @@ object Relational {
              |    AS mavg_24h
              |FROM w ORDER BY event_id""".stripMargin)),
 
+    // ── q45: approximate distinct count (HLL++). At 100 TB an exact
+    // count-distinct shuffles every key; the sketch is fixed-size per
+    // group and merges map-side. Approximate ⇒ no SQL oracle (DuckDB's
+    // HLL is a different implementation) — rows-only driver check, and
+    // scalatest bounds the error vs the exact count at rsd=0.02.
+    QueryDef(
+      "q45_approx_distinct",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —

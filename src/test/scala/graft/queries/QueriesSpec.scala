@@ -196,6 +196,21 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q45 approx distinct is within 10% of exact per event_type") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q45_approx_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables(spark, sf(), "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.1,
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
