@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: phase-level timing of the shingle-dedup pipeline (the
+  * bench's dominant cost) so optimization targets facts, not guesses.
+  *
+  * Usage: runMain graft.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    time("read+count")(docs.count())
+
+    val tk = col("tk")
+    val sh = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tk", filter(split(col("text"), " "), t => length(t) > 0))
+      .select(col("doc_id"),
+        when(size(tk) >= 3,
+          array_distinct(transform(sequence(lit(0), size(tk) - 3),
+            i => xxhash64(concat_ws(" ",
+              element_at(tk, i + 1),
+              element_at(tk, i + 2),
+              element_at(tk, i + 3))))))
+          .otherwise(array().cast("array<long>")).as("s"))
+      .persist()
+    time("shingle materialize")(sh.count())
+
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    time("explode count")(ex.count())
+
+    val inter = ex.as("x")
+      .join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    time("pair join+agg")(inter.count())
+
+    time("full q25 (cold cache path)")(
+      SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save())
+    time("full q25 again (warm)")(
+      SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save())
+
+    spark.stop()
+  }
+}

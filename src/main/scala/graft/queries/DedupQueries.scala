@@ -17,15 +17,21 @@ import graft.functions.GraftFunctions
 object DedupQueries {
   import Q._
 
-  /** Distinct 3-gram token shingles of a text column, pre-hashed to
-    * 64-bit keys (codegen'd higher-order fns; empty array below 3
-    * tokens). Joining/intersecting on 8-byte hashes instead of shingle
-    * strings shrinks the shuffle and makes per-seed MinHash rehashing
-    * O(1) per shingle; a 64-bit collision (~|shingles|²/2⁶⁴) is the
-    * standard accepted error of hashed-shingle dedup.
+  /** Distinct 3-gram token shingles of a *pre-tokenized* array column,
+    * pre-hashed to 64-bit keys (codegen'd higher-order fns; empty
+    * array below 3 tokens). Joining/intersecting on 8-byte hashes
+    * instead of shingle strings shrinks the shuffle and makes per-seed
+    * MinHash rehashing O(1) per shingle; a 64-bit collision
+    * (~|shingles|²/2⁶⁴) is the standard accepted error of
+    * hashed-shingle dedup.
+    *
+    * `toks` MUST be a bound column (materialized via `withColumn`),
+    * not the tokenize expression itself: an expression referenced
+    * inside the `transform` lambda is re-evaluated per element, which
+    * turns one tokenize per doc into one per window — measured 2.7×
+    * on the whole shingle pass.
     */
-  private def shingleHashes(textCol: Column): Column = {
-    val toks = filter(split(textCol, " "), tk => length(tk) > 0)
+  private def shingleHashes(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => xxhash64(concat_ws(" ",
@@ -33,7 +39,6 @@ object DedupQueries {
           element_at(toks, i + 2),
           element_at(toks, i + 3))))))
       .otherwise(array().cast("array<long>"))
-  }
 
   /** Per-doc shingle-hash arrays, spread across the cluster and
     * persisted: every dedup query fans this frame into several join
@@ -50,7 +55,9 @@ object DedupQueries {
     shingleCache.computeIfAbsent((s, d), { case (ss, dir) =>
       t(ss, dir, "documents")
         .repartition(ss.sparkContext.defaultParallelism)
-        .select(col("doc_id"), shingleHashes(col("text")).as("s"))
+        .withColumn("tk",
+          filter(split(col("text"), " "), tk => length(tk) > 0))
+        .select(col("doc_id"), shingleHashes(col("tk")).as("s"))
         .persist()
     })
 
