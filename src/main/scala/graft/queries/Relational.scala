@@ -656,6 +656,33 @@ object Relational {
       },
       None),
 
+    // ── q46: per-group top-k via the custom GroupedTopK operator
+    // (logical plan + strategy + partial/final SparkPlan,
+    // graft.plans.GroupedTopK) — top-2 lineitems per order by price.
+    // Same semantics as the q11-style window formulation, but the
+    // map side reduces each group to k rows BEFORE the exchange;
+    // oracle-verified against the row_number() form.
+    QueryDef(
+      "q46_grouped_topk",
+      (s, d) => {
+        graft.plans.GroupedTopK.topK(
+            t(s, d, "lineitem"),
+            Seq("l_orderkey"),
+            Seq(("l_extendedprice", true), ("l_linenumber", false)),
+            2)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_extendedprice").desc,
+            col("l_linenumber"))
+      },
+      Some("""WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |  row_number() OVER (PARTITION BY l_orderkey
+             |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM r WHERE rn <= 2
+             |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —
