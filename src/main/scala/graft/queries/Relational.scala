@@ -683,6 +683,39 @@ object Relational {
              |FROM r WHERE rn <= 2
              |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)),
 
+    // ── q47: explicit GROUPING SETS — the two marginal distributions
+    // (by status, by priority) plus the grand total, WITHOUT the
+    // (status, priority) leaves cube would also compute: one Expand
+    // pass producing exactly the requested sets. Completes the
+    // grouping-lattice trio with q20 (rollup) and q39 (cube).
+    QueryDef(
+      "q47_grouping_sets",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+              Seq.empty[org.apache.spark.sql.Column]),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            fxSum(col("o_totalprice"), 100).as("revenue"))
+          .select(col("gid"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("revenue"))
+          .orderBy(col("gid"), col("status"), col("priority"))
+      },
+      Some(s"""SELECT CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+              |    + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+              |    AS INTEGER) AS gid,
+              |  COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  count(*) AS n,
+              |  ${Q.fxSumSql("o_totalprice", 100)} AS revenue
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY gid, status, priority""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —
