@@ -33,6 +33,24 @@ object Tables {
     }
   }
 
+  /** Schema-enforced CSV ingest with per-record error isolation — the
+    * source-side analog of the pipeline's per-record try/except (ref
+    * A12, `Batch Processor.py:309-320`): a malformed row is captured
+    * whole in `_corrupt_record` and the read continues, instead of one
+    * bad row failing a 100 TB load.
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Recursive-scan source with suffix predicate — the Spark shape of the
     * reference's `get_lisp_files` (`Batch Processor.py:53-60`): flatten a
     * directory tree into a path DataFrame, filter case-insensitively.

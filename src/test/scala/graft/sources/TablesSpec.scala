@@ -21,6 +21,27 @@ class TablesSpec extends SparkTestBase {
     assert(!got.exists(_.endsWith("skip.txt")))
   }
 
+  test("readCsv isolates malformed rows in _corrupt_record (A12 analog)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(Paths.get(dir.toString, "data.csv"),
+      """id,qty
+        |1,10
+        |2,notanumber
+        |3,30
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val df = Tables.readCsv(spark, dir.toString, schema).cache()
+    val good = df.filter(df("_corrupt_record").isNull)
+      .select("id", "qty").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bad = df.filter(df("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(good == Set((1L, 10), (3L, 30)))
+    assert(bad.toSeq == Seq("2,notanumber"))
+    df.unpersist()
+  }
+
   test("all ten fixture tables load with expected columns") {
     Tables.names.foreach { n =>
       val df = Tables(spark, sf(), n)
