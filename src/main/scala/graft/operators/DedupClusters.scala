@@ -44,23 +44,29 @@ object DedupClusters {
 
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("cluster"))
+    var cached: DataFrame = null // the persisted frame `labels` derives from
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // propagate: each id adopts min(cluster) over neighbors' labels
+      // propagate, carrying the old label alongside so convergence is
+      // read off the same materialized round. localCheckpoint (eager)
+      // both materializes the round and TRUNCATES lineage — `labels`
+      // appears twice in the round's plan, so without truncation the
+      // logical plan would double every round (exponential analysis
+      // cost on long chains).
       val next = sym
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .join(labels.toDF("b", "nb_cluster"), Seq("b"))
         .groupBy(col("a").as("id"))
-        .agg(min(col("cluster")).as("cluster"))
-        .persist()
-      next.count()
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.cluster") =!= col("l.cluster"))
-        .limit(1)
-      converged = changed.isEmpty
-      labels.unpersist()
-      labels = next
+        .agg(min(col("nb_cluster")).as("cluster"))
+        .join(labels.toDF("id", "old"), Seq("id"))
+        .localCheckpoint(true)
+      val changes = next
+        .agg(sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      converged = changes == 0L
+      if (cached != null) cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("cluster"))
       it += 1
     }
     sym.unpersist()

@@ -11,6 +11,19 @@ class BucketedSpec extends SparkTestBase {
     val orders = Tables(spark, sf(), "orders")
     val lineitem = Tables(spark, sf(), "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
+    // clean any leftover table location from a previous JVM (the
+    // catalog is fresh per session but the warehouse dir may not be)
+    Seq("b_orders", "b_lineitem").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Bucketed.write(orders, "b_orders", "o_orderkey", 4)
     Bucketed.write(lineitem, "b_lineitem", "o_orderkey", 4)
 
