@@ -716,6 +716,53 @@ object Relational {
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY gid, status, priority""".stripMargin)),
 
+    // ── q48: correlated EXISTS subquery through the SQL entry point —
+    // the same SQL string runs on spark.sql (over temp views) and on
+    // DuckDB, so the oracle IS the query. Exercises Spark's subquery
+    // decorrelation (EXISTS → left semi join; see SURVEY.md §4.2).
+    {
+      val sql48 =
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate < o.o_orderdate)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin
+      QueryDef(
+        "q48_exists_subquery",
+        (s, d) => {
+          t(s, d, "orders").createOrReplaceTempView("orders")
+          t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+          s.sql(sql48)
+        },
+        Some(sql48))
+    },
+
+    // ── q49: correlated SCALAR subquery (per-row aggregate lookup),
+    // same shared-SQL scheme. The nation average is built from the
+    // exact fixed-point sum so both engines divide identical integers
+    // (Q.fxSum discipline). Exercises
+    // RewriteCorrelatedScalarSubquery → aggregate + join.
+    {
+      val sql49 =
+        """SELECT c.c_custkey,
+          |  round(c.c_acctbal - (
+          |    SELECT CAST(sum(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS DOUBLE)
+          |      /100.0/count(*)
+          |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey), 4)
+          |    AS delta_to_nation_avg
+          |FROM customer c
+          |ORDER BY c.c_custkey""".stripMargin
+      QueryDef(
+        "q49_scalar_subquery",
+        (s, d) => {
+          t(s, d, "customer").createOrReplaceTempView("customer")
+          s.sql(sql49)
+        },
+        Some(sql49))
+    },
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —
