@@ -763,6 +763,60 @@ object Relational {
         Some(sql49))
     },
 
+    // ── q50: distribution ranking — deciles + percent_rank over a
+    // total order (acctbal, custkey tiebreak ⇒ deterministic despite
+    // duplicate balances). Rounds out the ranking-window family next
+    // to q11's row_number.
+    QueryDef(
+      "q50_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(10).over(w).as("decile"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  ntile(10) OVER w AS decile,
+             |  round(percent_rank() OVER w, 6) AS pr
+             |FROM customer
+             |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── q51: date arithmetic — ship latency per order (days from
+    // order date to first/last line shipment) + month bucket. Both
+    // engines compute day diffs on DATE-truncated values (exact
+    // integer arithmetic, no tz edge).
+    QueryDef(
+      "q51_date_math",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(min(col("l_shipdate")).as("first_ship"),
+            max(col("l_shipdate")).as("last_ship"))
+        t(s, d, "orders")
+          .join(li, Seq("o_orderkey"))
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+            datediff(to_date(col("first_ship")), to_date(col("o_orderdate")))
+              .cast("long").as("days_to_first"),
+            datediff(to_date(col("last_ship")), to_date(col("o_orderdate")))
+              .cast("long").as("ship_span"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS o_orderkey,
+             |    min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+             |  FROM lineitem GROUP BY 1)
+             |SELECT o.o_orderkey,
+             |  strftime(o.o_orderdate, '%Y-%m') AS order_month,
+             |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             |    CAST(first_ship AS DATE)) AS BIGINT) AS days_to_first,
+             |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             |    CAST(last_ship AS DATE)) AS BIGINT) AS ship_span
+             |FROM orders o JOIN li USING (o_orderkey)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —
