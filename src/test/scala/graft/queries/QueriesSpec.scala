@@ -211,6 +211,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("plan audit: no cartesian products; BNLJ only where it's the design") {
+    // BNLJ allowlist: q23/q40 broadcast a tiny (1- or 16-row) side;
+    // q28 is the by-design exact all-pairs theta scan.
+    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding", "q40_ann_ivf")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
+      if (!bnljOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ")
+    }
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
