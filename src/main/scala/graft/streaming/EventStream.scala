@@ -75,6 +75,23 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Checkpointed parquet sink: exactly-once file output that survives
+    * stop/restart (the durable upgrade of the reference's at-least-once
+    * QSAVE commit, `Batch Processor.py:347-361` — offsets + file
+    * manifest live in the checkpoint, so a restarted query neither
+    * drops nor duplicates batches).
+    */
+  def toParquetSink(
+      df: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Severity classification of the live stream — the q10/A13 CASE
     * WHEN applied before sinking to a status log.
     */
