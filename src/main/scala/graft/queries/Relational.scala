@@ -817,6 +817,50 @@ object Relational {
              |FROM orders o JOIN li USING (o_orderkey)
              |ORDER BY o.o_orderkey""".stripMargin)),
 
+    // ── q52: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) —
+    // multiplicity-preserving counterparts of q21's distinct set ops:
+    // per-user click events minus one-per-purchase, keeping duplicates.
+    QueryDef(
+      "q52_setops_all",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"))
+        clicks.exceptAll(purchases)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("surplus_clicks"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+             |ea AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+             |SELECT user_id, count(*) AS surplus_clicks
+             |FROM ea GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── q53: LATERAL correlated subquery — top-2 customers per nation
+    // through the shared-SQL entry point (one string, both engines).
+    // Spark plans this as a lateral join; semantically the per-group
+    // top-k family (cf. q46's custom operator).
+    {
+      val sql53 =
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c.c_custkey, c.c_acctbal FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+      QueryDef(
+        "q53_lateral_topk",
+        (s, d) => {
+          t(s, d, "nation").createOrReplaceTempView("nation")
+          t(s, d, "customer").createOrReplaceTempView("customer")
+          s.sql(sql53)
+        },
+        Some(sql53))
+    },
+
     // ── q22: exact content-hash dedup (north star; ref corpus dedup
     // `Batch Processor.py:231` + normalized-key dedup `:263-265`).
     // Survivor choice is made deterministic (min doc_id per hash) —
