@@ -62,6 +62,30 @@ object Profile {
       SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sfDir)
         .write.mode("overwrite").format("noop").save())
 
+    // Scaling probe: do the core shapes stay linear when the fact
+    // table grows 10×? (join-denorm agg = q07 shape; two-window
+    // sessionization = q35 shape.) A superlinear jump here would mean
+    // a plan that breaks at 100 TB.
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+    val li10 = (1 to 10).map(_ => li).reduce(_ union _)
+    val ord = graft.sources.Tables(spark, sfDir, "orders")
+    def denorm(f: org.apache.spark.sql.DataFrame) = f
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+    time("join-agg 1x lineitem")(denorm(li).write.mode("overwrite").format("noop").save())
+    time("join-agg 10x lineitem")(denorm(li10).write.mode("overwrite").format("noop").save())
+    def sess(f: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_shipdate"), col("l_linenumber"))
+      f.withColumn("gap", when(datediff(col("l_shipdate"),
+          lag(col("l_shipdate"), 1).over(w)) > 30, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("l_orderkey"), col("sess")).agg(count(lit(1)))
+    }
+    time("two-window sess 1x")(sess(li).write.mode("overwrite").format("noop").save())
+    time("two-window sess 10x")(sess(li10).write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }
