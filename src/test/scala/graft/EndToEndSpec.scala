@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{CommitSink, Pipeline}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** The reference's complete user journey, Spark-native, in one test:
+  * discover a corpus (A1), dedup it (A4/A5), run the ordered stage
+  * pipeline with per-record isolation (A12/A14), commit with read-back
+  * verification (A14 `:347-361`), and read off run metrics + the
+  * severity-tagged status stream (A18/A19/D5).
+  */
+class EndToEndSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scan -> dedup -> ordered pipeline -> verified commit -> metrics") {
+    // corpus on disk: 4 distinct drawings, one duplicated name in a
+    // subdir, one non-matching suffix
+    val root = Files.createTempDirectory("graft-e2e")
+    Files.createDirectories(Paths.get(root.toString, "sub"))
+    Seq("a.dwg", "b.dwg", "c.dwg", "bad.dwg").foreach(f =>
+      Files.writeString(Paths.get(root.toString, f), f))
+    Files.writeString(Paths.get(root.toString, "sub", "ignore.txt"), "x")
+
+    // A1 discovery + A4 dedup (by basename, the ref's corpus key)
+    val corpus = Tables.scanFiles(spark, root.toString, ".dwg")
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+      .dropDuplicates("name")
+      .select("name").as[String]
+    assert(corpus.count() == 4)
+
+    // A12/A14: ordered stages; "bad.dwg" fails in stage 2 and must be
+    // isolated, not abort the run
+    val stages = Seq(
+      Pipeline.Stage[String]("epurge", 0, enabled = true, r => s"$r:purged"),
+      Pipeline.Stage[String]("ebind", 1, enabled = true, r =>
+        if (r.startsWith("bad")) sys.error("Open.Close failed") else s"$r:bound"),
+      Pipeline.Stage[String]("skipped", 2, enabled = false, r => sys.error("off")))
+    val run = Pipeline.run(spark, corpus, stages)
+    val m = run.metrics
+    assert(m.total == 4 && m.succeeded == 3 && m.failed == 1)
+    assert(math.abs(m.successRatio - 0.75) < 1e-9)
+
+    // A13: the failure is classified from its message
+    val failedRows = run.results.filter(!col("ok"))
+      .select("errorClass", "failedStage").collect()
+    assert(failedRows.length == 1)
+    assert(failedRows.head.getString(0) == Pipeline.classifyError("Open.Close failed"))
+    assert(failedRows.head.getString(1) == "ebind")
+
+    // A14 commit: survivors to a verified parquet sink
+    val dest = root.toString + "/committed"
+    val survivors = run.results.filter(col("ok")).select("value")
+    val committed = CommitSink.writeVerified(spark, survivors, dest)
+    assert(committed == 3)
+    val back = spark.read.parquet(dest).as[String].collect().toSet
+    assert(back == Set("a.dwg:purged:bound", "b.dwg:purged:bound",
+      "c.dwg:purged:bound"))
+
+    // A18: severity-tagged status stream carries the red event
+    val events = run.statusEvents(spark).collect()
+    assert(events.count(_.severity == "red") == 1)
+    assert(events.count(_.severity == "green") == 3)
+  }
+}
