@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_sig32",
       "minhash_sig32(shingles) - 32-hash MinHash signature",
       es => MinHashSignature(es(0), 32)))
+    // Whole-operator extension: sessions built with these extensions
+    // plan GroupedTopKPlan without the runtime extraStrategies hook.
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

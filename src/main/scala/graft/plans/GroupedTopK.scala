@@ -11,14 +11,18 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension (SURVEY.md custom-op path (c)): per-group
-  * top-k with PARTIAL pre-shuffle reduction — the one shape the
-  * built-in operators genuinely can't express. The window formulation
-  * (`row_number().over(...) <= k`) must shuffle every row of every
-  * group to one reducer before it can rank; this operator keeps a
-  * k-row bounded heap per group per input partition on the map side,
-  * so the exchange carries at most k·partitions rows per group
-  * regardless of group size. At 100 TB with hot groups that is the
-  * difference between shuffling terabytes and shuffling kilobytes.
+  * top-k with PARTIAL pre-shuffle reduction. Spark 3.5+ covers the
+  * `row_number().over(...) <= k` *idiom* with `InferWindowGroupLimit`
+  * (q11 plans a partial+final WindowGroupLimit — verified via
+  * graft.Explain), but that path requires writing the rank-column
+  * idiom, sorts each partition inside WindowGroupLimitExec, and still
+  * runs the full Window operator over the survivors to materialize the
+  * rank. This operator is the direct form: heap-based (no partition
+  * sort) on the map side, streaming first-k on the reduce side, no
+  * rank column materialized, exposed as a first-class API. The
+  * exchange carries at most k·partitions rows per group regardless of
+  * group size — at 100 TB with hot groups that is the difference
+  * between shuffling terabytes and shuffling kilobytes.
   *
   * Stack: logical node → strategy → partial exec (map-side heaps) →
   * exchange+sort (inserted by EnsureRequirements from the final
