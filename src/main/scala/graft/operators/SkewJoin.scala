@@ -34,7 +34,8 @@ object SkewJoin {
     // reproducible across retries, which matters for exactly-once
     // sinks downstream.
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)),
+        lit(salts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -25,7 +25,7 @@ class SkewJoinSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val large = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
     val salts = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(8L)))
       .select("__salt").distinct().count()
     assert(salts >= 6, s"expected >=6 distinct salts, got $salts")
   }
