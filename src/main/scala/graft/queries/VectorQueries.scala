@@ -175,6 +175,46 @@ object VectorQueries {
           .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
           .orderBy(col("q_id"), col("rn"))
       },
+      None),
+
+    // ── q54: coarse-quantized near-dup pairs — the scale twin of
+    // q28's exact all-pairs scan, mirroring how q26 accelerates q25.
+    // Hyperplane LSH cannot prune at a weak threshold like cos ≥ 0.4
+    // (measured 12% recall), so the honest scale path is IVF-style
+    // co-assignment: each vector joins its 2 nearest of 16 centroids,
+    // candidates are pairs sharing an assigned centroid (near vectors
+    // share near centroids), exact cosine verifies. Pair space shrinks
+    // from n²/2 to Σ|list|²; output ⊆ q28, recall asserted in
+    // scalatest. Rows-only driver check (approximate).
+    QueryDef(
+      "q54_dedup_embedding_ivf",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding"),
+            GraftFunctions.vecNorm(col("embedding")).as("nrm"))
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+            GraftFunctions.cosineSim(col("embedding"), col("cent")).as("cs"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+        val a = assigned.toDF("vec_a", "ea", "na", "cent_id")
+        val b = assigned.toDF("vec_b", "eb", "nb", "cent_id")
+        a.join(b, Seq("cent_id"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(GraftFunctions.dotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .distinct()
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
       None)
   )
 }

@@ -212,15 +212,28 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
-    // BNLJ allowlist: q23/q40 broadcast a tiny (1- or 16-row) side;
-    // q28 is the by-design exact all-pairs theta scan.
-    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding", "q40_ann_ivf")
+    // BNLJ allowlist: q23/q40/q54 broadcast a tiny (1- or 16-row)
+    // centroid/query side; q28 is the by-design exact all-pairs scan.
+    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding", "q40_ann_ivf",
+      "q54_dedup_embedding_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
       if (!bnljOk(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ")
     }
+  }
+
+  test("q54 IVF pairs are a subset of q28 exact pairs with decent recall") {
+    val exact = SparkEntry.queries("q28_dedup_embedding")(spark, sf())
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q54_dedup_embedding_ivf")(spark, sf())
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.3,
+      s"IVF recall too low: ${lsh.size}/${exact.size}")
   }
 
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
