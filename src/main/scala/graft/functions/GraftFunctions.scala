@@ -20,14 +20,28 @@ object GraftFunctions {
     */
   private lazy val lshPlanes = HyperplaneLsh.planes(nPlanes = 8, dim = 64)
 
-  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "vec_norm" -> (es => VecNorm(es(0))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "minhash_sig32" -> (es => MinHashSignature(es(0), 32)),
-    "lsh_bucket8" -> (es => HyperplaneLsh(es(0), lshPlanes))
-  )
+  /** Independent plane sets for multi-table LSH (OR-amplification):
+    * one 8-bit table recalls only ~10–17% of weakly-clustered top-k
+    * neighbors (measured in QueriesSpec); T tables recall
+    * 1-(1-p)^T. Table 0 uses the default seed = `lsh_bucket8`.
+    */
+  val LshTables = 4
+  private lazy val lshPlanesT: IndexedSeq[Array[Array[Double]]] =
+    (0 until LshTables).map(t =>
+      HyperplaneLsh.planes(nPlanes = 8, dim = 64, seed = 42L + t))
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val base: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "cosine_sim" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      "dot_product" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      "vec_norm" -> ((es: Seq[Expression]) => VecNorm(es(0))),
+      "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+      "minhash_sig32" -> ((es: Seq[Expression]) => MinHashSignature(es(0), 32)),
+      "lsh_bucket8" -> ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanes)))
+    base ++ (0 until LshTables).map(t =>
+      s"lsh_bucket8_t$t" ->
+        ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanesT(t))))
+  }
 
   /** Idempotent per-session registration — call before using wrappers. */
   def register(spark: SparkSession): Unit = synchronized {
@@ -50,4 +64,8 @@ object GraftFunctions {
 
   /** 8-bit hyperplane-LSH bucket id for a 64-d embedding. */
   def lshBucket(embedding: Column): Column = call_function("lsh_bucket8", embedding)
+
+  /** Bucket in table `t` of the multi-table LSH (0 ≤ t < LshTables). */
+  def lshBucketT(embedding: Column, t: Int): Column =
+    call_function(s"lsh_bucket8_t$t", embedding)
 }

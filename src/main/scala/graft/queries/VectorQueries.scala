@@ -92,30 +92,44 @@ object VectorQueries {
               |  AND round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.4
               |ORDER BY vec_a, vec_b""".stripMargin)),
 
-    // ── q29: LSH-bucketed ANN (scale path; approximate — no SQL oracle,
-    // rows-only check + scalatest recall assertions). Top-3 bucket-local
-    // neighbors for query vectors 0..9.
+    // ── q29: multi-table LSH ANN (scale path; approximate — no SQL
+    // oracle, rows-only check + scalatest recall gate). Top-3 neighbors
+    // for query vectors 0..9. One 8-bit table recalls only ~10% of
+    // these weakly-clustered neighbors (measured), so candidates come
+    // from the UNION of 4 independent tables (OR-amplification,
+    // 1-(1-p)^4) plus Hamming-1 multiprobe per table — candidates stay
+    // bucket-local, the O(n²) space never forms.
     QueryDef(
       "q29_ann_lsh",
       (s, d) => {
         GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("bucket", GraftFunctions.lshBucket(col("embedding")))
-        // Multiprobe: each query probes its own bucket plus the 8
-        // Hamming-1 neighbors, recovering recall lost to sign-flips on
-        // near-boundary planes.
+        val tableBuckets = array((0 until GraftFunctions.LshTables).map(tb =>
+          struct(lit(tb).as("tb"),
+            GraftFunctions.lshBucketT(col("embedding"), tb).as("b"))): _*)
+        val corpus = e
+          .select(col("vec_id"), col("embedding"),
+            explode(tableBuckets).as("tbb"))
+          .select(col("vec_id"), col("embedding"),
+            col("tbb.tb").as("tb"), col("tbb.b").as("bucket"))
+        // Multiprobe: each query probes its bucket plus the 8
+        // Hamming-1 neighbors, in EVERY table.
         val probes = array((lit(0) +: (0 until 8).map(b => lit(1 << b))): _*)
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+            explode(tableBuckets).as("tbb"))
+          .select(col("q_id"), col("q_emb"), col("tbb.tb").as("tb"),
+            explode(transform(probes, m => col("tbb.b").bitwiseXOR(m)))
               .as("bucket"))
         val cands = queries
-          .join(e.select(col("vec_id"), col("embedding"), col("bucket")), Seq("bucket"))
+          .join(corpus.select(col("vec_id"), col("embedding"),
+            col("tb"), col("bucket")), Seq("tb", "bucket"))
           .filter(col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             round(GraftFunctions.cosineSim(col("q_emb"), col("embedding")), 6)
               .as("cos_sim"))
+          .distinct() // a pair can meet in several tables/probes
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
         cands.withColumn("rn", row_number().over(w))

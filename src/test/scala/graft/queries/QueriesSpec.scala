@@ -236,6 +236,48 @@ class QueriesSpec extends SparkTestBase {
       s"IVF recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("q27 simhash: exact-duplicate docs always collide at hamming 0") {
+    import org.apache.spark.sql.functions._
+    // exact content duplicates (from the q22 hash groups) must be
+    // found by simhash with distance 0 — identical token sequences
+    // hash identically
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .withColumn("h", md5(lower(col("text"))))
+    val dupPairs = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SparkEntry.queries("q27_dedup_simhash")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    dupPairs.foreach { p =>
+      assert(sim.get(p).contains(0L), s"exact dup $p missing or hamming>0")
+    }
+  }
+
+  test("q29 LSH top-3 keeps reasonable recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val lsh = SparkEntry.queries("q29_ann_lsh")(spark, sf())
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.sources.Tables(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = q.crossJoin(e).filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions
+          .cosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-table multiprobe LSH on weakly-clustered vectors: expect
+    // a nontrivial fraction, not perfection
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH top-k recall $recall")
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
