@@ -86,6 +86,15 @@ object Profile {
     time("two-window sess 1x")(sess(li).write.mode("overwrite").format("noop").save())
     time("two-window sess 10x")(sess(li10).write.mode("overwrite").format("noop").save())
 
+    // AQE exchange-reuse check: q40/q54 fan one repartitioned corpus
+    // into several branches — confirm the runtime plan collapses the
+    // identical exchange subtrees instead of re-scanning per branch.
+    val q40 = SparkEntry.queries("q40_ann_ivf")(spark, sfDir)
+    q40.write.mode("overwrite").format("noop").save()
+    val finalPlan = q40.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    println(s"PHASE q40 ReusedExchange nodes   $reused")
+
     spark.stop()
   }
 }

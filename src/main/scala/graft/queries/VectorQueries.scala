@@ -21,6 +21,29 @@ import graft.functions.GraftFunctions
 object VectorQueries {
   import Q._
 
+  /** Repartitioned embeddings + precomputed norms, persisted once per
+    * (session, dir) and fanned into every vector query's branches —
+    * measured: AQE does NOT collapse the identical repartition
+    * exchanges across branches (0 ReusedExchange in q40's final
+    * plan), so without this cache each branch re-scans the corpus. At
+    * 100 TB this frame is the stored "vector index base" you build
+    * once, like the shingle index in [[DedupQueries]].
+    */
+  private val embCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    embCache.computeIfAbsent((s, d), { case (ss, dir) =>
+      GraftFunctions.register(ss)
+      t(ss, dir, "embeddings")
+        .repartition(ss.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          GraftFunctions.vecNorm(col("embedding")).as("nrm"))
+        .persist()
+    })
+
   /** DuckDB-side exact cosine between embeddings, computed in double
     * via positional unnest (works without any DuckDB extension).
     */
@@ -44,7 +67,7 @@ object VectorQueries {
       "q23_sim_topk",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
+        val e = emb(s, d)
         val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q0))
@@ -72,9 +95,8 @@ object VectorQueries {
         // Repartition the streamed side: a single-file input is one
         // split, and the nested-loop pair scan must spread across
         // cores/executors or it runs serially.
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-          GraftFunctions.vecNorm(col("embedding")).as("nrm"))
-        val a = e.repartition(s.sparkContext.defaultParallelism)
+        val e = emb(s, d)
+        val a = e
           .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -103,8 +125,7 @@ object VectorQueries {
       "q29_ann_lsh",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = emb(s, d)
         val tableBuckets = array((0 until GraftFunctions.LshTables).map(tb =>
           struct(lit(tb).as("tb"),
             GraftFunctions.lshBucketT(col("embedding"), tb).as("b"))): _*)
@@ -153,8 +174,7 @@ object VectorQueries {
       "q40_ann_ivf",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
+        val e = emb(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
         // nearest centroid per vector: broadcast the 16 centroids,
@@ -204,10 +224,7 @@ object VectorQueries {
       "q54_dedup_embedding_ivf",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id"), col("embedding"),
-            GraftFunctions.vecNorm(col("embedding")).as("nrm"))
+        val e = emb(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
         val w = Window.partitionBy(col("vec_id"))
