@@ -77,9 +77,19 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Exact Jaccard-≥0.5 near-dup pairs via shingle inverted index —
-    * shared by q25 (pair listing) and q36 (cluster assignment).
+    * shared by q25 (pair listing) and q36 (cluster assignment), and
+    * persisted like the shingle index: the inverted-index self-join is
+    * the expensive step, and the cluster pass should consume its
+    * result, not replay it.
     */
-  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def exactPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent((s, d),
+      { case (ss, dir) => exactPairsPlan(ss, dir).persist() })
+
+  private def exactPairsPlan(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
     val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
