@@ -8,10 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The reference saves in place; Spark cannot safely overwrite a path
   * it is reading (SURVEY.md §7 hard parts), so commit is
-  * write-to-staging → read-back verify → atomic swap. This is a
-  * deliberate semantic deviation documented here: the observable
-  * contract (either the old or the fully-written new data is visible)
-  * is strictly stronger than the reference's in-place save.
+  * write-to-staging → read-back verify → backup-rename swap. The
+  * contract: data is only ever destroyed AFTER the new copy is fully
+  * written and verified — a crash mid-swap can leave `dest` briefly
+  * absent, but a complete copy always exists (at `dest` or
+  * `dest.__old__`/staging). Strictly stronger than the reference's
+  * in-place save; true atomic visibility would need a metadata layer.
   */
 object CommitSink {
 
@@ -37,10 +39,23 @@ object CommitSink {
     val destPath = new Path(dest)
     val stagingPath = new Path(staging)
     val fs = destPath.getFileSystem(conf)
-    if (fs.exists(destPath) && !fs.delete(destPath, true))
-      throw new RuntimeException(s"could not replace $dest")
-    if (!fs.rename(stagingPath, destPath))
+    // Swap via backup-rename, not delete-then-rename: if the process
+    // dies between the two renames, the old data still exists at
+    // `dest.__old__` and is recoverable — a crash can leave dest
+    // momentarily absent but never destroys the only copy. (True
+    // atomicity needs a metadata layer; this is the strongest contract
+    // plain rename offers, and strictly stronger than the reference's
+    // in-place save.)
+    val backupPath = new Path(dest + ".__old__")
+    if (fs.exists(backupPath)) fs.delete(backupPath, true)
+    val hadOld = fs.exists(destPath)
+    if (hadOld && !fs.rename(destPath, backupPath))
+      throw new RuntimeException(s"could not stage out old $dest")
+    if (!fs.rename(stagingPath, destPath)) {
+      if (hadOld) fs.rename(backupPath, destPath) // roll back
       throw new RuntimeException(s"could not commit $staging -> $dest")
+    }
+    if (hadOld) fs.delete(backupPath, true)
     actual
   }
 }

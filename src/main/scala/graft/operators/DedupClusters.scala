@@ -61,7 +61,8 @@ object DedupClusters {
         .join(labels.toDF("id", "old"), Seq("id"))
         .localCheckpoint(true)
       val changes = next
-        .agg(sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)))
+        .agg(coalesce(sum(when(col("cluster") =!= col("old"), 1L)
+          .otherwise(0L)), lit(0L))) // sum over 0 rows is NULL
         .head().getLong(0)
       converged = changes == 0L
       if (cached != null) cached.unpersist()

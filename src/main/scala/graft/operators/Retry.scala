@@ -28,7 +28,10 @@ object Retry {
 
     @tailrec
     def loop(attempt: Int): A = {
-      val res = try Right(f) catch { case e: Throwable => Left(e) }
+      // NonFatal only: an OutOfMemoryError or a task-cancellation
+      // interrupt must propagate immediately, not burn retry budget.
+      val res = try Right(f)
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
       res match {
         case Right(a) => a
         case Left(e) if attempt < retries =>

@@ -30,6 +30,8 @@ object SkewJoin {
       key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     // Deterministic per-row salt: hash of the full row, not rand() —
     // reproducible across retries, which matters for exactly-once
     // sinks downstream.

@@ -28,9 +28,12 @@ object Settings {
       if (df.columns.isEmpty) defaults
       else {
         val row = df.head()
-        df.columns.zipWithIndex.map { case (c, i) =>
-          c -> String.valueOf(row.get(i))
+        val present = df.columns.zipWithIndex.collect {
+          // a JSON null is a missing value, not the string "null" —
+          // fall through to the default for that key
+          case (c, i) if !row.isNullAt(i) => c -> String.valueOf(row.get(i))
         }.toMap
+        defaults ++ present
       }
     } else {
       save(path, defaults)

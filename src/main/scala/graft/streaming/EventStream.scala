@@ -31,7 +31,7 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+        graft.queries.Q.fxSum(col("value"), 100).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
   }
@@ -134,7 +134,11 @@ object Sessionize {
                 closed += Session(uid, o.start_us, o.last_us, o.n)
                 open = OpenSession(e.ts_us, e.ts_us, 1L)
               case o =>
-                open = o.copy(last_us = e.ts_us, n = o.n + 1)
+                // min/max, not assignment: sorting is per-batch only,
+                // so an event arriving late (behind the open session's
+                // last_us) must not move the session boundary backwards
+                open = OpenSession(math.min(o.start_us, e.ts_us),
+                  math.max(o.last_us, e.ts_us), o.n + 1)
             }
           }
           if (open != null) state.update(open)

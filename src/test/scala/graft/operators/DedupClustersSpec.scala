@@ -23,6 +23,11 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
 
+  test("empty pair set yields an empty label frame, not an error") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupClusters.assign(pairs, "a", "b").count() == 0)
+  }
+
   test("survivors: one min-id survivor per cluster with size") {
     val pairs = Seq((5L, 7L), (7L, 6L), (100L, 42L)).toDF("a", "b")
     val got = DedupClusters.survivors(pairs, "a", "b")

@@ -56,4 +56,30 @@ class SessionizeSpec extends SparkTestBase {
     assert(got == batchSessions(evs))
     assert(!got.exists(_.user_id == 3L))
   }
+
+  test("late cross-batch event merges without moving the session backwards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(in.toDS(), gapUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out").start()
+
+    // batch 1: open session [800, 880] (within the 100 us gap)
+    in.addData(SessEvent(1L, 800L), SessEvent(1L, 880L))
+    q.processAllAvailable()
+    // batch 2: a LATE event (810, behind the open session's last=880)
+    // then 955 — 955-880=75 <= gap so the session must stay open; with
+    // naive last_us overwrite the merge of 810 would set last=810 and
+    // 955-810=145 > gap would wrongly close the session
+    in.addData(SessEvent(1L, 810L), SessEvent(1L, 955L))
+    q.processAllAvailable()
+    // batch 3: far future event closes the (single) session
+    in.addData(SessEvent(1L, 10000L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_late_out").as[Session].collect().toSet
+    assert(got == Set(Session(1L, 800L, 955L, 4L)))
+  }
 }
