@@ -51,6 +51,17 @@ object DedupQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop this session's cached shingle index / pair set (the caches
+    * are otherwise pinned for the session's lifetime by design — one
+    * Verify/Bench run — but a long-lived service should evict after a
+    * corpus swap, or stale data keeps serving).
+    */
+  def clearCaches(s: SparkSession): Unit = {
+    Seq(shingleCache, pairsCache).foreach { c =>
+      c.forEach { (k, v) => if (k._1 eq s) { v.unpersist(); c.remove(k) } }
+    }
+  }
+
   private def docShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.computeIfAbsent((s, d), { case (ss, dir) =>
       t(ss, dir, "documents")

@@ -34,6 +34,14 @@ object VectorQueries {
       (org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
 
+  /** Drop this session's cached vector base (see
+    * [[DedupQueries.clearCaches]] for when eviction matters).
+    */
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    embCache.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); embCache.remove(k) }
+    }
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     embCache.computeIfAbsent((s, d), { case (ss, dir) =>
       GraftFunctions.register(ss)

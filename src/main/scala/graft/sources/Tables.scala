@@ -24,6 +24,11 @@ object Tables {
       // rejects (SPARK-40819). Read nanos as long, then rebuild a
       // microsecond timestamp with exact integer division (a double
       // roundtrip would lose precision at 1.7e18 nanos).
+      // NOTE this flag is session-wide and stays set: after the first
+      // events read, other TIMESTAMP(NANOS) parquet in the same
+      // session also surfaces as LongType instead of erroring. The
+      // fixtures have exactly one nanos table, so this is accepted —
+      // a multi-source deployment should scope the flag per read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/$name.parquet")
