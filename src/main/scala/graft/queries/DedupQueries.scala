@@ -48,29 +48,26 @@ object DedupQueries {
     * the whole O(n·k) shingle pass and the pair joins downstream run
     * on one core.
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val shingleCache = new StampedCache
 
   /** Drop this session's cached shingle index / pair set (the caches
-    * are otherwise pinned for the session's lifetime by design — one
-    * Verify/Bench run — but a long-lived service should evict after a
-    * corpus swap, or stale data keeps serving).
+    * are stamped with a dir fingerprint so a corpus REWRITE rebuilds
+    * automatically — see [[StampedCache]] — but a long-lived service
+    * should still evict on shutdown to release the session pin).
     */
   def clearCaches(s: SparkSession): Unit = {
-    Seq(shingleCache, pairsCache).foreach { c =>
-      c.forEach { (k, v) => if (k._1 eq s) { v.unpersist(); c.remove(k) } }
-    }
+    shingleCache.clear(s)
+    pairsCache.clear(s)
   }
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent((s, d), { case (ss, dir) =>
-      t(ss, dir, "documents")
-        .repartition(ss.sparkContext.defaultParallelism)
+    shingleCache.get(s, d) {
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("tk",
           filter(split(col("text"), " "), tk => length(tk) > 0))
         .select(col("doc_id"), shingleHashes(col("tk")).as("s"))
-        .persist()
-    })
+    }
 
   /** Exact Jaccard over candidate pairs given per-doc shingle arrays. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
@@ -93,12 +90,10 @@ object DedupQueries {
     * the expensive step, and the cluster pass should consume its
     * result, not replay it.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsCache = new StampedCache
 
   private def exactPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent((s, d),
-      { case (ss, dir) => exactPairsPlan(ss, dir).persist() })
+    pairsCache.get(s, d)(exactPairsPlan(s, d))
 
   private def exactPairsPlan(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)

@@ -31,6 +31,26 @@ object Q {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.sources.Tables(spark, sfDir, name)
 
+  /** Cheap fingerprint of a data directory (file count + max mtime +
+    * total size): cache keys include it so a rewritten corpus under an
+    * already-cached path rebuilds instead of silently serving stale
+    * blocks (a real failure mode for a long-lived service session).
+    */
+  def dirStamp(path: String): Long = {
+    def walk(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null => (0L, 0L, 0L)
+          case fs => fs.map(walk).fold((0L, 0L, 0L)) { (a, b) =>
+            (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3)
+          }
+        }
+      else (1L, f.lastModified(), f.length())
+    val (n, mt, sz) = walk(new java.io.File(path))
+    n * 1000003L ^ mt ^ (sz * 31L)
+  }
+
+
   /** Exact fixed-point units of a value column: round(c*scale) as long. */
   def fxUnits(c: Column, scale: Int): Column = round(c * scale).cast("long")
 
@@ -44,4 +64,32 @@ object Q {
   def ts(s: String): Column = lit(s).cast("timestamp")
 
   def day(c: Column): Column = date_format(date_trunc("day", c), "yyyy-MM-dd")
+}
+
+/** Session-scoped persisted-DataFrame cache keyed by (session, dir)
+  * with a [[Q.dirStamp]] staleness check: the shared "build the index
+  * once" discipline behind the vector/shingle bases. A hit whose
+  * stamp no longer matches the directory is unpersisted and rebuilt,
+  * so a corpus rewrite under a cached path cannot serve stale data.
+  */
+private[queries] final class StampedCache {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, DataFrame)]()
+
+  /** Get-or-build the persisted frame for (s, dir). `build` must NOT
+    * persist; the cache does.
+    */
+  def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    m.compute((s, dir), { (_, cur) =>
+      val stamp = Q.dirStamp(dir)
+      if (cur != null && cur._1 == stamp) cur
+      else {
+        if (cur != null) cur._2.unpersist()
+        (stamp, build.persist())
+      }
+    })._2
+
+  /** Evict (and unpersist) all of this session's entries. */
+  def clear(s: SparkSession): Unit =
+    m.forEach { (k, v) => if (k._1 eq s) { v._2.unpersist(); m.remove(k) } }
 }

@@ -27,30 +27,62 @@ object VectorQueries {
     * exchanges across branches (0 ReusedExchange in q40's final
     * plan), so without this cache each branch re-scans the corpus. At
     * 100 TB this frame is the stored "vector index base" you build
-    * once, like the shingle index in [[DedupQueries]].
+    * once, like the shingle index in [[DedupQueries]]. Keys carry a
+    * dir fingerprint ([[Q.dirStamp]]) so a corpus rewrite rebuilds
+    * instead of serving stale blocks.
     */
-  private val embCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+  private val embCache = new StampedCache
 
-  /** Drop this session's cached vector base (see
+  /** IVF coarse quantizer: 16 unit centroids from deterministic
+    * sampled spherical k-means ([[graft.functions.KMeansLite]]),
+    * fitted once per (session, dir, corpus-stamp). Small driver-side
+    * array — the thing you'd broadcast/ship to every probe site.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Long), Array[Array[Double]]]()
+
+  /** Corpus with its 2 nearest IVF lists precomputed (map-side
+    * [[graft.functions.NearestCentroids]] — no join, no shuffle) and
+    * persisted: q40 reads list 1, q54 co-assigns on both. At 100 TB
+    * this is the stored IVF index you build once at ingest.
+    */
+  private val assignedCache = new StampedCache
+
+  /** Drop this session's cached vector bases (see
     * [[DedupQueries.clearCaches]] for when eviction matters).
     */
-  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
-    embCache.forEach { (k, v) =>
-      if (k._1 eq s) { v.unpersist(); embCache.remove(k) }
-    }
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
+    embCache.clear(s)
+    assignedCache.clear(s)
+    centroidCache.forEach { (k, _) => if (k._1 eq s) centroidCache.remove(k) }
+  }
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
-    embCache.computeIfAbsent((s, d), { case (ss, dir) =>
-      GraftFunctions.register(ss)
-      t(ss, dir, "embeddings")
-        .repartition(ss.sparkContext.defaultParallelism)
+    embCache.get(s, d) {
+      GraftFunctions.register(s)
+      t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),
           GraftFunctions.vecNorm(col("embedding")).as("nrm"))
-        .persist()
+    }
+
+  private val NCents = 16
+
+  private def centroids(
+      s: org.apache.spark.sql.SparkSession, d: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((s, d, Q.dirStamp(d)), { case (ss, dir, _) =>
+      graft.functions.KMeansLite.fit(
+        emb(ss, dir), "embedding", "vec_id", k = NCents)
     })
+
+  private def assigned(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cents = centroids(s, d)
+    assignedCache.get(s, d) {
+      emb(s, d).withColumn("cids",
+        graft.functions.NearestCentroids(col("embedding"), cents, 2))
+    }
+  }
 
   /** DuckDB-side exact cosine between embeddings, computed in double
     * via positional unnest (works without any DuckDB extension).
@@ -168,52 +200,41 @@ object VectorQueries {
       },
       None),
 
-    // ── q40: IVF-style ANN (the second north-star scale path next to
-    // q29's LSH). Coarse quantizer = 16 deterministic centroids (the
-    // first 16 vectors — a stand-in for k-means at fixture scale);
-    // every vector is assigned to its nearest centroid in ONE broadcast
-    // pass with a map-side max_by (no per-vector window shuffle), and a
-    // query probes only its nprobe=4 nearest inverted lists. At 100 TB
-    // the corpus assignment is a single broadcast-join scan and the
-    // candidate join is list-local — the O(n²) pair space never forms.
-    // Approximate ⇒ rows-only driver check; recall vs the q23 brute
-    // force is asserted in scalatest.
+    // ── q40: IVF ANN (the second north-star scale path next to q29's
+    // LSH). Coarse quantizer = 16 learned centroids (deterministic
+    // sampled spherical k-means, [[graft.functions.KMeansLite]]);
+    // every corpus vector carries its nearest-list id from the cached
+    // map-side assignment (no join, no shuffle — the index is built
+    // once), and a query probes only its nprobe=6 nearest inverted
+    // lists via a broadcast equi-join on the list id. Candidate top-3
+    // runs through [[graft.plans.GroupedTopK]], whose map-side heaps
+    // bound the exchange at k·partitions rows per query — at 100 TB
+    // the O(n²) pair space never forms and the shuffle carries
+    // kilobytes. Approximate ⇒ rows-only driver check; recall vs the
+    // exact brute force is gated ≥ 0.7 in scalatest.
     QueryDef(
       "q40_ann_ivf",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-        // nearest centroid per vector: broadcast the 16 centroids,
-        // max_by on (cos, -cent_id) — deterministic under ties, fully
-        // map-side partial-aggregated.
-        val assigned = e.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("cent_id"), col("embedding")),
-            struct(GraftFunctions.cosineSim(col("embedding"), col("cent")),
-              -col("cent_id"))).as("m"))
-          .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-            col("m.embedding").as("embedding"))
-        val probes = e.filter(col("vec_id") < 10)
-          .crossJoin(broadcast(cents))
+        val cents = centroids(s, d)
+        val corpus = assigned(s, d)
+          .select(col("vec_id"), col("embedding"),
+            element_at(col("cids"), 1).as("cent_id"))
+        val probes = emb(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("cent_id"),
-            GraftFunctions.cosineSim(col("embedding"), col("cent")).as("cs"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id"))
-              .orderBy(col("cs").desc, col("cent_id"))))
-          .filter(col("rn") <= 4)
-          .select(col("q_id"), col("q_emb"), col("cent_id"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        probes.join(assigned, Seq("cent_id"))
+            explode(graft.functions.NearestCentroids(col("embedding"), cents, 6))
+              .as("cent_id"))
+        val cands = corpus.join(broadcast(probes), Seq("cent_id"))
           .filter(col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             round(GraftFunctions.cosineSim(col("q_emb"), col("embedding")), 6)
               .as("cos_sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
+        val top = graft.plans.GroupedTopK.topK(cands,
+          Seq("q_id"), Seq(("cos_sim", true), ("vec_id", false)), 3)
+        // rank materialization over ≤ 3·|queries| survivor rows only
+        top.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos_sim").desc, col("vec_id"))))
           .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
           .orderBy(col("q_id"), col("rn"))
       },
@@ -232,19 +253,13 @@ object VectorQueries {
       "q54_dedup_embedding_ivf",
       (s, d) => {
         GraftFunctions.register(s)
-        val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cs").desc, col("cent_id"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-            GraftFunctions.cosineSim(col("embedding"), col("cent")).as("cs"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 2)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
-        val a = assigned.toDF("vec_a", "ea", "na", "cent_id")
-        val b = assigned.toDF("vec_b", "eb", "nb", "cent_id")
+        // both lists come precomputed from the cached map-side
+        // assignment — candidate pairs meet only inside a shared list
+        val av = assigned(s, d)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(col("cids")).as("cent_id"))
+        val a = av.toDF("vec_a", "ea", "na", "cent_id")
+        val b = av.toDF("vec_b", "eb", "nb", "cent_id")
         a.join(b, Seq("cent_id"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),

@@ -147,7 +147,7 @@ class QueriesSpec extends SparkTestBase {
     df.unpersist()
   }
 
-  test("q40 IVF top-3 achieves >=0.5 recall vs brute force") {
+  test("q40 IVF top-3 achieves >=0.7 recall vs brute force") {
     import org.apache.spark.sql.functions._
     val ivf = SparkEntry.queries("q40_ann_ivf")(spark, sf())
       .select("q_id", "vec_id").collect()
@@ -167,7 +167,7 @@ class QueriesSpec extends SparkTestBase {
       .select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(recall >= 0.7, s"IVF recall $recall")
   }
 
   test("q37/q38 plans avoid quadratic joins (no CartesianProduct/BNLJ)") {
@@ -212,10 +212,10 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
-    // BNLJ allowlist: q23/q40/q54 broadcast a tiny (1- or 16-row)
-    // centroid/query side; q28 is the by-design exact all-pairs scan.
-    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding", "q40_ann_ivf",
-      "q54_dedup_embedding_ivf")
+    // BNLJ allowlist: q23 broadcasts the single query vector; q28 is
+    // the by-design exact all-pairs scan. q40/q54 no longer qualify —
+    // the learned-centroid IVF path joins on the list id (equi-join).
+    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -232,7 +232,7 @@ class QueriesSpec extends SparkTestBase {
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
-    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.3,
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.6,
       s"IVF recall too low: ${lsh.size}/${exact.size}")
   }
 
