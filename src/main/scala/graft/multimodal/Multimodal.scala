@@ -40,17 +40,47 @@ object Multimodal {
     StructField("content", BinaryType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
-  /** STUB decoders: deterministic fakes keyed off payload bytes. A real
-    * deployment replaces the bodies with actual codec calls; signatures
-    * and batch shape stay identical.
+  /** Decoders: image dimension decode is REAL for the formats the JDK
+    * ships codecs for (PNG/BMP/GIF/JPEG via `javax.imageio` — header
+    * read only, no pixel decode); payloads no installed reader
+    * recognizes (and all audio/video ops) fall back to deterministic
+    * fakes, since the container ships no media libraries. Swapping a
+    * fake for a JNI/javacv call changes one function body and nothing
+    * else.
     */
   object Decoders {
-    /** Fake image decode: "header" = first 4 bytes → dims. */
+    /** Image dims: real `javax.imageio` header read when a JDK codec
+      * recognizes the payload; deterministic fake ("header" = first 4
+      * bytes) otherwise — so fixture text payloads keep their stable
+      * fake dims while a real PNG/BMP/JPEG decodes for real.
+      */
     def decodeImage(content: Array[Byte]): (Int, Int) = {
       if (content == null || content.length < 4) (0, 0)
-      else (((content(0) & 0xff) << 8) | (content(1) & 0xff),
-        ((content(2) & 0xff) << 8) | (content(3) & 0xff))
+      else realImageDims(content).getOrElse(
+        (((content(0) & 0xff) << 8) | (content(1) & 0xff),
+          ((content(2) & 0xff) << 8) | (content(3) & 0xff)))
     }
+
+    /** Header-only dimension read via the ImageReader API — avoids
+      * materializing pixel buffers (the thing that would hurt in a
+      * per-row 100 TB pass; dims live in the first KB of the stream).
+      */
+    private def realImageDims(content: Array[Byte]): Option[(Int, Int)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              Some((r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Fake frame count: one frame per 256-byte block. */
     def frameCount(content: Array[Byte]): Int =

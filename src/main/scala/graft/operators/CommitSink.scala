@@ -27,11 +27,19 @@ object CommitSink {
     */
   def writeVerified(spark: SparkSession, df: DataFrame, dest: String): Long = {
     val staging = dest + ".__staging__"
-    df.write.mode("overwrite").parquet(staging)
+    // The expected count is OBSERVED on the same execution that writes
+    // the staging copy — not recomputed with a second df.count() pass:
+    // a nondeterministic df (rand, sampling, source files changing
+    // under the plan) would make a recomputed count spuriously
+    // mismatch, and every commit would pay the full plan twice.
+    val obs = new org.apache.spark.sql.Observation("commit_rows")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(staging)
+    val expected = obs.get("rows").asInstanceOf[Long]
 
     // Post-commit verification (ref `:351-361`): re-open what was
     // written and check it is complete before the swap.
-    val expected = df.count()
     val actual = spark.read.parquet(staging).count()
     if (actual != expected) throw CommitVerificationFailed(dest, expected, actual)
 

@@ -8,21 +8,34 @@ import org.apache.spark.sql.DataFrame
   * maps to a canonical representative so one survivor per cluster can
   * be kept).
   *
-  * Algorithm: iterative min-label propagation (the simple alternating
-  * form of large-star/small-star; Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"): every node repeatedly adopts
-  * the smallest label among itself and its neighbors until a fixpoint.
-  * Each iteration is one shuffle; convergence is O(log n) rounds on
-  * realistic dup graphs (dup clusters are tiny and dense, so in
-  * practice 2–3 rounds). Driver-side work is one `isEmpty` check per
+  * Algorithm: iterative min-label propagation — every node repeatedly
+  * adopts the smallest label among itself and its neighbors until a
+  * fixpoint. Each iteration is one shuffle. Convergence is
+  * O(graph diameter) rounds (one hop per round), NOT O(log n) — the
+  * logarithmic bound belongs to large-star/small-star (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond"), which this
+  * loop does not implement. On realistic dup graphs that distinction
+  * is moot (dup clusters are tiny and dense — 2–3 rounds in
+  * practice), and a pathological long chain FAILS LOUDLY: hitting
+  * `maxIters` without a fixpoint throws [[NotConverged]] instead of
+  * silently returning wrong labels. Driver-side work is one count per
   * round on an aggregated frame — no `collect()` of data.
   */
 object DedupClusters {
+
+  final case class NotConverged(iters: Int, stillChanging: Long)
+    extends RuntimeException(
+      s"min-label propagation did not reach a fixpoint in $iters rounds " +
+        s"($stillChanging labels still changing): the pair graph has a " +
+        s"component with diameter > $iters. Raise maxIters, or pre-split " +
+        "the component — returning the partial labels would silently " +
+        "mis-cluster.")
 
   /** @param pairs near-dup edges with two long columns (`aCol`,`bCol`)
     * @return (id LONG, cluster LONG) — cluster = min id reachable;
     *         singletons (ids never appearing in pairs) are absent, by
     *         design: join the corpus with `coalesce(cluster, id)`.
+    * @throws NotConverged if `maxIters` rounds pass without a fixpoint
     */
   def assign(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
@@ -46,6 +59,7 @@ object DedupClusters {
       .agg(min(col("b")).as("cluster"))
     var cached: DataFrame = null // the persisted frame `labels` derives from
     var converged = false
+    var lastChanges = 0L
     var it = 0
     while (!converged && it < maxIters) {
       // propagate, carrying the old label alongside so convergence is
@@ -65,12 +79,14 @@ object DedupClusters {
           .otherwise(0L)), lit(0L))) // sum over 0 rows is NULL
         .head().getLong(0)
       converged = changes == 0L
+      lastChanges = changes
       if (cached != null) cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("cluster"))
       it += 1
     }
     sym.unpersist()
+    if (!converged) throw NotConverged(maxIters, lastChanges)
     labels
   }
 

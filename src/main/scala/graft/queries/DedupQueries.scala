@@ -95,14 +95,68 @@ object DedupQueries {
   private def exactPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.get(s, d)(exactPairsPlan(s, d))
 
-  private def exactPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+  private def exactPairsPlan(s: SparkSession, d: String): DataFrame =
+    pairsFromShingles(docShingles(s, d))
+
+  /** Document-frequency threshold above which a shingle's self-join is
+    * salted, and the salt fan-out. A shingle shared by f documents
+    * produces f²/2 join rows through ONE join key — on skewed real
+    * text (boilerplate headers) that pins one reducer. Above the
+    * threshold the pair enumeration is spread across SaltBuckets²
+    * reducer cells (the [[graft.operators.SkewJoin]] discipline,
+    * generalized to self-join pair mining: BOTH sides replicate
+    * SaltBuckets ways so each pair meets in exactly one (bx, by)
+    * cell). The output pair set is IDENTICAL — only the shuffle
+    * layout changes; PairSkewSpec proves set equality. The quadratic
+    * pair COUNT itself is inherent to exact Jaccard (a production
+    * near-dup pass would additionally cap df and drop
+    * boilerplate shingles — that changes semantics, so the exact
+    * oracle-checked q25 only spreads the work).
+    */
+  private val HotShingleDf = 128
+  private val SaltBuckets = 8
+
+  /** Exact Jaccard-≥0.5 pairs from a (doc_id, s: array<long>) shingle
+    * frame — the inverted-index self-join with the hot-shingle salt
+    * guard. `hotDf` overridable for tests.
+    */
+  private[queries] def pairsFromShingles(
+      sh: DataFrame, hotDf: Int = HotShingleDf): DataFrame = {
     val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val inter = ex.as("x")
-      .join(ex.as("y"),
+    // document frequency per shingle; the hot set is tiny by
+    // construction (few shingles exceed the threshold) → broadcast
+    val hotKeys = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf)
+      .select(col("g"))
+    val exCold = ex.join(broadcast(hotKeys), Seq("g"), "left_anti")
+    val exHot = ex.join(broadcast(hotKeys), Seq("g"))
+    val coldHits = exCold.as("x")
+      .join(exCold.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Salted self-join: row with bucket b = hash(doc)%B joins under
+    // key (g, b_left, b_right); the left side replicates over every
+    // possible right bucket and vice versa, so pair (x,y) meets in
+    // exactly the (b(x), b(y)) cell — once — and one hot shingle's
+    // work spreads over B² cells instead of one.
+    val bkt = pmod(xxhash64(col("doc_id")), lit(SaltBuckets))
+    val salts = sequence(lit(0), lit(SaltBuckets - 1))
+    val xs = exHot
+      .withColumn("bx", bkt)
+      .withColumn("by", explode(salts))
+    val ys = exHot
+      .withColumn("by", bkt)
+      .withColumn("bx", explode(salts))
+    val hotHits = xs.as("x")
+      .join(ys.as("y"),
+        col("x.g") === col("y.g") && col("x.bx") === col("y.bx") &&
+          col("x.by") === col("y.by") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // one (pair, shared-shingle) row per hit on either path → one agg
+    val inter = coldHits.unionAll(hotHits)
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
     inter
       .join(card.toDF("doc_a", "na"), "doc_a")
@@ -152,7 +206,8 @@ object DedupQueries {
     // ── q36: near-dup *cluster* assignment (north star: dedup keeps one
     // survivor per cluster, not per pair). Exact q25 pairs → iterative
     // min-label connected components ([[graft.operators.DedupClusters]],
-    // one shuffle per round, O(log n) rounds) → full-corpus mapping with
+    // one shuffle per round, O(diameter) rounds — 2-3 on real dup
+    // graphs, loud failure past maxIters) → full-corpus mapping with
     // singletons self-clustered. Oracle: recursive-CTE reachability min.
     QueryDef(
       "q36_dedup_clusters",

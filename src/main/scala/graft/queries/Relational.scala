@@ -565,6 +565,10 @@ object Relational {
     // `percentile` — sort-based, deterministic — not approx_percentile,
     // whose sketch would never hash-match; both engines interpolate
     // linearly, and the 6-decimal round absorbs last-ulp noise.
+    // q41 is the ORACLE BASELINE: at 100 TB a 5-group exact percentile
+    // funnels the whole table through ≤5 reducers and materializes
+    // every value — the scale path is its sketch twin q55 (mirroring
+    // how q45 twins exact distinct).
     QueryDef(
       "q41_percentile",
       (s, d) => {
@@ -581,6 +585,25 @@ object Relational {
              |  round(quantile_cont(value, 0.95), 6) AS p95,
              |  count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── q55: approximate percentiles — the sketch twin of q41. The
+    // GK/KLL-style approx_percentile sketch partial-aggregates
+    // MAP-SIDE with bounded memory, so the shuffle carries one sketch
+    // per (partition, group) instead of every value through ≤5
+    // reducers — the shape that survives 100 TB. Approximate ⇒
+    // rows-only driver check + scalatest error gate vs exact q41.
+    QueryDef(
+      "q55_approx_percentile",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+            round(expr("approx_percentile(value, 0.95, 10000)"), 6).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      None),
 
     // ── q42: pivot — event counts per day fanned into one column per
     // event_type (explicit value list ⇒ no extra distinct pass and a

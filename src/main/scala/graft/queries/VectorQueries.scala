@@ -159,8 +159,10 @@ object VectorQueries {
     // for query vectors 0..9. One 8-bit table recalls only ~10% of
     // these weakly-clustered neighbors (measured), so candidates come
     // from the UNION of 4 independent tables (OR-amplification,
-    // 1-(1-p)^4) plus Hamming-1 multiprobe per table — candidates stay
-    // bucket-local, the O(n²) space never forms.
+    // 1-(1-p)^4) plus Hamming-≤2 multiprobe per table (37 probes —
+    // fan-out on the QUERY side only, so the corpus index stays 4
+    // entries/vector; measured recall 0.2 → 0.6+ on the fixture) —
+    // candidates stay bucket-local, the O(n²) space never forms.
     QueryDef(
       "q29_ann_lsh",
       (s, d) => {
@@ -174,9 +176,11 @@ object VectorQueries {
             explode(tableBuckets).as("tbb"))
           .select(col("vec_id"), col("embedding"),
             col("tbb.tb").as("tb"), col("tbb.b").as("bucket"))
-        // Multiprobe: each query probes its bucket plus the 8
-        // Hamming-1 neighbors, in EVERY table.
-        val probes = array((lit(0) +: (0 until 8).map(b => lit(1 << b))): _*)
+        // Multiprobe: each query probes its bucket plus all 8
+        // Hamming-1 and 28 Hamming-2 neighbors, in EVERY table.
+        val masks = Seq(0) ++ (0 until 8).map(1 << _) ++
+          (for { a <- 0 until 8; b <- a + 1 until 8 } yield (1 << a) | (1 << b))
+        val probes = array(masks.map(lit): _*)
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             explode(tableBuckets).as("tbb"))

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.DataFrame
+
+/** Incremental corpus maintenance — the streaming face of the
+  * reference's add/drop ingest (`Batch Processor.py:228-244`): new or
+  * updated documents arrive as a stream, and each micro-batch is
+  * union-dedup-upserted into the stored corpus (batch rows replace
+  * stored rows with the same key) through
+  * [[graft.operators.CommitSink]]'s staged, read-back-verified,
+  * backup-rename commit — so a crash mid-maintenance never destroys
+  * the only copy of the corpus.
+  *
+  * Scale note: against plain parquet the merged corpus is rewritten
+  * per commit — the honest contract without a transactional table
+  * layer. At 100 TB you keep the same upsert semantics but bound the
+  * rewrite: partition the corpus by a stable key hash and rewrite
+  * only the partitions containing batch keys (the anti-join below
+  * already isolates them), or swap the physical layer for an ACID
+  * table format. The batch side (small) broadcasts into the anti-join
+  * either way, so the merge itself never shuffles the corpus.
+  */
+object CorpusMaintenance {
+
+  /** Merge one batch of documents into the corpus at `corpusPath`
+    * (creating it if absent): batch rows win over stored rows on
+    * `keyCol`; duplicate keys WITHIN the batch resolve to the
+    * lexicographically-greatest remaining-column struct, so the merge
+    * is deterministic under replay (foreachBatch is at-least-once —
+    * a replayed batch must commit the identical corpus). Returns the
+    * committed corpus row count.
+    */
+  def upsertBatch(batch: DataFrame, corpusPath: String, keyCol: String): Long = {
+    val spark = batch.sparkSession
+    val others = batch.columns.filterNot(_ == keyCol)
+    // deterministic in-batch dedup: greatest struct of the non-key
+    // columns per key (one hash agg, map-side partial)
+    val deduped = batch
+      .groupBy(col(keyCol))
+      .agg(max(struct(others.map(col): _*)).as("__r"))
+      .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) deduped
+      else {
+        val existing = spark.read.parquet(corpusPath)
+        // stored rows keep only keys the batch does not replace; the
+        // batch side is micro-batch-sized → broadcast anti-join, the
+        // corpus never shuffles
+        existing
+          .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
+          .unionByName(deduped)
+      }
+    graft.operators.CommitSink.writeVerified(spark, merged, corpusPath)
+  }
+
+  /** Continuous maintenance: every micro-batch of `docs` (a streaming
+    * DataFrame) upserts into `corpusPath` with the verified commit.
+    * Offsets live in `checkpoint`, so a restart resumes from the last
+    * committed batch (at-least-once; [[upsertBatch]] is idempotent
+    * per batch, making the corpus state effectively exactly-once).
+    */
+  def maintain(
+      docs: DataFrame,
+      corpusPath: String,
+      checkpoint: String,
+      keyCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, corpusPath, keyCol)
+        ()
+      }
+      .start()
+}

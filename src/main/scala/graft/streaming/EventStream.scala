@@ -108,6 +108,17 @@ object EventStream {
   * `q35_sessionize` (lag + running sum), verified against the DuckDB
   * oracle; this streaming form emits a session as soon as a gap closes
   * it and keeps the open session in state across micro-batches.
+  *
+  * Late-event semantics: an event more than `gapUs` OLDER than the
+  * open session's start belongs to an earlier session whose neighbors
+  * may already have been emitted — it is emitted as its own singleton
+  * session rather than min-merged into the open one (merging would
+  * drag the open session's start arbitrarily backwards, diverging
+  * from the batch twin, which would have placed the event in a
+  * separate earlier session). This is the unavoidable residual
+  * divergence of at-once emission: the batch twin could still have
+  * merged that event with its *own* already-emitted neighborhood. Use
+  * a watermark upstream to bound how late such events can be.
   */
 object Sessionize {
   import org.apache.spark.sql.Dataset
@@ -133,10 +144,17 @@ object Sessionize {
               case o if e.ts_us - o.last_us > gapUs =>
                 closed += Session(uid, o.start_us, o.last_us, o.n)
                 open = OpenSession(e.ts_us, e.ts_us, 1L)
+              case o if o.start_us - e.ts_us > gapUs =>
+                // too old to belong to the open session: its real
+                // session was already emitted, so it closes as a
+                // singleton (see scaladoc) — min-merging here would
+                // drag the open start backwards past the gap bound
+                closed += Session(uid, e.ts_us, e.ts_us, 1L)
               case o =>
                 // min/max, not assignment: sorting is per-batch only,
-                // so an event arriving late (behind the open session's
-                // last_us) must not move the session boundary backwards
+                // so an event arriving gap-tolerably late (behind the
+                // open session's last_us) must not move the boundary
+                // backwards
                 open = OpenSession(math.min(o.start_us, e.ts_us),
                   math.max(o.last_us, e.ts_us), o.n + 1)
             }

@@ -23,6 +23,22 @@ class MultimodalSpec extends SparkTestBase {
     meta.unpersist()
   }
 
+  test("real PNG/BMP payloads decode their true dimensions via javax.imageio") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    assert(Multimodal.Decoders.decodeImage(encode("png", 2, 2)) == ((2, 2)))
+    assert(Multimodal.Decoders.decodeImage(encode("bmp", 7, 3)) == ((7, 3)))
+    // not a fake-path artifact: the PNG magic header would fake-decode
+    // to (0x8950, 0x4e47), not the true dims
+    assert(Multimodal.Decoders.decodeImage(encode("png", 5, 9)) == ((5, 9)))
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)

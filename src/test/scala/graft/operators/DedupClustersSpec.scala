@@ -23,6 +23,16 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
 
+  test("a component deeper than maxIters fails loudly instead of mislabeling") {
+    // a path 0-1-...-8 needs ~8 propagation rounds; maxIters=3 must
+    // throw NotConverged, never return partial labels
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[DedupClusters.NotConverged] {
+      DedupClusters.assign(pairs, "a", "b", maxIters = 3)
+    }
+    assert(e.stillChanging > 0)
+  }
+
   test("empty pair set yields an empty label frame, not an error") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupClusters.assign(pairs, "a", "b").count() == 0)

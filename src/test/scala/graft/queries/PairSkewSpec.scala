@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The hot-shingle salt guard must be a pure shuffle-layout change:
+  * the exact pair set (and every inter_cnt/jaccard value) out of the
+  * salted path must equal the plain inverted-index self-join's. The
+  * fixture injects one ubiquitous shingle (df = every doc) — the
+  * boilerplate-header scenario that pins one reducer unsalted.
+  */
+class PairSkewSpec extends SparkTestBase {
+
+  private def fixture = {
+    import spark.implicits._
+    // 40 docs; ALL contain hot shingle 7L. Docs 2k/2k+1 additionally
+    // share {k*100+1, k*100+2, k*100+3} → jaccard 4/6 ≥ 0.5 per pair
+    // (hot included); docs also carry one unique shingle each, and
+    // docs not in a pair stay below threshold with any partner.
+    (0 until 40).map { i =>
+      val k = i / 2
+      val shared = Seq(7L, k * 100L + 1, k * 100L + 2, k * 100L + 3)
+      (i.toLong, shared :+ (1000000L + i))
+    }.toDF("doc_id", "s")
+  }
+
+  private def collectPairs(hotDf: Int) =
+    DedupQueries.pairsFromShingles(fixture, hotDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("salted hot-shingle path yields the identical exact pair set") {
+    val plain = collectPairs(hotDf = Int.MaxValue) // guard disabled
+    val salted = collectPairs(hotDf = 4) // shingle 7 (df=40) goes hot
+    assert(plain.nonEmpty, "fixture should produce near-dup pairs")
+    assert(plain == salted,
+      s"pair sets differ: only-plain=${plain -- salted}, only-salted=${salted -- plain}")
+    // the designed pairs are present with the designed jaccard 4/6
+    assert(plain.contains((0L, 1L, 4L, 4.0 / 6.0)))
+    assert(plain.size == 20, s"expected exactly the 20 designed pairs, got ${plain.size}")
+  }
+}

@@ -82,4 +82,30 @@ class SessionizeSpec extends SparkTestBase {
     val got = spark.table("sess_late_out").as[Session].collect().toSet
     assert(got == Set(Session(1L, 800L, 955L, 4L)))
   }
+
+  test("an event gap-older than the open session closes as its own singleton") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(in.toDS(), gapUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stale_out").start()
+
+    // batch 1: open session starts at 5000
+    in.addData(SessEvent(1L, 5000L), SessEvent(1L, 5050L))
+    q.processAllAvailable()
+    // batch 2: 1000 precedes the open start by 4000 > gap(100): it
+    // must NOT drag the open session's start back to 1000 — it closes
+    // as a singleton (its own neighborhood was never seen)
+    in.addData(SessEvent(1L, 1000L), SessEvent(1L, 5120L))
+    q.processAllAvailable()
+    // close the open session
+    in.addData(SessEvent(1L, 99999L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_stale_out").as[Session].collect().toSet
+    assert(got.contains(Session(1L, 1000L, 1000L, 1L)))
+    assert(got.contains(Session(1L, 5000L, 5120L, 3L)))
+  }
 }
