@@ -97,4 +97,89 @@ object DedupClusters {
     assign(pairs, aCol, bCol)
       .groupBy(col("cluster"))
       .agg(min(col("id")).as("survivor"), count(lit(1)).as("size"))
+
+  /** Connected components in O(log n) rounds via alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the scale path for graphs whose
+    * components can be DEEP (long chains), where [[assign]]'s
+    * one-hop-per-round min-label propagation would need O(diameter)
+    * rounds. Two shuffles per round instead of one, so on the shallow
+    * dense clusters of real near-dup graphs [[assign]] is cheaper;
+    * choose this form when depth is unknown or adversarial.
+    *
+    * Each round: large-star points every neighbor LARGER than u at
+    * u's minimum neighborhood label (halving long chains), small-star
+    * re-hangs the smaller neighbors onto that minimum. Fixpoint =
+    * star forests; every node's remaining edge is (node → component
+    * min). Same output contract as [[assign]].
+    */
+  def assignLogRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val ids = pairs
+      .select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+      .persist()
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // cheap order-independent fingerprint: (count, xor of edge
+    // hashes) — xor, not sum: ANSI mode makes a long-sum overflow
+    // throw, and xor is overflow-free and order-independent
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hang = oriented.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      hang.union(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      it += 1
+    }
+    if (!converged) throw NotConverged(maxIters, fp._1)
+
+    // fixpoint edges are (node → component min) stars; ids with no
+    // surviving edge are their own component minimum
+    val labels = ids
+      .join(edges.toDF("id", "root"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+    ids.unpersist()
+    labels
+  }
 }

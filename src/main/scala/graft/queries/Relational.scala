@@ -900,6 +900,54 @@ object Relational {
       },
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt,
              |  md5(lower(text)) AS h
-             |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin))
+             |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin)),
+
+    // ── q56: deterministic stratified fraction sample — a training-
+    // data staple (hold out x% per stratum, reproducibly). The sample
+    // membership test is a pure map-side filter on a multiplicative
+    // hash of the stable key (Knuth 2654435761), so it costs one scan,
+    // pushes into the pipeline wherever the key is available, and
+    // yields the SAME sample on every engine/run — unlike rand()-based
+    // TABLESAMPLE, which is irreproducible and oracle-uncheckable. The
+    // per-stratum aggregate verifies the sampled population exactly.
+    QueryDef(
+      "q56_stratified_sample",
+      (s, d) => {
+        t(s, d, "events")
+          .filter(expr("(event_id * 2654435761) % 100") < 10)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_sampled"),
+            Q.fxSum(col("value"), 100).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n_sampled,
+              |  ${Q.fxSumSql("value", 100)} AS sum_value
+              |FROM events WHERE (event_id * 2654435761) % 100 < 10
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── q57: fixed-size per-stratum sample (k rows per group,
+    // deterministic) — "give me exactly 50 examples per class". The
+    // hash order makes it a uniform-ish reproducible draw, and the
+    // bottom-k-by-hash runs through [[graft.plans.GroupedTopK]]'s
+    // map-side heaps: the shuffle carries ≤ k·partitions rows per
+    // stratum, never the stratum itself (a row_number window — the
+    // oracle's formulation — would sort and shuffle every row).
+    QueryDef(
+      "q57_grouped_sample",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"))
+          .withColumn("h", expr("(event_id * 2654435761) % 1000000007"))
+        graft.plans.GroupedTopK.topK(ev,
+          Seq("event_type"), Seq(("h", false), ("event_id", false)), 50)
+          .select(col("event_type"), col("event_id"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id FROM (
+             |  SELECT event_type, event_id, row_number() OVER (
+             |    PARTITION BY event_type
+             |    ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
+             |  FROM events) WHERE rn <= 50
+             |ORDER BY event_type, event_id""".stripMargin))
   )
 }

@@ -33,6 +33,26 @@ class DedupClustersSpec extends SparkTestBase {
     assert(e.stillChanging > 0)
   }
 
+  test("large/small-star converges logarithmically on a chain too deep for min-label") {
+    // a 61-node path has diameter 60: min-label would need ~60 rounds,
+    // large/small-star must finish well inside its default 25
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupClusters.assignLogRounds(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61 && got.values.forall(_ == 0L))
+  }
+
+  test("large/small-star agrees with min-label on a mixed component graph") {
+    // components: {1,2,3,4}, {10,11}, {20} (self-pair), plus a 12-chain
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L)) ++
+      (100L until 111L).map(i => (i, i + 1))).toDF("a", "b")
+    val a = DedupClusters.assign(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val b = DedupClusters.assignLogRounds(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("empty pair set yields an empty label frame, not an error") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupClusters.assign(pairs, "a", "b").count() == 0)

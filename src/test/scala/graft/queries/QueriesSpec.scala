@@ -211,6 +211,14 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q40 plans the IVF shape: broadcast equi-join probe + GroupedTopK, no BNLJ") {
+    val plan = SparkEntry.queries("q40_ann_ivf")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "probe join should be a broadcast equi-join")
+    assert(plan.contains("GroupedTopK"), "candidate top-3 should run the partial/final GroupedTopK")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q55 approx percentiles are within 5% of exact q41 per event_type") {
     def byType(name: String) =
       SparkEntry.queries(name)(spark, sf()).collect()
