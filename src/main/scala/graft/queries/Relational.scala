@@ -948,6 +948,47 @@ object Relational {
              |    PARTITION BY event_type
              |    ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
              |  FROM events) WHERE rn <= 50
-             |ORDER BY event_type, event_id""".stripMargin))
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // ── q58: per-group z-score outliers (data-quality gate: drop
+    // values > 3σ from their stratum mean before training). The test
+    // |x−μ| > 3σ is algebraically cleared of divisions —
+    // (n·x−s)² > 9·(n·ssq−s²) over EXACT integer moments (fixed-point
+    // units, map-side partial sums) — so both engines evaluate the
+    // identical IEEE expression and the flag hash-matches; no float
+    // mean/stddev ever materializes. Scale shape: one 5-row moment
+    // agg, broadcast back, pure map filter (at 100 TB the long
+    // sum-of-squares would overflow → switch the moment sums to
+    // DECIMAL(38,0); the comparison stays the same).
+    QueryDef(
+      "q58_zscore_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            Q.fxUnits(col("value"), 100).as("v"))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("ssq"))
+        val ld = (col("n") * col("v") - col("sv")).cast("double")
+        val rhs = lit(9.0) *
+          (col("n").cast("double") * col("ssq").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .filter(ld * ld > rhs)
+          .select(col("event_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+             |st AS (SELECT event_type, count(*) AS n,
+             |    CAST(sum(v) AS BIGINT) AS sv,
+             |    CAST(sum(v*v) AS BIGINT) AS ssq
+             |  FROM e GROUP BY event_type)
+             |SELECT event_id, e.event_type
+             |FROM e JOIN st USING (event_type)
+             |WHERE CAST(n*v - sv AS DOUBLE) * CAST(n*v - sv AS DOUBLE) >
+             |  9.0 * (CAST(n AS DOUBLE)*CAST(ssq AS DOUBLE) -
+             |    CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+             |ORDER BY event_id""".stripMargin))
   )
 }

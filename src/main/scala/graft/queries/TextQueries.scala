@@ -252,6 +252,82 @@ object TextQueries {
              |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
              |  substring(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 8)
              |    AS fp_head
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── q59: TF-IDF top terms per document (text analysis north
+    // star — the classic salient-term extractor). Term frequency and
+    // document frequency are two hash aggs sharing the term shuffle
+    // key; corpus size N joins in as a broadcast scalar; per-doc top-3
+    // runs through [[graft.plans.GroupedTopK]]'s map-side heaps.
+    // Ranking uses the 6-decimal-ROUNDED score on BOTH engines so the
+    // ln() last-ulp difference between libm implementations cannot
+    // reorder ranks (ties break on the term itself).
+    QueryDef(
+      "q59_tfidf_top_terms",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf").cast("double") *
+              log(col("n").cast("double") / col("df").cast("double")), 6))
+        graft.plans.GroupedTopK.topK(
+            scored.select(col("doc_id"), col("term"), col("score")),
+            Seq("doc_id"), Seq(("score", true), ("term", false)), 3)
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, tok AS term
+             |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |    WHERE len(tok) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |    round(CAST(tf AS DOUBLE) *
+             |      ln(CAST(n AS DOUBLE)/CAST(df AS DOUBLE)), 6) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, score FROM (
+             |  SELECT doc_id, term, score, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |  FROM scored) WHERE rn <= 3
+             |ORDER BY doc_id, score DESC, term""".stripMargin)),
+
+    // ── q60: corpus bigram counts (n-gram language-model statistics;
+    // the 2-gram sibling of q19's unigram counts and q25's 3-gram
+    // shingles). The window pass is codegen'd higher-order functions
+    // over a BOUND token column (lambda re-eval gotcha), one shuffle
+    // on the bigram, TakeOrdered top-20.
+    QueryDef(
+      "q60_bigram_counts",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ",
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2)))).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |bg AS (SELECT b FROM toks,
+             |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+             |      AS u(b)
+             |  WHERE len(t) >= 2)
+             |SELECT b AS bigram, count(*) AS cnt FROM bg
+             |GROUP BY b ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
   )
 }

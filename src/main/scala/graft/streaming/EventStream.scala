@@ -92,6 +92,27 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Built-in session-window aggregation — the declarative sibling of
+    * [[Sessionize]]'s `flatMapGroupsWithState` form: Spark merges
+    * overlapping `[ts, ts+gap)` windows per user and the watermark
+    * bounds state/emission. Use this form when per-session output is
+    * an aggregate (counts/sums); use [[Sessionize]] when custom state
+    * transitions are needed. Note the differing end semantics:
+    * `session_window.end` = last event + gap, while [[Sessionize]]
+    * (and batch q35) end at the last event itself.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Q.fxSum(col("value"), 100).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Severity classification of the live stream — the q10/A13 CASE
     * WHEN applied before sinking to a status log.
     */

@@ -49,4 +49,33 @@ class WatermarkSpec extends SparkTestBase {
     // the late 100.0 never appears anywhere
     assert(rows == Set(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
   }
+
+  test("session_window merges gap-close events and emits once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val agg = EventStream.sessionCounts(
+      in.toDF().toDF("ts", "user_id", "value"),
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0), // same session (gap 30 m)
+      (ts("2024-01-01 12:00:00"), 1L, 4.0)) // new session
+    q.processAllAvailable()
+    // advance the watermark far past both sessions to flush them
+    in.addData((ts("2024-01-01 20:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sw_out")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    // end = last event + gap (built-in session_window semantics)
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L, 4.0)))
+  }
 }
