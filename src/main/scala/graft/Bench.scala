@@ -52,7 +52,10 @@ object Bench {
       }
       (name, median(times.toSeq), ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // failed queries appear ONLY in `failed`, never in `queries` — a
+    // median contaminated by a fast-failure duration would read as a
+    // valid timing to anyone consuming the map without cross-checking
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

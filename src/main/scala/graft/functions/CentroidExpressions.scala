@@ -128,12 +128,13 @@ object KMeansLite {
     import org.apache.spark.sql.functions._
     val rows = df
       .select(col(embCol).cast("array<double>").as("e"), col(idCol).as("id"))
+      .filter(col("e").isNotNull)
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleN)
       .collect()
     val sample: Array[Array[Double]] = rows
-      .map(_.getSeq[Double](0).toArray)
-      .map(normalize)
+      .map(_.getSeq[Double](0))
+      .collect { case s if s != null => normalize(s.toArray) }
       .filter(_ != null)
     require(sample.nonEmpty, "k-means sample is empty")
     if (sample.length <= k) return sample

@@ -23,12 +23,11 @@ import org.apache.spark.sql.DataFrame
   */
 object DedupClusters {
 
-  final case class NotConverged(iters: Int, stillChanging: Long)
+  final case class NotConverged(iters: Int, stillChanging: Long, what: String)
     extends RuntimeException(
-      s"min-label propagation did not reach a fixpoint in $iters rounds " +
-        s"($stillChanging labels still changing): the pair graph has a " +
-        s"component with diameter > $iters. Raise maxIters, or pre-split " +
-        "the component — returning the partial labels would silently " +
+      s"connected components did not reach a fixpoint in $iters rounds " +
+        s"($stillChanging $what): raise maxIters, or pre-split the " +
+        "component — returning the partial result would silently " +
         "mis-cluster.")
 
   /** @param pairs near-dup edges with two long columns (`aCol`,`bCol`)
@@ -86,7 +85,8 @@ object DedupClusters {
       it += 1
     }
     sym.unpersist()
-    if (!converged) throw NotConverged(maxIters, lastChanges)
+    if (!converged)
+      throw NotConverged(maxIters, lastChanges, "labels still changing")
     labels
   }
 
@@ -119,7 +119,6 @@ object DedupClusters {
       .select(col(aCol).cast("long").as("id"))
       .union(pairs.select(col(bCol).cast("long").as("id")))
       .distinct()
-      .persist()
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -165,21 +164,26 @@ object DedupClusters {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      // each round materializes a fresh localCheckpoint; release the
+      // previous round's blocks or up to maxIters edge-set copies pin
+      // executor storage for the session
+      val prev = edges
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      prev.unpersist()
+      val nfp = fingerprint(edges)
       converged = nfp == fp
       fp = nfp
-      edges = next
       it += 1
     }
-    if (!converged) throw NotConverged(maxIters, fp._1)
+    if (!converged) {
+      edges.unpersist()
+      throw NotConverged(maxIters, fp._1, "star edges at abort")
+    }
 
     // fixpoint edges are (node → component min) stars; ids with no
     // surviving edge are their own component minimum
-    val labels = ids
+    ids
       .join(edges.toDF("id", "root"), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
-    ids.unpersist()
-    labels
   }
 }

@@ -35,12 +35,13 @@ object VectorQueries {
 
   /** IVF coarse quantizer: 16 unit centroids from deterministic
     * sampled spherical k-means ([[graft.functions.KMeansLite]]),
-    * fitted once per (session, dir, corpus-stamp). Small driver-side
-    * array — the thing you'd broadcast/ship to every probe site.
+    * refitted when the corpus stamp changes. Stamp lives in the VALUE
+    * (like [[StampedCache]]), not the key — a stamp-in-key layout
+    * would strand one dead entry per corpus rewrite.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, Long), Array[Array[Double]]]()
+      (org.apache.spark.sql.SparkSession, String), (Long, Array[Array[Double]])]()
 
   /** Corpus with its 2 nearest IVF lists precomputed (map-side
     * [[graft.functions.NearestCentroids]] — no join, no shuffle) and
@@ -71,10 +72,12 @@ object VectorQueries {
 
   private def centroids(
       s: org.apache.spark.sql.SparkSession, d: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((s, d, Q.dirStamp(d)), { case (ss, dir, _) =>
-      graft.functions.KMeansLite.fit(
-        emb(ss, dir), "embedding", "vec_id", k = NCents)
-    })
+    centroidCache.compute((s, d), { case ((ss, dir), cur) =>
+      val stamp = Q.dirStamp(dir)
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp, graft.functions.KMeansLite.fit(
+        emb(ss, dir), "embedding", "vec_id", k = NCents))
+    })._2
 
   private def assigned(s: org.apache.spark.sql.SparkSession, d: String) = {
     val cents = centroids(s, d)

@@ -36,8 +36,12 @@ object CorpusMaintenance {
     val spark = batch.sparkSession
     val others = batch.columns.filterNot(_ == keyCol)
     // deterministic in-batch dedup: greatest struct of the non-key
-    // columns per key (one hash agg, map-side partial)
+    // columns per key (one hash agg, map-side partial). Null keys are
+    // dropped — a null never equi-joins, so a stored null-key row
+    // would be re-appended on every at-least-once replay, breaking
+    // the idempotency contract below.
     val deduped = batch
+      .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(max(struct(others.map(col): _*)).as("__r"))
       .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)

@@ -132,14 +132,15 @@ object EventStream {
   *
   * Late-event semantics: an event more than `gapUs` OLDER than the
   * open session's start belongs to an earlier session whose neighbors
-  * may already have been emitted — it is emitted as its own singleton
-  * session rather than min-merged into the open one (merging would
-  * drag the open session's start arbitrarily backwards, diverging
-  * from the batch twin, which would have placed the event in a
-  * separate earlier session). This is the unavoidable residual
-  * divergence of at-once emission: the batch twin could still have
-  * merged that event with its *own* already-emitted neighborhood. Use
-  * a watermark upstream to bound how late such events can be.
+  * may already have been emitted — it is NOT min-merged into the open
+  * one (merging would drag the open session's start arbitrarily
+  * backwards, diverging from the batch twin, which would have placed
+  * the event in a separate earlier session). Stale events arriving in
+  * the same batch gap-merge among themselves and emit as closed
+  * sessions. The unavoidable residual divergence of at-once emission
+  * remains: the batch twin could still have merged those events with
+  * an *already-emitted* neighborhood. Use a watermark upstream to
+  * bound how late such events can be.
   */
 object Sessionize {
   import org.apache.spark.sql.Dataset
@@ -157,6 +158,7 @@ object Sessionize {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
           val evs = it.toArray.sortBy(_.ts_us)
           var closed = List.newBuilder[Session]
+          val stale = List.newBuilder[SessEvent]
           var open = state.getOption.orNull
           evs.foreach { e =>
             open match {
@@ -167,10 +169,11 @@ object Sessionize {
                 open = OpenSession(e.ts_us, e.ts_us, 1L)
               case o if o.start_us - e.ts_us > gapUs =>
                 // too old to belong to the open session: its real
-                // session was already emitted, so it closes as a
-                // singleton (see scaladoc) — min-merging here would
-                // drag the open start backwards past the gap bound
-                closed += Session(uid, e.ts_us, e.ts_us, 1L)
+                // neighborhood was already emitted (see scaladoc) —
+                // min-merging would drag the open start backwards
+                // past the gap bound. Buffer it: stale events in the
+                // SAME batch must still merge with each other.
+                stale += e
               case o =>
                 // min/max, not assignment: sorting is per-batch only,
                 // so an event arriving gap-tolerably late (behind the
@@ -179,6 +182,24 @@ object Sessionize {
                 open = OpenSession(math.min(o.start_us, e.ts_us),
                   math.max(o.last_us, e.ts_us), o.n + 1)
             }
+          }
+          // gap-split the stale buffer among itself (all closed: every
+          // member precedes the open session by more than the gap, so
+          // none can reopen) — matching the batch twin for stale
+          // events that arrived together
+          val staleEvs = stale.result()
+          if (staleEvs.nonEmpty) {
+            var s = staleEvs.head.ts_us
+            var last = s
+            var n = 0L
+            staleEvs.foreach { e =>
+              if (e.ts_us - last > gapUs) {
+                closed += Session(uid, s, last, n)
+                s = e.ts_us; n = 0L
+              }
+              last = e.ts_us; n += 1
+            }
+            closed += Session(uid, s, last, n)
           }
           if (open != null) state.update(open)
           closed.result().iterator

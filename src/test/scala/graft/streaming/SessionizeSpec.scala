@@ -108,4 +108,29 @@ class SessionizeSpec extends SparkTestBase {
     assert(got.contains(Session(1L, 1000L, 1000L, 1L)))
     assert(got.contains(Session(1L, 5000L, 5120L, 3L)))
   }
+
+  test("gap-stale events arriving together merge with each other, not as singletons") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(in.toDS(), gapUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stale2_out").start()
+
+    in.addData(SessEvent(1L, 5000L))
+    q.processAllAvailable()
+    // one batch with two stale events within the gap of EACH OTHER
+    // (1000, 1080) and one far-stale loner (3000): batch semantics
+    // would make sessions {1000,1080} and {3000}
+    in.addData(SessEvent(1L, 1000L), SessEvent(1L, 1080L), SessEvent(1L, 3000L))
+    q.processAllAvailable()
+    in.addData(SessEvent(1L, 99999L)) // close the open session
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_stale2_out").as[Session].collect().toSet
+    assert(got.contains(Session(1L, 1000L, 1080L, 2L)), got.toString)
+    assert(got.contains(Session(1L, 3000L, 3000L, 1L)), got.toString)
+    assert(got.contains(Session(1L, 5000L, 5000L, 1L)), got.toString)
+  }
 }
