@@ -95,6 +95,41 @@ object Profile {
     val reused = "ReusedExchange".r.findAllIn(finalPlan).length
     println(s"PHASE q40 ReusedExchange nodes   $reused")
 
+    // Round-2 scaling probes: the map-side IVF assignment and the
+    // salted exact-pair mining must also stay ~linear at 10×.
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val emb10 = (1 to 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") * 10 + lit(i.toLong)))
+      .reduce(_ union _)
+    val cents = graft.functions.KMeansLite.fit(emb, "embedding", "vec_id")
+    def assignAll(f: org.apache.spark.sql.DataFrame) = f
+      .select(col("vec_id"),
+        graft.functions.NearestCentroids(col("embedding"), cents, 2).as("cids"))
+    time("ivf assign 1x")(assignAll(emb).write.mode("overwrite").format("noop").save())
+    time("ivf assign 10x")(assignAll(emb10).write.mode("overwrite").format("noop").save())
+
+    val docs10 = (1 to 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") * 10 + lit(i.toLong)))
+      .reduce(_ union _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tk", filter(split(col("text"), " "), t => length(t) > 0))
+      .select(col("doc_id"),
+        when(size(tk) >= 3,
+          array_distinct(transform(sequence(lit(0), size(tk) - 3),
+            i => xxhash64(concat_ws(" ",
+              element_at(tk, i + 1),
+              element_at(tk, i + 2),
+              element_at(tk, i + 3))))))
+          .otherwise(array().cast("array<long>")).as("s"))
+    // 10× replicated docs = every shingle's df × 10 (quadratic pair
+    // blowup by construction — exactly the hot-shingle scenario);
+    // wall-clock here is dominated by real pair output, the point is
+    // that it completes without a single-reducer stall
+    time("salted pairs on 10x replicated docs")(
+      graft.queries.DedupQueries.pairsFromShingles(docs10, hotDf = 64)
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }

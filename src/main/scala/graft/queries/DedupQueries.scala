@@ -120,7 +120,7 @@ object DedupQueries {
     * frame — the inverted-index self-join with the hot-shingle salt
     * guard. `hotDf` overridable for tests.
     */
-  private[queries] def pairsFromShingles(
+  private[graft] def pairsFromShingles(
       sh: DataFrame, hotDf: Int = HotShingleDf): DataFrame = {
     val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))

@@ -56,6 +56,34 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  /** Hive-layout partitioned write: at 100 TB the partition column
+    * turns a full-corpus scan into a directory lookup — a filter on
+    * it prunes at PLANNING time (`PartitionFilters` in the scan, zero
+    * bytes read from pruned partitions), which no row-level pushdown
+    * can match. Partition by low-cardinality routing columns only
+    * (lang, date, source bucket); high-cardinality keys belong in
+    * [[Bucketed]] layouts instead — one directory per value would
+    * produce millions of tiny files.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Schema-evolution read: parquet roots written at different times
+    * with different (compatible) schemas read as ONE frame, missing
+    * columns null-filled — the reality of a corpus accumulated over
+    * years (`mergeSchema` unions footers at planning; columns keep
+    * pruning/pushdown). A type CONFLICT on a shared column still
+    * fails loudly — evolution covers add/remove, not retype.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(paths: _*)
+
   /** Recursive-scan source with suffix predicate — the Spark shape of the
     * reference's `get_lisp_files` (`Batch Processor.py:53-60`): flatten a
     * directory tree into a path DataFrame, filter case-insensitively.

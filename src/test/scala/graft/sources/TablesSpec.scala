@@ -42,6 +42,34 @@ class TablesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("partitioned write prunes at planning time (PartitionFilters, exact rows)") {
+    val docs = Tables(spark, sf(), "documents")
+    val path = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Tables.writePartitioned(docs, path, "lang")
+    val read = spark.read.parquet(path)
+    val one = read.filter(read("lang") === "en")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      "lang filter should prune partitions, not scan rows")
+    assert(one.count() == docs.filter(docs("lang") === "en").count())
+    assert(read.count() == docs.count())
+  }
+
+  test("readEvolved merges schemas across roots, null-filling missing columns") {
+    import spark.implicits._
+    val d1 = java.nio.file.Files.createTempDirectory("ev1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ev2").toString
+    Seq((1L, "a")).toDF("id", "text").write.mode("overwrite").parquet(d1)
+    Seq((2L, "b", "en")).toDF("id", "text", "lang")
+      .write.mode("overwrite").parquet(d2) // later vintage adds `lang`
+    val merged = Tables.readEvolved(spark, d1, d2)
+    assert(merged.columns.toSet == Set("id", "text", "lang"))
+    val rows = merged.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rows == Set((1L, "a", null), (2L, "b", "en")))
+  }
+
   test("all ten fixture tables load with expected columns") {
     Tables.names.foreach { n =>
       val df = Tables(spark, sf(), n)
