@@ -42,4 +42,52 @@ object SkewJoin {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Self-join pair mining with hot-key salting — the shared engine
+    * under every inverted-index dedup candidate pass (shingles q25,
+    * MinHash bands q26, SimHash blocks q27): from an occurrence frame
+    * `(keyCol, idCol)`, emit one `(id_a, id_b)` row (id_a < id_b) per
+    * shared key occurrence, WITH multiplicity (callers count or
+    * distinct as needed).
+    *
+    * A key shared by f ids yields f²/2 pairs through one join key —
+    * on real corpora (boilerplate shingles, exact-duplicate clusters
+    * sharing every band/block) that pins one reducer. Keys with
+    * occurrence count > `hotDf` instead join under (key, bx, by):
+    * each side replicates `buckets` ways over the other side's bucket
+    * coordinate, so pair (x, y) meets exactly once — in the
+    * (h(x), h(y)) cell — and the hot key's quadratic output spreads
+    * across buckets² reducer cells. Pair-set semantics are identical
+    * to the plain self-join (PairSkewSpec proves set equality).
+    */
+  def saltedSelfPairs(
+      occ: DataFrame,
+      keyCol: String,
+      idCol: String,
+      hotDf: Int = 128,
+      buckets: Int = 8): DataFrame = {
+    require(hotDf > 0 && buckets > 0, "hotDf and buckets must be positive")
+    val ex = occ.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+    // the hot set is tiny by construction → broadcast both branches
+    val hotKeys = ex.groupBy(col("__k"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf)
+      .select(col("__k"))
+    val exCold = ex.join(broadcast(hotKeys), Seq("__k"), "left_anti")
+    val exHot = ex.join(broadcast(hotKeys), Seq("__k"))
+    val cold = exCold.as("x")
+      .join(exCold.as("y"),
+        col("x.__k") === col("y.__k") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    val bkt = pmod(xxhash64(col("__id")), lit(buckets))
+    val saltsArr = sequence(lit(0), lit(buckets - 1))
+    val xs = exHot.withColumn("bx", bkt).withColumn("by", explode(saltsArr))
+    val ys = exHot.withColumn("by", bkt).withColumn("bx", explode(saltsArr))
+    val hot = xs.as("x")
+      .join(ys.as("y"),
+        col("x.__k") === col("y.__k") && col("x.bx") === col("y.bx") &&
+          col("x.by") === col("y.by") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    cold.unionAll(hot)
+  }
 }

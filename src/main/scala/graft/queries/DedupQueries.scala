@@ -117,45 +117,18 @@ object DedupQueries {
   private val SaltBuckets = 8
 
   /** Exact Jaccard-≥0.5 pairs from a (doc_id, s: array<long>) shingle
-    * frame — the inverted-index self-join with the hot-shingle salt
-    * guard. `hotDf` overridable for tests.
+    * frame — the inverted-index self-join through the shared
+    * hot-key-salted pair miner ([[graft.operators.SkewJoin
+    * .saltedSelfPairs]]). `hotDf` overridable for tests.
     */
   private[graft] def pairsFromShingles(
       sh: DataFrame, hotDf: Int = HotShingleDf): DataFrame = {
     val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    // document frequency per shingle; the hot set is tiny by
-    // construction (few shingles exceed the threshold) → broadcast
-    val hotKeys = ex.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotDf)
-      .select(col("g"))
-    val exCold = ex.join(broadcast(hotKeys), Seq("g"), "left_anti")
-    val exHot = ex.join(broadcast(hotKeys), Seq("g"))
-    val coldHits = exCold.as("x")
-      .join(exCold.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // Salted self-join: row with bucket b = hash(doc)%B joins under
-    // key (g, b_left, b_right); the left side replicates over every
-    // possible right bucket and vice versa, so pair (x,y) meets in
-    // exactly the (b(x), b(y)) cell — once — and one hot shingle's
-    // work spreads over B² cells instead of one.
-    val bkt = pmod(xxhash64(col("doc_id")), lit(SaltBuckets))
-    val salts = sequence(lit(0), lit(SaltBuckets - 1))
-    val xs = exHot
-      .withColumn("bx", bkt)
-      .withColumn("by", explode(salts))
-    val ys = exHot
-      .withColumn("by", bkt)
-      .withColumn("bx", explode(salts))
-    val hotHits = xs.as("x")
-      .join(ys.as("y"),
-        col("x.g") === col("y.g") && col("x.bx") === col("y.bx") &&
-          col("x.by") === col("y.by") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // one (pair, shared-shingle) row per hit on either path → one agg
-    val inter = coldHits.unionAll(hotHits)
+    // one (pair, shared-shingle) row per hit → one agg
+    val inter = graft.operators.SkewJoin
+      .saltedSelfPairs(ex, "g", "doc_id", hotDf, SaltBuckets)
+      .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
     inter
@@ -258,12 +231,18 @@ object DedupQueries {
             element_at(col("sig"), j * 2 + 2)))
         val bands = sig.select(col("doc_id"), posexplode(bandArr))
           .toDF("doc_id", "band_idx", "band_hash")
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_hash") === col("y.band_hash") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        // a cluster of near-identical docs shares whole bands — the
+        // same quadratic hot-key shape as q25's shingles, so the band
+        // join runs through the shared salted pair miner (64-bit
+        // composite key; a hash collision only adds a candidate,
+        // which the exact verify then discards)
+        val cands = graft.operators.SkewJoin
+          .saltedSelfPairs(
+            bands.select(
+              xxhash64(col("band_idx"), col("band_hash")).as("k"),
+              col("doc_id")),
+            "k", "doc_id")
+          .toDF("doc_a", "doc_b")
           .distinct()
         verifyJaccard(cands, sh.select(col("doc_id"), col("s")))
       },
@@ -284,16 +263,22 @@ object DedupQueries {
           GraftFunctions.simhash64(col("t")).as("sig"))
         val blockArr = array((0 until 4).map(k =>
           shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-        val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(blockArr))
-          .toDF("doc_id", "sig", "block_idx", "block_val")
-        blocks.as("x")
-          .join(blocks.as("y"),
-            col("x.block_idx") === col("y.block_idx") &&
-              col("x.block_val") === col("y.block_val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
+          .toDF("doc_id", "block_idx", "block_val")
+        // exact-duplicate clusters share ALL FOUR blocks — the
+        // hottest possible keys — so the block join runs through the
+        // shared salted pair miner; signatures re-join per side for
+        // the exact Hamming verify
+        graft.operators.SkewJoin
+          .saltedSelfPairs(
+            blocks.select(
+              xxhash64(col("block_idx"), col("block_val")).as("k"),
+              col("doc_id")),
+            "k", "doc_id")
+          .toDF("doc_a", "doc_b")
           .distinct()
+          .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+          .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
           .withColumn("hamming",
             bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
           .filter(col("hamming") <= 3)

@@ -995,6 +995,116 @@ object Relational {
              |WHERE CAST(n*v - sv AS DOUBLE) * CAST(n*v - sv AS DOUBLE) >
              |  9.0 * (CAST(n AS DOUBLE)*CAST(ssq AS DOUBLE) -
              |    CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── q61: sliding-window distinct users (trailing-7-day DAU→WAU
+    // rollup). Exact sliding DISTINCT cannot partial-aggregate, so the
+    // scale shape is: dedupe to (day, user) grain first — ONE shuffle
+    // over the corpus, after which cardinality is days×users — then
+    // band-join the tiny day dimension (broadcast, 7-day range) and
+    // count distinct inside each window. The corpus is never joined
+    // row-level.
+    QueryDef(
+      "q61_sliding_distinct",
+      (s, d) => {
+        val dd = t(s, d, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+          .distinct()
+        val days = dd.select(col("d").as("day")).distinct()
+        dd.join(broadcast(days),
+            col("d").between(date_sub(col("day"), 6), col("day")))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_users_7d"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_users_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+             |    FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM dd)
+             |SELECT strftime(day, '%Y-%m-%d') AS day,
+             |  count(DISTINCT user_id) AS n_users_7d
+             |FROM dd JOIN days ON dd.d BETWEEN day - 6 AND day
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
+    // ── q62: cohort retention — users bucketed by first-seen day,
+    // retained = active again within days +1..+7. First-seen is one
+    // hash agg; activity dedupes to (user, day) grain; the retained
+    // flag is conditional aggregation over the join — no per-day
+    // subqueries, no window over the corpus.
+    QueryDef(
+      "q62_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort"))
+        val act = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        first.join(act, Seq("user_id"))
+          .groupBy(col("cohort"))
+          .agg(
+            countDistinct(col("user_id")).as("n_cohort"),
+            countDistinct(when(col("d").between(
+              date_add(col("cohort"), 1), date_add(col("cohort"), 7)),
+              col("user_id"))).as("n_retained_7d"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("n_cohort"), col("n_retained_7d"))
+          .orderBy(col("cohort"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+             |    FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+             |  count(DISTINCT f.user_id) AS n_cohort,
+             |  count(DISTINCT CASE WHEN d BETWEEN cohort + 1 AND cohort + 7
+             |    THEN f.user_id END) AS n_retained_7d
+             |FROM f JOIN a ON a.user_id = f.user_id
+             |GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // ── q63: event funnel (view → click → purchase by first
+    // occurrence). One conditional-aggregation pass builds each
+    // user's first-touch times (map-side partials, single shuffle on
+    // user), the stage classifies in place — the corpus is scanned
+    // once, no self-joins per funnel step.
+    QueryDef(
+      "q63_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val firsts = ev.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts_us"))).as("v"),
+            min(when(col("event_type") === "click", col("ts_us"))).as("c"),
+            min(when(col("event_type") === "purchase", col("ts_us"))).as("p"))
+        firsts
+          .withColumn("funnel_stage",
+            when(col("v").isNotNull && col("c").isNotNull &&
+              col("p").isNotNull && col("c") > col("v") &&
+              col("p") > col("c"), 3)
+              .when(col("v").isNotNull && col("c").isNotNull &&
+                col("c") > col("v"), 2)
+              .when(col("v").isNotNull, 1)
+              .otherwise(0).cast("int"))
+          .groupBy(col("funnel_stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("funnel_stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             |    FROM events WHERE event_type IN ('view','click','purchase')),
+             |f AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS v,
+             |    min(CASE WHEN event_type = 'click' THEN ts_us END) AS c,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS p
+             |  FROM e GROUP BY user_id),
+             |st AS (SELECT CAST(CASE
+             |    WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+             |      AND c > v AND p > c THEN 3
+             |    WHEN v IS NOT NULL AND c IS NOT NULL AND c > v THEN 2
+             |    WHEN v IS NOT NULL THEN 1
+             |    ELSE 0 END AS INTEGER) AS funnel_stage FROM f)
+             |SELECT funnel_stage, count(*) AS n_users FROM st
+             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin))
   )
 }

@@ -236,10 +236,12 @@ class QueriesSpec extends SparkTestBase {
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
     // BNLJ allowlist: q23/q59 broadcast a SINGLE-ROW side (query
     // vector / corpus-size scalar — a 1-row build side is the right
-    // plan); q28 is the by-design exact all-pairs scan. q40/q54 no
-    // longer qualify — the learned-centroid IVF path joins on the
-    // list id (equi-join).
-    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding", "q59_tfidf_top_terms")
+    // plan); q61 broadcasts the ~30-row day dimension into a range
+    // join against day-grain data (not the corpus); q28 is the
+    // by-design exact all-pairs scan. q40/q54 no longer qualify —
+    // the learned-centroid IVF path joins on the list id (equi-join).
+    val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
+      "q59_tfidf_top_terms", "q61_sliding_distinct")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
