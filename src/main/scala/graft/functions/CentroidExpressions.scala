@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,16 +19,17 @@ import org.apache.spark.sql.types._
   * the lower centroid id (strict-greater insertion), so assignment is
   * deterministic on every executor.
   *
-  * Not in a codegen hot path in the same sense as [[CosineSimilarity]]
-  * (it runs once per corpus row to build the cached/stored index, not
-  * once per candidate pair), so CodegenFallback keeps it simple, like
-  * [[HyperplaneLsh]].
+  * Codegen'd (`doGenCode` with the centroid matrix as a codegen
+  * reference object): the assignment runs once per CORPUS row when
+  * building the IVF index, so it must stay inside the whole-stage
+  * span — a fallback would box every embedding on the widest scan of
+  * the pipeline.
   */
 case class NearestCentroids(
     child: Expression,
     centroids: Array[Array[Double]],
     k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(k > 0, "k must be positive")
 
@@ -83,6 +84,54 @@ case class NearestCentroids(
       j += 1
     }
     new GenericArrayData(bi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val kk = ctx.freshName("kk")
+      val bi = ctx.freshName("bi")
+      val bd = ctx.freshName("bd")
+      val filled = ctx.freshName("filled")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val lim = ctx.freshName("lim")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      s"""
+         |int $m = $cents.length;
+         |int $kk = $k < $m ? $k : $m;
+         |int[] $bi = new int[$kk];
+         |double[] $bd = new double[$kk];
+         |int $filled = 0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double[] $c = $cents[$j];
+         |  double $dot = 0.0;
+         |  int $lim = java.lang.Math.min($arr.numElements(), $c.length);
+         |  for (int $i = 0; $i < $lim; $i++) {
+         |    $dot += (double) $arr.$get($i) * $c[$i];
+         |  }
+         |  if ($filled < $kk) {
+         |    int $p = $filled;
+         |    while ($p > 0 && $bd[$p - 1] < $dot) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $dot; $bi[$p] = $j; $filled++;
+         |  } else if ($dot > $bd[$kk - 1]) {
+         |    int $p = $kk - 1;
+         |    while ($p > 0 && $bd[$p - 1] < $dot) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $dot; $bi[$p] = $j;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -83,6 +83,38 @@ class ExpressionsSpec extends SparkTestBase {
     assert(est > 0.05 && est < 0.7, s"estimate $est far from 1/3")
   }
 
+  test("nearest centroids: codegen agrees with brute force, ties to lower id") {
+    // centroids: unit axes e0, e1, plus a DUPLICATE of e0 at index 2 —
+    // the tie must resolve to the lower id (0, never 2)
+    val cents = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f, 0f)), // dots (.9,.1,.9): tie → 0 first, then 2
+      (1L, Array(0.1f, 0.9f, 0f)), // dots (.1,.9,.1): 1, then tie → 0
+      (2L, Array(-1f, -1f, 0f))) // both dots negative; order still total
+    val df = vecs.toDF("id", "e")
+      .repartition(2) // stop ConvertToLocalRelation from pre-evaluating
+      .select(col("id"), NearestCentroids(col("e"), cents, 2).as("c"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // whole-stage codegen must cover the projection (no fallback) —
+    // AQE's final-plan rendering marks codegen stages with a `*(n)`
+    // prefix rather than spelling WholeStageCodegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      s"projection not codegen'd:\n$plan")
+    assert(got(0L) == Seq(0, 2))
+    assert(got(1L) == Seq(1, 0))
+    assert(got(2L).head == got(2L).distinct.head) // deterministic, no dup ids
+    // interpreted eval agrees with the codegen'd result
+    val expr = new NearestCentroids(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.9f, 0.1f, 0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), cents, 2)
+    assert(expr.eval(null).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq == Seq(0, 2))
+  }
+
   test("lsh bucket: deterministic across invocations and in [0, 256)") {
     GraftFunctions.register(spark)
     val vecs = (0 until 20).map(i =>
