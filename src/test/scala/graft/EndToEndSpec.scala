@@ -64,4 +64,49 @@ class EndToEndSpec extends SparkTestBase {
     assert(events.count(_.severity == "red") == 1)
     assert(events.count(_.severity == "green") == 3)
   }
+
+  test("training-corpus lifecycle: ingest -> near-dup pairs -> cluster survivors") {
+    import graft.streaming.CorpusMaintenance
+    // ingest two document deliveries (overlapping id 2, near-dup text
+    // family 10/11) into a maintained corpus
+    val root = Files.createTempDirectory("graft-corpus").toString
+    val corpusPath = root + "/docs"
+    val common = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "old text", "s1"),
+      (10L, s"$common extra1", "s1"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq(
+      (2L, "new text entirely", "s2"),
+      (11L, s"$common extra2", "s2"))
+      .toDF("doc_id", "text", "source")
+    CorpusMaintenance.upsertBatch(b1, corpusPath, "doc_id")
+    val n = CorpusMaintenance.upsertBatch(b2, corpusPath, "doc_id")
+    assert(n == 4) // 1, 2 (replaced), 10, 11
+
+    // near-dup mining over the maintained corpus: 10/11 share all but
+    // one shingle (jaccard well above 0.5), nothing else pairs
+    val corpus = spark.read.parquet(corpusPath)
+    val sh = corpus
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), greatest(size(col("tk")) - 3, lit(0))),
+          i => xxhash64(concat_ws(" ",
+            element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2),
+            element_at(col("tk"), i + 3))))).as("s"))
+      .filter(size(col("tk")) >= 3)
+    val pairs = graft.queries.DedupQueries.pairsFromShingles(sh, hotDf = 4)
+      .select("doc_a", "doc_b")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L)))
+
+    // survivors: min-id per cluster + singletons
+    val labels = graft.operators.DedupClusters.assign(pairs, "doc_a", "doc_b")
+    val survivors = corpus.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+    assert(survivors.count() == 3) // 1, 2, 10 (11 deduped away)
+  }
 }
