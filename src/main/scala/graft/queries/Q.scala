@@ -71,15 +71,29 @@ object Q {
   * once" discipline behind the vector/shingle bases. A hit whose
   * stamp no longer matches the directory is unpersisted and rebuilt,
   * so a corpus rewrite under a cached path cannot serve stale data.
+  * Entries self-evict when the owning application ends (listener
+  * registered on first use), so a long-lived JVM hosting successive
+  * sessions cannot accumulate dead session pins in the static map.
   */
 private[queries] final class StampedCache {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Long, DataFrame)]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Get-or-build the persisted frame for (s, dir). `build` must NOT
     * persist; the cache does.
     */
-  def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          m.forEach { (k, _) => if (k._1 eq s) m.remove(k) }
+          hooked.remove(s)
+        }
+      })
+    }
     m.compute((s, dir), { (_, cur) =>
       val stamp = Q.dirStamp(dir)
       if (cur != null && cur._1 == stamp) cur
@@ -88,6 +102,7 @@ private[queries] final class StampedCache {
         (stamp, build.persist())
       }
     })._2
+  }
 
   /** Evict (and unpersist) all of this session's entries. */
   def clear(s: SparkSession): Unit =

@@ -139,6 +139,14 @@ object VectorQueries {
         // split, and the nested-loop pair scan must spread across
         // cores/executors or it runs serially.
         val e = emb(s, d)
+        // HARD size guard: this exact all-pairs form exists as the
+        // oracle-checkable baseline; past ~10⁵ vectors its n²/2 pair
+        // space is a scale-killer by construction. Refuse loudly and
+        // point at the IVF twin rather than quietly melting a cluster.
+        val n = e.count() // cheap: e is the persisted vector base
+        require(n <= 100000,
+          s"q28 is the exact all-pairs baseline ($n vectors => ~${n * n / 2} " +
+            "pairs); use q54_dedup_embedding_ivf at this scale")
         val a = e
           .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("nrm").as("na"))
