@@ -30,18 +30,11 @@ object Profile {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     time("read+count")(docs.count())
 
-    val tk = col("tk")
     val sh = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tk", filter(split(col("text"), " "), t => length(t) > 0))
       .select(col("doc_id"),
-        when(size(tk) >= 3,
-          array_distinct(transform(sequence(lit(0), size(tk) - 3),
-            i => xxhash64(concat_ws(" ",
-              element_at(tk, i + 1),
-              element_at(tk, i + 2),
-              element_at(tk, i + 3))))))
-          .otherwise(array().cast("array<long>")).as("s"))
+        graft.queries.DedupQueries.shingleHashes(col("tk")).as("s"))
       .persist()
     time("shingle materialize")(sh.count())
 
@@ -115,13 +108,7 @@ object Profile {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tk", filter(split(col("text"), " "), t => length(t) > 0))
       .select(col("doc_id"),
-        when(size(tk) >= 3,
-          array_distinct(transform(sequence(lit(0), size(tk) - 3),
-            i => xxhash64(concat_ws(" ",
-              element_at(tk, i + 1),
-              element_at(tk, i + 2),
-              element_at(tk, i + 3))))))
-          .otherwise(array().cast("array<long>")).as("s"))
+        graft.queries.DedupQueries.shingleHashes(col("tk")).as("s"))
     // 10× replicated docs = every shingle's df × 10 (quadratic pair
     // blowup by construction — exactly the hot-shingle scenario);
     // wall-clock here is dominated by real pair output, the point is

@@ -31,7 +31,7 @@ object DedupQueries {
     * turns one tokenize per doc into one per window — measured 2.7×
     * on the whole shingle pass.
     */
-  private def shingleHashes(toks: Column): Column =
+  private[graft] def shingleHashes(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => xxhash64(concat_ws(" ",
@@ -58,7 +58,51 @@ object DedupQueries {
   def clearCaches(s: SparkSession): Unit = {
     shingleCache.clear(s)
     pairsCache.clear(s)
+    bandsCache.clear(s)
+    simhashCache.clear(s)
   }
+
+  /** MinHash band index, persisted per (session, dir): (band key,
+    * doc_id). The salted pair miner fans its input into FIVE plan
+    * branches (df agg, cold ×2, hot ×2) — without materializing the
+    * bands first, every branch would recompute the 32-hash MinHash
+    * signatures from the raw corpus. At 100 TB this frame IS the
+    * stored LSH index.
+    */
+  private val bandsCache = new StampedCache
+
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    bandsCache.get(s, d) {
+      GraftFunctions.register(s)
+      val sh = docShingles(s, d).filter(size(col("s")) > 0)
+      val sig = sh.select(col("doc_id"),
+        GraftFunctions.minhashSig(col("s")).as("sig"))
+      val bandArr = transform(sequence(lit(0), lit(15)),
+        j => xxhash64(element_at(col("sig"), j * 2 + 1),
+          element_at(col("sig"), j * 2 + 2)))
+      sig.select(col("doc_id"), posexplode(bandArr))
+        .toDF("doc_id", "band_idx", "band_hash")
+        .select(xxhash64(col("band_idx"), col("band_hash")).as("k"),
+          col("doc_id"))
+    }
+
+  /** SimHash signatures, persisted per (session, dir): (doc_id, sig).
+    * Blocks derive from the persisted sigs with four bit-ops — cheap —
+    * while the signature itself (a full token pass per doc) computes
+    * once, not once per miner branch plus twice more in the verify
+    * joins.
+    */
+  private val simhashCache = new StampedCache
+
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashCache.get(s, d) {
+      GraftFunctions.register(s)
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          GraftFunctions.simhash64(
+            filter(split(col("text"), " "), tk => length(tk) > 0)).as("sig"))
+    }
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.get(s, d) {
@@ -224,27 +268,19 @@ object DedupQueries {
       "q26_dedup_minhash",
       (s, d) => {
         GraftFunctions.register(s)
-        val sh = docShingles(s, d).filter(size(col("s")) > 0)
-        val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("s")).as("sig"))
-        val bandArr = transform(sequence(lit(0), lit(15)),
-          j => xxhash64(element_at(col("sig"), j * 2 + 1),
-            element_at(col("sig"), j * 2 + 2)))
-        val bands = sig.select(col("doc_id"), posexplode(bandArr))
-          .toDF("doc_id", "band_idx", "band_hash")
         // a cluster of near-identical docs shares whole bands — the
         // same quadratic hot-key shape as q25's shingles, so the band
-        // join runs through the shared salted pair miner (64-bit
-        // composite key; a hash collision only adds a candidate,
-        // which the exact verify then discards)
+        // join runs through the shared salted pair miner over the
+        // PERSISTED band index (64-bit composite key; a hash
+        // collision only adds a candidate, which the exact verify
+        // then discards)
         val cands = graft.operators.SkewJoin
-          .saltedSelfPairs(
-            bands.select(
-              xxhash64(col("band_idx"), col("band_hash")).as("k"),
-              col("doc_id")),
-            "k", "doc_id")
+          .saltedSelfPairs(minhashBands(s, d), "k", "doc_id")
           .toDF("doc_a", "doc_b")
           .distinct()
-        verifyJaccard(cands, sh.select(col("doc_id"), col("s")))
+        verifyJaccard(cands,
+          docShingles(s, d).filter(size(col("s")) > 0)
+            .select(col("doc_id"), col("s")))
       },
       None),
 
@@ -255,12 +291,7 @@ object DedupQueries {
       "q27_dedup_simhash",
       (s, d) => {
         GraftFunctions.register(s)
-        val toksDf = t(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), tk => length(tk) > 0).as("t"))
-        val sigs = toksDf.select(col("doc_id"),
-          GraftFunctions.simhash64(col("t")).as("sig"))
+        val sigs = simhashSigs(s, d)
         val blockArr = array((0 until 4).map(k =>
           shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
         val blocks = sigs.select(col("doc_id"), posexplode(blockArr))

@@ -71,9 +71,12 @@ object Q {
   * once" discipline behind the vector/shingle bases. A hit whose
   * stamp no longer matches the directory is unpersisted and rebuilt,
   * so a corpus rewrite under a cached path cannot serve stale data.
-  * Entries self-evict when the owning application ends (listener
-  * registered on first use), so a long-lived JVM hosting successive
-  * sessions cannot accumulate dead session pins in the static map.
+  * Entries self-evict when the owning SparkContext stops (listener
+  * registered on first use) — NOTE this fires per application, not
+  * per session: SparkSessions sharing one context are not evicted
+  * individually when dropped, so a service that cycles sessions on a
+  * shared context must call the module `clearCaches(session)` hooks
+  * at session retirement (the per-session eviction API).
   */
 private[queries] final class StampedCache {
   private val m = new java.util.concurrent.ConcurrentHashMap[

@@ -143,9 +143,11 @@ object VectorQueries {
         // oracle-checkable baseline; past ~10⁵ vectors its n²/2 pair
         // space is a scale-killer by construction. Refuse loudly and
         // point at the IVF twin rather than quietly melting a cluster.
-        val n = e.count() // cheap: e is the persisted vector base
-        require(n <= 100000,
-          s"q28 is the exact all-pairs baseline ($n vectors => ~${n * n / 2} " +
+        // Bounded probe, not a full count: refusing must not itself
+        // materialize the complete vector base on a huge corpus.
+        val overLimit = e.limit(100001).count() > 100000
+        require(!overLimit,
+          "q28 is the exact all-pairs baseline (>100k vectors => >5e9 " +
             "pairs); use q54_dedup_embedding_ivf at this scale")
         val a = e
           .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),

@@ -91,12 +91,8 @@ class EndToEndSpec extends SparkTestBase {
     val sh = corpus
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), greatest(size(col("tk")) - 3, lit(0))),
-          i => xxhash64(concat_ws(" ",
-            element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2),
-            element_at(col("tk"), i + 3))))).as("s"))
-      .filter(size(col("tk")) >= 3)
+        graft.queries.DedupQueries.shingleHashes(col("tk")).as("s"))
+      .filter(size(col("s")) > 0)
     val pairs = graft.queries.DedupQueries.pairsFromShingles(sh, hotDf = 4)
       .select("doc_a", "doc_b")
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -104,7 +104,7 @@ class ExpressionsSpec extends SparkTestBase {
       s"projection not codegen'd:\n$plan")
     assert(got(0L) == Seq(0, 2))
     assert(got(1L) == Seq(1, 0))
-    assert(got(2L).head == got(2L).distinct.head) // deterministic, no dup ids
+    assert(got(2L) == Seq(0, 1)) // all dots equal (-1): ids ascending, no dups
     // interpreted eval agrees with the codegen'd result
     val expr = new NearestCentroids(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
