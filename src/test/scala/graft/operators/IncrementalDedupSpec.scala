@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental invariant: full-recompute pairs over corpus ∪ delta
+  * must equal standing corpus pairs ∪ delta-touching pairs — on a
+  * fixture with cross pairs (delta doc near-dups a corpus doc), within
+  * pairs (two near-identical delta docs), standing pairs (corpus-only
+  * near-dups, untouched by the delta), and unrelated docs.
+  */
+class IncrementalDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def shingleFrame(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.queries.DedupQueries.shingleHashes(col("tk")).as("s"))
+      .filter(size(col("s")) > 0)
+
+  private def pairSet(df: DataFrame) = df
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .toSet
+
+  test("pairs(corpus ∪ delta) == pairs(corpus) ∪ deltaPairs(corpus, delta)") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$base a1"), (2L, s"$base a2"), // standing near-dup pair
+      (3L, "completely different text with many unique tokens here"))
+    val delta = Seq(
+      (10L, s"$base b1"), // cross: near-dups 1 and 2
+      (11L, "fresh delivery item one two three four five six"),
+      (12L, "fresh delivery item one two three four five seven")) // within pair
+    val cs = shingleFrame(corpus)
+    val ds = shingleFrame(delta)
+
+    val full = pairSet(graft.queries.DedupQueries
+      .pairsFromShingles(cs.unionByName(ds), hotDf = Int.MaxValue))
+    val standing = pairSet(graft.queries.DedupQueries
+      .pairsFromShingles(cs, hotDf = Int.MaxValue))
+    val deltaTouching = pairSet(IncrementalDedup.deltaPairs(cs, ds))
+
+    assert(standing.union(deltaTouching) == full,
+      s"missing=${full -- standing -- deltaTouching} " +
+        s"extra=${standing.union(deltaTouching) -- full}")
+    // the interesting shapes actually occurred
+    assert(deltaTouching.exists { case (a, b, _, _) => a <= 2 && b == 10L },
+      "expected a cross (delta x corpus) pair")
+    assert(deltaTouching.exists { case (a, b, _, _) => a == 11L && b == 12L },
+      "expected a within-delta pair")
+    assert(standing.exists { case (a, b, _, _) => a == 1L && b == 2L },
+      "expected a standing corpus pair")
+    assert(standing.intersect(deltaTouching).isEmpty)
+  }
+}
