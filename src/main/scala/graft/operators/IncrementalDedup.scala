@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * Mining just those costs the delta's shingle postings against the
   * stored inverted index instead of replaying the full corpus
   * self-join: the difference between re-sharding 100 TB per delivery
-  * and a delta-sized join.
+  * and a delta-sized join. The delta side BROADCASTS into the cross
+  * join, so the corpus postings stream map-side — no corpus shuffle,
+  * and no hot-shingle reducer to pin (a boilerplate shingle costs a
+  * wider map task, never a single-key reducer cell).
   *
   * Invariant (spec-proved): pairs(corpus ∪ delta) =
-  * pairs(corpus) ∪ deltaPairs(corpus, delta), with the union disjoint
-  * when delta ids are fresh.
+  * pairs(corpus) ∪ deltaPairs(corpus, delta) at the SAME threshold,
+  * with the union disjoint when delta ids are fresh.
   */
 object IncrementalDedup {
 
@@ -23,42 +26,41 @@ object IncrementalDedup {
     * index shape of [[graft.queries.DedupQueries]]). Output matches
     * the full miner's schema: (doc_a, doc_b, inter_cnt, jaccard),
     * doc_a < doc_b. Delta ids must be disjoint from corpus ids (an
-    * UPDATE is a drop + re-add at the caller).
+    * UPDATE is a drop + re-add at the caller) — enforced, because a
+    * colliding id would silently emit self-pairs and double-counted
+    * cardinalities.
     */
   def deltaPairs(
       corpusShingles: DataFrame,
       deltaShingles: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val corpusEx = corpusShingles
-      .select(col("doc_id").as("c_id"), explode(col("s")).as("g"))
+    val clash = corpusShingles.select(col("doc_id"))
+      .join(broadcast(deltaShingles.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      "delta doc_ids must be disjoint from the corpus — drop + re-add " +
+        "updated documents before mining the delta")
     val deltaEx = deltaShingles
-      .select(col("doc_id").as("d_id"), explode(col("s")).as("g"))
-    // delta × corpus: equi-join on the shingle; the delta side is
-    // delivery-sized, so output is bounded by the delta's postings ×
-    // matching corpus frequency, never corpus²
-    val cross = deltaEx.join(corpusEx, Seq("g"))
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    // delta × corpus: the delivery-sized delta broadcasts; corpus
+    // postings stream map-side (no shuffle, no per-key reducer)
+    val cross = corpusShingles
+      .select(col("doc_id").as("c_id"), explode(col("s")).as("g"))
+      .join(broadcast(deltaEx.toDF("d_id", "g")), Seq("g"))
       .select(least(col("d_id"), col("c_id")).as("doc_a"),
         greatest(col("d_id"), col("c_id")).as("doc_b"))
     // delta × delta: through the hot-key-guarded self miner (a
     // delivery can itself contain a near-identical batch)
     val within = SkewJoin
-      .saltedSelfPairs(
-        deltaShingles.select(col("doc_id"), explode(col("s")).as("g"))
-          .select(col("g"), col("doc_id")),
-        "g", "doc_id")
+      .saltedSelfPairs(deltaEx, "g", "doc_id")
       .toDF("doc_a", "doc_b")
-    val inter = cross.unionAll(within)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    val card = corpusShingles.unionByName(deltaShingles)
-      .select(col("doc_id"), size(col("s")).cast("long").as("n"))
-    inter
-      .join(card.toDF("doc_a", "na"), "doc_a")
-      .join(card.toDF("doc_b", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter_cnt").cast("double") /
-          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
+    // shared scoring tail; broadcastPairs keeps the corpus-spanning
+    // cardinality frame map-side (delta-touching pairs are small)
+    graft.queries.DedupQueries.scorePairs(
+      cross.unionAll(within),
+      corpusShingles.unionByName(deltaShingles),
+      threshold,
+      broadcastPairs = true)
   }
 }

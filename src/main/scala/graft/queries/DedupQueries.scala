@@ -160,28 +160,50 @@ object DedupQueries {
   private val HotShingleDf = 128
   private val SaltBuckets = 8
 
-  /** Exact Jaccard-≥0.5 pairs from a (doc_id, s: array<long>) shingle
-    * frame — the inverted-index self-join through the shared
+  /** Exact Jaccard-≥`threshold` pairs from a (doc_id, s: array<long>)
+    * shingle frame — the inverted-index self-join through the shared
     * hot-key-salted pair miner ([[graft.operators.SkewJoin
     * .saltedSelfPairs]]). `hotDf` overridable for tests.
     */
   private[graft] def pairsFromShingles(
-      sh: DataFrame, hotDf: Int = HotShingleDf): DataFrame = {
-    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+      sh: DataFrame, hotDf: Int = HotShingleDf,
+      threshold: Double = 0.5): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    // one (pair, shared-shingle) row per hit → one agg
-    val inter = graft.operators.SkewJoin
+    val hits = graft.operators.SkewJoin
       .saltedSelfPairs(ex, "g", "doc_id", hotDf, SaltBuckets)
       .toDF("doc_a", "doc_b")
+    scorePairs(hits, sh, threshold)
+  }
+
+  /** Shared scoring tail for every exact-Jaccard miner (full and
+    * incremental — ONE copy of the jaccard math/output schema): count
+    * shared shingles per (pair, hit) row, join cardinalities, filter.
+    * With `broadcastPairs` the (small) pair side broadcasts so the
+    * (possibly corpus-sized) cardinality frame streams map-side with
+    * NO shuffle — the incremental path's shape, where hits are
+    * delta-sized but `sh` spans the whole corpus.
+    */
+  private[graft] def scorePairs(
+      hits: DataFrame, sh: DataFrame, threshold: Double,
+      broadcastPairs: Boolean = false): DataFrame = {
+    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    val inter = hits
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(card.toDF("doc_a", "na"), "doc_a")
-      .join(card.toDF("doc_b", "nb"), "doc_b")
+    val scored =
+      if (broadcastPairs) {
+        val j1 = card.toDF("doc_a", "na").join(broadcast(inter), Seq("doc_a"))
+        card.toDF("doc_b", "nb").join(broadcast(j1), Seq("doc_b"))
+      } else {
+        inter
+          .join(card.toDF("doc_a", "na"), "doc_a")
+          .join(card.toDF("doc_b", "nb"), "doc_b")
+      }
+    scored
       .withColumn("jaccard",
         col("inter_cnt").cast("double") /
           (col("na") + col("nb") - col("inter_cnt")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
   }
 

@@ -54,4 +54,13 @@ class IncrementalDedupSpec extends SparkTestBase {
       "expected a standing corpus pair")
     assert(standing.intersect(deltaTouching).isEmpty)
   }
+
+  test("a delta id colliding with the corpus fails loudly, never self-pairs") {
+    val cs = shingleFrame(Seq((1L, "one two three four five six")))
+    val ds = shingleFrame(Seq((1L, "one two three four five seven")))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.deltaPairs(cs, ds).collect()
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }
