@@ -56,6 +56,24 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  /** Schema-enforced JSONL ingest (the dominant training-data
+    * interchange format) with the same per-record error isolation as
+    * [[readCsv]]: a malformed line lands whole in `_corrupt_record`
+    * and the read continues. Explicit schema, never inference — at
+    * 100 TB schema inference is a full extra pass over the corpus,
+    * and a drifting inferred schema breaks downstream contracts.
+    */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Hive-layout partitioned write: at 100 TB the partition column
     * turns a full-corpus scan into a directory lookup — a filter on
     * it prunes at PLANNING time (`PartitionFilters` in the scan, zero

@@ -42,6 +42,26 @@ class TablesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("readJsonl isolates malformed lines in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "text": "gamma"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = Tables.readJsonl(spark, dir.toString, schema).cache()
+    val good = df.filter(df("_corrupt_record").isNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val bad = df.filter(df("_corrupt_record").isNotNull).count()
+    assert(good == Set((1L, "alpha"), (3L, "gamma")))
+    assert(bad == 1)
+    df.unpersist()
+  }
+
   test("partitioned write prunes at planning time (PartitionFilters, exact rows)") {
     val docs = Tables(spark, sf(), "documents")
     val path = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
