@@ -77,4 +77,37 @@ object AlgebraicProps extends Properties("graft") {
       got.keySet == expected.keySet &&
         expected.forall { case (g, ids) => got(g) == ids }
     }
+
+  // occurrence frames with deliberately skewed keys: key 0 is hot
+  private val occurrences: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(
+      Gen.frequency(3 -> Gen.const(0L), 2 -> Gen.choose(1L, 6L)),
+      Gen.choose(0L, 15L)))
+
+  property("saltedSelfPairs == plain self-join pair multiset, any skew/threshold") =
+    forAll(occurrences, Gen.choose(1, 8), Gen.choose(1, 4)) { (occ, hotDf, buckets) =>
+      import spark.implicits._
+      val df = occ.distinct.toDF("g", "id")
+      def multiset(hot: Int) = SkewJoin
+        .saltedSelfPairs(df, "g", "id", hot, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      multiset(hotDf) == multiset(Int.MaxValue)
+    }
+
+  property("KMeansLite is deterministic and returns unit centroids") =
+    forAll(Gen.choose(1L, 1000L)) { seedish =>
+      import spark.implicits._
+      val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.tabulate(8)(j =>
+          math.sin((seedish * 31 + i) * 8 + j).toFloat)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val c1 = graft.functions.KMeansLite.fit(df, "embedding", "vec_id", k = 4)
+      val c2 = graft.functions.KMeansLite.fit(df, "embedding", "vec_id", k = 4)
+      val identical = c1.zip(c2).forall { case (a, b) => a.sameElements(b) }
+      val unit = c1.forall { c =>
+        math.abs(c.map(x => x * x).sum - 1.0) < 1e-9
+      }
+      identical && unit
+    }
 }
