@@ -150,59 +150,113 @@ object Sessionize {
   final case class OpenSession(start_us: Long, last_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+  /** Watermark-bounded variant: open sessions FLUSH when the event-time
+    * watermark passes their last event + gap, instead of waiting for a
+    * later event from the same user that may never come. Without this,
+    * state is O(all users ever seen) — a one-event user pins an open
+    * session forever, which is the unbounded-state failure mode at
+    * 100 TB. Input needs (user_id LONG, ts TIMESTAMP); `watermark`
+    * bounds both late data and state lifetime.
+    */
+  def sessionsWithTimeout(
+      events: DataFrame,
+      gapUs: Long,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: no on-time event can extend
+            // this session any more — emit and drop the state
+            val o = state.get
+            state.remove()
+            Iterator.single(Session(uid, o.start_us, o.last_us, o.n))
+          } else {
+            val evs = it.map { case (_, ts) =>
+              SessEvent(uid, ts.getTime * 1000L)
+            }.toArray
+            val out = Sessionize.advance(uid, evs, state, gapUs)
+            state.getOption.foreach { o =>
+              // flush when the watermark passes the gap horizon
+              state.setTimeoutTimestamp((o.last_us + gapUs) / 1000L)
+            }
+            out
+          }
+      }
+  }
+
   def sessions(events: Dataset[SessEvent], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
-          val evs = it.toArray.sortBy(_.ts_us)
-          var closed = List.newBuilder[Session]
-          val stale = List.newBuilder[SessEvent]
-          var open = state.getOption.orNull
-          evs.foreach { e =>
-            open match {
-              case null =>
-                open = OpenSession(e.ts_us, e.ts_us, 1L)
-              case o if e.ts_us - o.last_us > gapUs =>
-                closed += Session(uid, o.start_us, o.last_us, o.n)
-                open = OpenSession(e.ts_us, e.ts_us, 1L)
-              case o if o.start_us - e.ts_us > gapUs =>
-                // too old to belong to the open session: its real
-                // neighborhood was already emitted (see scaladoc) —
-                // min-merging would drag the open start backwards
-                // past the gap bound. Buffer it: stale events in the
-                // SAME batch must still merge with each other.
-                stale += e
-              case o =>
-                // min/max, not assignment: sorting is per-batch only,
-                // so an event arriving gap-tolerably late (behind the
-                // open session's last_us) must not move the boundary
-                // backwards
-                open = OpenSession(math.min(o.start_us, e.ts_us),
-                  math.max(o.last_us, e.ts_us), o.n + 1)
-            }
-          }
-          // gap-split the stale buffer among itself (all closed: every
-          // member precedes the open session by more than the gap, so
-          // none can reopen) — matching the batch twin for stale
-          // events that arrived together
-          val staleEvs = stale.result()
-          if (staleEvs.nonEmpty) {
-            var s = staleEvs.head.ts_us
-            var last = s
-            var n = 0L
-            staleEvs.foreach { e =>
-              if (e.ts_us - last > gapUs) {
-                closed += Session(uid, s, last, n)
-                s = e.ts_us; n = 0L
-              }
-              last = e.ts_us; n += 1
-            }
-            closed += Session(uid, s, last, n)
-          }
-          if (open != null) state.update(open)
-          closed.result().iterator
+          advance(uid, it.toArray, state, gapUs)
       }
+  }
+
+  /** One micro-batch of a user's events against the open-session
+    * state: the SINGLE definition of the merge/close/stale semantics,
+    * shared by [[sessions]] and [[sessionsWithTimeout]].
+    */
+  private[streaming] def advance(
+      uid: Long,
+      batch: Array[SessEvent],
+      state: GroupState[OpenSession],
+      gapUs: Long): Iterator[Session] = {
+    val evs = batch.sortBy(_.ts_us)
+    var closed = List.newBuilder[Session]
+    val stale = List.newBuilder[SessEvent]
+    var open = state.getOption.orNull
+    evs.foreach { e =>
+      open match {
+        case null =>
+          open = OpenSession(e.ts_us, e.ts_us, 1L)
+        case o if e.ts_us - o.last_us > gapUs =>
+          closed += Session(uid, o.start_us, o.last_us, o.n)
+          open = OpenSession(e.ts_us, e.ts_us, 1L)
+        case o if o.start_us - e.ts_us > gapUs =>
+          // too old to belong to the open session: its real
+          // neighborhood was already emitted (see scaladoc) —
+          // min-merging would drag the open start backwards
+          // past the gap bound. Buffer it: stale events in the
+          // SAME batch must still merge with each other.
+          stale += e
+        case o =>
+          // min/max, not assignment: sorting is per-batch only,
+          // so an event arriving gap-tolerably late (behind the
+          // open session's last_us) must not move the boundary
+          // backwards
+          open = OpenSession(math.min(o.start_us, e.ts_us),
+            math.max(o.last_us, e.ts_us), o.n + 1)
+      }
+    }
+    // gap-split the stale buffer among itself (all closed: every
+    // member precedes the open session by more than the gap, so
+    // none can reopen) — matching the batch twin for stale
+    // events that arrived together
+    val staleEvs = stale.result()
+    if (staleEvs.nonEmpty) {
+      var s = staleEvs.head.ts_us
+      var last = s
+      var n = 0L
+      staleEvs.foreach { e =>
+        if (e.ts_us - last > gapUs) {
+          closed += Session(uid, s, last, n)
+          s = e.ts_us; n = 0L
+        }
+        last = e.ts_us; n += 1
+      }
+      closed += Session(uid, s, last, n)
+    }
+    if (open != null) state.update(open)
+    closed.result().iterator
   }
 }

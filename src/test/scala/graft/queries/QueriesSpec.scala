@@ -309,7 +309,9 @@ class QueriesSpec extends SparkTestBase {
     val mh = SparkEntry.queries("q26_dedup_minhash")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(exact))
-    // 16 bands x 2 rows at j>=0.5 → recall should be high on the fixture
-    assert(mh.size >= exact.size / 2, s"minhash recall too low: ${mh.size}/${exact.size}")
+    // 16 bands x 2 rows at j>=0.5: theoretical recall 1-(1-j²)^16 ≈ 99%;
+    // measured 100% on the fixture — gate at 0.9
+    assert(mh.size * 10 >= exact.size * 9,
+      s"minhash recall too low: ${mh.size}/${exact.size}")
   }
 }

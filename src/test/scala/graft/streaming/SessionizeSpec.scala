@@ -133,4 +133,33 @@ class SessionizeSpec extends SparkTestBase {
     assert(got.contains(Session(1L, 3000L, 3000L, 1L)), got.toString)
     assert(got.contains(Session(1L, 5000L, 5000L, 1L)), got.toString)
   }
+
+  test("sessionsWithTimeout flushes an idle user's open session via the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    // gap 10 min; watermark 1 min
+    val out = Sessionize.sessionsWithTimeout(
+      in.toDF().toDF("user_id", "ts"), gapUs = 600000000L, watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+
+    // user 1 sends two events then goes idle FOREVER
+    in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess_timeout_out").count() == 0) // still open
+    // OTHER users advance the watermark far past user 1's gap horizon —
+    // with NoTimeout semantics user 1's session would never emit
+    in.addData((2L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    in.addData((3L, ts("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_timeout_out").as[Session].collect().toSet
+    val expectStart = ts("2024-01-01 00:00:00").getTime * 1000L
+    val expectLast = ts("2024-01-01 00:05:00").getTime * 1000L
+    assert(got.contains(Session(1L, expectStart, expectLast, 2L)), got.toString)
+  }
 }
