@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * (delta × delta) — the standing corpus's pair set is already known.
   * Mining just those costs the delta's shingle postings against the
   * stored inverted index instead of replaying the full corpus
-  * self-join: the difference between re-sharding 100 TB per delivery
-  * and a delta-sized join. The delta side BROADCASTS into the cross
-  * join, so the corpus postings stream map-side — no corpus shuffle,
-  * and no hot-shingle reducer to pin (a boilerplate shingle costs a
-  * wider map task, never a single-key reducer cell).
+  * self-join. With `broadcastDelta` (default — deliveries are
+  * micro-batch-sized) the delta broadcasts into the cross join, so
+  * corpus postings stream map-side: no corpus shuffle, and no
+  * hot-shingle reducer to pin. Pass `broadcastDelta = false` for a
+  * bulk delta too large to broadcast — the join falls back to a
+  * shuffle, where AQE's skew split handles hot shingles.
   *
   * Invariant (spec-proved): pairs(corpus ∪ delta) =
   * pairs(corpus) ∪ deltaPairs(corpus, delta) at the SAME threshold,
@@ -25,29 +26,34 @@ object IncrementalDedup {
     * sides as (doc_id, s: array<long>) shingle frames (the stored
     * index shape of [[graft.queries.DedupQueries]]). Output matches
     * the full miner's schema: (doc_a, doc_b, inter_cnt, jaccard),
-    * doc_a < doc_b. Delta ids must be disjoint from corpus ids (an
-    * UPDATE is a drop + re-add at the caller) — enforced, because a
-    * colliding id would silently emit self-pairs and double-counted
-    * cardinalities.
+    * doc_a < doc_b.
+    *
+    * Delta ids must be disjoint from corpus ids (an UPDATE is a
+    * drop + re-add at the caller): a colliding id that shares a
+    * shingle with its corpus twin fails LOUDLY at execution (lazy
+    * per-row check — no eager corpus scan just to prove
+    * disjointness); a collision with zero shared shingles cannot be
+    * detected from the postings and remains the caller's contract.
     */
   def deltaPairs(
       corpusShingles: DataFrame,
       deltaShingles: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val clash = corpusShingles.select(col("doc_id"))
-      .join(broadcast(deltaShingles.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(clash == 0,
-      "delta doc_ids must be disjoint from the corpus — drop + re-add " +
-        "updated documents before mining the delta")
+      threshold: Double = 0.5,
+      broadcastDelta: Boolean = true): DataFrame = {
     val deltaEx = deltaShingles
       .select(col("doc_id"), explode(col("s")).as("g"))
-    // delta × corpus: the delivery-sized delta broadcasts; corpus
-    // postings stream map-side (no shuffle, no per-key reducer)
+    val deltaSide = deltaEx.toDF("d_id", "g")
+    // delta × corpus; the id-collision guard rides the join itself
+    // (raise_error evaluates only on a clashing row) instead of an
+    // eager full-corpus disjointness scan per delivery
     val cross = corpusShingles
       .select(col("doc_id").as("c_id"), explode(col("s")).as("g"))
-      .join(broadcast(deltaEx.toDF("d_id", "g")), Seq("g"))
+      .join(if (broadcastDelta) broadcast(deltaSide) else deltaSide, Seq("g"))
+      .filter(when(col("d_id") === col("c_id"),
+        raise_error(lit("delta doc_id collides with corpus doc_id — " +
+          "drop + re-add updated documents before mining the delta"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
       .select(least(col("d_id"), col("c_id")).as("doc_a"),
         greatest(col("d_id"), col("c_id")).as("doc_b"))
     // delta × delta: through the hot-key-guarded self miner (a
@@ -55,12 +61,9 @@ object IncrementalDedup {
     val within = SkewJoin
       .saltedSelfPairs(deltaEx, "g", "doc_id")
       .toDF("doc_a", "doc_b")
-    // shared scoring tail; broadcastPairs keeps the corpus-spanning
-    // cardinality frame map-side (delta-touching pairs are small)
     graft.queries.DedupQueries.scorePairs(
       cross.unionAll(within),
       corpusShingles.unionByName(deltaShingles),
-      threshold,
-      broadcastPairs = true)
+      threshold)
   }
 }

@@ -178,28 +178,21 @@ object DedupQueries {
   /** Shared scoring tail for every exact-Jaccard miner (full and
     * incremental — ONE copy of the jaccard math/output schema): count
     * shared shingles per (pair, hit) row, join cardinalities, filter.
-    * With `broadcastPairs` the (small) pair side broadcasts so the
-    * (possibly corpus-sized) cardinality frame streams map-side with
-    * NO shuffle — the incremental path's shape, where hits are
-    * delta-sized but `sh` spans the whole corpus.
+    * No mandatory broadcast hints: the pair side is usually small on
+    * the incremental path, but its size is bounded by corpus shingle
+    * document frequency, not delta size — one boilerplate shingle can
+    * make it huge, and a forced broadcast would then OOM the driver.
+    * AQE converts these joins to broadcast at runtime exactly when
+    * the pair side measures small.
     */
   private[graft] def scorePairs(
-      hits: DataFrame, sh: DataFrame, threshold: Double,
-      broadcastPairs: Boolean = false): DataFrame = {
+      hits: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-    val inter = hits
+    hits
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
-    val scored =
-      if (broadcastPairs) {
-        val j1 = card.toDF("doc_a", "na").join(broadcast(inter), Seq("doc_a"))
-        card.toDF("doc_b", "nb").join(broadcast(j1), Seq("doc_b"))
-      } else {
-        inter
-          .join(card.toDF("doc_a", "na"), "doc_a")
-          .join(card.toDF("doc_b", "nb"), "doc_b")
-      }
-    scored
+      .join(card.toDF("doc_a", "na"), "doc_a")
+      .join(card.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard",
         col("inter_cnt").cast("double") /
           (col("na") + col("nb") - col("inter_cnt")).cast("double"))

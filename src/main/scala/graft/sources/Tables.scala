@@ -48,13 +48,7 @@ object Tables {
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read
-      .schema(schema.add("_corrupt_record",
-        org.apache.spark.sql.types.StringType))
-      .option("header", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path)
+    readPermissive(spark, path, schema, "csv", Map("header" -> "true"))
 
   /** Schema-enforced JSONL ingest (the dominant training-data
     * interchange format) with the same per-record error isolation as
@@ -67,12 +61,23 @@ object Tables {
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readPermissive(spark, path, schema, "json", Map.empty)
+
+  // one copy of the corrupt-record ingest recipe for every text format
+  private def readPermissive(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String,
+      extraOpts: Map[String, String]): DataFrame =
     spark.read
       .schema(schema.add("_corrupt_record",
         org.apache.spark.sql.types.StringType))
+      .options(extraOpts)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+      .format(format)
+      .load(path)
 
   /** Hive-layout partitioned write: at 100 TB the partition column
     * turns a full-corpus scan into a directory lookup — a filter on

@@ -180,7 +180,11 @@ object Sessionize {
             Iterator.single(Session(uid, o.start_us, o.last_us, o.n))
           } else {
             val evs = it.map { case (_, ts) =>
-              SessEvent(uid, ts.getTime * 1000L)
+              // full microsecond precision: getTime is millis-only and
+              // would truncate TimestampType's sub-ms part, silently
+              // diverging from the micro-second batch twin
+              SessEvent(uid,
+                ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
             }.toArray
             val out = Sessionize.advance(uid, evs, state, gapUs)
             state.getOption.foreach { o =>

@@ -58,9 +58,12 @@ class IncrementalDedupSpec extends SparkTestBase {
   test("a delta id colliding with the corpus fails loudly, never self-pairs") {
     val cs = shingleFrame(Seq((1L, "one two three four five six")))
     val ds = shingleFrame(Seq((1L, "one two three four five seven")))
-    val e = intercept[IllegalArgumentException] {
+    // lazy per-row guard: throws when the clashing rows actually join
+    val e = intercept[Exception] {
       IncrementalDedup.deltaPairs(cs, ds).collect()
     }
-    assert(e.getMessage.contains("disjoint"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("collides")), messages(e).mkString("|"))
   }
 }
