@@ -331,6 +331,38 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None)
+      None),
+
+    // ── q64: benchmark decontamination — the named LLM-pipeline step
+    // of flagging training documents that share n-gram content with an
+    // evaluation set (docs 0-19 stand in for the benchmark). The
+    // benchmark's shingle postings are tiny by construction →
+    // BROADCAST into the corpus postings: contamination detection is a
+    // map-side pass over the training corpus, no shuffle of corpus
+    // postings, reusing the persisted shingle index. Same
+    // hashed-shingle-vs-string-shingle oracle equivalence as q25.
+    QueryDef(
+      "q64_decontaminate",
+      (s, d) => {
+        val sh = docShingles(s, d)
+        val bench = sh.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("bench_id"), explode(col("s")).as("g"))
+        val train = sh.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(col("s")).as("g"))
+        train.join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("overlap_cnt"))
+          .filter(col("overlap_cnt") >= 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(s"""WITH $pairsSql,
+              |b AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
+              |  WHERE doc_id < 20),
+              |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20)
+              |SELECT tr.doc_id, bench_id, count(*) AS overlap_cnt
+              |FROM tr JOIN b USING (g)
+              |GROUP BY tr.doc_id, bench_id
+              |HAVING count(*) >= 3
+              |ORDER BY doc_id, bench_id""".stripMargin))
   )
 }
