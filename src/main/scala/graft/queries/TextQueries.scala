@@ -328,6 +328,52 @@ object TextQueries {
              |      AS u(b)
              |  WHERE len(t) >= 2)
              |SELECT b AS bigram, count(*) AS cnt FROM bg
-             |GROUP BY b ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
+             |GROUP BY b ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin)),
+
+    // ── q65: quality-weighted sampling (data mixing) — keep each
+    // document with probability proportional to its q31 quality score,
+    // DETERMINISTICALLY: membership is `hash(doc_id) % 1000 <
+    // score*1000`, a pure map-side filter that yields the same mix on
+    // every engine and run (rand()-weighted sampling is neither
+    // reproducible nor oracle-checkable). The id hash is independent
+    // of the score, so inclusion is unbiased within each score level;
+    // the masked Knuth multiply is ANSI-overflow-safe at any id.
+    QueryDef(
+      "q65_weighted_sample",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(regexp_replace(col("text"), " ", "")).cast("long")
+              .as("n_letters"),
+            size(toks).cast("long").as("n_tokens"),
+            size(filter(toks, tk => length(tk) > 4)).cast("long")
+              .as("n_long_tokens"))
+          .withColumn("score",
+            (col("n_letters").cast("double") / col("n_tokens").cast("double"))
+              * 0.1 +
+              (col("n_long_tokens").cast("double") /
+                col("n_tokens").cast("double")) * 0.5)
+          .filter(expr("((doc_id & 2147483647) * 2654435761) % 1000")
+            < col("score") * 1000)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tokens,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 4)) AS BIGINT)
+             |    AS n_long_tokens
+             |  FROM documents),
+             |q AS (SELECT doc_id,
+             |  (CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.1 +
+             |  (CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5
+             |    AS score
+             |  FROM s)
+             |SELECT doc_id, score FROM q
+             |WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < score*1000
+             |ORDER BY doc_id""".stripMargin))
   )
 }
