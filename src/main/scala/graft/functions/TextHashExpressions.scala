@@ -169,3 +169,58 @@ object HyperplaneLsh {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 }
+
+/** Distinct xxhash64 values of the `n`-gram windows of a token array,
+  * space-joined — BIT-IDENTICAL to the Catalyst-HOF formulation
+  * `array_distinct(transform(sequence(0, size-n), i ->
+  * xxhash64(concat_ws(" ", toks[i+1..i+n]))))` (same seed-42 hash of
+  * the same joined string, same first-occurrence dedup order, empty
+  * below `n` tokens), but ONE tight JVM loop per row: Spark's
+  * higher-order functions are CodegenFallback and evaluate the lambda
+  * per element with a fresh concatenated String each — on the shingle
+  * pass (the dedup family's dominant cost) that is per-ELEMENT
+  * interpretation versus this expression's per-ROW call.
+  */
+case class ShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash expects array<string>, got ${o.catalogString}")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) {
+        // concat_ws skips nulls; mirror that with empty-skip semantics
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val joined = UTF8String.concatWs(sep, window: _*)
+      seen.add(XxHash64Function.hash(joined, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -18,27 +18,25 @@ object DedupQueries {
   import Q._
 
   /** Distinct 3-gram token shingles of a *pre-tokenized* array column,
-    * pre-hashed to 64-bit keys (codegen'd higher-order fns; empty
-    * array below 3 tokens). Joining/intersecting on 8-byte hashes
-    * instead of shingle strings shrinks the shuffle and makes per-seed
-    * MinHash rehashing O(1) per shingle; a 64-bit collision
-    * (~|shingles|²/2⁶⁴) is the standard accepted error of
-    * hashed-shingle dedup.
+    * pre-hashed to 64-bit keys (empty array below 3 tokens).
+    * Joining/intersecting on 8-byte hashes instead of shingle strings
+    * shrinks the shuffle and makes per-seed MinHash rehashing O(1) per
+    * shingle; a 64-bit collision (~|shingles|²/2⁶⁴) is the standard
+    * accepted error of hashed-shingle dedup.
     *
-    * `toks` MUST be a bound column (materialized via `withColumn`),
-    * not the tokenize expression itself: an expression referenced
-    * inside the `transform` lambda is re-evaluated per element, which
-    * turns one tokenize per doc into one per window — measured 2.7×
-    * on the whole shingle pass.
+    * Runs through the native [[graft.functions.ShingleHash]]
+    * expression — one JVM loop per row. The previous
+    * `array_distinct(transform(...))` formulation evaluated the
+    * lambda interpreted PER ELEMENT (higher-order functions are
+    * CodegenFallback) with a fresh concatenated String each, and
+    * re-evaluated any unbound `toks` expression per window; the
+    * native form produces bit-identical hashes (oracle-proved:
+    * q25/q36/q64 keep hash-matching).
     */
   private[graft] def shingleHashes(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => xxhash64(concat_ws(" ",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3))))))
-      .otherwise(array().cast("array<long>"))
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.ShingleHash(
+        org.apache.spark.sql.GraftPlanBridge.expression(toks), 3))
 
   /** Per-doc shingle-hash arrays, spread across the cluster and
     * persisted: every dedup query fans this frame into several join
