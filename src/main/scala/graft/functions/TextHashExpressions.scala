@@ -170,6 +170,70 @@ object HyperplaneLsh {
   }
 }
 
+/** Winnowing-style minimum fingerprint: the smallest md5 hex digest
+  * over the space-joined `n`-gram windows of a token array, or null
+  * below `n` tokens (caller falls back to a whole-text hash) —
+  * BIT-IDENTICAL to `array_min(transform(..., md5(concat_ws(" ",
+  * ...))))`: md5 runs over the same UTF-8 bytes, and lowercase-hex
+  * encoding is monotone in the digest bytes, so the minimum hex
+  * string is the minimum unsigned digest. One digest instance and one
+  * JVM loop per row instead of a per-element interpreted lambda
+  * allocating a String AND a hex digest per window.
+  */
+case class WinnowMin(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "window must be positive")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"winnow_min expects array<string>, got ${o.catalogString}")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    if (sz < n) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val window = new Array[UTF8String](n)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(UTF8String.concatWs(sep, window: _*).getBytes)
+      if (best == null || unsignedLess(dig, best)) best = dig
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(best.length * 2)
+    best.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Distinct xxhash64 values of the `n`-gram windows of a token array,
   * space-joined — BIT-IDENTICAL to the Catalyst-HOF formulation
   * `array_distinct(transform(sequence(0, size-n), i ->

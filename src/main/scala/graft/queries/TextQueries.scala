@@ -210,19 +210,18 @@ object TextQueries {
       "q44_winnow_fingerprint",
       (s, d) => {
         val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        // native WinnowMin: null below 4 tokens → whole-text fallback
+        // (bit-identical to the HOF array_min(md5(concat_ws)) form —
+        // oracle-proved by q44's hash-match)
+        val winnow = org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.WinnowMin(
+            org.apache.spark.sql.GraftPlanBridge.expression(col("tk")), 4))
         t(s, d, "documents")
           .withColumn("tk", toks)
           .select(
             col("doc_id"),
             size(col("tk")).cast("long").as("n_tokens"),
-            when(size(col("tk")) >= 4,
-              array_min(transform(sequence(lit(0), size(col("tk")) - 4),
-                i => md5(concat_ws(" ",
-                  element_at(col("tk"), i + 1),
-                  element_at(col("tk"), i + 2),
-                  element_at(col("tk"), i + 3),
-                  element_at(col("tk"), i + 4))))))
-              .otherwise(md5(col("text"))).as("fp_win"))
+            coalesce(winnow, md5(col("text"))).as("fp_win"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, text,
