@@ -115,6 +115,46 @@ class ExpressionsSpec extends SparkTestBase {
       org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq == Seq(0, 2))
   }
 
+  test("shingle/winnow native expressions match their HOF formulations exactly") {
+    import org.apache.spark.sql.GraftPlanBridge
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b")), // below both windows
+      (3L, Seq("x", "x", "x", "x")), // duplicate windows → distinct hashes
+      (4L, Seq.empty[String]))
+      .toDF("id", "tk")
+    val shNative = GraftPlanBridge.column(
+      graft.functions.ShingleHash(GraftPlanBridge.expression(col("tk")), 3))
+    val shHof = when(size(col("tk")) >= 3,
+      array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+        i => xxhash64(concat_ws(" ",
+          element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2),
+          element_at(col("tk"), i + 3))))))
+      .otherwise(array().cast("array<long>"))
+    val wnNative = GraftPlanBridge.column(
+      graft.functions.WinnowMin(GraftPlanBridge.expression(col("tk")), 4))
+    val wnHof = when(size(col("tk")) >= 4,
+      array_min(transform(sequence(lit(0), size(col("tk")) - 4),
+        i => md5(concat_ws(" ",
+          element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2),
+          element_at(col("tk"), i + 3),
+          element_at(col("tk"), i + 4))))))
+    val rows = docs.select(col("id"),
+      shNative.as("sn"), shHof.as("sh"), wnNative.as("wn"), wnHof.as("wh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"shingle mismatch id=${r.getLong(0)}")
+      assert(r.get(3) == r.get(4), s"winnow mismatch id=${r.getLong(0)}")
+    }
+    // duplicate windows deduped to one hash; short/empty arrays → empty/null
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getSeq[Long](1).size == 1)
+    assert(byId(2L).getSeq[Long](1).isEmpty && byId(2L).isNullAt(3))
+    assert(byId(4L).getSeq[Long](1).isEmpty)
+  }
+
   test("lsh bucket: deterministic across invocations and in [0, 256)") {
     GraftFunctions.register(spark)
     val vecs = (0 until 20).map(i =>
