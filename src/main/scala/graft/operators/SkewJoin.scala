@@ -59,6 +59,17 @@ object SkewJoin {
     * (h(x), h(y)) cell — and the hot key's quadratic output spreads
     * across buckets² reducer cells. Pair-set semantics are identical
     * to the plain self-join (PairSkewSpec proves set equality).
+    *
+    * Hot-key detection is an EAGER bounded probe (one aggregate job at
+    * plan-construction time, cheap when `occ` is a persisted index
+    * frame, which every caller's is): a corpus with NO hot key — the
+    * common case for band/block indexes, where key frequency is
+    * cluster size — gets the plain single-branch self-join instead of
+    * paying the five-branch miner fan-out (df agg + anti-join +
+    * replicate ×2; measured +69% on q26 at sf0.1). A small hot set
+    * (≤ 1000 keys) splits hot/cold with IN-literal filters — no
+    * broadcast exchanges, no df-agg branches in the main plan; only an
+    * unboundedly large hot set falls back to the broadcast-join split.
     */
   def saltedSelfPairs(
       occ: DataFrame,
@@ -68,13 +79,32 @@ object SkewJoin {
       buckets: Int = 8): DataFrame = {
     require(hotDf > 0 && buckets > 0, "hotDf and buckets must be positive")
     val ex = occ.select(col(keyCol).as("__k"), col(idCol).as("__id"))
-    // the hot set is tiny by construction → broadcast both branches
     val hotKeys = ex.groupBy(col("__k"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > hotDf)
       .select(col("__k"))
-    val exCold = ex.join(broadcast(hotKeys), Seq("__k"), "left_anti")
-    val exHot = ex.join(broadcast(hotKeys), Seq("__k"))
+    // Bounded probe: collect at most MaxInlineHot+1 hot keys to decide
+    // the plan shape. Rows with a NULL key never produce a pair on any
+    // path (equi-join and IN both drop them), so the filter split and
+    // the join split emit identical pair sets.
+    val probed = hotKeys.limit(MaxInlineHot + 1).collect()
+    if (probed.isEmpty) {
+      return ex.as("x")
+        .join(ex.as("y"),
+          col("x.__k") === col("y.__k") && col("x.__id") < col("y.__id"))
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    }
+    val (exCold, exHot) =
+      if (probed.length <= MaxInlineHot) {
+        val lits = probed.map(_.get(0))
+        (ex.filter(!col("__k").isin(lits: _*)),
+          ex.filter(col("__k").isin(lits: _*)))
+      } else {
+        // hot set too large to inline — broadcast-join split (the hot
+        // side of a >1000-hot-key corpus is data-sized; never collect it)
+        (ex.join(broadcast(hotKeys), Seq("__k"), "left_anti"),
+          ex.join(broadcast(hotKeys), Seq("__k")))
+      }
     val cold = exCold.as("x")
       .join(exCold.as("y"),
         col("x.__k") === col("y.__k") && col("x.__id") < col("y.__id"))
@@ -90,4 +120,9 @@ object SkewJoin {
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     cold.unionAll(hot)
   }
+
+  /** Largest hot-key set inlined as IN-filter literals; past this the
+    * split falls back to broadcast joins.
+    */
+  private val MaxInlineHot = 1000
 }
