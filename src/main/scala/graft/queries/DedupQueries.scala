@@ -46,7 +46,7 @@ object DedupQueries {
     * the whole O(n·k) shingle pass and the pair joins downstream run
     * on one core.
     */
-  private val shingleCache = new StampedCache
+  private val shingleCache = new StampedCache("shingles")
 
   /** Drop this session's cached shingle index / pair set (the caches
     * are stamped with a dir fingerprint so a corpus REWRITE rebuilds
@@ -67,7 +67,7 @@ object DedupQueries {
     * signatures from the raw corpus. At 100 TB this frame IS the
     * stored LSH index.
     */
-  private val bandsCache = new StampedCache
+  private val bandsCache = new StampedCache("minhash_bands")
 
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     bandsCache.get(s, d) {
@@ -90,7 +90,7 @@ object DedupQueries {
     * once, not once per miner branch plus twice more in the verify
     * joins.
     */
-  private val simhashCache = new StampedCache
+  private val simhashCache = new StampedCache("simhash_sigs")
 
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     simhashCache.get(s, d) {
@@ -132,7 +132,7 @@ object DedupQueries {
     * the expensive step, and the cluster pass should consume its
     * result, not replay it.
     */
-  private val pairsCache = new StampedCache
+  private val pairsCache = new StampedCache("exact_pairs")
 
   private def exactPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.get(s, d)(exactPairsPlan(s, d))

@@ -77,8 +77,23 @@ object Q {
   * individually when dropped, so a service that cycles sessions on a
   * shared context must call the module `clearCaches(session)` hooks
   * at session retirement (the per-session eviction API).
+  *
+  * Durable tier: `name` is the frame's identity in
+  * [[graft.sources.IndexStore]]. When `spark.graft.index.root` is set,
+  * a cache miss reads the stored index (or builds + writes it first),
+  * so the persisted frame's lineage is a parquet scan of the index
+  * table — a cold session pays a load, not a corpus recompute, and an
+  * LRU-evicted frame re-materializes from storage.
+  *
+  * Memory bound: all StampedCache instances share one LRU budget of
+  * `spark.graft.cache.maxFrames` persisted frames per session
+  * (default 64) — without it a long-lived service touching many
+  * corpora accumulates persisted frames without bound. Eviction only
+  * unpersists (drops cached blocks); a returned plan that still
+  * references an evicted frame recomputes through its lineage.
   */
-private[queries] final class StampedCache {
+private[queries] final class StampedCache(
+    val name: String, durable: Boolean = true) {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Long, DataFrame)]()
   private val hooked =
@@ -92,22 +107,80 @@ private[queries] final class StampedCache {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          m.forEach { (k, _) => if (k._1 eq s) m.remove(k) }
+          clear(s)
           hooked.remove(s)
         }
       })
     }
-    m.compute((s, dir), { (_, cur) =>
+    val frame = m.compute((s, dir), { (_, cur) =>
       val stamp = Q.dirStamp(dir)
       if (cur != null && cur._1 == stamp) cur
       else {
         if (cur != null) cur._2.unpersist()
-        (stamp, build.persist())
+        val frame =
+          if (durable)
+            graft.sources.IndexStore.readThrough(s, dir, name, stamp)(build)
+          else build
+        (stamp, frame.persist())
       }
     })._2
+    StampedCache.touchAndEnforce(this, s, dir)
+    frame
   }
 
-  /** Evict (and unpersist) all of this session's entries. */
-  def clear(s: SparkSession): Unit =
-    m.forEach { (k, v) => if (k._1 eq s) { v._2.unpersist(); m.remove(k) } }
+  private[queries] def evict(s: SparkSession, dir: String): Unit = {
+    val v = m.remove((s, dir))
+    if (v != null) v._2.unpersist()
+  }
+
+  /** Evict (and unpersist) all of this session's entries. Keys are
+    * collected before acting so the companion's LRU lock is never
+    * taken while inside the map traversal (lock-order discipline vs
+    * the enforce path, which holds the LRU lock while touching `m`).
+    */
+  def clear(s: SparkSession): Unit = {
+    val keys = scala.collection.mutable.ArrayBuffer[(SparkSession, String)]()
+    m.forEach { (k, _) => if (k._1 eq s) keys += k }
+    keys.foreach { k =>
+      evict(k._1, k._2)
+      StampedCache.forget(this, k._1, k._2)
+    }
+  }
+}
+
+private[queries] object StampedCache {
+  /** Max persisted index frames per session across ALL caches. */
+  val MaxFramesConf = "spark.graft.cache.maxFrames"
+
+  // access-ordered registry of live entries across every cache
+  private val lru = new java.util.LinkedHashMap[
+    (StampedCache, SparkSession, String), Unit](16, 0.75f, true)
+
+  private def touchAndEnforce(
+      c: StampedCache, s: SparkSession, dir: String): Unit = synchronized {
+    lru.put((c, s, dir), ())
+    val budget =
+      try s.conf.get(MaxFramesConf, "64").toInt
+      catch { case _: NumberFormatException => 64 }
+    // evict this session's least-recently-used entries past the budget
+    // (the entry just touched is most-recent and survives any budget ≥ 1)
+    var mine = 0
+    lru.keySet.forEach(k => if (k._2 eq s) mine += 1)
+    if (mine > budget.max(1)) {
+      val it = lru.keySet.iterator()
+      while (mine > budget.max(1) && it.hasNext) {
+        val k = it.next()
+        if (k._2 eq s) {
+          it.remove()
+          k._1.evict(k._2, k._3)
+          mine -= 1
+        }
+      }
+    }
+  }
+
+  private def forget(
+      c: StampedCache, s: SparkSession, dir: String): Unit = synchronized {
+    lru.remove((c, s, dir))
+  }
 }

@@ -31,7 +31,11 @@ object VectorQueries {
     * dir fingerprint ([[Q.dirStamp]]) so a corpus rewrite rebuilds
     * instead of serving stale blocks.
     */
-  private val embCache = new StampedCache
+  // NOT durable: this frame is the raw corpus plus a norm column —
+  // storing it would double vector storage for compute that is one
+  // cheap map pass; the durable artifacts are the DERIVED indexes
+  // (assignment + centroids), as with the text bases.
+  private val embCache = new StampedCache("emb_base", durable = false)
 
   /** IVF coarse quantizer: 16 unit centroids from deterministic
     * sampled spherical k-means ([[graft.functions.KMeansLite]]),
@@ -48,7 +52,7 @@ object VectorQueries {
     * persisted: q40 reads list 1, q54 co-assigns on both. At 100 TB
     * this is the stored IVF index you build once at ingest.
     */
-  private val assignedCache = new StampedCache
+  private val assignedCache = new StampedCache("ivf_assigned")
 
   /** Drop this session's cached vector bases (see
     * [[DedupQueries.clearCaches]] for when eviction matters).
@@ -75,8 +79,20 @@ object VectorQueries {
     centroidCache.compute((s, d), { case ((ss, dir), cur) =>
       val stamp = Q.dirStamp(dir)
       if (cur != null && cur._1 == stamp) cur
-      else (stamp, graft.functions.KMeansLite.fit(
-        emb(ss, dir), "embedding", "vec_id", k = NCents))
+      else {
+        // durable read-through like the frame caches: a cold session
+        // loads the stored quantizer instead of re-running k-means
+        // over the corpus; a fit on a store-enabled session persists
+        // it for every later session
+        val cents = graft.sources.IndexStore.readCentroids(ss, dir, stamp)
+          .getOrElse {
+            val fitted = graft.functions.KMeansLite.fit(
+              emb(ss, dir), "embedding", "vec_id", k = NCents)
+            graft.sources.IndexStore.writeCentroids(ss, dir, stamp, fitted)
+            fitted
+          }
+        (stamp, cents)
+      }
     })._2
 
   private def assigned(s: org.apache.spark.sql.SparkSession, d: String) = {
