@@ -51,8 +51,16 @@ object VectorQueries {
     * [[graft.functions.NearestCentroids]] — no join, no shuffle) and
     * persisted: q40 reads list 1, q54 co-assigns on both. At 100 TB
     * this is the stored IVF index you build once at ingest.
+    *
+    * NOT durable as-is: the frame carries `embedding` and `nrm`, i.e.
+    * a full copy of the raw vector corpus — storing it would double
+    * vector storage. The durable artifact is the narrow `ivf_cids`
+    * (vec_id, cids) table written inside [[assigned]]; a cold session
+    * re-joins it with the session vector base. The trade is one vec_id
+    * shuffle join per cold session against 2× corpus storage forever —
+    * at multi-TB vector scale the join wins.
     */
-  private val assignedCache = new StampedCache("ivf_assigned")
+  private val assignedCache = new StampedCache("ivf_assigned", durable = false)
 
   /** Drop this session's cached vector bases (see
     * [[DedupQueries.clearCaches]] for when eviction matters).
@@ -98,8 +106,19 @@ object VectorQueries {
   private def assigned(s: org.apache.spark.sql.SparkSession, d: String) = {
     val cents = centroids(s, d)
     assignedCache.get(s, d) {
-      emb(s, d).withColumn("cids",
+      val direct = emb(s, d).withColumn("cids",
         graft.functions.NearestCentroids(col("embedding"), cents, 2))
+      if (graft.sources.IndexStore.root(s).isEmpty) direct
+      else {
+        // durable tier: store only the narrow (vec_id, cids) mapping
+        // and rehydrate by joining the session vector base back on —
+        // see the cache's scaladoc for the storage-vs-join trade
+        val cids = graft.sources.IndexStore
+          .readThrough(s, d, "ivf_cids", Q.dirStamp(d)) {
+            direct.select(col("vec_id"), col("cids"))
+          }
+        emb(s, d).join(cids, Seq("vec_id"))
+      }
     }
   }
 

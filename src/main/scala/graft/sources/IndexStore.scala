@@ -47,21 +47,39 @@ object IndexStore {
   def root(s: SparkSession): Option[String] =
     s.conf.getOption(RootConf).map(_.trim).filter(_.nonEmpty)
 
-  /** Human-readable, collision-resistant corpus directory id: last
-    * path segment + full 16-hex xxhash-style fingerprint of the
-    * normalized absolute path.
+  /** Index FORMAT version, a path segment next to the corpus stamp.
+    * The stamp tracks DATA staleness only — without a format segment, a
+    * code upgrade that changes a builder's semantics or schema (shingle
+    * width, band count, NCents, hot-df policy, column layout) would
+    * silently keep serving indexes built by the old code, because the
+    * corpus underneath is unchanged. Bump on any such change; the cost
+    * is one rebuild per corpus, after which [[retireStaleVersions]]
+    * drops the old-format copy.
     */
-  private[sources] def corpusId(corpusDir: String): String = {
-    val norm = new java.io.File(corpusDir).getAbsolutePath.stripSuffix("/")
-    val seg = norm.substring(norm.lastIndexOf('/') + 1)
-    val h = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(norm).toLong & 0xFFFFFFFFL)
-    s"$seg-$h"
+  val FormatVersion = 2
+
+  /** Human-readable, collision-resistant corpus directory id: last
+    * path segment + 16-hex 64-bit fingerprint (two seeded 32-bit
+    * murmurs) of the normalized path. Normalization goes through
+    * Hadoop [[Path]], not `java.io.File` — a URI-scheme corpus dir
+    * (`s3a://…`, `hdfs://…`) must not be resolved against the local
+    * cwd, or the store key would differ per working directory. Only a
+    * scheme-less relative path is made absolute against the cwd.
+    */
+  private[graft] def corpusId(corpusDir: String): String = {
+    val p = new Path(corpusDir)
+    val norm =
+      if (p.toUri.getScheme != null || p.isAbsolute) p.toString
+      else new Path(new java.io.File(corpusDir).getAbsolutePath).toString
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(norm, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(norm, 0x85ebca6b)
+    val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+    f"${p.getName}-$h%016x"
   }
 
   def indexPath(
       rootDir: String, corpusDir: String, name: String, stamp: Long): String =
-    s"${rootDir.stripSuffix("/")}/${corpusId(corpusDir)}/$name/v$stamp"
+    s"${rootDir.stripSuffix("/")}/${corpusId(corpusDir)}/$name/v$stamp-f$FormatVersion"
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -85,23 +103,52 @@ object IndexStore {
       case Some(r) =>
         val pathStr = indexPath(r, corpusDir, name, stamp)
         val p = new Path(pathStr)
-        if (!isComplete(s, p)) {
-          build.write.mode("overwrite").parquet(pathStr)
-          retireStaleVersions(s, p)
-        }
+        if (!isComplete(s, p)) publish(s, p)(build)
         s.read.parquet(pathStr)
     }
 
+  /** Atomic publish: build into a writer-private hidden temp sibling,
+    * then rename into place. Two store-enabled sessions that both see
+    * an absent index may both run build jobs, but each job writes its
+    * OWN directory — the final path is always one job's complete
+    * output, never an interleaving of part-files from two overwrite
+    * jobs (the corruption a plain `write(dest)` check-then-act race
+    * allows). The losing writer detects the occupied destination and
+    * discards its copy — including the nested case where Hadoop
+    * `rename` moved the temp INSIDE a destination that appeared
+    * between the existence check and the rename.
+    */
+  private def publish(s: SparkSession, dest: Path)(build: => DataFrame): Unit = {
+    val f = fs(s, dest)
+    val tmp = new Path(dest.getParent,
+      s".tmp-${dest.getName}-${java.util.UUID.randomUUID()}")
+    build.write.mode("overwrite").parquet(tmp.toString)
+    // a pre-existing dest WITHOUT _SUCCESS is a crashed half-write: no
+    // reader trusts it (the isComplete gate), so clearing it is safe
+    if (f.exists(dest) && !isComplete(s, dest)) f.delete(dest, true)
+    val won = !f.exists(dest) && f.rename(tmp, dest)
+    if (won) retireStaleVersions(s, dest)
+    else {
+      f.delete(tmp, true)
+      f.delete(new Path(dest, tmp.getName), true)
+      require(isComplete(s, dest),
+        s"lost index publish race for $dest but no complete winner found")
+    }
+  }
+
   /** Drop `v*` siblings of the just-written version — stale stamps of
-    * a rewritten corpus. Keeping them would leak one full index copy
-    * per corpus rewrite.
+    * a rewritten corpus (and old-format copies after a
+    * [[FormatVersion]] bump). Keeping them would leak one full index
+    * copy per rewrite. In-flight `.tmp-*` temps of concurrent writers
+    * are left alone; each writer cleans its own.
     */
   private def retireStaleVersions(s: SparkSession, current: Path): Unit = {
     val f = fs(s, current)
     val parent = current.getParent
     if (f.exists(parent))
       f.listStatus(parent).foreach { st =>
-        if (st.isDirectory && st.getPath.getName != current.getName)
+        if (st.isDirectory && st.getPath.getName != current.getName &&
+          !st.getPath.getName.startsWith(".tmp-"))
           f.delete(st.getPath, true)
       }
   }
@@ -140,9 +187,8 @@ object IndexStore {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false),
           nullable = false)))
-      s.createDataFrame(rows, schema)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(pathStr)
-      retireStaleVersions(s, new Path(pathStr))
+      val p = new Path(pathStr)
+      if (!isComplete(s, p))
+        publish(s, p)(s.createDataFrame(rows, schema).coalesce(1))
     }
 }

@@ -105,4 +105,50 @@ class EndToEndSpec extends SparkTestBase {
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
     assert(survivors.count() == 3) // 1, 2, 10 (11 deduped away)
   }
+
+  test("durable index lifecycle: ingest builds, cold session reuses, rewrite retires") {
+    import graft.sources.IndexStore
+    import graft.streaming.CorpusMaintenance
+    // corpus dir and store root must be SEPARATE trees: the corpus
+    // stamp fingerprints the corpus dir, so a store nested inside it
+    // would invalidate itself on every index write
+    val corpusDir = Files.createTempDirectory("graft-e2e-corpus").toString
+    val storeRoot = Files.createTempDirectory("graft-e2e-store").toString
+    val docsPath = corpusDir + "/documents.parquet"
+    val common = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (10L, s"$common extra1", "s1"),
+      (11L, s"$common extra2", "s1"))
+      .toDF("doc_id", "text", "source")
+    CorpusMaintenance.upsertBatch(b1, docsPath, "doc_id")
+
+    // ingest-side session builds the near-dup pair index durably
+    val s1 = spark.newSession()
+    s1.conf.set(IndexStore.RootConf, storeRoot)
+    def pairSet(s: org.apache.spark.sql.SparkSession) =
+      SparkEntry.queries("q25_dedup_ngram_jaccard")(s, corpusDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(s1) == Set((10L, 11L)))
+    val pairsParent = new org.apache.hadoop.fs.Path(
+      s"$storeRoot/${IndexStore.corpusId(corpusDir)}/exact_pairs")
+    val fs = pairsParent.getFileSystem(s1.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(pairsParent).length == 1, "one stored pair-index version")
+
+    // a cold session (fresh caches) reads the stored index, same result
+    val s2 = spark.newSession()
+    s2.conf.set(IndexStore.RootConf, storeRoot)
+    assert(pairSet(s2) == Set((10L, 11L)))
+
+    // second delivery rewrites the corpus: the stamp changes, the warm
+    // session rebuilds, and the stale version is retired from the store
+    val b2 = Seq((12L, s"$common extra3", "s2")).toDF("doc_id", "text", "source")
+    CorpusMaintenance.upsertBatch(b2, docsPath, "doc_id")
+    assert(pairSet(s1) == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    assert(fs.listStatus(pairsParent).length == 1,
+      "corpus rewrite must retire the stale stored version")
+
+    graft.queries.DedupQueries.clearCaches(s1)
+    graft.queries.DedupQueries.clearCaches(s2)
+  }
 }
