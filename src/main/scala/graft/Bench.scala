@@ -4,11 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Container timing noise is ±30–40% per run; a single sample cannot
-    // gate a 2× regression. Each query runs `runs` times (default 3) and
+    // Container timing noise is ±30–40% per run — and round-3's bench
+    // recorded 2–5× "regressions" on untouched code that a later
+    // median-of-5 could not reproduce. A single sample cannot gate a
+    // 2× regression; neither, evidently, can a median-of-3 under
+    // concurrent load. Each query runs `runs` times (default 5) and
     // reports the per-query MEDIAN; the headline total is the sum of
-    // medians over successfully-executed queries only.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // medians over successfully-executed queries only. `spread` (max
+    // minus min, per query) and `plans` (canonicalized-plan hash, per
+    // query) ship alongside so a cross-round delta is attributable:
+    // same plan hash + wide spread = load noise; changed hash = a real
+    // plan change to investigate.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,16 +36,27 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Stable fingerprint of a query's optimized plan: canonicalized
+    // (exprIds normalized) so it is identical across runs/JVMs of the
+    // same code, different when the plan genuinely changed.
+    def planHash(df: org.apache.spark.sql.DataFrame): String =
+      f"${scala.util.hashing.MurmurHash3.stringHash(
+        df.queryExecution.optimizedPlan.canonicalized.toString)}%08x"
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
+      var plan = ""
       var ok = true
       var r = 0
       while (ok && r < runs) {
         val t0 = System.nanoTime()
         // noop sink: forces full computation of every output column
         // (count() would let Catalyst prune projections and under-report)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        try {
+          val df = fn(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          if (r == runs - 1) plan = planHash(df) // post-warmup, indexes built
+        }
         catch { case e: Throwable =>
           // a failed query must be VISIBLE, not a fast timing: record it
           // and keep it OUT of the summed total (a fast failure would
@@ -50,16 +68,21 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         r += 1
       }
-      (name, median(times.toSeq), ok)
+      val spread = if (times.isEmpty) 0.0 else times.max - times.min
+      (name, median(times.toSeq), spread, plan, ok)
     }
     // failed queries appear ONLY in `failed`, never in `queries` — a
     // median contaminated by a fast-failure duration would read as a
     // valid timing to anyone consuming the map without cross-checking
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, _, _, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val spreads = results.collect { case (k, _, sp, _, true) =>
+      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
+    val plans = results.collect { case (k, _, _, p, true) =>
+      s"\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"plans":$plans,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
