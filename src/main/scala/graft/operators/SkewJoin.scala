@@ -48,22 +48,48 @@ object SkewJoin {
     * MinHash bands q26, SimHash blocks q27): from an occurrence frame
     * `(keyCol, idCol)`, emit one `(id_a, id_b)` row (id_a < id_b) per
     * shared key occurrence, WITH multiplicity (callers count or
-    * distinct as needed).
+    * distinct as needed). Thin wrapper over [[saltedSelfJoin]] — see
+    * there for the salting/probing discipline.
+    */
+  def saltedSelfPairs(
+      occ: DataFrame,
+      keyCol: String,
+      idCol: String,
+      hotDf: Int = 128,
+      buckets: Int = 8): DataFrame =
+    saltedSelfJoin(
+      occ.select(col(keyCol).as("__sk"), col(idCol).as("__id")),
+      "__sk", "__id", hotDf, buckets)
+      .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"))
+
+  /** Hot-key-salted self-join over an occurrence frame that CARRIES
+    * PAYLOAD columns: every non-key column comes out twice, suffixed
+    * `_a`/`_b`, one row per shared-key co-occurrence with
+    * `idCol_a < idCol_b` (multiplicity as in [[saltedSelfPairs]]).
     *
-    * A key shared by f ids yields f²/2 pairs through one join key —
-    * on real corpora (boilerplate shingles, exact-duplicate clusters
-    * sharing every band/block) that pins one reducer. Keys with
-    * occurrence count > `hotDf` instead join under (key, bx, by):
-    * each side replicates `buckets` ways over the other side's bucket
-    * coordinate, so pair (x, y) meets exactly once — in the
-    * (h(x), h(y)) cell — and the hot key's quadratic output spreads
-    * across buckets² reducer cells. Pair-set semantics are identical
-    * to the plain self-join (PairSkewSpec proves set equality).
+    * The payload form exists for verifies that are cheaper inside the
+    * join than after it: q54's vector co-assignment scores cosine on
+    * each candidate, and the candidate set is QUADRATIC in a list's
+    * size while the payload is linear — replicating hot-list payloads
+    * ×`buckets` shuffles linear bytes, whereas mining narrow pairs
+    * first and re-joining vectors would shuffle the quadratic pair
+    * set (distinct + two verify joins). Keep payloads lean either
+    * way; a wide payload multiplies the hot replicas.
+    *
+    * A key shared by f ids yields f²/2 join rows through one join key
+    * — on real data (boilerplate shingles, a dominant IVF list) that
+    * pins one reducer. Keys with occurrence count > `hotDf` instead
+    * join under (key, bx, by): each side replicates `buckets` ways
+    * over the other side's bucket coordinate, so pair (x, y) meets
+    * exactly once — in the (h(x), h(y)) cell — and the hot key's
+    * quadratic output spreads across buckets² reducer cells. The
+    * output row set is identical to the plain self-join (PairSkewSpec
+    * proves set equality).
     *
     * Hot-key detection is an EAGER bounded probe (one aggregate job at
-    * plan-construction time, cheap when `occ` is a persisted index
-    * frame, which every caller's is): a corpus with NO hot key — the
-    * common case for band/block indexes, where key frequency is
+    * plan-construction time, cheap when `occ` derives from a persisted
+    * index frame, which every caller's does): a corpus with NO hot key
+    * — the common case for band/block indexes, where key frequency is
     * cluster size — gets the plain single-branch self-join instead of
     * paying the five-branch miner fan-out (df agg + anti-join +
     * replicate ×2; measured +69% on q26 at sf0.1). A small hot set
@@ -71,54 +97,69 @@ object SkewJoin {
     * broadcast exchanges, no df-agg branches in the main plan; only an
     * unboundedly large hot set falls back to the broadcast-join split.
     */
-  def saltedSelfPairs(
+  def saltedSelfJoin(
       occ: DataFrame,
       keyCol: String,
       idCol: String,
       hotDf: Int = 128,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8,
+      relativeHot: Double = 0.0): DataFrame = {
     require(hotDf > 0 && buckets > 0, "hotDf and buckets must be positive")
-    val ex = occ.select(col(keyCol).as("__k"), col(idCol).as("__id"))
-    val hotKeys = ex.groupBy(col("__k"))
+    val payload = occ.columns.toIndexedSeq.filter(_ != keyCol)
+    require(payload.contains(idCol), s"idCol $idCol must be an occ column")
+    require(!payload.exists(Set("__k", "__bx", "__by")),
+      "occ must not already carry __k/__bx/__by columns")
+    def side(df: DataFrame, sfx: String): DataFrame =
+      df.select(col(keyCol).as("__k") +: payload.map(c => col(c).as(c + sfx)): _*)
+    def joined(x: DataFrame, y: DataFrame, saltKeys: Seq[String]): DataFrame = {
+      val cond = (Seq("__k") ++ saltKeys)
+        .map(k => col(s"x.$k") === col(s"y.$k"))
+        .reduce(_ && _) && (col(s"${idCol}_a") < col(s"${idCol}_b"))
+      x.as("x").join(y.as("y"), cond).drop("__k", "__bx", "__by")
+    }
+    val dfAgg = occ.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotDf)
-      .select(col("__k"))
+    // `relativeHot` > 0 makes the threshold ADAPTIVE: hot means df >
+    // max(hotDf, relativeHot × mean-df), folded into the same probe
+    // job — a fixed threshold is right when key frequency has an
+    // absolute meaning (shingle boilerplate df), the relative form
+    // when the balanced share scales with the corpus (IVF list sizes)
+    // and a constant would start salting every balanced key once the
+    // corpus outgrows it.
+    val hotKeys = (
+      if (relativeHot <= 0) dfAgg.filter(col("df") > hotDf)
+      else dfAgg
+        .crossJoin(broadcast(dfAgg.agg((avg("df") * relativeHot).as("__t"))))
+        .filter(col("df") > greatest(lit(hotDf.toDouble), col("__t")))
+      ).select(col("__k"))
     // Bounded probe: collect at most MaxInlineHot+1 hot keys to decide
     // the plan shape. Rows with a NULL key never produce a pair on any
     // path (equi-join and IN both drop them), so the filter split and
     // the join split emit identical pair sets.
     val probed = hotKeys.limit(MaxInlineHot + 1).collect()
-    if (probed.isEmpty) {
-      return ex.as("x")
-        .join(ex.as("y"),
-          col("x.__k") === col("y.__k") && col("x.__id") < col("y.__id"))
-        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    }
+    if (probed.isEmpty)
+      return joined(side(occ, "_a"), side(occ, "_b"), Nil)
     val (exCold, exHot) =
       if (probed.length <= MaxInlineHot) {
         val lits = probed.map(_.get(0))
-        (ex.filter(!col("__k").isin(lits: _*)),
-          ex.filter(col("__k").isin(lits: _*)))
+        (occ.filter(!col(keyCol).isin(lits: _*)),
+          occ.filter(col(keyCol).isin(lits: _*)))
       } else {
         // hot set too large to inline — broadcast-join split (the hot
         // side of a >1000-hot-key corpus is data-sized; never collect it)
-        (ex.join(broadcast(hotKeys), Seq("__k"), "left_anti"),
-          ex.join(broadcast(hotKeys), Seq("__k")))
+        (occ.join(broadcast(hotKeys.toDF(keyCol)), Seq(keyCol), "left_anti"),
+          occ.join(broadcast(hotKeys.toDF(keyCol)), Seq(keyCol)))
       }
-    val cold = exCold.as("x")
-      .join(exCold.as("y"),
-        col("x.__k") === col("y.__k") && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    val bkt = pmod(xxhash64(col("__id")), lit(buckets))
+    val cold = joined(side(exCold, "_a"), side(exCold, "_b"), Nil)
     val saltsArr = sequence(lit(0), lit(buckets - 1))
-    val xs = exHot.withColumn("bx", bkt).withColumn("by", explode(saltsArr))
-    val ys = exHot.withColumn("by", bkt).withColumn("bx", explode(saltsArr))
-    val hot = xs.as("x")
-      .join(ys.as("y"),
-        col("x.__k") === col("y.__k") && col("x.bx") === col("y.bx") &&
-          col("x.by") === col("y.by") && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    cold.unionAll(hot)
+    val xs = side(exHot, "_a")
+      .withColumn("__bx", pmod(xxhash64(col(s"${idCol}_a")), lit(buckets)))
+      .withColumn("__by", explode(saltsArr))
+    val ys = side(exHot, "_b")
+      .withColumn("__by", pmod(xxhash64(col(s"${idCol}_b")), lit(buckets)))
+      .withColumn("__bx", explode(saltsArr))
+    val hot = joined(xs, ys, Seq("__bx", "__by"))
+    cold.unionByName(hot)
   }
 
   /** Largest hot-key set inlined as IN-filter literals; past this the

@@ -301,24 +301,35 @@ object VectorQueries {
     // share near centroids), exact cosine verifies. Pair space shrinks
     // from n²/2 to Σ|list|²; output ⊆ q28, recall asserted in
     // scalatest. Rows-only driver check (approximate).
+    //
+    // The co-assignment join runs through the PAYLOAD form of the
+    // shared hot-key-salted miner ([[graft.operators.SkewJoin
+    // .saltedSelfJoin]]): a skewed corpus whose vectors pile into one
+    // dominant IVF list would otherwise make that list's |list|² pair
+    // enumeration quadratic on ONE reducer. A list counts as hot past
+    // 4× the balanced share (2n/NCents occurrences per list when
+    // even); hot lists spread across buckets² cells with a spec-proved
+    // identical pair set (PairSkewSpec). The payload (vector + norm)
+    // rides the join so the cosine verify runs in-join — hot replicas
+    // shuffle LINEAR payload bytes, where mining narrow pairs first
+    // would shuffle the quadratic candidate set into verify joins.
     QueryDef(
       "q54_dedup_embedding_ivf",
       (s, d) => {
         GraftFunctions.register(s)
-        // both lists come precomputed from the cached map-side
-        // assignment — candidate pairs meet only inside a shared list
-        val av = assigned(s, d)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            explode(col("cids")).as("cent_id"))
-        val a = av.toDF("vec_a", "ea", "na", "cent_id")
-        val b = av.toDF("vec_b", "eb", "nb", "cent_id")
-        a.join(b, Seq("cent_id"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            round(GraftFunctions.dotProduct(col("ea"), col("eb")) /
-              (col("na") * col("nb")), 6).as("cos_sim"))
+        val asg = assigned(s, d)
+        val occ = asg.select(explode(col("cids")).as("cent_id"),
+          col("vec_id"), col("embedding"), col("nrm"))
+        // relativeHot = 4: a list is hot past 4× the mean list size —
+        // the threshold scales with the corpus inside the miner's own
+        // probe job, so no separate count pass is needed
+        graft.operators.SkewJoin
+          .saltedSelfJoin(occ, "cent_id", "vec_id", relativeHot = 4.0)
+          .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
+            round(GraftFunctions.dotProduct(col("embedding_a"), col("embedding_b")) /
+              (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
-          .distinct()
+          .distinct() // a pair may share both assigned lists
           .orderBy(col("vec_a"), col("vec_b"))
       },
       None)

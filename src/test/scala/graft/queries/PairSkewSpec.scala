@@ -40,4 +40,32 @@ class PairSkewSpec extends SparkTestBase {
     assert(plain.contains((0L, 1L, 4L, 4.0 / 6.0)))
     assert(plain.size == 20, s"expected exactly the 20 designed pairs, got ${plain.size}")
   }
+
+  test("salted co-assignment join (q54 shape) is identical, payloads intact") {
+    import spark.implicits._
+    // 40 vectors, 2 IVF assignments each; list 0 is DOMINANT (every
+    // vector's first assignment — the skewed-corpus scenario where one
+    // list's |list|² pair enumeration would pin a reducer), the second
+    // assignment spreads over lists 1..4. Each row carries a payload
+    // (the vector stand-in) that must ride the join unharmed.
+    val occ = (0 until 40).flatMap { i =>
+      Seq((0L, i.toLong, i * 1.5), (1L + i % 4, i.toLong, i * 1.5))
+    }.toDF("cent_id", "vec_id", "nrm")
+    def cands(hotDf: Int, rel: Double = 0.0) = graft.operators.SkewJoin
+      .saltedSelfJoin(occ, "cent_id", "vec_id", hotDf, relativeHot = rel)
+      .select("vec_id_a", "nrm_a", "vec_id_b", "nrm_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val plain = cands(Int.MaxValue) // guard disabled
+    val salted = cands(4) // list 0 (and lists 1..4, df=8..10) go hot
+    assert(plain == salted,
+      s"candidate sets differ: only-plain=${plain -- salted}, only-salted=${salted -- plain}")
+    // adaptive threshold (q54's form): mean df = 80/5 = 16, so with
+    // relativeHot = 2 only the dominant list 0 (df = 40 > 32) salts
+    assert(cands(4, rel = 2.0) == plain, "relative-hot split must be identical")
+    // the dominant list co-assigns every vector with every other, and
+    // each side's payload is its own
+    assert(plain.size == 40 * 39 / 2)
+    assert(plain.forall { case (a, na, b, nb) => na == a * 1.5 && nb == b * 1.5 })
+  }
 }
