@@ -8,12 +8,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * The actual codec calls are STUBBED behind [[Decoders]] with
-  * deterministic fakes (the container ships no image/audio libraries);
-  * everything Spark-side — schema, batching, partitioning, the
-  * `mapPartitions` shape that amortizes per-batch decoder setup — is
-  * real and tested. Swapping a fake for a JNI/javacv call changes one
-  * function body and nothing else.
+  * HEADER metadata decode is REAL and dependency-free for the public
+  * container formats: image dims via `javax.imageio` (PNG/BMP/GIF/
+  * JPEG), audio via a WAV/RIFF chunk walk, video dims via an MP4
+  * (ISO BMFF) box walk — none touch payload samples, only headers.
+  * PIXEL/SAMPLE-level ops (resize, frame extraction) remain
+  * deterministic fakes behind [[Decoders]] (the container ships no
+  * media codec libraries); everything Spark-side — schema, batching,
+  * partitioning, the `mapPartitions` shape that amortizes per-batch
+  * decoder setup — is real and tested. Swapping a fake for a
+  * JNI/javacv call changes one function body and nothing else.
   */
 object Multimodal {
 
@@ -24,7 +28,10 @@ object Multimodal {
       content: Array[Byte],
       source: String)
 
-  /** Typed metadata extracted by "decode". */
+  /** Typed metadata extracted by "decode". Image payloads fill
+    * width/height; audio fills sample_rate/channels/n_frames; video
+    * fills width/height (unused slots stay 0).
+    */
   final case class MediaMeta(
       media_id: Long,
       kind: String,
@@ -32,6 +39,8 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
+      sample_rate: Int,
+      channels: Int,
       ok: Boolean)
 
   val mediaSchema: StructType = StructType(Seq(
@@ -86,6 +95,104 @@ object Multimodal {
     def frameCount(content: Array[Byte]): Int =
       if (content == null) 0 else content.length / 256 + 1
 
+    /** Real WAV metadata. */
+    final case class WavMeta(
+        sampleRate: Int, channels: Int, bitsPerSample: Int, frames: Long)
+
+    /** Real WAV/RIFF header parse (public format, dependency-free):
+      * `RIFF<size>WAVE` then chunks of `<id:4><size:4 LE>`; `fmt `
+      * carries format/channels/rate/blockAlign, `data`'s declared size
+      * over blockAlign is the frame count. Only the chunk WALK touches
+      * bytes — a header-only read, like the image path: at corpus
+      * scale the decode pass must not require the full payload, and a
+      * `data` chunk whose declared size exceeds the bytes in hand
+      * (truncated/ranged read) still yields its declared frame count.
+      * None for anything that is not a WAVE RIFF — the caller falls
+      * back to the deterministic fake.
+      */
+    def decodeWav(content: Array[Byte]): Option[WavMeta] = {
+      if (content == null || content.length < 36) return None
+      def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
+      def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+          ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+      var dataSize = -1L
+      while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = fourcc(off)
+        val size = u32(off + 4)
+        if (id == "fmt " && off + 8 + 16 <= content.length)
+          fmt = Some((u16(off + 10), u32(off + 12).toInt,
+            u16(off + 20), u16(off + 22)))
+        else if (id == "data") dataSize = size
+        off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      fmt.collect { case (ch, rate, blockAlign, bits)
+        if dataSize >= 0 && blockAlign > 0 =>
+        WavMeta(rate, ch, bits, dataSize / blockAlign)
+      }
+    }
+
+    /** Real MP4 (ISO BMFF, public format) video dimensions: walk the
+      * box tree `moov → trak → tkhd` and read the 16.16-fixed-point
+      * width/height from the first track that declares nonzero dims
+      * (audio tracks carry 0×0). Box sizes are big-endian u32 (1 =
+      * 64-bit largesize follows, 0 = to end of data). Header-only:
+      * `moov` is typically a few KB at the start or end of the file;
+      * no sample data is touched. None when the payload is not BMFF
+      * (no `ftyp`/`moov` top-level box) — caller falls back to the
+      * deterministic fake.
+      */
+    def decodeMp4Dims(content: Array[Byte]): Option[(Int, Int)] = {
+      if (content == null || content.length < 16) return None
+      def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
+      def u32(o: Int): Long =
+        ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+          ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+      // (start, size) of each box directly inside [from, to)
+      def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+        var off = from
+        var wellFormed = true
+        while (wellFormed && off + 8 <= to) {
+          val declared = u32(off)
+          val (size, hdr) =
+            if (declared == 1 && off + 16 <= to)
+              ((u32(off + 8) << 32) | u32(off + 12), 16)
+            else if (declared == 0) ((to - off).toLong, 8)
+            else (declared, 8)
+          if (size < hdr || off + size > to) wellFormed = false
+          else {
+            out += ((fourcc(off + 4), off + hdr, (size - hdr).toInt))
+            off += size.toInt
+          }
+        }
+        out.toSeq
+      }
+      val top = boxes(0, content.length)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val dims = for {
+        (_, moovOff, moovLen) <- top.filter(_._1 == "moov")
+        (_, trakOff, trakLen) <- boxes(moovOff, moovOff + moovLen)
+          .filter(_._1 == "trak")
+        (_, tkhdOff, tkhdLen) <- boxes(trakOff, trakOff + trakLen)
+          .filter(_._1 == "tkhd")
+      } yield {
+        val version = content(tkhdOff) & 0xff
+        // after version(1)+flags(3): v0 times/ids/duration = 20 bytes,
+        // v1 = 32; then reserved(8) layer(2) altgroup(2) volume(2)
+        // reserved(2) matrix(36) = 52 bytes to the 16.16 width/height
+        val wOff = tkhdOff + 4 + (if (version == 1) 32 else 20) + 52
+        if (wOff + 8 <= tkhdOff + tkhdLen)
+          ((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt)
+        else (0, 0)
+      }
+      dims.find { case (w, h) => w > 0 && h > 0 }
+    }
+
     /** Fake resize: truncate payload to the first `w*h` bytes. */
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
       if (content == null) Array.emptyByteArray
@@ -107,10 +214,26 @@ object Multimodal {
     records.mapPartitions { it =>
       // real impl: open codec/library handle here, once per partition
       it.map { r =>
-        val (w, h) = Decoders.decodeImage(r.content)
         val len = if (r.content == null) 0L else r.content.length.toLong
-        MediaMeta(r.media_id, r.kind, len, w, h,
-          Decoders.frameCount(r.content), ok = len > 0)
+        r.kind match {
+          case "audio" => Decoders.decodeWav(r.content) match {
+            case Some(a) => MediaMeta(r.media_id, r.kind, len, 0, 0,
+              a.frames.min(Int.MaxValue).toInt, a.sampleRate, a.channels,
+              ok = len > 0)
+            case None => MediaMeta(r.media_id, r.kind, len, 0, 0,
+              Decoders.frameCount(r.content), 0, 0, ok = len > 0)
+          }
+          case "video" => Decoders.decodeMp4Dims(r.content) match {
+            case Some((w, h)) => MediaMeta(r.media_id, r.kind, len, w, h,
+              Decoders.frameCount(r.content), 0, 0, ok = len > 0)
+            case None => MediaMeta(r.media_id, r.kind, len, 0, 0,
+              Decoders.frameCount(r.content), 0, 0, ok = len > 0)
+          }
+          case _ =>
+            val (w, h) = Decoders.decodeImage(r.content)
+            MediaMeta(r.media_id, r.kind, len, w, h,
+              Decoders.frameCount(r.content), 0, 0, ok = len > 0)
+        }
       }
     }
   }

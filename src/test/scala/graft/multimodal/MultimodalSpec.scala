@@ -39,6 +39,80 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.decodeImage(encode("png", 5, 9)) == ((5, 9)))
   }
 
+  test("real WAV/RIFF headers decode rate, channels and frame count") {
+    // canonical 44-byte PCM WAV header: 16-bit stereo 44100 Hz with a
+    // declared 176400-byte data chunk = 44100 frames (1 s)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    val wav = cc("RIFF") ++ le32(36 + 176400) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      cc("data") ++ le32(176400) // header-only: no sample bytes follow
+    val m = Multimodal.Decoders.decodeWav(wav)
+    assert(m.contains(Multimodal.Decoders.WavMeta(44100, 2, 16, 44100L)))
+    // an extra chunk before fmt/data still walks correctly
+    val padded = cc("RIFF") ++ le32(0) ++ cc("WAVE") ++
+      cc("LIST") ++ le32(4) ++ cc("INFO") ++
+      cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * 2) ++ le16(2) ++ le16(16) ++
+      cc("data") ++ le32(16000)
+    assert(Multimodal.Decoders.decodeWav(padded)
+      .contains(Multimodal.Decoders.WavMeta(8000, 1, 16, 8000L)))
+    // non-WAV payloads refuse instead of inventing metadata
+    assert(Multimodal.Decoders.decodeWav(cc("RIFX") ++ new Array[Byte](40)).isEmpty)
+    assert(Multimodal.Decoders.decodeWav("plain text".getBytes).isEmpty)
+  }
+
+  test("real MP4 box headers decode track dimensions") {
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc(tpe) ++ payload
+    // tkhd v0: version+flags, 20 bytes of times/id/duration, 8+2+2+2+2
+    // reserved/layer/group/volume, 36-byte matrix, then 16.16 w/h
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ new Array[Byte](20) ++ new Array[Byte](52) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val audioTrak = box("trak", tkhd(0, 0)) // audio tracks carry 0×0
+    val videoTrak = box("trak", tkhd(640, 360))
+    val mp4 = box("ftyp", cc("isom") ++ be32(512) ++ cc("isomavc1")) ++
+      box("moov", audioTrak ++ videoTrak) ++
+      box("mdat", new Array[Byte](32))
+    assert(Multimodal.Decoders.decodeMp4Dims(mp4).contains((640, 360)))
+    // no ftyp → not BMFF → refuse (fake path takes over)
+    assert(Multimodal.Decoders.decodeMp4Dims(
+      box("moov", videoTrak)).isEmpty)
+    assert(Multimodal.Decoders.decodeMp4Dims("plain text".getBytes).isEmpty)
+  }
+
+  test("extractMeta dispatches kinds: audio/video real parses, fake fallback") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    val wav = cc("RIFF") ++ le32(36) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(22050) ++
+      le32(22050 * 4) ++ le16(4) ++ le16(16) ++
+      cc("data") ++ le32(4 * 100)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, "s"),
+      Multimodal.MediaRecord(2L, "audio", "not audio".getBytes, "s"),
+      Multimodal.MediaRecord(3L, "video", "not video".getBytes, "s"))
+      .toDS()
+    val byId = Multimodal.extractMeta(recs).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(byId(1L).sample_rate == 22050 && byId(1L).channels == 2 &&
+      byId(1L).n_frames == 100)
+    // unrecognized payloads keep the deterministic fake frame count
+    assert(byId(2L).sample_rate == 0 &&
+      byId(2L).n_frames == Multimodal.Decoders.frameCount("not audio".getBytes))
+    assert(byId(3L).width == 0 && byId(3L).ok)
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)
