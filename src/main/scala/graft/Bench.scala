@@ -45,7 +45,7 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
-      var plan = ""
+      var lastDf: org.apache.spark.sql.DataFrame = null
       var ok = true
       var r = 0
       while (ok && r < runs) {
@@ -55,7 +55,7 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           df.write.mode("overwrite").format("noop").save()
-          if (r == runs - 1) plan = planHash(df) // post-warmup, indexes built
+          lastDf = df
         }
         catch { case e: Throwable =>
           // a failed query must be VISIBLE, not a fast timing: record it
@@ -68,6 +68,9 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         r += 1
       }
+      // hash OUTSIDE the timed region: plan stringification on the last
+      // run would inflate exactly the spread metric this exists to read
+      val plan = if (ok && lastDf != null) planHash(lastDf) else ""
       val spread = if (times.isEmpty) 0.0 else times.max - times.min
       (name, median(times.toSeq), spread, plan, ok)
     }
@@ -76,8 +79,10 @@ object Bench {
     // valid timing to anyone consuming the map without cross-checking
     val qs = results.collect { case (k, v, _, _, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     val spreads = results.collect { case (k, _, sp, _, true) =>
-      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, sp)
+    }.mkString("{", ",", "}")
     val plans = results.collect { case (k, _, _, p, true) =>
       s"\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, true) => v }.sum

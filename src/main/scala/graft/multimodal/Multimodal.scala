@@ -110,7 +110,7 @@ object Multimodal {
       * None for anything that is not a WAVE RIFF — the caller falls
       * back to the deterministic fake.
       */
-    def decodeWav(content: Array[Byte]): Option[WavMeta] = {
+    def decodeWav(content: Array[Byte]): Option[WavMeta] = try {
       if (content == null || content.length < 36) return None
       def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
       def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
@@ -118,23 +118,28 @@ object Multimodal {
         (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
           ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
       if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
-      var off = 12
+      // corrupt payloads are the NORM at corpus scale: the walk must
+      // advance in Long (a declared u32 size near 2³² truncated to Int
+      // would step zero/backwards — an executor hang), and any decode
+      // surprise degrades to None (fake path), never a task failure
+      var off = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
       var dataSize = -1L
       while (off + 8 <= content.length && (fmt.isEmpty || dataSize < 0)) {
-        val id = fourcc(off)
-        val size = u32(off + 4)
+        val o = off.toInt
+        val id = fourcc(o)
+        val size = u32(o + 4)
         if (id == "fmt " && off + 8 + 16 <= content.length)
-          fmt = Some((u16(off + 10), u32(off + 12).toInt,
-            u16(off + 20), u16(off + 22)))
+          fmt = Some((u16(o + 10), u32(o + 12).toInt,
+            u16(o + 20), u16(o + 22)))
         else if (id == "data") dataSize = size
-        off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        off += 8L + size + (size & 1L) // chunks pad to even
       }
       fmt.collect { case (ch, rate, blockAlign, bits)
         if dataSize >= 0 && blockAlign > 0 =>
         WavMeta(rate, ch, bits, dataSize / blockAlign)
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Real MP4 (ISO BMFF, public format) video dimensions: walk the
       * box tree `moov → trak → tkhd` and read the 16.16-fixed-point
@@ -146,7 +151,7 @@ object Multimodal {
       * (no `ftyp`/`moov` top-level box) — caller falls back to the
       * deterministic fake.
       */
-    def decodeMp4Dims(content: Array[Byte]): Option[(Int, Int)] = {
+    def decodeMp4Dims(content: Array[Byte]): Option[(Int, Int)] = try {
       if (content == null || content.length < 16) return None
       def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
       def u32(o: Int): Long =
@@ -181,17 +186,22 @@ object Multimodal {
         (_, tkhdOff, tkhdLen) <- boxes(trakOff, trakOff + trakLen)
           .filter(_._1 == "tkhd")
       } yield {
-        val version = content(tkhdOff) & 0xff
-        // after version(1)+flags(3): v0 times/ids/duration = 20 bytes,
-        // v1 = 32; then reserved(8) layer(2) altgroup(2) volume(2)
-        // reserved(2) matrix(36) = 52 bytes to the 16.16 width/height
-        val wOff = tkhdOff + 4 + (if (version == 1) 32 else 20) + 52
-        if (wOff + 8 <= tkhdOff + tkhdLen)
-          ((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt)
-        else (0, 0)
+        // a truncated tkhd (even its version byte missing) reads 0×0,
+        // i.e. "no dims here" — never an out-of-bounds task failure
+        if (tkhdLen < 4) (0, 0)
+        else {
+          val version = content(tkhdOff) & 0xff
+          // after version(1)+flags(3): v0 times/ids/duration = 20 bytes,
+          // v1 = 32; then reserved(8) layer(2) altgroup(2) volume(2)
+          // reserved(2) matrix(36) = 52 bytes to the 16.16 width/height
+          val wOff = tkhdOff + 4 + (if (version == 1) 32 else 20) + 52
+          if (wOff + 8 <= tkhdOff + tkhdLen)
+            ((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt)
+          else (0, 0)
+        }
       }
       dims.find { case (w, h) => w > 0 && h > 0 }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Fake resize: truncate payload to the first `w*h` bytes. */
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =

@@ -68,8 +68,12 @@ object IncrementalVectors {
     * per delivery.
     */
   def balanceDrift(corpusAssigned: DataFrame, deltaAssigned: DataFrame): Double = {
-    val a = listShares(corpusAssigned)
     val b = listShares(deltaAssigned)
+    // an empty delta carries no drift evidence — without this it would
+    // read as TV distance 0.5 and trigger a full refit for a no-op
+    // delivery
+    if (b.isEmpty) return 0.0
+    val a = listShares(corpusAssigned)
     (a.keySet ++ b.keySet).toSeq
       .map(k => math.abs(a.getOrElse(k, 0.0) - b.getOrElse(k, 0.0)))
       .sum / 2.0

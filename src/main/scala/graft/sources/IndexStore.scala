@@ -11,13 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the session-cache-only behavior) re-pays the full corpus pass each
   * time.
   *
-  * Layout: `<root>/<corpusId>/<indexName>/v<stamp>` parquet, where
-  * `stamp` is the corpus-directory fingerprint the session caches
-  * already key staleness on — a corpus rewrite changes the stamp, so a
-  * stale durable index can never be served; writing a new version
-  * retires older `v*` siblings. A directory only counts as present
-  * when its `_SUCCESS` marker exists, so a crashed half-write is
-  * rebuilt, not trusted.
+  * Layout: `<root>/l<layout>/<corpusId>/<indexName>/v<stamp>-f<format>`
+  * parquet, where `stamp` is the corpus-directory fingerprint the
+  * session caches already key staleness on — a corpus rewrite changes
+  * the stamp, so a stale durable index can never be served; writing a
+  * new version retires older `v*` siblings (and older `l*` epochs).
+  * A directory only counts as present when its `_SUCCESS` marker
+  * exists, so a crashed half-write is rebuilt, not trusted.
   *
   * Deliberately path-based parquet, not `bucketBy` catalog tables: the
   * bucketing metadata of a catalog table lives in the (session-scoped,
@@ -58,6 +58,17 @@ object IndexStore {
     */
   val FormatVersion = 2
 
+  /** Store LAYOUT epoch, the directory level ABOVE the corpus id.
+    * [[retireStaleVersions]] can only clean within one corpus tree —
+    * a change to the corpusId derivation or the directory scheme
+    * re-keys every corpus, and the old trees (full index copies)
+    * would otherwise leak forever, unreachable by any retire pass.
+    * Bump on such changes: publishing under the new epoch retires
+    * older `l*` roots wholesale (the store is engine-owned; an
+    * old-epoch tree after an upgrade is dead weight by definition).
+    */
+  val LayoutVersion = 2
+
   /** Human-readable, collision-resistant corpus directory id: last
     * path segment + 16-hex 64-bit fingerprint (two seeded 32-bit
     * murmurs) of the normalized path. Normalization goes through
@@ -79,7 +90,8 @@ object IndexStore {
 
   def indexPath(
       rootDir: String, corpusDir: String, name: String, stamp: Long): String =
-    s"${rootDir.stripSuffix("/")}/${corpusId(corpusDir)}/$name/v$stamp-f$FormatVersion"
+    s"${rootDir.stripSuffix("/")}/l$LayoutVersion/${corpusId(corpusDir)}/" +
+      s"$name/v$stamp-f$FormatVersion"
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -126,11 +138,20 @@ object IndexStore {
     // a pre-existing dest WITHOUT _SUCCESS is a crashed half-write: no
     // reader trusts it (the isComplete gate), so clearing it is safe
     if (f.exists(dest) && !isComplete(s, dest)) f.delete(dest, true)
-    val won = !f.exists(dest) && f.rename(tmp, dest)
-    if (won) retireStaleVersions(s, dest)
-    else {
+    val renamed = !f.exists(dest) && f.rename(tmp, dest)
+    // Hadoop rename into a dest that appeared between the check and
+    // the rename NESTS tmp inside it and still returns true — winning
+    // means the rename landed AND nothing nested: check the nested
+    // path either way, or the loser would leave an index-sized temp
+    // inside the live version directory forever.
+    val nested = new Path(dest, tmp.getName)
+    val won = renamed && !f.exists(nested)
+    if (won) {
+      retireStaleVersions(s, dest)
+      retireStaleLayouts(s, dest)
+    } else {
       f.delete(tmp, true)
-      f.delete(new Path(dest, tmp.getName), true)
+      f.delete(nested, true)
       require(isComplete(s, dest),
         s"lost index publish race for $dest but no complete winner found")
     }
@@ -149,6 +170,22 @@ object IndexStore {
       f.listStatus(parent).foreach { st =>
         if (st.isDirectory && st.getPath.getName != current.getName &&
           !st.getPath.getName.startsWith(".tmp-"))
+          f.delete(st.getPath, true)
+      }
+  }
+
+  /** Drop other-epoch `l*` roots (strictly `l<digits>` names — never a
+    * user's file) after a successful publish under the current epoch:
+    * `current` is `<root>/l<V>/<corpusId>/<name>/v…`, so the store
+    * root is three levels up.
+    */
+  private def retireStaleLayouts(s: SparkSession, current: Path): Unit = {
+    val f = fs(s, current)
+    val storeRoot = current.getParent.getParent.getParent.getParent
+    if (storeRoot != null && f.exists(storeRoot))
+      f.listStatus(storeRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.matches("l\\d+") && n != s"l$LayoutVersion")
           f.delete(st.getPath, true)
       }
   }

@@ -131,7 +131,8 @@ class EndToEndSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet(s1) == Set((10L, 11L)))
     val pairsParent = new org.apache.hadoop.fs.Path(
-      s"$storeRoot/${IndexStore.corpusId(corpusDir)}/exact_pairs")
+      s"$storeRoot/l${IndexStore.LayoutVersion}/" +
+        s"${IndexStore.corpusId(corpusDir)}/exact_pairs")
     val fs = pairsParent.getFileSystem(s1.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(pairsParent).length == 1, "one stored pair-index version")
 

@@ -63,6 +63,12 @@ class MultimodalSpec extends SparkTestBase {
     // non-WAV payloads refuse instead of inventing metadata
     assert(Multimodal.Decoders.decodeWav(cc("RIFX") ++ new Array[Byte](40)).isEmpty)
     assert(Multimodal.Decoders.decodeWav("plain text".getBytes).isEmpty)
+    // a corrupt declared chunk size near 2³² must terminate the walk
+    // (an Int-truncated advance would step zero/backwards and hang)
+    val evil = cc("RIFF") ++ le32(0) ++ cc("WAVE") ++ cc("JUNK") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      new Array[Byte](64)
+    assert(Multimodal.Decoders.decodeWav(evil).isEmpty)
   }
 
   test("real MP4 box headers decode track dimensions") {
@@ -86,6 +92,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.decodeMp4Dims(
       box("moov", videoTrak)).isEmpty)
     assert(Multimodal.Decoders.decodeMp4Dims("plain text".getBytes).isEmpty)
+    // a truncated tkhd (empty payload, at end of buffer) refuses
+    // instead of reading out of bounds
+    val truncated = box("ftyp", cc("isom")) ++
+      box("moov", box("trak", box("tkhd", Array.emptyByteArray)))
+    assert(Multimodal.Decoders.decodeMp4Dims(truncated).isEmpty)
   }
 
   test("extractMeta dispatches kinds: audio/video real parses, fake fallback") {

@@ -45,6 +45,14 @@ class IncrementalVectorsSpec extends SparkTestBase {
     assert(!IncrementalVectors.needsRefit(corpus, delta))
   }
 
+  test("an empty delta carries no drift evidence and never triggers a refit") {
+    val corpus = IncrementalVectors.assignDelta(emb, cents)
+    val empty = IncrementalVectors.assignDelta(
+      emb.filter(col("vec_id") < 0), cents)
+    assert(IncrementalVectors.balanceDrift(corpus, empty) == 0.0)
+    assert(!IncrementalVectors.needsRefit(corpus, empty))
+  }
+
   test("a delta piling into one list triggers the refit") {
     import spark.implicits._
     val corpus = IncrementalVectors.assignDelta(emb, cents)

@@ -26,14 +26,16 @@ class IndexStoreSpec extends SparkTestBase {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("disabled store is a pass-through: no files written, build served") {
+  test("disabled store is a pass-through: the build plan itself is served") {
     val s = spark.newSession() // RootConf unset
     import s.implicits._
-    val root = Files.createTempDirectory("graft-ixs-off").toString
-    val df = IndexStore.readThrough(s, "/tmp/corpus-x", "t", 1L)(
-      Seq(1, 2, 3).toDF("id"))
-    assert(df.count() == 3)
-    assert(new java.io.File(root).listFiles().forall(_ => false))
+    val built = Seq(1, 2, 3).toDF("id")
+    // reference equality: the None branch must hand back the build
+    // plan untouched — no write, no parquet re-read lineage
+    assert(IndexStore.readThrough(s, "/tmp/corpus-x", "t", 1L)(built) eq built)
+    // an empty/blank conf value also means disabled
+    s.conf.set(IndexStore.RootConf, "  ")
+    assert(IndexStore.readThrough(s, "/tmp/corpus-x", "t", 1L)(built) eq built)
   }
 
   test("readThrough builds once, then serves the stored copy (no rebuild)") {
@@ -79,6 +81,23 @@ class IndexStoreSpec extends SparkTestBase {
       s"stale v1 must be retired, got ${versions.mkString(",")}")
   }
 
+  test("publishing retires stale layout epochs, never user files") {
+    val root = Files.createTempDirectory("graft-ixs-layout").toString
+    val s = storeSession(root)
+    import s.implicits._
+    // an orphaned old-epoch tree (e.g. pre-upgrade corpusId scheme)
+    // and an unrelated user directory under the same root
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "l1", "old-corpus", "idx"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "not-an-epoch"))
+    IndexStore.readThrough(s, "/tmp/corpus-e", "idx", 1L)(Seq(1).toDF("id")).count()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "l1")),
+      "old layout epoch must be retired on publish")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "not-an-epoch")),
+      "non-epoch directories must never be touched")
+  }
+
   test("centroid sidecar round-trips; absent reads as None") {
     val root = Files.createTempDirectory("graft-ixs").toString
     val s = storeSession(root)
@@ -120,7 +139,8 @@ class IndexStoreSpec extends SparkTestBase {
     }
     // the store now holds the index families on disk, each complete
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusRoot = new Path(root, IndexStore.corpusId(dir))
+    val corpusRoot = new Path(root,
+      s"l${IndexStore.LayoutVersion}/${IndexStore.corpusId(dir)}")
     val stored = fs.listStatus(corpusRoot).map(_.getPath.getName).toSet
     Seq("shingles", "minhash_bands", "simhash_sigs", "exact_pairs",
       "ivf_cids", "ivf_centroids").foreach(n =>
@@ -147,7 +167,8 @@ class IndexStoreSpec extends SparkTestBase {
     // doctor the stored pair table: append a sentinel pair the corpus
     // cannot produce, keeping the directory complete (_SUCCESS intact)
     val pairsDir = new Path(root,
-      s"${IndexStore.corpusId(dir)}/exact_pairs").toString
+      s"l${IndexStore.LayoutVersion}/${IndexStore.corpusId(dir)}/exact_pairs")
+      .toString
     val fs = new Path(pairsDir).getFileSystem(s1.sparkContext.hadoopConfiguration)
     val vDir = fs.listStatus(new Path(pairsDir)).head.getPath.toString
     val stored = spark.read.parquet(vDir)
