@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming IVF index maintenance — the vector face of
+  * [[CorpusMaintenance]]: each micro-batch of embeddings upserts into
+  * the stored vector corpus AND into the stored assignment table in
+  * one pass, with the batch assigned map-side against FIXED centroids
+  * ([[graft.operators.IncrementalVectors.assignDelta]]) — a delivery
+  * costs the delivery, never a corpus re-scan or a k-means refit.
+  *
+  * Quantizer staleness surfaces per batch instead of silently decaying
+  * recall: the batch's list-share drift against the standing
+  * assignment ([[graft.operators.IncrementalVectors.balanceDrift]]) is
+  * measured BEFORE the upsert and reported through `onBatch`, so the
+  * operator of a long-running ingest sees "refit needed" the moment
+  * deliveries stop looking like the corpus the centroids were fitted
+  * on. The refit itself is the caller's move (fit with
+  * [[graft.functions.KMeansLite]], rebuild the assignment table) — an
+  * automatic in-stream refit would silently rewrite a corpus-scale
+  * artifact mid-flight.
+  *
+  * Same durability contract as [[CorpusMaintenance]]: both writes go
+  * through the verified staged commit, the batch side broadcasts into
+  * the anti-join (the corpus never shuffles), and replay of an
+  * at-least-once batch recommits identical state.
+  */
+object VectorIndexMaintenance {
+
+  /** What one micro-batch did: committed corpus rows, committed
+    * assignment rows, the batch's drift vs the standing assignment,
+    * and whether that drift demands a quantizer refit.
+    */
+  final case class BatchReport(
+      corpusRows: Long,
+      assignedRows: Long,
+      drift: Double,
+      refitNeeded: Boolean)
+
+  /** Merge one batch of `(vec_id, embedding)` rows into the corpus at
+    * `corpusPath` and its IVF assignment at `assignedPath` (stored-
+    * index schema `vec_id, embedding, nrm, cids`), assigning against
+    * the fixed `cents`. Batch rows win on `vec_id`; null ids drop
+    * (see [[CorpusMaintenance.upsertBatch]] for why).
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      corpusPath: String,
+      assignedPath: String,
+      cents: Array[Array[Double]],
+      driftThreshold: Double = 0.25): BatchReport = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val assignedDelta = graft.operators.IncrementalVectors
+      .assignDelta(vecs.filter(col("vec_id").isNotNull), cents)
+    // drift vs the assignment as it stood BEFORE this delivery (an
+    // absent table = first delivery = nothing to drift from)
+    val fs = new org.apache.hadoop.fs.Path(assignedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drift =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(assignedPath))) 0.0
+      else graft.operators.IncrementalVectors.balanceDrift(
+        spark.read.parquet(assignedPath), assignedDelta)
+    val corpusRows = CorpusMaintenance.upsertBatch(vecs, corpusPath, "vec_id")
+    val assignedRows =
+      CorpusMaintenance.upsertBatch(assignedDelta, assignedPath, "vec_id")
+    BatchReport(corpusRows, assignedRows, drift, drift > driftThreshold)
+  }
+
+  /** Continuous maintenance: every micro-batch of `vecs` (a streaming
+    * `(vec_id, embedding)` DataFrame) runs [[upsertBatch]]; `onBatch`
+    * receives each [[BatchReport]] (wire it to alerting / a refit
+    * queue). Offsets live in `checkpoint` — restart resumes from the
+    * last committed batch, and per-batch idempotence makes the stored
+    * state effectively exactly-once.
+    */
+  def maintain(
+      vecs: DataFrame,
+      corpusPath: String,
+      assignedPath: String,
+      cents: Array[Array[Double]],
+      checkpoint: String,
+      driftThreshold: Double = 0.25,
+      onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(upsertBatch(
+          batch, corpusPath, assignedPath, cents, driftThreshold))
+        ()
+      }
+      .start()
+}
