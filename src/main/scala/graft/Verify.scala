@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in durable index tier: correctness must be identical with
+    // the store on (IndexStoreSpec proves it; this lets the full
+    // oracle gate run against stored indexes end-to-end)
+    sys.env.get("SPARK_GRAFT_INDEX_ROOT").foreach(r =>
+      spark.conf.set(graft.sources.IndexStore.RootConf, r))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
