@@ -26,8 +26,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // opt-in durable index tier (cold-vs-warm index cost measurable
     // with SPARK_GRAFT_BENCH_RUNS=1 + a pre-populated root)
-    sys.env.get("SPARK_GRAFT_INDEX_ROOT").foreach(r =>
-      spark.conf.set(graft.sources.IndexStore.RootConf, r))
+    graft.sources.IndexStore.enableFromEnv(spark)
     // Untimed warmup: JIT + codegen caches, parquet footer reads —
     // otherwise the alphabetically-first query absorbs all of it.
     Seq("q14_multi_measure_summary", "q33_fingerprint", "q08_hash_agg")

@@ -17,8 +17,7 @@ object Verify {
     // opt-in durable index tier: correctness must be identical with
     // the store on (IndexStoreSpec proves it; this lets the full
     // oracle gate run against stored indexes end-to-end)
-    sys.env.get("SPARK_GRAFT_INDEX_ROOT").foreach(r =>
-      spark.conf.set(graft.sources.IndexStore.RootConf, r))
+    graft.sources.IndexStore.enableFromEnv(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

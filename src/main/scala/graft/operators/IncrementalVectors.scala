@@ -46,11 +46,22 @@ object IncrementalVectors {
         graft.functions.NearestCentroids(col("embedding"), cents, nLists))
   }
 
-  /** First-choice list share distribution of an assigned frame:
-    * one small aggregate (NCents rows) collected to the driver.
+  /** Canonical drift threshold — referenced by [[needsRefit]] and the
+    * streaming face ([[graft.streaming.VectorIndexMaintenance]]) so
+    * the batch and streaming paths can never flag refits differently
+    * for the same data.
+    */
+  val DefaultDriftThreshold = 0.25
+
+  /** First-choice list share distribution of an assigned frame: one
+    * small aggregate (NCents rows) collected to the driver. Rows
+    * without a usable assignment (null/empty cids — e.g. a row whose
+    * embedding was null at assignment time) carry no list evidence
+    * and are skipped, not NPE'd on.
     */
   private def listShares(assigned: DataFrame): Map[Int, Double] = {
     val counts = assigned
+      .filter(col("cids").isNotNull && size(col("cids")) > 0)
       .select(element_at(col("cids"), 1).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("n"))
       .collect()
@@ -69,19 +80,22 @@ object IncrementalVectors {
     */
   def balanceDrift(corpusAssigned: DataFrame, deltaAssigned: DataFrame): Double = {
     val b = listShares(deltaAssigned)
-    // an empty delta carries no drift evidence — without this it would
-    // read as TV distance 0.5 and trigger a full refit for a no-op
-    // delivery
+    // an empty side carries no drift evidence — without these guards
+    // an empty delta (no-op delivery) or an empty standing assignment
+    // (first real delivery after an empty table) would read as TV
+    // distance 0.5 and spuriously trigger a full refit
     if (b.isEmpty) return 0.0
     val a = listShares(corpusAssigned)
+    if (a.isEmpty) return 0.0
     (a.keySet ++ b.keySet).toSeq
       .map(k => math.abs(a.getOrElse(k, 0.0) - b.getOrElse(k, 0.0)))
       .sum / 2.0
   }
 
   /** Refit trigger: true when the delta's list distribution has
-    * drifted past `threshold` (default 0.25 — a quarter of the
-    * delta's mass lands in lists the corpus doesn't use that way).
+    * drifted past `threshold` (default [[DefaultDriftThreshold]] — a
+    * quarter of the delta's mass lands in lists the corpus doesn't
+    * use that way).
     * On true, the caller refits ([[graft.functions.KMeansLite.fit]]
     * over corpus ∪ delta) and rebuilds the stored assignment; on
     * false, the stored index plus [[assignDelta]] IS the maintained
@@ -90,6 +104,6 @@ object IncrementalVectors {
   def needsRefit(
       corpusAssigned: DataFrame,
       deltaAssigned: DataFrame,
-      threshold: Double = 0.25): Boolean =
+      threshold: Double = DefaultDriftThreshold): Boolean =
     balanceDrift(corpusAssigned, deltaAssigned) > threshold
 }

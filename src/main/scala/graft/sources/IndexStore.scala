@@ -47,6 +47,13 @@ object IndexStore {
   def root(s: SparkSession): Option[String] =
     s.conf.getOption(RootConf).map(_.trim).filter(_.nonEmpty)
 
+  /** Harness hook: enable the store when `SPARK_GRAFT_INDEX_ROOT` is
+    * set in the environment (one shared definition for the Verify and
+    * Bench mains).
+    */
+  def enableFromEnv(s: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_INDEX_ROOT").foreach(r => s.conf.set(RootConf, r))
+
   /** Index FORMAT version, a path segment next to the corpus stamp.
     * The stamp tracks DATA staleness only — without a format segment, a
     * code upgrade that changes a builder's semantics or schema (shingle

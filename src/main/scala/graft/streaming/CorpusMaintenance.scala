@@ -32,23 +32,41 @@ object CorpusMaintenance {
     * a replayed batch must commit the identical corpus). Returns the
     * committed corpus row count.
     */
-  def upsertBatch(batch: DataFrame, corpusPath: String, keyCol: String): Long = {
-    val spark = batch.sparkSession
+  /** Deterministic in-batch dedup: greatest struct of the non-key
+    * columns per key (one hash agg, map-side partial). Null keys are
+    * dropped — a null never equi-joins, so a stored null-key row
+    * would be re-appended on every at-least-once replay, breaking the
+    * idempotency contract of [[upsertBatch]]. Public because any
+    * report derived from a batch (e.g. the vector-maintenance drift
+    * measure) must describe the deduped rows the commit will produce,
+    * not raw at-least-once duplicates.
+    */
+  def dedupBatch(batch: DataFrame, keyCol: String): DataFrame = {
     val others = batch.columns.filterNot(_ == keyCol)
-    // deterministic in-batch dedup: greatest struct of the non-key
-    // columns per key (one hash agg, map-side partial). Null keys are
-    // dropped — a null never equi-joins, so a stored null-key row
-    // would be re-appended on every at-least-once replay, breaking
-    // the idempotency contract below.
-    val deduped = batch
+    batch
       .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(max(struct(others.map(col): _*)).as("__r"))
       .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
-    val fs = new org.apache.hadoop.fs.Path(corpusPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  def upsertBatch(batch: DataFrame, corpusPath: String, keyCol: String): Long = {
+    val spark = batch.sparkSession
+    val deduped = dedupBatch(batch, keyCol)
+    val destPath = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: CommitSink's backup-rename swap can die between
+    // its two renames, leaving the standing corpus at `.__old__` and
+    // the destination absent. Treating that as "no corpus" would let
+    // the replayed batch REPLACE the corpus with itself (and the
+    // commit's first act would delete the only complete copy), so
+    // restore the backup before merging.
+    val backup = new org.apache.hadoop.fs.Path(corpusPath + ".__old__")
+    if (!fs.exists(destPath) && fs.exists(backup))
+      require(fs.rename(backup, destPath),
+        s"could not restore $corpusPath from interrupted-commit backup")
     val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) deduped
+      if (!fs.exists(destPath)) deduped
       else {
         val existing = spark.read.parquet(corpusPath)
         // stored rows keep only keys the batch does not replace; the

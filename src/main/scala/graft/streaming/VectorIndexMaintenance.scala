@@ -40,33 +40,56 @@ object VectorIndexMaintenance {
       refitNeeded: Boolean)
 
   /** Merge one batch of `(vec_id, embedding)` rows into the corpus at
-    * `corpusPath` and its IVF assignment at `assignedPath` (stored-
-    * index schema `vec_id, embedding, nrm, cids`), assigning against
-    * the fixed `cents`. Batch rows win on `vec_id`; null ids drop
-    * (see [[CorpusMaintenance.upsertBatch]] for why).
+    * `corpusPath` and its NARROW IVF assignment at `assignedPath`
+    * (`vec_id, cids` — embeddings live in the corpus, the same
+    * store-the-derivation-not-the-data discipline as the durable
+    * `ivf_cids` tier; a wide assignment table would commit every
+    * embedding twice per batch). Batch rows win on `vec_id`; rows
+    * with a null id OR a null embedding drop — an unindexable vector
+    * would otherwise poison the stored cids with nulls and crash
+    * every later drift pass.
     */
   def upsertBatch(
       batch: DataFrame,
       corpusPath: String,
       assignedPath: String,
       cents: Array[Array[Double]],
-      driftThreshold: Double = 0.25): BatchReport = {
+      driftThreshold: Double =
+        graft.operators.IncrementalVectors.DefaultDriftThreshold): BatchReport = {
     val spark = batch.sparkSession
-    val vecs = batch.select(col("vec_id"), col("embedding"))
+    // dedup BEFORE measuring anything: the report must describe the
+    // state the commit produces, not raw at-least-once duplicates
+    // (the upserts below re-dedup idempotently)
+    val deduped = CorpusMaintenance.dedupBatch(
+      batch.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      "vec_id")
+    // one evaluation of the assignment for the whole batch: drift,
+    // corpus upsert and assignment upsert all read this persisted
+    // frame instead of re-running NearestCentroids per consumer
     val assignedDelta = graft.operators.IncrementalVectors
-      .assignDelta(vecs.filter(col("vec_id").isNotNull), cents)
-    // drift vs the assignment as it stood BEFORE this delivery (an
-    // absent table = first delivery = nothing to drift from)
-    val fs = new org.apache.hadoop.fs.Path(assignedPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val drift =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(assignedPath))) 0.0
-      else graft.operators.IncrementalVectors.balanceDrift(
-        spark.read.parquet(assignedPath), assignedDelta)
-    val corpusRows = CorpusMaintenance.upsertBatch(vecs, corpusPath, "vec_id")
-    val assignedRows =
-      CorpusMaintenance.upsertBatch(assignedDelta, assignedPath, "vec_id")
-    BatchReport(corpusRows, assignedRows, drift, drift > driftThreshold)
+      .assignDelta(deduped, cents)
+      .persist()
+    try {
+      // drift vs the assignment as it stood BEFORE this delivery (an
+      // absent table = first delivery = nothing to drift from)
+      val fs = new org.apache.hadoop.fs.Path(assignedPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val drift =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(assignedPath))) 0.0
+        else graft.operators.IncrementalVectors.balanceDrift(
+          spark.read.parquet(assignedPath), assignedDelta)
+      val corpusRows = CorpusMaintenance.upsertBatch(
+        assignedDelta.select(col("vec_id"), col("embedding")),
+        corpusPath, "vec_id")
+      val assignedRows = CorpusMaintenance.upsertBatch(
+        assignedDelta.select(col("vec_id"), col("cids")),
+        assignedPath, "vec_id")
+      BatchReport(corpusRows, assignedRows, drift, drift > driftThreshold)
+    } finally {
+      assignedDelta.unpersist()
+      ()
+    }
   }
 
   /** Continuous maintenance: every micro-batch of `vecs` (a streaming
@@ -82,7 +105,8 @@ object VectorIndexMaintenance {
       assignedPath: String,
       cents: Array[Array[Double]],
       checkpoint: String,
-      driftThreshold: Double = 0.25,
+      driftThreshold: Double =
+        graft.operators.IncrementalVectors.DefaultDriftThreshold,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     vecs.writeStream
       .outputMode("append")

@@ -42,6 +42,8 @@ class VectorIndexMaintenanceSpec extends SparkTestBase {
     val storedCorpus = spark.read.parquet(corpus)
     val storedAssigned = spark.read.parquet(assigned)
     assert(storedCorpus.count() == 4 && storedAssigned.count() == 4)
+    // the assignment table is NARROW — embeddings live in the corpus
+    assert(storedAssigned.schema.fieldNames.toSeq == Seq("vec_id", "cids"))
     // the maintained assignment is exactly the one-pass rebuild of the
     // maintained corpus at the same centroids
     val rebuild = graft.operators.IncrementalVectors
@@ -75,5 +77,54 @@ class VectorIndexMaintenanceSpec extends SparkTestBase {
       s"single-list delivery must flag a refit: $r2")
     // the flag reports; it does not block — the index stays maintained
     assert(spark.read.parquet(assigned).count() == 8)
+  }
+
+  test("null embeddings and in-batch duplicates never poison the index or the report") {
+    val root = tmp("vmaint3")
+    val corpus = root + "/vectors"
+    val assigned = root + "/ivf_assigned"
+    // first delivery: only unindexable rows → empty tables, no crash
+    val junk = Seq(
+      (Some(1L), None: Option[Array[Float]]),
+      (None: Option[Long], Some(Array(1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val r0 = VectorIndexMaintenance.upsertBatch(junk, corpus, assigned, cents)
+    assert(r0.corpusRows == 0 && r0.assignedRows == 0 && !r0.refitNeeded)
+    // a balanced delivery against the EMPTY standing table must not
+    // drift (the empty side carries no evidence)
+    val balanced = Seq(xVec(1), yVec(2)).toDF("vec_id", "embedding")
+    val r1 = VectorIndexMaintenance.upsertBatch(balanced, corpus, assigned, cents)
+    assert(r1.drift == 0.0 && !r1.refitNeeded)
+    // 50 at-least-once copies of one x-vector + one y-vector: the
+    // DEDUPED delivery is one per list — balanced — and must not flag
+    val dupes = (Seq.fill(50)(xVec(10)) :+ yVec(11)).toDF("vec_id", "embedding")
+    val r2 = VectorIndexMaintenance.upsertBatch(dupes, corpus, assigned, cents)
+    assert(!r2.refitNeeded,
+      s"drift must describe the deduped delivery, got $r2")
+    // nothing null ever reached storage; every later drift pass works
+    assert(spark.read.parquet(assigned).filter(col("cids").isNull).count() == 0)
+    assert(spark.read.parquet(corpus).count() == 4)
+  }
+
+  test("a crash between commit renames recovers from the backup, never self-replaces") {
+    val root = tmp("vmaint4")
+    val corpus = root + "/vectors"
+    val assigned = root + "/ivf_assigned"
+    val b1 = Seq(xVec(1), yVec(2), xVec(3)).toDF("vec_id", "embedding")
+    VectorIndexMaintenance.upsertBatch(b1, corpus, assigned, cents)
+    // simulate dying between CommitSink's two renames: dest absent,
+    // standing state parked at .__old__
+    val fs = new org.apache.hadoop.fs.Path(assigned)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(assigned),
+      new org.apache.hadoop.fs.Path(assigned + ".__old__")))
+    // the replayed/next batch must merge into the RECOVERED table, not
+    // replace the index with itself
+    val b2 = Seq(yVec(4)).toDF("vec_id", "embedding")
+    VectorIndexMaintenance.upsertBatch(b2, corpus, assigned, cents)
+    val ids = spark.read.parquet(assigned)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L),
+      s"standing assignment must survive the interrupted commit, got $ids")
   }
 }
