@@ -198,8 +198,12 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
   }
 
-  /** The q25 pair-derivation CTE chain, reused verbatim by q36's oracle. */
-  private val pairsSql =
+  /** The shingle-derivation CTE prefix (string shingles — the oracle
+    * twin of the hashed [[shingleHashes]] index), shared by every
+    * shingle-family oracle (q25/q36/q64 pair mining, q68 containment,
+    * q70 novelty).
+    */
+  private val shingleSql =
     """toks AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
       |  FROM documents),
@@ -208,7 +212,11 @@ object DedupQueries {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |  FROM toks),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+      |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)""".stripMargin
+
+  /** The q25 pair-derivation CTE chain, reused verbatim by q36's oracle. */
+  private val pairsSql =
+    s"""$shingleSql,
       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
       |    count(*) AS inter_cnt
       |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -361,6 +369,85 @@ object DedupQueries {
               |FROM tr JOIN b USING (g)
               |GROUP BY tr.doc_id, bench_id
               |HAVING count(*) >= 3
-              |ORDER BY doc_id, bench_id""".stripMargin))
+              |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // ── q68: containment near-dup pairs — the ASYMMETRIC overlap
+    // measure (|A∩B| / min(|A|,|B|)) that Jaccard misses: a short
+    // document wholly embedded in a long one scores near 1.0 here but
+    // can sit far below any Jaccard threshold because the union is
+    // dominated by the long side. This is the detector for
+    // quote/excerpt/chunk duplication inside a training corpus. Same
+    // persisted shingle index and hot-key-salted pair miner as q25;
+    // only the scoring tail differs, and the threshold (0.25) runs on
+    // an exact integer ratio so both engines compare identical IEEE
+    // doubles.
+    QueryDef(
+      "q68_doc_containment",
+      (s, d) => {
+        val sh = docShingles(s, d)
+        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        val hits = graft.operators.SkewJoin
+          .saltedSelfPairs(ex, "g", "doc_id", HotShingleDf, SaltBuckets)
+          .toDF("doc_a", "doc_b")
+        val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+        hits
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter_cnt"))
+          .join(card.toDF("doc_a", "na"), "doc_a")
+          .join(card.toDF("doc_b", "nb"), "doc_b")
+          .withColumn("containment",
+            col("inter_cnt").cast("double") /
+              least(col("na"), col("nb")).cast("double"))
+          .filter(col("containment") >= 0.25)
+          .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $pairsSql
+              |SELECT doc_a, doc_b, inter_cnt,
+              |  CAST(inter_cnt AS DOUBLE)/CAST(least(ca.n, cb.n) AS DOUBLE)
+              |    AS containment
+              |FROM inter
+              |JOIN card ca ON ca.doc_id = doc_a
+              |JOIN card cb ON cb.doc_id = doc_b
+              |WHERE CAST(inter_cnt AS DOUBLE)/CAST(least(ca.n, cb.n) AS DOUBLE)
+              |  >= 0.25
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ── q70: n-gram novelty — per-document fraction of shingles unique
+    // to that document in the corpus (df = 1). The inverse boilerplate
+    // signal: low novelty means the document is assembled from content
+    // that appears elsewhere (template spam, mirrored chunks) even when
+    // no single pair passes a dedup threshold — a corpus-level quality
+    // gate the pairwise family cannot express. Reuses the persisted
+    // hashed-shingle index; document frequency is one map-side-partial
+    // aggregate on the shingle key (the same key the q25 join
+    // shuffles), and the df join is shuffle-bound by distinct-shingle
+    // cardinality, not corpus bytes.
+    QueryDef(
+      "q70_ngram_novelty",
+      (s, d) => {
+        val ex = docShingles(s, d).filter(size(col("s")) > 0)
+          .select(col("doc_id"), explode(col("s")).as("g"))
+        val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        ex.join(dfreq, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).cast("long")
+              .as("novel_cnt"))
+          .withColumn("novelty",
+            round(col("novel_cnt").cast("double") /
+              col("n_shingles").cast("double"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $shingleSql,
+              |dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+              |nov AS (SELECT ex.doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_shingles,
+              |    CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS novel_cnt
+              |  FROM ex JOIN dfreq USING (g) GROUP BY ex.doc_id)
+              |SELECT doc_id, n_shingles, novel_cnt,
+              |  round(CAST(novel_cnt AS DOUBLE)/CAST(n_shingles AS DOUBLE), 6)
+              |    AS novelty
+              |FROM nov ORDER BY doc_id""".stripMargin))
   )
 }

@@ -373,6 +373,181 @@ object TextQueries {
              |  FROM s)
              |SELECT doc_id, score FROM q
              |WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < score*1000
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── q66: repetition-based quality stats (the Gopher-style
+    // "repetitious document" filter: excessive duplicate-token mass or
+    // one dominant token ⇒ boilerplate/spam, drop before training).
+    // Scale shape: ONE shuffle keyed (doc_id, token) with map-side
+    // partial counts — the per-token frequency map never materializes
+    // per row (an `array_max(transform(array_distinct(...)))` HOF form
+    // would be O(n·distinct) per doc, quadratic on diverse documents) —
+    // then a doc_id-keyed rollup whose partial aggregation rides the
+    // same prefix. Flags derive from exact integer ratios, so both
+    // engines compare identical IEEE doubles.
+    QueryDef(
+      "q66_repetition_stats",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            max(col("cnt")).cast("long").as("top_cnt"))
+          .withColumn("dup_frac",
+            round((col("n_tokens") - col("n_distinct")).cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .withColumn("top_frac",
+            round(col("top_cnt").cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .withColumn("flag_repetitive",
+            (col("dup_frac") > 0.55 || col("top_frac") > 0.15).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, tok AS token
+             |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |    WHERE len(tok) > 0),
+             |tc AS (SELECT doc_id, token, count(*) AS cnt
+             |  FROM toks GROUP BY doc_id, token),
+             |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    CAST(max(cnt) AS BIGINT) AS top_cnt
+             |  FROM tc GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_distinct, top_cnt,
+             |  round(CAST(n_tokens - n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |    AS dup_frac,
+             |  round(CAST(top_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS top_frac,
+             |  CAST(CASE WHEN
+             |    round(CAST(n_tokens - n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |      > 0.55
+             |    OR round(CAST(top_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) > 0.15
+             |    THEN 1 ELSE 0 END AS INTEGER) AS flag_repetitive
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ── q67: PII detection + redaction (the scrub pass every training
+    // corpus runs before release: find emails / IPv4s / phone numbers,
+    // replace with typed placeholders). Pure MAP-SIDE regex work — the
+    // only shuffle is the per-source rollup — so the pass costs one
+    // corpus scan at any scale. The patterns stay inside the syntax
+    // Java regex and RE2 share (character classes, bounded repeats, no
+    // backrefs/lookarounds), so Spark and the oracle match identically;
+    // `PiiSpec` proves the detectors on a crafted PII fixture (this
+    // corpus is synthetic word-salad, so the interesting assertions —
+    // real emails/IPs/phones found and redacted — live in the spec, and
+    // the oracle proves cross-engine equivalence of the full transform
+    // via the redacted-text hash).
+    QueryDef(
+      "q67_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val phone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+        t(s, d, "documents")
+          .select(col("source"), col("text"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0)))
+              .cast("long").as("email_cnt"),
+            size(regexp_extract_all(col("text"), lit(ipv4), lit(0)))
+              .cast("long").as("ip_cnt"),
+            size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+              .cast("long").as("phone_cnt"))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(regexp_replace(col("text"),
+              email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("email_cnt")).cast("long").as("email_cnt"),
+            sum(col("ip_cnt")).cast("long").as("ip_cnt"),
+            sum(col("phone_cnt")).cast("long").as("phone_cnt"),
+            sum((col("email_cnt") + col("ip_cnt") + col("phone_cnt") > 0)
+              .cast("long")).cast("long").as("n_flagged"),
+            countDistinct(md5(col("clean"))).cast("long").as("n_distinct_clean"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH p AS (SELECT source, text,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS email_cnt,
+             |  CAST(len(regexp_extract_all(text,
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS ip_cnt,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS phone_cnt,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(email_cnt) AS BIGINT) AS email_cnt,
+             |  CAST(sum(ip_cnt) AS BIGINT) AS ip_cnt,
+             |  CAST(sum(phone_cnt) AS BIGINT) AS phone_cnt,
+             |  CAST(sum(CASE WHEN email_cnt + ip_cnt + phone_cnt > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             |  CAST(count(DISTINCT md5(clean)) AS BIGINT) AS n_distinct_clean
+             |FROM p GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── q69: domain mixing (data mixing north star, the per-SOURCE
+    // twin of q65's per-document quality weighting): rebalance the
+    // corpus so every source contributes equal token mass — the
+    // "don't let one crawl dominate the mixture" pass. Per-source
+    // rates are exact integer thousandths (min_tokens·1000 DIV
+    // src_tokens), membership is the deterministic masked-Knuth hash
+    // filter — same sample on every engine and run. Scale shape: the
+    // corpus shuffles ONCE (source rollup with map-side partials); the
+    // 20-row rate table broadcasts back; sampling is a pure map filter.
+    QueryDef(
+      "q69_domain_mix",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(filter(split(col("text"), " "), tk => length(tk) > 0))
+              .cast("long").as("n_tok"))
+        val st = tok.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("src_tokens"))
+        val m = st.agg(min(col("src_tokens")).as("min_tok"))
+        val rates = st.crossJoin(broadcast(m))
+          .withColumn("rate_k", expr("min_tok * 1000 DIV src_tokens"))
+          .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"))
+        val samp = tok.join(broadcast(rates.select(col("source"), col("rate_k"))),
+            Seq("source"))
+          .filter(expr("((doc_id & 2147483647) * 2654435761) % 1000")
+            < col("rate_k"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_sampled"),
+            sum(col("n_tok")).cast("long").as("sampled_tokens"))
+        rates.join(samp, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"),
+            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+            coalesce(col("sampled_tokens"), lit(0L)).cast("long")
+              .as("sampled_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tok
+             |  FROM documents),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS src_tokens
+             |  FROM tok GROUP BY source),
+             |m AS (SELECT min(src_tokens) AS min_tok FROM st),
+             |rates AS (SELECT source, n_docs, src_tokens,
+             |    min_tok * 1000 // src_tokens AS rate_k
+             |  FROM st CROSS JOIN m),
+             |samp AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
+             |    CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+             |  FROM tok t JOIN rates r USING (source)
+             |  WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < rate_k
+             |  GROUP BY t.source)
+             |SELECT r.source, n_docs, src_tokens, rate_k,
+             |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+             |  CAST(coalesce(sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+             |FROM rates r LEFT JOIN samp USING (source)
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the quality/scrub/mixing family (q66–q70) on a CRAFTED
+  * corpus: the driver's DuckDB gate proves cross-engine equivalence on
+  * the fixture tables, but those are synthetic word-salad with no PII
+  * and no containment structure — the interesting behavior (a real
+  * email found and redacted, a chunk wholly contained in a longer doc,
+  * a fully-repetitive doc flagged) needs documents built to exhibit it.
+  */
+class QualityQueriesSpec extends SparkTestBase {
+
+  /** documents-schema corpus written to a temp dir so the queries run
+    * through their real `Tables` entry path.
+    */
+  private lazy val dir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quality").toString
+    val rows = Seq(
+      // PII-bearing doc: one email, one IPv4, one phone
+      (0L, "contact alice.smith@example.com or 192.168.1.1 or 555-123-4567 now",
+        "en", "srcA"),
+      // fully repetitive
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "srcA"),
+      // all-distinct tokens (10 tokens -> top_frac 0.1, below threshold)
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "en", "srcB"),
+      // chunk of doc 4: containment 1.0, Jaccard well below 0.5
+      (3L, "w05 w06 w07 w08 w09 w10 w11 w12", "en", "srcB"),
+      // long host doc containing doc 3
+      (4L, (1 to 30).map(i => f"w$i%02d").mkString(" "), "en", "srcC"),
+      // unique content -> novelty 1.0
+      (5L, "totally fresh original material nobody else wrote here at all",
+        "en", "srcC"))
+    val df = spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("q67 finds and counts real emails / IPv4s / phone numbers") {
+    val out = SparkEntry.queries("q67_pii_scrub")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("srcA") == ((1L, 1L, 1L, 1L)),
+      s"srcA should count 1 email, 1 ip, 1 phone in 1 flagged doc: $out")
+    assert(out("srcB") == ((0L, 0L, 0L, 0L)) && out("srcC") == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("q67 redaction collapses PII variants to one clean hash") {
+    // two docs differing ONLY in their PII values redact identically —
+    // the n_distinct_clean column is how an auditor sees scrubbing work
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pii2").toString
+    val rows = Seq(
+      (0L, "mail bob@x.io from 10.0.0.1", "en", "s"),
+      (1L, "mail eve@y.org from 172.16.0.9", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q67_pii_scrub")(spark, tmp).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(6) == 1L,
+      s"2 docs should share 1 distinct clean hash: $r")
+  }
+
+  test("q66 flags the repetitive doc and clears the distinct-token doc") {
+    val out = SparkEntry.queries("q66_repetition_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(out(1L) == 1, "all-same-token doc must flag repetitive")
+    assert(out(2L) == 0, "10-distinct-token doc must not flag")
+    assert(out(4L) == 0, "30-distinct-token doc must not flag")
+  }
+
+  test("q68 catches the contained chunk that Jaccard misses") {
+    val pairs = SparkEntry.queries("q68_doc_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val chunk = pairs.find(p => p._1 == 3L && p._2 == 4L)
+    assert(chunk.exists(_._3 == 1.0),
+      s"doc 3 is wholly inside doc 4 -> containment 1.0, got $chunk")
+    val jacc = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jacc.contains((3L, 4L)),
+      "the chunk pair must be invisible to Jaccard>=0.5 (that's the point)")
+  }
+
+  test("q25 pairs are always a subset of q68 pairs (containment >= jaccard)") {
+    val j = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = SparkEntry.queries("q68_doc_containment")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j.subsetOf(c),
+      s"jaccard>=0.5 implies containment>=0.5>=0.25; missing ${j.diff(c)}")
+  }
+
+  test("q70 novelty: unique doc scores 1.0, contained chunk scores 0.0") {
+    val out = SparkEntry.queries("q70_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(5L) == 1.0, s"unique doc novelty: $out")
+    assert(out(3L) == 0.0, "every shingle of the chunk also lives in doc 4")
+  }
+
+  test("q69 equalizes token mass: min source keeps rate 1000, others below") {
+    val out = SparkEntry.queries("q69_domain_mix")(spark, sf())
+      .collect().map(r =>
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val minTok = out.map(_._2).min
+    out.foreach { case (src, tok, rate, sampled) =>
+      assert(rate == minTok * 1000 / tok, s"$src rate")
+      assert(rate <= 1000L && sampled >= 0L)
+    }
+    assert(out.filter(_._2 == minTok).forall(_._3 == 1000L),
+      "smallest source is never downsampled")
+  }
+}

@@ -238,10 +238,12 @@ class QueriesSpec extends SparkTestBase {
     // vector / corpus-size scalar — a 1-row build side is the right
     // plan); q61 broadcasts the ~30-row day dimension into a range
     // join against day-grain data (not the corpus); q28 is the
-    // by-design exact all-pairs scan. q40/q54 no longer qualify —
-    // the learned-centroid IVF path joins on the list id (equi-join).
+    // by-design exact all-pairs scan; q69 broadcasts the 1-row
+    // min-token-mass scalar into the 20-row source table. q40/q54 no
+    // longer qualify — the learned-centroid IVF path joins on the
+    // list id (equi-join).
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
-      "q59_tfidf_top_terms", "q61_sliding_distinct")
+      "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
