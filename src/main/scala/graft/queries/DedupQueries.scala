@@ -56,6 +56,7 @@ object DedupQueries {
   def clearCaches(s: SparkSession): Unit = {
     shingleCache.clear(s)
     pairsCache.clear(s)
+    pairCountsCache.clear(s)
     bandsCache.clear(s)
     simhashCache.clear(s)
   }
@@ -138,7 +139,49 @@ object DedupQueries {
     pairsCache.get(s, d)(exactPairsPlan(s, d))
 
   private def exactPairsPlan(s: SparkSession, d: String): DataFrame =
-    pairsFromShingles(docShingles(s, d))
+    scoreCounts(pairCounts(s, d), docShingles(s, d), 0.5)
+
+  /** Co-occurring-pair shingle counts (doc_a < doc_b, inter_cnt ≥ 1)
+    * from the salted miner — the shared expensive intermediate under
+    * both overlap measures: q25/q36/q64 score Jaccard over it, q68
+    * scores containment. The miner's shuffle materializes this frame
+    * anyway; persisting it means the second measure costs a
+    * cardinality join + filter, not a second inverted-index self-join
+    * over the corpus. (Its size is bounded by Σ df² over shingles —
+    * the same quantity the pair mine shuffles regardless — and a
+    * production deployment bounds it further by df-capping
+    * boilerplate shingles, which changes semantics and so stays out
+    * of the oracle-checked form.)
+    */
+  private val pairCountsCache = new StampedCache("pair_counts")
+
+  private def pairCounts(s: SparkSession, d: String): DataFrame =
+    pairCountsCache.get(s, d) {
+      val ex = docShingles(s, d)
+        .select(col("doc_id"), explode(col("s")).as("g"))
+      graft.operators.SkewJoin
+        .saltedSelfPairs(ex, "g", "doc_id", HotShingleDf, SaltBuckets)
+        .toDF("doc_a", "doc_b")
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter_cnt"))
+    }
+
+  /** Jaccard scoring tail over pre-aggregated pair counts (the cached
+    * [[pairCounts]] form of [[scorePairs]] — same math, counts
+    * already reduced).
+    */
+  private def scoreCounts(
+      counts: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    counts
+      .join(card.toDF("doc_a", "na"), "doc_a")
+      .join(card.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") /
+          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
+  }
 
   /** Document-frequency threshold above which a shingle's self-join is
     * salted, and the salt fan-out. A shingle shared by f documents
@@ -376,23 +419,18 @@ object DedupQueries {
     // document wholly embedded in a long one scores near 1.0 here but
     // can sit far below any Jaccard threshold because the union is
     // dominated by the long side. This is the detector for
-    // quote/excerpt/chunk duplication inside a training corpus. Same
-    // persisted shingle index and hot-key-salted pair miner as q25;
-    // only the scoring tail differs, and the threshold (0.25) runs on
-    // an exact integer ratio so both engines compare identical IEEE
-    // doubles.
+    // quote/excerpt/chunk duplication inside a training corpus. Shares
+    // the persisted [[pairCounts]] co-occurrence index with q25 — the
+    // hot-key-salted mine runs once per corpus, and each overlap
+    // measure is a cardinality join + filter over it; the threshold
+    // (0.25) runs on an exact integer ratio so both engines compare
+    // identical IEEE doubles.
     QueryDef(
       "q68_doc_containment",
       (s, d) => {
         val sh = docShingles(s, d)
-        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-        val hits = graft.operators.SkewJoin
-          .saltedSelfPairs(ex, "g", "doc_id", HotShingleDf, SaltBuckets)
-          .toDF("doc_a", "doc_b")
         val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-        hits
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter_cnt"))
+        pairCounts(s, d)
           .join(card.toDF("doc_a", "na"), "doc_a")
           .join(card.toDF("doc_b", "nb"), "doc_b")
           .withColumn("containment",
