@@ -56,7 +56,7 @@ object DedupQueries {
   def clearCaches(s: SparkSession): Unit = {
     shingleCache.clear(s)
     pairsCache.clear(s)
-    pairCountsCache.clear(s)
+    candidatesCache.clear(s)
     bandsCache.clear(s)
     simhashCache.clear(s)
   }
@@ -139,49 +139,49 @@ object DedupQueries {
     pairsCache.get(s, d)(exactPairsPlan(s, d))
 
   private def exactPairsPlan(s: SparkSession, d: String): DataFrame =
-    scoreCounts(pairCounts(s, d), docShingles(s, d), 0.5)
+    pairCandidates(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
 
-  /** Co-occurring-pair shingle counts (doc_a < doc_b, inter_cnt ≥ 1)
-    * from the salted miner — the shared expensive intermediate under
-    * both overlap measures: q25/q36/q64 score Jaccard over it, q68
-    * scores containment. The miner's shuffle materializes this frame
-    * anyway; persisting it means the second measure costs a
-    * cardinality join + filter, not a second inverted-index self-join
-    * over the corpus. (Its size is bounded by Σ df² over shingles —
-    * the same quantity the pair mine shuffles regardless — and a
-    * production deployment bounds it further by df-capping
-    * boilerplate shingles, which changes semantics and so stays out
-    * of the oracle-checked form.)
+  /** Scored co-occurring-pair candidates from the salted miner — the
+    * shared expensive intermediate under both overlap measures
+    * (q25/q36/q64 Jaccard, q68 containment): one mine + cardinality
+    * join scores BOTH measures, and each consumer is a filter +
+    * column select over this frame. The persisted/durable artifact is
+    * kept at the LOOSEST declared threshold — containment ≥
+    * [[CandidateFloor]], which is a superset of every consumer
+    * because containment ≥ jaccard for any pair — so the stored frame
+    * is output-sized (pairs that pass some measure), NOT the raw
+    * Σ df²-sized co-occurrence stream, which exists only transiently
+    * inside the mine's shuffle as before. A new consumer with a
+    * looser threshold than the floor must lower [[CandidateFloor]]
+    * (and the stamp-keyed cache rebuilds).
     */
-  private val pairCountsCache = new StampedCache("pair_counts")
+  private val candidatesCache = new StampedCache("pair_candidates")
 
-  private def pairCounts(s: SparkSession, d: String): DataFrame =
-    pairCountsCache.get(s, d) {
-      val ex = docShingles(s, d)
-        .select(col("doc_id"), explode(col("s")).as("g"))
+  /** Loosest overlap threshold any consumer declares (q68's 0.25). */
+  private val CandidateFloor = 0.25
+
+  private def pairCandidates(s: SparkSession, d: String): DataFrame =
+    candidatesCache.get(s, d) {
+      val sh = docShingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+      val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
       graft.operators.SkewJoin
         .saltedSelfPairs(ex, "g", "doc_id", HotShingleDf, SaltBuckets)
         .toDF("doc_a", "doc_b")
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter_cnt"))
+        .join(card.toDF("doc_a", "na"), "doc_a")
+        .join(card.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("inter_cnt").cast("double") /
+            (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+        .withColumn("containment",
+          col("inter_cnt").cast("double") /
+            least(col("na"), col("nb")).cast("double"))
+        .filter(col("containment") >= CandidateFloor)
     }
-
-  /** Jaccard scoring tail over pre-aggregated pair counts (the cached
-    * [[pairCounts]] form of [[scorePairs]] — same math, counts
-    * already reduced).
-    */
-  private def scoreCounts(
-      counts: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-    counts
-      .join(card.toDF("doc_a", "na"), "doc_a")
-      .join(card.toDF("doc_b", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter_cnt").cast("double") /
-          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
-  }
 
   /** Document-frequency threshold above which a shingle's self-join is
     * salted, and the salt fan-out. A shingle shared by f documents
@@ -427,19 +427,11 @@ object DedupQueries {
     // identical IEEE doubles.
     QueryDef(
       "q68_doc_containment",
-      (s, d) => {
-        val sh = docShingles(s, d)
-        val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-        pairCounts(s, d)
-          .join(card.toDF("doc_a", "na"), "doc_a")
-          .join(card.toDF("doc_b", "nb"), "doc_b")
-          .withColumn("containment",
-            col("inter_cnt").cast("double") /
-              least(col("na"), col("nb")).cast("double"))
+      (s, d) =>
+        pairCandidates(s, d)
           .filter(col("containment") >= 0.25)
           .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("containment"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $pairsSql
               |SELECT doc_a, doc_b, inter_cnt,
               |  CAST(inter_cnt AS DOUBLE)/CAST(least(ca.n, cb.n) AS DOUBLE)
@@ -464,7 +456,7 @@ object DedupQueries {
     QueryDef(
       "q70_ngram_novelty",
       (s, d) => {
-        val ex = docShingles(s, d).filter(size(col("s")) > 0)
+        val ex = docShingles(s, d)
           .select(col("doc_id"), explode(col("s")).as("g"))
         val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
         ex.join(dfreq, Seq("g"))

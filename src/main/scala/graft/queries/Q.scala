@@ -64,6 +64,19 @@ object Q {
   def ts(s: String): Column = lit(s).cast("timestamp")
 
   def day(c: Column): Column = date_format(date_trunc("day", c), "yyyy-MM-dd")
+
+  /** Deterministic sampling-membership bucket in `[0, mod)`: the
+    * masked-Knuth multiplicative hash over a stable integer id —
+    * reproducible across engines and runs (no `rand()`), unbiased
+    * within strata because the id hash is independent of any score
+    * column. The 31-bit mask keeps the product under 2⁶³ (identity
+    * for fixture ids), so ANSI mode never overflows. The fragment is
+    * engine-portable SQL: interpolate the SAME string into the Spark
+    * `expr(...)` and the DuckDB oracle so the membership predicate
+    * cannot drift between them (q56/q57/q65/q69).
+    */
+  def knuthBucketSql(idCol: String, mod: Long): String =
+    s"(($idCol & 2147483647) * 2654435761) % $mod"
 }
 
 /** Session-scoped persisted-DataFrame cache keyed by (session, dir)

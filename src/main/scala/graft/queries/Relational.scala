@@ -918,7 +918,7 @@ object Relational {
         // the corpus sizes this sample targets; masked, the product
         // caps at 2^31·2654435761 < 2^63 (identity for fixture ids)
         t(s, d, "events")
-          .filter(expr("((event_id & 2147483647) * 2654435761) % 100") < 10)
+          .filter(expr(Q.knuthBucketSql("event_id", 100)) < 10)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_sampled"),
             Q.fxSum(col("value"), 100).as("sum_value"))
@@ -926,7 +926,7 @@ object Relational {
       },
       Some(s"""SELECT event_type, count(*) AS n_sampled,
               |  ${Q.fxSumSql("value", 100)} AS sum_value
-              |FROM events WHERE ((event_id & 2147483647) * 2654435761) % 100 < 10
+              |FROM events WHERE ${Q.knuthBucketSql("event_id", 100)} < 10
               |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ── q57: fixed-size per-stratum sample (k rows per group,
@@ -942,16 +942,16 @@ object Relational {
         val ev = t(s, d, "events")
           .select(col("event_id"), col("event_type"))
           .withColumn("h",
-            expr("((event_id & 2147483647) * 2654435761) % 1000000007"))
+            expr(Q.knuthBucketSql("event_id", 1000000007L)))
         graft.plans.GroupedTopK.topK(ev,
           Seq("event_type"), Seq(("h", false), ("event_id", false)), 50)
           .select(col("event_type"), col("event_id"))
           .orderBy(col("event_type"), col("event_id"))
       },
-      Some("""SELECT event_type, event_id FROM (
+      Some(s"""SELECT event_type, event_id FROM (
              |  SELECT event_type, event_id, row_number() OVER (
              |    PARTITION BY event_type
-             |    ORDER BY ((event_id & 2147483647) * 2654435761) % 1000000007,
+             |    ORDER BY ${Q.knuthBucketSql("event_id", 1000000007L)},
              |      event_id) AS rn
              |  FROM events) WHERE rn <= 50
              |ORDER BY event_type, event_id""".stripMargin)),

@@ -354,12 +354,11 @@ object TextQueries {
               * 0.1 +
               (col("n_long_tokens").cast("double") /
                 col("n_tokens").cast("double")) * 0.5)
-          .filter(expr("((doc_id & 2147483647) * 2654435761) % 1000")
-            < col("score") * 1000)
+          .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("score") * 1000)
           .select(col("doc_id"), col("score"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH s AS (SELECT doc_id,
+      Some(s"""WITH s AS (SELECT doc_id,
              |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
              |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
              |    AS n_tokens,
@@ -372,19 +371,23 @@ object TextQueries {
              |    AS score
              |  FROM s)
              |SELECT doc_id, score FROM q
-             |WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < score*1000
+             |WHERE ${Q.knuthBucketSql("doc_id", 1000)} < score*1000
              |ORDER BY doc_id""".stripMargin)),
 
     // ── q66: repetition-based quality stats (the Gopher-style
     // "repetitious document" filter: excessive duplicate-token mass or
     // one dominant token ⇒ boilerplate/spam, drop before training).
-    // Scale shape: ONE shuffle keyed (doc_id, token) with map-side
-    // partial counts — the per-token frequency map never materializes
-    // per row (an `array_max(transform(array_distinct(...)))` HOF form
-    // would be O(n·distinct) per doc, quadratic on diverse documents) —
-    // then a doc_id-keyed rollup whose partial aggregation rides the
-    // same prefix. Flags derive from exact integer ratios, so both
-    // engines compare identical IEEE doubles.
+    // Scale shape: two key-compatible shuffles — (doc_id, token) with
+    // map-side partial counts (the per-token frequency map never
+    // materializes per row; an `array_max(transform(array_distinct(
+    // ...)))` HOF form would be O(n·distinct) per doc, quadratic on
+    // diverse documents), then the reduced per-(doc, distinct-token)
+    // counts re-key on doc_id for the rollup. The second shuffle
+    // moves distinct-token counts, not raw tokens — bounded by corpus
+    // vocabulary occurrences, and the dominant exploded-token pass is
+    // combined before it ever crosses the wire. Flags derive from
+    // exact integer ratios, so both engines compare identical IEEE
+    // doubles.
     QueryDef(
       "q66_repetition_stats",
       (s, d) => {
@@ -436,11 +439,16 @@ object TextQueries {
     // corpus scan at any scale. The patterns stay inside the syntax
     // Java regex and RE2 share (character classes, bounded repeats, no
     // backrefs/lookarounds), so Spark and the oracle match identically;
-    // `PiiSpec` proves the detectors on a crafted PII fixture (this
-    // corpus is synthetic word-salad, so the interesting assertions —
-    // real emails/IPs/phones found and redacted — live in the spec, and
-    // the oracle proves cross-engine equivalence of the full transform
-    // via the redacted-text hash).
+    // `QualityQueriesSpec` proves the detectors on a crafted PII
+    // fixture (this corpus is synthetic word-salad, so the interesting
+    // assertions — real emails/IPs/phones found and redacted — live in
+    // the spec, and the oracle proves cross-engine equivalence of the
+    // full transform via the redacted-text hash). Each stage counts on
+    // the PREVIOUS stage's redacted text — exactly what its own
+    // replace then removes — so the counts always reconcile with the
+    // placeholders in `clean` even when one span matches two patterns
+    // (an email with an IPv4 local part counts once, as the email that
+    // was actually redacted, not once per pattern).
     QueryDef(
       "q67_pii_scrub",
       (s, d) => {
@@ -448,16 +456,16 @@ object TextQueries {
         val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
         val phone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
         t(s, d, "documents")
-          .select(col("source"), col("text"),
+          .select(col("source"),
             size(regexp_extract_all(col("text"), lit(email), lit(0)))
               .cast("long").as("email_cnt"),
-            size(regexp_extract_all(col("text"), lit(ipv4), lit(0)))
-              .cast("long").as("ip_cnt"),
-            size(regexp_extract_all(col("text"), lit(phone), lit(0)))
-              .cast("long").as("phone_cnt"))
-          .withColumn("clean",
-            regexp_replace(regexp_replace(regexp_replace(col("text"),
-              email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"))
+            regexp_replace(col("text"), email, "<EMAIL>").as("c1"))
+          .withColumn("ip_cnt",
+            size(regexp_extract_all(col("c1"), lit(ipv4), lit(0))).cast("long"))
+          .withColumn("c2", regexp_replace(col("c1"), ipv4, "<IP>"))
+          .withColumn("phone_cnt",
+            size(regexp_extract_all(col("c2"), lit(phone), lit(0))).cast("long"))
+          .withColumn("clean", regexp_replace(col("c2"), phone, "<PHONE>"))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -469,19 +477,25 @@ object TextQueries {
             countDistinct(md5(col("clean"))).cast("long").as("n_distinct_clean"))
           .orderBy(col("source"))
       },
-      Some("""WITH p AS (SELECT source, text,
+      Some("""WITH p0 AS (SELECT source,
              |  CAST(len(regexp_extract_all(text,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              |    AS email_cnt,
-             |  CAST(len(regexp_extract_all(text,
+             |  regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             |    AS c1
+             |  FROM documents),
+             |p1 AS (SELECT source, email_cnt,
+             |  CAST(len(regexp_extract_all(c1,
              |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS ip_cnt,
-             |  CAST(len(regexp_extract_all(text,
+             |  regexp_replace(c1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS c2
+             |  FROM p0),
+             |p AS (SELECT source, email_cnt, ip_cnt,
+             |  CAST(len(regexp_extract_all(c2,
              |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS phone_cnt,
-             |  regexp_replace(regexp_replace(regexp_replace(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             |  regexp_replace(c2,
              |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
-             |  FROM documents)
+             |  FROM p1)
              |SELECT source, count(*) AS n_docs,
              |  CAST(sum(email_cnt) AS BIGINT) AS email_cnt,
              |  CAST(sum(ip_cnt) AS BIGINT) AS ip_cnt,
@@ -510,14 +524,19 @@ object TextQueries {
         val st = tok.groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("n_tok")).cast("long").as("src_tokens"))
-        val m = st.agg(min(col("src_tokens")).as("min_tok"))
+        // min over token-BEARING sources only, and rate 0 for a
+        // zero-token source: an all-empty source would otherwise make
+        // min_tok = 0 and `0 DIV 0` throw under ANSI mode, taking the
+        // whole mixing pass down with it
+        val m = st.filter(col("src_tokens") > 0)
+          .agg(min(col("src_tokens")).as("min_tok"))
         val rates = st.crossJoin(broadcast(m))
-          .withColumn("rate_k", expr("min_tok * 1000 DIV src_tokens"))
+          .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
+            .otherwise(expr("min_tok * 1000 DIV src_tokens")))
           .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"))
         val samp = tok.join(broadcast(rates.select(col("source"), col("rate_k"))),
             Seq("source"))
-          .filter(expr("((doc_id & 2147483647) * 2654435761) % 1000")
-            < col("rate_k"))
+          .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
           .groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_sampled"),
             sum(col("n_tok")).cast("long").as("sampled_tokens"))
@@ -528,21 +547,22 @@ object TextQueries {
               .as("sampled_tokens"))
           .orderBy(col("source"))
       },
-      Some("""WITH tok AS (SELECT doc_id, source,
+      Some(s"""WITH tok AS (SELECT doc_id, source,
              |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
              |    AS n_tok
              |  FROM documents),
              |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |    CAST(sum(n_tok) AS BIGINT) AS src_tokens
              |  FROM tok GROUP BY source),
-             |m AS (SELECT min(src_tokens) AS min_tok FROM st),
+             |m AS (SELECT min(src_tokens) AS min_tok FROM st WHERE src_tokens > 0),
              |rates AS (SELECT source, n_docs, src_tokens,
-             |    min_tok * 1000 // src_tokens AS rate_k
+             |    CASE WHEN src_tokens = 0 THEN 0
+             |      ELSE min_tok * 1000 // src_tokens END AS rate_k
              |  FROM st CROSS JOIN m),
              |samp AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
              |    CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
              |  FROM tok t JOIN rates r USING (source)
-             |  WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < rate_k
+             |  WHERE ${Q.knuthBucketSql("doc_id", 1000)} < rate_k
              |  GROUP BY t.source)
              |SELECT r.source, n_docs, src_tokens, rate_k,
              |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,

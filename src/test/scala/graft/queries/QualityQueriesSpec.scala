@@ -64,6 +64,36 @@ class QualityQueriesSpec extends SparkTestBase {
       s"2 docs should share 1 distinct clean hash: $r")
   }
 
+  test("q67 counts reconcile with redaction when one span matches two patterns") {
+    // '10.0.0.1@example.org' matches BOTH the email and the ipv4
+    // pattern on raw text; stage-sequential counting must report it
+    // once, as the email that was actually redacted (ip_cnt 0 — after
+    // email redaction no ipv4 remains)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pii3").toString
+    val rows = Seq((0L, "ping 10.0.0.1@example.org now", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q67_pii_scrub")(spark, tmp).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)),
+      s"overlapping span must count once, as the redacted email: $r")
+  }
+
+  test("q69 survives a zero-token source (rate 0, no ANSI divide-by-zero)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mix0").toString
+    val rows = Seq(
+      (0L, "three tokens here", "en", "full"),
+      (1L, "", "en", "empty"),
+      (2L, " ", "en", "empty"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q69_domain_mix")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("empty") == ((0L, 0L)), s"zero-token source gets rate 0: $out")
+    assert(out("full") == ((3L, 1000L)), s"sole token-bearing source keeps 1000: $out")
+  }
+
   test("q66 flags the repetitive doc and clears the distinct-token doc") {
     val out = SparkEntry.queries("q66_repetition_stats")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
