@@ -568,6 +568,52 @@ object TextQueries {
              |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
              |  CAST(coalesce(sampled_tokens, 0) AS BIGINT) AS sampled_tokens
              |FROM rates r LEFT JOIN samp USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ── q72: deterministic document chunking — fixed 32-token windows
+    // at stride 24 (8-token overlap), the pre-embedding windowing op
+    // every RAG/training pipeline runs between cleaning and encoding.
+    // Pure MAP-SIDE work: tokens bind once per row, the window
+    // enumeration is a codegen'd HOF over an index sequence, and the
+    // output row carries the chunk's md5 (not its text), keeping the
+    // emitted frame narrow — at 100 TB the chunk table shuffles
+    // 16-byte digests, not re-inflated text. A doc shorter than one
+    // window yields exactly one (partial) chunk; an empty doc yields
+    // none; the final partial window is kept (its tokens appear
+    // nowhere else). Chunk counts, overlap identity, and boundary
+    // cases are spec-proved; the oracle re-derives every chunk digest
+    // in DuckDB.
+    QueryDef(
+      "q72_doc_chunks",
+      (s, d) => {
+        val W = 32
+        val S = 24
+        t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+          .withColumn("n", size(col("tk")))
+          .filter(col("n") > 0)
+          .withColumn("last_idx",
+            expr(s"CAST((greatest(n - $W, 0) + ${S - 1}) DIV $S AS INT)"))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), col("last_idx")),
+              i => slice(col("tk"), i * S + 1, lit(W)))))
+          .toDF("doc_id", "chunk_idx", "chunk")
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+             |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |    list_slice(t, i*24 + 1, i*24 + 32) AS chunk
+             |  FROM d, unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1))
+             |    AS r(i))
+             |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

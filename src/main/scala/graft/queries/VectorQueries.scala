@@ -68,6 +68,7 @@ object VectorQueries {
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     embCache.clear(s)
     assignedCache.clear(s)
+    int8Cache.clear(s)
     centroidCache.forEach { (k, _) => if (k._1 eq s) centroidCache.remove(k) }
   }
 
@@ -332,6 +333,58 @@ object VectorQueries {
           .distinct() // a pair may share both assigned lists
           .orderBy(col("vec_a"), col("vec_b"))
       },
+      None),
+
+    // ── q71: int8 scalar-quantized cosine top-k — the STORAGE scale
+    // path, orthogonal to the pruning paths (q29 LSH, q40 IVF): each
+    // vector is scaled by its own max-abs into [-127, 127] bytes, 4×
+    // smaller than float32 at rest and on the wire. Cosine is
+    // invariant to positive per-vector scaling, so the scale factor
+    // needn't be stored at all — the byte vector preserves direction
+    // up to rounding, and the query dequantizes in-register (codegen
+    // cast) against the compressed corpus. The persisted/durable
+    // artifact is the byte frame: at 100 TB of vectors this is 25 TB
+    // scanned per query instead of 100. Approximate (rounding error
+    // only — no candidate pruning), so rows-only driver check;
+    // QueriesSpec gates per-vector quantization fidelity (cos ≥ 0.99
+    // vs the original) and top-k recall vs exact q23.
+    QueryDef(
+      "q71_ann_int8",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val deq = int8Vecs(s, d)
+          .withColumn("dq", transform(col("qv"), b => b.cast("float")))
+        val q0 = deq.filter(col("vec_id") === 0)
+          .select(col("dq").as("q_emb"))
+        deq.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            round(GraftFunctions.cosineSim(col("dq"), col("q_emb")), 6)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
       None)
   )
+
+  /** Int8 scalar-quantized vector base (see q71): `round(x·127 /
+    * max|x|)` per vector, stored as `array<tinyint>`. Durable — unlike
+    * the raw-corpus-plus-norm [[embCache]], this IS a derived
+    * compressed artifact worth 4× storage savings. Zero vectors have
+    * no direction (cosine undefined) and are dropped, matching their
+    * absence from any cosine ranking.
+    */
+  private[queries] val int8Cache = new StampedCache("int8_vecs")
+
+  private[queries] def int8Vecs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    int8Cache.get(s, d) {
+      t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("ma", array_max(transform(col("embedding"), x => abs(x))))
+        .filter(col("ma") > 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x / col("ma") * 127).cast("tinyint")).as("qv"))
+    }
 }

@@ -130,6 +130,33 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(out(3L) == 0.0, "every shingle of the chunk also lives in doc 4")
   }
 
+  test("q72 chunking: boundary sizes, stride overlap, empty docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    def words(n: Int) = (1 to n).map(i => f"t$i%02d").mkString(" ")
+    val rows = Seq(
+      (0L, words(40), "en", "s"), // 2 chunks: [1..32], [25..40]
+      (1L, words(32), "en", "s"), // exactly one window
+      (2L, words(33), "en", "s"), // 1 token past -> second chunk [25..33]
+      (3L, "", "en", "s")) //        no tokens -> no chunks
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q72_doc_chunks")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (2L, 0L), (2L, 1L)),
+      s"chunk ids: ${out.keySet}")
+    assert(out((0L, 0L))._1 == 32L && out((0L, 1L))._1 == 16L)
+    assert(out((1L, 0L))._1 == 32L)
+    assert(out((2L, 1L))._1 == 9L)
+    // the digest really is the window's content: doc 0 chunk 1 =
+    // tokens 25..40
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest((25 to 40).map(i => f"t$i%02d").mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out((0L, 1L))._2 == expect, "chunk digest mismatch")
+  }
+
   test("q69 equalizes token mass: min source keeps rate 1000, others below") {
     val out = SparkEntry.queries("q69_domain_mix")(spark, sf())
       .collect().map(r =>

@@ -243,7 +243,8 @@ class QueriesSpec extends SparkTestBase {
     // longer qualify — the learned-centroid IVF path joins on the
     // list id (equi-join).
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
-      "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix")
+      "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix",
+      "q71_ann_int8")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -280,6 +281,29 @@ class QueriesSpec extends SparkTestBase {
     dupPairs.foreach { p =>
       assert(sim.get(p).contains(0L), s"exact dup $p missing or hamming>0")
     }
+  }
+
+  test("q71 int8 quantization: per-vector fidelity and top-5 recall vs q23") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // direction is preserved up to rounding: every dequantized vector
+    // stays within cos >= 0.99 of its original
+    val raw = graft.sources.Tables(spark, sf(), "embeddings")
+    val deq = VectorQueries.int8Vecs(spark, sf())
+      .withColumn("dq", transform(col("qv"), b => b.cast("float")))
+    val drifted = raw.join(deq, "vec_id")
+      .select(graft.functions.GraftFunctions
+        .cosineSim(col("embedding"), col("dq")).as("c"))
+      .filter(col("c") < 0.99).count()
+    assert(drifted == 0, s"$drifted vectors drifted past cos 0.99")
+    // rounding error must not reshuffle the neighborhood: ≥4 of the
+    // exact top-5 survive quantization
+    val exact = SparkEntry.queries("q23_sim_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val quant = SparkEntry.queries("q71_ann_int8")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.intersect(exact).size >= 4,
+      s"int8 top-5 recall too low: $quant vs $exact")
   }
 
   test("q29 LSH top-3 keeps reasonable recall vs brute force") {
