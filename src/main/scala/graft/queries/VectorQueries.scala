@@ -70,7 +70,25 @@ object VectorQueries {
     assignedCache.clear(s)
     int8Cache.clear(s)
     centroidCache.forEach { (k, _) => if (k._1 eq s) centroidCache.remove(k) }
+    sizeGuardCache.forEach { (k, _) => if (k._1 eq s) sizeGuardCache.remove(k) }
   }
+
+  /** Stamped per-(session, dir) verdict of q28's bounded size probe:
+    * the guard must run before every exact all-pairs scan, but the
+    * probe JOB (limit+count) costs a scheduling round-trip each time —
+    * cache the boolean, re-probe only when the corpus stamp moves.
+    */
+  private val sizeGuardCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), (Long, Boolean)]()
+
+  private def overPairLimit(
+      s: org.apache.spark.sql.SparkSession, d: String): Boolean =
+    sizeGuardCache.compute((s, d), { case ((ss, dir), cur) =>
+      val stamp = Q.dirStamp(dir)
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp, emb(ss, dir).limit(100001).count() > 100000)
+    })._2
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     embCache.get(s, d) {
@@ -180,9 +198,9 @@ object VectorQueries {
         // space is a scale-killer by construction. Refuse loudly and
         // point at the IVF twin rather than quietly melting a cluster.
         // Bounded probe, not a full count: refusing must not itself
-        // materialize the complete vector base on a huge corpus.
-        val overLimit = e.limit(100001).count() > 100000
-        require(!overLimit,
+        // materialize the complete vector base on a huge corpus. The
+        // verdict is stamped-cached so repeat runs skip the probe job.
+        require(!overPairLimit(s, d),
           "q28 is the exact all-pairs baseline (>100k vectors => >5e9 " +
             "pairs); use q54_dedup_embedding_ivf at this scale")
         val a = e
