@@ -39,7 +39,35 @@ object IncrementalDedup {
       corpusShingles: DataFrame,
       deltaShingles: DataFrame,
       threshold: Double = 0.5,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = true): DataFrame =
+    graft.queries.DedupQueries.scorePairs(
+      deltaHits(corpusShingles, deltaShingles, broadcastDelta),
+      corpusShingles.unionByName(deltaShingles),
+      threshold)
+
+  /** The candidates twin of [[deltaPairs]], maintaining the stored
+    * `pair_candidates` artifact (both overlap measures, kept at the
+    * containment floor): candidates(corpus ∪ delta) =
+    * candidates(corpus) ∪ deltaCandidates(corpus, delta) at the same
+    * floor, spec-proved like the pairs invariant.
+    */
+  def deltaCandidates(
+      corpusShingles: DataFrame,
+      deltaShingles: DataFrame,
+      floor: Double = 0.25,
+      broadcastDelta: Boolean = true): DataFrame =
+    graft.queries.DedupQueries.scoreCandidates(
+      deltaHits(corpusShingles, deltaShingles, broadcastDelta),
+      corpusShingles.unionByName(deltaShingles),
+      floor)
+
+  /** Raw delta-touching hit rows: (delta × corpus) ∪ (delta × delta),
+    * one row per shared shingle.
+    */
+  private def deltaHits(
+      corpusShingles: DataFrame,
+      deltaShingles: DataFrame,
+      broadcastDelta: Boolean): DataFrame = {
     val deltaEx = deltaShingles
       .select(col("doc_id"), explode(col("s")).as("g"))
     val deltaSide = deltaEx.toDF("d_id", "g")
@@ -61,9 +89,6 @@ object IncrementalDedup {
     val within = SkewJoin
       .saltedSelfPairs(deltaEx, "g", "doc_id")
       .toDF("doc_a", "doc_b")
-    graft.queries.DedupQueries.scorePairs(
-      cross.unionAll(within),
-      corpusShingles.unionByName(deltaShingles),
-      threshold)
+    cross.unionAll(within)
   }
 }

@@ -163,25 +163,49 @@ object DedupQueries {
   private val CandidateFloor = 0.25
 
   private def pairCandidates(s: SparkSession, d: String): DataFrame =
-    candidatesCache.get(s, d) {
-      val sh = docShingles(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-      val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-      graft.operators.SkewJoin
-        .saltedSelfPairs(ex, "g", "doc_id", HotShingleDf, SaltBuckets)
-        .toDF("doc_a", "doc_b")
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter_cnt"))
-        .join(card.toDF("doc_a", "na"), "doc_a")
-        .join(card.toDF("doc_b", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("inter_cnt").cast("double") /
-            (col("na") + col("nb") - col("inter_cnt")).cast("double"))
-        .withColumn("containment",
-          col("inter_cnt").cast("double") /
-            least(col("na"), col("nb")).cast("double"))
-        .filter(col("containment") >= CandidateFloor)
-    }
+    candidatesCache.get(s, d)(
+      candidatesFromShingles(docShingles(s, d), HotShingleDf, CandidateFloor))
+
+  /** Scored candidates from a (doc_id, s: array<long>) shingle frame —
+    * the full-rebuild form of the stored artifact; the incremental
+    * twin is [[graft.operators.IncrementalDedup.deltaCandidates]].
+    */
+  private[graft] def candidatesFromShingles(
+      sh: DataFrame, hotDf: Int = HotShingleDf,
+      floor: Double = CandidateFloor): DataFrame =
+    scoreCandidates(minedHits(sh, hotDf), sh, floor)
+
+  /** The raw mine: one (doc_a, doc_b) row per shared shingle, via the
+    * hot-key-salted self-join.
+    */
+  private def minedHits(sh: DataFrame, hotDf: Int): DataFrame =
+    graft.operators.SkewJoin
+      .saltedSelfPairs(
+        sh.select(col("doc_id"), explode(col("s")).as("g")),
+        "g", "doc_id", hotDf, SaltBuckets)
+      .toDF("doc_a", "doc_b")
+
+  /** Both overlap measures scored over raw (doc_a, doc_b) hit rows —
+    * the ONE copy of the count/cardinality-join/measure math under
+    * every miner (full and incremental): (doc_a, doc_b, inter_cnt,
+    * na, nb, jaccard, containment), kept where containment ≥ `floor`.
+    */
+  private[graft] def scoreCandidates(
+      hits: DataFrame, sh: DataFrame, floor: Double): DataFrame = {
+    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    hits
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(card.toDF("doc_a", "na"), "doc_a")
+      .join(card.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") /
+          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+      .withColumn("containment",
+        col("inter_cnt").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= floor)
+  }
 
   /** Document-frequency threshold above which a shingle's self-join is
     * salted, and the salt fan-out. A shingle shared by f documents
@@ -208,38 +232,24 @@ object DedupQueries {
     */
   private[graft] def pairsFromShingles(
       sh: DataFrame, hotDf: Int = HotShingleDf,
-      threshold: Double = 0.5): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val hits = graft.operators.SkewJoin
-      .saltedSelfPairs(ex, "g", "doc_id", hotDf, SaltBuckets)
-      .toDF("doc_a", "doc_b")
-    scorePairs(hits, sh, threshold)
-  }
+      threshold: Double = 0.5): DataFrame =
+    scorePairs(minedHits(sh, hotDf), sh, threshold)
 
-  /** Shared scoring tail for every exact-Jaccard miner (full and
-    * incremental — ONE copy of the jaccard math/output schema): count
-    * shared shingles per (pair, hit) row, join cardinalities, filter.
-    * No mandatory broadcast hints: the pair side is usually small on
-    * the incremental path, but its size is bounded by corpus shingle
+  /** Jaccard-thresholded pair view over [[scoreCandidates]] (q25's
+    * output shape — every exact-Jaccard miner, full and incremental,
+    * shares the one scoring copy there). No mandatory broadcast hints
+    * in the scoring joins: the pair side is usually small on the
+    * incremental path, but its size is bounded by corpus shingle
     * document frequency, not delta size — one boilerplate shingle can
     * make it huge, and a forced broadcast would then OOM the driver.
     * AQE converts these joins to broadcast at runtime exactly when
     * the pair side measures small.
     */
   private[graft] def scorePairs(
-      hits: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-    hits
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter_cnt"))
-      .join(card.toDF("doc_a", "na"), "doc_a")
-      .join(card.toDF("doc_b", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter_cnt").cast("double") /
-          (col("na") + col("nb") - col("inter_cnt")).cast("double"))
+      hits: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    scoreCandidates(hits, sh, floor = 0.0)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("jaccard"))
-  }
 
   /** The shingle-derivation CTE prefix (string shingles — the oracle
     * twin of the hashed [[shingleHashes]] index), shared by every

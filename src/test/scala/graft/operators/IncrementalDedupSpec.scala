@@ -55,6 +55,42 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(standing.intersect(deltaTouching).isEmpty)
   }
 
+  test("candidates(corpus ∪ delta) == candidates(corpus) ∪ deltaCandidates") {
+    // the stored pair_candidates artifact (both measures, containment
+    // floor) maintains incrementally exactly like the jaccard pairs —
+    // the fixture includes a chunk wholly contained in a corpus doc,
+    // which only the containment measure retains at the floor
+    val corpus = Seq(
+      (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (2L, "completely different text with many unique tokens here"))
+    val delta = Seq(
+      (10L, (5 to 10).map(i => s"c$i").mkString(" ")), // chunk of doc 1
+      (11L, "fresh delivery item one two three four five six"))
+    val cs = shingleFrame(corpus)
+    val ds = shingleFrame(delta)
+
+    def candSet(df: DataFrame) = df
+      .select("doc_a", "doc_b", "inter_cnt", "jaccard", "containment")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    val full = candSet(graft.queries.DedupQueries
+      .candidatesFromShingles(cs.unionByName(ds), hotDf = Int.MaxValue))
+    val standing = candSet(graft.queries.DedupQueries
+      .candidatesFromShingles(cs, hotDf = Int.MaxValue))
+    val deltaTouching = candSet(IncrementalDedup.deltaCandidates(cs, ds))
+
+    assert(standing.union(deltaTouching) == full,
+      s"missing=${full -- standing -- deltaTouching} " +
+        s"extra=${standing.union(deltaTouching) -- full}")
+    // the chunk pair is a containment-only candidate: jaccard below
+    // 0.5, containment 1.0
+    assert(deltaTouching.exists { case (a, b, _, j, c) =>
+      a == 1L && b == 10L && j < 0.5 && c == 1.0 },
+      s"expected the contained chunk at containment 1.0: $deltaTouching")
+  }
+
   test("a delta id colliding with the corpus fails loudly, never self-pairs") {
     val cs = shingleFrame(Seq((1L, "one two three four five six")))
     val ds = shingleFrame(Seq((1L, "one two three four five seven")))
