@@ -17,6 +17,20 @@ object TextQueries {
   private val EnStops = Seq("the", "a", "of", "to", "in", "and")
   private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
 
+  /** The q67 PII patterns (Java-regex ∩ RE2 syntax so every engine
+    * agrees) and the stage-sequential redaction chain, shared with the
+    * streaming ingest path ([[graft.streaming.DocumentPipeline]]) —
+    * the scrub a release corpus runs is ONE definition, not a batch
+    * copy and a streaming copy that drift.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  private[graft] def scrubPii(text: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q15: JSON extraction (ref: JSON settings read/write
@@ -452,20 +466,17 @@ object TextQueries {
     QueryDef(
       "q67_pii_scrub",
       (s, d) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-        val phone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
         t(s, d, "documents")
           .select(col("source"),
-            size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
               .cast("long").as("email_cnt"),
-            regexp_replace(col("text"), email, "<EMAIL>").as("c1"))
+            regexp_replace(col("text"), EmailRe, "<EMAIL>").as("c1"))
           .withColumn("ip_cnt",
-            size(regexp_extract_all(col("c1"), lit(ipv4), lit(0))).cast("long"))
-          .withColumn("c2", regexp_replace(col("c1"), ipv4, "<IP>"))
+            size(regexp_extract_all(col("c1"), lit(Ipv4Re), lit(0))).cast("long"))
+          .withColumn("c2", regexp_replace(col("c1"), Ipv4Re, "<IP>"))
           .withColumn("phone_cnt",
-            size(regexp_extract_all(col("c2"), lit(phone), lit(0))).cast("long"))
-          .withColumn("clean", regexp_replace(col("c2"), phone, "<PHONE>"))
+            size(regexp_extract_all(col("c2"), lit(PhoneRe), lit(0))).cast("long"))
+          .withColumn("clean", regexp_replace(col("c2"), PhoneRe, "<PHONE>"))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The ingest trio (scrubbed corpus, shingle index, pair candidates)
+  * stays consistent under fresh deliveries, updates, replay, and
+  * streaming: maintained state always equals the one-pass rebuild
+  * over the maintained corpus, PII never reaches any stored artifact,
+  * and an updated document drops its stale candidates.
+  */
+class DocumentPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private case class Paths(root: String) {
+    val corpus = root + "/corpus"
+    val shingles = root + "/shingles"
+    val cands = root + "/cands"
+  }
+
+  private def candSet(df: DataFrame) = df
+    .select("doc_a", "doc_b", "inter_cnt", "jaccard", "containment")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4))).toSet
+
+  /** One-pass rebuild of the candidates from the stored corpus — what
+    * the maintained artifact must always equal.
+    */
+  private def rebuilt(p: Paths) = candSet(
+    graft.queries.DedupQueries.candidatesFromShingles(
+      spark.read.parquet(p.corpus).select(col("doc_id"),
+        graft.queries.DedupQueries.shingleHashes(
+          filter(split(col("text"), " "), tk => length(tk) > 0)).as("s")),
+      floor = 0.25))
+
+  private val base = (1 to 14).map(i => s"w$i").mkString(" ")
+
+  test("incremental deliveries converge to the one-pass rebuild") {
+    val p = Paths(tmp("docpipe"))
+    val r1 = DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "totally unrelated content here six seven")),
+      p.corpus, p.shingles, p.cands)
+    assert(r1.corpusRows == 2 && r1.replacedDocs == 0)
+    val r2 = DocumentPipeline.upsertBatch(
+      docs((3L, s"$base a3"), (4L, "another fresh island of text nine ten")),
+      p.corpus, p.shingles, p.cands)
+    assert(r2.corpusRows == 4 && r2.newCandidates >= 1,
+      s"doc 3 near-dups doc 1: $r2")
+    val stored = candSet(spark.read.parquet(p.cands))
+    assert(stored == rebuilt(p), "maintained candidates != one-pass rebuild")
+    assert(stored.exists { case (a, b, _, j, _) => a == 1L && b == 3L && j >= 0.5 })
+  }
+
+  test("an update drops stale candidates and re-mines the new content") {
+    val p = Paths(tmp("docpipe-upd"))
+    DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, s"$base a2")),
+      p.corpus, p.shingles, p.cands)
+    assert(candSet(spark.read.parquet(p.cands))
+      .exists { case (a, b, _, _, _) => a == 1L && b == 2L })
+    // doc 2 rewritten to something unrelated: the (1,2) pair must die
+    val r = DocumentPipeline.upsertBatch(
+      docs((2L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands)
+    assert(r.replacedDocs == 1 && r.corpusRows == 2)
+    val stored = candSet(spark.read.parquet(p.cands))
+    assert(!stored.exists { case (a, b, _, _, _) => a == 1L && b == 2L },
+      s"stale pair survived the update: $stored")
+    assert(stored == rebuilt(p))
+  }
+
+  test("a replayed batch recommits identical state (at-least-once safe)") {
+    val p = Paths(tmp("docpipe-replay"))
+    DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "some other unrelated words entirely")),
+      p.corpus, p.shingles, p.cands)
+    val batch2 = docs((3L, s"$base a3"))
+    DocumentPipeline.upsertBatch(batch2, p.corpus, p.shingles, p.cands)
+    def snapshot() = (
+      spark.read.parquet(p.corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(p.shingles).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)))
+    val before = snapshot()
+    val r = DocumentPipeline.upsertBatch(batch2, p.corpus, p.shingles, p.cands)
+    assert(snapshot() == before, "replay changed stored state")
+    assert(r.replacedDocs == 1, "replayed doc counts as replacing itself")
+  }
+
+  test("PII is scrubbed before any artifact sees the text") {
+    val p = Paths(tmp("docpipe-pii"))
+    DocumentPipeline.upsertBatch(
+      docs((1L, "write to alice.smith@example.com about w1 w2 w3 w4")),
+      p.corpus, p.shingles, p.cands)
+    val stored = spark.read.parquet(p.corpus).collect().head.getString(1)
+    assert(!stored.contains("alice.smith@example.com") &&
+      stored.contains("<EMAIL>"), stored)
+    // the shingle index describes the SCRUBBED text: re-shingling the
+    // stored doc reproduces the stored index row exactly
+    val fromCorpus = spark.read.parquet(p.corpus).select(col("doc_id"),
+      graft.queries.DedupQueries.shingleHashes(
+        filter(split(col("text"), " "), tk => length(tk) > 0)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val storedSh = spark.read.parquet(p.shingles)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(fromCorpus == storedSh)
+  }
+
+  test("streaming maintain: two micro-batches, reports, stored trio") {
+    implicit val sq = spark.sqlContext
+    val p = Paths(tmp("docpipe-stream"))
+    val reports = scala.collection.mutable.ListBuffer[DocumentPipeline.BatchReport]()
+    val in = MemoryStream[(Long, String)]
+    val q = DocumentPipeline.maintain(
+      in.toDF().toDF("doc_id", "text"), p.corpus, p.shingles, p.cands,
+      tmp("docpipe-ckpt"),
+      onBatch = r => reports.synchronized { reports += r })
+    in.addData((1L, s"$base a1"), (2L, "unrelated content one two three"))
+    q.processAllAvailable()
+    in.addData((3L, s"$base a3"))
+    q.processAllAvailable()
+    q.stop()
+    assert(reports.size == 2)
+    assert(reports.last.corpusRows == 3 && reports.last.newCandidates >= 1)
+    assert(candSet(spark.read.parquet(p.cands)) == rebuilt(p))
+  }
+}
