@@ -157,6 +157,37 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(out((0L, 1L))._2 == expect, "chunk digest mismatch")
   }
 
+  test("q72 chunk layout matches an independent reimplementation for sizes 0..80") {
+    // every doc length from 0 to 40 plus window/stride multiples:
+    // chunk indices, per-chunk token counts, and digests must all
+    // equal a plain-Scala re-derivation of the 32/24 layout
+    val sizes = (0 to 40) ++ Seq(47, 48, 49, 55, 56, 57, 63, 64, 65, 80)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-sweep").toString
+    def toks(n: Int) = (1 to n).map(i => s"d${n}t$i")
+    val rows = sizes.map(n => (n.toLong, toks(n).mkString(" "), "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = sizes.filter(_ > 0).flatMap { n =>
+      val t = toks(n)
+      val nChunks = (math.max(n - 32, 0) + 23) / 24 + 1
+      (0 until nChunks).map { i =>
+        val chunk = t.slice(i * 24, i * 24 + 32)
+        (n.toLong, i.toLong, chunk.size.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.toSet
+
+    val got = SparkEntry.queries("q72_doc_chunks")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("q69 equalizes token mass: min source keeps rate 1000, others below") {
     val out = SparkEntry.queries("q69_domain_mix")(spark, sf())
       .collect().map(r =>
