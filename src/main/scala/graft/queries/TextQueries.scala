@@ -448,9 +448,11 @@ object TextQueries {
 
     // ── q67: PII detection + redaction (the scrub pass every training
     // corpus runs before release: find emails / IPv4s / phone numbers,
-    // replace with typed placeholders). Pure MAP-SIDE regex work — the
-    // only shuffle is the per-source rollup — so the pass costs one
-    // corpus scan at any scale. The patterns stay inside the syntax
+    // replace with typed placeholders). Pure MAP-SIDE regex work over
+    // one corpus scan; the only shuffles are the rollup's
+    // exact-distinct pair ((source, clean-hash) partials, then the
+    // source agg — count rows and 16-byte digests on the wire, never
+    // text), the standard price of an exact distinct count. The patterns stay inside the syntax
     // Java regex and RE2 share (character classes, bounded repeats, no
     // backrefs/lookarounds), so Spark and the oracle match identically;
     // `QualityQueriesSpec` proves the detectors on a crafted PII

@@ -233,6 +233,22 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("documented map-side shapes stay map-side (q67 scrub, q72 chunking)") {
+    // these queries' scale story is "one corpus scan, text never
+    // shuffles": chunking has NO hash exchange at all (the orderBy
+    // range exchange moves result rows); the scrub's exchanges are
+    // its exact-distinct pair — (source, clean-hash) partials then
+    // the source rollup — both carrying narrow count rows, never text
+    def hashExchanges(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf())
+          .queryExecution.executedPlan.toString).length
+    assert(hashExchanges("q72_doc_chunks") == 0,
+      "q72 must chunk without shuffling")
+    assert(hashExchanges("q67_pii_scrub") <= 2,
+      "q67 shuffles only its exact-distinct rollup pair")
+  }
+
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
     // BNLJ allowlist: q23/q59 broadcast a SINGLE-ROW side (query
     // vector / corpus-size scalar — a 1-row build side is the right
