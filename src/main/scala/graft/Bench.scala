@@ -91,6 +91,13 @@ object Bench {
     val total = results.collect { case (_, v, _, _, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"plans":$plans,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Round 4's official bench record came back EMPTY: the full line
+    // above (spread + plan hashes) outgrew the driver's captured output
+    // tail, truncating away every timing. The LAST thing printed must
+    // be a line that always fits — a compact duplicate of the total and
+    // per-query medians, with the diagnostics (spread/plans) left to
+    // the full line. Order matters: tails keep the end.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,27 @@ object CommitSink {
     extends RuntimeException(
       s"read-back verify failed for $path: expected $expected rows, read $actual")
 
+  /** Heal an interrupted swap before READING standing state at `dest`:
+    * [[writeVerified]]'s backup-rename swap can crash between its two
+    * renames, leaving `dest` absent with the only complete copy at
+    * `dest.__old__`. Any reader that gates on bare `exists(dest)`
+    * would then treat the standing state as empty — and the next
+    * commit would delete the backup, making the loss permanent. Every
+    * read of a CommitSink-managed path must go through this helper
+    * first. Returns whether `dest` exists after healing.
+    */
+  def healInterrupted(spark: SparkSession, dest: String): Boolean = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destPath)) {
+      val backup = new Path(dest + ".__old__")
+      if (fs.exists(backup))
+        require(fs.rename(backup, destPath),
+          s"could not restore $dest from interrupted-commit backup")
+    }
+    fs.exists(destPath)
+  }
+
   /** Write `df` to `dest` via staging with read-back count
     * verification; returns committed row count.
     */

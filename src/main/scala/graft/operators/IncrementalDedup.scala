@@ -54,7 +54,7 @@ object IncrementalDedup {
   def deltaCandidates(
       corpusShingles: DataFrame,
       deltaShingles: DataFrame,
-      floor: Double = 0.25,
+      floor: Double = graft.queries.DedupQueries.CandidateFloor,
       broadcastDelta: Boolean = true): DataFrame =
     graft.queries.DedupQueries.scoreCandidates(
       deltaHits(corpusShingles, deltaShingles, broadcastDelta),

@@ -159,8 +159,14 @@ object DedupQueries {
     */
   private val candidatesCache = new StampedCache("pair_candidates")
 
-  /** Loosest overlap threshold any consumer declares (q68's 0.25). */
-  private val CandidateFloor = 0.25
+  /** Loosest overlap threshold any consumer declares (q68's 0.25).
+    * `private[graft]` because the streamed/incremental producers of the
+    * same `pair_candidates` artifact ([[graft.streaming.DocumentPipeline]],
+    * [[graft.operators.IncrementalDedup]]) must default to THIS floor —
+    * a literal copy there would silently desync the streamed artifact
+    * from the batch-rebuilt one if either side were retuned.
+    */
+  private[graft] val CandidateFloor = 0.25
 
   private def pairCandidates(s: SparkSession, d: String): DataFrame =
     candidatesCache.get(s, d)(

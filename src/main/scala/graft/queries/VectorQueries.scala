@@ -83,12 +83,21 @@ object VectorQueries {
       (org.apache.spark.sql.SparkSession, String), (Long, Boolean)]()
 
   private def overPairLimit(
-      s: org.apache.spark.sql.SparkSession, d: String): Boolean =
-    sizeGuardCache.compute((s, d), { case ((ss, dir), cur) =>
-      val stamp = Q.dirStamp(dir)
-      if (cur != null && cur._1 == stamp) cur
-      else (stamp, emb(ss, dir).limit(100001).count() > 100000)
-    })._2
+      s: org.apache.spark.sql.SparkSession, d: String): Boolean = {
+    // Probe OUTSIDE any map lock: compute() would hold the bin lock for
+    // the whole Spark limit+count job, blocking a concurrent
+    // session/dir that hashes to the same bin for the job's duration.
+    // A lost race just means a redundant probe — cheaper than a held
+    // bin lock — and put() publishes the latest stamp's verdict.
+    val stamp = Q.dirStamp(d)
+    val cur = sizeGuardCache.get((s, d))
+    if (cur != null && cur._1 == stamp) cur._2
+    else {
+      val verdict = emb(s, d).limit(100001).count() > 100000
+      sizeGuardCache.put((s, d), (stamp, verdict))
+      verdict
+    }
+  }
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     embCache.get(s, d) {

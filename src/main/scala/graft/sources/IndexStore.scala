@@ -181,10 +181,15 @@ object IndexStore {
       }
   }
 
-  /** Drop other-epoch `l*` roots (strictly `l<digits>` names — never a
-    * user's file) after a successful publish under the current epoch:
-    * `current` is `<root>/l<V>/<corpusId>/<name>/v…`, so the store
-    * root is three levels up.
+  /** Drop other-epoch roots after a successful publish under the
+    * current epoch: `current` is `<root>/l<V>/<corpusId>/<name>/v…`,
+    * so the store root is three levels up. Two recognized stale
+    * shapes, both strictly pattern-matched (never a user's file):
+    * `l<digits>` epoch roots other than the current one, and the
+    * PRE-epoch layout's bare corpus trees — that layout wrote
+    * `<root>/<corpusId>/…` with no `l` segment, so its
+    * `<seg>-<16 hex>` directories would otherwise never match the
+    * epoch pattern and leak one full index copy per corpus forever.
     */
   private def retireStaleLayouts(s: SparkSession, current: Path): Unit = {
     val f = fs(s, current)
@@ -192,7 +197,9 @@ object IndexStore {
     if (storeRoot != null && f.exists(storeRoot))
       f.listStatus(storeRoot).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.matches("l\\d+") && n != s"l$LayoutVersion")
+        val staleEpoch = n.matches("l\\d+") && n != s"l$LayoutVersion"
+        val preEpochCorpus = n.matches(".+-[0-9a-f]{16}")
+        if (st.isDirectory && (staleEpoch || preEpochCorpus))
           f.delete(st.getPath, true)
       }
   }

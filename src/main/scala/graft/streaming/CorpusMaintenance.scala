@@ -53,20 +53,13 @@ object CorpusMaintenance {
   def upsertBatch(batch: DataFrame, corpusPath: String, keyCol: String): Long = {
     val spark = batch.sparkSession
     val deduped = dedupBatch(batch, keyCol)
-    val destPath = new org.apache.hadoop.fs.Path(corpusPath)
-    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash recovery: CommitSink's backup-rename swap can die between
-    // its two renames, leaving the standing corpus at `.__old__` and
-    // the destination absent. Treating that as "no corpus" would let
-    // the replayed batch REPLACE the corpus with itself (and the
-    // commit's first act would delete the only complete copy), so
-    // restore the backup before merging.
-    val backup = new org.apache.hadoop.fs.Path(corpusPath + ".__old__")
-    if (!fs.exists(destPath) && fs.exists(backup))
-      require(fs.rename(backup, destPath),
-        s"could not restore $corpusPath from interrupted-commit backup")
+    // Crash recovery: a destination absent because CommitSink's swap
+    // died mid-rename must be restored from `.__old__` before merging —
+    // treating it as "no corpus" would let the replayed batch REPLACE
+    // the corpus with itself (and the commit's first act would delete
+    // the only complete copy).
     val merged =
-      if (!fs.exists(destPath)) deduped
+      if (!graft.operators.CommitSink.healInterrupted(spark, corpusPath)) deduped
       else {
         val existing = spark.read.parquet(corpusPath)
         // stored rows keep only keys the batch does not replace; the

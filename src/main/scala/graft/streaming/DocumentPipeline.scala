@@ -70,12 +70,16 @@ object DocumentPipeline {
       corpusPath: String,
       shinglesPath: String,
       candidatesPath: String,
-      floor: Double = 0.25): BatchReport = {
+      floor: Double = graft.queries.DedupQueries.CandidateFloor): BatchReport = {
     val spark = batch.sparkSession
-    def exists(p: String): Boolean = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
-    }
+    // Healed existence, not bare fs.exists(): a crash inside
+    // CommitSink's swap leaves a path absent with the only copy at
+    // `.__old__`. Bare exists() here would silently drop ALL standing
+    // candidates (and make the mine delta-only, permanently losing
+    // delta-vs-standing pairs) on the very replay that is supposed to
+    // heal the crash.
+    def exists(p: String): Boolean =
+      graft.operators.CommitSink.healInterrupted(spark, p)
 
     val deduped = CorpusMaintenance.dedupBatch(
       batch.filter(col("doc_id").isNotNull && col("text").isNotNull), "doc_id")
@@ -149,7 +153,7 @@ object DocumentPipeline {
       shinglesPath: String,
       candidatesPath: String,
       checkpoint: String,
-      floor: Double = 0.25,
+      floor: Double = graft.queries.DedupQueries.CandidateFloor,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")

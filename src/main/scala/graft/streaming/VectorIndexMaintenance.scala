@@ -72,11 +72,10 @@ object VectorIndexMaintenance {
       .persist()
     try {
       // drift vs the assignment as it stood BEFORE this delivery (an
-      // absent table = first delivery = nothing to drift from)
-      val fs = new org.apache.hadoop.fs.Path(assignedPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // absent table = first delivery = nothing to drift from); healed
+      // existence so a mid-commit crash doesn't read as first delivery
       val drift =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(assignedPath))) 0.0
+        if (!graft.operators.CommitSink.healInterrupted(spark, assignedPath)) 0.0
         else graft.operators.IncrementalVectors.balanceDrift(
           spark.read.parquet(assignedPath), assignedDelta)
       val corpusRows = CorpusMaintenance.upsertBatch(

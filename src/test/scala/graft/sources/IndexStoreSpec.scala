@@ -91,9 +91,17 @@ class IndexStoreSpec extends SparkTestBase {
       java.nio.file.Paths.get(root, "l1", "old-corpus", "idx"))
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not-an-epoch"))
+    // the PRE-epoch layout wrote bare `<seg>-<16hex>` corpus trees
+    // directly under the root (no l-segment) — those must be retired
+    // too, or one full index copy per corpus leaks forever
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      root, "corpus-0123456789abcdef", "idx"))
     IndexStore.readThrough(s, "/tmp/corpus-e", "idx", 1L)(Seq(1).toDF("id")).count()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "l1")),
       "old layout epoch must be retired on publish")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "corpus-0123456789abcdef")),
+      "pre-epoch bare corpus trees must be retired on publish")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "not-an-epoch")),
       "non-epoch directories must never be touched")
   }

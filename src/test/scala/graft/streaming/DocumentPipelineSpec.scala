@@ -97,6 +97,35 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(r.replacedDocs == 1, "replayed doc counts as replacing itself")
   }
 
+  test("a crash between commit renames heals for every artifact read") {
+    val p = Paths(tmp("docpipe-crash"))
+    DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, s"$base a2"),
+        (3L, "totally unrelated content here six seven")),
+      p.corpus, p.shingles, p.cands)
+    val standing = candSet(spark.read.parquet(p.cands))
+    assert(standing.exists { case (a, b, _, _, _) => a == 1L && b == 2L })
+    // simulate dying between CommitSink's two renames on EVERY artifact
+    // of the trio at once: dest absent, only copy parked at .__old__.
+    // Bare exists() gates would read this as "no standing state" — all
+    // standing candidates dropped, the mine delta-only, and the next
+    // commit deletes the backups (permanent loss).
+    val fs = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(p.corpus, p.shingles, p.cands).foreach { path =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".__old__")))
+    }
+    val r = DocumentPipeline.upsertBatch(
+      docs((4L, "another fresh island of text nine ten")),
+      p.corpus, p.shingles, p.cands)
+    assert(r.corpusRows == 4, s"healed corpus must hold all docs: $r")
+    val stored = candSet(spark.read.parquet(p.cands))
+    assert(stored.exists { case (a, b, _, _, _) => a == 1L && b == 2L },
+      s"standing candidates must survive the interrupted commit: $stored")
+    assert(stored == rebuilt(p), "healed state != one-pass rebuild")
+  }
+
   test("PII is scrubbed before any artifact sees the text") {
     val p = Paths(tmp("docpipe-pii"))
     DocumentPipeline.upsertBatch(
