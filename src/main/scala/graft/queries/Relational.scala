@@ -790,14 +790,54 @@ object Relational {
     // total order (acctbal, custkey tiebreak ⇒ deterministic despite
     // duplicate balances). Rounds out the ranking-window family next
     // to q11's row_number.
+    //
+    // NOT `ntile(10).over(Window.orderBy(...))`: an unpartitioned
+    // ranking window plans a single-partition WindowExec — the whole
+    // table sorts through ONE task, a scale-killer at 100 TB (fine for
+    // q09's 5 post-aggregate rows, fatal on a base table). Scale-safe
+    // two-pass instead: range-repartition on the sort key + sort
+    // within partitions (one parallel exchange — the same work any
+    // global sort does), then `zipWithIndex` assigns the global row
+    // number: Spark's own two-job count-then-offset pass, where job 1
+    // counts rows per partition and job 2 re-reads the SAME shuffle
+    // files map-side with the partition's cumulative offset — no
+    // further exchange, no single-partition stage. Decile and
+    // percent_rank are then pure per-row arithmetic on (rn, n):
+    // standard ntile fills the first n%10 buckets with ceil(n/10) rows
+    // and the rest with floor(n/10); percent_rank = (rn-1)/(n-1)
+    // because the total order makes rank ≡ row_number (no ties).
     QueryDef(
       "q50_ntile",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        t(s, d, "customer")
+        val base = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        // metadata-backed count: one column-free scan job (the same
+        // bounded driver-side probe cost as the q28 size guard)
+        val n = base.count()
+        val sorted = base
+          .repartitionByRange(s.sparkContext.defaultParallelism,
+            col("c_acctbal"), col("c_custkey"))
+          .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+        val schema = org.apache.spark.sql.types.StructType(
+          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "rn", org.apache.spark.sql.types.LongType, nullable = false))
+        val withRn = s.createDataFrame(
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+          schema)
+        val q = n / 10
+        val r10 = n % 10
+        val bigBuckets = r10 * (q + 1) // rows living in the ceil-sized buckets
+        val decile =
+          when(col("rn") <= lit(bigBuckets),
+            (floor((col("rn") - 1) / lit((q + 1).toDouble)) + 1).cast("int"))
+            .otherwise((lit(r10) + floor((col("rn") - lit(bigBuckets) - 1) /
+              lit(q.max(1L).toDouble)) + 1).cast("int"))
+        val pr =
+          if (n <= 1L) lit(0.0)
+          else round((col("rn") - 1).cast("double") / lit((n - 1).toDouble), 6)
+        withRn
           .select(col("c_custkey"), col("c_acctbal"),
-            ntile(10).over(w).as("decile"),
-            round(percent_rank().over(w), 6).as("pr"))
+            decile.as("decile"), pr.as("pr"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal,

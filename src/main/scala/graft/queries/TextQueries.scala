@@ -31,6 +31,47 @@ object TextQueries {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
+  /** Shared per-document quality base (doc_id, n_ch, n_tokens,
+    * avg_token_len, long_frac, score): the one corpus text pass behind
+    * the quality family — q31 projects it, q65 filters it. Materialized
+    * through the same stamped persist/durable tier as the shingle and
+    * vector bases because the score is EXPENSIVE (split + two HOF
+    * filters + a regexp per document) and, consumed inline, Catalyst's
+    * predicate pushdown would substitute its definition into any
+    * filter over `score` — evaluating the whole token stack twice per
+    * row (the attributed round-4 q65 regression: 0.51 s → 0.90 s).
+    */
+  private val qualityCache = new StampedCache("quality_scores")
+
+  private def qualityScores(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    qualityCache.get(s, d) {
+      val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_ch"),
+          size(toks).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("n_letters"),
+          size(filter(toks, tk => length(tk) > 4)).cast("long")
+            .as("n_long_tokens"))
+        .withColumn("avg_token_len",
+          col("n_letters").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("long_frac",
+          col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("score",
+          col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
+        .select(col("doc_id"), col("n_ch"), col("n_tokens"),
+          col("avg_token_len"), col("long_frac"), col("score"))
+    }
+
+  /** Drop this session's cached text bases (see
+    * [[DedupQueries.clearCaches]] for when eviction matters).
+    */
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    qualityCache.clear(s)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q15: JSON extraction (ref: JSON settings read/write
@@ -140,26 +181,12 @@ object TextQueries {
               |FROM s ORDER BY doc_id""".stripMargin)),
 
     // ── q31: quality scoring (north star) — length/word-shape ratios
-    // combined into one deterministic score.
+    // combined into one deterministic score, projected off the shared
+    // [[qualityScores]] base.
     QueryDef(
       "q31_quality_score",
       (s, d) => {
-        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
-        t(s, d, "documents")
-          .select(
-            col("doc_id"),
-            length(col("text")).cast("long").as("n_ch"),
-            size(toks).cast("long").as("n_tokens"),
-            length(regexp_replace(col("text"), " ", "")).cast("long")
-              .as("n_letters"),
-            size(filter(toks, tk => length(tk) > 4)).cast("long")
-              .as("n_long_tokens"))
-          .withColumn("avg_token_len",
-            col("n_letters").cast("double") / col("n_tokens").cast("double"))
-          .withColumn("long_frac",
-            col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
-          .withColumn("score",
-            col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
+        qualityScores(s, d)
           .withColumn("quality",
             when(col("score") >= 0.6, "high").otherwise("low"))
           .select(col("doc_id"), col("n_ch"), col("n_tokens"),
@@ -351,23 +378,18 @@ object TextQueries {
     // reproducible nor oracle-checkable). The id hash is independent
     // of the score, so inclusion is unbiased within each score level;
     // the masked Knuth multiply is ANSI-overflow-safe at any id.
+    // Filters the MATERIALIZED [[qualityScores]] frame rather than an
+    // inline score projection: with an inline score, predicate
+    // pushdown substitutes the score definition into the membership
+    // filter below the project, and the split/filter token stack is
+    // evaluated TWICE per row (filter + surviving projection) — the
+    // attributed round-4 q65 regression. Against the shared persisted
+    // base the filter reads a stored column, and the corpus text pass
+    // is paid once for the whole quality family (q31/q65).
     QueryDef(
       "q65_weighted_sample",
       (s, d) => {
-        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
-        t(s, d, "documents")
-          .select(
-            col("doc_id"),
-            length(regexp_replace(col("text"), " ", "")).cast("long")
-              .as("n_letters"),
-            size(toks).cast("long").as("n_tokens"),
-            size(filter(toks, tk => length(tk) > 4)).cast("long")
-              .as("n_long_tokens"))
-          .withColumn("score",
-            (col("n_letters").cast("double") / col("n_tokens").cast("double"))
-              * 0.1 +
-              (col("n_long_tokens").cast("double") /
-                col("n_tokens").cast("double")) * 0.5)
+        qualityScores(s, d)
           .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("score") * 1000)
           .select(col("doc_id"), col("score"))
           .orderBy(col("doc_id"))

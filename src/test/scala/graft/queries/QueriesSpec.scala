@@ -42,6 +42,19 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q50 plans no window at all — no single-partition WindowExec") {
+    // the scale-safe two-pass ranking replaces the unpartitioned
+    // ranking window ("Moving all data to a single partition"): the
+    // plan must contain neither a WindowExec nor a SinglePartition
+    // exchange anywhere
+    val qe = SparkEntry.queries("q50_ntile")(spark, sf()).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q50 must not plan a window operator:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"q50 must not funnel through a single partition:\n$plan")
+  }
+
   test("q01 pushes all three predicates to the scan") {
     val plan = SparkEntry.queries("q01_scan_filter")(spark, sf())
       .queryExecution.executedPlan.toString
