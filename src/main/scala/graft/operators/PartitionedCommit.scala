@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-grain variant of [[CommitSink]] for the standing
+  * maintenance artifacts (corpus, shingle index, pair candidates):
+  * the table is laid out hive-partitioned by a stable key-hash bucket
+  * (`<root>/__bucket=<b>/…`), and a commit stages and swaps ONLY the
+  * bucket directories a batch touches — an unrelated bucket's files
+  * are never rewritten, renamed, or even listed by the swap.
+  *
+  * This is the 100 TB upgrade of the full-rewrite contract documented
+  * on [[graft.streaming.CorpusMaintenance]]: per-micro-batch cost
+  * becomes O(touched buckets) ≈ O(batch keys), not O(corpus). Reads
+  * of batch-relevant slices prune at planning time (partition filters
+  * on `__bucket`); corpus-wide reads (the near-dup mine's standing
+  * side) still scan everything but never rewrite it.
+  *
+  * Crash contract, per bucket (same shape as [[CommitSink]]'s whole
+  * -table swap): the old bucket dir is parked under
+  * `<root>.__old__/__bucket=<b>` — OUTSIDE the partition-discovery
+  * tree, so a half-swapped table never serves a backup as data — and
+  * the staged dir renamed in; a crash between the two renames leaves
+  * that one bucket restorable, and [[healInterrupted]] restores it
+  * before any standing-state read. The backup root is deleted only
+  * after every touched bucket has swapped.
+  */
+object PartitionedCommit {
+
+  /** Hive partition column carrying the key-hash bucket. Internal to
+    * the storage layout: exposed reads keep it (callers prune/commit
+    * by it) and drop it at their API boundary.
+    */
+  val BucketCol = "__bucket"
+
+  /** Stable bucket of a key: `pmod(xxhash64(key), n)` — deterministic
+    * across engines/sessions, uniform for any key type, independent of
+    * every payload column (so a document update never migrates
+    * buckets).
+    */
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketDirs(
+      spark: SparkSession, root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val f = fsOf(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+  }
+
+  /** Restore any bucket whose swap was interrupted (dest dir absent,
+    * backup present under `<root>.__old__`), then report whether the
+    * table has data. Every read of a partitioned standing table goes
+    * through this — the per-bucket twin of
+    * [[CommitSink.healInterrupted]]. A backup bucket whose destination
+    * EXISTS is an already-swapped bucket of an interrupted commit (or
+    * a legitimately emptied one): left alone — replaying the batch
+    * recommits the correct state and clears it.
+    */
+  def healInterrupted(spark: SparkSession, root: String): Boolean = {
+    val rootPath = new Path(root)
+    val f = fsOf(spark, rootPath)
+    val backupRoot = new Path(root + ".__old__")
+    if (f.exists(backupRoot)) {
+      bucketDirs(spark, backupRoot).foreach { st =>
+        val dest = new Path(rootPath, st.getPath.getName)
+        if (!f.exists(dest)) {
+          if (!f.exists(rootPath)) f.mkdirs(rootPath)
+          require(f.rename(st.getPath, dest),
+            s"could not restore $dest from interrupted-commit backup")
+        }
+      }
+    }
+    bucketDirs(spark, rootPath).nonEmpty
+  }
+
+  /** Healed read of the whole table; the result carries [[BucketCol]]
+    * as its last column. Callers wanting a batch-relevant slice filter
+    * on [[BucketCol]] — Spark prunes the untouched partition
+    * directories at planning time.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    healInterrupted(spark, root)
+    spark.read.parquet(root)
+  }
+
+  /** Commit `df` (which must carry [[BucketCol]] and contain only rows
+    * of `touched` buckets) into the table at `root`, staging and
+    * swapping ONLY the touched bucket directories. A touched bucket
+    * with no staged rows (every row dropped) has its directory parked
+    * and not replaced — the delete case. Returns the committed row
+    * count over the touched buckets, read-back verified like
+    * [[CommitSink.writeVerified]].
+    */
+  def commitPartitions(
+      spark: SparkSession, df: DataFrame, root: String,
+      touched: Seq[Int]): Long = {
+    require(df.columns.contains(BucketCol), s"df must carry $BucketCol")
+    val staging = root + ".__staging__"
+    val obs = new org.apache.spark.sql.Observation("pc_commit_rows")
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+    val expected = obs.get("rows").asInstanceOf[Long]
+    val stagingPath = new Path(staging)
+    val f = fsOf(spark, stagingPath)
+    val stagedDirs = bucketDirs(spark, stagingPath).map(_.getPath.getName).toSet
+    val actual =
+      if (stagedDirs.isEmpty) 0L else spark.read.parquet(staging).count()
+    if (actual != expected)
+      throw CommitSink.CommitVerificationFailed(root, expected, actual)
+
+    val rootPath = new Path(root)
+    val backupRoot = new Path(root + ".__old__")
+    // a backup root surviving a COMPLETED commit cannot exist (deleted
+    // below); one found here belongs to an interrupted commit whose
+    // replay this is — heal restored what it needed, clear the rest
+    if (f.exists(backupRoot)) f.delete(backupRoot, true)
+    f.mkdirs(backupRoot)
+    if (!f.exists(rootPath)) f.mkdirs(rootPath)
+    touched.foreach { b =>
+      val name = s"$BucketCol=$b"
+      val destDir = new Path(rootPath, name)
+      val stagedDir = new Path(stagingPath, name)
+      // park the old bucket first (dest left briefly absent, backup
+      // recoverable — the CommitSink swap contract, per bucket)
+      if (f.exists(destDir))
+        require(f.rename(destDir, new Path(backupRoot, name)),
+          s"could not stage out old $destDir")
+      if (stagedDirs.contains(name))
+        require(f.rename(stagedDir, destDir),
+          s"could not commit $stagedDir -> $destDir")
+    }
+    f.delete(backupRoot, true)
+    f.delete(stagingPath, true)
+    // A commit that empties the table (every staged bucket empty, all
+    // standing dirs parked) must leave it READABLE: zero bucket dirs
+    // would make the next spark.read fail schema inference, where the
+    // unpartitioned layout serves an empty-but-schema-bearing parquet.
+    // Write one empty marker bucket carrying the data schema — zero
+    // rows, swapped away by whichever later commit touches it.
+    if (bucketDirs(spark, rootPath).isEmpty)
+      df.drop(BucketCol).limit(0).write.mode("overwrite")
+        .parquet(new Path(rootPath,
+          s"$BucketCol=${touched.headOption.getOrElse(0)}").toString)
+    actual
+  }
+
+  /** Total standing rows of the table — parquet footer counts over a
+    * column-free scan, no data pages read. Per-batch report parity
+    * with the unpartitioned path's committed-count; skip it in a
+    * latency-critical ingest loop if the report total is not needed.
+    */
+  def standingCount(spark: SparkSession, root: String): Long =
+    if (!healInterrupted(spark, root)) 0L
+    else spark.read.parquet(root).count()
+}

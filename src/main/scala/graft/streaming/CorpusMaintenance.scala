@@ -13,14 +13,15 @@ import org.apache.spark.sql.DataFrame
   * backup-rename commit — so a crash mid-maintenance never destroys
   * the only copy of the corpus.
   *
-  * Scale note: against plain parquet the merged corpus is rewritten
-  * per commit — the honest contract without a transactional table
-  * layer. At 100 TB you keep the same upsert semantics but bound the
-  * rewrite: partition the corpus by a stable key hash and rewrite
-  * only the partitions containing batch keys (the anti-join below
-  * already isolates them), or swap the physical layer for an ACID
-  * table format. The batch side (small) broadcasts into the anti-join
-  * either way, so the merge itself never shuffles the corpus.
+  * Scale note: the default (unpartitioned) layout rewrites the merged
+  * corpus per commit — honest, but O(corpus) per batch. The
+  * partitioned mode (`numBuckets = Some(n)`) is the 100 TB contract:
+  * the corpus is hive-partitioned by a stable key-hash bucket and
+  * each commit stages + swaps only the buckets holding batch keys —
+  * O(batch) write cost ([[graft.operators.PartitionedCommit]];
+  * partitioned ≡ full-rewrite results is spec-proved). The batch side
+  * (small) broadcasts into the anti-join either way, so the merge
+  * itself never shuffles the corpus.
   */
 object CorpusMaintenance {
 
@@ -50,26 +51,61 @@ object CorpusMaintenance {
       .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
   }
 
-  def upsertBatch(batch: DataFrame, corpusPath: String, keyCol: String): Long = {
+  def upsertBatch(
+      batch: DataFrame, corpusPath: String, keyCol: String,
+      numBuckets: Option[Int] = None): Long = numBuckets match {
+    case Some(n) => upsertBatchPartitioned(batch, corpusPath, keyCol, n)
+    case None =>
+      val spark = batch.sparkSession
+      val deduped = dedupBatch(batch, keyCol)
+      // Crash recovery: a destination absent because CommitSink's swap
+      // died mid-rename must be restored from `.__old__` before merging —
+      // treating it as "no corpus" would let the replayed batch REPLACE
+      // the corpus with itself (and the commit's first act would delete
+      // the only complete copy).
+      val merged =
+        if (!graft.operators.CommitSink.healInterrupted(spark, corpusPath)) deduped
+        else {
+          val existing = spark.read.parquet(corpusPath)
+          // stored rows keep only keys the batch does not replace; the
+          // batch side is micro-batch-sized → broadcast anti-join, the
+          // corpus never shuffles
+          existing
+            .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
+            .unionByName(deduped)
+        }
+      graft.operators.CommitSink.writeVerified(spark, merged, corpusPath)
+  }
+
+  /** Partition-grain upsert — same merge semantics as the full-rewrite
+    * path (spec-proved equal), but the corpus is hive-partitioned by
+    * `pmod(xxhash64(key), n)` and the commit stages + swaps ONLY the
+    * buckets holding batch keys: per-batch write cost is O(batch), not
+    * O(corpus), the 100 TB contract. The standing read of the touched
+    * slice prunes at planning time; untouched bucket directories are
+    * never listed by the swap, rewritten, or renamed. Returns the
+    * total standing corpus rows (footer counts, no data pages) for
+    * report parity with the full-rewrite path.
+    */
+  def upsertBatchPartitioned(
+      batch: DataFrame, corpusPath: String, keyCol: String,
+      numBuckets: Int): Long = {
+    import graft.operators.PartitionedCommit
     val spark = batch.sparkSession
+    val B = PartitionedCommit.BucketCol
     val deduped = dedupBatch(batch, keyCol)
-    // Crash recovery: a destination absent because CommitSink's swap
-    // died mid-rename must be restored from `.__old__` before merging —
-    // treating it as "no corpus" would let the replayed batch REPLACE
-    // the corpus with itself (and the commit's first act would delete
-    // the only complete copy).
+      .withColumn(B, PartitionedCommit.bucketOf(col(keyCol), numBuckets))
+    // ≤ numBuckets rows — driver-safe by construction
+    val touched = deduped.select(col(B)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
     val merged =
-      if (!graft.operators.CommitSink.healInterrupted(spark, corpusPath)) deduped
-      else {
-        val existing = spark.read.parquet(corpusPath)
-        // stored rows keep only keys the batch does not replace; the
-        // batch side is micro-batch-sized → broadcast anti-join, the
-        // corpus never shuffles
-        existing
-          .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
-          .unionByName(deduped)
-      }
-    graft.operators.CommitSink.writeVerified(spark, merged, corpusPath)
+      if (!PartitionedCommit.healInterrupted(spark, corpusPath)) deduped
+      else PartitionedCommit.read(spark, corpusPath)
+        .filter(col(B).isin(touched: _*)) // planning-time partition pruning
+        .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .unionByName(deduped)
+    PartitionedCommit.commitPartitions(spark, merged, corpusPath, touched)
+    PartitionedCommit.standingCount(spark, corpusPath)
   }
 
   /** Continuous maintenance: every micro-batch of `docs` (a streaming
@@ -82,12 +118,13 @@ object CorpusMaintenance {
       docs: DataFrame,
       corpusPath: String,
       checkpoint: String,
-      keyCol: String = "doc_id"): StreamingQuery =
+      keyCol: String = "doc_id",
+      numBuckets: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, corpusPath, keyCol)
+        upsertBatch(batch, corpusPath, keyCol, numBuckets)
         ()
       }
       .start()

@@ -38,10 +38,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape: the batch side of every join is micro-batch-sized and
   * broadcasts (anti-joins for the drops, the delta side of the mine) —
-  * the standing corpus and index never shuffle; per-commit rewrite
-  * cost is the same honest plain-parquet contract as
-  * [[CorpusMaintenance]] (bound it by partitioning or an ACID table
-  * layer at 100 TB).
+  * the standing corpus and index never shuffle. With `numBuckets =
+  * Some(n)` the stored trio is hive-partitioned by a stable key-hash
+  * bucket and each commit rewrites ONLY the buckets the batch touches
+  * ([[graft.operators.PartitionedCommit]]) — per-batch write cost
+  * O(batch), the 100 TB contract; the default unpartitioned layout
+  * keeps the original whole-artifact rewrite.
   */
 object DocumentPipeline {
 
@@ -64,22 +66,42 @@ object DocumentPipeline {
     * the shingle index at `shinglesPath` (`doc_id, s: array<long>`),
     * and the scored candidates at `candidatesPath` (the
     * `pair_candidates` schema, containment ≥ `floor`).
+    *
+    * `numBuckets = Some(n)` selects the partition-grain layout
+    * ([[graft.operators.PartitionedCommit]]): corpus and shingle index
+    * bucket by `doc_id`, candidates by `doc_a`, and each commit
+    * rewrites ONLY the buckets the batch touches — for candidates,
+    * the buckets holding dropped (victim) pairs, found by a
+    * column-pruned scan of `(doc_a, doc_b)`, plus the buckets of the
+    * newly mined pairs. Corpus-wide READS (the mine's standing index
+    * side) still scan everything; WRITES are O(batch) — the 100 TB
+    * contract. The layout is chosen at table creation and must stay
+    * consistent across calls.
     */
   def upsertBatch(
       batch: DataFrame,
       corpusPath: String,
       shinglesPath: String,
       candidatesPath: String,
-      floor: Double = graft.queries.DedupQueries.CandidateFloor): BatchReport = {
+      floor: Double = graft.queries.DedupQueries.CandidateFloor,
+      numBuckets: Option[Int] = None): BatchReport = {
     val spark = batch.sparkSession
-    // Healed existence, not bare fs.exists(): a crash inside
-    // CommitSink's swap leaves a path absent with the only copy at
-    // `.__old__`. Bare exists() here would silently drop ALL standing
-    // candidates (and make the mine delta-only, permanently losing
-    // delta-vs-standing pairs) on the very replay that is supposed to
-    // heal the crash.
-    def exists(p: String): Boolean =
-      graft.operators.CommitSink.healInterrupted(spark, p)
+    val B = graft.operators.PartitionedCommit.BucketCol
+    // Healed standing read, not bare fs.exists(): a crash inside a
+    // commit's swap leaves a path (or one bucket of it) absent with
+    // the only copy at `.__old__`. A bare exists() gate would read
+    // that as "no standing state" — all standing candidates dropped,
+    // the mine delta-only — on the very replay that is supposed to
+    // heal the crash. Partitioned frames keep their bucket column;
+    // `.drop(B)` is a no-op on the unpartitioned layout.
+    def standing(p: String): Option[DataFrame] = numBuckets match {
+      case Some(_) =>
+        if (!graft.operators.PartitionedCommit.healInterrupted(spark, p)) None
+        else Some(graft.operators.PartitionedCommit.read(spark, p))
+      case None =>
+        if (!graft.operators.CommitSink.healInterrupted(spark, p)) None
+        else Some(spark.read.parquet(p))
+    }
 
     val deduped = CorpusMaintenance.dedupBatch(
       batch.filter(col("doc_id").isNotNull && col("text").isNotNull), "doc_id")
@@ -98,16 +120,8 @@ object DocumentPipeline {
 
       // standing state minus everything the batch replaces; the batch
       // side broadcasts, the standing side never shuffles
-      val standingSh =
-        if (!exists(shinglesPath)) None
-        else Some(spark.read.parquet(shinglesPath)
-          .join(broadcast(batchIds), Seq("doc_id"), "left_anti"))
-      val keptCands =
-        if (!exists(candidatesPath)) None
-        else Some(spark.read.parquet(candidatesPath)
-          .join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
-          .join(broadcast(batchIds.toDF("doc_b")), Seq("doc_b"), "left_anti")
-          .select(CandSchema.map(col): _*))
+      val standingSh = standing(shinglesPath).map(_.drop(B)
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti"))
 
       val mined = standingSh match {
         case Some(sh) => graft.operators.IncrementalDedup
@@ -115,26 +129,81 @@ object DocumentPipeline {
         case None => graft.queries.DedupQueries
           .candidatesFromShingles(deltaSh, floor = floor)
       }
-      val newCands = mined.select(CandSchema.map(col): _*)
+      // persisted: the mine is the expensive step and is consumed up
+      // to three times (touched-bucket probe, commit, report count) —
+      // and its plan reads the PRE-batch shingle index from disk, so
+      // it must fully materialize before that index is rewritten
+      val newCands = mined.select(CandSchema.map(col): _*).persist()
+      try {
+        val replaced = standing(corpusPath) match {
+          case None => 0L
+          case Some(c) =>
+            val slice = numBuckets match {
+              // batch ids can only live in their own buckets — prune
+              case Some(n) => c.filter(col(B).isin(
+                scrubbed.select(graft.operators.PartitionedCommit
+                  .bucketOf(col("doc_id"), n)).distinct()
+                  .collect().map(_.getInt(0)).toSeq: _*))
+              case None => c
+            }
+            slice.join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
+        }
 
-      val replaced =
-        if (!exists(corpusPath)) 0L
-        else spark.read.parquet(corpusPath)
-          .join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
-
-      // candidates first: the mine's plan reads the PRE-batch shingle
-      // index from disk, so it must execute before that index is
-      // rewritten below
-      val candidateRows = graft.operators.CommitSink.writeVerified(
-        spark, keptCands.fold(newCands)(_.unionByName(newCands)),
-        candidatesPath)
-      val newCandidates = newCands.count()
-      val shingleRows = CorpusMaintenance.upsertBatch(
-        deltaSh, shinglesPath, "doc_id")
-      val corpusRows = CorpusMaintenance.upsertBatch(
-        scrubbed, corpusPath, "doc_id")
-      BatchReport(
-        corpusRows, shingleRows, candidateRows, newCandidates, replaced)
+        // candidates first: the standing shingle index must still
+        // describe the pre-batch corpus while the mine executes
+        val candidateRows = numBuckets match {
+          case None =>
+            val keptCands = standing(candidatesPath).map(
+              _.join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
+                .join(broadcast(batchIds.toDF("doc_b")), Seq("doc_b"), "left_anti")
+                .select(CandSchema.map(col): _*))
+            graft.operators.CommitSink.writeVerified(
+              spark, keptCands.fold(newCands)(_.unionByName(newCands)),
+              candidatesPath)
+          case Some(n) =>
+            val newB = newCands.withColumn(B,
+              graft.operators.PartitionedCommit.bucketOf(col("doc_a"), n))
+            val standingC = standing(candidatesPath)
+            // victim pairs (touching a batch id on EITHER side) may
+            // live in any bucket: find their buckets with a
+            // column-pruned probe — only (doc_a|doc_b, __bucket) leave
+            // the files, and the probe rewrites nothing
+            val victimBuckets = standingC.toSeq.flatMap { st =>
+              st.select(col("doc_a"), col(B))
+                .join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_semi")
+                .select(col(B))
+                .union(st.select(col("doc_b"), col(B))
+                  .join(broadcast(batchIds.toDF("doc_b")), Seq("doc_b"), "left_semi")
+                  .select(col(B)))
+                .distinct().collect().map(_.getInt(0)).toSeq
+            }
+            val newBuckets = newB.select(col(B)).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val touched = (victimBuckets ++ newBuckets).distinct.sorted
+            val merged = standingC match {
+              case None => newB
+              case Some(st) => st
+                .filter(col(B).isin(touched: _*)) // planning-time pruning
+                .join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
+                .join(broadcast(batchIds.toDF("doc_b")), Seq("doc_b"), "left_anti")
+                .select(CandSchema.map(col) :+ col(B): _*)
+                .unionByName(newB)
+            }
+            graft.operators.PartitionedCommit.commitPartitions(
+              spark, merged, candidatesPath, touched)
+            graft.operators.PartitionedCommit.standingCount(spark, candidatesPath)
+        }
+        val newCandidates = newCands.count()
+        val shingleRows = CorpusMaintenance.upsertBatch(
+          deltaSh, shinglesPath, "doc_id", numBuckets)
+        val corpusRows = CorpusMaintenance.upsertBatch(
+          scrubbed, corpusPath, "doc_id", numBuckets)
+        BatchReport(
+          corpusRows, shingleRows, candidateRows, newCandidates, replaced)
+      } finally {
+        newCands.unpersist()
+        ()
+      }
     } finally {
       scrubbed.unpersist()
       ()
@@ -154,13 +223,14 @@ object DocumentPipeline {
       candidatesPath: String,
       checkpoint: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
+      numBuckets: Option[Int] = None,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
-          batch, corpusPath, shinglesPath, candidatesPath, floor))
+          batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets))
         ()
       }
       .start()

@@ -55,7 +55,8 @@ object VectorIndexMaintenance {
       assignedPath: String,
       cents: Array[Array[Double]],
       driftThreshold: Double =
-        graft.operators.IncrementalVectors.DefaultDriftThreshold): BatchReport = {
+        graft.operators.IncrementalVectors.DefaultDriftThreshold,
+      numBuckets: Option[Int] = None): BatchReport = {
     val spark = batch.sparkSession
     // dedup BEFORE measuring anything: the report must describe the
     // state the commit produces, not raw at-least-once duplicates
@@ -74,16 +75,23 @@ object VectorIndexMaintenance {
       // drift vs the assignment as it stood BEFORE this delivery (an
       // absent table = first delivery = nothing to drift from); healed
       // existence so a mid-commit crash doesn't read as first delivery
+      val hasStanding = numBuckets match {
+        case Some(_) => graft.operators.PartitionedCommit
+          .healInterrupted(spark, assignedPath)
+        case None => graft.operators.CommitSink
+          .healInterrupted(spark, assignedPath)
+      }
       val drift =
-        if (!graft.operators.CommitSink.healInterrupted(spark, assignedPath)) 0.0
+        if (!hasStanding) 0.0
         else graft.operators.IncrementalVectors.balanceDrift(
-          spark.read.parquet(assignedPath), assignedDelta)
+          spark.read.parquet(assignedPath)
+            .drop(graft.operators.PartitionedCommit.BucketCol), assignedDelta)
       val corpusRows = CorpusMaintenance.upsertBatch(
         assignedDelta.select(col("vec_id"), col("embedding")),
-        corpusPath, "vec_id")
+        corpusPath, "vec_id", numBuckets)
       val assignedRows = CorpusMaintenance.upsertBatch(
         assignedDelta.select(col("vec_id"), col("cids")),
-        assignedPath, "vec_id")
+        assignedPath, "vec_id", numBuckets)
       BatchReport(corpusRows, assignedRows, drift, drift > driftThreshold)
     } finally {
       assignedDelta.unpersist()
@@ -106,13 +114,14 @@ object VectorIndexMaintenance {
       checkpoint: String,
       driftThreshold: Double =
         graft.operators.IncrementalVectors.DefaultDriftThreshold,
+      numBuckets: Option[Int] = None,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
-          batch, corpusPath, assignedPath, cents, driftThreshold))
+          batch, corpusPath, assignedPath, cents, driftThreshold, numBuckets))
         ()
       }
       .start()

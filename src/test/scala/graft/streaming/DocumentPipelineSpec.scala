@@ -145,6 +145,64 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(fromCorpus == storedSh)
   }
 
+  test("partitioned trio: converges, update drops cross-bucket pairs, replay idempotent") {
+    val p = Paths(tmp("docpipe-part"))
+    val nb = Some(8)
+    val r1 = DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "totally unrelated content here six seven")),
+      p.corpus, p.shingles, p.cands, numBuckets = nb)
+    assert(r1.corpusRows == 2 && r1.replacedDocs == 0)
+    val r2 = DocumentPipeline.upsertBatch(
+      docs((3L, s"$base a3"), (4L, "another fresh island of text nine ten")),
+      p.corpus, p.shingles, p.cands, numBuckets = nb)
+    assert(r2.corpusRows == 4 && r2.newCandidates >= 1)
+    val stored = candSet(spark.read.parquet(p.cands))
+    assert(stored == rebuilt(p),
+      "partitioned maintained candidates != one-pass rebuild")
+    assert(stored.exists { case (a, b, _, j, _) => a == 1L && b == 3L && j >= 0.5 })
+
+    // update: doc 3 rewritten to something unrelated — the (1,3)
+    // victim pair lives in bucket(doc_a=1), NOT in doc 3's bucket, so
+    // this exercises the cross-bucket victim probe
+    val r3 = DocumentPipeline.upsertBatch(
+      docs((3L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands, numBuckets = nb)
+    assert(r3.replacedDocs == 1 && r3.corpusRows == 4)
+    val afterUpd = candSet(spark.read.parquet(p.cands))
+    assert(!afterUpd.exists { case (a, b, _, _, _) => a == 1L && b == 3L },
+      s"stale cross-bucket pair survived the partitioned update: $afterUpd")
+    assert(afterUpd == rebuilt(p))
+
+    // replay recommits identical state
+    def snap() = (
+      spark.read.parquet(p.corpus).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(p.shingles).select("doc_id", "s")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)))
+    val before = snap()
+    DocumentPipeline.upsertBatch(
+      docs((3L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands, numBuckets = nb)
+    assert(snap() == before, "partitioned replay changed stored state")
+  }
+
+  test("streaming maintain on the partitioned layout") {
+    implicit val sq = spark.sqlContext
+    val p = Paths(tmp("docpipe-stream-part"))
+    val in = MemoryStream[(Long, String)]
+    val q = DocumentPipeline.maintain(
+      in.toDF().toDF("doc_id", "text"), p.corpus, p.shingles, p.cands,
+      tmp("docpipe-ckpt-part"), numBuckets = Some(4))
+    in.addData((1L, s"$base a1"), (2L, "unrelated content one two three"))
+    q.processAllAvailable()
+    in.addData((3L, s"$base a3"))
+    q.processAllAvailable()
+    q.stop()
+    assert(candSet(spark.read.parquet(p.cands)) == rebuilt(p))
+    assert(spark.read.parquet(p.corpus).count() == 3)
+  }
+
   test("streaming maintain: two micro-batches, reports, stored trio") {
     implicit val sq = spark.sqlContext
     val p = Paths(tmp("docpipe-stream"))

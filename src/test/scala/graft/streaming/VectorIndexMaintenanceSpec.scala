@@ -61,6 +61,32 @@ class VectorIndexMaintenanceSpec extends SparkTestBase {
     assert(!reports(1).refitNeeded, s"balanced delivery drifted: ${reports(1)}")
   }
 
+  test("partitioned layout: lockstep upsert, maintained == rebuild, drift measured") {
+    val root = tmp("vmaint-part")
+    val corpus = root + "/vectors"
+    val assigned = root + "/ivf_assigned"
+    val nb = Some(4)
+    val B = graft.operators.PartitionedCommit.BucketCol
+    val r1 = VectorIndexMaintenance.upsertBatch(
+      Seq(xVec(1), yVec(2), xVec(3), yVec(4)).toDF("vec_id", "embedding"),
+      corpus, assigned, cents, numBuckets = nb)
+    assert(r1.corpusRows == 4 && r1.drift == 0.0)
+    // update (id 2 re-delivered) + insert, balanced against standing
+    val r2 = VectorIndexMaintenance.upsertBatch(
+      Seq(yVec(2), xVec(5)).toDF("vec_id", "embedding"),
+      corpus, assigned, cents, numBuckets = nb)
+    assert(r2.corpusRows == 5 && !r2.refitNeeded, s"$r2")
+    val storedCorpus = spark.read.parquet(corpus).drop(B)
+    val rebuild = graft.operators.IncrementalVectors
+      .assignDelta(storedCorpus, cents)
+      .select(col("vec_id"), col("cids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val maintained = spark.read.parquet(assigned)
+      .select(col("vec_id"), col("cids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    assert(maintained == rebuild)
+  }
+
   test("a delivery piling into one list raises the refit flag without blocking the upsert") {
     val root = tmp("vmaint2")
     val corpus = root + "/vectors"
