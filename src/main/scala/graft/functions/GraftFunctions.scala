@@ -36,6 +36,7 @@ object GraftFunctions {
       "dot_product" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
       "vec_norm" -> ((es: Seq[Expression]) => VecNorm(es(0))),
       "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+      "phash64" -> ((es: Seq[Expression]) => PHash64(es(0))),
       "minhash_sig32" -> ((es: Seq[Expression]) => MinHashSignature(es(0), 32)),
       "lsh_bucket8" -> ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanes)))
     base ++ (0 until LshTables).map(t =>
@@ -58,6 +59,9 @@ object GraftFunctions {
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** 64-bit DCT perceptual hash of a binary media payload. */
+  def phash64(content: Column): Column = call_function("phash64", content)
 
   /** 32-hash MinHash signature of a shingle array. */
   def minhashSig(shingles: Column): Column = call_function("minhash_sig32", shingles)

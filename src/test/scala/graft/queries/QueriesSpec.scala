@@ -312,6 +312,35 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q73 phash: block mining ≡ brute force, recall vs exact Jaccard pairs") {
+    import org.apache.spark.sql.functions._
+    val ph = SparkEntry.queries("q73_image_phash_dedup")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // completeness of the 4×16-bit block index: within Hamming ≤ 3
+    // the pigeonhole guarantee is EXACT, so q73 must equal the
+    // brute-force all-pairs filter (same signatures, same threshold)
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = graft.sources.Tables(spark, sf(), "documents").select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.phash64(
+        lower(col("text")).cast("binary")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hd"))
+      .filter(col("hd") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(ph == brute, "block mining must equal brute-force hamming<=3")
+    assert(ph.nonEmpty, "fixture near-dups should surface")
+    // the 4-gram fallback signature recalls most true near-dup pairs
+    // (exact-Jaccard q25 pairs); measured 0.75–0.76, gate at 0.6
+    val jac = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = jac.count(ph.contains).toDouble / jac.size
+    assert(recall >= 0.6, s"pHash near-dup recall too low: $recall")
+  }
+
   test("q71 int8 quantization: per-vector fidelity and top-5 recall vs q23") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
