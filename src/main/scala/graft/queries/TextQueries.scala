@@ -31,6 +31,34 @@ object TextQueries {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
+  /** Session flag: re-base token masses on the corpus-learned BPE
+    * tokenizer ([[graft.functions.BpeVocab]]) instead of whitespace
+    * splitting. DEFAULT OFF so the whitespace-token oracles stay
+    * hash-exact; a training pipeline that wants subword-real token
+    * masses flips it per session. Affects q32's approximate count,
+    * q69's mixing masses, and q72's chunk grain.
+    */
+  private[graft] val BpeFlag = "spark.graft.tokens.bpe"
+
+  private def bpeOn(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get(BpeFlag, "false").toBoolean
+
+  /** Token mass of a text column under the session's tokenizer. */
+  private def tokenMass(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (bpeOn(s))
+      graft.functions.BpeVocab.tokenCount(c, graft.functions.BpeVocab.merges(s, d))
+    else size(filter(split(c, " "), tk => length(tk) > 0)).cast("long")
+
+  /** Token array of a text column under the session's tokenizer. */
+  private def tokenArray(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (bpeOn(s))
+      graft.functions.BpeVocab.tokens(c, graft.functions.BpeVocab.merges(s, d))
+    else filter(split(c, " "), tk => length(tk) > 0)
+
   /** Shared per-document quality base (doc_id, n_ch, n_tokens,
     * avg_token_len, long_frac, score): the one corpus text pass behind
     * the quality family — q31 projects it, q65 filters it. Materialized
@@ -212,17 +240,24 @@ object TextQueries {
              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // ── q32: token counting (north star) — whitespace tokens + a
-    // BPE-ish regex token count, aggregated per source.
+    // subword token count, aggregated per source. The subword count is
+    // the oracle-checkable regex approximation by default and the
+    // corpus-learned REAL BPE under [[BpeFlag]] (q74 exposes the BPE
+    // numbers unconditionally).
     QueryDef(
       "q32_token_count",
       (s, d) => {
+        val subword =
+          if (bpeOn(s))
+            graft.functions.BpeVocab.tokenCount(
+              col("text"), graft.functions.BpeVocab.merges(s, d))
+          else size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
         t(s, d, "documents")
           .withColumn("ws_tokens",
             size(filter(split(col("text"), " "), tk => length(tk) > 0))
               .cast("long"))
-          .withColumn("re_tokens",
-            size(regexp_extract_all(col("text"),
-              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+          .withColumn("re_tokens", subword)
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -554,8 +589,7 @@ object TextQueries {
       (s, d) => {
         val tok = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            size(filter(split(col("text"), " "), tk => length(tk) > 0))
-              .cast("long").as("n_tok"))
+            tokenMass(s, d, col("text")).as("n_tok"))
         val st = tok.groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("n_tok")).cast("long").as("src_tokens"))
@@ -624,8 +658,7 @@ object TextQueries {
         val W = 32
         val S = 24
         t(s, d, "documents")
-          .withColumn("tk",
-            filter(split(col("text"), " "), tk => length(tk) > 0))
+          .withColumn("tk", tokenArray(s, d, col("text")))
           .withColumn("n", size(col("tk")))
           .filter(col("n") > 0)
           .withColumn("last_idx",
@@ -649,6 +682,39 @@ object TextQueries {
              |    AS r(i))
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
              |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ── q74: REAL BPE token mass per source (north star "token
+    // counting" — replaces the q32 regex approximation with learned
+    // byte-pair merges). The vocabulary trains once on the bounded
+    // top-2048 word-frequency aggregate (driver-side, like the k-means
+    // quantizer); the corpus-wide count is a pure map-side expression
+    // with the merge table broadcast in the plan — one scan, one
+    // shuffle of |sources| partial aggregates. No oracle: DuckDB has
+    // no BPE (rows-only driver check; determinism, round-trip and
+    // compression gated in BpeTokenizerSpec). `subword_per_word` > 1
+    // by construction — each word is at least one token — and tracks
+    // how aggressively the learned merges compress the corpus.
+    QueryDef(
+      "q74_bpe_token_count",
+      (s, d) => {
+        val merges = graft.functions.BpeVocab.merges(s, d)
+        t(s, d, "documents")
+          .select(col("source"),
+            size(filter(split(col("text"), " "), tk => length(tk) > 0))
+              .cast("long").as("ws_tokens"),
+            graft.functions.BpeVocab.tokenCount(col("text"), merges)
+              .as("bpe_tokens"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).cast("long").as("sum_ws_tokens"),
+            sum(col("bpe_tokens")).cast("long").as("sum_bpe_tokens"))
+          .withColumn("subword_per_word",
+            col("sum_bpe_tokens").cast("double") /
+              col("sum_ws_tokens").cast("double"))
+          .orderBy(col("source"))
+      },
+      None)
   )
 }
