@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pure-SQL entry point: one call makes a session SQL-ready against a
+  * corpus directory — every fixture table registered as a temp view
+  * and every graft native expression registered in the function
+  * registry — so `spark.sql("SELECT simhash64(split(text, ' ')) FROM
+  * documents")` works with no Column-API code at all.
+  *
+  * This is the runtime twin of [[graft.plans.GraftExtensions]] (which
+  * injects the same functions at session BUILD time via
+  * `spark.sql.extensions`): extensions cover deployments that own the
+  * session builder; `GraftSql.open` covers notebook/REPL sessions that
+  * already exist. Views are session-scoped temp views — no catalog
+  * writes, safe on a shared metastore.
+  *
+  * The expressions with plan-time data (learned centroids, BPE merge
+  * tables) cannot be name-registered — their SQL face is the view the
+  * Column API materializes, not a function call.
+  */
+object GraftSql {
+
+  /** Register all corpus tables under `sfDir` as temp views plus the
+    * graft native functions. Idempotent; re-opening against a new dir
+    * re-points the views.
+    */
+  def open(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Tables.names.foreach { n =>
+      graft.sources.Tables(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+  }
+
+  /** Convenience: open + run one statement. */
+  def sql(spark: SparkSession, sfDir: String, statement: String): DataFrame = {
+    open(spark, sfDir)
+    spark.sql(statement)
+  }
+}

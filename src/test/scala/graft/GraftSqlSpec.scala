@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL face: views + native functions reachable from SQL
+  * strings, agreeing with the Column-API formulations.
+  */
+class GraftSqlSpec extends SparkTestBase {
+
+  test("open registers every corpus table as a queryable view") {
+    GraftSql.open(spark, sf())
+    graft.sources.Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").count() == 1, n)
+    }
+  }
+
+  test("a SQL-only analytics statement matches the Column-API result") {
+    val viaSql = GraftSql.sql(spark, sf(),
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().toSeq
+    val viaApi = graft.sources.Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+      .collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("native expressions are callable from SQL and agree with the Column API") {
+    GraftSql.open(spark, sf())
+    // text sketches over documents
+    val sqlSigs = spark.sql(
+      """SELECT doc_id, simhash64(split(text, ' ')) AS sh,
+        |  phash64(CAST(lower(text) AS BINARY)) AS ph,
+        |  minhash_sig32(split(text, ' '))[0] AS mh0
+        |FROM documents ORDER BY doc_id LIMIT 20""".stripMargin).collect()
+    val apiSigs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(split(col("text"), " ")).as("sh"),
+        graft.functions.GraftFunctions.phash64(
+          lower(col("text")).cast("binary")).as("ph"),
+        graft.functions.GraftFunctions.minhashSig(split(col("text"), " "))(0)
+          .as("mh0"))
+      .orderBy(col("doc_id")).limit(20).collect()
+    assert(sqlSigs.toSeq == apiSigs.toSeq)
+    // vector functions over embeddings: cosine of each vector with
+    // itself is 1 (up to float error)
+    val cos = spark.sql(
+      """SELECT max(abs(cosine_sim(embedding, embedding) - 1.0)) AS err
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin)
+      .head().getDouble(0)
+    assert(cos < 1e-6)
+  }
+}
