@@ -42,9 +42,7 @@ object Bpe {
     // each distinct word as its symbol sequence (chars + end marker)
     var words: Array[(Array[String], Long)] = wordFreqs.iterator
       .filter(_._1.nonEmpty)
-      .map { case (w, f) =>
-        (w.map(_.toString).toArray :+ EndOfWord, f)
-      }.toArray
+      .map { case (w, f) => (symbolsOf(w), f) }.toArray
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -74,6 +72,24 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Initial symbol sequence of a word: one symbol per Unicode CODE
+    * POINT (not UTF-16 code unit — splitting a surrogate pair would
+    * make unpaired-surrogate symbols that re-encode as replacement
+    * bytes, breaking the round-trip law on emoji/supplementary-plane
+    * text) plus the end marker.
+    */
+  private def symbolsOf(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
   }
 
   /** Replace every adjacent occurrence of `pair` left-to-right. */
@@ -115,7 +131,7 @@ object Bpe {
       word: String,
       rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var syms: Array[String] = symbolsOf(word)
     var continue = true
     while (continue && syms.length > 1) {
       var best: (String, String) = null
@@ -168,18 +184,32 @@ object BpeVocab {
     val budget =
       try spark.conf.get(MergeBudgetConf, DefaultMerges.toString).toInt
       catch { case _: NumberFormatException => DefaultMerges }
-    cache.computeIfAbsent((dir, stamp, budget), { _ =>
-      import org.apache.spark.sql.functions._
-      val wf = graft.sources.Tables(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .orderBy(col("f").desc, col("w"))
-        .limit(VocabWords)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-      Bpe.train(wf, budget).toArray
-    })
+    val key = (dir, stamp, budget)
+    // train OUTSIDE any map lock: computeIfAbsent would hold the bin
+    // lock across the word-frequency Spark job, blocking a concurrent
+    // session whose key hashes to the same bin (the overPairLimit
+    // lesson). A lost race retrains redundantly — deterministic, so
+    // both winners are identical.
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    import org.apache.spark.sql.functions._
+    val wf = graft.sources.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(VocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val trained = Bpe.train(wf, budget).toArray
+    // retire other stamps of the same (dir, budget): a long-lived
+    // service rewriting its corpus must not accumulate stale tables
+    cache.keySet.removeIf(k => k._1 == dir && k._3 == budget && k._2 != stamp)
+    val winner = cache.putIfAbsent(key, trained)
+    // return a local reference, never a map re-read: a concurrent
+    // caller's removeIf (older stamp in hand) may delete this entry
+    // between put and get, and a null merge table NPEs in every task
+    if (winner != null) winner else trained
   }
 
   /** Token count of a text column under `merges` (map-side). */

@@ -58,6 +58,14 @@ object Multimodal {
     * else.
     */
   object Decoders {
+    // ImageIO's default stream cache is FILE-backed: every
+    // createImageInputStream/read spills the payload to a temp file
+    // before decoding — one disk write per ROW in a corpus-wide decode
+    // pass. Payloads here are already in-memory byte arrays, so use
+    // the memory cache. (JVM-global toggle; acceptable — any embedder
+    // decoding in-memory buffers wants the same.)
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Image dims: real `javax.imageio` header read when a JDK codec
       * recognizes the payload; deterministic fake ("header" = first 4
       * bytes) otherwise — so fixture text payloads keep their stable

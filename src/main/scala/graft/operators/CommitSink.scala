@@ -36,8 +36,11 @@ object CommitSink {
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(destPath)) {
       val backup = new Path(dest + ".__old__")
-      if (fs.exists(backup))
-        require(fs.rename(backup, destPath),
+      if (fs.exists(backup) && !fs.rename(backup, destPath))
+        // a failed rename is fine iff a CONCURRENT healer won the
+        // race (dest now present) — two readers healing the same
+        // crash must both proceed, not fail one spuriously
+        require(fs.exists(destPath),
           s"could not restore $dest from interrupted-commit backup")
     }
     fs.exists(destPath)

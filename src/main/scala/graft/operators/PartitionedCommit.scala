@@ -72,8 +72,10 @@ object PartitionedCommit {
         val dest = new Path(rootPath, st.getPath.getName)
         if (!f.exists(dest)) {
           if (!f.exists(rootPath)) f.mkdirs(rootPath)
-          require(f.rename(st.getPath, dest),
-            s"could not restore $dest from interrupted-commit backup")
+          if (!f.rename(st.getPath, dest))
+            // tolerate a concurrent healer winning the same bucket
+            require(f.exists(dest),
+              s"could not restore $dest from interrupted-commit backup")
         }
       }
     }
@@ -89,6 +91,16 @@ object PartitionedCommit {
     healInterrupted(spark, root)
     spark.read.parquet(root)
   }
+
+  /** Single-heal standing read: heal once, None when the table has no
+    * buckets. The per-batch form — `healInterrupted(p)` followed by
+    * `read(p)` would pay the backup-root probe and bucket listing
+    * twice per artifact per micro-batch (several redundant LIST
+    * round-trips on an object store).
+    */
+  def readIfAny(spark: SparkSession, root: String): Option[DataFrame] =
+    if (!healInterrupted(spark, root)) None
+    else Some(spark.read.parquet(root))
 
   /** Commit `df` (which must carry [[BucketCol]] and contain only rows
     * of `touched` buckets) into the table at `root`, staging and
@@ -110,6 +122,13 @@ object PartitionedCommit {
     val stagingPath = new Path(staging)
     val f = fsOf(spark, stagingPath)
     val stagedDirs = bucketDirs(spark, stagingPath).map(_.getPath.getName).toSet
+    // the swap loop only renames TOUCHED buckets in: a staged bucket
+    // outside `touched` (caller bucketed by a different column than it
+    // derived `touched` from) would pass the count verify and then be
+    // DELETED with staging — turn that silent loss into an error here
+    val undeclared = stagedDirs -- touched.map(b => s"$BucketCol=$b").toSet
+    require(undeclared.isEmpty,
+      s"staged buckets $undeclared not declared touched — rows would be dropped")
     val actual =
       if (stagedDirs.isEmpty) 0L else spark.read.parquet(staging).count()
     if (actual != expected)

@@ -190,6 +190,12 @@ object IndexStore {
     * `<root>/<corpusId>/…` with no `l` segment, so its
     * `<seg>-<16 hex>` directories would otherwise never match the
     * epoch pattern and leak one full index copy per corpus forever.
+    * The `<seg>-<16 hex>` NAME alone is not proof (hash-suffixed
+    * names are a common user convention — `backup-0123456789abcdef`
+    * must survive a store root shared with other artifacts), so a
+    * candidate is deleted only when its internal STRUCTURE matches
+    * the old store layout too: all children are directories and at
+    * least one contains a `v<stamp>-f<ver>` version directory.
     */
   private def retireStaleLayouts(s: SparkSession, current: Path): Unit = {
     val f = fs(s, current)
@@ -198,11 +204,27 @@ object IndexStore {
       f.listStatus(storeRoot).foreach { st =>
         val n = st.getPath.getName
         val staleEpoch = n.matches("l\\d+") && n != s"l$LayoutVersion"
-        val preEpochCorpus = n.matches(".+-[0-9a-f]{16}")
+        val preEpochCorpus =
+          n.matches(".+-[0-9a-f]{16}") && isOldLayoutCorpusTree(f, st.getPath)
         if (st.isDirectory && (staleEpoch || preEpochCorpus))
           f.delete(st.getPath, true)
       }
   }
+
+  /** Structural probe of the pre-epoch corpus layout
+    * `<corpusId>/<name>/v<stamp>-f<ver>`: every child an index-family
+    * directory, at least one holding a version directory. Any read
+    * surprise means "not ours" — never delete on doubt.
+    */
+  private def isOldLayoutCorpusTree(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    try {
+      val fams = f.listStatus(p)
+      fams.nonEmpty && fams.forall(_.isDirectory) && fams.exists { fam =>
+        f.listStatus(fam.getPath).exists(v =>
+          v.isDirectory && v.getPath.getName.matches("v-?\\d+-f\\d+"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Durable small-object sidecar for non-frame index state (the IVF
     * centroid array): stored as a tiny parquet so the same staleness /

@@ -98,12 +98,13 @@ object CorpusMaintenance {
     // ≤ numBuckets rows — driver-safe by construction
     val touched = deduped.select(col(B)).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val merged =
-      if (!PartitionedCommit.healInterrupted(spark, corpusPath)) deduped
-      else PartitionedCommit.read(spark, corpusPath)
+    val merged = PartitionedCommit.readIfAny(spark, corpusPath) match {
+      case None => deduped
+      case Some(standing) => standing
         .filter(col(B).isin(touched: _*)) // planning-time partition pruning
         .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
         .unionByName(deduped)
+    }
     PartitionedCommit.commitPartitions(spark, merged, corpusPath, touched)
     PartitionedCommit.standingCount(spark, corpusPath)
   }

@@ -96,8 +96,7 @@ object DocumentPipeline {
     // `.drop(B)` is a no-op on the unpartitioned layout.
     def standing(p: String): Option[DataFrame] = numBuckets match {
       case Some(_) =>
-        if (!graft.operators.PartitionedCommit.healInterrupted(spark, p)) None
-        else Some(graft.operators.PartitionedCommit.read(spark, p))
+        graft.operators.PartitionedCommit.readIfAny(spark, p)
       case None =>
         if (!graft.operators.CommitSink.healInterrupted(spark, p)) None
         else Some(spark.read.parquet(p))

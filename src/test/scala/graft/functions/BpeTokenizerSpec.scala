@@ -35,9 +35,14 @@ class BpeTokenizerSpec extends SparkTestBase {
     assert(newest.length < "newest".length + 1)
     // round-trip law: concatenating tokens and stripping the end
     // marker reconstructs the word — for trained AND unseen words
-    for (w <- Seq("low", "lower", "newest", "widest", "unseen", "zzz", "a"))
+    // incl. non-BMP text: symbols are code points, not UTF-16 units —
+    // a surrogate pair must never split into two broken symbols
+    for (w <- Seq("low", "lower", "newest", "widest", "unseen", "zzz", "a",
+        "café", "😀x😀", "漢字"))
       assert(Bpe.encode(w, rank).mkString.stripSuffix(Bpe.EndOfWord) == w,
         s"round-trip failed for $w")
+    assert(Bpe.encode("😀", Bpe.ranks(Vector.empty)).length == 2,
+      "an emoji is ONE symbol plus the end marker")
     assert(Bpe.encode("", rank).isEmpty)
     // no merges: a word is its characters plus the end marker
     assert(Bpe.encode("abc", Bpe.ranks(Vector.empty)).toSeq ==

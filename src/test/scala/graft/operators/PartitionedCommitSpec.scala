@@ -56,6 +56,25 @@ class PartitionedCommitSpec extends SparkTestBase {
     }
   }
 
+  test("a staged bucket not declared touched is an error, not silent loss") {
+    val root = tmp("pc-undeclared") + "/docs"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .withColumn(PartitionedCommit.BucketCol,
+        PartitionedCommit.bucketOf(col("doc_id"), 8))
+    val allBuckets = df.select(PartitionedCommit.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(allBuckets.size > 1, "fixture should span several buckets")
+    // declare only one of the touched buckets: the other staged rows
+    // would be swapped nowhere and deleted with staging — the commit
+    // must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      PartitionedCommit.commitPartitions(spark, df, root, allBuckets.take(1))
+    }
+    assert(e.getMessage.contains("not declared touched"))
+    // a correctly-declared commit then succeeds
+    assert(PartitionedCommit.commitPartitions(spark, df, root, allBuckets) == 3L)
+  }
+
   test("a commit rewrites only the touched buckets; no residue dirs") {
     val root = tmp("pc-touch") + "/docs"
     val n = 8

@@ -92,10 +92,19 @@ class IndexStoreSpec extends SparkTestBase {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not-an-epoch"))
     // the PRE-epoch layout wrote bare `<seg>-<16hex>` corpus trees
-    // directly under the root (no l-segment) — those must be retired
-    // too, or one full index copy per corpus leaks forever
+    // directly under the root (no l-segment, families holding
+    // `v<stamp>-f<ver>` version dirs) — those must be retired too, or
+    // one full index copy per corpus leaks forever
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-      root, "corpus-0123456789abcdef", "idx"))
+      root, "corpus-0123456789abcdef", "idx", "v42-f1"))
+    // a USER directory that merely shares the hash-suffix NAMING
+    // convention (no store-layout structure inside): deleting it
+    // would destroy someone's data on a shared root
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      root, "backup-abcdef0123456789"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      root, "backup-abcdef0123456789", "precious.txt"),
+      "keep me".getBytes)
     IndexStore.readThrough(s, "/tmp/corpus-e", "idx", 1L)(Seq(1).toDF("id")).count()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "l1")),
       "old layout epoch must be retired on publish")
@@ -104,6 +113,9 @@ class IndexStoreSpec extends SparkTestBase {
       "pre-epoch bare corpus trees must be retired on publish")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "not-an-epoch")),
       "non-epoch directories must never be touched")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "backup-abcdef0123456789", "precious.txt")),
+      "a hash-suffixed user directory without store structure must survive")
   }
 
   test("centroid sidecar round-trips; absent reads as None") {
