@@ -37,6 +37,37 @@ object MultimodalQueries {
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
     phashCache.clear(s)
 
+  /** pHash near-dup pairs (doc_a, doc_b, hamming ≤ 3): the q27-style
+    * 4×16-bit block index over the persisted signature base, mined
+    * through the salted pair miner, exact-Hamming verified. Shared by
+    * q73 (the pair surface) and q75 (cluster assignment).
+    */
+  private def phashPairs(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sigs = phashSigs(s, d)
+    val blockArr = array((0 until 4).map(k =>
+      shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
+      .toDF("doc_id", "block_idx", "block_val")
+    // exact-duplicate payloads share ALL FOUR blocks — the hottest
+    // possible keys — so the block join runs through the shared
+    // salted miner; signatures re-join per side for the verify
+    graft.operators.SkewJoin
+      .saltedSelfPairs(
+        blocks.select(
+          xxhash64(col("block_idx"), col("block_val")).as("k"),
+          col("doc_id")),
+        "k", "doc_id")
+      .toDF("doc_a", "doc_b")
+      .distinct()
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q34_binary_meta",
@@ -72,30 +103,32 @@ object MultimodalQueries {
     // PNG fixtures, the mining in QueriesSpec against brute force).
     QueryDef(
       "q73_image_phash_dedup",
+      (s, d) => phashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      None),
+
+    // ── q75: image near-dup CLUSTER assignment (the media twin of
+    // q36): q73's pairs → iterative min-label connected components →
+    // full-corpus map with a keep/drop flag. Same output contract as
+    // q36 (cluster = min doc_id of the component; singletons label
+    // themselves), so downstream survivor selection is one
+    // `filter(is_dup = 0)` regardless of which modality mined the
+    // pairs. No oracle — the pairs derive from the pHash (rows-only
+    // driver check; MultimodalSpec proves the labeling equals a
+    // driver-side union-find over the same pairs).
+    QueryDef(
+      "q75_image_dedup_clusters",
       (s, d) => {
-        val sigs = phashSigs(s, d)
-        val blockArr = array((0 until 4).map(k =>
-          shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-        val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
-          .toDF("doc_id", "block_idx", "block_val")
-        // exact-duplicate payloads share ALL FOUR blocks — the hottest
-        // possible keys — so the block join runs through the shared
-        // salted miner; signatures re-join per side for the verify
-        graft.operators.SkewJoin
-          .saltedSelfPairs(
-            blocks.select(
-              xxhash64(col("block_idx"), col("block_val")).as("k"),
-              col("doc_id")),
-            "k", "doc_id")
-          .toDF("doc_a", "doc_b")
-          .distinct()
-          .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-          .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-          .withColumn("hamming",
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-          .filter(col("hamming") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val labels = graft.operators.DedupClusters
+          .assign(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("id", "doc_id")
+        t(s, d, "documents").select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("is_dup",
+            when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
+          .orderBy(col("doc_id"))
       },
       None)
   )

@@ -186,6 +186,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.phash64(Array.emptyByteArray) == 0L)
   }
 
+  test("q75 clusters equal a driver-side union-find over the q73 pairs") {
+    val pairs = graft.SparkEntry.queries("q73_image_phash_dedup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture near-dups should surface")
+    // independent reimplementation: path-compressed union-find with
+    // min-id roots
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val got = graft.SparkEntry.queries("q75_image_dedup_clusters")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (id, cluster, isDup) =>
+      assert(cluster == find(id), s"doc $id: cluster $cluster != ${find(id)}")
+      assert(isDup == (if (cluster != id) 1 else 0))
+    }
+    // the corpus map is total: one row per document
+    assert(got.length ==
+      graft.sources.Tables(spark, sf(), "documents").count())
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)
