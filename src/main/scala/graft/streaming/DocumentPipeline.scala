@@ -49,14 +49,16 @@ object DocumentPipeline {
 
   /** What one micro-batch did: committed corpus/shingle-index rows,
     * committed candidate rows, how many of those candidates are new
-    * this batch, and how many standing docs the batch replaced.
+    * this batch, how many standing docs the batch replaced, and (when
+    * a `signaturesPath` is maintained) committed pHash signature rows.
     */
   final case class BatchReport(
       corpusRows: Long,
       shingleRows: Long,
       candidateRows: Long,
       newCandidates: Long,
-      replacedDocs: Long)
+      replacedDocs: Long,
+      signatureRows: Long = 0L)
 
   private val CandSchema =
     Seq("doc_a", "doc_b", "inter_cnt", "na", "nb", "jaccard", "containment")
@@ -77,6 +79,13 @@ object DocumentPipeline {
     * side) still scan everything; WRITES are O(batch) — the 100 TB
     * contract. The layout is chosen at table creation and must stay
     * consistent across calls.
+    *
+    * `signaturesPath = Some(p)` additionally maintains the pHash
+    * signature table (`doc_id, sig` — q73/q75's mining base) in
+    * lockstep: the decode+DCT runs ONCE per delta document here, so
+    * the media near-dup index never re-hashes the standing corpus —
+    * the same delta-cost contract as the shingle index. Signatures
+    * describe the SCRUBBED text, consistent with the stored corpus.
     */
   def upsertBatch(
       batch: DataFrame,
@@ -84,7 +93,8 @@ object DocumentPipeline {
       shinglesPath: String,
       candidatesPath: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
-      numBuckets: Option[Int] = None): BatchReport = {
+      numBuckets: Option[Int] = None,
+      signaturesPath: Option[String] = None): BatchReport = {
     val spark = batch.sparkSession
     val B = graft.operators.PartitionedCommit.BucketCol
     // Healed standing read, not bare fs.exists(): a crash inside a
@@ -197,8 +207,17 @@ object DocumentPipeline {
           deltaSh, shinglesPath, "doc_id", numBuckets)
         val corpusRows = CorpusMaintenance.upsertBatch(
           scrubbed, corpusPath, "doc_id", numBuckets)
+        val sigRows = signaturesPath.fold(0L) { p =>
+          graft.functions.GraftFunctions.register(spark)
+          CorpusMaintenance.upsertBatch(
+            scrubbed.select(col("doc_id"),
+              graft.functions.GraftFunctions.phash64(
+                lower(col("text")).cast("binary")).as("sig")),
+            p, "doc_id", numBuckets)
+        }
         BatchReport(
-          corpusRows, shingleRows, candidateRows, newCandidates, replaced)
+          corpusRows, shingleRows, candidateRows, newCandidates, replaced,
+          sigRows)
       } finally {
         newCands.unpersist()
         ()
@@ -223,13 +242,15 @@ object DocumentPipeline {
       checkpoint: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
       numBuckets: Option[Int] = None,
+      signaturesPath: Option[String] = None,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
-          batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets))
+          batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets,
+          signaturesPath))
         ()
       }
       .start()

@@ -60,6 +60,37 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(stored.exists { case (a, b, _, j, _) => a == 1L && b == 3L && j >= 0.5 })
   }
 
+  test("maintained pHash signatures equal a one-pass recompute; updates replace") {
+    val p = Paths(tmp("docpipe-sigs"))
+    val sigs = p.root + "/sigs"
+    graft.functions.GraftFunctions.register(spark)
+    def recompute() = spark.read.parquet(p.corpus)
+      .select(col("doc_id"), graft.functions.GraftFunctions.phash64(
+        lower(col("text")).cast("binary")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stored() = spark.read.parquet(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "totally unrelated content here six seven")),
+      p.corpus, p.shingles, p.cands, signaturesPath = Some(sigs))
+    assert(r1.signatureRows == 2)
+    assert(stored() == recompute(),
+      "maintained signatures != one-pass recompute over the stored corpus")
+    // an update must replace the signature, not leave the stale one
+    val before = stored()
+    val r2 = DocumentPipeline.upsertBatch(
+      docs((2L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands, signaturesPath = Some(sigs))
+    assert(r2.signatureRows == 2 && stored() == recompute())
+    assert(stored() != before, "doc 2's signature must change with its text")
+    // signatures describe the SCRUBBED text: a PII edit hashes the
+    // redacted form, identically to re-hashing the stored corpus
+    DocumentPipeline.upsertBatch(
+      docs((3L, s"$base mail bob@example.com")),
+      p.corpus, p.shingles, p.cands, signaturesPath = Some(sigs))
+    assert(stored() == recompute())
+  }
+
   test("an update drops stale candidates and re-mines the new content") {
     val p = Paths(tmp("docpipe-upd"))
     DocumentPipeline.upsertBatch(
