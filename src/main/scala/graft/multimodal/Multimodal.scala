@@ -211,10 +211,53 @@ object Multimodal {
       dims.find { case (w, h) => w > 0 && h > 0 }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** Fake resize: truncate payload to the first `w*h` bytes. */
-    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
-      if (content == null) Array.emptyByteArray
-      else content.take(math.max(0, w * h))
+    /** Resize: REAL for payloads a JDK codec decodes — box-average
+      * resample (same deterministic arithmetic as [[lumaGrid32]], in
+      * RGB) re-encoded as PNG, the full decode→transform→encode loop
+      * a media pipeline runs per record. Non-image payloads keep the
+      * deterministic fake (truncate to the first `w*h` bytes).
+      */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (content == null) return Array.emptyByteArray
+      if (w <= 0 || h <= 0) return Array.emptyByteArray
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+        return content.take(math.max(0, w * h))
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < h) {
+        val y0 = ty * sh / h
+        val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+        var tx = 0
+        while (tx < w) {
+          val x0 = tx * sw / w
+          val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+          var r = 0L; var g = 0L; var b = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          out.setRGB(tx, ty,
+            (((r / n).toInt) << 16) | (((g / n).toInt) << 8) | (b / n).toInt)
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
 
     /** 32×32 grayscale luma grid (row-major) for perceptual hashing.
       *

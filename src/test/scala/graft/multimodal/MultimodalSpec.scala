@@ -213,6 +213,21 @@ class MultimodalSpec extends SparkTestBase {
       graft.sources.Tables(spark, sf(), "documents").count())
   }
 
+  test("real resize: decodable payloads downsample to true dimensions") {
+    // a real PNG resizes for real: output decodes at the target dims
+    val small = Multimodal.Decoders.resize(renderPng(64, 48), 16, 12)
+    assert(Multimodal.Decoders.decodeImage(small) == ((16, 12)))
+    // resize commutes with the pHash scene signature: hashing the
+    // resized image stays near the original (same scene)
+    assert(ham(Multimodal.Decoders.phash64(renderPng(64, 48)),
+      Multimodal.Decoders.phash64(small)) <= 8)
+    // deterministic: same payload, same bytes
+    assert(java.util.Arrays.equals(small,
+      Multimodal.Decoders.resize(renderPng(64, 48), 16, 12)))
+    // degenerate targets refuse instead of dividing by zero
+    assert(Multimodal.Decoders.resize(renderPng(8, 8), 0, 4).isEmpty)
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)
