@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed plan of named queries (after one real
+  * execution so AQE's final plan is the one shown) plus a one-line
+  * shape summary — the per-query audit loop behind SURVEY §2.4's
+  * "plan you'd want at scale" claims.
+  *
+  * Usage: runMain graft.PlanDump q76_dup_segments [q77_...] —
+  * env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench;
+  * SPARK_GRAFT_PLAN_FULL=1 prints the whole plan tree, default is the
+  * summary line only.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "pass at least one query name")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val full = sys.env.get("SPARK_GRAFT_PLAN_FULL").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      val raw = df.queryExecution.executedPlan.toString
+      // Drop InMemoryRelation subtrees: a cached base's BUILD plan is
+      // printed inside the node but not re-executed by this query —
+      // counting its scans/exchanges would misattribute amortized
+      // index-build cost to query time. Lines deeper-indented than
+      // the InMemoryRelation header belong to the stored build plan.
+      val lines = raw.linesIterator.toSeq
+      def indent(l: String) = l.segmentLength(c => !c.isLetter && c != '*')
+      var skipBelow = -1
+      val p = lines.filter { l =>
+        val i = indent(l)
+        if (skipBelow >= 0 && i > skipBelow) false
+        else if (l.contains("InMemoryRelation")) { skipBelow = indent(l); false }
+        else { skipBelow = -1; true }
+      }.mkString("\n")
+      def n(pat: String) = pat.r.findAllIn(p).size
+      println(s"PLAN $name scans=${n("Scan parquet")}" +
+        s" cachedReads=${n("InMemoryTableScan")}" +
+        s" exch=${n("Exchange hashpartitioning")}" +
+        s" reused=${n("ReusedExchange")}" +
+        s" bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}" +
+        s" bnlj=${n("BroadcastNestedLoopJoin")}" +
+        s" codegen=${n("\\*\\(")}")
+      if (full) println(raw)
+    }
+    spark.stop()
+  }
+}

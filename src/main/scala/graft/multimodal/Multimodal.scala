@@ -12,12 +12,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * container formats: image dims via `javax.imageio` (PNG/BMP/GIF/
   * JPEG), audio via a WAV/RIFF chunk walk, video dims via an MP4
   * (ISO BMFF) box walk — none touch payload samples, only headers.
-  * PIXEL/SAMPLE-level ops (resize, frame extraction) remain
-  * deterministic fakes behind [[Decoders]] (the container ships no
-  * media codec libraries); everything Spark-side — schema, batching,
-  * partitioning, the `mapPartitions` shape that amortizes per-batch
-  * decoder setup — is real and tested. Swapping a fake for a
-  * JNI/javacv call changes one function body and nothing else.
+  * PIXEL-level ops are REAL where a JDK codec can decode the payload:
+  * [[Decoders.resize]] (box-average RGB resample, PNG re-encode) and
+  * the DCT perceptual hash behind q73 ([[Decoders.phash64]]). Video
+  * FRAME extraction remains a deterministic fake behind [[Decoders]]
+  * (the JDK ships no video codec); everything Spark-side — schema,
+  * batching, partitioning, the `mapPartitions` shape that amortizes
+  * per-batch decoder setup — is real and tested. Swapping the fake
+  * for a JNI/javacv call changes one function body and nothing else.
   */
 object Multimodal {
 

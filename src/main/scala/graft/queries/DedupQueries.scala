@@ -494,6 +494,75 @@ object DedupQueries {
               |SELECT doc_id, n_shingles, novel_cnt,
               |  round(CAST(novel_cnt AS DOUBLE)/CAST(n_shingles AS DOUBLE), 6)
               |    AS novelty
-              |FROM nov ORDER BY doc_id""".stripMargin))
+              |FROM nov ORDER BY doc_id""".stripMargin)),
+
+    // ── q76: duplicated-passage stats (CCNet-style cross-document
+    // segment scrub). Documents split into FIXED non-overlapping
+    // 16-token segments; a segment whose hash occurs in ≥ 2 distinct
+    // documents is boilerplate (nav bars, license headers, mirrored
+    // paragraphs) and its token mass is flagged for removal. This is
+    // the passage-grain member of the dedup family: q25/q68 score
+    // whole-document overlap, q70 scores shingle novelty, q76 names
+    // the exact byte ranges a release pipeline would CUT — per doc it
+    // reports total/duplicated segment counts and the token masses on
+    // each side, all exact integers.
+    //
+    // Scale shape: ONE corpus scan (tokens bind once, segment
+    // enumeration is a codegen'd HOF; the emitted row carries the
+    // 16-byte segment md5, never segment text), then aggregation at
+    // (segment, doc) grain with map-side partials, a window count
+    // over the segment hash for document frequency, and a final
+    // rollup on doc_id — three exchanges, every one bounded by
+    // segment cardinality (≈ corpus_tokens/16 rows of digests), not
+    // corpus bytes. No join back to the corpus and no second scan.
+    QueryDef(
+      "q76_dup_segments",
+      (s, d) => {
+        val W = 16
+        import org.apache.spark.sql.expressions.Window
+        val segs = t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+          .withColumn("n", size(col("tk")))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(0), expr(s"CAST((n + ${W - 1}) DIV $W AS INT) - 1")),
+              i => slice(col("tk"), i * W + 1, lit(W)))).as("seg"))
+          .select(col("doc_id"),
+            md5(array_join(col("seg"), " ")).as("hh"),
+            size(col("seg")).cast("long").as("ntok"))
+        segs
+          .groupBy(col("hh"), col("doc_id"))
+          .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("ntok_sum"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hh"))))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).cast("long").as("n_segments"),
+            sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).cast("long")
+              .as("dup_segments"),
+            sum(when(col("df") >= 2, col("ntok_sum")).otherwise(0L)).cast("long")
+              .as("dup_tokens"),
+            sum(when(col("df") < 2, col("ntok_sum")).otherwise(0L)).cast("long")
+              .as("kept_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+              |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+              |  FROM documents),
+              |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+              |segs AS (SELECT doc_id, list_slice(t, i*16 + 1, i*16 + 16) AS seg
+              |  FROM d, unnest(range(0, (n + 15) // 16)) AS r(i)),
+              |h AS (SELECT doc_id, md5(array_to_string(seg, ' ')) AS hh,
+              |    CAST(len(seg) AS BIGINT) AS ntok
+              |  FROM segs),
+              |dfq AS (SELECT hh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+              |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+              |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS dup_segments,
+              |  CAST(coalesce(sum(ntok) FILTER (WHERE df >= 2), 0) AS BIGINT)
+              |    AS dup_tokens,
+              |  CAST(coalesce(sum(ntok) FILTER (WHERE df < 2), 0) AS BIGINT)
+              |    AS kept_tokens
+              |FROM h JOIN dfq USING (hh) GROUP BY 1
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -71,7 +71,29 @@ object TextQueries {
     */
   private val qualityCache = new StampedCache("quality_scores")
 
-  private def qualityScores(
+  /** DuckDB CTE computing the q31 quality score — exposes
+    * `q(doc_id, score)`. ONE definition shared by every oracle that
+    * gates on the score (q65, q78), so the SQL-side score can never
+    * drift from itself; it mirrors [[qualityScores]]'s arithmetic
+    * term-for-term (exact integer counts, then the same
+    * IEEE-operation-order combination both engines evaluate
+    * identically).
+    */
+  private[graft] val QualityCteSql: String =
+    """s AS (SELECT doc_id,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+      |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 4)) AS BIGINT)
+      |    AS n_long_tokens
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |  (CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.1 +
+      |  (CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5
+      |    AS score
+      |  FROM s)""".stripMargin
+
+  private[graft] def qualityScores(
       s: org.apache.spark.sql.SparkSession, d: String) =
     qualityCache.get(s, d) {
       val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
@@ -99,6 +121,50 @@ object TextQueries {
     */
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
     qualityCache.clear(s)
+
+  private val lmCache = new StampedCache("lm_bigram_cost")
+
+  /** Corpus bigram-LM cost table `(w1, bigram, cost_micro)` — the
+    * trained model behind q77, cached/persisted like the other derived
+    * corpus bases (shingles, quality scores, int8 vectors): the LM is
+    * fit once per corpus and scored by many queries, and without the
+    * cache the cost-table lineage would re-scan the corpus on every
+    * branch that consumes it (measured: 3 scans / 7 exchanges
+    * uncached vs 1 scan / 2 at query time). `cost_micro` =
+    * round(1e6·ln(sc/bc)) — an exact integer per vocabulary entry, so
+    * per-document sums are aggregation-order-independent.
+    */
+  private[graft] def lmCostTable(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    lmCache.get(s, d) {
+      val bc = docBigrams(s, d)
+        .groupBy(col("w1"), col("bigram"))
+        .agg(count(lit(1)).as("bc"))
+      val sc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("sc"))
+      bc.join(sc, "w1")
+        .select(col("w1"), col("bigram"),
+          round(log(col("sc").cast("double") / col("bc").cast("double"))
+            * 1000000.0, 0).cast("long").as("cost_micro"))
+    }
+
+  /** One row per bigram instance `(doc_id, w1, bigram)` — the shared
+    * exploded-bigram pass under the LM trainer and the q77 scorer.
+    */
+  private def docBigrams(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+      .withColumn("tk",
+        filter(split(col("text"), " "), tk => length(tk) > 0))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n") - 1),
+          i => struct(
+            element_at(col("tk"), i).as("w1"),
+            concat_ws(" ",
+              element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)).as("bigram")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -429,18 +495,7 @@ object TextQueries {
           .select(col("doc_id"), col("score"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH s AS (SELECT doc_id,
-             |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
-             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
-             |    AS n_tokens,
-             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 4)) AS BIGINT)
-             |    AS n_long_tokens
-             |  FROM documents),
-             |q AS (SELECT doc_id,
-             |  (CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.1 +
-             |  (CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5
-             |    AS score
-             |  FROM s)
+      Some(s"""WITH $QualityCteSql
              |SELECT doc_id, score FROM q
              |WHERE ${Q.knuthBucketSql("doc_id", 1000)} < score*1000
              |ORDER BY doc_id""".stripMargin)),
@@ -715,6 +770,65 @@ object TextQueries {
               col("sum_ws_tokens").cast("double"))
           .orderBy(col("source"))
       },
-      None)
+      None),
+
+    // ── q77: bigram language-model quality score (CCNet-style
+    // perplexity filter). A bigram LM is fit on the corpus itself —
+    // conditional probability p(w2|w1) = c(w1 w2) / c(w1 ·) from exact
+    // corpus counts — and each document is scored by its mean negative
+    // log-likelihood: boilerplate/templated text scores LOW (its
+    // bigrams are corpus-frequent), keyboard-mash and wrong-language
+    // text scores HIGH. The model trains on the scored corpus, so
+    // every document bigram has count ≥ 1 and no smoothing is needed.
+    //
+    // Float discipline: a per-doc sum of ln() doubles is
+    // aggregation-order-dependent, so each bigram's cost is FIXED to
+    // an exact integer first — round(1e6·ln(sc/bc)) per DISTINCT
+    // bigram (one rounding per vocabulary entry, q59's accepted ulp
+    // exposure) — then summed exactly as integers in any order and
+    // divided once.
+    //
+    // Scale shape: model fit and scoring are SPLIT. The cached
+    // [[lmCostTable]] trains once per corpus (shuffles bounded by
+    // bigram vocabulary); query time is one corpus scan → (doc,
+    // bigram) term frequencies with map-side partials → cost join →
+    // doc rollup. The cost table is vocabulary-sized — AQE broadcasts
+    // it into the join at any realistic vocabulary.
+    QueryDef(
+      "q77_lm_score",
+      (s, d) => {
+        val tf = docBigrams(s, d)
+          .groupBy(col("doc_id"), col("w1"), col("bigram"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(lmCostTable(s, d), Seq("w1", "bigram"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("tf")).cast("long").as("n_bigrams"),
+            sum(col("tf") * col("cost_micro")).as("tot"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("tot").cast("double") /
+              (col("n_bigrams").cast("double") * 1000000.0), 6).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+             |  FROM d, unnest(range(1, n)) AS r(i)),
+             |tf AS (SELECT doc_id, w1, bigram, CAST(count(*) AS BIGINT) AS tf
+             |  FROM bg GROUP BY 1, 2, 3),
+             |bc AS (SELECT w1, bigram, CAST(sum(tf) AS BIGINT) AS bc
+             |  FROM tf GROUP BY 1, 2),
+             |sc AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS sc FROM bc GROUP BY 1),
+             |cost AS (SELECT w1, bigram,
+             |    CAST(round(1000000.0 * ln(CAST(sc AS DOUBLE)/CAST(bc AS DOUBLE)))
+             |      AS BIGINT) AS cost_micro
+             |  FROM bc JOIN sc USING (w1))
+             |SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |  round(CAST(sum(tf*cost_micro) AS DOUBLE) /
+             |    (CAST(sum(tf) AS DOUBLE)*1000000.0), 6) AS nll
+             |FROM tf JOIN cost USING (w1, bigram)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -391,7 +391,54 @@ object VectorQueries {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(5)
       },
-      None)
+      None),
+
+    // ── q78: metadata-filtered similarity search — top-5 cosine
+    // neighbors of vec 0 among documents passing the q31 quality gate
+    // (score ≥ 0.7). The standard vector-DB "filtered ANN" op: a
+    // retrieval pipeline never searches the raw corpus, it searches
+    // the quality/language/license-gated subset. The gate composes as
+    // a LEFT SEMI join on vec_id = doc_id against the narrow
+    // (doc_id)-only filter frame — the embedding column never
+    // duplicates, and at 100 TB the semi join is the standard
+    // pre-filter shape (equivalently a bloom-filter pushdown); the
+    // same gated frame feeds q40's IVF probe when candidate pruning
+    // is needed on top of the metadata cut. Exact scoring here keeps
+    // the oracle anchor; top-5 plans as TakeOrdered (no global sort).
+    QueryDef(
+      "q78_filtered_ann",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = emb(s, d)
+        val good = TextQueries.qualityScores(s, d)
+          .filter(col("score") >= 0.7)
+          .select(col("doc_id"))
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        e.filter(col("vec_id") =!= 0)
+          .join(good, col("vec_id") === col("doc_id"), "left_semi")
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH ${TextQueries.QualityCteSql},
+              |ga AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |    CAST(unnest(embedding) AS DOUBLE) AS v
+              |  FROM embeddings WHERE vec_id = 0),
+              |gb AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |    CAST(unnest(embedding) AS DOUBLE) AS v
+              |  FROM embeddings WHERE vec_id <> 0
+              |    AND vec_id IN (SELECT doc_id FROM q WHERE score >= 0.7)),
+              |ps AS (SELECT ga.vec_id AS vec_a, gb.vec_id AS vec_b,
+              |    sum(ga.v*gb.v) AS dot, sum(ga.v*ga.v) AS na,
+              |    sum(gb.v*gb.v) AS nb
+              |  FROM ga JOIN gb ON ga.i = gb.i GROUP BY ga.vec_id, gb.vec_id)
+              |SELECT vec_b AS vec_id,
+              |  round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
+              |FROM ps ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

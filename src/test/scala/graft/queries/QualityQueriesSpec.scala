@@ -200,4 +200,66 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(out.filter(_._2 == minTok).forall(_._3 == 1000L),
       "smallest source is never downsampled")
   }
+
+  test("q76 flags cross-document duplicate segments, not intra-doc repeats") {
+    // P = one exact 16-token block shared by docs 0 and 1 at the SAME
+    // alignment; doc 2 is unrelated; doc 3 is a short partial segment;
+    // doc 4 repeats its own block twice (intra-doc -> NOT flagged:
+    // the scrub targets cross-document boilerplate, df counts docs)
+    val P = (1 to 16).map(i => f"p$i%02d").mkString(" ")
+    val Q = (1 to 16).map(i => f"q$i%02d").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    val rows = Seq(
+      (0L, P + " xa xb xc", "en", "s"),
+      (1L, P + " ya yb", "en", "s"),
+      (2L, (1 to 20).map(i => s"u$i").mkString(" "), "en", "s"),
+      (3L, "one partial segment only", "en", "s"),
+      (4L, Q + " " + Q, "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q76_dup_segments")(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // docs 0/1: the shared P segment is dup (16 tokens), the tail kept
+    assert(out(0L) == ((2L, 1L, 16L, 3L)), s"doc0: ${out(0L)}")
+    assert(out(1L) == ((2L, 1L, 16L, 2L)), s"doc1: ${out(1L)}")
+    // unrelated + short docs: nothing flagged
+    assert(out(2L) == ((2L, 0L, 0L, 20L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0L, 4L)), s"doc3: ${out(3L)}")
+    // intra-doc repetition: both Q segments live in ONE doc -> df = 1
+    assert(out(4L) == ((2L, 0L, 0L, 32L)), s"doc4: ${out(4L)}")
+  }
+
+  test("q77 scores corpus-typical text low and rare-continuation text high") {
+    // docs 0-3 share one dominant bigram chain, so their continuations
+    // are corpus-typical (low -ln p). Doc 4 uses the SAME frequent
+    // start words (the/cat/on/and) but never-seen continuations — the
+    // signature of keyboard-mash/wrong-language text under a bigram
+    // LM — so its mean -ln p(w2|w1) must be the strict maximum. (A
+    // doc of globally-unique bigrams would NOT score high: a once-seen
+    // start word predicts its only continuation with p = 1.)
+    val common = "the cat sat on the mat and " * 4 + "the cat"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val rows = Seq(
+      (0L, common, "en", "s"),
+      (1L, common, "en", "s"),
+      (2L, common, "en", "s"),
+      (3L, "the cat sat on the mat", "en", "s"),
+      (4L, "the zq cat xv on qj and wz", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q77_lm_score")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 5)
+    val nToks = Map(0L -> 30L, 1L -> 30L, 2L -> 30L, 3L -> 6L, 4L -> 8L)
+    out.foreach { case (id, (nb, _)) =>
+      assert(nb == nToks(id) - 1, s"doc $id n_bigrams $nb") }
+    val rareNll = out(4L)._2
+    out.filter(_._1 != 4L).foreach { case (id, (_, nll)) =>
+      assert(nll < rareNll, s"doc $id nll $nll !< rare $rareNll") }
+    // p(w2|w1) <= 1 always (bc <= sc), so every score is nonnegative
+    out.foreach { case (id, (_, nll)) => assert(nll >= 0.0, s"doc $id") }
+  }
 }

@@ -263,9 +263,9 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
-    // BNLJ allowlist: q23/q59 broadcast a SINGLE-ROW side (query
-    // vector / corpus-size scalar — a 1-row build side is the right
-    // plan); q61 broadcasts the ~30-row day dimension into a range
+    // BNLJ allowlist: q23/q71/q78 broadcast a SINGLE-ROW side (the
+    // query vector) and q59 the corpus-size scalar — a 1-row build
+    // side is the right plan; q61 broadcasts the ~30-row day dimension into a range
     // join against day-grain data (not the corpus); q28 is the
     // by-design exact all-pairs scan; q69 broadcasts the 1-row
     // min-token-mass scalar into the 20-row source table. q40/q54 no
@@ -273,7 +273,7 @@ class QueriesSpec extends SparkTestBase {
     // list id (equi-join).
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix",
-      "q71_ann_int8")
+      "q71_ann_int8", "q78_filtered_ann")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -385,6 +385,36 @@ class QueriesSpec extends SparkTestBase {
     // 4 tables × Hamming-≤2 multiprobe on weakly-clustered vectors
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"LSH top-k recall $recall")
+  }
+
+  test("q78 filtered ANN equals a driver-side brute force over the gated subset") {
+    import org.apache.spark.sql.functions._
+    // independent reimplementation: collect vectors + quality scores,
+    // gate at 0.7, rank by cosine in plain Scala — the query's semi
+    // join + broadcast probe must reproduce it exactly
+    val vecs = graft.sources.Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val gated = TextQueries.qualityScores(spark, sf())
+      .filter(col("score") >= 0.7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val q0 = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.toSeq
+      .filter { case (id, _) => id != 0L && gated.contains(id) }
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q0, v)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = SparkEntry.queries("q78_filtered_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.map(_._1).forall(gated.contains), "ungated id in result")
   }
 
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
