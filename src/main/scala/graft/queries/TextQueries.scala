@@ -137,34 +137,9 @@ object TextQueries {
   private[graft] def lmCostTable(
       s: org.apache.spark.sql.SparkSession, d: String) =
     lmCache.get(s, d) {
-      val bc = docBigrams(s, d)
-        .groupBy(col("w1"), col("bigram"))
-        .agg(count(lit(1)).as("bc"))
-      val sc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("sc"))
-      bc.join(sc, "w1")
-        .select(col("w1"), col("bigram"),
-          round(log(col("sc").cast("double") / col("bc").cast("double"))
-            * 1000000.0, 0).cast("long").as("cost_micro"))
+      graft.operators.IncrementalLm.costTable(
+        graft.operators.IncrementalLm.fit(t(s, d, "documents")))
     }
-
-  /** One row per bigram instance `(doc_id, w1, bigram)` — the shared
-    * exploded-bigram pass under the LM trainer and the q77 scorer.
-    */
-  private def docBigrams(
-      s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "documents")
-      .withColumn("tk",
-        filter(split(col("text"), " "), tk => length(tk) > 0))
-      .withColumn("n", size(col("tk")))
-      .filter(col("n") >= 2)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), col("n") - 1),
-          i => struct(
-            element_at(col("tk"), i).as("w1"),
-            concat_ws(" ",
-              element_at(col("tk"), i),
-              element_at(col("tk"), i + 1)).as("bigram")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -796,20 +771,9 @@ object TextQueries {
     // it into the join at any realistic vocabulary.
     QueryDef(
       "q77_lm_score",
-      (s, d) => {
-        val tf = docBigrams(s, d)
-          .groupBy(col("doc_id"), col("w1"), col("bigram"))
-          .agg(count(lit(1)).as("tf"))
-        tf.join(lmCostTable(s, d), Seq("w1", "bigram"))
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("tf")).cast("long").as("n_bigrams"),
-            sum(col("tf") * col("cost_micro")).as("tot"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("tot").cast("double") /
-              (col("n_bigrams").cast("double") * 1000000.0), 6).as("nll"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        graft.operators.IncrementalLm.score(
+          t(s, d, "documents"), lmCostTable(s, d)),
       Some("""WITH toks AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
              |  FROM documents),

@@ -438,7 +438,44 @@ object VectorQueries {
               |  FROM ga JOIN gb ON ga.i = gb.i GROUP BY ga.vec_id, gb.vec_id)
               |SELECT vec_b AS vec_id,
               |  round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
-              |FROM ps ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin))
+              |FROM ps ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── q79: cluster-mix corpus cartography — per-embedding-cluster
+    // document count, token mass, and mean quality. The "what is my
+    // corpus made of" report a mixture designer reads before setting
+    // sampling rates (the cluster-level twin of q69's source-level
+    // mix), and the monitoring face of the IVF index: a cluster whose
+    // token mass or quality drifts is where curation looks next.
+    // Scale shape: reuses the cached map-side centroid assignment
+    // (zero-shuffle `NearestCentroids`, same index as q40/q54), joins
+    // the narrow (doc_id, n_tokens, score) quality base, and rolls up
+    // to NCents rows — ONE shuffle of per-doc stats, everything else
+    // amortized index work. Mean quality is fixed-point (per-doc
+    // micro-units summed exactly, one final divide) so the report is
+    // bit-identical on every run/partitioning. No oracle: the
+    // k-means quantizer is not SQL-expressible (rows-only driver
+    // check; spec gates partition totals + bounds).
+    QueryDef(
+      "q79_cluster_mix",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val asg = assigned(s, d)
+          .select(col("vec_id"), element_at(col("cids"), 1).as("cent_id"))
+        val q = graft.queries.TextQueries.qualityScores(s, d)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("score") * 1000000.0, 0).cast("long").as("score_micro"))
+        asg.join(q, col("vec_id") === col("doc_id"))
+          .groupBy(col("cent_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("token_mass"),
+            sum(col("score_micro")).as("score_sum"))
+          .select(col("cent_id"), col("n_docs"), col("token_mass"),
+            round(col("score_sum").cast("double") /
+              (col("n_docs").cast("double") * 1000000.0), 6).as("avg_score"))
+          .orderBy(col("cent_id"))
+      },
+      None)
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Balanced training-shard export — the RELEASE writer at the end of
+  * the pipeline (ref behavioral progenitor: the reference's one-shot
+  * "save processed batch" output, `Batch Processor.py:347-361`,
+  * generalized to the sharded layout a data loader consumes).
+  *
+  * A trained-on corpus ships as k fixed shards so loaders can assign
+  * shard ↔ worker without a coordinator. The contract here:
+  *
+  *   - shard(row) = pmod(xxhash64(key), k) — a pure function of the
+  *     KEY, so re-exports of the same corpus (any row order, any
+  *     partitioning, any cluster size) place every document in the
+  *     same shard. No rand(), no round-robin, no task-id dependence.
+  *   - exactly ONE parquet file per shard: all rows of a shard value
+  *     hash to one task of the pre-write `repartition(k, shard)`, so
+  *     each hive `shard=N/` dir receives a single part file. At 100 TB
+  *     a shard is still one ownable unit (raise k, not files-per-shard;
+  *     the writer takes k as the scale knob).
+  *   - a MANIFEST (`_manifest.json`) computed by RE-READING the
+  *     staged files — rows + an order-independent content digest
+  *     (bit_xor of per-row xxhash64 over all columns) per shard — so
+  *     the manifest certifies bytes on disk, not the plan that was
+  *     supposed to produce them.
+  *   - staging + backup-rename swap and read-back verification, same
+  *     crash contract as [[graft.operators.CommitSink]] (heal with
+  *     [[graft.operators.CommitSink.healInterrupted]] before reads).
+  *
+  * [[verify]] recomputes the digests from the committed files and
+  * compares them to the manifest — the integrity check a consumer
+  * runs before training (a lost/truncated/bit-rotted shard surfaces
+  * as a digest mismatch, not as silently-missing documents).
+  */
+object ShardWriter {
+
+  final case class ShardManifest(shard: Int, rows: Long, digest: Long)
+
+  final case class ShardVerificationFailed(dest: String, detail: String)
+    extends RuntimeException(s"shard export at $dest failed verify: $detail")
+
+  private val ManifestName = "_manifest.json"
+
+  /** Per-shard (rows, digest) of a frame already carrying `shard`. */
+  private def shardStats(df: DataFrame): Seq[ShardManifest] = {
+    val dataCols = df.columns.filter(_ != "shard").sorted.map(col)
+    df.groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows"),
+        // bit_xor is order- and partition-independent — the digest is
+        // a pure function of the row multiset, never of layout. The
+        // row hash spans ALL data columns in sorted-name order so the
+        // digest pins content, not just keys. (An even row-count of
+        // identical rows xors to 0 for that pair — acceptable for a
+        // corruption check; rows also carries cardinality.)
+        bit_xor(xxhash64(struct(dataCols: _*))).as("digest"))
+      .collect()
+      .map(r => ShardManifest(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.shard)
+      .toSeq
+  }
+
+  /** Export `df` as exactly `k` shards under `dest`, keyed by
+    * `keyCol`. Returns the committed manifest.
+    */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String,
+      k: Int,
+      keyCol: String): Seq[ShardManifest] = {
+    require(k > 0, s"shard count must be positive, got $k")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column")
+    val staging = dest + ".__staging__"
+    val sharded = df
+      .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(k)).cast("int"))
+      // all rows of one shard value land in one task → one file per
+      // hive shard dir (a task holding two shard values writes one
+      // file into EACH dir, still one per shard)
+      .repartition(k, col("shard"))
+    // expected count OBSERVED on the writing execution (CommitSink's
+    // rule): no second pass over the input plan, and a
+    // nondeterministic input cannot spuriously mismatch itself
+    val obs = new org.apache.spark.sql.Observation("shard_rows")
+    sharded.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    val expected = obs.get("rows").asInstanceOf[Long]
+
+    // manifest from the STAGED FILES, not the input plan: certify disk
+    val back = spark.read.parquet(staging)
+    val stats = shardStats(back)
+    val total = stats.map(_.rows).sum
+    if (total != expected)
+      throw ShardVerificationFailed(dest,
+        s"staged rows $total != written rows $expected")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    writeManifest(fs, new Path(staging, ManifestName), stats)
+
+    // backup-rename swap (CommitSink's contract): a crash between the
+    // renames leaves the old export at dest.__old__, never destroyed
+    val destPath = new Path(dest)
+    val backupPath = new Path(dest + ".__old__")
+    if (fs.exists(backupPath)) fs.delete(backupPath, true)
+    val hadOld = fs.exists(destPath)
+    if (hadOld && !fs.rename(destPath, backupPath))
+      throw new RuntimeException(s"could not stage out old $dest")
+    if (!fs.rename(stagingPath, destPath)) {
+      if (hadOld) fs.rename(backupPath, destPath)
+      throw new RuntimeException(s"could not commit $staging -> $dest")
+    }
+    if (hadOld) fs.delete(backupPath, true)
+    stats
+  }
+
+  /** The committed manifest at `dest`. */
+  def readManifest(spark: SparkSession, dest: String): Seq[ShardManifest] = {
+    val p = new Path(dest, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    // one {"shard":N,"rows":N,"digest":N} object per line
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      def field(name: String): String = {
+        val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(l)
+        m.getOrElse(throw ShardVerificationFailed(dest,
+          s"manifest line missing $name: $l")).group(1)
+      }
+      ShardManifest(field("shard").toInt, field("rows").toLong,
+        field("digest").toLong)
+    }.toSeq.sortBy(_.shard)
+  }
+
+  /** Recompute per-shard stats from the committed files and compare
+    * with the manifest; throws [[ShardVerificationFailed]] naming the
+    * first mismatched shard.
+    */
+  def verify(spark: SparkSession, dest: String): Unit = {
+    graft.operators.CommitSink.healInterrupted(spark, dest)
+    val manifest = readManifest(spark, dest)
+    val actual = shardStats(spark.read.parquet(dest))
+    val byShard = actual.map(s => s.shard -> s).toMap
+    manifest.foreach { m =>
+      val a = byShard.getOrElse(m.shard,
+        throw ShardVerificationFailed(dest, s"shard ${m.shard} missing"))
+      if (a.rows != m.rows || a.digest != m.digest)
+        throw ShardVerificationFailed(dest,
+          s"shard ${m.shard}: manifest (${m.rows}, ${m.digest}) " +
+            s"vs data (${a.rows}, ${a.digest})")
+    }
+    val extra = actual.map(_.shard).toSet -- manifest.map(_.shard).toSet
+    if (extra.nonEmpty)
+      throw ShardVerificationFailed(dest, s"unmanifested shards $extra")
+  }
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path,
+      stats: Seq[ShardManifest]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(stats.map(s =>
+      s"""{"shard":${s.shard},"rows":${s.rows},"digest":${s.digest}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

@@ -417,6 +417,25 @@ class QueriesSpec extends SparkTestBase {
     assert(got.map(_._1).forall(gated.contains), "ungated id in result")
   }
 
+  test("q79 cluster mix partitions the corpus: totals reconcile, bounds hold") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q79_cluster_mix")(spark, sf()).collect()
+    // nearest-1 assignment partitions the embedded corpus exactly
+    val nVecs = graft.sources.Tables(spark, sf(), "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == nVecs, "doc partition broken")
+    val quality = TextQueries.qualityScores(spark, sf())
+    val totTokens = quality.agg(sum("n_tokens")).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == totTokens, "token mass broken")
+    val (lo, hi) = quality.agg(min("score"), max("score")).head() match {
+      case r => (r.getDouble(0), r.getDouble(1))
+    }
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 16, s"cent_id ${r.getInt(0)}")
+      val avg = r.getDouble(3)
+      assert(avg >= lo - 1e-6 && avg <= hi + 1e-6, s"avg $avg outside [$lo,$hi]")
+    }
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The release shard writer: deterministic assignment, one file per
+  * shard, manifest ↔ data reconciliation, corruption detection, and
+  * the crash-backup swap contract.
+  */
+class ShardWriterSpec extends SparkTestBase {
+
+  private def docs = Tables(spark, sf(), "documents")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-shard-$tag").toString +
+      "/export"
+
+  test("export is deterministic: same corpus, any layout -> same manifest") {
+    val d1 = tmp("det1"); val d2 = tmp("det2")
+    val m1 = ShardWriter.write(spark, docs, d1, 8, "doc_id")
+    // different upstream partitioning + row order must not matter
+    val m2 = ShardWriter.write(spark,
+      docs.repartition(13).orderBy(col("text")), d2, 8, "doc_id")
+    assert(m1 == m2, s"$m1 vs $m2")
+    assert(m1.map(_.rows).sum == docs.count())
+  }
+
+  test("every shard dir holds exactly one data file; shards are balanced") {
+    val d = tmp("files")
+    val k = 8
+    val m = ShardWriter.write(spark, docs, d, k, "doc_id")
+    val root = new java.io.File(d)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == m.length)
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${sd.getName}: ${parts.length} files")
+    }
+    // xxhash64 spreads uniform keys: with n/k ≈ 6+ expected per shard
+    // nothing should be empty or grossly skewed on the fixture
+    val rows = m.map(_.rows)
+    assert(rows.forall(_ > 0), s"empty shard in $m")
+    assert(rows.max <= rows.min * 4, s"skewed export $m")
+  }
+
+  test("shard assignment is the documented pure function of the key") {
+    val d = tmp("assign")
+    val k = 4
+    ShardWriter.write(spark, docs, d, k, "doc_id")
+    val back = spark.read.parquet(d)
+      .select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = docs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(k)).cast("int").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(back == expect)
+  }
+
+  test("verify passes on an intact export and names a corrupted shard") {
+    val d = tmp("verify")
+    ShardWriter.write(spark, docs, d, 4, "doc_id")
+    ShardWriter.verify(spark, d) // intact: no throw
+    // corrupt: drop shard 2's data file, keep the dir so the shard
+    // reads back empty rather than vanishing
+    val dir = new java.io.File(d, "shard=2")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val e = intercept[ShardWriter.ShardVerificationFailed] {
+      ShardWriter.verify(spark, d)
+    }
+    assert(e.getMessage.contains("shard 2"), e.getMessage)
+  }
+
+  test("round trip preserves the corpus exactly (multiset equality)") {
+    val d = tmp("round")
+    ShardWriter.write(spark, docs, d, 8, "doc_id")
+    val back = spark.read.parquet(d).drop("shard")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("re-export swaps atomically and leaves no backup debris") {
+    val d = tmp("swap")
+    ShardWriter.write(spark, docs.limit(100), d, 4, "doc_id")
+    val m2 = ShardWriter.write(spark, docs, d, 4, "doc_id")
+    assert(ShardWriter.readManifest(spark, d) == m2)
+    assert(!new java.io.File(d + ".__old__").exists())
+    assert(!new java.io.File(d + ".__staging__").exists())
+    ShardWriter.verify(spark, d)
+  }
+}
