@@ -52,6 +52,26 @@ object IncrementalLm {
       .groupBy(col("w1"), col("bigram"))
       .agg(count(lit(1)).as("bc"))
 
+  /** Per-document term frequencies `(doc_id, w1, bigram, tf)` — the
+    * KEYED form of the LM state a maintained pipeline stores: because
+    * rows carry their doc_id, an updated document's old bigrams retire
+    * by key upsert (batch wins per doc) exactly like the shingle
+    * index, with no subtract-old-text step and no crash window between
+    * a count commit and a corpus commit. [[countsFromTf]] folds it to
+    * the aggregate state.
+    */
+  def docTf(docs: DataFrame): DataFrame =
+    bigrams(docs)
+      .groupBy(col("doc_id"), col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Aggregate count state from the stored per-doc tf table — one
+    * vocabulary-bounded shuffle, never a corpus text re-scan.
+    */
+  def countsFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("w1"), col("bigram"))
+      .agg(sum(col("tf")).as("bc"))
+
   /** Fold a DELTA batch of documents into standing counts — exact,
     * delta-sized: the only corpus-grain work is counting the delta;
     * the merge shuffles vocabulary-bounded count rows.

@@ -53,26 +53,60 @@ object CorpusMaintenance {
 
   def upsertBatch(
       batch: DataFrame, corpusPath: String, keyCol: String,
-      numBuckets: Option[Int] = None): Long = numBuckets match {
-    case Some(n) => upsertBatchPartitioned(batch, corpusPath, keyCol, n)
+      numBuckets: Option[Int] = None): Long = {
+    val deduped = dedupBatch(batch, keyCol)
+    upsertPrepared(deduped, deduped.select(col(keyCol)),
+      corpusPath, keyCol, numBuckets)
+  }
+
+  /** Group upsert: the unit of replacement is ALL rows of a key —
+    * for multi-row-per-key artifacts (the per-doc LM tf table, any
+    * exploded index) where a key's batch rows must replace its
+    * standing rows WHOLESALE, not collapse to one row. The caller
+    * guarantees in-batch row uniqueness at the artifact's own grain
+    * (a replayed batch produces the same group, so the upsert stays
+    * idempotent); null keys are dropped as in [[dedupBatch]].
+    *
+    * `retireKeys` names keys whose standing rows must leave even when
+    * the batch carries NO rows for them — an updated document whose
+    * new content yields an empty group (a one-token doc has no
+    * bigrams) would otherwise keep its stale rows forever. Pass the
+    * full batch key set when groups can legitimately be empty.
+    */
+  def upsertGroups(
+      batch: DataFrame, corpusPath: String, keyCol: String,
+      numBuckets: Option[Int] = None,
+      retireKeys: Option[DataFrame] = None): Long = {
+    val rows = batch.filter(col(keyCol).isNotNull)
+    val keys = retireKeys.fold(rows.select(col(keyCol)))(rk =>
+      rows.select(col(keyCol))
+        .unionByName(rk.select(col(keyCol)).filter(col(keyCol).isNotNull)))
+    upsertPrepared(rows, keys, corpusPath, keyCol, numBuckets)
+  }
+
+  private def upsertPrepared(
+      prepared: DataFrame, keys: DataFrame, corpusPath: String,
+      keyCol: String, numBuckets: Option[Int]): Long = numBuckets match {
+    case Some(n) =>
+      upsertPreparedPartitioned(prepared, keys, corpusPath, keyCol, n)
     case None =>
-      val spark = batch.sparkSession
-      val deduped = dedupBatch(batch, keyCol)
+      val spark = prepared.sparkSession
       // Crash recovery: a destination absent because CommitSink's swap
       // died mid-rename must be restored from `.__old__` before merging —
       // treating it as "no corpus" would let the replayed batch REPLACE
       // the corpus with itself (and the commit's first act would delete
       // the only complete copy).
       val merged =
-        if (!graft.operators.CommitSink.healInterrupted(spark, corpusPath)) deduped
+        if (!graft.operators.CommitSink.healInterrupted(spark, corpusPath)) prepared
         else {
           val existing = spark.read.parquet(corpusPath)
           // stored rows keep only keys the batch does not replace; the
-          // batch side is micro-batch-sized → broadcast anti-join, the
-          // corpus never shuffles
+          // batch side is micro-batch-sized → broadcast anti-join (its
+          // key frame deduped so a multi-row group broadcasts once per
+          // key), the corpus never shuffles
           existing
-            .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
-            .unionByName(deduped)
+            .join(broadcast(keys.distinct()), Seq(keyCol), "left_anti")
+            .unionByName(prepared)
         }
       graft.operators.CommitSink.writeVerified(spark, merged, corpusPath)
   }
@@ -90,20 +124,32 @@ object CorpusMaintenance {
   def upsertBatchPartitioned(
       batch: DataFrame, corpusPath: String, keyCol: String,
       numBuckets: Int): Long = {
-    import graft.operators.PartitionedCommit
-    val spark = batch.sparkSession
-    val B = PartitionedCommit.BucketCol
     val deduped = dedupBatch(batch, keyCol)
+    upsertPreparedPartitioned(deduped, deduped.select(col(keyCol)),
+      corpusPath, keyCol, numBuckets)
+  }
+
+  private def upsertPreparedPartitioned(
+      prepared: DataFrame, keys: DataFrame, corpusPath: String,
+      keyCol: String, numBuckets: Int): Long = {
+    import graft.operators.PartitionedCommit
+    val spark = prepared.sparkSession
+    val B = PartitionedCommit.BucketCol
+    val bucketed = prepared
       .withColumn(B, PartitionedCommit.bucketOf(col(keyCol), numBuckets))
+    // touched buckets derive from the KEY set, not the batch rows:
+    // a retire-only key (empty new group) still names a bucket whose
+    // standing rows must be rewritten without it.
     // ≤ numBuckets rows — driver-safe by construction
-    val touched = deduped.select(col(B)).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val touched = keys
+      .select(PartitionedCommit.bucketOf(col(keyCol), numBuckets).as(B))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val merged = PartitionedCommit.readIfAny(spark, corpusPath) match {
-      case None => deduped
+      case None => bucketed
       case Some(standing) => standing
         .filter(col(B).isin(touched: _*)) // planning-time partition pruning
-        .join(broadcast(deduped.select(col(keyCol))), Seq(keyCol), "left_anti")
-        .unionByName(deduped)
+        .join(broadcast(keys.distinct()), Seq(keyCol), "left_anti")
+        .unionByName(bucketed)
     }
     PartitionedCommit.commitPartitions(spark, merged, corpusPath, touched)
     PartitionedCommit.standingCount(spark, corpusPath)

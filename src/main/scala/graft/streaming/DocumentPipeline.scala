@@ -58,7 +58,8 @@ object DocumentPipeline {
       candidateRows: Long,
       newCandidates: Long,
       replacedDocs: Long,
-      signatureRows: Long = 0L)
+      signatureRows: Long = 0L,
+      lmRows: Long = 0L)
 
   private val CandSchema =
     Seq("doc_a", "doc_b", "inter_cnt", "na", "nb", "jaccard", "containment")
@@ -86,6 +87,16 @@ object DocumentPipeline {
     * the media near-dup index never re-hashes the standing corpus —
     * the same delta-cost contract as the shingle index. Signatures
     * describe the SCRUBBED text, consistent with the stored corpus.
+    *
+    * `lmPath = Some(p)` additionally maintains the bigram-LM state
+    * (q77's model) as the KEYED per-doc tf table
+    * `(doc_id, w1, bigram, tf)` — [[graft.operators.IncrementalLm
+    * .docTf]]: a replaced document's old bigrams retire by the same
+    * key upsert as its shingles (no subtract-old-counts step, so no
+    * crash window between an LM commit and the corpus commit), and
+    * the aggregate counts / cost table derive by vocabulary-bounded
+    * aggregation ([[graft.operators.IncrementalLm.countsFromTf]]).
+    * Like every artifact here, the LM describes the SCRUBBED text.
     */
   def upsertBatch(
       batch: DataFrame,
@@ -94,7 +105,8 @@ object DocumentPipeline {
       candidatesPath: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
       numBuckets: Option[Int] = None,
-      signaturesPath: Option[String] = None): BatchReport = {
+      signaturesPath: Option[String] = None,
+      lmPath: Option[String] = None): BatchReport = {
     val spark = batch.sparkSession
     val B = graft.operators.PartitionedCommit.BucketCol
     // Healed standing read, not bare fs.exists(): a crash inside a
@@ -215,9 +227,19 @@ object DocumentPipeline {
                 lower(col("text")).cast("binary")).as("sig")),
             p, "doc_id", numBuckets)
         }
+        // keyed per-doc tf rows (multi-row groups): a replaced doc's
+        // upsert retires its old bigrams the same way it retires its
+        // old shingles. retireKeys = the full batch id set, because a
+        // replacement whose new text has < 2 tokens produces an EMPTY
+        // group — its stale rows must still leave the table.
+        val lmRows = lmPath.fold(0L) { p =>
+          CorpusMaintenance.upsertGroups(
+            graft.operators.IncrementalLm.docTf(scrubbed),
+            p, "doc_id", numBuckets, retireKeys = Some(batchIds))
+        }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,
-          sigRows)
+          sigRows, lmRows)
       } finally {
         newCands.unpersist()
         ()
@@ -243,6 +265,7 @@ object DocumentPipeline {
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
       numBuckets: Option[Int] = None,
       signaturesPath: Option[String] = None,
+      lmPath: Option[String] = None,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -250,7 +273,7 @@ object DocumentPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
           batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets,
-          signaturesPath))
+          signaturesPath, lmPath))
         ()
       }
       .start()

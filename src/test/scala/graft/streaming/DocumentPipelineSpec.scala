@@ -252,4 +252,60 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(reports.last.corpusRows == 3 && reports.last.newCandidates >= 1)
     assert(candSet(spark.read.parquet(p.cands)) == rebuilt(p))
   }
+
+  private def lmStored(lm: String) = spark.read.parquet(lm)
+    .select("doc_id", "w1", "bigram", "tf").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    .toSet
+
+  private def lmRecompute(p: Paths) =
+    graft.operators.IncrementalLm.docTf(spark.read.parquet(p.corpus))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  test("maintained LM tf table equals a one-pass recompute; derived counts match fit") {
+    val p = Paths(tmp("docpipe-lm"))
+    val lm = p.root + "/lm"
+    val r1 = DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "totally unrelated content here six seven")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    assert(r1.lmRows == lmStored(lm).size && r1.lmRows > 0)
+    assert(lmStored(lm) == lmRecompute(p),
+      "maintained LM tf != one-pass recompute over the stored corpus")
+    // update replaces the whole group, replay recommits identically
+    DocumentPipeline.upsertBatch(
+      docs((2L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    val afterUpdate = lmStored(lm)
+    assert(afterUpdate == lmRecompute(p))
+    DocumentPipeline.upsertBatch(
+      docs((2L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    assert(lmStored(lm) == afterUpdate, "replay must be idempotent")
+    // the aggregate count state derived from the stored tf table is
+    // exactly fit() over the stored corpus — the q77 model, maintained
+    val derived = graft.operators.IncrementalLm
+      .countsFromTf(spark.read.parquet(lm))
+    val direct = graft.operators.IncrementalLm.fit(spark.read.parquet(p.corpus))
+    assert(derived.exceptAll(direct).isEmpty && direct.exceptAll(derived).isEmpty)
+  }
+
+  test("LM retire-only update: a one-token replacement removes its stale rows") {
+    // partitioned layout so the retire-only bucket rewrite is exercised
+    val p = Paths(tmp("docpipe-lm-retire"))
+    val lm = p.root + "/lm"
+    DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, "some multi token document body here")),
+      p.corpus, p.shingles, p.cands, numBuckets = Some(4), lmPath = Some(lm))
+    assert(lmStored(lm).exists(_._1 == 2L))
+    // doc 2 shrinks to ONE token: its new LM group is empty, and its
+    // old bigrams must leave the table anyway
+    DocumentPipeline.upsertBatch(
+      docs((2L, "single")),
+      p.corpus, p.shingles, p.cands, numBuckets = Some(4), lmPath = Some(lm))
+    assert(!lmStored(lm).exists(_._1 == 2L),
+      "stale bigrams of the shrunk doc must retire")
+    assert(lmStored(lm) == lmRecompute(p))
+  }
 }
