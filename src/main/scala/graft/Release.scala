@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Batch corpus RELEASE — the end-to-end path a training run consumes
+  * (ref behavioral progenitor: the reference's whole-batch "Process
+  * Files" run, `Batch Processor.py:287-365`, composed set-at-a-time
+  * from this library's pieces instead of per-record stages):
+  *
+  *   1. near-dup clusters collapse to one survivor each
+  *      ([[graft.queries.DedupQueries.clusterMap]] — q36's exact
+  *      Jaccard components; survivor = `is_dup = 0`),
+  *   2. the quality gate drops documents below `minQuality`
+  *      (q31's score, shared [[graft.queries.TextQueries
+  *      .qualityScores]] base),
+  *   3. PII is scrubbed (q67's shared `scrubPii` chain — the released
+  *     corpus never holds a raw email/IP/phone),
+  *   4. the result ships as k balanced, manifested, verifiable shards
+  *      ([[graft.sources.ShardWriter]]).
+  *
+  * Every filter is a LEFT SEMI join on a narrow (doc_id) frame — the
+  * corpus text crosses the wire exactly once, into the shard writer.
+  * The report's counts reconcile by construction:
+  * `inputDocs = dupDropped + qualityDropped + releasedDocs`.
+  *
+  * The streaming twin is [[graft.streaming.DocumentPipeline]] (scrub
+  * and mine per delivery, standing artifacts maintained in lockstep);
+  * this is the one-shot batch face over a fixture/corpus directory.
+  */
+object Release {
+
+  final case class ReleaseReport(
+      inputDocs: Long,
+      dupDropped: Long,
+      qualityDropped: Long,
+      releasedDocs: Long,
+      shards: Seq[graft.sources.ShardWriter.ShardManifest]) {
+    require(inputDocs == dupDropped + qualityDropped + releasedDocs,
+      s"release accounting broken: $this")
+  }
+
+  /** Release the corpus under `sfDir` to a shard export at `dest`.
+    * Returns the committed manifest and the drop accounting.
+    */
+  def release(
+      spark: SparkSession,
+      sfDir: String,
+      dest: String,
+      shardCount: Int = 16,
+      minQuality: Double = 0.0): ReleaseReport = {
+    val corpus = graft.sources.Tables(spark, sfDir, "documents")
+    val inputDocs = corpus.count()
+
+    val survivors = graft.queries.DedupQueries.clusterMap(spark, sfDir)
+      .filter(col("is_dup") === 0).select(col("doc_id"))
+    val survivorDocs = survivors.count()
+
+    val gated = graft.queries.TextQueries.qualityScores(spark, sfDir)
+      .filter(col("score") >= minQuality).select(col("doc_id"))
+
+    // both gates are (doc_id)-only frames: the narrow projection is
+    // the real win (corpus text never duplicates through a join);
+    // broadcast-vs-shuffle for the semi joins is AQE's call by size
+    val released = corpus
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(gated, Seq("doc_id"), "left_semi")
+      .withColumn("text", graft.queries.TextQueries.scrubPii(col("text")))
+
+    val manifest = graft.sources.ShardWriter.write(
+      spark, released, dest, shardCount, "doc_id")
+    val releasedDocs = manifest.map(_.rows).sum
+    ReleaseReport(
+      inputDocs,
+      dupDropped = inputDocs - survivorDocs,
+      qualityDropped = survivorDocs - releasedDocs,
+      releasedDocs = releasedDocs,
+      shards = manifest)
+  }
+}

@@ -273,6 +273,27 @@ object DedupQueries {
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       |card AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)""".stripMargin
 
+  /** Full-corpus near-dup cluster map `(doc_id, cluster, is_dup)` —
+    * q36's body, shared with the batch release pipeline
+    * ([[graft.Release]]): cluster = min-label component id over the
+    * exact Jaccard ≥ 0.5 pairs, singletons self-clustered, and a doc
+    * is the cluster's survivor exactly when `is_dup = 0`
+    * (min-label ⇒ survivor = minimum id, [[graft.operators
+    * .DedupClusters.survivors]]' rule).
+    */
+  private[graft] def clusterMap(s: SparkSession, d: String): DataFrame = {
+    val pairs = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.DedupClusters
+      .assign(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    t(s, d, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_dup",
+        when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
+  }
+
   /** The q25 pair-derivation CTE chain, reused verbatim by q36's oracle. */
   private val pairsSql =
     s"""$shingleSql,
@@ -308,19 +329,7 @@ object DedupQueries {
     // singletons self-clustered. Oracle: recursive-CTE reachability min.
     QueryDef(
       "q36_dedup_clusters",
-      (s, d) => {
-        val pairs = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val labels = graft.operators.DedupClusters
-          .assign(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("id", "doc_id")
-        t(s, d, "documents").select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster"))
-          .withColumn("is_dup",
-            when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => clusterMap(s, d).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $pairsSql,
               |pairs AS (SELECT doc_a, doc_b FROM inter
               |  JOIN card ca ON ca.doc_id = doc_a

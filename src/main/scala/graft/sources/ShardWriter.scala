@@ -89,9 +89,13 @@ object ShardWriter {
       .write.mode("overwrite").partitionBy("shard").parquet(staging)
     val expected = obs.get("rows").asInstanceOf[Long]
 
-    // manifest from the STAGED FILES, not the input plan: certify disk
-    val back = spark.read.parquet(staging)
-    val stats = shardStats(back)
+    // manifest from the STAGED FILES, not the input plan: certify
+    // disk. A zero-row export is legal (a fully-filtered release):
+    // the staged dir then has no part files or schema to re-read, and
+    // its manifest is empty.
+    val stats =
+      if (expected == 0L) Seq.empty[ShardManifest]
+      else shardStats(spark.read.parquet(staging))
     val total = stats.map(_.rows).sum
     if (total != expected)
       throw ShardVerificationFailed(dest,
@@ -144,6 +148,9 @@ object ShardWriter {
   def verify(spark: SparkSession, dest: String): Unit = {
     graft.operators.CommitSink.healInterrupted(spark, dest)
     val manifest = readManifest(spark, dest)
+    // an empty manifest certifies an empty export — nothing to read
+    // (and no schema on disk to read it with)
+    if (manifest.isEmpty) return
     val actual = shardStats(spark.read.parquet(dest))
     val byShard = actual.map(s => s.shard -> s).toMap
     manifest.foreach { m =>

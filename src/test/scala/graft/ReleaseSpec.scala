@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The batch release path end-to-end on a crafted corpus: dup clusters
+  * collapse to the min-id survivor, the quality gate drops, PII never
+  * ships, the manifest verifies, and the accounting reconciles.
+  */
+class ReleaseSpec extends SparkTestBase {
+
+  private val base = (1 to 14).map(i => s"w$i").mkString(" ")
+
+  /** Corpus: docs 0/1 near-dups (one survivor), doc 2 with PII, doc 3
+    * clean singleton — all with healthy quality scores.
+    */
+  private lazy val dir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-release").toString
+    val rows = Seq(
+      (0L, s"$base alpha", "en", "s"),
+      (1L, s"$base betaq", "en", "s"),
+      (2L, "contact alice.smith@example.com about the shipment today", "en", "s"),
+      (3L, "completely independent document with original content", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def out(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-rel-$tag").toString + "/export"
+
+  test("release drops dup losers, scrubs PII, ships a verifiable export") {
+    val dest = out("main")
+    val r = Release.release(spark, dir, dest, shardCount = 2)
+    assert(r.inputDocs == 4 && r.dupDropped == 1 && r.qualityDropped == 0,
+      s"$r")
+    assert(r.releasedDocs == 3)
+    val released = spark.read.parquet(dest)
+    // survivor of the 0/1 cluster is the min id
+    val ids = released.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L, 3L), s"released $ids")
+    // the released text NEVER matches a PII pattern
+    val pii = released.filter(
+      col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+      .count()
+    assert(pii == 0, "raw PII shipped in a release")
+    assert(released.filter(col("text").contains("<EMAIL>")).count() == 1,
+      "redaction placeholder missing")
+    // consumer-side integrity check passes
+    graft.sources.ShardWriter.verify(spark, dest)
+  }
+
+  test("the quality gate drops below-threshold docs and the accounting shows it") {
+    val dest = out("gate")
+    // gate ABOVE every fixture score -> everything surviving dedup is
+    // quality-dropped, nothing ships
+    val r = Release.release(spark, dir, dest, shardCount = 2, minQuality = 2.0)
+    assert(r.releasedDocs == 0 && r.qualityDropped == 3 && r.dupDropped == 1,
+      s"$r")
+  }
+
+  test("release is deterministic: re-running ships identical manifests") {
+    val d1 = out("det1"); val d2 = out("det2")
+    val m1 = Release.release(spark, dir, d1, shardCount = 4).shards
+    val m2 = Release.release(spark, dir, d2, shardCount = 4).shards
+    assert(m1 == m2)
+  }
+
+  test("release matches the declared queries: survivors = q36 is_dup=0 ∩ quality gate") {
+    val dest = out("contract")
+    Release.release(spark, dir, dest, shardCount = 2, minQuality = 0.5)
+    val released = spark.read.parquet(dest)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = SparkEntry.queries("q36_dedup_clusters")(spark, dir)
+      .filter(col("is_dup") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gated = SparkEntry.queries("q31_quality_score")(spark, dir)
+      .filter(col("score") >= 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(released == survivors.intersect(gated),
+      s"$released vs ${survivors.intersect(gated)}")
+  }
+}

@@ -78,6 +78,15 @@ class ShardWriterSpec extends SparkTestBase {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("a zero-row export commits an empty manifest and verifies") {
+    val d = tmp("empty")
+    val m = ShardWriter.write(spark, docs.filter(col("doc_id") < 0), d, 4,
+      "doc_id")
+    assert(m.isEmpty)
+    assert(ShardWriter.readManifest(spark, d).isEmpty)
+    ShardWriter.verify(spark, d) // no throw
+  }
+
   test("re-export swaps atomically and leaves no backup debris") {
     val d = tmp("swap")
     ShardWriter.write(spark, docs.limit(100), d, 4, "doc_id")
