@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: print the executed plan of named queries (after one real
   * execution so AQE's final plan is the one shown) plus a one-line
   * shape summary — the per-query audit loop behind SURVEY §2.4's
-  * "plan you'd want at scale" claims.
+  * "plan you'd want at scale" claims. Complements [[Explain]]: that
+  * prints the PRE-execution formatted plan; this one runs the query
+  * and summarizes what AQE actually chose, with cached-base build
+  * subtrees excluded from the counts.
   *
   * Usage: runMain graft.PlanDump q76_dup_segments [q77_...] —
   * env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench;

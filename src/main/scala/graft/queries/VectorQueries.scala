@@ -475,7 +475,45 @@ object VectorQueries {
               (col("n_docs").cast("double") * 1000000.0), 6).as("avg_score"))
           .orderBy(col("cent_id"))
       },
-      None)
+      None),
+
+    // ── q80: SEMANTIC benchmark decontamination — the embedding-space
+    // twin of q64's n-gram overlap: flag training vectors whose cosine
+    // against ANY benchmark vector clears the threshold. Paraphrased
+    // or reformatted eval contamination shares no 3-gram (invisible to
+    // q64) but still sits close in embedding space — both gates run
+    // before a release. Same bench/train split convention as q64
+    // (ids < 20 are the benchmark suite).
+    //
+    // Scale shape: a benchmark suite is TINY next to a training corpus
+    // — it broadcasts whole, scoring is one map-side pass over the
+    // corpus (the BNLJ against a broadcast benchmark IS the design,
+    // like q23's 1-row probe), no shuffle at any corpus size. A
+    // benchmark too large to broadcast routes through the same IVF
+    // co-assignment as q54 instead. The threshold compares the
+    // 6-decimal-rounded value on both sides so it cannot straddle
+    // float noise (q28's rule).
+    QueryDef(
+      "q80_semantic_decontaminate",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = emb(s, d)
+        val bench = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+        e.filter(col("vec_id") >= 20)
+          .crossJoin(broadcast(bench))
+          .select(col("vec_id"), col("bench_id"),
+            round(GraftFunctions.cosineSim(col("embedding"), col("b_emb")), 6)
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .orderBy(col("vec_id"), col("bench_id"))
+      },
+      Some(s"""${cosSql("vec_id < 20", "vec_id >= 20")}
+              |SELECT vec_b AS vec_id, vec_a AS bench_id,
+              |  round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
+              |FROM s
+              |WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.35
+              |ORDER BY vec_id, bench_id""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -264,8 +264,9 @@ class QueriesSpec extends SparkTestBase {
 
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
     // BNLJ allowlist: q23/q71/q78 broadcast a SINGLE-ROW side (the
-    // query vector) and q59 the corpus-size scalar — a 1-row build
-    // side is the right plan; q61 broadcasts the ~30-row day dimension into a range
+    // query vector), q59 the corpus-size scalar, and q80 the tiny
+    // benchmark suite (a broadcast benchmark scored map-side IS the
+    // decontamination design); q61 broadcasts the ~30-row day dimension into a range
     // join against day-grain data (not the corpus); q28 is the
     // by-design exact all-pairs scan; q69 broadcasts the 1-row
     // min-token-mass scalar into the 20-row source table. q40/q54 no
@@ -273,7 +274,7 @@ class QueriesSpec extends SparkTestBase {
     // list id (equi-join).
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix",
-      "q71_ann_int8", "q78_filtered_ann")
+      "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
