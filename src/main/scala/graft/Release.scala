@@ -77,4 +77,67 @@ object Release {
       releasedDocs = releasedDocs,
       shards = manifest)
   }
+
+  /** Release FROM the standing state a [[graft.streaming
+    * .DocumentPipeline]] maintains — corpus and pair-candidates paths
+    * instead of a fixture dir. This is the 100 TB release shape: the
+    * pipeline already paid for dedup mining (the candidates artifact)
+    * and PII scrubbing (the stored corpus is redacted), so the release
+    * re-mines NOTHING — it clusters the stored pairs at the consumer's
+    * threshold, gates quality, and ships. `jaccardThreshold` must be
+    * ≥ the pipeline's candidate floor (the artifact is complete down
+    * to the floor, silent below it).
+    */
+  def fromStanding(
+      spark: SparkSession,
+      corpusPath: String,
+      candidatesPath: String,
+      dest: String,
+      shardCount: Int = 16,
+      minQuality: Double = 0.0,
+      jaccardThreshold: Double = 0.5): ReleaseReport = {
+    require(jaccardThreshold >= graft.queries.DedupQueries.CandidateFloor,
+      s"threshold $jaccardThreshold below the stored candidate floor " +
+        s"${graft.queries.DedupQueries.CandidateFloor}: the artifact is " +
+        "silent below the floor, the release would under-drop")
+    graft.operators.CommitSink.healInterrupted(spark, corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val inputDocs = corpus.count()
+
+    // no candidates artifact = no mined pairs = everything survives
+    val survivors =
+      if (!graft.operators.CommitSink.healInterrupted(spark, candidatesPath))
+        corpus.select(col("doc_id"))
+      else {
+        val pairs = spark.read.parquet(candidatesPath)
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select(col("doc_a"), col("doc_b"))
+        val losers = graft.operators.DedupClusters.assign(pairs, "doc_a", "doc_b")
+          .filter(col("id") =!= col("cluster")) // min-label ⇒ survivor = min id
+          .select(col("id").as("doc_id"))
+        corpus.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+      }
+    val survivorDocs = survivors.count()
+
+    val gated = graft.queries.TextQueries.scoreOf(corpus)
+      .filter(col("score") >= minQuality)
+      .select(col("doc_id"))
+
+    // the stored corpus is already scrubbed (the pipeline's contract);
+    // scrubbing again is an idempotent no-op, so DON'T pay the regex
+    // chain a second time over 100 TB
+    val released = corpus
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(gated, Seq("doc_id"), "left_semi")
+
+    val manifest = graft.sources.ShardWriter.write(
+      spark, released, dest, shardCount, "doc_id")
+    val releasedDocs = manifest.map(_.rows).sum
+    ReleaseReport(
+      inputDocs,
+      dupDropped = inputDocs - survivorDocs,
+      qualityDropped = survivorDocs - releasedDocs,
+      releasedDocs = releasedDocs,
+      shards = manifest)
+  }
 }

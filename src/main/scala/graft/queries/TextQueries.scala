@@ -95,26 +95,34 @@ object TextQueries {
 
   private[graft] def qualityScores(
       s: org.apache.spark.sql.SparkSession, d: String) =
-    qualityCache.get(s, d) {
-      val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
-      t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("n_ch"),
-          size(toks).cast("long").as("n_tokens"),
-          length(regexp_replace(col("text"), " ", "")).cast("long")
-            .as("n_letters"),
-          size(filter(toks, tk => length(tk) > 4)).cast("long")
-            .as("n_long_tokens"))
-        .withColumn("avg_token_len",
-          col("n_letters").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("long_frac",
-          col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("score",
-          col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
-        .select(col("doc_id"), col("n_ch"), col("n_tokens"),
-          col("avg_token_len"), col("long_frac"), col("score"))
-    }
+    qualityCache.get(s, d) { scoreOf(t(s, d, "documents")) }
+
+  /** The q31 score over an arbitrary documents FRAME — one definition
+    * serves the cached fixture base above AND standing corpora (the
+    * release-from-pipeline path, which is keyed by path + content
+    * rather than a fixture dir).
+    */
+  private[graft] def scoreOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+    docs
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_ch"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("n_letters"),
+        size(filter(toks, tk => length(tk) > 4)).cast("long")
+          .as("n_long_tokens"))
+      .withColumn("avg_token_len",
+        col("n_letters").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("long_frac",
+        col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("score",
+        col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
+      .select(col("doc_id"), col("n_ch"), col("n_tokens"),
+        col("avg_token_len"), col("long_frac"), col("score"))
+  }
 
   /** Drop this session's cached text bases (see
     * [[DedupQueries.clearCaches]] for when eviction matters).

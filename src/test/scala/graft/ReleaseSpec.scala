@@ -66,6 +66,42 @@ class ReleaseSpec extends SparkTestBase {
     assert(m1 == m2)
   }
 
+  test("fromStanding releases the pipeline's maintained state without re-mining") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rel-standing")
+      .toString
+    val corpus = root + "/corpus"; val shingles = root + "/shingles"
+    val cands = root + "/cands"; val dest = root + "/export"
+    val b = (1 to 14).map(i => s"v$i").mkString(" ")
+    def docs(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toSeq.toDF("doc_id", "text")
+    }
+    // two deliveries: near-dup pair split across batches + PII doc
+    graft.streaming.DocumentPipeline.upsertBatch(
+      docs((10L, s"$b alpha"),
+        (11L, "mail carol@example.net about completely other things today")),
+      corpus, shingles, cands)
+    graft.streaming.DocumentPipeline.upsertBatch(
+      docs((12L, s"$b betaq"),
+        (13L, "fresh standalone content nine ten eleven twelve")),
+      corpus, shingles, cands)
+    val r = Release.fromStanding(spark, corpus, cands, dest, shardCount = 2)
+    // 10/12 are a cluster -> one survivor (min id 10)
+    assert(r.inputDocs == 4 && r.dupDropped == 1 && r.releasedDocs == 3, s"$r")
+    val released = spark.read.parquet(dest)
+    val ids = released.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 11L, 13L), s"released $ids")
+    // the stored corpus was scrubbed at ingest; the release ships it as-is
+    assert(released.filter(col("text").contains("<EMAIL>")).count() == 1)
+    assert(released.filter(col("text").contains("carol@")).count() == 0)
+    graft.sources.ShardWriter.verify(spark, dest)
+    // a threshold below the stored floor must refuse loudly
+    intercept[IllegalArgumentException] {
+      Release.fromStanding(spark, corpus, cands, root + "/x", 2,
+        jaccardThreshold = 0.1)
+    }
+  }
+
   test("release matches the declared queries: survivors = q36 is_dup=0 ∩ quality gate") {
     val dest = out("contract")
     Release.release(spark, dir, dest, shardCount = 2, minQuality = 0.5)
