@@ -48,9 +48,14 @@ object PlanDump {
         else { skipBelow = -1; true }
       }.mkString("\n")
       def n(pat: String) = pat.r.findAllIn(p).size
+      // ReusedExchangeExec renders its referenced Exchange INLINE
+      // ("ReusedExchange [...], Exchange hashpartitioning(...)"), so a
+      // naive Exchange count would bill every reuse as a real exchange
+      val realExch = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
       println(s"PLAN $name scans=${n("Scan parquet")}" +
         s" cachedReads=${n("InMemoryTableScan")}" +
-        s" exch=${n("Exchange hashpartitioning")}" +
+        s" exch=$realExch" +
         s" reused=${n("ReusedExchange")}" +
         s" bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}" +
         s" bnlj=${n("BroadcastNestedLoopJoin")}" +

@@ -50,32 +50,10 @@ object Release {
       shardCount: Int = 16,
       minQuality: Double = 0.0): ReleaseReport = {
     val corpus = graft.sources.Tables(spark, sfDir, "documents")
-    val inputDocs = corpus.count()
-
     val survivors = graft.queries.DedupQueries.clusterMap(spark, sfDir)
       .filter(col("is_dup") === 0).select(col("doc_id"))
-    val survivorDocs = survivors.count()
-
-    val gated = graft.queries.TextQueries.qualityScores(spark, sfDir)
-      .filter(col("score") >= minQuality).select(col("doc_id"))
-
-    // both gates are (doc_id)-only frames: the narrow projection is
-    // the real win (corpus text never duplicates through a join);
-    // broadcast-vs-shuffle for the semi joins is AQE's call by size
-    val released = corpus
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(gated, Seq("doc_id"), "left_semi")
-      .withColumn("text", graft.queries.TextQueries.scrubPii(col("text")))
-
-    val manifest = graft.sources.ShardWriter.write(
-      spark, released, dest, shardCount, "doc_id")
-    val releasedDocs = manifest.map(_.rows).sum
-    ReleaseReport(
-      inputDocs,
-      dupDropped = inputDocs - survivorDocs,
-      qualityDropped = survivorDocs - releasedDocs,
-      releasedDocs = releasedDocs,
-      shards = manifest)
+    // the fixture corpus is raw: scrub on the way out
+    ship(corpus, survivors, dest, shardCount, minQuality, scrub = true)
   }
 
   /** Release FROM the standing state a [[graft.streaming
@@ -100,36 +78,74 @@ object Release {
       s"threshold $jaccardThreshold below the stored candidate floor " +
         s"${graft.queries.DedupQueries.CandidateFloor}: the artifact is " +
         "silent below the floor, the release would under-drop")
-    graft.operators.CommitSink.healInterrupted(spark, corpusPath)
-    val corpus = spark.read.parquet(corpusPath)
-    val inputDocs = corpus.count()
+    val corpus = standingRead(spark, corpusPath).getOrElse(
+      throw new IllegalArgumentException(s"no standing corpus at $corpusPath"))
 
     // no candidates artifact = no mined pairs = everything survives
-    val survivors =
-      if (!graft.operators.CommitSink.healInterrupted(spark, candidatesPath))
-        corpus.select(col("doc_id"))
-      else {
-        val pairs = spark.read.parquet(candidatesPath)
+    val survivors = standingRead(spark, candidatesPath) match {
+      case None => corpus.select(col("doc_id"))
+      case Some(cands) =>
+        val pairs = cands
           .filter(col("jaccard") >= jaccardThreshold)
           .select(col("doc_a"), col("doc_b"))
         val losers = graft.operators.DedupClusters.assign(pairs, "doc_a", "doc_b")
           .filter(col("id") =!= col("cluster")) // min-label ⇒ survivor = min id
           .select(col("id").as("doc_id"))
         corpus.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
-      }
-    val survivorDocs = survivors.count()
+    }
+    // the stored corpus is already scrubbed (the pipeline's contract);
+    // scrubbing again would pay the regex chain a second time over
+    // 100 TB for an idempotent no-op
+    ship(corpus, survivors, dest, shardCount, minQuality, scrub = false)
+  }
 
+  /** Layout-aware healed read of a standing artifact: heals the
+    * bucket-grain parked dirs of the partitioned layout AND the
+    * whole-dir swap window of the unpartitioned one (each heal is a
+    * no-op on the other layout — [[graft.operators.PartitionedCommit
+    * .healInterrupted]] only restores `__bucket=` dirs, [[graft
+    * .operators.CommitSink.healInterrupted]] only a fully-absent
+    * dest). The bucket column never leaks into a release.
+    */
+  private def standingRead(
+      spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.DataFrame] = {
+    import graft.operators.{CommitSink, PartitionedCommit}
+    if (PartitionedCommit.healInterrupted(spark, path))
+      Some(spark.read.parquet(path).drop(PartitionedCommit.BucketCol))
+    else if (CommitSink.healInterrupted(spark, path))
+      Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** The shared release tail: quality-gate → semi joins → optional
+    * scrub → shard export → reconciling report. One definition so the
+    * fixture and standing paths cannot drift.
+    */
+  private def ship(
+      corpus: org.apache.spark.sql.DataFrame,
+      survivors: org.apache.spark.sql.DataFrame,
+      dest: String,
+      shardCount: Int,
+      minQuality: Double,
+      scrub: Boolean): ReleaseReport = {
+    val spark = corpus.sparkSession
+    val inputDocs = corpus.count()
+    val survivorDocs = survivors.count()
     val gated = graft.queries.TextQueries.scoreOf(corpus)
       .filter(col("score") >= minQuality)
       .select(col("doc_id"))
-
-    // the stored corpus is already scrubbed (the pipeline's contract);
-    // scrubbing again is an idempotent no-op, so DON'T pay the regex
-    // chain a second time over 100 TB
-    val released = corpus
+    // both gates are (doc_id)-only frames: the narrow projection is
+    // the real win (corpus text never duplicates through a join);
+    // broadcast-vs-shuffle for the semi joins is AQE's call by size
+    val kept = corpus
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(gated, Seq("doc_id"), "left_semi")
-
+    val released =
+      if (scrub)
+        kept.withColumn("text",
+          graft.queries.TextQueries.scrubPii(col("text")))
+      else kept
     val manifest = graft.sources.ShardWriter.write(
       spark, released, dest, shardCount, "doc_id")
     val releasedDocs = manifest.map(_.rows).sum

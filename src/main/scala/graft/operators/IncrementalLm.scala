@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * aggregation.
   *
   * [[score]] evaluates documents against a FIXED cost table. When the
-  * scored corpus is the fitted corpus (q77), every bigram is present;
-  * when scoring NEW text against a standing LM, unseen bigrams take
-  * the out-of-vocabulary cost `ln(N + 1)` (N = total bigram mass —
-  * "rarer than anything observed"), so a delta document is never
-  * silently dropped or scored on a subset of its bigrams.
+  * scored corpus is the fitted corpus (q77), every bigram is present
+  * and the OOV cost is irrelevant (pass 0); when scoring NEW text
+  * against a standing LM, pass [[oovCost]]'s `ln(N + 1)` (N = total
+  * bigram mass — "rarer than anything observed") so a delta document
+  * is never silently dropped, scored on a subset of its bigrams, or —
+  * worst — handed p = 1 for text the model has never seen.
   */
 object IncrementalLm {
 
@@ -97,13 +98,17 @@ object IncrementalLm {
   /** Score documents against a fixed cost table: per doc, mean
     * `cost_micro/1e6` over its bigram instances (q77's output shape
     * `(doc_id, n_bigrams, nll)`). `oovCostMicro` prices bigrams the
-    * table has never seen; [[oovCost]] derives the documented
-    * default from the count state.
+    * table has never seen — derive it with [[oovCost]] when scoring
+    * text the model was not fitted on. Deliberately NO default: a
+    * silent 0 would price unseen bigrams as p = 1, handing
+    * keyboard-mash the best score in the corpus — the exact documents
+    * a perplexity filter exists to drop. Pass 0 explicitly only when
+    * scoring the fitted corpus itself, where OOV cannot occur.
     */
   def score(
       docs: DataFrame,
       cost: DataFrame,
-      oovCostMicro: Long = 0L): DataFrame =
+      oovCostMicro: Long): DataFrame =
     bigrams(docs)
       .groupBy(col("doc_id"), col("w1"), col("bigram"))
       .agg(count(lit(1)).as("tf"))

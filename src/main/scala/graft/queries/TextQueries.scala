@@ -780,8 +780,9 @@ object TextQueries {
     QueryDef(
       "q77_lm_score",
       (s, d) =>
+        // scoring the fitted corpus itself: OOV cannot occur, 0 is safe
         graft.operators.IncrementalLm.score(
-          t(s, d, "documents"), lmCostTable(s, d)),
+          t(s, d, "documents"), lmCostTable(s, d), oovCostMicro = 0L),
       Some("""WITH toks AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
              |  FROM documents),

@@ -102,6 +102,40 @@ class ReleaseSpec extends SparkTestBase {
     }
   }
 
+  test("fromStanding on the partitioned layout: bucket heal runs, bucket col never ships") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rel-part")
+      .toString
+    val corpus = root + "/corpus"; val shingles = root + "/shingles"
+    val cands = root + "/cands"; val dest = root + "/export"
+    val b = (1 to 14).map(i => s"y$i").mkString(" ")
+    def docs(rows: (Long, String)*) = {
+      import spark.implicits._
+      rows.toSeq.toDF("doc_id", "text")
+    }
+    graft.streaming.DocumentPipeline.upsertBatch(
+      docs((20L, s"$b alpha"), (21L, s"$b betaq"),
+        (22L, "independent content thirteen fourteen fifteen sixteen")),
+      corpus, shingles, cands, numBuckets = Some(4))
+    // simulate a crash that parked one corpus bucket mid-swap
+    val dirs = new java.io.File(corpus).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(dirs.nonEmpty, "expected a partitioned corpus layout")
+    val victim = dirs.head
+    val backup = new java.io.File(corpus + ".__old__")
+    backup.mkdirs()
+    assert(victim.renameTo(new java.io.File(backup, victim.getName)))
+    val r = Release.fromStanding(spark, corpus, cands, dest, shardCount = 2)
+    // healed: every ingested doc is accounted for, one dup dropped
+    assert(r.inputDocs == 3 && r.dupDropped == 1 && r.releasedDocs == 2, s"$r")
+    val released = spark.read.parquet(dest)
+    assert(!released.columns.contains(
+      graft.operators.PartitionedCommit.BucketCol),
+      "internal bucket column leaked into a release")
+    assert(released.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(20L, 22L))
+    graft.sources.ShardWriter.verify(spark, dest)
+  }
+
   test("release matches the declared queries: survivors = q36 is_dup=0 ∩ quality gate") {
     val dest = out("contract")
     Release.release(spark, dir, dest, shardCount = 2, minQuality = 0.5)

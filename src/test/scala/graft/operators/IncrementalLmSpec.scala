@@ -31,7 +31,7 @@ class IncrementalLmSpec extends SparkTestBase {
 
   test("q77 is score(corpus, costTable(fit(corpus))) — one definition") {
     val viaOperator = IncrementalLm.score(docs,
-      IncrementalLm.costTable(IncrementalLm.fit(docs)))
+      IncrementalLm.costTable(IncrementalLm.fit(docs)), oovCostMicro = 0L)
     val viaQuery = SparkEntry.queries("q77_lm_score")(spark, sf())
     assert(viaOperator.exceptAll(viaQuery).isEmpty &&
       viaQuery.exceptAll(viaOperator).isEmpty)
