@@ -105,20 +105,73 @@ object ShardWriter {
     val stagingPath = new Path(staging)
     val fs = stagingPath.getFileSystem(conf)
     writeManifest(fs, new Path(staging, ManifestName), stats)
+    swapIn(fs, stagingPath, new Path(dest))
+    stats
+  }
 
-    // backup-rename swap (CommitSink's contract): a crash between the
-    // renames leaves the old export at dest.__old__, never destroyed
-    val destPath = new Path(dest)
-    val backupPath = new Path(dest + ".__old__")
+  /** Backup-rename swap (CommitSink's contract): a crash between the
+    * renames leaves the old export at `dest.__old__`, never destroyed.
+    */
+  private def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stagingPath: Path,
+      destPath: Path): Unit = {
+    val backupPath = new Path(destPath.toString + ".__old__")
     if (fs.exists(backupPath)) fs.delete(backupPath, true)
     val hadOld = fs.exists(destPath)
     if (hadOld && !fs.rename(destPath, backupPath))
-      throw new RuntimeException(s"could not stage out old $dest")
+      throw new RuntimeException(s"could not stage out old $destPath")
     if (!fs.rename(stagingPath, destPath)) {
       if (hadOld) fs.rename(backupPath, destPath)
-      throw new RuntimeException(s"could not commit $staging -> $dest")
+      throw new RuntimeException(
+        s"could not commit $stagingPath -> $destPath")
     }
     if (hadOld) fs.delete(backupPath, true)
+  }
+
+  /** Globally-ORDERED export: range-sharded on `orderCol` (shard i's
+    * max key ≤ shard i+1's min key) with rows sorted inside each
+    * shard — the layout for resumable/ordered consumption
+    * (time-ordered eval splits, merge-friendly downstream joins).
+    * The scale-safe global sort: `repartitionByRange` samples range
+    * bounds and sorts per partition — no single-partition SortExec
+    * ever appears (spec-asserted). Unlike [[write]], shard membership
+    * depends on sampled bounds, so the BYTE layout is not guaranteed
+    * identical across cluster shapes — the manifest (computed from
+    * staged files, like [[write]]'s) still certifies exactly what
+    * shipped, and the CONTENT (row multiset, global order) is
+    * deterministic.
+    */
+  def writeSorted(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String,
+      k: Int,
+      orderCol: String): Seq[ShardManifest] = {
+    require(k > 0, s"shard count must be positive, got $k")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column")
+    val staging = dest + ".__staging__"
+    val sorted = df
+      .repartitionByRange(k, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("shard", spark_partition_id())
+    val obs = new org.apache.spark.sql.Observation("sorted_shard_rows")
+    sorted.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    val expected = obs.get("rows").asInstanceOf[Long]
+    val stats =
+      if (expected == 0L) Seq.empty[ShardManifest]
+      else shardStats(spark.read.parquet(staging))
+    val total = stats.map(_.rows).sum
+    if (total != expected)
+      throw ShardVerificationFailed(dest,
+        s"staged rows $total != written rows $expected")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    writeManifest(fs, new Path(staging, ManifestName), stats)
+    swapIn(fs, stagingPath, new Path(dest))
     stats
   }
 

@@ -95,6 +95,54 @@ object AlgebraicProps extends Properties("graft") {
       multiset(hotDf) == multiset(Int.MaxValue)
     }
 
+  /** Random word-salad corpora: ids unique, 0-8 tokens from a 6-word
+    * alphabet (small so bigram collisions actually happen).
+    */
+  private val corpora: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, Gen.zip(
+      Gen.choose(0L, 1000000L),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.take(8).mkString(" "))))
+      .map(_.distinctBy(_._1))
+
+  property("LM merge is exactly a rebuild, for any split of any corpus") =
+    forAll(corpora, corpora) { (l, r) =>
+      import spark.implicits._
+      // doc ids must be disjoint (the merge contract)
+      val left = l.toDF("doc_id", "text")
+      val right = r.filterNot(x => l.exists(_._1 == x._1)).toDF("doc_id", "text")
+      val incr = graft.operators.IncrementalLm
+        .merge(graft.operators.IncrementalLm.fit(left), right)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+      val rebuild = graft.operators.IncrementalLm
+        .fit(left.unionByName(right))
+        .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+      incr == rebuild
+    }
+
+  property("q76 segment accounting: dup + kept token mass = total tokens") =
+    forAll(corpora) { rows =>
+      val nonEmpty = rows.filter(_._2.trim.nonEmpty)
+      (nonEmpty.isEmpty) || {
+        import spark.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-prop-seg").toString
+        nonEmpty.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        val out = SparkEntry.queries("q76_dup_segments")(spark, tmp)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+        nonEmpty.forall { case (id, text) =>
+          val toks = text.split(" ").count(_.nonEmpty)
+          out.get(id) match {
+            case Some((dup, kept)) => dup + kept == toks
+            case None => toks == 0
+          }
+        }
+      }
+    }
+
   property("KMeansLite is deterministic and returns unit centroids") =
     forAll(Gen.choose(1L, 1000L)) { seedish =>
       import spark.implicits._

@@ -87,6 +87,39 @@ class ShardWriterSpec extends SparkTestBase {
     ShardWriter.verify(spark, d) // no throw
   }
 
+  test("writeSorted ships globally-ordered range shards, no single-partition sort") {
+    val d = tmp("sorted")
+    val k = 4
+    val df = docs.repartition(7) // scrambled input layout
+    val plan = df.repartitionByRange(k, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"),
+      "global sort must not funnel through one partition")
+    val m = ShardWriter.writeSorted(spark, df, d, k, "doc_id")
+    assert(m.map(_.rows).sum == docs.count())
+    // global order: shard i's max key < shard i+1's min key
+    val ranges = m.map { s =>
+      val keys = spark.read.parquet(s"$d/shard=${s.shard}")
+        .select("doc_id").collect().map(_.getLong(0))
+      (s.shard, keys.min, keys.max, keys.toSeq)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, _, maxA, _), (_, minB, _, _)) =>
+        assert(maxA < minB, s"shards overlap: $maxA !< $minB")
+      case _ =>
+    }
+    // within-shard order: parquet preserves row order per file
+    ranges.foreach { case (sh, _, _, keys) =>
+      assert(keys == keys.sorted, s"shard $sh not internally sorted")
+    }
+    // content round-trip
+    val back = spark.read.parquet(d).drop("shard")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    ShardWriter.verify(spark, d)
+  }
+
   test("re-export swaps atomically and leaves no backup debris") {
     val d = tmp("swap")
     ShardWriter.write(spark, docs.limit(100), d, 4, "doc_id")
