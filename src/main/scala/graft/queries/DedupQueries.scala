@@ -294,6 +294,41 @@ object DedupQueries {
         when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
   }
 
+  /** One row per fixed 16-token segment occurrence
+    * `(doc_id, hh: md5, ntok)` — the shared single-scan pass under
+    * q76 (per-doc dup accounting) and q81 (corpus-wide boilerplate
+    * report): tokens bind once, segment enumeration is a codegen'd
+    * HOF, and rows carry 16-byte digests, never segment text.
+    */
+  private def docSegments(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    t(s, d, "documents")
+      .withColumn("tk",
+        filter(split(col("text"), " "), tk => length(tk) > 0))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), expr(s"CAST((n + ${W - 1}) DIV $W AS INT) - 1")),
+          i => slice(col("tk"), i * W + 1, lit(W)))).as("seg"))
+      .select(col("doc_id"),
+        md5(array_join(col("seg"), " ")).as("hh"),
+        size(col("seg")).cast("long").as("ntok"))
+  }
+
+  /** The q76/q81 segment-derivation CTE chain (DuckDB twin of
+    * [[docSegments]]), shared so the two oracles cannot drift.
+    */
+  private val segSql: String =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      |segs AS (SELECT doc_id, list_slice(t, i*16 + 1, i*16 + 16) AS seg
+      |  FROM d, unnest(range(0, (n + 15) // 16)) AS r(i)),
+      |h AS (SELECT doc_id, md5(array_to_string(seg, ' ')) AS hh,
+      |    CAST(len(seg) AS BIGINT) AS ntok
+      |  FROM segs)""".stripMargin
+
   /** The q25 pair-derivation CTE chain, reused verbatim by q36's oracle. */
   private val pairsSql =
     s"""$shingleSql,
@@ -527,20 +562,8 @@ object DedupQueries {
     QueryDef(
       "q76_dup_segments",
       (s, d) => {
-        val W = 16
         import org.apache.spark.sql.expressions.Window
-        val segs = t(s, d, "documents")
-          .withColumn("tk",
-            filter(split(col("text"), " "), tk => length(tk) > 0))
-          .withColumn("n", size(col("tk")))
-          .filter(col("n") > 0)
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(0), expr(s"CAST((n + ${W - 1}) DIV $W AS INT) - 1")),
-              i => slice(col("tk"), i * W + 1, lit(W)))).as("seg"))
-          .select(col("doc_id"),
-            md5(array_join(col("seg"), " ")).as("hh"),
-            size(col("seg")).cast("long").as("ntok"))
-        segs
+        docSegments(s, d)
           .groupBy(col("hh"), col("doc_id"))
           .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("ntok_sum"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hh"))))
@@ -555,15 +578,7 @@ object DedupQueries {
               .as("kept_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id,
-              |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-              |  FROM documents),
-              |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-              |segs AS (SELECT doc_id, list_slice(t, i*16 + 1, i*16 + 16) AS seg
-              |  FROM d, unnest(range(0, (n + 15) // 16)) AS r(i)),
-              |h AS (SELECT doc_id, md5(array_to_string(seg, ' ')) AS hh,
-              |    CAST(len(seg) AS BIGINT) AS ntok
-              |  FROM segs),
+      Some(s"""WITH $segSql,
               |dfq AS (SELECT hh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
               |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
               |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS dup_segments,
@@ -572,6 +587,35 @@ object DedupQueries {
               |  CAST(coalesce(sum(ntok) FILTER (WHERE df < 2), 0) AS BIGINT)
               |    AS kept_tokens
               |FROM h JOIN dfq USING (hh) GROUP BY 1
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── q81: boilerplate passages — the corpus-wide face of q76: q76
+    // tells each document how much duplicated mass to cut, q81 NAMES
+    // the passages (top-20 segments by document frequency) — the
+    // report a curator reads to find the nav bar / license header /
+    // mirrored template behind the numbers, with an example document
+    // to open. Same single-scan segment pass (shared [[docSegments]]),
+    // one segment-cardinality-bounded aggregation, top-20 as
+    // TakeOrdered — no global sort.
+    QueryDef(
+      "q81_boilerplate_passages",
+      (s, d) =>
+        docSegments(s, d)
+          .groupBy(col("hh").as("seg_md5"))
+          .agg(
+            countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("occurrences"),
+            min(col("doc_id")).as("example_doc"))
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("occurrences").desc, col("seg_md5"))
+          .limit(20),
+      Some(s"""WITH $segSql,
+              |agg AS (SELECT hh AS seg_md5, count(DISTINCT doc_id) AS df,
+              |    CAST(count(*) AS BIGINT) AS occurrences,
+              |    min(doc_id) AS example_doc
+              |  FROM h GROUP BY 1)
+              |SELECT seg_md5, df, occurrences, example_doc FROM agg
+              |WHERE df >= 2
+              |ORDER BY df DESC, occurrences DESC, seg_md5 LIMIT 20""".stripMargin))
   )
 }

@@ -231,6 +231,34 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 0L, 0L, 32L)), s"doc4: ${out(4L)}")
   }
 
+  test("q81 names the shared passage q76 counts, with a real example doc") {
+    val P = (1 to 16).map(i => f"s$i%02d").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seg-q81").toString
+    val rows = Seq(
+      (0L, P + " tail one", "en", "s"),
+      (1L, P + " tail two", "en", "s"),
+      (2L, P + " tail three", "en", "s"),
+      (3L, "unrelated words that never repeat anywhere at all", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q81_boilerplate_passages")(spark, tmp)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1, s"exactly one shared passage: ${out.toSeq}")
+    val (md5hex, df, occ, ex) = out.head
+    assert(df == 3L && occ == 3L && ex == 0L)
+    // the digest IS the passage: md5 of the 16 shared tokens
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(P.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5hex == expect, "reported digest is not the shared passage")
+    // reconciliation with q76: the example doc reports dup mass
+    val q76 = SparkEntry.queries("q76_dup_segments")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q76(ex) >= 1L, "example doc must carry dup segments in q76")
+  }
+
   test("q77 scores corpus-typical text low and rare-continuation text high") {
     // docs 0-3 share one dominant bigram chain, so their continuations
     // are corpus-typical (low -ln p). Doc 4 uses the SAME frequent
