@@ -59,7 +59,8 @@ object DocumentPipeline {
       newCandidates: Long,
       replacedDocs: Long,
       signatureRows: Long = 0L,
-      lmRows: Long = 0L)
+      lmRows: Long = 0L,
+      batchNll: Option[Double] = None)
 
   private val CandSchema =
     Seq("doc_a", "doc_b", "inter_cnt", "na", "nb", "jaccard", "containment")
@@ -97,6 +98,12 @@ object DocumentPipeline {
     * the aggregate counts / cost table derive by vocabulary-bounded
     * aggregation ([[graft.operators.IncrementalLm.countsFromTf]]).
     * Like every artifact here, the LM describes the SCRUBBED text.
+    * Each batch is also scored against the PRE-batch standing model
+    * (unseen bigrams at the OOV cost) and the token-weighted mean
+    * −ln p ships in the report as `batchNll` — the LM twin of
+    * [[VectorIndexMaintenance]]'s drift report: an off-distribution
+    * delivery (wrong language, spam, broken extractor) surfaces the
+    * moment it arrives.
     */
   def upsertBatch(
       batch: DataFrame,
@@ -231,15 +238,35 @@ object DocumentPipeline {
         // upsert retires its old bigrams the same way it retires its
         // old shingles. retireKeys = the full batch id set, because a
         // replacement whose new text has < 2 tokens produces an EMPTY
-        // group — its stale rows must still leave the table.
+        // group — its stale rows must still leave the table. Before
+        // the upsert, the batch is scored against the PRE-batch
+        // standing model (the LM twin of VectorIndexMaintenance's
+        // quantizer-drift report): a delivery whose mean -ln p jumps
+        // is off-distribution — wrong language, spam, a broken
+        // upstream extractor — and surfaces in the report the moment
+        // it happens, not at the next corpus-wide quality audit.
+        // Unseen bigrams price at the OOV cost, so fully-foreign text
+        // reads as HIGH nll, never as p = 1.
+        var batchNll: Option[Double] = None
         val lmRows = lmPath.fold(0L) { p =>
+          val lm = graft.operators.IncrementalLm
+          standing(p).foreach { tf =>
+            val counts = lm.countsFromTf(tf.drop(B))
+            val scored = lm.score(
+              scrubbed, lm.costTable(counts), lm.oovCost(counts))
+            val agg = scored.agg(
+              sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
+              .head()
+            if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
+              batchNll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
+          }
           CorpusMaintenance.upsertGroups(
-            graft.operators.IncrementalLm.docTf(scrubbed),
-            p, "doc_id", numBuckets, retireKeys = Some(batchIds))
+            lm.docTf(scrubbed), p, "doc_id", numBuckets,
+            retireKeys = Some(batchIds))
         }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,
-          sigRows, lmRows)
+          sigRows, lmRows, batchNll)
       } finally {
         newCands.unpersist()
         ()

@@ -291,6 +291,33 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(derived.exceptAll(direct).isEmpty && direct.exceptAll(derived).isEmpty)
   }
 
+  test("batchNll drift: in-distribution delivery scores low, foreign text high") {
+    val p = Paths(tmp("docpipe-lm-drift"))
+    val lm = p.root + "/lm"
+    val typical = "the cat sat on the mat and the cat sat on the mat again"
+    // batch 1: fits the model — no standing LM yet, so no score
+    val r1 = DocumentPipeline.upsertBatch(
+      docs((1L, typical), (2L, typical + " for sure")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    assert(r1.batchNll.isEmpty, "first delivery has no standing model to drift from")
+    // batch 2: same distribution — low nll
+    val r2 = DocumentPipeline.upsertBatch(
+      docs((3L, typical + " once more")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    // batch 3: fully foreign text — all bigrams OOV — must score HIGHER
+    val r3 = DocumentPipeline.upsertBatch(
+      docs((4L, "zzq vvk qqj wwx jjr kkp")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    assert(r2.batchNll.isDefined && r3.batchNll.isDefined, s"$r2 / $r3")
+    assert(r3.batchNll.get > r2.batchNll.get,
+      s"foreign delivery must read off-distribution: $r2 vs $r3")
+    // a batch with no scorable bigrams reports no score, not NaN
+    val r4 = DocumentPipeline.upsertBatch(
+      docs((5L, "single")),
+      p.corpus, p.shingles, p.cands, lmPath = Some(lm))
+    assert(r4.batchNll.isEmpty, s"$r4")
+  }
+
   test("LM retire-only update: a one-token replacement removes its stale rows") {
     // partitioned layout so the retire-only bucket rewrite is exercised
     val p = Paths(tmp("docpipe-lm-retire"))
