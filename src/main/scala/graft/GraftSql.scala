@@ -30,6 +30,34 @@ object GraftSql {
     graft.sources.Tables.names.foreach { n =>
       graft.sources.Tables(spark, sfDir, n).createOrReplaceTempView(n)
     }
+    derivedViews(spark, sfDir)
+  }
+
+  /** The DERIVED corpus bases as SQL views — the artifacts a SQL-only
+    * analyst actually joins against (raw tables alone make them
+    * re-derive quality scores or dup clusters by hand):
+    *
+    *   - `quality_scores` — q31's per-doc score base
+    *   - `dup_clusters`   — q36's cluster map (`doc_id, cluster, is_dup`)
+    *   - `pair_candidates` — the mined near-dup pair artifact with both
+    *     overlap measures (q25/q68's shared index)
+    *   - `lm_cost`        — q77's bigram cost table
+    *
+    * Each is the SAME cached/persisted frame the Column API serves
+    * (one definition, amortized build), so e.g.
+    * `SELECT d.* FROM documents d JOIN dup_clusters c USING (doc_id)
+    * WHERE c.is_dup = 0` is the SQL spelling of the release's
+    * survivor filter.
+    */
+  private def derivedViews(spark: SparkSession, sfDir: String): Unit = {
+    graft.queries.TextQueries.qualityScores(spark, sfDir)
+      .createOrReplaceTempView("quality_scores")
+    graft.queries.DedupQueries.clusterMap(spark, sfDir)
+      .createOrReplaceTempView("dup_clusters")
+    graft.queries.DedupQueries.pairCandidates(spark, sfDir)
+      .createOrReplaceTempView("pair_candidates")
+    graft.queries.TextQueries.lmCostTable(spark, sfDir)
+      .createOrReplaceTempView("lm_cost")
   }
 
   /** Convenience: open + run one statement. */

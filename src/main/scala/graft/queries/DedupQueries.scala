@@ -168,7 +168,7 @@ object DedupQueries {
     */
   private[graft] val CandidateFloor = 0.25
 
-  private def pairCandidates(s: SparkSession, d: String): DataFrame =
+  private[graft] def pairCandidates(s: SparkSession, d: String): DataFrame =
     candidatesCache.get(s, d)(
       candidatesFromShingles(docShingles(s, d), HotShingleDf, CandidateFloor))
 

@@ -51,4 +51,38 @@ class GraftSqlSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(cos < 1e-6)
   }
+
+  test("derived views serve the cached bases: SQL joins match the declared queries") {
+    GraftSql.open(spark, sf())
+    // the SQL spelling of the release's survivor filter == q36's map
+    val sqlSurvivors = spark.sql(
+      """SELECT doc_id FROM dup_clusters WHERE is_dup = 0
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val apiSurvivors = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
+      .filter(col("is_dup") === 0).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sqlSurvivors == apiSurvivors)
+    // quality_scores view == q31's base columns
+    val sqlQ = spark.sql(
+      "SELECT doc_id, score FROM quality_scores ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiQ = SparkEntry.queries("q31_quality_score")(spark, sf())
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlQ == apiQ)
+    // pair_candidates view serves q25's pairs with a plain filter
+    val sqlPairs = spark.sql(
+      """SELECT doc_a, doc_b FROM pair_candidates
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apiPairs = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlPairs == apiPairs)
+    // lm_cost view is the q77 model: non-empty, every cost >= 0
+    val lm = spark.sql(
+      "SELECT count(*), min(cost_micro) FROM lm_cost").head()
+    assert(lm.getLong(0) > 0 && lm.getLong(1) >= 0L)
+  }
 }
