@@ -24,6 +24,10 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in durable index tier, same env contract as Bench/Verify —
+    // without this a cold-vs-warm store measurement silently measures
+    // store-off twice
+    graft.sources.IndexStore.enableFromEnv(spark)
     args.foreach { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
