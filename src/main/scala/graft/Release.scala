@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Every filter is a LEFT SEMI join on a narrow (doc_id) frame — the
   * corpus text crosses the wire exactly once, into the shard writer.
-  * The report's counts reconcile by construction:
-  * `inputDocs = dupDropped + qualityDropped + releasedDocs`.
+  * `equalizeSources = true` additionally applies q69's source-mixing
+  * arithmetic over the kept frame before export, so the SHIPPED
+  * mixture is token-mass-equalized. The report's counts reconcile by
+  * construction:
+  * `inputDocs = dupDropped + qualityDropped + mixDropped + releasedDocs`.
   *
   * The streaming twin is [[graft.streaming.DocumentPipeline]] (scrub
   * and mine per delivery, standing artifacts maintained in lockstep);
@@ -35,8 +38,10 @@ object Release {
       dupDropped: Long,
       qualityDropped: Long,
       releasedDocs: Long,
-      shards: Seq[graft.sources.ShardWriter.ShardManifest]) {
-    require(inputDocs == dupDropped + qualityDropped + releasedDocs,
+      shards: Seq[graft.sources.ShardWriter.ShardManifest],
+      mixDropped: Long = 0L) {
+    require(
+      inputDocs == dupDropped + qualityDropped + mixDropped + releasedDocs,
       s"release accounting broken: $this")
   }
 
@@ -48,12 +53,14 @@ object Release {
       sfDir: String,
       dest: String,
       shardCount: Int = 16,
-      minQuality: Double = 0.0): ReleaseReport = {
+      minQuality: Double = 0.0,
+      equalizeSources: Boolean = false): ReleaseReport = {
     val corpus = graft.sources.Tables(spark, sfDir, "documents")
     val survivors = graft.queries.DedupQueries.clusterMap(spark, sfDir)
       .filter(col("is_dup") === 0).select(col("doc_id"))
     // the fixture corpus is raw: scrub on the way out
-    ship(corpus, survivors, dest, shardCount, minQuality, scrub = true)
+    ship(corpus, survivors, dest, shardCount, minQuality, scrub = true,
+      equalizeSources)
   }
 
   /** Release FROM the standing state a [[graft.streaming
@@ -73,7 +80,8 @@ object Release {
       dest: String,
       shardCount: Int = 16,
       minQuality: Double = 0.0,
-      jaccardThreshold: Double = 0.5): ReleaseReport = {
+      jaccardThreshold: Double = 0.5,
+      equalizeSources: Boolean = false): ReleaseReport = {
     require(jaccardThreshold >= graft.queries.DedupQueries.CandidateFloor,
       s"threshold $jaccardThreshold below the stored candidate floor " +
         s"${graft.queries.DedupQueries.CandidateFloor}: the artifact is " +
@@ -96,7 +104,8 @@ object Release {
     // the stored corpus is already scrubbed (the pipeline's contract);
     // scrubbing again would pay the regex chain a second time over
     // 100 TB for an idempotent no-op
-    ship(corpus, survivors, dest, shardCount, minQuality, scrub = false)
+    ship(corpus, survivors, dest, shardCount, minQuality, scrub = false,
+      equalizeSources)
   }
 
   /** Layout-aware healed read of a standing artifact: heals the
@@ -119,8 +128,9 @@ object Release {
   }
 
   /** The shared release tail: quality-gate → semi joins → optional
-    * scrub → shard export → reconciling report. One definition so the
-    * fixture and standing paths cannot drift.
+    * source equalization → optional scrub → shard export → reconciling
+    * report. One definition so the fixture and standing paths cannot
+    * drift.
     */
   private def ship(
       corpus: org.apache.spark.sql.DataFrame,
@@ -128,7 +138,8 @@ object Release {
       dest: String,
       shardCount: Int,
       minQuality: Double,
-      scrub: Boolean): ReleaseReport = {
+      scrub: Boolean,
+      equalizeSources: Boolean): ReleaseReport = {
     val spark = corpus.sparkSession
     val inputDocs = corpus.count()
     val survivorDocs = survivors.count()
@@ -141,19 +152,53 @@ object Release {
     val kept = corpus
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(gated, Seq("doc_id"), "left_semi")
+    // q69's mixing arithmetic over the KEPT frame (rates computed
+    // AFTER dedup + quality so the shipped mixture is equalized, not
+    // the raw corpus): integer-thousandth rates + the deterministic
+    // hash-membership filter — same mixture on every engine/run. One
+    // extra shuffle (source rollup with map-side partials) + a
+    // broadcast rate table; the corpus text still crosses the wire
+    // once.
+    val (mixed, keptDocs) =
+      if (!equalizeSources) (kept, -1L)
+      else {
+        require(kept.columns.contains("source"),
+          "equalizeSources needs a 'source' column in the corpus")
+        val tok = kept.select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), tk => length(tk) > 0))
+            .cast("long").as("n_tok"))
+        val st = tok.groupBy(col("source"))
+          .agg(sum(col("n_tok")).cast("long").as("src_tokens"))
+        val m = st.filter(col("src_tokens") > 0)
+          .agg(min(col("src_tokens")).as("min_tok"))
+        val rates = st.crossJoin(broadcast(m))
+          .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
+            .otherwise(expr("min_tok * 1000 DIV src_tokens")))
+          .select(col("source"), col("rate_k"))
+        val eq = kept
+          .join(broadcast(rates), Seq("source"))
+          .filter(expr(
+            graft.queries.Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
+          .drop("rate_k")
+        (eq, kept.count())
+      }
     val released =
       if (scrub)
-        kept.withColumn("text",
+        mixed.withColumn("text",
           graft.queries.TextQueries.scrubPii(col("text")))
-      else kept
+      else mixed
     val manifest = graft.sources.ShardWriter.write(
       spark, released, dest, shardCount, "doc_id")
     val releasedDocs = manifest.map(_.rows).sum
+    val mixDropped = if (keptDocs < 0) 0L else keptDocs - releasedDocs
     ReleaseReport(
       inputDocs,
       dupDropped = inputDocs - survivorDocs,
-      qualityDropped = survivorDocs - releasedDocs,
+      qualityDropped =
+        (if (keptDocs < 0) survivorDocs - releasedDocs
+         else survivorDocs - keptDocs),
       releasedDocs = releasedDocs,
-      shards = manifest)
+      shards = manifest,
+      mixDropped = mixDropped)
   }
 }

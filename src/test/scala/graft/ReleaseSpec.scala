@@ -136,6 +136,37 @@ class ReleaseSpec extends SparkTestBase {
     graft.sources.ShardWriter.verify(spark, dest)
   }
 
+  test("equalizeSources ships a balanced mixture with reconciling accounting") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rel-mix").toString
+    // srcBig has ~8x the token mass of srcSmall
+    val rows = (0L until 80L).map(i =>
+      (i, s"big source filler document number $i with several more tokens",
+        "en", "srcBig")) ++
+      (100L until 110L).map(i =>
+        (i, s"small source doc $i tokens here", "en", "srcSmall"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dest = out("mix")
+    val r = Release.release(spark, tmp, dest, shardCount = 2,
+      equalizeSources = true)
+    assert(r.mixDropped > 0, s"the dominant source must be downsampled: $r")
+    assert(r.inputDocs ==
+      r.dupDropped + r.qualityDropped + r.mixDropped + r.releasedDocs)
+    val released = spark.read.parquet(dest)
+    val masses = released
+      .select(col("source"),
+        size(filter(split(col("text"), " "), tk => length(tk) > 0))
+          .cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all 10 small docs survive; the big source's mass lands near the
+    // small one's (integer-thousandth rate -> within ~30%)
+    assert(masses("srcSmall") > 0)
+    val ratio = masses("srcBig").toDouble / masses("srcSmall").toDouble
+    assert(ratio < 1.5, s"mixture not equalized: $masses")
+  }
+
   test("release matches the declared queries: survivors = q36 is_dup=0 ∩ quality gate") {
     val dest = out("contract")
     Release.release(spark, dir, dest, shardCount = 2, minQuality = 0.5)
