@@ -152,35 +152,40 @@ object Release {
     val kept = corpus
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(gated, Seq("doc_id"), "left_semi")
-    // q69's mixing arithmetic over the KEPT frame (rates computed
-    // AFTER dedup + quality so the shipped mixture is equalized, not
-    // the raw corpus): integer-thousandth rates + the deterministic
-    // hash-membership filter — same mixture on every engine/run. One
-    // extra shuffle (source rollup with map-side partials) + a
-    // broadcast rate table; the corpus text still crosses the wire
-    // once.
+    // q69's mixing arithmetic over the KEPT frame (shared
+    // [[TextQueries.sourceRates]] — rates computed AFTER dedup +
+    // quality so the shipped mixture is equalized, not the raw
+    // corpus): integer-thousandth rates + the deterministic
+    // hash-membership filter — same mixture on every engine/run.
+    // Release masses are WHITESPACE token counts regardless of the
+    // BPE session flag (the standing path has no fixture dir to learn
+    // merges from; one tokenizer for both release paths beats a
+    // flag-dependent mixture). `floorOne` keeps a ≥1000× source in
+    // the mixture at the minimum rate instead of silently dropping
+    // it, and the null-source group joins through a sentinel key
+    // (an equi-join on a null source matches nothing — those docs
+    // would vanish and be miscounted as mixDropped).
+    val MixKey = "__mix_src"
     val (mixed, keptDocs) =
       if (!equalizeSources) (kept, -1L)
       else {
         require(kept.columns.contains("source"),
           "equalizeSources needs a 'source' column in the corpus")
-        val tok = kept.select(col("doc_id"), col("source"),
+        val keptP = kept.persist() // consumed by count + rates + export
+        val srcKey = coalesce(col("source").cast("string"), lit(" null"))
+        val tok = keptP.select(col("doc_id"), srcKey.as("source"),
           size(filter(split(col("text"), " "), tk => length(tk) > 0))
             .cast("long").as("n_tok"))
-        val st = tok.groupBy(col("source"))
-          .agg(sum(col("n_tok")).cast("long").as("src_tokens"))
-        val m = st.filter(col("src_tokens") > 0)
-          .agg(min(col("src_tokens")).as("min_tok"))
-        val rates = st.crossJoin(broadcast(m))
-          .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
-            .otherwise(expr("min_tok * 1000 DIV src_tokens")))
-          .select(col("source"), col("rate_k"))
-        val eq = kept
-          .join(broadcast(rates), Seq("source"))
+        val rates = graft.queries.TextQueries
+          .sourceRates(tok, floorOne = true)
+          .select(col("source").as(MixKey), col("rate_k"))
+        val eq = keptP
+          .withColumn(MixKey, srcKey)
+          .join(broadcast(rates), Seq(MixKey))
           .filter(expr(
             graft.queries.Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
-          .drop("rate_k")
-        (eq, kept.count())
+          .drop(MixKey, "rate_k")
+        (eq, keptP.count())
       }
     val released =
       if (scrub)
@@ -189,6 +194,7 @@ object Release {
       else mixed
     val manifest = graft.sources.ShardWriter.write(
       spark, released, dest, shardCount, "doc_id")
+    if (equalizeSources) kept.unpersist()
     val releasedDocs = manifest.map(_.rows).sum
     val mixDropped = if (keptDocs < 0) 0L else keptDocs - releasedDocs
     ReleaseReport(

@@ -59,6 +59,7 @@ object DedupQueries {
     candidatesCache.clear(s)
     bandsCache.clear(s)
     simhashCache.clear(s)
+    clusterCache.clear(s)
   }
 
   /** MinHash band index, persisted per (session, dir): (band key,
@@ -281,18 +282,24 @@ object DedupQueries {
     * (min-label ⇒ survivor = minimum id, [[graft.operators
     * .DedupClusters.survivors]]' rule).
     */
-  private[graft] def clusterMap(s: SparkSession, d: String): DataFrame = {
-    val pairs = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.DedupClusters
-      .assign(pairs, "doc_a", "doc_b")
-      .withColumnRenamed("id", "doc_id")
-    t(s, d, "documents").select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      .withColumn("is_dup",
-        when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
-  }
+  private val clusterCache = new StampedCache("cluster_map")
+
+  private[graft] def clusterMap(s: SparkSession, d: String): DataFrame =
+    clusterCache.get(s, d) {
+      // assign() runs the iterative min-label loop EAGERLY (a job per
+      // round) — the stamped cache makes that a once-per-corpus cost
+      // instead of once per q36/release/SQL-view invocation
+      val pairs = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val labels = graft.operators.DedupClusters
+        .assign(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("is_dup",
+          when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
+    }
 
   /** One row per fixed 16-token segment occurrence
     * `(doc_id, hh: md5, ntok)` — the shared single-scan pass under

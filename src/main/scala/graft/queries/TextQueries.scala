@@ -149,6 +149,31 @@ object TextQueries {
         graft.operators.IncrementalLm.fit(t(s, d, "documents")))
     }
 
+  /** Source-equalization rate table from a `(source, n_tok)`-grain
+    * frame: `(source, n_docs, src_tokens, rate_k)` with `rate_k` in
+    * integer thousandths of documents kept — ONE definition of the
+    * mixing arithmetic shared by q69's report and the release path.
+    * Zero-token sources rate 0 either way. `floorOne = true` (the
+    * release) clamps a token-bearing source's rate to ≥ 1: a source
+    * more than 1000× the smallest would otherwise floor to rate 0 and
+    * VANISH from the shipped mixture — silent data loss in an export,
+    * where in the q69 report the same 0 is a visible row.
+    */
+  private[graft] def sourceRates(
+      tok: org.apache.spark.sql.DataFrame,
+      floorOne: Boolean): org.apache.spark.sql.DataFrame = {
+    val st = tok.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("src_tokens"))
+    val m = st.filter(col("src_tokens") > 0)
+      .agg(min(col("src_tokens")).as("min_tok"))
+    val raw = expr("min_tok * 1000 DIV src_tokens")
+    st.crossJoin(broadcast(m))
+      .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
+        .otherwise(if (floorOne) greatest(lit(1L), raw) else raw))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q15: JSON extraction (ref: JSON settings read/write
@@ -628,19 +653,13 @@ object TextQueries {
         val tok = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             tokenMass(s, d, col("text")).as("n_tok"))
-        val st = tok.groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(col("n_tok")).cast("long").as("src_tokens"))
         // min over token-BEARING sources only, and rate 0 for a
         // zero-token source: an all-empty source would otherwise make
         // min_tok = 0 and `0 DIV 0` throw under ANSI mode, taking the
-        // whole mixing pass down with it
-        val m = st.filter(col("src_tokens") > 0)
-          .agg(min(col("src_tokens")).as("min_tok"))
-        val rates = st.crossJoin(broadcast(m))
-          .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
-            .otherwise(expr("min_tok * 1000 DIV src_tokens")))
-          .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"))
+        // whole mixing pass down with it (shared [[sourceRates]];
+        // floorOne = false — in THIS report a rate of 0 is a visible
+        // row the operator reads, not silent loss)
+        val rates = sourceRates(tok, floorOne = false)
         val samp = tok.join(broadcast(rates.select(col("source"), col("rate_k"))),
             Seq("source"))
           .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))

@@ -152,10 +152,19 @@ object ShardWriter {
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
     val staging = dest + ".__staging__"
+    // Sort by (shard, orderCol), not orderCol alone: the partitionBy
+    // write REQUIRES a partition-local ordering on the partition
+    // column, and with only [orderCol] in the child's ordering Spark
+    // plans its own Sort(shard) on top — whose stability is NOT
+    // guaranteed once a spilling merge interleaves equal-key runs, so
+    // a big shard could ship internally unsorted. With the shard
+    // column leading the sort, the required ordering is already
+    // satisfied and no extra sort is planned (shard is constant per
+    // partition, so this is the same per-partition work).
     val sorted = df
       .repartitionByRange(k, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
       .withColumn("shard", spark_partition_id())
+      .sortWithinPartitions(col("shard"), col(orderCol))
     val obs = new org.apache.spark.sql.Observation("sorted_shard_rows")
     sorted.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("shard").parquet(staging)

@@ -251,14 +251,23 @@ object DocumentPipeline {
         val lmRows = lmPath.fold(0L) { p =>
           val lm = graft.operators.IncrementalLm
           standing(p).foreach { tf =>
-            val counts = lm.countsFromTf(tf.drop(B))
-            val scored = lm.score(
-              scrubbed, lm.costTable(counts), lm.oovCost(counts))
-            val agg = scored.agg(
-              sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
-              .head()
-            if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
-              batchNll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
+            // the vocabulary-sized aggregate persists across its two
+            // consumers (cost table + OOV mass) so the corpus-grain
+            // standing tf table is scanned ONCE per batch for the
+            // drift score, not twice
+            val counts = lm.countsFromTf(tf.drop(B)).persist()
+            try {
+              val scored = lm.score(
+                scrubbed, lm.costTable(counts), lm.oovCost(counts))
+              val agg = scored.agg(
+                sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
+                .head()
+              if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
+                batchNll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
+            } finally {
+              counts.unpersist()
+              ()
+            }
           }
           CorpusMaintenance.upsertGroups(
             lm.docTf(scrubbed), p, "doc_id", numBuckets,

@@ -53,7 +53,7 @@ class GraftSqlSpec extends SparkTestBase {
   }
 
   test("derived views serve the cached bases: SQL joins match the declared queries") {
-    GraftSql.open(spark, sf())
+    GraftSql.openDerived(spark, sf())
     // the SQL spelling of the release's survivor filter == q36's map
     val sqlSurvivors = spark.sql(
       """SELECT doc_id FROM dup_clusters WHERE is_dup = 0

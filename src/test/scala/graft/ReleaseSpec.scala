@@ -167,6 +167,27 @@ class ReleaseSpec extends SparkTestBase {
     assert(ratio < 1.5, s"mixture not equalized: $masses")
   }
 
+  test("a >1000x source is downsampled to the floor rate, never silently dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rel-floor").toString
+    // giant: ~1500x the small source's token mass -> raw rate_k = 0
+    val giant = (0L until 1500L).map(i =>
+      (i, s"giant source doc $i alpha beta gamma delta epsilon zeta",
+        "en", "giant"))
+    val small = Seq((9000L, "tiny source six tokens right here", "en", "tiny"))
+    spark.createDataFrame(giant ++ small)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dest = out("floor")
+    val r = Release.release(spark, tmp, dest, shardCount = 2,
+      equalizeSources = true)
+    val srcs = spark.read.parquet(dest)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.contains("giant"),
+      s"floor rate must keep the giant source in the mixture: $r")
+    assert(srcs.contains("tiny"))
+  }
+
   test("release matches the declared queries: survivors = q36 is_dup=0 ∩ quality gate") {
     val dest = out("contract")
     Release.release(spark, dir, dest, shardCount = 2, minQuality = 0.5)
