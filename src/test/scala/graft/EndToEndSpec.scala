@@ -152,4 +152,60 @@ class EndToEndSpec extends SparkTestBase {
     graft.queries.DedupQueries.clearCaches(s1)
     graft.queries.DedupQueries.clearCaches(s2)
   }
+
+  test("grand tour: partitioned ingest with all artifacts -> equalized standing release") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-tour").toString
+    val corpus = root + "/corpus"; val shingles = root + "/shingles"
+    val cands = root + "/cands"; val sigs = root + "/sigs"
+    val lm = root + "/lm"; val dest = root + "/export"
+    val b = (1 to 14).map(i => s"g$i").mkString(" ")
+    def deliver(rows: (Long, String, String)*) =
+      graft.streaming.DocumentPipeline.upsertBatch(
+        rows.toSeq.toDF("doc_id", "text", "source"),
+        corpus, shingles, cands, numBuckets = Some(4),
+        signaturesPath = Some(sigs), lmPath = Some(lm))
+    // delivery 1: a near-dup pair split by source + a PII doc
+    val r1 = deliver(
+      (1L, s"$b alpha", "big"),
+      (2L, "mail dana@example.com plus other words to say today", "big"),
+      (3L, "the small source document five six seven", "small"))
+    assert(r1.corpusRows == 3 && r1.lmRows > 0 && r1.signatureRows == 3)
+    // delivery 2: the pair's other half + big-source filler
+    val r2 = deliver(
+      (4L, s"$b betaq", "big"),
+      (5L, "more big source filler text eight nine ten eleven", "big"))
+    assert(r2.newCandidates >= 1, s"cross-delivery near-dup must mine: $r2")
+    assert(r2.batchNll.isDefined, "standing LM must score delivery 2")
+
+    // release the maintained state: stored pairs cluster (1,4) -> one
+    // survivor, stored text already scrubbed
+    val rep = Release.fromStanding(spark, corpus, cands, dest, shardCount = 2)
+    assert(rep.inputDocs == 5 && rep.dupDropped == 1, s"$rep")
+    val released = spark.read.parquet(dest)
+    val ids = released.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 5L), s"released $ids")
+    // PII scrubbed AT INGEST ships scrubbed (no second scrub pass)
+    assert(released.filter(col("text").contains("dana@")).count() == 0)
+    // consumer-side integrity
+    graft.sources.ShardWriter.verify(spark, dest)
+
+    // equalized variant: at this toy scale the hash-membership sampler
+    // may drop any individual big-source doc, so assert the CONTRACT —
+    // reconciling accounting, shipped ⊆ unequalized, small source
+    // never downsampled (rate 1000)
+    val dest2 = root + "/export-eq"
+    val rep2 = Release.fromStanding(spark, corpus, cands, dest2,
+      shardCount = 2, equalizeSources = true)
+    assert(rep2.inputDocs ==
+      rep2.dupDropped + rep2.qualityDropped + rep2.mixDropped +
+        rep2.releasedDocs, s"$rep2")
+    val eqIds =
+      if (rep2.releasedDocs == 0) Set.empty[Long]
+      else spark.read.parquet(dest2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eqIds.subsetOf(ids), s"$eqIds not in $ids")
+    assert(eqIds.contains(3L), "the minimum-mass source is never downsampled")
+  }
 }
