@@ -1145,6 +1145,51 @@ object Relational {
              |    WHEN v IS NOT NULL THEN 1
              |    ELSE 0 END AS INTEGER) AS funnel_stage FROM f)
              |SELECT funnel_stage, count(*) AS n_users FROM st
-             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin))
+             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin)),
+
+    // ── q82: hourly volume-spike detection — flag (event_type, hour)
+    // cells whose count sits above mean + 3σ of that type's hourly
+    // distribution (the ops-monitoring face of the event stream: a
+    // traffic spike, a runaway client, a replayed firehose). q58's
+    // division-free z-score form over per-hour counts: the flag is
+    // (n·x − s)² > 9(n·ssq − s²) AND n·x > s on exact integer
+    // moments, so both engines compare identical integers — no float
+    // mean/stddev ever materializes. Scale shape: one shuffle to
+    // (type, hour) grain with map-side partials, a per-type 5-row
+    // moment aggregate broadcast back, flagging map-side.
+    QueryDef(
+      "q82_spike_detect",
+      (s, d) => {
+        val hrs = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+              .as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val mom = hrs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+            sum(col("cnt") * col("cnt")).as("ssq"))
+        hrs.join(broadcast(mom), Seq("event_type"))
+          .filter(col("n") >= 2 &&
+            (col("n") * col("cnt") - col("s")) *
+              (col("n") * col("cnt") - col("s")) >
+              lit(9) * (col("n") * col("ssq") - col("s") * col("s")) &&
+            col("n") * col("cnt") > col("s"))
+          .select(col("event_type"), col("hour"), col("cnt"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH hrs AS (SELECT event_type,
+             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cnt) AS BIGINT) AS s,
+             |    CAST(sum(cnt*cnt) AS BIGINT) AS ssq
+             |  FROM hrs GROUP BY 1)
+             |SELECT h.event_type, hour, cnt
+             |FROM hrs h JOIN mom m USING (event_type)
+             |WHERE m.n >= 2
+             |  AND (m.n*cnt - m.s)*(m.n*cnt - m.s) > 9*(m.n*m.ssq - m.s*m.s)
+             |  AND m.n*cnt > m.s
+             |ORDER BY event_type, hour""".stripMargin))
   )
 }

@@ -437,6 +437,28 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q82 flags the spiked hour and nothing else on a crafted stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spike").toString
+    val base = 1700000000L * 1000000000L // epoch nanos, hour-aligned enough
+    def at(hour: Int, i: Int) = base + hour * 3600L * 1000000000L + i * 1000000L
+    // type "a": 24 quiet hours of 2 events + one hour of 50 (the spike)
+    // type "b": uniform — never flagged
+    val rows =
+      (0 until 24).flatMap(h => (0 until 2).map(i =>
+        (h * 10L + i, at(h, i), 1L, "a", 1.0, "{}"))) ++
+      (0 until 50).map(i => (900L + i, at(24, i), 1L, "a", 1.0, "{}")) ++
+      (0 until 24).flatMap(h => (0 until 3).map(i =>
+        (2000L + h * 10L + i, at(h, i), 2L, "b", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q82_spike_detect")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 1, s"exactly the spike: ${out.toSeq}")
+    assert(out.head._1 == "a" && out.head._3 == 50L, s"${out.head}")
+  }
+
   test("q26 minhash candidates verify to a subset of q25 exact pairs") {
     val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
