@@ -100,6 +100,14 @@ object Bench {
     // double-count the run. Order matters: tails keep the end.
     println(s"""{"metric":"total_diagnostics","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"plans":$plans,"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Rounds 4 AND 5 both lost the headline to tail truncation: the
+    // "compact" line above still embeds the full per-query map, so when
+    // the driver keeps only the last N bytes, the head (metric + value)
+    // falls off. The LAST line printed must therefore be bounded-size —
+    // no per-query map at all, just the headline total — so ANY tail
+    // window, however small, keeps a parsable record of the run.
+    val nQueries = results.count(_._5)
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","runs":$runs,"n_queries":$nQueries,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * corpus text crosses the wire exactly once, into the shard writer.
   * `equalizeSources = true` additionally applies q69's source-mixing
   * arithmetic over the kept frame before export, so the SHIPPED
-  * mixture is token-mass-equalized. The report's counts reconcile by
-  * construction:
-  * `inputDocs = dupDropped + qualityDropped + mixDropped + releasedDocs`.
+  * mixture is token-mass-equalized. The report's reconciliation
+  * `inputDocs = dupDropped + qualityDropped + mixDropped +
+  * releasedDocs` is a REAL check, not an identity: the frame handed
+  * to the shard writer is counted independently while `releasedDocs`
+  * comes from the committed manifest (disk), so an export that lost
+  * or duplicated rows fails the `require` instead of silently
+  * absorbing into a drop count.
   *
   * The streaming twin is [[graft.streaming.DocumentPipeline]] (scrub
   * and mine per delivery, standing artifacts maintained in lockstep);
@@ -40,6 +44,12 @@ object Release {
       releasedDocs: Long,
       shards: Seq[graft.sources.ShardWriter.ShardManifest],
       mixDropped: Long = 0L) {
+    // Not a tautology: releasedDocs is the committed manifest's row
+    // count (re-read from disk) while the drop terms derive from
+    // counts of the frames ACTUALLY handed down the pipeline — the
+    // sum telescopes to "rows given to the shard writer == rows the
+    // manifest certifies on disk", the failure the export layer could
+    // otherwise hide.
     require(
       inputDocs == dupDropped + qualityDropped + mixDropped + releasedDocs,
       s"release accounting broken: $this")
@@ -143,8 +153,12 @@ object Release {
     val spark = corpus.sparkSession
     val inputDocs = corpus.count()
     val survivorDocs = survivors.count()
+    // NaN discipline: a zero-token document scores 0.0/0.0 = NaN, and
+    // Spark SQL orders NaN ABOVE every double — `NaN >= floor` is
+    // true, so without the isnan guard an empty/whitespace-only doc
+    // passes ANY quality floor and ships in the release.
     val gated = graft.queries.TextQueries.scoreOf(corpus)
-      .filter(col("score") >= minQuality)
+      .filter(col("score") >= minQuality && !isnan(col("score")))
       .select(col("doc_id"))
     // both gates are (doc_id)-only frames: the narrow projection is
     // the real win (corpus text never duplicates through a join);
@@ -166,9 +180,15 @@ object Release {
     // (an equi-join on a null source matches nothing — those docs
     // would vanish and be miscounted as mixDropped).
     val MixKey = "__mix_src"
-    val (mixed, keptDocs) =
-      if (!equalizeSources) (kept, -1L)
-      else {
+    // `keptDocs`/`mixedDocs` are counted DIRECTLY from the frames (a
+    // narrow doc_id pass), never inferred from the manifest — that
+    // independence is what arms ReleaseReport's reconciliation check
+    // against an export losing rows.
+    val (mixed, keptDocs, mixedDocs) =
+      if (!equalizeSources) {
+        val n = kept.select(col("doc_id")).count()
+        (kept, n, n)
+      } else {
         require(kept.columns.contains("source"),
           "equalizeSources needs a 'source' column in the corpus")
         val keptP = kept.persist() // consumed by count + rates + export
@@ -185,26 +205,28 @@ object Release {
           .filter(expr(
             graft.queries.Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
           .drop(MixKey, "rate_k")
-        (eq, keptP.count())
+        // eq recomputes from the persisted kept frame — the extra
+        // count is a cached-scan + broadcast-filter pass, not a
+        // corpus recompute
+        (eq, keptP.count(), eq.select(col("doc_id")).count())
       }
     val released =
       if (scrub)
         mixed.withColumn("text",
           graft.queries.TextQueries.scrubPii(col("text")))
       else mixed
+    // the scrub rewrites text in place, never drops rows: mixedDocs
+    // is exactly the row count handed to the shard writer
     val manifest = graft.sources.ShardWriter.write(
       spark, released, dest, shardCount, "doc_id")
     if (equalizeSources) kept.unpersist()
     val releasedDocs = manifest.map(_.rows).sum
-    val mixDropped = if (keptDocs < 0) 0L else keptDocs - releasedDocs
     ReleaseReport(
       inputDocs,
       dupDropped = inputDocs - survivorDocs,
-      qualityDropped =
-        (if (keptDocs < 0) survivorDocs - releasedDocs
-         else survivorDocs - keptDocs),
+      qualityDropped = survivorDocs - keptDocs,
       releasedDocs = releasedDocs,
       shards = manifest,
-      mixDropped = mixDropped)
+      mixDropped = keptDocs - mixedDocs)
   }
 }

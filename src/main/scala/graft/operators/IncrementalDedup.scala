@@ -85,9 +85,13 @@ object IncrementalDedup {
       .select(least(col("d_id"), col("c_id")).as("doc_a"),
         greatest(col("d_id"), col("c_id")).as("doc_b"))
     // delta × delta: through the hot-key-guarded self miner (a
-    // delivery can itself contain a near-identical batch)
+    // delivery can itself contain a near-identical batch), with the
+    // batch miners' corpus-scaled hot threshold — here "corpus" is
+    // the delivery, which is exactly the grain whose df distribution
+    // the salt decision should track
     val within = SkewJoin
-      .saltedSelfPairs(deltaEx, "g", "doc_id")
+      .saltedSelfPairs(deltaEx, "g", "doc_id",
+        relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
       .toDF("doc_a", "doc_b")
     cross.unionAll(within)
   }

@@ -56,10 +56,11 @@ object SkewJoin {
       keyCol: String,
       idCol: String,
       hotDf: Int = 128,
-      buckets: Int = 8): DataFrame =
+      buckets: Int = 8,
+      relativeHot: Double = 0.0): DataFrame =
     saltedSelfJoin(
       occ.select(col(keyCol).as("__sk"), col(idCol).as("__id")),
-      "__sk", "__id", hotDf, buckets)
+      "__sk", "__id", hotDf, buckets, relativeHot)
       .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"))
 
   /** Hot-key-salted self-join over an occurrence frame that CARRIES

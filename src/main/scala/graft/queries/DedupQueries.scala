@@ -183,13 +183,14 @@ object DedupQueries {
     scoreCandidates(minedHits(sh, hotDf), sh, floor)
 
   /** The raw mine: one (doc_a, doc_b) row per shared shingle, via the
-    * hot-key-salted self-join.
+    * hot-key-salted self-join (corpus-scaled hot threshold — see
+    * [[MinerRelativeHot]]).
     */
   private def minedHits(sh: DataFrame, hotDf: Int): DataFrame =
     graft.operators.SkewJoin
       .saltedSelfPairs(
         sh.select(col("doc_id"), explode(col("s")).as("g")),
-        "g", "doc_id", hotDf, SaltBuckets)
+        "g", "doc_id", hotDf, SaltBuckets, MinerRelativeHot)
       .toDF("doc_a", "doc_b")
 
   /** Both overlap measures scored over raw (doc_a, doc_b) hit rows —
@@ -231,6 +232,22 @@ object DedupQueries {
     */
   private val HotShingleDf = 128
   private val SaltBuckets = 8
+
+  /** Corpus-scaled half of the miners' hot threshold: a key salts when
+    * its df exceeds max([[HotShingleDf]]-style absolute floor,
+    * [[MinerRelativeHot]] × mean df) — the [[graft.operators.SkewJoin
+    * .saltedSelfJoin]] adaptive form q54's IVF miner already used.
+    * The absolute floor alone silently expires with corpus growth: a
+    * corpus whose MEAN shingle/band/block df outgrows the constant
+    * would start salting every balanced key (paying the five-branch
+    * fan-out corpus-wide), while 4× the observed mean tracks the df
+    * distribution at any scale. Shared by the shingle (q25/q36/q64/
+    * q68), MinHash-band (q26), SimHash-block (q27), pHash-block
+    * (q73/q75) and incremental miners — the threshold only picks the
+    * shuffle layout, never the pair set (PairSkewSpec proves set
+    * equality), so batch/streamed artifacts cannot desync over it.
+    */
+  private[graft] val MinerRelativeHot = 4.0
 
   /** Exact Jaccard-≥`threshold` pairs from a (doc_id, s: array<long>)
     * shingle frame — the inverted-index self-join through the shared
@@ -406,7 +423,8 @@ object DedupQueries {
         // collision only adds a candidate, which the exact verify
         // then discards)
         val cands = graft.operators.SkewJoin
-          .saltedSelfPairs(minhashBands(s, d), "k", "doc_id")
+          .saltedSelfPairs(minhashBands(s, d), "k", "doc_id",
+            relativeHot = MinerRelativeHot)
           .toDF("doc_a", "doc_b")
           .distinct()
         verifyJaccard(cands,
@@ -436,7 +454,7 @@ object DedupQueries {
             blocks.select(
               xxhash64(col("block_idx"), col("block_val")).as("k"),
               col("doc_id")),
-            "k", "doc_id")
+            "k", "doc_id", relativeHot = MinerRelativeHot)
           .toDF("doc_a", "doc_b")
           .distinct()
           .join(sigs.toDF("doc_a", "sig_a"), "doc_a")

@@ -57,7 +57,8 @@ object MultimodalQueries {
         blocks.select(
           xxhash64(col("block_idx"), col("block_val")).as("k"),
           col("doc_id")),
-        "k", "doc_id")
+        "k", "doc_id",
+        relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
       .toDF("doc_a", "doc_b")
       .distinct()
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")

@@ -1000,25 +1000,25 @@ object Relational {
     // values > 3σ from their stratum mean before training). The test
     // |x−μ| > 3σ is algebraically cleared of divisions —
     // (n·x−s)² > 9·(n·ssq−s²) over EXACT integer moments (fixed-point
-    // units, map-side partial sums) — so both engines evaluate the
-    // identical IEEE expression and the flag hash-matches; no float
+    // units, map-side partial sums, [[Q.decMoments]]'s DECIMAL(38,0)
+    // accumulators so a 100 TB Σv² cannot overflow a long under ANSI)
+    // — so both engines evaluate the identical IEEE expression over
+    // identical exact integers and the flag hash-matches; no float
     // mean/stddev ever materializes. Scale shape: one 5-row moment
-    // agg, broadcast back, pure map filter (at 100 TB the long
-    // sum-of-squares would overflow → switch the moment sums to
-    // DECIMAL(38,0); the comparison stays the same).
+    // agg, broadcast back, pure map filter.
     QueryDef(
       "q58_zscore_outliers",
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("event_id"), col("event_type"),
             Q.fxUnits(col("value"), 100).as("v"))
-        val stats = ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-            sum(col("v") * col("v")).as("ssq"))
-        val ld = (col("n") * col("v") - col("sv")).cast("double")
+        val m = Q.decMoments(col("v"))
+        val stats = ev.groupBy(col("event_type")).agg(m.head, m.tail: _*)
+        val dn = col("n").cast("double")
+        val dsv = col("sv").cast("double")
+        val ld = dn * col("v").cast("double") - dsv
         val rhs = lit(9.0) *
-          (col("n").cast("double") * col("ssq").cast("double") -
-            col("sv").cast("double") * col("sv").cast("double"))
+          (dn * col("ssq").cast("double") - dsv * dsv)
         ev.join(broadcast(stats), Seq("event_type"))
           .filter(ld * ld > rhs)
           .select(col("event_id"), col("event_type"))
@@ -1027,12 +1027,13 @@ object Relational {
       Some("""WITH e AS (SELECT event_id, event_type,
              |    CAST(round(value*100) AS BIGINT) AS v FROM events),
              |st AS (SELECT event_type, count(*) AS n,
-             |    CAST(sum(v) AS BIGINT) AS sv,
-             |    CAST(sum(v*v) AS BIGINT) AS ssq
+             |    sum(CAST(v AS HUGEINT)) AS sv,
+             |    sum(CAST(v AS HUGEINT)*v) AS ssq
              |  FROM e GROUP BY event_type)
              |SELECT event_id, e.event_type
              |FROM e JOIN st USING (event_type)
-             |WHERE CAST(n*v - sv AS DOUBLE) * CAST(n*v - sv AS DOUBLE) >
+             |WHERE (CAST(n AS DOUBLE)*CAST(v AS DOUBLE) - CAST(sv AS DOUBLE))
+             |    * (CAST(n AS DOUBLE)*CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)) >
              |  9.0 * (CAST(n AS DOUBLE)*CAST(ssq AS DOUBLE) -
              |    CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
              |ORDER BY event_id""".stripMargin)),
@@ -1041,9 +1042,17 @@ object Relational {
     // rollup). Exact sliding DISTINCT cannot partial-aggregate, so the
     // scale shape is: dedupe to (day, user) grain first — ONE shuffle
     // over the corpus, after which cardinality is days×users — then
-    // band-join the tiny day dimension (broadcast, 7-day range) and
-    // count distinct inside each window. The corpus is never joined
-    // row-level.
+    // enumerate coverage MAP-SIDE: each (d, user) row explodes to the
+    // exactly-7 window days it contributes to (d..d+6), and one hash
+    // agg counts distinct users per window. The earlier form band-
+    // joined a broadcast day dimension on a non-equi BETWEEN — a
+    // BroadcastNestedLoopJoin whose work is |days×users| × |days|,
+    // fine on a 30-day fixture and 1000× the useful work on a
+    // multi-year corpus. The explode is |dd|×7 regardless of corpus
+    // span; the semi join (equi, broadcast hash) only drops phantom
+    // days with no activity of their own (gap days and the ≤6 past
+    // the corpus end), probing the ~|days|-row aggregate, not the
+    // corpus.
     QueryDef(
       "q61_sliding_distinct",
       (s, d) => {
@@ -1051,10 +1060,14 @@ object Relational {
           .select(to_date(col("ts")).as("d"), col("user_id"))
           .distinct()
         val days = dd.select(col("d").as("day")).distinct()
-        dd.join(broadcast(days),
-            col("d").between(date_sub(col("day"), 6), col("day")))
+        dd.select(
+            explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+            col("user_id"))
           .groupBy(col("day"))
           .agg(countDistinct(col("user_id")).as("n_users_7d"))
+          // keep only days that exist in the data (a window anchored
+          // on a day with no events is not a row of this rollup)
+          .join(broadcast(days), Seq("day"), "left_semi")
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("n_users_7d"))
           .orderBy(col("day"))
@@ -1152,11 +1165,14 @@ object Relational {
     // distribution (the ops-monitoring face of the event stream: a
     // traffic spike, a runaway client, a replayed firehose). q58's
     // division-free z-score form over per-hour counts: the flag is
-    // (n·x − s)² > 9(n·ssq − s²) AND n·x > s on exact integer
-    // moments, so both engines compare identical integers — no float
-    // mean/stddev ever materializes. Scale shape: one shuffle to
-    // (type, hour) grain with map-side partials, a per-type 5-row
-    // moment aggregate broadcast back, flagging map-side.
+    // (n·x − s)² > 9(n·ssq − s²) AND n·x > s over [[Q.decMoments]]'s
+    // exact DECIMAL(38,0) integer moments (a multi-year corpus's
+    // Σcnt² overflows a long; ANSI would fail the query loudly), the
+    // comparison in double from identical exact inputs on both
+    // engines — no float mean/stddev ever materializes. Scale shape:
+    // one shuffle to (type, hour) grain with map-side partials, a
+    // per-type 5-row moment aggregate broadcast back, flagging
+    // map-side.
     QueryDef(
       "q82_spike_detect",
       (s, d) => {
@@ -1165,15 +1181,16 @@ object Relational {
             date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
               .as("hour"))
           .agg(count(lit(1)).as("cnt"))
-        val mom = hrs.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
-            sum(col("cnt") * col("cnt")).as("ssq"))
+        val m = Q.decMoments(col("cnt"))
+        val mom = hrs.groupBy(col("event_type")).agg(m.head, m.tail: _*)
+        val dn = col("n").cast("double")
+        val dc = col("cnt").cast("double")
+        val dsv = col("sv").cast("double")
         hrs.join(broadcast(mom), Seq("event_type"))
           .filter(col("n") >= 2 &&
-            (col("n") * col("cnt") - col("s")) *
-              (col("n") * col("cnt") - col("s")) >
-              lit(9) * (col("n") * col("ssq") - col("s") * col("s")) &&
-            col("n") * col("cnt") > col("s"))
+            (dn * dc - dsv) * (dn * dc - dsv) >
+              lit(9.0) * (dn * col("ssq").cast("double") - dsv * dsv) &&
+            dn * dc > dsv)
           .select(col("event_type"), col("hour"), col("cnt"))
           .orderBy(col("event_type"), col("hour"))
       },
@@ -1182,14 +1199,75 @@ object Relational {
              |    CAST(count(*) AS BIGINT) AS cnt
              |  FROM events GROUP BY 1, 2),
              |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |    CAST(sum(cnt) AS BIGINT) AS s,
-             |    CAST(sum(cnt*cnt) AS BIGINT) AS ssq
+             |    sum(CAST(cnt AS HUGEINT)) AS sv,
+             |    sum(CAST(cnt AS HUGEINT)*cnt) AS ssq
              |  FROM hrs GROUP BY 1)
              |SELECT h.event_type, hour, cnt
              |FROM hrs h JOIN mom m USING (event_type)
              |WHERE m.n >= 2
-             |  AND (m.n*cnt - m.s)*(m.n*cnt - m.s) > 9*(m.n*m.ssq - m.s*m.s)
-             |  AND m.n*cnt > m.s
-             |ORDER BY event_type, hour""".stripMargin))
+             |  AND (CAST(m.n AS DOUBLE)*CAST(cnt AS DOUBLE) - CAST(m.sv AS DOUBLE))
+             |    * (CAST(m.n AS DOUBLE)*CAST(cnt AS DOUBLE) - CAST(m.sv AS DOUBLE)) >
+             |    9.0 * (CAST(m.n AS DOUBLE)*CAST(m.ssq AS DOUBLE) -
+             |      CAST(m.sv AS DOUBLE)*CAST(m.sv AS DOUBLE))
+             |  AND CAST(m.n AS DOUBLE)*CAST(cnt AS DOUBLE) > CAST(m.sv AS DOUBLE)
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // ── q83: FULL OUTER reconciliation of two daily rollups — the
+    // last standard join shape (inner/semi/anti/left/range/as-of are
+    // q05–q07/q37/q38; this is the both-sides-preserved one). Clicks
+    // and purchases roll up per (day, campaign), where campaign is the
+    // `k` prop mod 10 with 0 recorded as NULL ("untagged") — so the
+    // join carries genuine NULL keys, and the query pins the standard
+    // null-key discipline: a NULL campaign never equi-matches, so each
+    // side's untagged rollup survives as its OWN row with the other
+    // side's measures NULL (not merged, not dropped). Scale shape:
+    // two filtered hash aggregates (map-side partials over one corpus
+    // scan each) then a shuffle full-outer join on the tiny rollup
+    // grain — full outer cannot broadcast, and does not need to: both
+    // sides are |days×campaigns|, not the corpus.
+    QueryDef(
+      "q83_full_outer",
+      (s, d) => {
+        def rollup(etype: String, nCol: String, cCol: String) =
+          t(s, d, "events")
+            .filter(col("event_type") === etype)
+            .groupBy(to_date(col("ts")).as("day"),
+              nullif(get_json_object(col("props"), "$.k").cast("long") % 10,
+                lit(0L)).as("campaign"))
+            .agg(count(lit(1)).as(nCol),
+              sum(Q.fxUnits(col("value"), 100)).as(cCol))
+        rollup("click", "n_clicks", "click_cents")
+          .join(rollup("purchase", "n_purchases", "purchase_cents"),
+            Seq("day", "campaign"), "full_outer")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("campaign"), col("n_clicks"), col("click_cents"),
+            col("n_purchases"), col("purchase_cents"))
+          // (day, campaign) is NOT unique in the output: the two
+          // one-sided untagged rollups of a day share (day, NULL), so
+          // n_clicks (null = purchase side first) totalizes the order
+          .orderBy(asc_nulls_first("day"), asc_nulls_first("campaign"),
+            asc_nulls_first("n_clicks"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    nullif(CAST(json_extract(props, '$.k') AS BIGINT) % 10, 0)
+             |      AS campaign,
+             |    count(*) AS n_clicks,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |      AS click_cents
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |p AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    nullif(CAST(json_extract(props, '$.k') AS BIGINT) % 10, 0)
+             |      AS campaign,
+             |    count(*) AS n_purchases,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |      AS purchase_cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, campaign,
+             |  n_clicks, click_cents, n_purchases, purchase_cents
+             |FROM c FULL OUTER JOIN p USING (day, campaign)
+             |ORDER BY day, campaign NULLS FIRST, n_clicks NULLS FIRST"""
+        .stripMargin))
   )
 }

@@ -74,6 +74,12 @@ object ShardWriter {
     require(k > 0, s"shard count must be positive, got $k")
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
+    // Heal a PRIOR interrupted swap before staging: a previous export
+    // that crashed between its two renames left the only committed
+    // copy parked at `dest.__old__` — without this, swapIn would
+    // delete that backup before the new commit lands, and a failure
+    // of the staging→dest rename would then leave NO export at all.
+    graft.operators.CommitSink.healInterrupted(spark, dest)
     val staging = dest + ".__staging__"
     val sharded = df
       .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(k)).cast("int"))
@@ -151,6 +157,9 @@ object ShardWriter {
     require(k > 0, s"shard count must be positive, got $k")
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
+    // heal a parked prior export before its backup is deleted (see
+    // [[write]])
+    graft.operators.CommitSink.healInterrupted(spark, dest)
     val staging = dest + ".__staging__"
     // Sort by (shard, orderCol), not orderCol alone: the partitionBy
     // write REQUIRES a partition-local ordering on the partition

@@ -41,6 +41,22 @@ class PairSkewSpec extends SparkTestBase {
     assert(plain.size == 20, s"expected exactly the 20 designed pairs, got ${plain.size}")
   }
 
+  test("corpus-scaled (relative) hot threshold yields the identical pair set") {
+    // the miners' threshold is max(hotDf, MinerRelativeHot × mean df):
+    // this fixture's mean df is 200/61 ≈ 3.3, so with hotDf = 1 the
+    // RELATIVE arm (≈ 13) binds — only the ubiquitous shingle 7
+    // (df = 40) salts, while the 60 balanced keys an absolute df > 1
+    // threshold would have fanned out stay on the cold path. Either
+    // way the pair set (and every score) must be identical: the
+    // threshold picks shuffle layout, never semantics.
+    val plain = collectPairs(hotDf = Int.MaxValue)
+    val relative = collectPairs(hotDf = 1)
+    assert(plain == relative,
+      s"pair sets differ: only-plain=${plain -- relative}, " +
+        s"only-relative=${relative -- plain}")
+    assert(relative.size == 20)
+  }
+
   test("salted co-assignment join (q54 shape) is identical, payloads intact") {
     import spark.implicits._
     // 40 vectors, 2 IVF assignments each; list 0 is DOMINANT (every

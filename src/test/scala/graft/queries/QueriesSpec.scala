@@ -183,6 +183,41 @@ class QueriesSpec extends SparkTestBase {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("q61 window coverage is map-side: no BNLJ, explode not band-join") {
+    // the trailing-7-day coverage must come from explode(sequence) —
+    // work |days×users|×7 — not from a non-equi BETWEEN join against
+    // the day dimension, which Spark can only plan as a
+    // BroadcastNestedLoopJoin with work |days×users|×|days|
+    val plan = SparkEntry.queries("q61_sliding_distinct")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q61 must not plan a nested-loop band join:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"q61 must enumerate window coverage map-side:\n$plan")
+  }
+
+  test("q83 full outer preserves null-key rollups from both sides, unmatched") {
+    val out = SparkEntry.queries("q83_full_outer")(spark, sf()).collect()
+    // columns: day, campaign, n_clicks, click_cents, n_purchases, purchase_cents
+    val nullKey = out.filter(_.isNullAt(1))
+    assert(nullKey.nonEmpty, "fixture must produce untagged (NULL-campaign) rollups")
+    // standard null-key discipline: NULL never equi-matches, so every
+    // null-campaign row is ONE-sided — present, but never merged with
+    // the other side's untagged rollup
+    nullKey.foreach { r =>
+      assert(r.isNullAt(2) ^ r.isNullAt(4),
+        s"null-campaign row must keep exactly one side: $r")
+    }
+    assert(nullKey.exists(r => !r.isNullAt(2)), "click untagged rollups preserved")
+    assert(nullKey.exists(r => !r.isNullAt(4)), "purchase untagged rollups preserved")
+    out.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3), s"click measures must be null together: $r")
+      assert(r.isNullAt(4) == r.isNullAt(5), s"purchase measures must be null together: $r")
+      assert(!(r.isNullAt(2) && r.isNullAt(4)), s"row from neither side: $r")
+      assert(!r.isNullAt(0), "the coalesced day key is never null")
+    }
+  }
+
   test("q37/q38 plans avoid quadratic joins (no CartesianProduct/BNLJ)") {
     Seq("q37_asof_join", "q38_range_join").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
@@ -266,14 +301,15 @@ class QueriesSpec extends SparkTestBase {
     // BNLJ allowlist: q23/q71/q78 broadcast a SINGLE-ROW side (the
     // query vector), q59 the corpus-size scalar, and q80 the tiny
     // benchmark suite (a broadcast benchmark scored map-side IS the
-    // decontamination design); q61 broadcasts the ~30-row day dimension into a range
-    // join against day-grain data (not the corpus); q28 is the
-    // by-design exact all-pairs scan; q69 broadcasts the 1-row
-    // min-token-mass scalar into the 20-row source table. q40/q54 no
-    // longer qualify — the learned-centroid IVF path joins on the
-    // list id (equi-join).
+    // decontamination design); q28 is the by-design exact all-pairs
+    // scan; q69 broadcasts the 1-row min-token-mass scalar into the
+    // 20-row source table. q40/q54 no longer qualify — the
+    // learned-centroid IVF path joins on the list id (equi-join).
+    // q61 no longer qualifies either: the day-band BETWEEN join was
+    // rewritten as a map-side explode(sequence) + hash agg, so a BNLJ
+    // reappearing there is a regression this test must catch.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
-      "q59_tfidf_top_terms", "q61_sliding_distinct", "q69_domain_mix",
+      "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
