@@ -117,6 +117,48 @@ object Profile {
       graft.queries.DedupQueries.pairsFromShingles(docs10, hotDf = 64)
         .write.mode("overwrite").format("noop").save())
 
+    // Round-6 probe: the COMPOSED release path. Release.fromStanding's
+    // joints (cluster map, semi-join gates, shard write) are probed
+    // individually in specs; this times them composed, at 1× and 10×
+    // corpus with LINEARLY scaled candidates — a real 10× corpus of
+    // new documents carries ~10× the near-dup pairs, so the candidate
+    // artifact is replicated with shifted ids rather than re-mined
+    // over replicas (which manufactures a quadratic cross-replica
+    // pair set and would measure the miner again, not the release).
+    def timedS(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PHASE $label%-28s $s%8.3f s")
+      s
+    }
+    val relRoot = java.nio.file.Files
+      .createTempDirectory("graft-profile-rel").toString
+    val cands1 = graft.queries.DedupQueries.candidatesFromShingles(sh)
+    def shift(f: org.apache.spark.sql.DataFrame, c: String, i: Int) =
+      f.withColumn(c, col(c) * 10 + lit(i.toLong))
+    val docsRel10 = (1 to 10).map(i => shift(docs, "doc_id", i))
+      .reduce(_ unionAll _)
+    val cands10 = (1 to 10)
+      .map(i => shift(shift(cands1, "doc_a", i), "doc_b", i))
+      .reduce(_ unionAll _)
+    def standing(d: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame, tag: String): (String, String) = {
+      val c = s"$relRoot/corpus$tag"; val k = s"$relRoot/cands$tag"
+      graft.operators.CommitSink.writeVerified(spark, d, c)
+      graft.operators.CommitSink.writeVerified(spark, cs, k)
+      (c, k)
+    }
+    val (c1, k1) = standing(docs, cands1, "1x")
+    val (c10, k10) = standing(docsRel10, cands10, "10x")
+    val t1 = timedS("release fromStanding 1x") {
+      Release.fromStanding(spark, c1, k1, s"$relRoot/exp1", 16)
+    }
+    val t10 = timedS("release fromStanding 10x") {
+      Release.fromStanding(spark, c10, k10, s"$relRoot/exp10", 16)
+    }
+    println(f"PHASE release scaling exponent ${math.log(t10 / t1) / math.log(10)}%8.3f (1.0 = linear)")
+
     spark.stop()
   }
 }
