@@ -153,10 +153,12 @@ object Release {
     val spark = corpus.sparkSession
     val inputDocs = corpus.count()
     val survivorDocs = survivors.count()
-    // NaN discipline: a zero-token document scores 0.0/0.0 = NaN, and
-    // Spark SQL orders NaN ABOVE every double — `NaN >= floor` is
-    // true, so without the isnan guard an empty/whitespace-only doc
-    // passes ANY quality floor and ships in the release.
+    // Zero-token discipline: scoreOf yields NULL for a whitespace-only
+    // doc (guarded division — raw 0/0 is a hard ANSI error, NaN
+    // otherwise, and Spark orders NaN ABOVE every double so it would
+    // pass any floor). NULL fails `>=` and the doc drops; the isnan
+    // guard stays as defense in depth should a future score path
+    // reintroduce an unguarded float division.
     val gated = graft.queries.TextQueries.scoreOf(corpus)
       .filter(col("score") >= minQuality && !isnan(col("score")))
       .select(col("doc_id"))

@@ -88,9 +88,10 @@ object TextQueries {
       |    AS n_long_tokens
       |  FROM documents),
       |q AS (SELECT doc_id,
-      |  (CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.1 +
-      |  (CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5
-      |    AS score
+      |  CASE WHEN n_tokens > 0 THEN
+      |    (CAST(n_letters AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.1 +
+      |    (CAST(n_long_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.5
+      |  END AS score
       |  FROM s)""".stripMargin
 
   private[graft] def qualityScores(
@@ -114,10 +115,18 @@ object TextQueries {
           .as("n_letters"),
         size(filter(toks, tk => length(tk) > 4)).cast("long")
           .as("n_long_tokens"))
+      // Zero-token guard: a whitespace-only doc divides 0/0, which is
+      // a hard DIVIDE_BY_ZERO error under ANSI mode (Spark 4 default)
+      // — one empty doc would fail any job scoring the corpus — and
+      // NaN otherwise, which Spark orders ABOVE every double so the
+      // doc would pass any quality floor. NULL instead: comparisons
+      // are false, the doc fails every gate, nothing throws.
       .withColumn("avg_token_len",
-        col("n_letters").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_letters").cast("double") / col("n_tokens").cast("double")))
       .withColumn("long_frac",
-        col("n_long_tokens").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_long_tokens").cast("double") / col("n_tokens").cast("double")))
       .withColumn("score",
         col("avg_token_len") * 0.1 + col("long_frac") * 0.5)
       .select(col("doc_id"), col("n_ch"), col("n_tokens"),

@@ -59,6 +59,25 @@ class ReleaseSpec extends SparkTestBase {
       s"$r")
   }
 
+  test("a zero-token doc (NaN quality score) never passes the gate") {
+    // 0 letters / 0 tokens = NaN, and Spark SQL orders NaN above every
+    // double — without the gate's isnan guard this doc passes ANY
+    // quality floor, including the default 0.0, and ships empty text
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rel-nan").toString
+    val rows = Seq(
+      (0L, "a perfectly ordinary document with reasonable words", "en", "s"),
+      (1L, "   ", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dest = out("nan")
+    val r = Release.release(spark, tmp, dest, shardCount = 2, minQuality = 0.0)
+    assert(r.releasedDocs == 1 && r.qualityDropped == 1, s"$r")
+    val ids = spark.read.parquet(dest)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L), s"released $ids")
+  }
+
   test("release is deterministic: re-running ships identical manifests") {
     val d1 = out("det1"); val d2 = out("det2")
     val m1 = Release.release(spark, dir, d1, shardCount = 4).shards

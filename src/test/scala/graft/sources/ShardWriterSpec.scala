@@ -120,6 +120,27 @@ class ShardWriterSpec extends SparkTestBase {
     ShardWriter.verify(spark, d)
   }
 
+  test("a parked prior export is healed before re-export can destroy it") {
+    val d = tmp("heal")
+    val m1 = ShardWriter.write(spark, docs.limit(100), d, 4, "doc_id")
+    // simulate the crash window of a PRIOR export: it renamed dest to
+    // the backup and died before committing its staging — the parked
+    // backup is now the ONLY committed copy
+    assert(new java.io.File(d).renameTo(new java.io.File(d + ".__old__")))
+    // a re-export whose computation FAILS must not have deleted that
+    // backup first: the heal at the top of write() restores it to
+    // dest, so the failed attempt leaves the old export committed
+    intercept[Exception] {
+      ShardWriter.write(spark,
+        docs.limit(100).withColumn("text",
+          when(lit(true), raise_error(lit("boom"))).otherwise(col("text"))),
+        d, 4, "doc_id")
+    }
+    assert(ShardWriter.readManifest(spark, d) == m1,
+      "the parked prior export must survive a failed re-export")
+    ShardWriter.verify(spark, d)
+  }
+
   test("re-export swaps atomically and leaves no backup debris") {
     val d = tmp("swap")
     ShardWriter.write(spark, docs.limit(100), d, 4, "doc_id")
