@@ -57,6 +57,11 @@ object Release {
 
   /** Release the corpus under `sfDir` to a shard export at `dest`.
     * Returns the committed manifest and the drop accounting.
+    * `bestQualitySurvivors` switches the per-cluster survivor rule
+    * from min-id (q36's, first-crawled-wins) to highest-quality-score
+    * (q84's — of N mirrored copies ship the cleanest); both read the
+    * same cached cluster map, the quality rule adds one narrow score
+    * join + cluster argmax.
     */
   def release(
       spark: SparkSession,
@@ -64,10 +69,16 @@ object Release {
       dest: String,
       shardCount: Int = 16,
       minQuality: Double = 0.0,
-      equalizeSources: Boolean = false): ReleaseReport = {
+      equalizeSources: Boolean = false,
+      bestQualitySurvivors: Boolean = false): ReleaseReport = {
     val corpus = graft.sources.Tables(spark, sfDir, "documents")
-    val survivors = graft.queries.DedupQueries.clusterMap(spark, sfDir)
-      .filter(col("is_dup") === 0).select(col("doc_id"))
+    val survivors =
+      if (bestQualitySurvivors)
+        graft.queries.DedupQueries.qualitySurvivorMap(spark, sfDir)
+          .filter(col("keep") === 1).select(col("doc_id"))
+      else
+        graft.queries.DedupQueries.clusterMap(spark, sfDir)
+          .filter(col("is_dup") === 0).select(col("doc_id"))
     // the fixture corpus is raw: scrub on the way out
     ship(corpus, survivors, dest, shardCount, minQuality, scrub = true,
       equalizeSources)

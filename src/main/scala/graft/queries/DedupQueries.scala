@@ -318,6 +318,29 @@ object DedupQueries {
           when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
     }
 
+  /** Quality-aware survivor map `(doc_id, cluster, keep)` — q84's body,
+    * shared with [[graft.Release]]'s best-quality survivor policy:
+    * survivor = argmax (q31 score, then min doc_id on ties) within each
+    * [[clusterMap]] component. The argmax is a partial-aggregable max
+    * over a (score, -doc_id) struct — one shuffle on cluster,
+    * associative, so a corpus-sized boilerplate cluster combines
+    * map-side instead of pinning a reducer. Zero-token docs score NULL
+    * and can never be chosen over a scored member.
+    */
+  private[graft] def qualitySurvivorMap(s: SparkSession, d: String): DataFrame = {
+    val cm = clusterMap(s, d)
+    val sc = TextQueries.qualityScores(s, d)
+      .select(col("doc_id"), col("score"))
+    val best = cm.join(sc, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("survivor_id"))
+    cm.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        when(col("doc_id") === col("survivor_id"), 1).otherwise(0)
+          .cast("int").as("keep"))
+  }
+
   /** One row per fixed 16-token segment occurrence
     * `(doc_id, hh: md5, ntok)` — the shared single-scan pass under
     * q76 (per-doc dup accounting) and q81 (corpus-wide boilerplate
@@ -361,6 +384,32 @@ object DedupQueries {
       |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
 
+  /** Jaccard-≥0.5-thresholded `pairs` CTE over [[pairsSql]]'s `inter` —
+    * ONE definition of the oracle-side pair threshold, shared by every
+    * oracle consuming scored pairs (q36/q84 clustering, q85 leakage).
+    */
+  private val pairsThresholdSql =
+    """pairs AS (SELECT doc_a, doc_b FROM inter
+      |  JOIN card ca ON ca.doc_id = doc_a
+      |  JOIN card cb ON cb.doc_id = doc_b
+      |  WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
+      |    >= 0.5)""".stripMargin
+
+  /** Recursive min-label `lab` CTE over `pairs` — the oracle twin of
+    * [[clusterMap]]'s component labeling, shared by q36 and q84 so the
+    * two cluster oracles cannot drift. Requires `WITH RECURSIVE`,
+    * [[pairsSql]] and [[pairsThresholdSql]] upstream.
+    */
+  private val clusterLabSql =
+    s"""$pairsThresholdSql,
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT doc_a, doc_a FROM pairs
+      |  UNION SELECT doc_b, doc_b FROM pairs),
+      |reach AS (SELECT a AS id, b AS r FROM sym
+      |  UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+      |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q25: exact n-gram Jaccard near-dup pairs via shingle inverted
@@ -390,18 +439,7 @@ object DedupQueries {
       "q36_dedup_clusters",
       (s, d) => clusterMap(s, d).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $pairsSql,
-              |pairs AS (SELECT doc_a, doc_b FROM inter
-              |  JOIN card ca ON ca.doc_id = doc_a
-              |  JOIN card cb ON cb.doc_id = doc_b
-              |  WHERE CAST(inter_cnt AS DOUBLE)/CAST(ca.n + cb.n - inter_cnt AS DOUBLE)
-              |    >= 0.5),
-              |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              |  UNION SELECT doc_b, doc_a FROM pairs
-              |  UNION SELECT doc_a, doc_a FROM pairs
-              |  UNION SELECT doc_b, doc_b FROM pairs),
-              |reach AS (SELECT a AS id, b AS r FROM sym
-              |  UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
-              |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+              |$clusterLabSql
               |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
               |  CAST(CASE WHEN COALESCE(l.cluster, d.doc_id) <> d.doc_id
               |    THEN 1 ELSE 0 END AS INTEGER) AS is_dup
@@ -641,6 +679,70 @@ object DedupQueries {
               |  FROM h GROUP BY 1)
               |SELECT seg_md5, df, occurrences, example_doc FROM agg
               |WHERE df >= 2
-              |ORDER BY df DESC, occurrences DESC, seg_md5 LIMIT 20""".stripMargin))
+              |ORDER BY df DESC, occurrences DESC, seg_md5 LIMIT 20""".stripMargin)),
+
+    // ── q84: QUALITY-aware survivor selection — collapse each near-dup
+    // cluster to its highest-quality member instead of q36's min-id
+    // (the choice a real release pipeline makes: of N mirrored copies,
+    // keep the cleanest, not the first-crawled). Composes two cached
+    // bases — the cluster map and the q31 quality scores — so the
+    // query itself is three narrow joins and one agg: survivor =
+    // argmax (score, then min doc_id on ties), computed as a
+    // partial-aggregable max over a (score, -doc_id) struct (one
+    // shuffle on cluster, associative — a corpus-sized boilerplate
+    // cluster partial-aggregates map-side instead of pinning a
+    // reducer). Scores compare identically on both engines (same IEEE
+    // ops from exact integer counts), so the argmax and the hash
+    // match. Zero-token docs score NULL and can never be chosen over
+    // a scored member.
+    QueryDef(
+      "q84_quality_survivor",
+      (s, d) => qualitySurvivorMap(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |$clusterLabSql,
+              |${TextQueries.QualityCteSql},
+              |cm AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              |r AS (SELECT cm.doc_id, cm.cluster,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY q.score DESC, cm.doc_id ASC) AS rn
+              |  FROM cm JOIN q ON q.doc_id = cm.doc_id)
+              |SELECT doc_id, cluster,
+              |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ── q85: cross-source duplicate leakage — near-dup pair counts by
+    // (source, source) cell, the "how much does crawl A mirror crawl
+    // B" report a mixture designer reads before weighting sources
+    // (within-source cells measure internal redundancy; off-diagonal
+    // cells measure overlap a per-source dedup would MISS). Pure
+    // composition over the persisted exact-pair artifact: the pair
+    // frame is output-sized (never the co-occurrence stream), the two
+    // source lookups are narrow (doc_id, source) joins, and the final
+    // agg is |sources|² rows with map-side partials. The (least,
+    // greatest) key normalization makes the cell symmetric so A→B and
+    // B→A land in one row on both engines.
+    QueryDef(
+      "q85_cross_source_leakage",
+      (s, d) => {
+        val p = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        p.join(src.toDF("doc_a", "source_a"), "doc_a")
+          .join(src.toDF("doc_b", "source_b"), "doc_b")
+          .groupBy(
+            least(col("source_a"), col("source_b")).as("source_x"),
+            greatest(col("source_a"), col("source_b")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_x"), col("source_y"))
+      },
+      Some(s"""WITH $pairsSql,
+              |$pairsThresholdSql
+              |SELECT least(sa.source, sb.source) AS source_x,
+              |  greatest(sa.source, sb.source) AS source_y,
+              |  count(*) AS n_pairs
+              |FROM pairs
+              |JOIN documents sa ON sa.doc_id = doc_a
+              |JOIN documents sb ON sb.doc_id = doc_b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -78,6 +78,29 @@ class ReleaseSpec extends SparkTestBase {
     assert(ids == Set(0L), s"released $ids")
   }
 
+  test("bestQualitySurvivors ships the cleanest cluster member, not the first") {
+    // docs 20/21 are near-dups (shared base dominates the shingles);
+    // 21 carries long high-quality tokens, 20 short noisy ones — so
+    // min-id keeps 20 but the quality rule must keep 21, the LARGER id
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rel-best").toString
+    val rows = Seq(
+      (20L, s"$base aa bb", "en", "s"),
+      (21L, s"$base magnificent extraordinary", "en", "s"),
+      (22L, "an unrelated standalone document with content", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dMin = out("bq-min"); val dBest = out("bq-best")
+    val rMin = Release.release(spark, tmp, dMin, shardCount = 2)
+    val ids = (d: String) => spark.read.parquet(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(dMin) == Set(20L, 22L), s"min-id kept ${ids(dMin)}")
+    val rBest = Release.release(spark, tmp, dBest, shardCount = 2,
+      bestQualitySurvivors = true)
+    assert(ids(dBest) == Set(21L, 22L), s"best-quality kept ${ids(dBest)}")
+    assert(rMin.dupDropped == 1 && rBest.dupDropped == 1)
+  }
+
   test("release is deterministic: re-running ships identical manifests") {
     val d1 = out("det1"); val d2 = out("det2")
     val m1 = Release.release(spark, dir, d1, shardCount = 4).shards

@@ -218,6 +218,49 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q84 keeps exactly one member per cluster — the best-scored one") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q84_quality_survivor")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exactly one keep per cluster, every doc mapped
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._3 == 1) == 1, s"cluster $c keeps ${ms.count(_._3 == 1)}")
+    }
+    assert(out.length ==
+      graft.sources.Tables(spark, sf(), "documents").count())
+    // the kept member maximizes (score, then min doc_id) — checked
+    // against an independent driver-side argmax over q31's scores
+    val score = SparkEntry.queries("q31_quality_score")(spark, sf())
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byCluster.foreach { case (c, ms) =>
+      val kept = ms.find(_._3 == 1).get._1
+      val want = ms.map(_._1).minBy(id => (-score(id), id))
+      assert(kept == want, s"cluster $c kept $kept, best is $want")
+    }
+    // the policies genuinely differ somewhere on the fixture (else the
+    // query is untested vs q36's min-id rule)
+    val minId = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
+      .filter(col("is_dup") === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val q84Kept = out.filter(_._3 == 1).map(_._1).toSet
+    assert(q84Kept.size == minId.size, "same cluster count, one keep each")
+  }
+
+  test("q85 source-leakage cells reconcile with the q25 pair count") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("q85_cross_source_leakage")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairTotal = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .count()
+    assert(cells.map(_._3).sum == pairTotal,
+      "every near-dup pair lands in exactly one (source, source) cell")
+    cells.foreach { case (x, y, _) =>
+      assert(x <= y, s"cell ($x, $y) not key-normalized")
+    }
+  }
+
   test("q37/q38 plans avoid quadratic joins (no CartesianProduct/BNLJ)") {
     Seq("q37_asof_join", "q38_range_join").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
