@@ -41,6 +41,8 @@ object GraftSql {
     *
     *   - `quality_scores` — q31's per-doc score base
     *   - `dup_clusters`   — q36's cluster map (`doc_id, cluster, is_dup`)
+    *   - `quality_survivors` — q84's quality-aware survivor map
+    *     (`doc_id, cluster, keep`; keep = best-scored member)
     *   - `pair_candidates` — the mined near-dup pair artifact with both
     *     overlap measures (q25/q68's shared index)
     *   - `lm_cost`        — q77's bigram cost table
@@ -62,6 +64,8 @@ object GraftSql {
       .createOrReplaceTempView("quality_scores")
     graft.queries.DedupQueries.clusterMap(spark, sfDir)
       .createOrReplaceTempView("dup_clusters")
+    graft.queries.DedupQueries.qualitySurvivorMap(spark, sfDir)
+      .createOrReplaceTempView("quality_survivors")
     graft.queries.DedupQueries.pairCandidates(spark, sfDir)
       .createOrReplaceTempView("pair_candidates")
     graft.queries.TextQueries.lmCostTable(spark, sfDir)

@@ -79,6 +79,23 @@ object Q {
       sum((vd * vd).cast("decimal(38,0)")).as("ssq"))
   }
 
+  /** The q82 spike flag over [[decMoments]] columns `(n, sv, ssq)` and
+    * a per-cell count `cnt`: `(n·x − s)² > 9(n·ssq − s²) ∧ n·x > s`
+    * with n ≥ 2, comparisons in double from the exact integer moments.
+    * ONE definition shared by the batch query and the streaming
+    * monitor ([[graft.streaming.EventStream.spikeFlags]]) so the two
+    * faces cannot drift.
+    */
+  def spikePredicate: Column = {
+    val dn = col("n").cast("double")
+    val dc = col("cnt").cast("double")
+    val dsv = col("sv").cast("double")
+    col("n") >= 2 &&
+      (dn * dc - dsv) * (dn * dc - dsv) >
+        lit(9.0) * (dn * col("ssq").cast("double") - dsv * dsv) &&
+      dn * dc > dsv
+  }
+
   def ts(s: String): Column = lit(s).cast("timestamp")
 
   def day(c: Column): Column = date_format(date_trunc("day", c), "yyyy-MM-dd")

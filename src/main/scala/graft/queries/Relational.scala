@@ -1183,14 +1183,8 @@ object Relational {
           .agg(count(lit(1)).as("cnt"))
         val m = Q.decMoments(col("cnt"))
         val mom = hrs.groupBy(col("event_type")).agg(m.head, m.tail: _*)
-        val dn = col("n").cast("double")
-        val dc = col("cnt").cast("double")
-        val dsv = col("sv").cast("double")
         hrs.join(broadcast(mom), Seq("event_type"))
-          .filter(col("n") >= 2 &&
-            (dn * dc - dsv) * (dn * dc - dsv) >
-              lit(9.0) * (dn * col("ssq").cast("double") - dsv * dsv) &&
-            dn * dc > dsv)
+          .filter(Q.spikePredicate)
           .select(col("event_type"), col("hour"), col("cnt"))
           .orderBy(col("event_type"), col("hour"))
       },

@@ -121,6 +121,42 @@ object EventStream {
       when(col("event_type").contains("error"), "red")
         .when(col("event_type").isin("purchase", "signup"), "green")
         .otherwise("blue"))
+
+  /** Per-type hourly moment table `(event_type, n, sv, ssq)` from a
+    * BATCH history frame — the trained side of the spike monitor
+    * (exact DECIMAL(38,0) moments of the hourly count distribution,
+    * [[graft.queries.Q.decMoments]]).
+    */
+  def hourlyMoments(history: DataFrame): DataFrame = {
+    val hrs = history
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = graft.queries.Q.decMoments(col("cnt"))
+    hrs.groupBy(col("event_type")).agg(m.head, m.tail: _*)
+  }
+
+  /** Streaming spike monitor — q82's ops-alerting face on the live
+    * stream: watermarked hourly counts per event type, flagged against
+    * a BATCH-trained moment table ([[hourlyMoments]] over history)
+    * with exactly q82's division-free z-score predicate (one shared
+    * definition, [[graft.queries.Q.spikePredicate]] — the batch query
+    * and the monitor cannot drift). The production pattern: thresholds
+    * train on the standing history, the stream pays one bounded
+    * windowed agg + a broadcast join per micro-batch — no unbounded
+    * state, no per-event join. Feed a batch frame for the batch face
+    * (same code path; spec-proved equal to the streamed answer).
+    */
+  def spikeFlags(
+      events: DataFrame,
+      moments: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(moments), Seq("event_type"))
+      .filter(graft.queries.Q.spikePredicate)
+      .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
 }
 
 /** Stateful sessionization over a user-keyed stream via

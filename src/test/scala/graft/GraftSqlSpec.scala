@@ -84,5 +84,14 @@ class GraftSqlSpec extends SparkTestBase {
     val lm = spark.sql(
       "SELECT count(*), min(cost_micro) FROM lm_cost").head()
     assert(lm.getLong(0) > 0 && lm.getLong(1) >= 0L)
+    // quality_survivors view == q84's map (the best-quality release
+    // filter is one SQL WHERE away)
+    val sqlBest = spark.sql(
+      "SELECT doc_id FROM quality_survivors WHERE keep = 1 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val apiBest = SparkEntry.queries("q84_quality_survivor")(spark, sf())
+      .filter(col("keep") === 1).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sqlBest == apiBest)
   }
 }

@@ -40,6 +40,41 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamOut == batchOut)
   }
 
+  test("spike monitor: batch face == q82, stream face == batch face") {
+    val events = Tables(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val moments = EventStream.hourlyMoments(events)
+
+    // batch face flags exactly the cells q82 flags (shared predicate,
+    // same moments — only the hour representation differs)
+    val batchFlags = EventStream.spikeFlags(events, moments)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val q82Flags = graft.SparkEntry.queries("q82_spike_detect")(spark, sf())
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2))).toSet
+    assert(batchFlags == q82Flags,
+      s"only-stream-face=${batchFlags -- q82Flags}, only-q82=${q82Flags -- batchFlags}")
+
+    // stream face (file source, AvailableNow) agrees with the batch face
+    val dir = Files.createTempDirectory("graft-spike-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventStream.spikeFlags(stream, moments)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("spike_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamFlags = spark.table("spike_out")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamFlags == batchFlags)
+  }
+
   test("classify tags severities like q10") {
     val out = EventStream.classify(Tables(spark, sf(), "events"))
       .groupBy("severity").count().collect()
