@@ -193,15 +193,9 @@ object Release {
     // (an equi-join on a null source matches nothing — those docs
     // would vanish and be miscounted as mixDropped).
     val MixKey = "__mix_src"
-    // `keptDocs`/`mixedDocs` are counted DIRECTLY from the frames (a
-    // narrow doc_id pass), never inferred from the manifest — that
-    // independence is what arms ReleaseReport's reconciliation check
-    // against an export losing rows.
-    val (mixed, keptDocs, mixedDocs) =
-      if (!equalizeSources) {
-        val n = kept.select(col("doc_id")).count()
-        (kept, n, n)
-      } else {
+    val (mixed, keptDocsOpt) =
+      if (!equalizeSources) (kept, None)
+      else {
         require(kept.columns.contains("source"),
           "equalizeSources needs a 'source' column in the corpus")
         val keptP = kept.persist() // consumed by count + rates + export
@@ -218,22 +212,30 @@ object Release {
           .filter(expr(
             graft.queries.Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
           .drop(MixKey, "rate_k")
-        // eq recomputes from the persisted kept frame — the extra
-        // count is a cached-scan + broadcast-filter pass, not a
-        // corpus recompute
-        (eq, keptP.count(), eq.select(col("doc_id")).count())
+        (eq, Some(keptP.count()))
       }
     val released =
       if (scrub)
         mixed.withColumn("text",
           graft.queries.TextQueries.scrubPii(col("text")))
       else mixed
-    // the scrub rewrites text in place, never drops rows: mixedDocs
-    // is exactly the row count handed to the shard writer
+    // The rows handed to the shard writer are OBSERVED on the same
+    // execution that writes them — no second corpus pass — while
+    // releasedDocs below is the committed manifest re-read from disk.
+    // That independence is what arms ReleaseReport's reconciliation
+    // check against an export losing rows. (The scrub rewrites text
+    // in place, never drops rows, so the observed count is also the
+    // post-mix row count.)
+    val obs = new org.apache.spark.sql.Observation("release_rows")
     val manifest = graft.sources.ShardWriter.write(
-      spark, released, dest, shardCount, "doc_id")
+      spark, released.observe(obs, count(lit(1)).as("rows")),
+      dest, shardCount, "doc_id")
+    val mixedDocs = obs.get("rows").asInstanceOf[Long]
     if (equalizeSources) kept.unpersist()
     val releasedDocs = manifest.map(_.rows).sum
+    // without equalization nothing drops between the gates and the
+    // writer, so the observed write count IS the kept count
+    val keptDocs = keptDocsOpt.getOrElse(mixedDocs)
     ReleaseReport(
       inputDocs,
       dupDropped = inputDocs - survivorDocs,

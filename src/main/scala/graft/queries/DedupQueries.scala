@@ -726,7 +726,14 @@ object DedupQueries {
       "q85_cross_source_leakage",
       (s, d) => {
         val p = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        // NULL sources report as the " null" sentinel cell (the
+        // Release mix's convention — leading space cannot collide
+        // with a real source name): Spark's least/greatest SKIP
+        // nulls, so without the sentinel a (null, X) pair would fold
+        // into the (X, X) diagonal and unattributed-doc leakage would
+        // masquerade as internal redundancy
+        val src = t(s, d, "documents").select(col("doc_id"),
+          coalesce(col("source"), lit(" null")).as("source"))
         p.join(src.toDF("doc_a", "source_a"), "doc_a")
           .join(src.toDF("doc_b", "source_b"), "doc_b")
           .groupBy(
@@ -737,8 +744,10 @@ object DedupQueries {
       },
       Some(s"""WITH $pairsSql,
               |$pairsThresholdSql
-              |SELECT least(sa.source, sb.source) AS source_x,
-              |  greatest(sa.source, sb.source) AS source_y,
+              |SELECT least(coalesce(sa.source, ' null'),
+              |    coalesce(sb.source, ' null')) AS source_x,
+              |  greatest(coalesce(sa.source, ' null'),
+              |    coalesce(sb.source, ' null')) AS source_y,
               |  count(*) AS n_pairs
               |FROM pairs
               |JOIN documents sa ON sa.doc_id = doc_a

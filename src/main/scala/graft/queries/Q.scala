@@ -61,21 +61,26 @@ object Q {
   def fxSumSql(expr: String, scale: Int): String =
     s"CAST(sum(CAST(round(($expr)*$scale) AS BIGINT)) AS BIGINT)/$scale.0"
 
-  /** Overflow-proof integer moment sums (count, Σv, Σv²) over an exact
-    * long column — the z-score moment base (q58/q82). The running sums
-    * accumulate as DECIMAL(38,0), not LONG: a 100 TB corpus's Σv²
-    * crosses 2⁶³ long before the data is "big" (10⁵-unit values
-    * overflow at ~10⁹ rows), and ANSI mode then fails the whole query.
-    * Per row v² fits dec(38,0) for any long v; the 38-digit running
-    * sum covers ~10¹⁰ rows of the largest representable squares.
-    * Downstream comparisons cast these to double — the moment VALUES
-    * stay exact, so both engines derive the flag from identical
-    * integers (oracle twin: HUGEINT sums).
+  /** Integer moment sums (count, Σv, Σv²) over an exact long column —
+    * the z-score moment base (q58/q82). The running sums accumulate as
+    * DECIMAL(38,0), not LONG: a 100 TB corpus's Σv² crosses 2⁶³ long
+    * before the data is "big" (10⁵-unit values overflow at ~10⁹
+    * rows), and ANSI mode then fails the whole query. Both inputs are
+    * cast to 38 digits BEFORE summing so Spark's sum accumulates at
+    * DECIMAL(38,0) (sum adds 10 digits capped at 38; summing the raw
+    * dec(19,0) would accumulate at only 29). Honest bound: 38 digits,
+    * not unconditional — Σv is exact to 10³⁸ (any real corpus:
+    * 10¹³ rows of 10¹²-unit values is 10²⁵) and Σv² to 10³⁸ (same
+    * corpus: 10³⁷; a handful of near-2⁶³ values can still exceed it,
+    * and ANSI then fails LOUDLY rather than wrapping — MomentsSpec
+    * pins the 2⁶³-crossing case). Downstream comparisons cast these
+    * to double — the moment VALUES stay exact, so both engines derive
+    * the flag from identical integers (oracle twin: HUGEINT sums).
     */
   def decMoments(v: Column): Seq[Column] = {
     val vd = v.cast("decimal(19,0)")
     Seq(count(lit(1)).as("n"),
-      sum(vd).cast("decimal(38,0)").as("sv"),
+      sum(vd.cast("decimal(38,0)")).as("sv"),
       sum((vd * vd).cast("decimal(38,0)")).as("ssq"))
   }
 

@@ -348,11 +348,13 @@ object VectorQueries {
         val asg = assigned(s, d)
         val occ = asg.select(explode(col("cids")).as("cent_id"),
           col("vec_id"), col("embedding"), col("nrm"))
-        // relativeHot = 4: a list is hot past 4× the mean list size —
+        // a list is hot past MinerRelativeHot × the mean list size —
         // the threshold scales with the corpus inside the miner's own
-        // probe job, so no separate count pass is needed
+        // probe job (the shared constant every index miner salts by),
+        // so no separate count pass is needed
         graft.operators.SkewJoin
-          .saltedSelfJoin(occ, "cent_id", "vec_id", relativeHot = 4.0)
+          .saltedSelfJoin(occ, "cent_id", "vec_id",
+            relativeHot = DedupQueries.MinerRelativeHot)
           .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
             round(GraftFunctions.dotProduct(col("embedding_a"), col("embedding_b")) /
               (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** The z-score moment base (q58/q82) must survive sums past 2⁶³ —
   * the 100 TB failure mode the DECIMAL(38,0) accumulators exist for:
   * a LONG Σv/Σv² overflows there, and ANSI mode fails the whole query.
+  * (The decimal bound is 10³⁸, not unconditional — four-plus orders
+  * beyond any real corpus's moments; past IT, ANSI still fails loudly
+  * rather than wrapping.)
   */
 class MomentsSpec extends SparkTestBase {
 
@@ -20,7 +23,15 @@ class MomentsSpec extends SparkTestBase {
       val v = 4000000000000000000L
       val df = Seq.fill(4)(("a", v)).toDF("g", "v")
       val m = Q.decMoments(col("v"))
-      val r = df.groupBy(col("g")).agg(m.head, m.tail: _*).head()
+      val agg = df.groupBy(col("g")).agg(m.head, m.tail: _*)
+      // the ACCUMULATORS are 38-digit (inputs cast before the sum):
+      // summing the raw dec(19,0) would accumulate at only 29 digits
+      agg.schema.drop(2).foreach { f =>
+        assert(f.dataType ==
+          org.apache.spark.sql.types.DecimalType(38, 0),
+          s"${f.name} accumulates as ${f.dataType}")
+      }
+      val r = agg.head()
       assert(r.getLong(1) == 4L)
       assert(r.getDecimal(2).compareTo(
         new java.math.BigDecimal("16000000000000000000")) == 0,

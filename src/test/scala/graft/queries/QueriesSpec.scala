@@ -239,13 +239,16 @@ class QueriesSpec extends SparkTestBase {
       val want = ms.map(_._1).minBy(id => (-score(id), id))
       assert(kept == want, s"cluster $c kept $kept, best is $want")
     }
-    // the policies genuinely differ somewhere on the fixture (else the
-    // query is untested vs q36's min-id rule)
+    // the policies genuinely differ on the fixture (else a regression
+    // to min-id selection — e.g. null scores falling through to the
+    // tiebreak — would pass unnoticed)
     val minId = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
       .filter(col("is_dup") === 0).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     val q84Kept = out.filter(_._3 == 1).map(_._1).toSet
     assert(q84Kept.size == minId.size, "same cluster count, one keep each")
+    assert(q84Kept != minId,
+      "quality rule must pick a different member than min-id somewhere")
   }
 
   test("q85 source-leakage cells reconcile with the q25 pair count") {
