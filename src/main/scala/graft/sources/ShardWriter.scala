@@ -70,7 +70,8 @@ object ShardWriter {
       df: DataFrame,
       dest: String,
       k: Int,
-      keyCol: String): Seq[ShardManifest] = {
+      keyCol: String,
+      codec: String = "zstd"): Seq[ShardManifest] = {
     require(k > 0, s"shard count must be positive, got $k")
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
@@ -90,9 +91,13 @@ object ShardWriter {
     // expected count OBSERVED on the writing execution (CommitSink's
     // rule): no second pass over the input plan, and a
     // nondeterministic input cannot spuriously mismatch itself
+    // zstd default: a release export is written once and read by every
+    // training run — trade write CPU for wire/disk bytes (the manifest
+    // digests are content-based, so the codec never affects identity)
     val obs = new org.apache.spark.sql.Observation("shard_rows")
     sharded.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+      .write.mode("overwrite").option("compression", codec)
+      .partitionBy("shard").parquet(staging)
     val expected = obs.get("rows").asInstanceOf[Long]
 
     // manifest from the STAGED FILES, not the input plan: certify
@@ -153,7 +158,8 @@ object ShardWriter {
       df: DataFrame,
       dest: String,
       k: Int,
-      orderCol: String): Seq[ShardManifest] = {
+      orderCol: String,
+      codec: String = "zstd"): Seq[ShardManifest] = {
     require(k > 0, s"shard count must be positive, got $k")
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column")
@@ -176,7 +182,8 @@ object ShardWriter {
       .sortWithinPartitions(col("shard"), col(orderCol))
     val obs = new org.apache.spark.sql.Observation("sorted_shard_rows")
     sorted.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+      .write.mode("overwrite").option("compression", codec)
+      .partitionBy("shard").parquet(staging)
     val expected = obs.get("rows").asInstanceOf[Long]
     val stats =
       if (expected == 0L) Seq.empty[ShardManifest]

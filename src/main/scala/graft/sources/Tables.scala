@@ -79,6 +79,34 @@ object Tables {
       .format(format)
       .load(path)
 
+  /** ORC interchange read — the OTHER mainstream columnar format (the
+    * handoff from a Hive/Trino-side pipeline). ORC is self-describing
+    * and columnar like parquet, so unlike the text formats the recipe
+    * is not permissive parsing but PROJECTION against an expected
+    * schema: expected columns are selected and cast, columns the files
+    * lack null-fill at the expected type (the add-a-column evolution
+    * case), extra columns prune at the scan, and an incompatible
+    * retype fails loudly at analysis instead of corrupting rows.
+    * Pushdown/pruning work as for parquet (`PushedFilters` in the ORC
+    * scan).
+    */
+  def readOrc(
+      spark: SparkSession,
+      path: String,
+      expected: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.orc(path)
+    val have = raw.columns.toSet
+    raw.select(expected.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** ORC write for the interchange path back out. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-layout partitioned write: at 100 TB the partition column
     * turns a full-corpus scan into a directory lookup — a filter on
     * it prunes at PLANNING time (`PartitionFilters` in the scan, zero

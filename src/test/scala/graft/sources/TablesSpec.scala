@@ -90,6 +90,31 @@ class TablesSpec extends SparkTestBase {
     assert(rows == Set((1L, "a", null), (2L, "b", "en")))
   }
 
+  test("ORC interchange: round-trip, schema projection, loud retype") {
+    import org.apache.spark.sql.types._
+    val docs = Tables(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("orc-io").toString
+    Tables.writeOrc(docs, dir)
+    // exact-schema read round-trips the multiset
+    val back = Tables.readOrc(spark, dir,
+      StructType(docs.schema.fields))
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // expected schema with an extra column null-fills it at the right
+    // type, and a narrower expected schema prunes the rest
+    val wider = Tables.readOrc(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("quality_tier", StringType))))
+    assert(wider.columns.toSeq == Seq("doc_id", "quality_tier"))
+    assert(wider.filter(org.apache.spark.sql.functions.col("quality_tier")
+      .isNotNull).count() == 0)
+    assert(wider.count() == docs.count())
+    // an incompatible retype fails loudly at analysis, not row-by-row
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.readOrc(spark, dir, StructType(Seq(
+        StructField("text", ArrayType(IntegerType))))).collect()
+    }
+  }
+
   test("all ten fixture tables load with expected columns") {
     Tables.names.foreach { n =>
       val df = Tables(spark, sf(), n)
