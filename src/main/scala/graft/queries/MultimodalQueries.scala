@@ -34,40 +34,49 @@ object MultimodalQueries {
     }
 
   /** Drop this session's cached media bases. */
-  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     phashCache.clear(s)
+    phashPairsCache.clear(s)
+    phashClusterCache.clear(s)
+  }
 
   /** pHash near-dup pairs (doc_a, doc_b, hamming ≤ 3): the q27-style
     * 4×16-bit block index over the persisted signature base, mined
     * through the salted pair miner, exact-Hamming verified. Shared by
-    * q73 (the pair surface) and q75 (cluster assignment).
+    * q73 (the pair surface) and q75 (cluster assignment) — and, like
+    * the text family's verified pair sets, cached/persisted as its own
+    * artifact: mine + verify is deterministic per corpus, an
+    * ingest-time cost, not a per-query one.
     */
+  private val phashPairsCache = new StampedCache("phash_pairs")
+
   private def phashPairs(
-      s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sigs = phashSigs(s, d)
-    val blockArr = array((0 until 4).map(k =>
-      shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
-      .toDF("doc_id", "block_idx", "block_val")
-    // exact-duplicate payloads share ALL FOUR blocks — the hottest
-    // possible keys — so the block join runs through the shared
-    // salted miner; signatures re-join per side for the verify
-    graft.operators.SkewJoin
-      .saltedSelfPairs(
-        blocks.select(
-          xxhash64(col("block_idx"), col("block_val")).as("k"),
-          col("doc_id")),
-        "k", "doc_id",
-        relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
-      .toDF("doc_a", "doc_b")
-      .distinct()
-      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    phashPairsCache.get(s, d) {
+      val sigs = phashSigs(s, d)
+      val blockArr = array((0 until 4).map(k =>
+        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+      val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
+        .toDF("doc_id", "block_idx", "block_val")
+      // exact-duplicate payloads share ALL FOUR blocks — the hottest
+      // possible keys — so the block join runs through the shared
+      // salted miner; signatures re-join per side for the verify
+      graft.operators.SkewJoin
+        .saltedSelfPairs(
+          blocks.select(
+            xxhash64(col("block_idx"), col("block_val")).as("k"),
+            col("doc_id")),
+          "k", "doc_id",
+          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
+        .toDF("doc_a", "doc_b")
+        .distinct()
+        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -118,19 +127,29 @@ object MultimodalQueries {
     // driver-side union-find over the same pairs).
     QueryDef(
       "q75_image_dedup_clusters",
-      (s, d) => {
-        val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val labels = graft.operators.DedupClusters
-          .assign(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("id", "doc_id")
-        t(s, d, "documents").select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster"))
-          .withColumn("is_dup",
-            when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => phashClusterMap(s, d).orderBy(col("doc_id")),
       None)
   )
+
+  /** q75's full-corpus media cluster map, cached/persisted like q36's
+    * text [[graft.queries.DedupQueries.clusterMap]]: the iterative
+    * min-label assignment runs a job per round EAGERLY, so the stamped
+    * cache makes it once-per-corpus instead of once per invocation.
+    */
+  private val phashClusterCache = new StampedCache("phash_cluster_map")
+
+  private def phashClusterMap(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    phashClusterCache.get(s, d) {
+      val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val labels = graft.operators.DedupClusters
+        .assign(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("is_dup",
+          when(col("cluster") =!= col("doc_id"), 1).otherwise(0).cast("int"))
+    }
 }
