@@ -148,7 +148,8 @@ class IndexStoreSpec extends SparkTestBase {
     // store-off truth from the shared base session (its StampedCache
     // entries are fresh builds by construction)
     val families = Seq("q25_dedup_ngram_jaccard", "q26_dedup_minhash",
-      "q27_dedup_simhash", "q40_ann_ivf", "q54_dedup_embedding_ivf")
+      "q27_dedup_simhash", "q40_ann_ivf", "q54_dedup_embedding_ivf",
+      "q73_image_phash_dedup", "q75_image_dedup_clusters")
     val truth = families.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
 
     // warm store-enabled session: builds and persists every index
@@ -163,7 +164,8 @@ class IndexStoreSpec extends SparkTestBase {
       s"l${IndexStore.LayoutVersion}/${IndexStore.corpusId(dir)}")
     val stored = fs.listStatus(corpusRoot).map(_.getPath.getName).toSet
     Seq("shingles", "minhash_bands", "simhash_sigs", "exact_pairs",
-      "ivf_cids", "ivf_centroids").foreach(n =>
+      "minhash_pairs", "simhash_pairs", "phash_sigs", "phash_pairs",
+      "phash_cluster_map", "ivf_cids", "ivf_centroids").foreach(n =>
       assert(stored.contains(n), s"expected stored index $n, got $stored"))
 
     // cold session (fresh StampedCache keys): must serve the stored
@@ -177,6 +179,8 @@ class IndexStoreSpec extends SparkTestBase {
     graft.queries.DedupQueries.clearCaches(s2)
     graft.queries.VectorQueries.clearCaches(s1)
     graft.queries.VectorQueries.clearCaches(s2)
+    graft.queries.MultimodalQueries.clearCaches(s1)
+    graft.queries.MultimodalQueries.clearCaches(s2)
   }
 
   test("the stored index is the source of truth for a cold session") {
