@@ -15,11 +15,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * PIXEL-level ops are REAL where a JDK codec can decode the payload:
   * [[Decoders.resize]] (box-average RGB resample, PNG re-encode) and
   * the DCT perceptual hash behind q73 ([[Decoders.phash64]]). Video
-  * FRAME extraction remains a deterministic fake behind [[Decoders]]
-  * (the JDK ships no video codec); everything Spark-side — schema,
-  * batching, partitioning, the `mapPartitions` shape that amortizes
-  * per-batch decoder setup — is real and tested. Swapping the fake
-  * for a JNI/javacv call changes one function body and nothing else.
+  * FRAME extraction is REAL for RIFF-AVI payloads — a pure chunk walk
+  * yields the video frames, and for MJPEG streams each frame is a
+  * standalone JPEG the JDK then decodes end-to-end — and a
+  * deterministic fake for every other codec (the JDK ships none);
+  * everything Spark-side — schema, batching, partitioning, the
+  * `mapPartitions` shape that amortizes per-batch decoder setup — is
+  * real and tested. Swapping the remaining fake for a JNI/javacv call
+  * changes one function body and nothing else.
   */
 object Multimodal {
 
@@ -100,10 +103,6 @@ object Multimodal {
           }
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
-
-    /** Fake frame count: one frame per 256-byte block. */
-    def frameCount(content: Array[Byte]): Int =
-      if (content == null) 0 else content.length / 256 + 1
 
     /** Real WAV metadata. */
     final case class WavMeta(
@@ -389,10 +388,74 @@ object Multimodal {
       sig
     }
 
-    /** Fake frame sample: every `stride`-th byte as a "frame". */
+    /** REAL frame extraction for RIFF-AVI payloads — the one video
+      * container whose frames a bare JDK can then decode, because an
+      * MJPEG AVI's every video chunk IS a standalone JPEG. Pure byte
+      * walk (the WAV/MP4 discipline): `RIFF<size>AVI ` then chunks of
+      * `<id:4><size:4 LE>`, recursing into `LIST` bodies; a stream's
+      * video frames are the `##dc`/`##db` chunks in stream order.
+      * Returns None for anything that is not a RIFF AVI with at least
+      * one video chunk — the caller falls back to the documented
+      * deterministic fake. Word-aligned chunk advance (odd sizes pad
+      * one byte) per the RIFF spec.
+      */
+    private def aviVideoChunks(
+        content: Array[Byte]): Option[Array[Array[Byte]]] = try {
+      if (content == null || content.length < 12) return None
+      def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
+      def u32(o: Int): Long =
+        (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+          ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def isVideoId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(o)
+          val sz = u32(o + 4)
+          if (sz > Int.MaxValue - 9) return // absurd size: stop cleanly
+          val body = o + 8
+          val declaredEnd = body + sz.toInt
+          // a truncated payload (ranged read, cut file) keeps every
+          // frame that fits: recurse into the AVAILABLE part of a
+          // LIST, skip a frame chunk whose body is cut short
+          if (id == "LIST" && sz >= 4 && body + 4 <= to)
+            walk(body + 4, math.min(declaredEnd, to))
+          else if (isVideoId(id) && sz > 0 && declaredEnd <= to)
+            frames += java.util.Arrays.copyOfRange(content, body, declaredEnd)
+          o = declaredEnd + (sz.toInt & 1)
+        }
+      }
+      walk(12, content.length)
+      if (frames.isEmpty) None else Some(frames.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Frame sample: REAL for RIFF-AVI payloads — every `stride`-th
+      * video chunk, each a decodable JPEG when the stream is MJPEG —
+      * and the documented deterministic fake (every `stride`-th byte)
+      * for payloads with no JDK-walkable container.
+      */
     def sampleFrames(content: Array[Byte], stride: Int): Array[Array[Byte]] =
       if (content == null || stride <= 0) Array.empty
-      else content.grouped(stride).map(g => g.take(1)).toArray
+      else aviVideoChunks(content) match {
+        case Some(frames) =>
+          frames.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => f
+          }
+        case None => content.grouped(stride).map(g => g.take(1)).toArray
+      }
+
+    /** Frame count: REAL for RIFF-AVI payloads (the number of video
+      * chunks); fake (one per 256-byte block) otherwise.
+      */
+    def frameCount(content: Array[Byte]): Int =
+      aviVideoChunks(content) match {
+        case Some(frames) => frames.length
+        case None => if (content == null) 0 else content.length / 256 + 1
+      }
   }
 
   /** Decode metadata for every record — `mapPartitions` so that real

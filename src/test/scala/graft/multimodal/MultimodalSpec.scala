@@ -228,6 +228,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.resize(renderPng(8, 8), 0, 4).isEmpty)
   }
 
+  test("MJPEG-AVI frames extract for real and decode end-to-end") {
+    // build a real 6-frame MJPEG AVI: each video chunk is a genuine
+    // JPEG (distinct solid color per frame), wrapped in the canonical
+    // RIFF AVI / LIST movi / 00dc layout the chunk walk parses
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff,
+      0xff00ff)
+    val frames = colors.map(jpeg)
+    val movi = "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray
+    val aviBody = "AVI ".getBytes("ISO-8859-1") ++ chunk("LIST", movi)
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(aviBody.length) ++ aviBody
+
+    assert(Multimodal.Decoders.frameCount(avi) == 6)
+    val all = Multimodal.Decoders.sampleFrames(avi, 1)
+    assert(all.length == 6)
+    // every extracted frame is byte-identical to its source JPEG and
+    // DECODES: real end-to-end video frame sampling, not a fake
+    all.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+    all.zip(colors).foreach { case (f, c) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      // JPEG is lossy: solid-color frames stay within a loose tolerance
+      val px = img.getRGB(4, 4)
+      def ch(v: Int, s: Int) = (v >> s) & 0xff
+      Seq(16, 8, 0).foreach(s =>
+        assert(math.abs(ch(px, s) - ch(c, s)) < 48, f"$px%06x vs $c%06x"))
+    }
+    // stride picks every k-th frame, starting at 0
+    val every2 = Multimodal.Decoders.sampleFrames(avi, 2)
+    assert(every2.length == 3 &&
+      java.util.Arrays.equals(every2(1), frames(2)))
+    // a truncated AVI keeps the frames that fit, never throws
+    val cut = avi.take(avi.length - frames.last.length / 2)
+    assert(Multimodal.Decoders.frameCount(cut) == 5)
+  }
+
   test("decoders: header dims, resize bound, frame sampling") {
     val content = Array.tabulate(1000)(i => (i % 251).toByte)
     val (w, h) = Multimodal.Decoders.decodeImage(content)
