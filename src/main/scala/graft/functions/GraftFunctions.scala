@@ -37,6 +37,7 @@ object GraftFunctions {
       "vec_norm" -> ((es: Seq[Expression]) => VecNorm(es(0))),
       "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
       "phash64" -> ((es: Seq[Expression]) => PHash64(es(0))),
+      "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
       "minhash_sig32" -> ((es: Seq[Expression]) => MinHashSignature(es(0), 32)),
       "lsh_bucket8" -> ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanes)))
     base ++ (0 until LshTables).map(t =>
@@ -62,6 +63,9 @@ object GraftFunctions {
 
   /** 64-bit DCT perceptual hash of a binary media payload. */
   def phash64(content: Column): Column = call_function("phash64", content)
+
+  /** Unicode NFC canonicalization (q87's normalization-dedup step). */
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
 
   /** 32-hash MinHash signature of a shingle array. */
   def minhashSig(shingles: Column): Column = call_function("minhash_sig32", shingles)

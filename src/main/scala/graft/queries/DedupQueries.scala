@@ -769,6 +769,97 @@ object DedupQueries {
               |FROM pairs
               |JOIN documents sa ON sa.doc_id = doc_a
               |JOIN documents sb ON sb.doc_id = doc_b
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── q86: fuzzy ENTITY matching (record linkage) via
+    // deletion-neighborhood blocking — FastSS/SymSpell (Bocek et al.
+    // 2007): two strings at Levenshtein distance ≤ 1 always share a
+    // member of their single-deletion neighborhoods (a substitution
+    // pair shares the variant with the differing position deleted; an
+    // insert/delete pair shares the shorter string itself), so the
+    // candidate space is the |name|+1 variants per record instead of
+    // the |records|² cross product — edit distance runs on candidates
+    // only. The variants hash to 8-byte keys (a collision is a false
+    // CANDIDATE the verify kills, never a false pair) and the
+    // candidate join is the same hot-key-salted, relative-threshold
+    // self-join engine as every other blocking index here, payload
+    // form so the names ride the join and levenshtein verifies
+    // in-join. Neighborhoods are per-record-bounded (|name|+1) and
+    // bucket df is data-bounded (strings sharing a variant), so the
+    // shuffle is O(n·L) — the 100 TB record-linkage shape. A pair can
+    // share several variants (repeated characters), hence the
+    // distinct. The HOF variant lambda is interpreted, but it runs
+    // |name| times per RECORD (not per shingle) — entity tables are
+    // orders smaller than corpora, so this never dominates.
+    QueryDef(
+      "q86_fuzzy_match",
+      (s, d) => {
+        val name = col("c_name")
+        // single-deletion neighborhood ∪ the string itself;
+        // array_union also drops within-row duplicate variants
+        // ("aab" deletes to "ab" twice), so a record occurs at most
+        // once under a key and can never pair with itself
+        val variants = array_union(
+          array(name),
+          transform(sequence(lit(1), length(name)), i =>
+            concat(name.substr(lit(1), i - lit(1)),
+              name.substr(i + lit(1), length(name)))))
+        val occ = t(s, d, "customer")
+          .select(col("c_custkey"), name,
+            explode(variants).as("variant"))
+          .select(xxhash64(col("variant")).as("k"),
+            col("c_custkey"), col("c_name"))
+        graft.operators.SkewJoin
+          .saltedSelfJoin(occ, "k", "c_custkey",
+            relativeHot = MinerRelativeHot)
+          .filter(levenshtein(col("c_name_a"), col("c_name_b")) === 1)
+          .select(col("c_custkey_a").as("id_a"),
+            col("c_custkey_b").as("id_b"))
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      // oracle: the O(n²) definitional join — DuckDB at sf0.01 only;
+      // the length guard prunes |dist| ≥ 2 cheaply before levenshtein
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+             |FROM customer a JOIN customer b
+             |  ON a.c_custkey < b.c_custkey
+             |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+             |  AND levenshtein(a.c_name, b.c_name) = 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── q87: NORMALIZATION dedup — q22's exact-hash dedup after text
+    // canonicalization (collapse whitespace runs → trim → Unicode NFC
+    // → casefold), the first pass of a real ingest pipeline (CCNet-
+    // style): "café" typed with a composed U+00E9 vs decomposed
+    // "e"+U+0301, CRLF vs LF, double-spaced copies, and case variants
+    // are the SAME document to a reader and must land in one dedup
+    // group. The chain is pure map-side work feeding the one groupBy
+    // shuffle — identical plan shape to q22, so canonicalization is
+    // FREE at 100 TB relative to the dedup it feeds. NFC runs through
+    // the native codegen [[graft.functions.NfcNormalize]] (whole-stage
+    // codegen keeps the scan→project→partial-agg span fused); both
+    // engines apply the same ASCII \s+ collapse and simple-lowercase,
+    // so the group keys hash-match (NfcNormSpec pins the non-ASCII
+    // semantics the all-ASCII fixture cannot reach).
+    QueryDef(
+      "q87_normalize_dedup",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val canon = lower(GraftFunctions.nfcNormalize(
+          trim(regexp_replace(col("text"), "\\s+", " "))))
+        t(s, d, "documents")
+          .withColumn("h", md5(canon))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+          .select(col("doc_id"), col("dup_cnt"), col("h"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt,
+             |  md5(lower(nfc_normalize(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))))) AS h
+             |FROM documents
+             |GROUP BY md5(lower(nfc_normalize(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g')))))
+             |ORDER BY doc_id""".stripMargin))
   )
 }

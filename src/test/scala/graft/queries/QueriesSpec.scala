@@ -552,4 +552,52 @@ class QueriesSpec extends SparkTestBase {
     assert(mh.size * 10 >= exact.size * 9,
       s"minhash recall too low: ${mh.size}/${exact.size}")
   }
+
+  test("q86 fuzzy pairs equal the brute-force levenshtein=1 set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deletion-neighborhood blocking is exact for distance <= 1 —
+    // prove set equality against the O(n²) definition at sf0.001
+    val names = graft.queries.Q.t(spark, sf(), "customer")
+      .select("c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val brute = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && math.abs(na.length - nb.length) <= 1 && lev(na, nb) == 1
+    } yield (ka, kb)).toSet
+    val got = SparkEntry.queries("q86_fuzzy_match")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture should contain distance-1 name pairs")
+  }
+
+  test("q86 fuzzy matching also finds insert/delete (cross-length) pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-fuzzy").toString
+    // one substitution pair, one deletion pair, one distance-2 non-pair
+    Seq((1L, "alice"), (2L, "alize"), (3L, "alic"), (4L, "bob"))
+      .toDF("c_custkey", "c_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = SparkEntry.queries("q86_fuzzy_match")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // alice~alize substitution (c->z), alice~alic deletion (drop e);
+    // alize~alic is distance 2 (substitute + delete) and must NOT pair
+    assert(got == Set((1L, 2L), (1L, 3L)), s"got $got")
+  }
 }
