@@ -70,7 +70,8 @@ object Release {
       shardCount: Int = 16,
       minQuality: Double = 0.0,
       equalizeSources: Boolean = false,
-      bestQualitySurvivors: Boolean = false): ReleaseReport = {
+      bestQualitySurvivors: Boolean = false,
+      jsonl: Boolean = false): ReleaseReport = {
     val corpus = graft.sources.Tables(spark, sfDir, "documents")
     val survivors =
       if (bestQualitySurvivors)
@@ -81,7 +82,7 @@ object Release {
           .filter(col("is_dup") === 0).select(col("doc_id"))
     // the fixture corpus is raw: scrub on the way out
     ship(corpus, survivors, dest, shardCount, minQuality, scrub = true,
-      equalizeSources)
+      equalizeSources, jsonl)
   }
 
   /** Release FROM the standing state a [[graft.streaming
@@ -102,7 +103,8 @@ object Release {
       shardCount: Int = 16,
       minQuality: Double = 0.0,
       jaccardThreshold: Double = 0.5,
-      equalizeSources: Boolean = false): ReleaseReport = {
+      equalizeSources: Boolean = false,
+      jsonl: Boolean = false): ReleaseReport = {
     require(jaccardThreshold >= graft.queries.DedupQueries.CandidateFloor,
       s"threshold $jaccardThreshold below the stored candidate floor " +
         s"${graft.queries.DedupQueries.CandidateFloor}: the artifact is " +
@@ -126,7 +128,7 @@ object Release {
     // scrubbing again would pay the regex chain a second time over
     // 100 TB for an idempotent no-op
     ship(corpus, survivors, dest, shardCount, minQuality, scrub = false,
-      equalizeSources)
+      equalizeSources, jsonl)
   }
 
   /** Layout-aware healed read of a standing artifact: heals the
@@ -160,7 +162,8 @@ object Release {
       shardCount: Int,
       minQuality: Double,
       scrub: Boolean,
-      equalizeSources: Boolean): ReleaseReport = {
+      equalizeSources: Boolean,
+      jsonl: Boolean = false): ReleaseReport = {
     val spark = corpus.sparkSession
     val inputDocs = corpus.count()
     val survivorDocs = survivors.count()
@@ -227,9 +230,15 @@ object Release {
     // in place, never drops rows, so the observed count is also the
     // post-mix row count.)
     val obs = new org.apache.spark.sql.Observation("release_rows")
-    val manifest = graft.sources.ShardWriter.write(
-      spark, released.observe(obs, count(lit(1)).as("rows")),
-      dest, shardCount, "doc_id")
+    val observed = released.observe(obs, count(lit(1)).as("rows"))
+    // same shard assignment, manifest, and crash contract either way;
+    // jsonl is the loader-facing text interchange, parquet the
+    // analytical layout
+    val manifest =
+      if (jsonl) graft.sources.ShardWriter.writeJsonl(
+        spark, observed, dest, shardCount, "doc_id")
+      else graft.sources.ShardWriter.write(
+        spark, observed, dest, shardCount, "doc_id")
     val mixedDocs = obs.get("rows").asInstanceOf[Long]
     if (equalizeSources) kept.unpersist()
     val releasedDocs = manifest.map(_.rows).sum

@@ -43,6 +43,42 @@ object ShardWriter {
     extends RuntimeException(s"shard export at $dest failed verify: $detail")
 
   private val ManifestName = "_manifest.json"
+  private val SchemaName = "_schema.json"
+
+  /** Shared export tail: stats from the STAGED files, row-count
+    * reconciliation against the observed write, manifest (+ optional
+    * schema sidecar), backup-rename swap. Every writer variant ends
+    * here so the crash/verify contract cannot drift between formats.
+    */
+  private def sealStaging(
+      spark: SparkSession,
+      dest: String,
+      staging: String,
+      expected: Long,
+      readStaged: String => DataFrame,
+      schemaJson: Option[String]): Seq[ShardManifest] = {
+    // manifest from the staged files, not the input plan: certify
+    // disk. A zero-row export is legal (a fully-filtered release):
+    // the staged dir then has no part files or schema to re-read, and
+    // its manifest is empty.
+    val stats =
+      if (expected == 0L) Seq.empty[ShardManifest]
+      else shardStats(readStaged(staging))
+    val total = stats.map(_.rows).sum
+    if (total != expected)
+      throw ShardVerificationFailed(dest,
+        s"staged rows $total != written rows $expected")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    writeManifest(fs, new Path(staging, ManifestName), stats)
+    schemaJson.foreach { j =>
+      val out = fs.create(new Path(staging, SchemaName), true)
+      try out.write(j.getBytes("UTF-8")) finally out.close()
+    }
+    swapIn(fs, stagingPath, new Path(dest))
+    stats
+  }
 
   /** Per-shard (rows, digest) of a frame already carrying `shard`. */
   private def shardStats(df: DataFrame): Seq[ShardManifest] = {
@@ -99,25 +135,8 @@ object ShardWriter {
       .write.mode("overwrite").option("compression", codec)
       .partitionBy("shard").parquet(staging)
     val expected = obs.get("rows").asInstanceOf[Long]
-
-    // manifest from the STAGED FILES, not the input plan: certify
-    // disk. A zero-row export is legal (a fully-filtered release):
-    // the staged dir then has no part files or schema to re-read, and
-    // its manifest is empty.
-    val stats =
-      if (expected == 0L) Seq.empty[ShardManifest]
-      else shardStats(spark.read.parquet(staging))
-    val total = stats.map(_.rows).sum
-    if (total != expected)
-      throw ShardVerificationFailed(dest,
-        s"staged rows $total != written rows $expected")
-
-    val conf = spark.sparkContext.hadoopConfiguration
-    val stagingPath = new Path(staging)
-    val fs = stagingPath.getFileSystem(conf)
-    writeManifest(fs, new Path(staging, ManifestName), stats)
-    swapIn(fs, stagingPath, new Path(dest))
-    stats
+    sealStaging(spark, dest, staging, expected,
+      p => spark.read.parquet(p), None)
   }
 
   /** Backup-rename swap (CommitSink's contract): a crash between the
@@ -185,19 +204,96 @@ object ShardWriter {
       .write.mode("overwrite").option("compression", codec)
       .partitionBy("shard").parquet(staging)
     val expected = obs.get("rows").asInstanceOf[Long]
-    val stats =
-      if (expected == 0L) Seq.empty[ShardManifest]
-      else shardStats(spark.read.parquet(staging))
-    val total = stats.map(_.rows).sum
-    if (total != expected)
-      throw ShardVerificationFailed(dest,
-        s"staged rows $total != written rows $expected")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val stagingPath = new Path(staging)
-    val fs = stagingPath.getFileSystem(conf)
-    writeManifest(fs, new Path(staging, ManifestName), stats)
-    swapIn(fs, stagingPath, new Path(dest))
-    stats
+    sealStaging(spark, dest, staging, expected,
+      p => spark.read.parquet(p), None)
+  }
+
+  /** JSONL export — the lingua-franca interchange layout for LLM
+    * training corpora: `shard=N/part-*.json.gz`, one gzipped
+    * JSON-lines file per shard, same key-hash shard assignment,
+    * manifest, and crash contract as [[write]]. For loaders that
+    * stream text (most tokenizer pipelines) rather than read
+    * columns; parquet ([[write]]) stays the analytical layout.
+    *
+    * gzip, not zstd: Spark's TEXT sources compress through Hadoop
+    * codecs, and the Hadoop zstd codec needs the native library that
+    * a plain JVM deployment lacks — gzip is pure-JVM and universally
+    * readable, and a shard is one file either way (compression
+    * splittability never matters).
+    *
+    * JSON carries no types, so the export is made self-describing: a
+    * `_schema.json` sidecar (Spark's canonical schema JSON) commits
+    * with the data, and [[readJsonl]]/[[verifyJsonl]] read with THAT
+    * schema — never inference, which would turn binary columns into
+    * base64 strings and break the digest. The manifest digests are
+    * computed from a schema-true re-read of the staged files, so
+    * verify certifies exactly what a schema-aware consumer decodes.
+    */
+  def writeJsonl(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String,
+      k: Int,
+      keyCol: String,
+      codec: String = "gzip"): Seq[ShardManifest] = {
+    require(k > 0, s"shard count must be positive, got $k")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column")
+    graft.operators.CommitSink.healInterrupted(spark, dest)
+    val staging = dest + ".__staging__"
+    val sharded = df
+      .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(k)).cast("int"))
+      .repartition(k, col("shard"))
+    val obs = new org.apache.spark.sql.Observation("jsonl_shard_rows")
+    sharded.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").option("compression", codec)
+      .partitionBy("shard").json(staging)
+    val expected = obs.get("rows").asInstanceOf[Long]
+    sealStaging(spark, dest, staging, expected,
+      p => readWithSchema(spark, p, df.schema),
+      Some(df.schema.json))
+  }
+
+  /** Read a committed JSONL export with its committed schema — the
+    * types the writer declared, never inference.
+    */
+  def readJsonl(spark: SparkSession, dest: String): DataFrame = {
+    graft.operators.CommitSink.healInterrupted(spark, dest)
+    readWithSchema(spark, dest, committedSchema(spark, dest))
+  }
+
+  /** JSONL twin of [[verify]]: recompute per-shard stats from the
+    * committed files through the committed schema and compare with
+    * the manifest.
+    */
+  def verifyJsonl(spark: SparkSession, dest: String): Unit = {
+    graft.operators.CommitSink.healInterrupted(spark, dest)
+    val manifest = readManifest(spark, dest)
+    if (manifest.isEmpty) return
+    compareStats(dest, manifest,
+      shardStats(readWithSchema(spark, dest, committedSchema(spark, dest))))
+  }
+
+  private def readWithSchema(
+      spark: SparkSession,
+      path: String,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    // data schema only — the hive `shard=N` partition column is
+    // discovered from the layout and appended by the source
+    spark.read.schema(dataSchema).json(path)
+
+  private def committedSchema(
+      spark: SparkSession,
+      dest: String): org.apache.spark.sql.types.StructType = {
+    val p = new Path(dest, SchemaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw ShardVerificationFailed(dest, s"no $SchemaName sidecar")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(text)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
 
   /** The committed manifest at `dest`. */
@@ -229,7 +325,13 @@ object ShardWriter {
     // an empty manifest certifies an empty export — nothing to read
     // (and no schema on disk to read it with)
     if (manifest.isEmpty) return
-    val actual = shardStats(spark.read.parquet(dest))
+    compareStats(dest, manifest, shardStats(spark.read.parquet(dest)))
+  }
+
+  private def compareStats(
+      dest: String,
+      manifest: Seq[ShardManifest],
+      actual: Seq[ShardManifest]): Unit = {
     val byShard = actual.map(s => s.shard -> s).toMap
     manifest.foreach { m =>
       val a = byShard.getOrElse(m.shard,

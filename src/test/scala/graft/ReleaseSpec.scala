@@ -244,4 +244,19 @@ class ReleaseSpec extends SparkTestBase {
     assert(released == survivors.intersect(gated),
       s"$released vs ${survivors.intersect(gated)}")
   }
+
+  test("jsonl release ships the same corpus as parquet, loader-readable") {
+    val dp = out("fmt-p"); val dj = out("fmt-j")
+    val rp = Release.release(spark, dir, dp, shardCount = 2)
+    val rj = Release.release(spark, dir, dj, shardCount = 2, jsonl = true)
+    // identical accounting AND identical per-shard content digests —
+    // the format changes the bytes, never the corpus
+    assert(rp.copy(shards = Seq.empty) == rj.copy(shards = Seq.empty))
+    assert(rp.shards == rj.shards, s"${rp.shards} vs ${rj.shards}")
+    graft.sources.ShardWriter.verifyJsonl(spark, dj)
+    val back = graft.sources.ShardWriter.readJsonl(spark, dj)
+    val pq = spark.read.parquet(dp)
+    assert(back.drop("shard").exceptAll(pq.drop("shard")).isEmpty)
+    assert(pq.drop("shard").exceptAll(back.drop("shard")).isEmpty)
+  }
 }

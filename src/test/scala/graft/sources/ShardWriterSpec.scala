@@ -150,4 +150,57 @@ class ShardWriterSpec extends SparkTestBase {
     assert(!new java.io.File(d + ".__staging__").exists())
     ShardWriter.verify(spark, d)
   }
+
+  test("jsonl export round-trips through its committed schema") {
+    import spark.implicits._
+    val d = tmp("jsonl")
+    // exercise the types JSON handles worst: binary (base64), double,
+    // nullable string — schema-true readback must round-trip all
+    val df = Seq(
+      (1L, "alpha doc", 0.25, Option("en"), Array[Byte](1, 2, 3)),
+      (2L, "beta \"quoted\"\nnewline", -1.5, None, Array[Byte]()),
+      (3L, "gamma", 3.14159, Option("de"), Array[Byte](-1, 0, 127)))
+      .toDF("doc_id", "text", "score", "lang", "payload")
+    val m = ShardWriter.writeJsonl(spark, df, d, 4, "doc_id")
+    assert(m.map(_.rows).sum == 3)
+    // per-shard single gz json file
+    new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("shard=")).foreach { sd =>
+        val parts = sd.listFiles().filter(_.getName.endsWith(".json.gz"))
+        assert(parts.length == 1, s"${sd.getName}")
+      }
+    val back = ShardWriter.readJsonl(spark, d)
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType, "schema sidecar, not inference")
+    val b = back.drop("shard")
+    assert(b.exceptAll(df).isEmpty && df.exceptAll(b).isEmpty)
+    ShardWriter.verifyJsonl(spark, d) // intact: no throw
+  }
+
+  test("jsonl manifest equals the parquet manifest for the same corpus") {
+    // same rows => same shard assignment and same order-independent
+    // content digests: the manifest certifies CONTENT, not format
+    val dp = tmp("fmtp"); val dj = tmp("fmtj")
+    val base = docs.select(col("doc_id"), col("text"), col("source"))
+    val mp = ShardWriter.write(spark, base, dp, 8, "doc_id")
+    val mj = ShardWriter.writeJsonl(spark, base, dj, 8, "doc_id")
+    assert(mp == mj, s"$mp vs $mj")
+  }
+
+  test("jsonl verify names a corrupted shard; zero-row export verifies") {
+    val d = tmp("jsonlverify")
+    ShardWriter.writeJsonl(spark, docs.select("doc_id", "text"), d, 4,
+      "doc_id")
+    new java.io.File(d, "shard=1").listFiles()
+      .filter(_.getName.endsWith(".json.gz")).foreach(_.delete())
+    val e = intercept[ShardWriter.ShardVerificationFailed] {
+      ShardWriter.verifyJsonl(spark, d)
+    }
+    assert(e.getMessage.contains("shard 1"), e.getMessage)
+    val empty = tmp("jsonlempty")
+    assert(ShardWriter.writeJsonl(spark,
+      docs.filter(col("doc_id") < 0).select("doc_id", "text"),
+      empty, 4, "doc_id").isEmpty)
+    ShardWriter.verifyJsonl(spark, empty) // no throw
+  }
 }
