@@ -515,7 +515,84 @@ object VectorQueries {
               |  round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim
               |FROM s
               |WHERE round(dot/(sqrt(na)*sqrt(nb)), 6) >= 0.35
-              |ORDER BY vec_id, bench_id""".stripMargin))
+              |ORDER BY vec_id, bench_id""".stripMargin)),
+
+    // ── q88: kNN label-vote evaluation — the embedding-quality probe
+    // a pipeline runs before TRUSTING an embedding column for
+    // clustering/dedup/mixing decisions: hold out a deterministic
+    // probe set (vec_id ≡ 0 mod 50, id < 5000 — an eval holdout is a
+    // FIXED-SIZE set by design, so the id cap bounds it at 100 probes
+    // on any corpus size; the modulus spreads the picks across the id
+    // space), predict each probe's label by majority vote of its 5
+    // exact nearest neighbors, report per-probe hit/miss. Low
+    // accuracy = the embeddings don't encode the label structure the
+    // pipeline is about to lean on. Scale shape: probes are a bounded
+    // broadcast, scoring is map-side against it, and per-probe top-5
+    // runs through [[graft.plans
+    // .GroupedTopK]]'s bounded heaps — the exchange carries
+    // 5·partitions rows per probe, never the |corpus|×|probes| score
+    // stream. The vote argmax is the q84 struct-max trick: most
+    // votes, ties to the smaller label, associative so it partial-
+    // aggregates map-side. Cosines round to 6 decimals on both
+    // engines before ranking (q23's discipline) so the neighbor sets
+    // and therefore the votes hash-match.
+    QueryDef(
+      "q88_knn_label_eval",
+      (s, d) => {
+        GraftFunctions.register(s)
+        // raw table, not the emb() base: the vote needs the label
+        // column the cosine-only base prunes away
+        val e = t(s, d, "embeddings")
+        val probes = e
+          .filter(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 5000)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("true_label"),
+            col("embedding").as("q_emb"))
+        val scored = e
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0 || col("vec_id") >= 5000)
+          .crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("true_label"), col("label"),
+            col("vec_id"),
+            round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6)
+              .as("cos_sim"))
+        val top = graft.plans.GroupedTopK.topK(scored,
+          Seq("probe_id"), Seq(("cos_sim", true), ("vec_id", false)), 5)
+        top.groupBy(col("probe_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .groupBy(col("probe_id"), col("true_label"))
+          .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("w"))
+          .select(col("probe_id"), col("true_label"),
+            (-col("w.nl")).as("pred_label"),
+            when(col("true_label") === -col("w.nl"), 1).otherwise(0)
+              .cast("int").as("correct"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH p AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+             |c AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings WHERE vec_id % 50 <> 0 OR vec_id >= 5000),
+             |s AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+             |    sum(p.v*c.v) AS dot, sum(p.v*p.v) AS na, sum(c.v*c.v) AS nb
+             |  FROM p JOIN c ON p.i = c.i GROUP BY 1, 2),
+             |scored AS (SELECT pid, cid,
+             |    round(dot/(sqrt(na)*sqrt(nb)), 6) AS cos_sim FROM s),
+             |top AS (SELECT pid, cid, row_number()
+             |    OVER (PARTITION BY pid ORDER BY cos_sim DESC, cid) AS rn
+             |  FROM scored),
+             |votes AS (SELECT t.pid, e.label, count(*) AS votes
+             |  FROM top t JOIN embeddings e ON e.vec_id = t.cid
+             |  WHERE t.rn <= 5 GROUP BY 1, 2),
+             |pred AS (SELECT pid, label, row_number()
+             |    OVER (PARTITION BY pid ORDER BY votes DESC, label) AS rn
+             |  FROM votes)
+             |SELECT pred.pid AS probe_id, pe.label AS true_label,
+             |  pred.label AS pred_label,
+             |  CAST(CASE WHEN pred.label = pe.label THEN 1 ELSE 0 END
+             |    AS INTEGER) AS correct
+             |FROM pred JOIN embeddings pe ON pe.vec_id = pred.pid
+             |WHERE pred.rn = 1 ORDER BY probe_id""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -354,9 +354,12 @@ class QueriesSpec extends SparkTestBase {
     // q61 no longer qualifies either: the day-band BETWEEN join was
     // rewritten as a map-side explode(sequence) + hash agg, so a BNLJ
     // reappearing there is a regression this test must catch.
+    // q88 broadcasts its id-capped eval holdout (≤100 probes by
+    // construction) — the same bounded-probe design as q78/q80.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
-      "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate")
+      "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
+      "q88_knn_label_eval")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -599,5 +602,36 @@ class QueriesSpec extends SparkTestBase {
     // alice~alize substitution (c->z), alice~alic deletion (drop e);
     // alize~alic is distance 2 (substitute + delete) and must NOT pair
     assert(got == Set((1L, 2L), (1L, 3L)), s"got $got")
+  }
+
+  test("q88 kNN vote: majority wins over proximity; vote ties go to the smaller label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-knn").toString
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      // probe 0 points at (1,0), true label 7
+      (0L, v(1, 0), 7),
+      // its neighborhood: TWO exact matches labeled 9, THREE slightly
+      // farther labeled 4 — majority (4) must beat proximity (9)
+      (1L, v(0.99, 0.141), 4), (2L, v(0.99, 0.140), 4),
+      (3L, v(0.99, 0.139), 4), (4L, v(1, 0), 9), (5L, v(1, 0.001), 9),
+      // probe 50 points at (0,1), true label 3
+      (50L, v(0, 1), 3),
+      // 2 votes label 5, 2 votes label 3, 1 vote label 8: the 5↔3
+      // vote tie must resolve to the SMALLER label (3) — which is
+      // also the true label, exercising correct=1
+      (51L, v(0, 1), 5), (52L, v(0.001, 1), 5),
+      (53L, v(0.1, 0.995), 3), (54L, v(0.1, 0.994), 3),
+      (55L, v(0.2, 0.98), 8))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q88_knn_label_eval")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    assert(out.toSeq == Seq((0L, 7, 4, 0), (50L, 3, 3, 1)),
+      out.toSeq.toString)
   }
 }
