@@ -705,6 +705,94 @@ object TextQueries {
              |FROM rates r LEFT JOIN samp USING (source)
              |ORDER BY source""".stripMargin)),
 
+    // ── q89: TEMPERATURE-scaled source mixing — the standard
+    // multilingual/multi-source rebalancing rule (the XLM-R/mT5
+    // sampler): target share ∝ share^α with α = 0.5, which upweights
+    // small sources without letting any source dominate. q69's
+    // equalization is the α→0 extreme; α=1 is the raw corpus. α is
+    // FIXED at 0.5 deliberately — sqrt is the one power IEEE 754
+    // requires correctly rounded, so both engines compute the weights
+    // bit-identically where a pow(x, 0.3) could differ in the last
+    // ulp and flip a floor. Determinism discipline: weights become
+    // integer micro-units via floor (never round — no half-way cases
+    // to disagree on), the weight SUM is integer (order-free), and
+    // the rate is a fixed three-op IEEE chain ((T/t)·w)/W floored to
+    // thousandths and capped at 1000 (no upsampling — a rate above 1
+    // needs replication, a different operator). Membership is the
+    // same masked-Knuth hash as q56/q57/q69. Scale shape identical to
+    // q69: one rollup shuffle, a |sources|-row broadcast back, pure
+    // map-side membership filter.
+    QueryDef(
+      "q89_mix_temperature",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenMass(s, d, col("text")).as("n_tok"))
+        val st = tok.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("src_tokens"))
+        val w = st.withColumn("weight_k",
+          when(col("src_tokens") === 0, lit(0L)).otherwise(
+            floor(sqrt(col("src_tokens").cast("double")) * 1000)
+              .cast("long")))
+        val tot = w.agg(sum(col("src_tokens")).cast("long").as("t_all"),
+          sum(col("weight_k")).cast("long").as("w_all"))
+        val rates = w.crossJoin(broadcast(tot))
+          .withColumn("rate_k",
+            when(col("src_tokens") === 0 || col("w_all") === 0, lit(0L))
+              .otherwise(least(lit(1000L),
+                floor(col("t_all").cast("double")
+                  / col("src_tokens").cast("double")
+                  * col("weight_k").cast("double")
+                  / col("w_all").cast("double") * 1000).cast("long"))))
+        val samp = tok
+          .join(broadcast(rates.select(col("source"), col("rate_k"))),
+            Seq("source"))
+          .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_sampled"),
+            sum(col("n_tok")).cast("long").as("sampled_tokens"))
+        rates.join(samp, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            col("weight_k"), col("rate_k"),
+            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+            coalesce(col("sampled_tokens"), lit(0L)).cast("long")
+              .as("sampled_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tok
+             |  FROM documents),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS src_tokens
+             |  FROM tok GROUP BY source),
+             |w AS (SELECT source, n_docs, src_tokens,
+             |    CASE WHEN src_tokens = 0 THEN 0
+             |      ELSE CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000) AS BIGINT)
+             |    END AS weight_k
+             |  FROM st),
+             |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t_all,
+             |    CAST(sum(weight_k) AS BIGINT) AS w_all FROM w),
+             |rates AS (SELECT source, n_docs, src_tokens, weight_k,
+             |    CASE WHEN src_tokens = 0 OR w_all = 0 THEN 0
+             |      ELSE least(1000, CAST(floor(
+             |        CAST(t_all AS DOUBLE) / CAST(src_tokens AS DOUBLE)
+             |          * CAST(weight_k AS DOUBLE) / CAST(w_all AS DOUBLE)
+             |          * 1000) AS BIGINT))
+             |    END AS rate_k
+             |  FROM w CROSS JOIN tot),
+             |samp AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_sampled,
+             |    CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+             |  FROM tok t JOIN rates r USING (source)
+             |  WHERE ${Q.knuthBucketSql("doc_id", 1000)} < rate_k
+             |  GROUP BY t.source)
+             |SELECT r.source, n_docs, src_tokens, weight_k, rate_k,
+             |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+             |  CAST(coalesce(sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+             |FROM rates r LEFT JOIN samp USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // ── q72: deterministic document chunking — fixed 32-token windows
     // at stride 24 (8-token overlap), the pre-embedding windowing op
     // every RAG/training pipeline runs between cleaning and encoding.

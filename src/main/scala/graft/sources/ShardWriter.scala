@@ -208,6 +208,32 @@ object ShardWriter {
       p => spark.read.parquet(p), None)
   }
 
+  /** Deterministically SHUFFLED export — the training-order layout:
+    * a reproducible pseudo-random global permutation (order by
+    * `xxhash64(key)`), range-sharded so shard i holds a contiguous
+    * slice of the permutation and a loader replays the exact same
+    * data order on every run, any cluster. Shuffling at EXPORT time
+    * is the 100 TB shape: the alternative — shuffling at load time —
+    * either buffers the corpus or approximates with small windows.
+    * The `shuffle_ord` column ships with the data as the loader's
+    * resume cursor (restart from the last consumed ordinal without
+    * re-reading). Same manifest/crash/verify contract as
+    * [[writeSorted]], which this delegates to.
+    */
+  def writeShuffled(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String,
+      k: Int,
+      keyCol: String,
+      codec: String = "zstd"): Seq[ShardManifest] = {
+    require(!df.columns.contains("shuffle_ord"),
+      "input already has a 'shuffle_ord' column")
+    writeSorted(spark,
+      df.withColumn("shuffle_ord", xxhash64(col(keyCol))),
+      dest, k, "shuffle_ord", codec)
+  }
+
   /** JSONL export — the lingua-franca interchange layout for LLM
     * training corpora: `shard=N/part-*.json.gz`, one gzipped
     * JSON-lines file per shard, same key-hash shard assignment,

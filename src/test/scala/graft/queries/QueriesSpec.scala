@@ -634,4 +634,24 @@ class QueriesSpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 7, 4, 0), (50L, 3, 3, 1)),
       out.toSeq.toString)
   }
+
+  test("q89 temperature mixing: bigger sources get lower rates, between equalize and raw") {
+    val rows = SparkEntry.queries("q89_mix_temperature")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every token-bearing source keeps a positive, capped rate
+    rows.filter(_._2 > 0).foreach { case (s, _, rate) =>
+      assert(rate > 0 && rate <= 1000, s"$s rate $rate")
+    }
+    // temperature scaling is monotone: more tokens, never a higher rate
+    for ((_, ta, ra) <- rows; (_, tb, rb) <- rows if ta > tb)
+      assert(ra <= rb, s"monotonicity: ($ta,$ra) vs ($tb,$rb)")
+    // and it sits between q69's equalization (aggressive downsample)
+    // and the raw corpus (rate 1000): q69's rate <= q89's rate
+    val eq = SparkEntry.queries("q69_domain_mix")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.filter(_._2 > 0).foreach { case (s, _, rate) =>
+      assert(eq(s) <= rate, s"$s: equalize ${eq(s)} > temperature $rate")
+    }
+  }
 }

@@ -187,6 +187,35 @@ class ShardWriterSpec extends SparkTestBase {
     assert(mp == mj, s"$mp vs $mj")
   }
 
+  test("writeShuffled ships a reproducible pseudo-random global order") {
+    val d1 = tmp("shuf1"); val d2 = tmp("shuf2")
+    val m1 = ShardWriter.writeShuffled(spark, docs, d1, 4, "doc_id")
+    // a different input layout must produce the same permutation
+    ShardWriter.writeShuffled(spark,
+      docs.repartition(7).orderBy(col("text")), d2, 4, "doc_id")
+    def order(d: String): Seq[Long] =
+      spark.read.parquet(d)
+        .orderBy(col("shard"), col("shuffle_ord"), col("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(d1)
+    assert(o1 == order(d2), "permutation must be layout-independent")
+    assert(m1.map(_.rows).sum == docs.count())
+    // it is a permutation of the corpus, and NOT id order (shuffled)
+    assert(o1.sorted == o1.sorted.distinct.sorted && o1 != o1.sorted)
+    // shards slice the permutation contiguously: max ord of shard i
+    // <= min ord of shard i+1
+    val bounds = spark.read.parquet(d1)
+      .groupBy(col("shard"))
+      .agg(min(col("shuffle_ord")).as("lo"), max(col("shuffle_ord")).as("hi"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    bounds.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"$bounds")
+      case _ =>
+    }
+    ShardWriter.verify(spark, d1)
+  }
+
   test("jsonl verify names a corrupted shard; zero-row export verifies") {
     val d = tmp("jsonlverify")
     ShardWriter.writeJsonl(spark, docs.select("doc_id", "text"), d, 4,
