@@ -355,11 +355,13 @@ class QueriesSpec extends SparkTestBase {
     // rewritten as a map-side explode(sequence) + hash agg, so a BNLJ
     // reappearing there is a regression this test must catch.
     // q88 broadcasts its id-capped eval holdout (≤100 probes by
-    // construction) — the same bounded-probe design as q78/q80.
+    // construction) — the same bounded-probe design as q78/q80;
+    // q89 broadcasts its 1-row (t_all, w_all) totals frame into the
+    // |sources|-row rate table, exactly q69's scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
-      "q88_knn_label_eval")
+      "q88_knn_label_eval", "q89_mix_temperature")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
