@@ -1262,6 +1262,174 @@ object Relational {
              |  n_clicks, click_cents, n_purchases, purchase_cents
              |FROM c FULL OUTER JOIN p USING (day, campaign)
              |ORDER BY day, campaign NULLS FIRST, n_clicks NULLS FIRST"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── q92: distribution-DRIFT detection — per event_type, the total
+    // variation distance between the value distribution of the first
+    // half of the month (days 1–15) and the second (16+), over 10
+    // fixed 50-unit value bins (top bin open-ended). The check a
+    // pipeline runs before trusting "this week's data looks like last
+    // week's": TV = ½·Σ_bins |p_bin − q_bin| ∈ [0, 1].
+    //
+    // Float discipline: no per-bin ratio ever materializes. TV's
+    // numerator is computed over the CROSS products — Σ|c1·N2 − c2·N1|
+    // — as exact DECIMAL(38,0) integers (HUGEINT on the oracle; the
+    // q58 moment discipline: a 10¹³-row half yields products ~10²⁶,
+    // far past long but 12 digits inside 38), then ONE double division
+    // by 2·N1·N2 in the same IEEE operation order on both engines,
+    // rounded to 6 decimals.
+    //
+    // Scale shape: one shuffle to (type, bin) grain with map-side
+    // partials; per-type totals (≤ |types| rows) broadcast back; the
+    // final per-type rollup is over ≤ 10 bins × |types| rows. The
+    // corpus is scanned once.
+    QueryDef(
+      "q92_tv_drift",
+      (s, d) => {
+        val cells = t(s, d, "events")
+          .select(col("event_type"),
+            least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"),
+            (dayofmonth(col("ts")) <= 15).as("early"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(when(col("early"), 1L).otherwise(0L)).cast("long").as("c1"),
+            sum(when(!col("early"), 1L).otherwise(0L)).cast("long").as("c2"))
+        val totals = cells.groupBy(col("event_type"))
+          .agg(sum(col("c1")).cast("long").as("n_early"),
+            sum(col("c2")).cast("long").as("n_late"))
+        cells.join(broadcast(totals), Seq("event_type"))
+          .groupBy(col("event_type"), col("n_early"), col("n_late"))
+          .agg(sum(abs(
+            col("c1").cast("decimal(38,0)") * col("n_late") -
+              col("c2").cast("decimal(38,0)") * col("n_early"))).as("num"))
+          .select(col("event_type"), col("n_early"), col("n_late"),
+            when(col("n_early") === 0 || col("n_late") === 0, lit(null))
+              .otherwise(round(col("num").cast("double") /
+                (lit(2.0) * col("n_early").cast("double")
+                  * col("n_late").cast("double")), 6))
+              .as("tv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+             |    (date_part('day', ts) <= 15) AS early
+             |  FROM events),
+             |cells AS (SELECT event_type, bin,
+             |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             |  FROM e GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n_early,
+             |    CAST(sum(c2) AS BIGINT) AS n_late
+             |  FROM cells GROUP BY 1),
+             |nm AS (SELECT c.event_type, n_early, n_late,
+             |    sum(abs(CAST(c1 AS HUGEINT)*n_late - CAST(c2 AS HUGEINT)*n_early))
+             |      AS num
+             |  FROM cells c JOIN tot USING (event_type)
+             |  GROUP BY 1, 2, 3)
+             |SELECT event_type, n_early, n_late,
+             |  CASE WHEN n_early = 0 OR n_late = 0 THEN NULL
+             |    ELSE round(CAST(num AS DOUBLE) /
+             |      (2.0 * CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)), 6)
+             |  END AS tv
+             |FROM nm ORDER BY event_type""".stripMargin)),
+
+    // ── q93: column PROFILE — the ANALYZE-TABLE face every engine
+    // ships: per declared lineitem column, row/null/exact-distinct
+    // counts and min/max rendered through a type-stable cast (doubles
+    // via DECIMAL(18,2) so both engines print "1.00", never raw
+    // double formatting — the one rendering the engines are guaranteed
+    // to agree on; dates via yyyy-MM-dd). One derived column
+    // (l_tax_nonzero = nullif(l_tax, 0)) keeps the null-discipline row
+    // honest on a null-free fixture: n_null counts the zeros and
+    // n_distinct excludes NULL on both engines.
+    //
+    // Scale shape: one tiny aggregate per column over a scan PRUNED to
+    // that column (columnar parquet reads just the profiled bytes —
+    // k single-column scans ≈ one full-width scan, each with map-side
+    // partials; exact count(DISTINCT) adds one dedup exchange per
+    // column, the price of exact ANALYZE. The union is |columns| rows.
+    QueryDef(
+      "q93_column_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def prof(name: String, c: org.apache.spark.sql.Column,
+            render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.agg(count(lit(1)).cast("long").as("n_rows"),
+              sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+              countDistinct(c).cast("long").as("n_distinct"),
+              render(min(c)).cast("string").as("min_s"),
+              render(max(c)).cast("string").as("max_s"))
+            .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        val num = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+        val id = (c: org.apache.spark.sql.Column) => c
+        val dt = (c: org.apache.spark.sql.Column) =>
+          date_format(c, "yyyy-MM-dd")
+        Seq(
+          prof("l_discount", col("l_discount"), num),
+          prof("l_extendedprice", col("l_extendedprice"), num),
+          prof("l_linestatus", col("l_linestatus"), id),
+          prof("l_orderkey", col("l_orderkey"), id),
+          prof("l_quantity", col("l_quantity"), num),
+          prof("l_returnflag", col("l_returnflag"), id),
+          prof("l_shipdate", col("l_shipdate"), dt),
+          prof("l_tax_nonzero", nullif(col("l_tax"), lit(0.0)), num))
+          .reduce(_.unionAll(_))
+          .orderBy(col("column"))
+      },
+      Some("""WITH p AS (
+             |  SELECT 'l_discount' AS "column", count(*) AS n_rows,
+             |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS n_null,
+             |    count(DISTINCT l_discount) AS n_distinct,
+             |    CAST(CAST(min(l_discount) AS DECIMAL(18,2)) AS VARCHAR) AS min_s,
+             |    CAST(CAST(max(l_discount) AS DECIMAL(18,2)) AS VARCHAR) AS max_s
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', count(*),
+             |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_extendedprice),
+             |    CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR),
+             |    CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_linestatus', count(*),
+             |    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_orderkey', count(*),
+             |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_orderkey),
+             |    CAST(min(l_orderkey) AS VARCHAR), CAST(max(l_orderkey) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*),
+             |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_quantity),
+             |    CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+             |    CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*),
+             |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_shipdate', count(*),
+             |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT l_shipdate),
+             |    strftime(min(l_shipdate), '%Y-%m-%d'),
+             |    strftime(max(l_shipdate), '%Y-%m-%d')
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax_nonzero', count(*),
+             |    sum(CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END),
+             |    count(DISTINCT nullif(l_tax, 0.0)),
+             |    CAST(CAST(min(nullif(l_tax, 0.0)) AS DECIMAL(18,2)) AS VARCHAR),
+             |    CAST(CAST(max(nullif(l_tax, 0.0)) AS DECIMAL(18,2)) AS VARCHAR)
+             |  FROM lineitem)
+             |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_null AS BIGINT) AS n_null,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+             |FROM p ORDER BY "column"""".stripMargin))
   )
 }

@@ -918,6 +918,176 @@ object TextQueries {
              |  round(CAST(sum(tf*cost_micro) AS DOUBLE) /
              |    (CAST(sum(tf) AS DOUBLE)*1000000.0), 6) AS nll
              |FROM tf JOIN cost USING (w1, bigram)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ── q90: sequence-PACKING map — the concatenate-and-chunk layout
+    // every LLM training run performs between the cleaned corpus and
+    // the data loader: per source, documents concatenate in doc_id
+    // order into one token stream that is cut into fixed 2048-token
+    // training sequences, and each document is mapped to the sequence
+    // grid — which sequence it starts in, at what offset, and how many
+    // sequences it spans (a straddling doc is the loader's
+    // cross-boundary case; n_seqs > 1 quantifies it). Zero-token docs
+    // occupy no stream positions and are excluded (q72's empty-doc
+    // discipline).
+    //
+    // Scale shape: the running token cumsum is NOT a window over one
+    // partition per source (a 100 TB source would serialize through a
+    // single WindowExec task — the q50 anti-pattern). It is the q50
+    // two-pass form: range-repartition by (source, doc_id), a
+    // partition-local cumsum pass, then per-(partition, source) masses
+    // — bounded by P + |sources| rows because range partitioning keeps
+    // sources contiguous — collected once and broadcast back as exact
+    // per-partition offsets. Work is two narrow passes over (doc_id,
+    // source, n_tok); text never leaves the first projection.
+    QueryDef(
+      "q90_pack_sequences",
+      (s, d) => {
+        val L = 2048L
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenMass(s, d, col("text")).as("n_tok"))
+          .filter(col("n_tok") > 0)
+        val parts = tok
+          .repartitionByRange(s.sparkContext.defaultParallelism,
+            col("source"), col("doc_id"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+        val schema = org.apache.spark.sql.types.StructType(
+          parts.schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField("pid",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("local_cb",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+        // partition-local running cumsum, reset at each source change
+        // (the range partitioner keeps each partition sorted by
+        // (source, doc_id), so a source's rows are contiguous)
+        val withLocal = s.createDataFrame(
+          parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+            var curSrc: String = null
+            var cum = 0L
+            it.map { r =>
+              val src = r.getString(1)
+              if (src != curSrc) { curSrc = src; cum = 0L }
+              // Seq[Any]: Seq(pid, cum) would weak-conform the Int pid
+              // up to Long and break the IntegerType schema field
+              val out = org.apache.spark.sql.Row.fromSeq(
+                r.toSeq ++ Seq[Any](pid, cum))
+              cum += r.getLong(2)
+              out
+            }
+          }, schema)
+        // bounded collect (≤ P + |sources| rows): last cumsum + mass
+        // per (partition, source) → driver-side per-source prefix scan
+        // over partition order → exact global offset of each
+        // partition's first row of each source
+        val totals = withLocal.groupBy(col("pid"), col("source"))
+          .agg(max(col("local_cb") + col("n_tok")).as("mass"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        val offsets = totals.sortBy { case (pid, src, _) => (src, pid) }
+          .foldLeft((List.empty[(Int, String, Long)], "", 0L)) {
+            case ((acc, prevSrc, run), (pid, src, mass)) =>
+              val base = if (src == prevSrc) run else 0L
+              ((pid, src, base) :: acc, src, base + mass)
+          }._1
+        val offDf = s.createDataFrame(offsets).toDF("pid", "source", "src_off")
+        withLocal.join(broadcast(offDf), Seq("pid", "source"))
+          .withColumn("cb", col("src_off") + col("local_cb"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            expr(s"cb DIV $L").as("seq_id"),
+            (col("cb") % L).as("seq_off"),
+            (expr(s"(cb + n_tok - 1) DIV $L") - expr(s"cb DIV $L") + 1L)
+              .as("n_seqs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |  CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT)
+             |    AS n_tok
+             |  FROM documents),
+             |nz AS (SELECT * FROM tok WHERE n_tok > 0),
+             |c AS (SELECT doc_id, source, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM nz)
+             |SELECT doc_id, source, n_tok,
+             |  cb // 2048 AS seq_id, cb % 2048 AS seq_off,
+             |  (cb + n_tok - 1) // 2048 - cb // 2048 + 1 AS n_seqs
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── q91: φ-heavy-hitter tokens — the exact "which tokens dominate
+    // the corpus" report (stopword discovery, tokenizer-vocabulary
+    // sanity, boilerplate tells) at φ = 1/500 of total token mass.
+    // EXACT output from a bounded-memory mine-then-verify pass, the
+    // repo's standard discipline: per partition, a Misra–Gries
+    // K=1024-counter summary (decrement-all on overflow) whose
+    // survivors PROVABLY include every token with partition count >
+    // n_p/(K+1); summing that bound over partitions, the union of
+    // survivors ⊇ every token with global count > n/(K+1) ⊃ the
+    // φ=1/500 set. The exact pass then counts ONLY candidates (a
+    // broadcast semi-join — ≤ K·P rows however large the vocabulary)
+    // and applies the φ filter on exact integer counts, so the result
+    // hash-matches the definitional oracle. Scale story: the full
+    // vocabulary NEVER shuffles — the exchange carries per-partition
+    // partials of ≤ K·P candidate tokens, where a naive groupBy over a
+    // 100 TB corpus shuffles the whole token stream's vocabulary.
+    // MG guarantee + pruning proved in scalatest on a constructed
+    // vocab > K fixture ([[mgCandidates]] is the spec-callable seam).
+    QueryDef(
+      "q91_heavy_hitters",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(tokenArray(s, d, col("text"))).as("tok"))
+        val cand = mgCandidates(toks, 1024)
+        val tot = t(s, d, "documents")
+          .agg(sum(tokenMass(s, d, col("text"))).cast("long").as("n_total"))
+        toks.join(broadcast(cand), Seq("tok"), "left_semi")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * 500 > col("n_total"))
+          .select(col("tok"), col("cnt"),
+            expr("cnt * 1000 DIV n_total").as("permille"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some("""WITH toks AS (SELECT
+             |    unnest(list_filter(string_split(text,' '), x -> len(x) > 0))
+             |      AS tok
+             |  FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+             |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks GROUP BY tok)
+             |SELECT tok, cnt, cnt * 1000 // n_total AS permille
+             |FROM c CROSS JOIN tot WHERE cnt * 500 > n_total
+             |ORDER BY cnt DESC, tok""".stripMargin))
   )
+
+  /** Per-partition Misra–Gries candidate mine over a one-column token
+    * frame: K bounded counters per partition, decrement-all on
+    * overflow, survivors unioned and deduplicated. Guarantee (the
+    * q91 superset proof, spec-pinned): a token with partition count
+    * > n_p/(K+1) always holds a positive counter at partition end, so
+    * any token with GLOBAL count > n/(K+1) — which must exceed the
+    * per-partition bound somewhere — survives in at least one
+    * partition. Output is ≤ K rows per partition regardless of
+    * vocabulary size.
+    */
+  private[graft] def mgCandidates(
+      toks: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { tk =>
+        if (m.contains(tk)) m(tk) += 1
+        else if (m.size < k) m(tk) = 1
+        else {
+          // classic MG step: decrement every counter, shed zeros
+          val dead = scala.collection.mutable.ArrayBuffer[String]()
+          m.foreach { case (w, c) => if (c == 1) dead += w else m(w) = c - 1 }
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("tok").distinct()
+  }
 }

@@ -357,11 +357,13 @@ class QueriesSpec extends SparkTestBase {
     // q88 broadcasts its id-capped eval holdout (≤100 probes by
     // construction) — the same bounded-probe design as q78/q80;
     // q89 broadcasts its 1-row (t_all, w_all) totals frame into the
-    // |sources|-row rate table, exactly q69's scalar-broadcast shape.
+    // |sources|-row rate table, exactly q69's scalar-broadcast shape;
+    // q91 crossJoins its 1-row corpus-token-total scalar into the
+    // bounded candidate-count frame (q59's scalar-broadcast shape).
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
-      "q88_knn_label_eval", "q89_mix_temperature")
+      "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -655,5 +657,118 @@ class QueriesSpec extends SparkTestBase {
     rows.filter(_._2 > 0).foreach { case (s, _, rate) =>
       assert(eq(s) <= rate, s"$s: equalize ${eq(s)} > temperature $rate")
     }
+  }
+
+  test("q90 packing matches a driver-side per-source cumsum; no WindowExec") {
+    import org.apache.spark.sql.functions._
+    val L = 2048L
+    val out = SparkEntry.queries("q90_pack_sequences")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // independent reference: per source, docs in doc_id order, running
+    // token cumsum — the two-pass distributed form must agree exactly
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val want = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      ds.sortBy(_._1).foldLeft((List.empty[(Long, Long)], 0L)) {
+        case ((acc, cum), (id, _, n)) => ((id, cum) :: acc, cum + n)
+      }._1
+    }.toMap
+    out.foreach { case (id, _, n, seqId, seqOff, nSeqs) =>
+      val cb = want(id)
+      assert(seqId == cb / L && seqOff == cb % L, s"doc $id offsets")
+      assert(nSeqs == (cb + n - 1) / L - cb / L + 1, s"doc $id span")
+    }
+    assert(out.length == docs.length, "every token-bearing doc mapped")
+    // packing density: every sequence before a source's last is FULL —
+    // a doc starts in it or covers it; with concatenate-and-chunk no
+    // sequence below the high-water mark is skipped
+    out.groupBy(_._2).foreach { case (src, ds) =>
+      val touched = ds.flatMap(d => d._4 to (d._4 + d._6 - 1)).toSet
+      assert(touched == (0L to touched.max).toSet, s"$src has gap sequences")
+    }
+    // the scale assertion (q50 precedent): the cumsum must be the
+    // two-pass range-partition form, never a per-source WindowExec
+    val plan = SparkEntry.queries("q90_pack_sequences")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q90 must not plan a window:\n$plan")
+  }
+
+  test("q91 equals brute-force heavy hitters; MG candidates prune yet cover") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q91_heavy_hitters")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val toks = graft.sources.Tables(spark, sf(), "documents")
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0))
+        .as("tok")).as[String].collect()
+    val n = toks.length.toLong
+    val brute = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 * 500 > n).toMap
+    assert(got == brute, s"exact mismatch: got ${got.size}, want ${brute.size}")
+    // MG math on a constructed skewed stream with vocabulary >> K:
+    // 3 heavy tokens (1000 each) among 5000 singletons, K = 16
+    val heavy = Seq("ha", "hb", "hc")
+    val stream = heavy.flatMap(Seq.fill(1000)(_)) ++
+      (1 to 5000).map(i => s"rare$i")
+    val sdf = stream.toDF("tok").repartition(4)
+    val cand = TextQueries.mgCandidates(sdf, 16).as[String].collect().toSet
+    assert(heavy.forall(cand), s"MG lost a heavy token: $cand")
+    // bounded output: ≤ K survivors per partition
+    assert(cand.size <= 16 * 4, s"MG must prune: ${cand.size} candidates")
+  }
+
+  test("q92 TV drift equals a driver-side recompute and sits in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q92_tv_drift")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)),
+        dayofmonth(col("ts")) <= 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    out.foreach { case (et, n1, n2, tv) =>
+      val mine = evs.filter(_._1 == et)
+      val e = mine.filter(_._3); val l = mine.filterNot(_._3)
+      assert(n1 == e.length && n2 == l.length, s"$et halves")
+      val bins = (0L to 9L).map { b =>
+        math.abs(e.count(_._2 == b).toLong * n2 - l.count(_._2 == b).toLong * n1)
+      }.sum
+      val want = BigDecimal(bins.toDouble / (2.0 * n1 * n2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(tv - want) < 1e-9, s"$et tv $tv vs $want")
+      assert(tv >= 0.0 && tv <= 1.0, s"$et tv out of range")
+    }
+  }
+
+  test("q93 profile: null discipline on the derived column, stable rendering") {
+    val rows = SparkEntry.queries("q93_column_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows.size == 8)
+    val nRows = rows.values.map(_._1).toSet
+    assert(nRows.size == 1, "every profile row counts the same table")
+    // the derived nullif column must exercise null counting: zeros
+    // become NULL, n_distinct excludes them on both engines
+    val (n, nNull, nDistinct, _, _) = rows("l_tax_nonzero")
+    assert(nNull > 0, "fixture has zero-tax rows; n_null must see them")
+    assert(nDistinct < n - nNull, "distinct excludes nulls and repeats")
+    // doubles render through DECIMAL(18,2): always two decimals
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax_nonzero")
+      .foreach { c =>
+        val (_, _, _, mn, mx) = rows(c)
+        assert(mn.matches("-?\\d+\\.\\d{2}") && mx.matches("-?\\d+\\.\\d{2}"),
+          s"$c renders [$mn, $mx]")
+      }
+    // dates render as yyyy-MM-dd
+    val (_, _, _, dmn, dmx) = rows("l_shipdate")
+    assert(dmn.matches("\\d{4}-\\d{2}-\\d{2}") && dmx <= "9999" && dmn <= dmx)
   }
 }
