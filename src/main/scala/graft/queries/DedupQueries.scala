@@ -804,7 +804,14 @@ object DedupQueries {
           transform(sequence(lit(1), length(name)), i =>
             concat(name.substr(lit(1), i - lit(1)),
               name.substr(i + lit(1), length(name)))))
+        // repartition BEFORE the neighborhood explode: an entity table
+        // small enough to arrive as one parquet split would otherwise
+        // run the whole mine — variant generation, the candidate join,
+        // and every in-join levenshtein — on a single core (measured:
+        // 10 s → 1 s at sf0.1 on local[32]; the narrow pre-explode
+        // exchange is |records|-sized and buys full parallelism)
         val occ = t(s, d, "customer")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("c_custkey"), name,
             explode(variants).as("variant"))
           .select(xxhash64(col("variant")).as("k"),
@@ -860,6 +867,134 @@ object DedupQueries {
              |FROM documents
              |GROUP BY md5(lower(nfc_normalize(trim(
              |    regexp_replace(text, '\s+', ' ', 'g')))))
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── q95: SPLIT-leakage report — near-dup pairs that CROSS the
+    // q94 train/val/test boundary. The eval-integrity check run after
+    // cutting a holdout: a val/test document whose near-duplicate
+    // sits in train is memorization leaking into the eval number, and
+    // per-document dedup (q36) can still ship both members when
+    // survivor selection lands them in different splits. Cells are
+    // (split, split) pair counts — (train, val)/(train, test)
+    // off-diagonals are the contamination; diagonals are same-split
+    // redundancy (harmless to eval, still dedup debt). q85's shape
+    // over the same persisted pair artifact, with the q94 split
+    // arithmetic replacing the source column.
+    //
+    // Scale shape: pure composition — the pair artifact is
+    // output-sized (never the candidate stream), the split is
+    // per-doc masked-Knuth arithmetic computed IN the join
+    // projection (no doc-table scan at all: doc_id rides the pair
+    // row), and the rollup is a ≤9-cell aggregate.
+    QueryDef(
+      "q95_split_leakage",
+      (s, d) => {
+        def split(idCol: String) = {
+          // the one engine-portable membership fragment (Q.knuthBucketSql)
+          // interpolated per pair side — split arithmetic CANNOT drift
+          // from q94's because it is the same string
+          val b = expr(Q.knuthBucketSql(idCol, 100))
+          when(b < 98, "train").when(b === 98, "val").otherwise("test")
+        }
+        exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+          .groupBy(
+            least(split("doc_a"), split("doc_b")).as("split_x"),
+            greatest(split("doc_a"), split("doc_b")).as("split_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("crosses_eval",
+            (col("split_x") =!= col("split_y")).cast("int"))
+          .orderBy(col("split_x"), col("split_y"))
+      },
+      Some(s"""WITH $pairsSql,
+              |$pairsThresholdSql,
+              |sp AS (SELECT doc_a, doc_b,
+              |    CASE WHEN ${Q.knuthBucketSql("doc_a", 100)} < 98 THEN 'train'
+              |      WHEN ${Q.knuthBucketSql("doc_a", 100)} = 98 THEN 'val'
+              |      ELSE 'test' END AS sa,
+              |    CASE WHEN ${Q.knuthBucketSql("doc_b", 100)} < 98 THEN 'train'
+              |      WHEN ${Q.knuthBucketSql("doc_b", 100)} = 98 THEN 'val'
+              |      ELSE 'test' END AS sb
+              |  FROM pairs)
+              |SELECT least(sa, sb) AS split_x, greatest(sa, sb) AS split_y,
+              |  count(*) AS n_pairs,
+              |  CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb)
+              |    THEN 1 ELSE 0 END AS INTEGER) AS crosses_eval
+              |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── q96: dup-FAMILY size histogram — how big are the near-dup
+    // clusters (the release diagnostics read next to q36: a corpus
+    // dominated by 2-doc families dedups cheaply; a 10 000-member
+    // boilerplate family means one template is a measurable slice of
+    // the corpus and survivor choice actually matters). Rows:
+    // (family_size, n_families, n_docs), singletons included — their
+    // row is the "already unique" mass every release report quotes.
+    // Scale shape: the cached cluster map (built once, stamped) rolls
+    // up twice — |corpus| → |clusters| → |distinct sizes| — both hash
+    // aggs with map-side partials; nothing here touches text or pairs.
+    QueryDef(
+      "q96_dup_family_hist",
+      (s, d) => clusterMap(s, d)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("family_size"))
+        .groupBy(col("family_size"))
+        .agg(count(lit(1)).as("n_families"))
+        .select(col("family_size"),
+          col("n_families"),
+          (col("family_size") * col("n_families")).as("n_docs"))
+        .orderBy(col("family_size")),
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |$clusterLabSql,
+              |cm AS (SELECT d.doc_id,
+              |    COALESCE(l.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              |fam AS (SELECT cluster, count(*) AS family_size
+              |  FROM cm GROUP BY cluster)
+              |SELECT family_size, count(*) AS n_families,
+              |  family_size * count(*) AS n_docs
+              |FROM fam GROUP BY family_size ORDER BY family_size"""
+        .stripMargin)),
+
+    // ── q97: dedup threshold-SENSITIVITY curve — pair mass per 0.05
+    // Jaccard band over [0.5, 1], with the cumulative count a release
+    // at threshold t would act on. The tuning read before moving the
+    // dedup threshold: a fat 0.50–0.55 band says the corpus sits on
+    // the knife edge and a small loosening explodes the cluster graph;
+    // mass piled at 1.0 is exact mirrors that any threshold removes.
+    // Bucket = floor(jaccard·20)/20 — both engines compute jaccard as
+    // the SAME two-integer division and the same IEEE multiply, so the
+    // floor flips identically on every pair (the q56 determinism
+    // argument, applied to a derived double). Scale shape: one scan of
+    // the output-sized persisted pair artifact → ≤ 11 bucket rows; the
+    // cumulative window runs over those 11 rows, not data (bounded-
+    // cardinality window, q50's rule doesn't apply).
+    QueryDef(
+      "q97_jaccard_threshold_curve",
+      (s, d) => {
+        val b = exactPairs(s, d)
+          .groupBy((floor(col("jaccard") * 20) / 20).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        b.select(col("bucket"), col("n_pairs"),
+            sum(col("n_pairs")).over(w).as("pairs_at_or_above"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $pairsSql,
+              |j AS (SELECT CAST(inter_cnt AS DOUBLE) /
+              |      CAST(ca.n + cb.n - inter_cnt AS DOUBLE) AS jaccard
+              |  FROM inter
+              |  JOIN card ca ON ca.doc_id = doc_a
+              |  JOIN card cb ON cb.doc_id = doc_b
+              |  WHERE CAST(inter_cnt AS DOUBLE) /
+              |    CAST(ca.n + cb.n - inter_cnt AS DOUBLE) >= 0.5),
+              |b AS (SELECT floor(jaccard * 20) / 20 AS bucket,
+              |    count(*) AS n_pairs
+              |  FROM j GROUP BY 1)
+              |SELECT bucket, n_pairs,
+              |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT) AS pairs_at_or_above
+              |FROM b ORDER BY bucket""".stripMargin))
   )
 }

@@ -1351,13 +1351,20 @@ object Relational {
       "q93_column_profile",
       (s, d) => {
         val li = t(s, d, "lineitem")
+        // each column profiles over its own pruned projection,
+        // repartitioned first: a table small enough to arrive as one
+        // parquet split would otherwise run every per-column distinct
+        // single-threaded; the exchange ships ONE computed column
         def prof(name: String, c: org.apache.spark.sql.Column,
             render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-          li.agg(count(lit(1)).cast("long").as("n_rows"),
-              sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
-              countDistinct(c).cast("long").as("n_distinct"),
-              render(min(c)).cast("string").as("min_s"),
-              render(max(c)).cast("string").as("max_s"))
+          li.select(c.as("v"))
+            .repartition(s.sparkContext.defaultParallelism)
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
+                .as("n_null"),
+              countDistinct(col("v")).cast("long").as("n_distinct"),
+              render(min(col("v"))).cast("string").as("min_s"),
+              render(max(col("v"))).cast("string").as("max_s"))
             .select(lit(name).as("column"), col("n_rows"), col("n_null"),
               col("n_distinct"), col("min_s"), col("max_s"))
         val num = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")

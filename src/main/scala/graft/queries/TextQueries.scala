@@ -1059,7 +1059,43 @@ object TextQueries {
              |  FROM toks GROUP BY tok)
              |SELECT tok, cnt, cnt * 1000 // n_total AS permille
              |FROM c CROSS JOIN tot WHERE cnt * 500 > n_total
-             |ORDER BY cnt DESC, tok""".stripMargin))
+             |ORDER BY cnt DESC, tok""".stripMargin)),
+
+    // ── q94: train/val/test SPLIT assignment — the deterministic
+    // holdout cut every release makes before training (98/1/1 by
+    // doc_id bucket). Membership is the masked-Knuth arithmetic shared
+    // with q56/q57/q65/q69 (ONE engine-portable SQL fragment), which
+    // buys the property rank-based splitting lacks: a document's split
+    // is a pure function of its id, so it NEVER migrates when other
+    // documents arrive or leave — val stays val across corpus
+    // versions, the precondition for comparable eval numbers. Report:
+    // per (source, split) doc/token masses — the table release notes
+    // print. Scale shape: one corpus scan, split computed map-side,
+    // one shuffle to the ≤ 3·|sources| rollup grain.
+    QueryDef(
+      "q94_split_assign",
+      (s, d) => {
+        val b = expr(Q.knuthBucketSql("doc_id", 100))
+        t(s, d, "documents")
+          .select(col("source"),
+            when(b < 98, "train").when(b === 98, "val").otherwise("test")
+              .as("split"),
+            tokenMass(s, d, col("text")).as("n_tok"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("split_tokens"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some(s"""WITH a AS (SELECT source,
+             |    CASE WHEN ${Q.knuthBucketSql("doc_id", 100)} < 98 THEN 'train'
+             |      WHEN ${Q.knuthBucketSql("doc_id", 100)} = 98 THEN 'val'
+             |      ELSE 'test' END AS split,
+             |    CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0))
+             |      AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS split_tokens
+             |FROM a GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

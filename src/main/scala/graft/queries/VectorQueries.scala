@@ -592,7 +592,68 @@ object VectorQueries {
              |  CAST(CASE WHEN pred.label = pe.label THEN 1 ELSE 0 END
              |    AS INTEGER) AS correct
              |FROM pred JOIN embeddings pe ON pe.vec_id = pred.pid
-             |WHERE pred.rn = 1 ORDER BY probe_id""".stripMargin))
+             |WHERE pred.rn = 1 ORDER BY probe_id""".stripMargin)),
+
+    // ── q98: embedding-column HEALTH profile — the trust check run
+    // BEFORE any ANN/clustering/dedup consumes an embedding column
+    // (q88 checks semantic quality; this checks mechanical quality):
+    // per label, vector count, dimension min/max (a mixed-dimension
+    // column breaks every dot product downstream), zero-norm count
+    // (no direction — every cosine consumer here drops them), and the
+    // squared-norm min/max/mean (an unnormalized or wildly-scaled
+    // batch shows up as norm spread).
+    //
+    // Float discipline: per-element squared terms are FIXED-POINT —
+    // round(x²·10¹²) as exact longs — so the per-vector sum is
+    // order-free and both engines fold identical integers (the q77
+    // cost-table trick applied per element); means divide the exact
+    // integer sum once, rounded to 6. Scale shape: one scan, all
+    // per-vector work map-side inside codegen HOFs, one shuffle to
+    // the |labels| grain with map-side partials.
+    QueryDef(
+      "q98_embedding_health",
+      (s, d) => {
+        val sq = aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") * x.cast("double") * 1e12)
+              .cast("long")),
+          lit(0L), (acc, v) => acc + v)
+        t(s, d, "embeddings")
+          .select(col("label"), size(col("embedding")).as("dims"),
+            sq.as("norm2_fx"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).cast("long").as("n_vecs"),
+            min(col("dims")).cast("long").as("min_dims"),
+            max(col("dims")).cast("long").as("max_dims"),
+            sum(when(col("norm2_fx") === 0, 1L).otherwise(0L)).cast("long")
+              .as("n_zero"),
+            round(min(col("norm2_fx")) / 1e12, 6).as("min_norm2"),
+            round(max(col("norm2_fx")) / 1e12, 6).as("max_norm2"),
+            // DECIMAL(38,0) accumulation (the q58 moment discipline —
+            // a 10¹³-vector corpus's Σnorm2_fx crosses 2⁶³); the mean
+            // then divides once in double, the same op chain as the
+            // oracle's HUGEINT sum
+            round((sum(col("norm2_fx").cast("decimal(38,0)")).cast("double")
+              / count(lit(1)).cast("double")) / 1e12, 6)
+              .as("mean_norm2"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH v AS (SELECT label,
+             |    CAST(len(embedding) AS BIGINT) AS dims,
+             |    CAST(list_sum(list_transform(embedding, x ->
+             |      CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e12)
+             |        AS BIGINT))) AS BIGINT) AS norm2_fx
+             |  FROM embeddings)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(min(dims) AS BIGINT) AS min_dims,
+             |  CAST(max(dims) AS BIGINT) AS max_dims,
+             |  CAST(sum(CASE WHEN norm2_fx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_zero,
+             |  round(CAST(min(norm2_fx) AS DOUBLE) / 1e12, 6) AS min_norm2,
+             |  round(CAST(max(norm2_fx) AS DOUBLE) / 1e12, 6) AS max_norm2,
+             |  round((CAST(sum(norm2_fx) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             |    / 1e12, 6) AS mean_norm2
+             |FROM v GROUP BY label ORDER BY label""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -748,6 +748,113 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q94 split: per-doc arithmetic (no migration), 98/1/1, exhaustive") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q94_split_assign")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // independent driver-side recompute from the raw formula: a doc's
+    // split is a pure function of its id — the property that makes
+    // the holdout stable across corpus versions
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def splitOf(id: Long): String = {
+      val b = ((id & 2147483647L) * 2654435761L) % 100
+      if (b < 98) "train" else if (b == 98) "val" else "test"
+    }
+    val want = docs.groupBy(d => (d._2, splitOf(d._1))).map { case (k, ds) =>
+      k -> ((ds.length.toLong, ds.map(_._3).sum))
+    }
+    assert(out == want, "q94 must equal the per-doc formula rollup")
+    // exhaustive: every doc lands in exactly one split
+    assert(out.values.map(_._1).sum == docs.length)
+    // 98/1/1 in expectation: train dominates at any realistic corpus
+    val bySplit = out.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum)
+    assert(bySplit("train") > 20L * (bySplit.getOrElse("val", 0L)
+      .max(bySplit.getOrElse("test", 0L)).max(1L)))
+  }
+
+  test("q95 split-leakage cells reconcile with the q25 pair count") {
+    val cells = SparkEntry.queries("q95_split_leakage")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    val pairTotal = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .count()
+    assert(cells.map(_._3).sum == pairTotal,
+      "every near-dup pair lands in exactly one (split, split) cell")
+    cells.foreach { case (x, y, _, flag) =>
+      assert(x <= y, s"cell ($x, $y) not key-normalized")
+      assert(flag == (if (x == y) 0 else 1), s"crosses_eval wrong for ($x, $y)")
+    }
+  }
+
+  test("q96 family histogram reconciles with the q36 cluster map") {
+    val hist = SparkEntry.queries("q96_dup_family_hist")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusters = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
+      .collect().map(r => r.getLong(1))
+    val want = clusters.groupBy(identity).values.map(_.length)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hist.map(h => h._1 -> h._2).toMap ==
+      want.map { case (k, v) => (k.toLong, v) })
+    hist.foreach { case (size, fams, docs) =>
+      assert(docs == size * fams, s"size-$size row inconsistent")
+    }
+    assert(hist.map(_._3).sum == clusters.length, "every doc in one family")
+    assert(hist.exists(_._1 == 1L), "singleton row present")
+    assert(hist.exists(_._1 > 1L), "fixture has real dup families")
+  }
+
+  test("q97 threshold curve: buckets partition q25's pairs, cumulative is honest") {
+    val curve = SparkEntry.queries("q97_jaccard_threshold_curve")(spark, sf())
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val jac = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .collect().map(_.getDouble(3))
+    assert(curve.map(_._2).sum == jac.length, "buckets partition the pair set")
+    curve.foreach { case (b, n, _) =>
+      assert(b >= 0.5 && b <= 1.0, s"bucket $b out of range")
+      assert(n == jac.count(j => math.floor(j * 20) / 20 == b), s"bucket $b count")
+    }
+    // cumulative = pairs at-or-above, so it must run anti-monotone in
+    // the bucket and hit the total at the lowest bucket
+    val sorted = curve.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, hi), (_, _, lo)) => assert(hi >= lo)
+      case _ =>
+    }
+    assert(sorted.head._3 == jac.length, "lowest bucket accumulates everything")
+  }
+
+  test("q98 embedding health matches a driver-side fixed-point recompute") {
+    val out = SparkEntry.queries("q98_embedding_health")(spark, sf())
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    val vecs = graft.sources.Tables(spark, sf(), "embeddings")
+      .collect().map(r => (r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    assert(out.values.map(_._1).sum == vecs.length)
+    val byLabel = vecs.groupBy(_._1)
+    out.foreach { case (label, (n, minD, maxD, nZero, mn, mx, mean)) =>
+      val mine = byLabel(label)
+      assert(n == mine.length)
+      val fx = mine.map(_._2.map(x =>
+        math.round(x.toDouble * x.toDouble * 1e12)).sum)
+      assert(minD == 64 && maxD == 64, "fixture dims are uniform 64")
+      assert(nZero == fx.count(_ == 0L))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mn - r6(fx.min / 1e12)) < 1e-9, s"label $label min")
+      assert(math.abs(mx - r6(fx.max / 1e12)) < 1e-9, s"label $label max")
+      assert(math.abs(mean - r6(fx.map(BigInt(_)).sum.toDouble / n / 1e12))
+        < 1e-6, s"label $label mean")
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
   test("q93 profile: null discipline on the derived column, stable rendering") {
     val rows = SparkEntry.queries("q93_column_profile")(spark, sf())
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
