@@ -1437,6 +1437,185 @@ object Relational {
              |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
              |  CAST(n_null AS BIGINT) AS n_null,
              |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
-             |FROM p ORDER BY "column"""".stripMargin))
+             |FROM p ORDER BY "column"""".stripMargin)),
+
+    // ── q100: MAD robust outliers — the median-based twin of q58's
+    // z-score: median absolute deviation is unmoved by the very
+    // outliers it hunts (a heavy-tailed crawl's mean/stddev are
+    // dragged by the tail; its median/MAD are not). Flag
+    // |v − med| > 3σ-equivalent = 3·1.4826·MAD per event_type.
+    //
+    // Determinism: both engines interpolate the exact median with the
+    // same lower + frac·(upper − lower) arithmetic (the q41
+    // precedent), so med — and therefore every |v − med| — is
+    // bit-identical, the second median over those deviations is
+    // bit-identical, and the outlier comparison `adev > mad·4.4478`
+    // resolves identically. med/mad round to 6 decimals for display
+    // only.
+    //
+    // Scale: exact per-group percentiles ship each group's values to
+    // its reducer — the same by-design oracle-anchor cost as q41, with
+    // q55's sketch as the 100 TB twin. Three passes over events, two
+    // tiny broadcasts (|types| rows) back.
+    QueryDef(
+      "q100_mad_outliers",
+      (s, d) => {
+        val med = t(s, d, "events").groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = t(s, d, "events").join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("adev") > col("mad") * 4.4478, 1L).otherwise(0L))
+              .cast("long").as("n_outliers"))
+          .select(col("event_type"), round(col("med"), 6).as("med"),
+            round(col("mad"), 6).as("mad"), col("n"), col("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |    quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, med, abs(value - med) AS adev
+             |  FROM events e JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT event_type, round(med, 6) AS med, round(mad, 6) AS mad,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN adev > mad * 4.4478 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (event_type)
+             |GROUP BY event_type, med, mad
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── q101: referential-integrity AUDIT — every FK edge of the star
+    // schema checked in one report (the data-quality gate a warehouse
+    // runs after ingest; the relational sibling of q93's per-column
+    // profile). Per edge: child rows, null keys, distinct keys, and
+    // orphans (non-null child keys with no parent row).
+    //
+    // Scale shape: each edge is ONE left-outer equi-join of the
+    // child's key column (pruned scan — only the key bytes read)
+    // against the parent's distinct key, all four measures in a
+    // single aggregate over the joined frame — no separate anti-join
+    // pass, no 1-row crossJoin. Dim parents broadcast under AQE's
+    // threshold automatically; the lineitem→orders edge shuffles on
+    // the key, which is exactly the partitioning a 100 TB audit wants.
+    QueryDef(
+      "q101_fk_audit",
+      (s, d) => {
+        def audit(edge: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame =
+          child.select(col(key).as("k"))
+            .join(parent.select(col(pkey).as("k")).distinct()
+              .withColumn("hit", lit(1)), Seq("k"), "left_outer")
+            .agg(count(lit(1)).cast("long").as("n_child"),
+              sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long")
+                .as("n_null"),
+              countDistinct(col("k")).cast("long").as("n_keys"),
+              sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+                .otherwise(0L)).cast("long").as("n_orphan"))
+            .select(lit(edge).as("edge"), col("n_child"), col("n_null"),
+              col("n_keys"), col("n_orphan"))
+        Seq(
+          audit("customer.c_nationkey->nation", t(s, d, "customer"),
+            "c_nationkey", t(s, d, "nation"), "n_nationkey"),
+          audit("lineitem.l_orderkey->orders", t(s, d, "lineitem"),
+            "l_orderkey", t(s, d, "orders"), "o_orderkey"),
+          audit("lineitem.l_partkey->part", t(s, d, "lineitem"),
+            "l_partkey", t(s, d, "part"), "p_partkey"),
+          audit("lineitem.l_suppkey->supplier", t(s, d, "lineitem"),
+            "l_suppkey", t(s, d, "supplier"), "s_suppkey"),
+          audit("nation.n_regionkey->region", t(s, d, "nation"),
+            "n_regionkey", t(s, d, "region"), "r_regionkey"),
+          audit("orders.o_custkey->customer", t(s, d, "orders"),
+            "o_custkey", t(s, d, "customer"), "c_custkey"),
+          audit("supplier.s_nationkey->nation", t(s, d, "supplier"),
+            "s_nationkey", t(s, d, "nation"), "n_nationkey"))
+          .reduce(_.unionAll(_))
+          .orderBy(col("edge"))
+      },
+      Some {
+        def sql(edge: String, child: String, key: String,
+            parent: String, pkey: String): String =
+          s"""SELECT '$edge' AS edge,
+             |    CAST(count(*) AS BIGINT) AS n_child,
+             |    CAST(sum(CASE WHEN c.$key IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_null,
+             |    CAST(count(DISTINCT c.$key) AS BIGINT) AS n_keys,
+             |    CAST(sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+             |  FROM $child c
+             |  LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p
+             |    ON c.$key = p.$pkey"""
+        Seq(
+          sql("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          sql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          sql("nation.n_regionkey->region", "nation", "n_regionkey",
+            "region", "r_regionkey"),
+          sql("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          sql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("", "\n             |  UNION ALL\n             |  ",
+            "\n             |ORDER BY edge").stripMargin
+      }),
+
+    // ── q102: event-type TRANSITION matrix — the first-order Markov
+    // view of user behavior ("what follows what"): per time-ordered
+    // user stream, count each (prev → next) event-type pair and its
+    // conditional probability. The path-analysis primitive behind
+    // funnels (q63) and next-action prediction features.
+    //
+    // Determinism: the per-user order is the q18 total order
+    // (ts, event_id); prob derives from two exact counts with one
+    // division, rounded to 6, on both engines.
+    //
+    // Scale shape: one shuffle on user_id for the lag window (per-user
+    // streams are bounded — the q35/q18 sessionization grain), one
+    // hash agg to the ≤ |types|² pair grain, per-prev totals broadcast
+    // back. Corpus scanned once.
+    QueryDef(
+      "q102_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val tot = pairs.groupBy(col("prev_type"))
+          .agg(sum(col("cnt")).cast("long").as("n_from"))
+        pairs.join(broadcast(tot), Seq("prev_type"))
+          .select(col("prev_type"), col("next_type"), col("cnt"),
+            col("n_from"),
+            round(col("cnt").cast("double") / col("n_from").cast("double"),
+              6).as("prob"))
+          .orderBy(col("prev_type"), col("next_type"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |    lag(event_type, 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |pairs AS (SELECT prev_type, event_type AS next_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS n_from
+             |  FROM pairs GROUP BY 1)
+             |SELECT prev_type, next_type, cnt, n_from,
+             |  round(CAST(cnt AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS prob
+             |FROM pairs JOIN tot USING (prev_type)
+             |ORDER BY prev_type, next_type""".stripMargin))
   )
 }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import Q._
 
+  /** The q99 probe terms — drawn from the corpus vocabulary so tf/df
+    * are non-degenerate; ONE definition shared by the Spark builder,
+    * the oracle SQL, and the spec's driver-side recompute. (Declared
+    * before `defs`: the oracle strings interpolate it at object init.)
+    */
+  private[graft] val Bm25Terms = Seq("hash", "join", "window")
+
   /** Stopword list for the n-gram/stopword language heuristic (q30). */
   private val EnStops = Seq("the", "a", "of", "to", "in", "and")
   private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
@@ -1095,7 +1102,94 @@ object TextQueries {
              |  FROM documents)
              |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_tok) AS BIGINT) AS split_tokens
-             |FROM a GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
+             |FROM a GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // ── q99: BM25 keyword search — the ranked retrieval face every
+    // text corpus eventually needs (retrieval-based decontamination,
+    // quality-by-similarity-to-good-text filtering, plain search over
+    // a crawl). Okapi BM25 (k1 = 1.2, b = 0.75) over a fixed 3-term
+    // probe; top-20 by score.
+    //
+    // Scale shape: for a BOUNDED query-term set the inverted index is
+    // unnecessary — per-term tf is `size(filter(tk, _ == term))`, a
+    // codegen HOF over the bound token array, so tf/dl both compute
+    // MAP-SIDE in one corpus scan with no explode and no token
+    // shuffle. The global stats (N, Σdl, per-term df) are one 1-row
+    // scalar aggregate broadcast back (q59/q91's scalar shape), the
+    // ≥1-hit filter prunes before any sort, and top-20 is
+    // TakeOrdered — no global sort. At 100 TB this is one pass over
+    // corpus bytes plus a constant-size broadcast.
+    //
+    // Float discipline: tf/dl/df/N are exact integers; the score is
+    // derived with the SAME literal operation order on both engines
+    // and rounded to 6 decimals (q59's ln discipline); ties break on
+    // doc_id so the top-20 cut is total-ordered.
+    QueryDef(
+      "q99_bm25_search",
+      (s, d) => {
+        val terms = Bm25Terms
+        val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val withTf = t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+          .select(Seq(
+            col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+            terms.zipWithIndex.map { case (tm, i) =>
+              size(filter(col("tk"), x => x === tm)).cast("long").as(s"tf$i")
+            }: _*)
+        val stats = withTf.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          Seq(sum(col("dl")).cast("long").as("total_dl")) ++
+            terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
+                .as(s"df$i")): _*)
+        val avgdl = dbl(col("total_dl")) / dbl(col("n_docs"))
+        def contrib(i: Int) = {
+          val tf = dbl(col(s"tf$i"))
+          val df = col(s"df$i")
+          log((dbl(col("n_docs") - df) + 0.5) / (dbl(df) + 0.5) + 1.0) *
+            (tf * 2.2) /
+            (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * dbl(col("dl"))) / avgdl))
+        }
+        withTf.crossJoin(broadcast(stats))
+          .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+          .select(Seq(col("doc_id"), col("dl").as("n_tokens")) ++
+            terms.zipWithIndex.map { case (tm, i) =>
+              col(s"tf$i").as(s"tf_$tm") } :+
+            round(terms.indices.map(contrib).reduce(_ + _), 6).as("score"): _*)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val terms = Bm25Terms
+        val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+          s"CAST(len(list_filter(tk, x -> x = '$tm')) AS BIGINT) AS tf$i"
+        }.mkString(",\n             |    ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(",\n             |    ")
+        val contribs = terms.indices.map(i =>
+          s"""ln((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
+          .mkString(" + ")
+        val tfOut = terms.zipWithIndex.map { case (tm, i) =>
+          s"tf$i AS tf_$tm" }.mkString(", ")
+        val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+        s"""WITH base AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+           |  FROM documents),
+           |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+           |    $tfCols
+           |  FROM base),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS total_dl,
+           |    $dfCols
+           |  FROM tf)
+           |SELECT doc_id, dl AS n_tokens, $tfOut,
+           |  round($contribs, 6) AS score
+           |FROM tf CROSS JOIN st
+           |WHERE $anyHit
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      })
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

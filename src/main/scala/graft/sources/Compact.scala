@@ -71,8 +71,17 @@ object Compact {
       return CompactReport(dir, before.size, before.size,
         bytesBefore, bytesBefore, rows, rewritten = false)
     }
-    val rows = CommitSink.writeVerified(spark,
-      spark.read.parquet(dir).coalesce(nOut), dir)
+    // coalesce only REDUCES partition count: when the scan packs the
+    // small input files into fewer partitions than nOut (file packing
+    // is driven by maxPartitionBytes/openCost, not by our target),
+    // coalesce(nOut) silently under-produces. Keep the shuffle-free
+    // coalesce on the common merge-down path and pay one round-robin
+    // shuffle only when the scan arrives under-partitioned.
+    val scan = spark.read.parquet(dir)
+    val shaped =
+      if (scan.rdd.getNumPartitions >= nOut) scan.coalesce(nOut)
+      else scan.repartition(nOut)
+    val rows = CommitSink.writeVerified(spark, shaped, dir)
     val after = dataFiles(spark, dir)
     CompactReport(dir, before.size, after.size,
       bytesBefore, after.map(_._2).sum, rows, rewritten = true)

@@ -360,10 +360,13 @@ class QueriesSpec extends SparkTestBase {
     // |sources|-row rate table, exactly q69's scalar-broadcast shape;
     // q91 crossJoins its 1-row corpus-token-total scalar into the
     // bounded candidate-count frame (q59's scalar-broadcast shape).
+    // q99 broadcasts its 1-row (N, Σdl, df…) BM25 stats frame into the
+    // per-doc tf frame — q59/q91's scalar-broadcast shape again.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
-      "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters")
+      "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
+      "q99_bm25_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -877,5 +880,100 @@ class QueriesSpec extends SparkTestBase {
     // dates render as yyyy-MM-dd
     val (_, _, _, dmn, dmx) = rows("l_shipdate")
     assert(dmn.matches("\\d{4}-\\d{2}-\\d{2}") && dmx <= "9999" && dmn <= dmx)
+  }
+
+  test("q99 BM25 equals a driver-side recompute; hits contain a term") {
+    import org.apache.spark.sql.functions._
+    val terms = TextQueries.Bm25Terms
+    val out = SparkEntry.queries("q99_bm25_search")(spark, sf()).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // driver-side BM25 over the raw corpus
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(tk: Array[String]): Double = terms.map { t =>
+      val tf = tk.count(_ == t).toDouble
+      val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * tk.length) / avgdl))
+    }.sum
+    val want = docs.map { case (id, tk) => (id, score(tk)) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    out.zip(want).foreach { case (row, (id, sc)) =>
+      assert(row.getLong(0) == id, s"rank order: got ${row.getLong(0)}, want $id")
+      assert(math.abs(row.getDouble(row.length - 1) - sc) < 1e-5,
+        s"doc $id score")
+    }
+    // every hit contains at least one probe term, scores descend
+    out.foreach { r =>
+      assert(terms.indices.map(i => r.getLong(2 + i)).sum > 0) }
+    val scores = out.map(r => r.getDouble(r.length - 1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q100 MAD equals a driver-side exact recompute") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q100_mad_outliers")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    out.foreach { case (et, (med, mad, nn, nOut)) =>
+      val vs = evs.filter(_._1 == et).map(_._2)
+      assert(nn == vs.length.toLong, s"$et n")
+      val m = medianOf(vs)
+      val adev = vs.map(v => math.abs(v - m))
+      val md = medianOf(adev)
+      assert(math.abs(med - m) < 1e-6, s"$et med")
+      assert(math.abs(mad - md) < 1e-6, s"$et mad")
+      assert(nOut == adev.count(_ > md * 4.4478).toLong, s"$et outliers")
+      assert(nOut < nn, s"$et MAD flags a minority by construction")
+    }
+  }
+
+  test("q101 audits every edge; clean fixture shows zero orphans") {
+    val rows = SparkEntry.queries("q101_fk_audit")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 7, s"7 FK edges: ${rows.keySet}")
+    // the fixture is referentially intact: the audit must SAY so
+    rows.foreach { case (e, (nChild, nNull, nKeys, nOrphan)) =>
+      assert(nOrphan == 0, s"$e orphans on a clean fixture")
+      assert(nNull == 0 && nKeys > 0 && nChild >= nKeys, e)
+    }
+    // child-row counts must match the raw tables (no join duplication:
+    // joining a DISTINCT parent key cannot fan out child rows)
+    val li = graft.sources.Tables(spark, sf(), "lineitem").count()
+    assert(rows("lineitem.l_orderkey->orders")._1 == li)
+    assert(rows("lineitem.l_partkey->part")._1 == li)
+  }
+
+  test("q102 transition counts reconcile; probs sum to 1 per prev") {
+    val out = SparkEntry.queries("q102_event_transitions")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // per-prev totals are consistent and the pair mass reconciles to
+    // |events| − |users| (every event but each user's first has a prev)
+    out.groupBy(_._1).foreach { case (prev, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4, s"$prev total")
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, s"$prev prob mass")
+    }
+    val ev = graft.sources.Tables(spark, sf(), "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == nEvents - nUsers, "pair mass")
   }
 }
