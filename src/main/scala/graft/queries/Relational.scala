@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Relational core — scans, projections, set ops, joins, aggregates,
   * windows, rollup (SURVEY.md §2.3 q01–q21).
@@ -1616,6 +1616,270 @@ object Relational {
              |SELECT prev_type, next_type, cnt, n_from,
              |  round(CAST(cnt AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS prob
              |FROM pairs JOIN tot USING (prev_type)
-             |ORDER BY prev_type, next_type""".stripMargin))
+             |ORDER BY prev_type, next_type""".stripMargin)),
+
+    // ── q103: OLS value-over-time trend per event_type — "is this
+    // metric drifting, and how fast" (the regression face of q92's
+    // drift detection: q92 says the distributions differ, q103 fits
+    // the direction and rate). Least-squares slope/intercept of the
+    // fixed-point value over the epoch-day index from the five
+    // textbook moment sums (n, Σx, Σy, Σxy, Σx²), each accumulated
+    // as an exact integer in DECIMAL(38,0)/HUGEINT (the q58 moment
+    // discipline — LONG Σxy crosses 2⁶³ on a multi-year corpus;
+    // honest bound: a 10¹³-row type with 10⁷-unit values puts n·Σxy
+    // near 10³⁸, past which ANSI fails LOUDLY rather than wrapping).
+    // Every derived quantity is double arithmetic in ONE literal op
+    // order over those exact integers — numerator, denominator, the
+    // division, the /100 descale, round 6 — so both engines round
+    // identically at every step. The unrounded slope feeds the
+    // intercept so the pair is self-consistent. Scale shape: one
+    // corpus scan, map-side partial moments, one shuffle to the
+    // |event_type| grain, slope arithmetic over |types| rows.
+    QueryDef(
+      "q103_ols_trend",
+      (s, d) => {
+        val xd = col("x").cast("decimal(19,0)")
+        val yd = col("y").cast("decimal(19,0)")
+        val dec38 = "decimal(38,0)"
+        val m = t(s, d, "events")
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("x"),
+            Q.fxUnits(col("value"), 100).as("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(xd.cast(dec38)).as("sx"),
+            sum(yd.cast(dec38)).as("sy"),
+            sum((xd * yd).cast(dec38)).as("sxy"),
+            sum((xd * xd).cast(dec38)).as("sxx"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val syD = col("sy").cast("double")
+        val num = nD * col("sxy").cast("double") - sxD * syD
+        val den = nD * col("sxx").cast("double") - sxD * sxD
+        val slopeRaw = num / den
+        m.filter(col("n") >= 2 && den =!= lit(0.0))
+          .select(col("event_type"), col("n"),
+            round(slopeRaw / 100.0, 6).as("slope"),
+            round(((syD - slopeRaw * sxD) / nD) / 100.0, 6).as("intercept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             |      AS BIGINT) AS x,
+             |    CAST(round(value*100) AS BIGINT) AS y FROM events),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT)*y) AS sxy,
+             |    sum(CAST(x AS HUGEINT)*x) AS sxx
+             |  FROM e GROUP BY 1),
+             |dm AS (SELECT event_type, n,
+             |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+             |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             |  FROM m)
+             |SELECT event_type, n,
+             |  round((num/den)/100.0, 6) AS slope,
+             |  round(((syd - (num/den)*sxd)/CAST(n AS DOUBLE))/100.0, 6)
+             |    AS intercept
+             |FROM dm WHERE n >= 2 AND den <> 0.0
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── q104: Pearson correlation matrix over lineitem's numeric
+    // measures — the feature-redundancy read before any model or
+    // sampling scheme trusts the columns as independent signals
+    // (the pairwise sibling of q93's per-column profile). All 14
+    // moment sums (4 Σc, 4 Σc², 6 Σxy) accumulate in ONE aggregate
+    // over ONE scan as exact DECIMAL(38,0)/HUGEINT integers of the
+    // scale-100 fixed-point units (Pearson r is invariant to the
+    // common linear rescale, so the units choice cannot bias it);
+    // r derives in double with the same literal op order both
+    // engines run — numerator, two sqrt's, one division, round 6.
+    // Scale shape: map-side partials to a SINGLE moment row (the
+    // classic two-stage global aggregate), then the 6-pair matrix
+    // unpivots from that one row via stack — output is 6 rows, no
+    // second scan, no join.
+    QueryDef(
+      "q104_corr_matrix",
+      (s, d) => {
+        val meas = Seq("quantity" -> "l_quantity",
+          "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val dec38 = "decimal(38,0)"
+        val units = t(s, d, "lineitem").select(meas.map { case (a, c) =>
+          Q.fxUnits(col(c), 100).cast("decimal(19,0)").as(a)
+        }: _*)
+        val moments: Seq[Column] =
+          meas.flatMap { case (a, _) =>
+            Seq(sum(col(a).cast(dec38)).as(s"s_$a"),
+              sum((col(a) * col(a)).cast(dec38)).as(s"ss_$a"))
+          } ++
+            meas.combinations(2).map { case Seq((a, _), (b, _)) =>
+              sum((col(a) * col(b)).cast(dec38)).as(s"sp_${a}_$b")
+            }.toSeq
+        val m = units.agg(count(lit(1)).cast("long").as("n"),
+          moments: _*)
+        val nD = col("n").cast("double")
+        def r(a: String, b: String): Column = {
+          val num = nD * col(s"sp_${a}_$b").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+          val da = nD * col(s"ss_$a").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+          val db = nD * col(s"ss_$b").cast("double") -
+            col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+          round(num / (sqrt(da) * sqrt(db)), 6)
+        }
+        val stacked = meas.combinations(2).map { case Seq((a, _), (b, _)) =>
+          s"'$a', '$b', r_${a}_$b"
+        }.mkString(", ")
+        m.select(col("n") +: meas.combinations(2).map {
+            case Seq((a, _), (b, _)) => r(a, b).as(s"r_${a}_$b")
+          }.toSeq: _*)
+          .selectExpr("n", s"stack(6, $stacked) AS (col_x, col_y, r)")
+          .select(col("col_x"), col("col_y"), col("n"), col("r"))
+          .orderBy(col("col_x"), col("col_y"))
+      },
+      Some {
+        val meas = Seq("quantity", "extendedprice", "discount", "tax")
+        val sums = meas.map(a =>
+          s"sum(CAST(u_$a AS HUGEINT)) AS s_$a, " +
+            s"sum(CAST(u_$a AS HUGEINT)*u_$a) AS ss_$a").mkString(", ")
+        val crosses = meas.combinations(2).map { case Seq(a, b) =>
+          s"sum(CAST(u_$a AS HUGEINT)*u_$b) AS sp_${a}_$b"
+        }.mkString(", ")
+        def rSql(a: String, b: String): String =
+          s"round((CAST(n AS DOUBLE)*CAST(sp_${a}_$b AS DOUBLE) " +
+            s"- CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE)) / " +
+            s"(sqrt(CAST(n AS DOUBLE)*CAST(ss_$a AS DOUBLE) " +
+            s"- CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE)) * " +
+            s"sqrt(CAST(n AS DOUBLE)*CAST(ss_$b AS DOUBLE) " +
+            s"- CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))), 6)"
+        val pairRows = meas.combinations(2).map { case Seq(a, b) =>
+          s"SELECT '$a' AS col_x, '$b' AS col_y, n, ${rSql(a, b)} AS r FROM m"
+        }.mkString(" UNION ALL ")
+        s"""WITH u AS (SELECT
+           |    ${meas.map(a => s"CAST(round(l_$a*100) AS BIGINT) AS u_$a")
+             .mkString(", ")}
+           |  FROM lineitem),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $crosses
+           |  FROM u)
+           |$pairRows
+           |ORDER BY col_x, col_y""".stripMargin
+      }),
+
+    // ── q105: top session-opening paths — the 3-step "how do sessions
+    // begin" rollup (the sequence sibling of q102's one-step
+    // transition matrix, over q35's exact session grain: same 2h gap,
+    // same (ts, event_id) total order, so the two views cannot
+    // disagree about what a session is). Only sessions with ≥3 events
+    // rank — a 1-event bounce is not a path. Scale shape: the
+    // session-id window shuffles once on user_id (bounded per-user
+    // streams — the q35 grain); `rn <= 3` prunes to ≤3 rows per
+    // session BEFORE the per-session pivot, so the second exchange
+    // carries 3·|sessions| rows, never the corpus; path counting is a
+    // hash agg to the |distinct paths| grain and top-20 is
+    // TakeOrdered, never a global sort.
+    QueryDef(
+      "q105_session_paths",
+      (s, d) => {
+        val gapUs = 7200000000L // 2h — q35's session definition
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wS = Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= 3)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("k"),
+            max(when(col("rn") === 1, col("event_type"))).as("e1"),
+            max(when(col("rn") === 2, col("event_type"))).as("e2"),
+            max(when(col("rn") === 3, col("event_type"))).as("e3"))
+          .filter(col("k") === 3)
+          .select(concat_ws(" > ", col("e1"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).cast("long").as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS ts_us FROM events),
+             |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+             |    (PARTITION BY user_id ORDER BY ts_us, event_id)
+             |    > 7200000000 THEN 1 ELSE 0 END AS new_sess FROM e),
+             |s AS (SELECT user_id, event_id, event_type, ts_us,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS session_id FROM g),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+             |    session_id ORDER BY ts_us, event_id) AS rn FROM s),
+             |p AS (SELECT user_id, session_id, count(*) AS k,
+             |    max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             |    max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             |    max(CASE WHEN rn = 3 THEN event_type END) AS e3
+             |  FROM r WHERE rn <= 3 GROUP BY 1, 2),
+             |c AS (SELECT concat_ws(' > ', e1, e2, e3) AS path,
+             |    CAST(count(*) AS BIGINT) AS n_sessions
+             |  FROM p WHERE k = 3 GROUP BY 1)
+             |SELECT path, n_sessions FROM c
+             |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
+    // ── q106: calendar-densified daily volume — the gap-filled daily
+    // count series with a trailing-7-day moving average (the
+    // time-series face q17/q43 lack: a day with NO events must appear
+    // as an explicit zero, or every downstream rate/anomaly read
+    // silently skips outages — the exact days worth looking at). The
+    // day dimension is generated, not observed: explode(sequence(min,
+    // max)) off a 1-row span aggregate, left-joined against the daily
+    // rollup. The moving average is Σcnt/Σdays over the ACTUAL window
+    // extent (first 6 days average over what exists — no phantom
+    // zeros before the corpus starts), both exact integers, one
+    // double division, round 6. Scale shape: one corpus scan to the
+    // |days| rollup with map-side partials; everything after operates
+    // on |days| rows — the calendar-bounded cardinality where a
+    // single-partition window is CORRECT (q97's rule: thousands of
+    // rows over any time span a corpus can have), not a q50 smell.
+    QueryDef(
+      "q106_calendar_density",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        days.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("cnt"),
+            round(sum(col("cnt")).over(w).cast("double") /
+              count(lit(1)).over(w).cast("double"), 6).as("ma7"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |f AS (SELECT d.day, coalesce(cnt, 0) AS cnt
+             |  FROM days d LEFT JOIN daily USING (day))
+             |SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
+             |  round(CAST(sum(cnt) OVER w AS DOUBLE) /
+             |    CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
+             |FROM f
+             |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+             |  AND CURRENT ROW)
+             |ORDER BY day""".stripMargin))
   )
 }

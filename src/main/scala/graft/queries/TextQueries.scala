@@ -1189,7 +1189,173 @@ object TextQueries {
            |FROM tf CROSS JOIN st
            |WHERE $anyHit
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-      })
+      }),
+
+    // ── q107: per-source token-distribution ENTROPY — the diversity
+    // number next to q69's source masses (a source whose token entropy
+    // collapses is boilerplate/templated text however large it is;
+    // rising entropy flags vocabulary churn). Shannon H = ln N −
+    // (Σ_t c_t·ln c_t)/N over exact per-(source, term) counts. The
+    // float trap is the Σ over the vocabulary: a double sum is
+    // aggregation-order-dependent, so each term's ln c_t becomes an
+    // integer MICRO-UNIT cost round(10⁶·ln c) (q77's trick — both
+    // engines compute ln on the same exact integer and the rounding
+    // absorbs sub-ulp libm disagreement), the Σ c·cost accumulates in
+    // DECIMAL(38,0)/HUGEINT exactly in any order, and ONE double
+    // division + round 6 closes. Scale shape: explode → one shuffle
+    // to the (source, term) grain with map-side partials (the
+    // wordcount shape), second hash agg to |sources| rows.
+    QueryDef(
+      "q107_token_entropy",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val costed = tc.withColumn("cost_micro",
+          round(lit(1000000.0) * log(col("c").cast("double")))
+            .cast("long"))
+        costed.groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_terms"),
+            sum((col("c").cast("decimal(19,0)") *
+              col("cost_micro").cast("decimal(19,0)"))
+              .cast("decimal(38,0)")).as("num"))
+          .select(col("source"), col("n_tokens"), col("n_terms"),
+            round(log(col("n_tokens").cast("double")) -
+              col("num").cast("double") /
+                (col("n_tokens").cast("double") * lit(1000000.0)), 6)
+              .as("entropy"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT source, tok AS term
+             |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |    WHERE len(tok) > 0),
+             |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1, 2),
+             |cost AS (SELECT source, c,
+             |    CAST(round(1000000.0*ln(CAST(c AS DOUBLE))) AS BIGINT)
+             |      AS cost_micro
+             |  FROM tc),
+             |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_terms,
+             |    sum(CAST(c AS HUGEINT)*cost_micro) AS num
+             |  FROM cost GROUP BY 1)
+             |SELECT source, n_tokens, n_terms,
+             |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(num AS DOUBLE) /
+             |    (CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS entropy
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ── q108: Jensen–Shannon divergence of each source's token
+    // distribution vs the REST of the corpus — the "does this source
+    // even speak the same language as the others" read behind mixing
+    // decisions (q69 balances masses; q108 says whether the masses
+    // are interchangeable). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M the
+    // mixture — bounded [0, ln 2], symmetric, never infinite. The
+    // per-term log ratios are exact-integer rationals: p/m =
+    // 2cN_r/(cN_r + rN_s) and q/m = 2rN_s/(cN_r + rN_s), each
+    // ln'd once and micro-rounded (q77/q107 discipline), masses
+    // accumulated in DECIMAL(38,0)/HUGEINT. Terms ABSENT from the
+    // source (c = 0, the |vocab|×|sources| trap) never enumerate:
+    // p = 0 kills their KL(P‖M) term and m = q/2 collapses their
+    // KL(Q‖M) term to q·ln2, so the whole absent mass folds into
+    // the closed form ln2·(N_r − ΣR_present)/N_r from counts the
+    // present grain already carries. Scale shape: the (source, term)
+    // wordcount grain, one |term|-keyed join against global term
+    // counts, broadcast per-source masses, one hash agg to |sources|.
+    QueryDef(
+      "q108_js_divergence",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val tc = t(s, d, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val g = tc.groupBy(col("term"))
+          .agg(sum(col("c")).cast("long").as("gc"))
+        val ns = tc.groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_s"))
+        val tot = ns.agg(sum(col("n_s")).cast("long").as("n_tot"))
+        val base = tc.join(g, Seq("term"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("r", col("gc") - col("c"))
+          .withColumn("n_r", col("n_tot") - col("n_s"))
+          // mixture denominator c·N_r + r·N_s — exact integer
+          .withColumn("den",
+            (col("c").cast(dec19) * col("n_r").cast(dec19) +
+              col("r").cast(dec19) * col("n_s").cast(dec19)).cast(dec38))
+        val costP = round(lit(1000000.0) * log(
+          (lit(2).cast(dec19) * col("c").cast(dec19) * col("n_r").cast(dec19))
+            .cast(dec38).cast("double") / col("den").cast("double")))
+          .cast("long")
+        val costQ = when(col("r") > 0,
+          round(lit(1000000.0) * log(
+            (lit(2).cast(dec19) * col("r").cast(dec19) * col("n_s").cast(dec19))
+              .cast(dec38).cast("double") / col("den").cast("double")))
+            .cast("long")).otherwise(lit(0L))
+        val agg = base
+          .withColumn("cost_p", costP).withColumn("cost_q", costQ)
+          .groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_s"), max(col("n_r")).as("n_r"),
+            sum((col("c").cast(dec19) * col("cost_p").cast(dec19))
+              .cast(dec38)).as("sump"),
+            sum((col("r").cast(dec19) * col("cost_q").cast(dec19))
+              .cast(dec38)).as("sumq"),
+            sum(col("r")).cast("long").as("r_present"))
+        agg.filter(col("n_r") > 0)
+          .select(col("source"), col("n_s").as("n_tokens"),
+            round(
+              lit(0.5) * (col("sump").cast("double") /
+                (col("n_s").cast("double") * lit(1000000.0))) +
+                lit(0.5) * (col("sumq").cast("double") /
+                  (col("n_r").cast("double") * lit(1000000.0)) +
+                  log(lit(2.0)) *
+                    ((col("n_r").cast("double") -
+                      col("r_present").cast("double")) /
+                      col("n_r").cast("double"))), 6).as("jsd"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT source, tok AS term
+             |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |    WHERE len(tok) > 0),
+             |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1, 2),
+             |g AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc
+             |  FROM tc GROUP BY 1),
+             |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+             |  FROM tc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+             |base AS (SELECT tc.source, tc.c, gc - tc.c AS r, n_s,
+             |    n_tot - n_s AS n_r,
+             |    CAST(tc.c AS HUGEINT)*(n_tot - n_s)
+             |      + CAST(gc - tc.c AS HUGEINT)*n_s AS den
+             |  FROM tc JOIN g USING (term) JOIN ns USING (source)
+             |    CROSS JOIN tot),
+             |costed AS (SELECT source, c, r, n_s, n_r,
+             |    CAST(round(1000000.0*ln(CAST(2*CAST(c AS HUGEINT)*n_r
+             |      AS DOUBLE)/CAST(den AS DOUBLE))) AS BIGINT) AS cost_p,
+             |    CASE WHEN r > 0 THEN
+             |      CAST(round(1000000.0*ln(CAST(2*CAST(r AS HUGEINT)*n_s
+             |        AS DOUBLE)/CAST(den AS DOUBLE))) AS BIGINT)
+             |      ELSE 0 END AS cost_q
+             |  FROM base),
+             |a AS (SELECT source, max(n_s) AS n_s, max(n_r) AS n_r,
+             |    sum(CAST(c AS HUGEINT)*cost_p) AS sump,
+             |    sum(CAST(r AS HUGEINT)*cost_q) AS sumq,
+             |    CAST(sum(r) AS BIGINT) AS r_present
+             |  FROM costed GROUP BY 1)
+             |SELECT source, n_s AS n_tokens,
+             |  round(0.5*(CAST(sump AS DOUBLE)/(CAST(n_s AS DOUBLE)*1000000.0))
+             |    + 0.5*(CAST(sumq AS DOUBLE)/(CAST(n_r AS DOUBLE)*1000000.0)
+             |      + ln(2.0)*((CAST(n_r AS DOUBLE) - CAST(r_present AS DOUBLE))
+             |        / CAST(n_r AS DOUBLE))), 6) AS jsd
+             |FROM a WHERE n_r > 0 ORDER BY source""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

@@ -976,4 +976,179 @@ class QueriesSpec extends SparkTestBase {
     val nUsers = ev.select("user_id").distinct().count()
     assert(out.map(_._3).sum == nEvents - nUsers, "pair mass")
   }
+
+  test("q103 OLS slope/intercept equal a driver-side exact recompute") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q103_ols_trend")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.foreach { case (et, (n, slope, intercept)) =>
+      val rows = evs.filter(_._1 == et)
+        .map { case (_, x, v) => (BigInt(x), BigInt(math.round(v * 100))) }
+      assert(n == rows.length.toLong, s"$et n")
+      // exact integer moments, double-derived slope — the query's math
+      val sx = rows.map(_._1).sum
+      val sy = rows.map(_._2).sum
+      val sxy = rows.map { case (x, y) => x * y }.sum
+      val sxx = rows.map { case (x, _) => x * x }.sum
+      val nD = n.toDouble
+      val num = nD * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = nD * sxx.toDouble - sx.toDouble * sx.toDouble
+      assert(den != 0.0, s"$et degenerate x spread")
+      val slopeRaw = num / den
+      assert(math.abs(slope - slopeRaw / 100.0) < 1e-6, s"$et slope")
+      val icept = ((sy.toDouble - slopeRaw * sx.toDouble) / nD) / 100.0
+      assert(math.abs(intercept - icept) < 1e-6, s"$et intercept")
+      // the fitted line passes through the centroid: ȳ = a + b·x̄
+      val meanY = sy.toDouble / nD / 100.0
+      val meanX = sx.toDouble / nD
+      assert(math.abs(meanY - (icept + (slopeRaw / 100.0) * meanX)) < 1e-6,
+        s"$et centroid")
+    }
+  }
+
+  test("q104 correlations equal a driver recompute, land in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q104_corr_matrix")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 6, "4 measures -> 6 unordered pairs")
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .collect()
+      .map(r => Map(
+        "quantity" -> BigInt(math.round(r.getDouble(0) * 100)),
+        "extendedprice" -> BigInt(math.round(r.getDouble(1) * 100)),
+        "discount" -> BigInt(math.round(r.getDouble(2) * 100)),
+        "tax" -> BigInt(math.round(r.getDouble(3) * 100))))
+    out.foreach { case ((a, b), (n, r)) =>
+      assert(n == li.length.toLong, s"$a/$b n")
+      assert(r >= -1.0 && r <= 1.0, s"$a/$b out of range: $r")
+      val nD = li.length.toDouble
+      def s(c: String) = li.map(_(c)).sum
+      val num = nD * li.map(m => m(a) * m(b)).sum.toDouble -
+        s(a).toDouble * s(b).toDouble
+      val da = nD * li.map(m => m(a) * m(a)).sum.toDouble -
+        s(a).toDouble * s(a).toDouble
+      val db = nD * li.map(m => m(b) * m(b)).sum.toDouble -
+        s(b).toDouble * s(b).toDouble
+      assert(math.abs(r - num / (math.sqrt(da) * math.sqrt(db))) < 1e-6,
+        s"$a/$b r")
+    }
+    // the fixture draws its measures independently — every pairwise r
+    // must be near zero (|r| < 0.1 at any sf), which also guards
+    // against an accidental self-pair (r = 1) slipping into the stack
+    out.foreach { case ((a, b), (_, r)) =>
+      assert(math.abs(r) < 0.1, s"$a/$b: independent fixture, got $r") }
+  }
+
+  test("q105 paths reconcile with q35's session grain; top-20 ordered") {
+    val out = SparkEntry.queries("q105_session_paths")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.size <= 20)
+    // ordering: count desc, path asc on ties
+    out.zip(out.tail).foreach { case ((p1, n1), (p2, n2)) =>
+      assert(n1 > n2 || (n1 == n2 && p1 < p2), s"order: $p1/$n1 vs $p2/$n2") }
+    // every path is exactly 3 known event types
+    val types = graft.sources.Tables(spark, sf(), "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    out.foreach { case (p, _) =>
+      val steps = p.split(" > ")
+      assert(steps.length == 3 && steps.forall(types.contains), p)
+    }
+    // path mass cannot exceed the number of >=3-event q35 sessions
+    val sess3 = SparkEntry.queries("q35_sessionize")(spark, sf())
+      .filter("n_events >= 3").count()
+    assert(out.map(_._2).sum <= sess3, "path mass vs q35 sessions")
+  }
+
+  test("q106 densifies the calendar and averages over the true extent") {
+    val out = SparkEntry.queries("q106_calendar_density")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // contiguous calendar: every day between min and max appears once
+    val days = out.map(_._1)
+    assert(days.distinct.length == days.length)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val d0 = java.time.LocalDate.parse(days.head, fmt)
+    days.zipWithIndex.foreach { case (dstr, i) =>
+      assert(java.time.LocalDate.parse(dstr, fmt) == d0.plusDays(i.toLong),
+        s"gap at $dstr") }
+    // count mass reconciles to the corpus; ma7 is the trailing mean
+    val total = graft.sources.Tables(spark, sf(), "events").count()
+    assert(out.map(_._2).sum == total, "zero-fill preserves event mass")
+    val cnts = out.map(_._2)
+    out.zipWithIndex.foreach { case ((_, _, ma), i) =>
+      val wnd = cnts.slice(math.max(0, i - 6), i + 1)
+      val want = wnd.sum.toDouble / wnd.length.toDouble
+      assert(math.abs(ma - want) < 1e-6, s"ma7 at index $i") }
+  }
+
+  private def sourceTokenCounts(): Map[String, Map[String, Long]] =
+    graft.sources.Tables(spark, sf(), "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(tk => (r.getString(0), tk)))
+      .groupBy(_._1)
+      .map { case (src, ts) =>
+        src -> ts.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+      }
+
+  test("q107 entropy equals the exact driver-side Shannon H") {
+    val out = SparkEntry.queries("q107_token_entropy")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val counts = sourceTokenCounts()
+    assert(out.keySet == counts.keySet)
+    out.foreach { case (src, (nTok, nTerms, h)) =>
+      val cs = counts(src)
+      assert(nTok == cs.values.sum, s"$src token mass")
+      assert(nTerms == cs.size.toLong, s"$src vocab")
+      val n = nTok.toDouble
+      // exact H, no micro-rounding: the query's quantization error is
+      // bounded by 0.5e-6 (weighted mean of half-micro-unit rounds)
+      val want = math.log(n) - cs.values.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(h - want) < 5e-6, s"$src entropy $h vs $want")
+      assert(h >= 0.0 && h <= math.log(nTerms.toDouble) + 1e-9,
+        s"$src H in [0, ln vocab]")
+    }
+  }
+
+  test("q108 JSD equals an exact driver recompute, lands in [0, ln 2]") {
+    val out = SparkEntry.queries("q108_js_divergence")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val counts = sourceTokenCounts()
+    val global = counts.values.flatten
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val nTot = global.values.sum.toDouble
+    assert(out.keySet == counts.keySet)
+    out.foreach { case (src, (nTok, jsd)) =>
+      val cs = counts(src)
+      val nS = cs.values.sum.toDouble
+      assert(nTok.toDouble == nS, s"$src mass")
+      val nR = nTot - nS
+      // full-vocabulary JSD, absent terms included — the closed-form
+      // fold in the query must reproduce this
+      // iterator, not .keys.map: a Set would dedupe terms whose
+      // contributions happen to be equal doubles
+      val want = global.iterator.map { case (t, gc) =>
+        val p = cs.getOrElse(t, 0L) / nS
+        val q = (gc - cs.getOrElse(t, 0L)) / nR
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      }.sum
+      assert(math.abs(jsd - want) < 5e-6, s"$src jsd $jsd vs $want")
+      assert(jsd >= -1e-9 && jsd <= math.log(2.0) + 1e-9, s"$src bounds")
+    }
+  }
 }
