@@ -20,19 +20,29 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects (SPARK-40819). Read nanos as long, then rebuild a
-      // microsecond timestamp with exact integer division (a double
-      // roundtrip would lose precision at 1.7e18 nanos).
-      // NOTE this flag is session-wide and stays set: after the first
-      // events read, other TIMESTAMP(NANOS) parquet in the same
+      // events.ts has shipped in two physical layouts across fixture
+      // generations: parquet TIMESTAMP(NANOS) — which Spark's reader
+      // rejects (SPARK-40819), so it must be read as a raw long and
+      // rebuilt with exact integer division — and plain TIMESTAMP
+      // (micros, NTZ). Schema evolution across corpus generations is
+      // exactly the 100 TB reality, so the loader dispatches on the
+      // OBSERVED footer type instead of assuming one era's layout.
+      // NOTE nanosAsLong is session-wide and stays set: after the
+      // first events read, other TIMESTAMP(NANOS) parquet in the same
       // session also surfaces as LongType instead of erroring. The
-      // fixtures have exactly one nanos table, so this is accepted —
-      // a multi-source deployment should scope the flag per read.
+      // fixtures have exactly one nanos-era table, so this is
+      // accepted — a multi-source deployment should scope it per read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long era: rebuild micros exactly
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ era: same instant under the UTC session
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

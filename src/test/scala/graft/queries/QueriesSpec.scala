@@ -362,11 +362,13 @@ class QueriesSpec extends SparkTestBase {
     // bounded candidate-count frame (q59's scalar-broadcast shape).
     // q99 broadcasts its 1-row (N, Σdl, df…) BM25 stats frame into the
     // per-doc tf frame — q59/q91's scalar-broadcast shape again.
+    // q108 crossJoins its 1-row corpus-token-total (n_tot) scalar into
+    // the (source, term) wordcount grain — q91's scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
-      "q99_bm25_search")
+      "q99_bm25_search", "q108_js_divergence")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
