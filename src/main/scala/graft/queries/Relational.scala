@@ -1880,6 +1880,131 @@ object Relational {
              |FROM f
              |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
              |  AND CURRENT ROW)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // ── q109: CDC latest-per-key compaction — collapse a changelog to
+    // the newest record per key, the materialize step every
+    // upsert-fed table (and every "current user state" read over an
+    // append-only event feed) runs. Version order is the total
+    // (ts, event_id) order the session family (q35/q105) already
+    // uses; event_id is unique, so the winner is deterministic. Scale
+    // shape: ONE hash aggregate — max over a (ts_us, event_id, payload)
+    // struct is lexicographic, so partial aggregation keeps only the
+    // newest struct per key map-side and the exchange carries |keys|
+    // rows, never the changelog. The window formulation (row_number
+    // DESC = 1, the oracle's spelling) would shuffle EVERY version to
+    // sort it; the agg formulation is the one that survives a 100 TB
+    // changelog with a hot key.
+    QueryDef(
+      "q109_cdc_compact",
+      (s, d) => {
+        t(s, d, "events")
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              col("event_type"), col("value")).as("v"))
+          .groupBy(col("user_id"))
+          .agg(max(col("v")).as("last"),
+            count(lit(1)).cast("long").as("n_versions"))
+          .select(col("user_id"),
+            col("last.ts_us").as("last_ts_us"),
+            col("last.event_id").as("last_event_id"),
+            col("last.event_type").as("last_type"),
+            col("last.value").as("last_value"),
+            col("n_versions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |    epoch_us(ts) AS ts_us FROM events),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts_us DESC, event_id DESC) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+             |      AS n_versions
+             |  FROM e)
+             |SELECT user_id, ts_us AS last_ts_us,
+             |  event_id AS last_event_id, event_type AS last_type,
+             |  value AS last_value, n_versions
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ── q112: level-shift changepoint audit on the daily volume
+    // series — for every day with full 7-day flanks, compare the mean
+    // of the NEXT 7 days against the PREVIOUS 7 and flag a ≥1.5×
+    // move in either direction: the "did the feed change underneath
+    // us" read behind every ingest-volume alarm (q82 catches hour
+    // spikes; q112 catches sustained level shifts a one-hour z-score
+    // never trips on). The FULL audited series ships, stable days
+    // with direction NULL — on a healthy corpus the changepoint set
+    // is empty, and a 0-row result is indistinguishable from a
+    // broken query; the series is the evidence the detector ran
+    // (the spec fires the trigger on a crafted step series). Runs
+    // over the calendar-DENSIFIED series (q106's rule: a silent
+    // outage day must count as zero, or the windows skip exactly the
+    // days that matter). The 1.5× trigger is evaluated by exact
+    // integer cross-multiplication (2·after ≥ 3·before resp.
+    // 3·after ≤ 2·before) — no division, no floats, no epsilon,
+    // identical in both engines; the reported ratio is display-only.
+    // Scale shape: one corpus scan to the |days| rollup with
+    // map-side partials; the windows run single-partition over the
+    // calendar-bounded |days| frame (q106's justification), full
+    // 7-day flanks required so series edges never alarm.
+    QueryDef(
+      "q112_changepoint",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val days = daily
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val dense = days.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val wB = Window.orderBy(col("day")).rowsBetween(-7, -1)
+        val wA = Window.orderBy(col("day")).rowsBetween(1, 7)
+        dense
+          .withColumn("before_n", count(lit(1)).over(wB))
+          .withColumn("after_n", count(lit(1)).over(wA))
+          .withColumn("before_sum", sum(col("cnt")).over(wB).cast("long"))
+          .withColumn("after_sum", sum(col("cnt")).over(wA).cast("long"))
+          .filter(col("before_n") === 7 && col("after_n") === 7)
+          .withColumn("direction",
+            when(col("after_sum") * 2 >= col("before_sum") * 3 &&
+              col("after_sum") > col("before_sum"), lit("up"))
+              .when(col("after_sum") * 3 <= col("before_sum") * 2 &&
+                col("after_sum") < col("before_sum"), lit("down")))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("before_sum"), col("after_sum"), col("direction"),
+            when(col("before_sum") > 0,
+              round(col("after_sum").cast("double") /
+                col("before_sum").cast("double"), 6)).as("ratio"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |f AS (SELECT d.day, coalesce(cnt, 0) AS cnt
+             |  FROM days d LEFT JOIN daily USING (day)),
+             |w AS (SELECT day,
+             |    count(*) OVER wb AS before_n, count(*) OVER wa AS after_n,
+             |    CAST(sum(cnt) OVER wb AS BIGINT) AS before_sum,
+             |    CAST(sum(cnt) OVER wa AS BIGINT) AS after_sum
+             |  FROM f
+             |  WINDOW wb AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+             |      AND 1 PRECEDING),
+             |    wa AS (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+             |      AND 7 FOLLOWING)),
+             |g AS (SELECT *, CASE
+             |    WHEN after_sum*2 >= before_sum*3 AND after_sum > before_sum
+             |      THEN 'up'
+             |    WHEN after_sum*3 <= before_sum*2 AND after_sum < before_sum
+             |      THEN 'down' END AS direction
+             |  FROM w WHERE before_n = 7 AND after_n = 7)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, before_sum,
+             |  after_sum, direction,
+             |  CASE WHEN before_sum > 0 THEN
+             |    round(CAST(after_sum AS DOUBLE)/CAST(before_sum AS DOUBLE), 6)
+             |  END AS ratio
+             |FROM g ORDER BY day""".stripMargin))
   )
 }

@@ -1355,7 +1355,136 @@ object TextQueries {
              |    + 0.5*(CAST(sumq AS DOUBLE)/(CAST(n_r AS DOUBLE)*1000000.0)
              |      + ln(2.0)*((CAST(n_r AS DOUBLE) - CAST(r_present AS DOUBLE))
              |        / CAST(n_r AS DOUBLE))), 6) AS jsd
-             |FROM a WHERE n_r > 0 ORDER BY source""".stripMargin))
+             |FROM a WHERE n_r > 0 ORDER BY source""".stripMargin)),
+
+    // ── q110: quality-vs-length Pareto frontier — the documents no
+    // selection policy should ever drop: each is the best q31 score
+    // achievable at its token budget (maximize score, minimize
+    // n_tokens; a doc is dominated iff some other doc is ≤ as long
+    // AND ≥ as good, strictly better in one). This is the skyline
+    // read behind "where should the quality floor sit at each length
+    // bucket" (q97's curve for similarity, re-run for quality).
+    // Frontier characterization that avoids the quadratic NOT EXISTS:
+    // a doc is on the frontier iff its score equals the max score AT
+    // its token count AND strictly beats the best score at every
+    // SMALLER token count. Scale shape: the corpus collapses to the
+    // |distinct n_tokens| grain with one hash agg (map-side
+    // partials); the prefix-max window runs over THAT frame —
+    // domain-bounded by document length, not corpus size (q106's
+    // rule) — and the surviving frontier token-counts broadcast back
+    // against the materialized quality base. No pair join anywhere.
+    QueryDef(
+      "q110_pareto_frontier",
+      (s, d) => {
+        val q = qualityScores(s, d)
+          .filter(col("score").isNotNull)
+          .select(col("doc_id"), col("n_tokens"), col("score"))
+        val perT = q.groupBy(col("n_tokens"))
+          .agg(max(col("score")).as("t_max"))
+        val wPre = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tokens"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val frontierT = perT
+          .withColumn("pre_max", max(col("t_max")).over(wPre))
+          .filter(col("pre_max").isNull || col("t_max") > col("pre_max"))
+          .select(col("n_tokens"), col("t_max"))
+        q.join(broadcast(frontierT), Seq("n_tokens"))
+          .filter(col("score") === col("t_max"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("n_tokens"), col("doc_id"))
+      },
+      Some(s"""WITH $QualityCteSql,
+             |p AS (SELECT q.doc_id, s.n_tokens, q.score
+             |  FROM q JOIN s USING (doc_id) WHERE q.score IS NOT NULL),
+             |tmax AS (SELECT n_tokens, max(score) AS t_max
+             |  FROM p GROUP BY 1),
+             |pre AS (SELECT n_tokens, t_max,
+             |    max(t_max) OVER (ORDER BY n_tokens
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pre_max
+             |  FROM tmax),
+             |ft AS (SELECT n_tokens, t_max FROM pre
+             |  WHERE pre_max IS NULL OR t_max > pre_max)
+             |SELECT p.doc_id, p.n_tokens, round(p.score, 6) AS score
+             |FROM p JOIN ft USING (n_tokens) WHERE p.score = ft.t_max
+             |ORDER BY n_tokens, doc_id""".stripMargin)),
+
+    // ── q111: PMI collocations — the corpus's over-represented
+    // adjacent word pairs, PMI(a,b) = ln(c_ab·N / (c_a·c_b)) with N
+    // the corpus token mass (the classic collocation statistic; the
+    // "which bigrams are phrases, not chance" read a tokenizer or
+    // stop-phrase list is built from — q60 ranks bigrams by raw
+    // count, which just surfaces stopword pairs; PMI normalizes the
+    // marginals away). A count floor (c_ab ≥ 5) kills the
+    // low-support noise PMI is notorious for. Exact discipline: all
+    // counts are integers, c_ab·N and c_a·c_b accumulate as
+    // DECIMAL(38,0)/HUGEINT products, ONE double division then one
+    // ln then round 6 — identical op order both engines. Scale
+    // shape: unigram and bigram counts are two hash aggs off one
+    // token pass; the marginal attach is two |vocab|-keyed
+    // equi-joins (shuffle joins — vocab is corpus-scale); the 1-row
+    // token-total broadcasts (q91's scalar shape); top-20 is
+    // TakeOrdered, never a global sort.
+    QueryDef(
+      "q111_pmi_collocations",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val toks = t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+        val uni = toks
+          .select(explode(col("tk")).as("term"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val tot = uni.agg(sum(col("c")).cast("long").as("n_tot"))
+        val bi = toks
+          .filter(size(col("tk")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(
+              element_at(col("tk"), i + 1).as("term_a"),
+              element_at(col("tk"), i + 2).as("term_b")))).as("p"))
+          .select(col("p.term_a"), col("p.term_b"))
+          .groupBy(col("term_a"), col("term_b"))
+          .agg(count(lit(1)).cast("long").as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bi
+          .join(uni.withColumnRenamed("term", "term_a")
+            .withColumnRenamed("c", "c_a"), Seq("term_a"))
+          .join(uni.withColumnRenamed("term", "term_b")
+            .withColumnRenamed("c", "c_b"), Seq("term_b"))
+          .crossJoin(broadcast(tot))
+          .select(col("term_a"), col("term_b"), col("c_ab"),
+            round(log(
+              (col("c_ab").cast(dec19) * col("n_tot").cast(dec19))
+                .cast(dec38).cast("double") /
+                (col("c_a").cast(dec19) * col("c_b").cast(dec19))
+                  .cast(dec38).cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |uni AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks, unnest(t) AS un(u) GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM uni),
+             |bi AS (SELECT a AS term_a, b AS term_b,
+             |    CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM (SELECT t[i] AS a, t[i+1] AS b
+             |    FROM toks, unnest(range(1, len(t))) AS r(i)
+             |    WHERE len(t) >= 2)
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT term_a, term_b, c_ab,
+             |  round(ln(CAST(CAST(c_ab AS HUGEINT)*n_tot AS DOUBLE) /
+             |    CAST(CAST(ua.c AS HUGEINT)*ub.c AS DOUBLE)), 6) AS pmi
+             |FROM bi
+             |JOIN uni ua ON ua.term = bi.term_a
+             |JOIN uni ub ON ub.term = bi.term_b
+             |CROSS JOIN tot
+             |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

@@ -364,11 +364,13 @@ class QueriesSpec extends SparkTestBase {
     // per-doc tf frame — q59/q91's scalar-broadcast shape again.
     // q108 crossJoins its 1-row corpus-token-total (n_tot) scalar into
     // the (source, term) wordcount grain — q91's scalar-broadcast shape.
+    // q111 crossJoins the same 1-row token-total scalar into the
+    // floored bigram frame — q91/q108's scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
-      "q99_bm25_search", "q108_js_divergence")
+      "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1152,5 +1154,121 @@ class QueriesSpec extends SparkTestBase {
       assert(math.abs(jsd - want) < 5e-6, s"$src jsd $jsd vs $want")
       assert(jsd >= -1e-9 && jsd <= math.log(2.0) + 1e-9, s"$src bounds")
     }
+  }
+
+  test("q109 compaction equals a per-key driver recompute; no window") {
+    val out = SparkEntry.queries("q109_cdc_compact")(spark, sf())
+    // the scale argument IS the plan: one hash agg, never a
+    // row_number window that shuffles every version
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "q109 must compact via agg")
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+        r.getLong(5)))).toMap
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val want = ev.groupBy(_._1).map { case (u, xs) =>
+      val last = xs.maxBy(x => (x._2, x._3))
+      u -> ((last._2, last._3, last._4, last._5, xs.length.toLong))
+    }
+    assert(got == want)
+    assert(got.values.map(_._5).sum == ev.length.toLong,
+      "version counts reconcile to the changelog")
+  }
+
+  test("q110 frontier equals the brute-force dominance filter") {
+    val got = SparkEntry.queries("q110_pareto_frontier")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val pts = TextQueries.qualityScores(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("score").isNotNull)
+      .select("doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pts.filter { case (id, t, sc) =>
+      !pts.exists { case (oid, ot, osc) =>
+        oid != id && ot <= t && osc >= sc && (ot < t || osc > sc)
+      }
+    }.map(_._1).toSet
+    assert(got == want, s"frontier ${got.size} vs brute ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q111 PMI equals a driver recompute over floored bigrams") {
+    val got = SparkEntry.queries("q111_pmi_collocations")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val nTot = uni.values.sum
+    val bi = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5L)
+    val want = bi.toSeq.map { case ((a, b), cab) =>
+      val pmi = BigDecimal(
+        math.log((cab * nTot).toDouble / (uni(a) * uni(b)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, cab, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    assert(got.length == want.length && got.length == math.min(20, bi.size))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9, s"pmi $g vs $w")
+    }
+  }
+
+  test("q112 level-shift audit equals a driver recompute on the dense series") {
+    val got = SparkEntry.queries("q112_changepoint")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    val daily = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("CAST(ts AS DATE) AS day").collect()
+      .map(_.getDate(0).toLocalDate)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val lo = daily.keys.min
+    val hi = daily.keys.max
+    val dense = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+      .map(d => d -> daily.getOrElse(d, 0L)).toArray
+    val want = dense.indices.collect {
+      case i if i >= 7 && i + 7 < dense.length =>
+        val before = dense.slice(i - 7, i).map(_._2).sum
+        val after = dense.slice(i + 1, i + 8).map(_._2).sum
+        val dir =
+          if (after * 2 >= before * 3 && after > before) Some("up")
+          else if (after * 3 <= before * 2 && after < before) Some("down")
+          else None
+        (dense(i)._1.toString, before, after, dir)
+    }.toSeq
+    assert(got.toSeq == want, s"${got.length} audited days vs ${want.length}")
+    assert(got.nonEmpty, "full-flank series must be non-empty")
+  }
+
+  test("q112 fires on a crafted step series — and only around the step") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-step").toString
+    val base = 1700000000L * 1000000000L // epoch nanos
+    def at(day: Int, i: Int) = base + day * 86400L * 1000000000L + i * 1000000L
+    // 15 days at 10/day, then 15 days at 30/day: a 3x level shift
+    val rows = (0 until 30).flatMap { d =>
+      val n = if (d < 15) 10 else 30
+      (0 until n).map(i => (d * 100L + i, at(d, i), 1L, "a", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q112_changepoint")(spark, tmp)
+      .collect().map(r => (r.getString(0), Option(r.getString(3))))
+    val flagged = out.collect { case (d, Some(dir)) => (d, dir) }
+    assert(flagged.nonEmpty && flagged.forall(_._2 == "up"),
+      s"step up only: ${flagged.toSeq}")
+    // the step day itself (idx 14: before all-10s, after all-30s) fires
+    assert(flagged.exists(_._1 == "2023-11-28"), s"${flagged.toSeq}")
+    // days with windows fully inside a level are quiet
+    assert(out.head._2.isEmpty && out.last._2.isEmpty,
+      "edges of the audited range must be stable")
   }
 }
