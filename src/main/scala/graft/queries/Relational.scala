@@ -2005,6 +2005,129 @@ object Relational {
              |  CASE WHEN before_sum > 0 THEN
              |    round(CAST(after_sum AS DOUBLE)/CAST(before_sum AS DOUBLE), 6)
              |  END AS ratio
-             |FROM g ORDER BY day""".stripMargin))
+             |FROM g ORDER BY day""".stripMargin)),
+
+    // ── q113: k-anonymity audit over the event stream — before any
+    // event-derived corpus ships, how identifying is the
+    // quasi-identifier grain (event_type, day)? Each QI cell's k =
+    // distinct users sharing that cell; a user alone in a cell is
+    // re-identifiable from the "anonymized" release (the privacy
+    // sibling of q67's PII scrub: q67 redacts direct identifiers,
+    // q113 measures the indirect ones). Per type: cell count, worst
+    // k, cells below k=5, and the count of AT-RISK users — distinct
+    // users who appear in ANY sub-5 cell (the actual damage number;
+    // cell counts alone overstate or understate it depending on
+    // overlap). Scale shape: corpus → distinct (type, day, user)
+    // grain (one hash agg with map-side partials), cell sizes from
+    // that grain (second agg, |cells| rows), risky cells join back
+    // against the small per-type cell frame, distinct at-risk users
+    // via one more bounded agg — every exchange is on aggregate
+    // grains, never raw events.
+    QueryDef(
+      "q113_k_anonymity",
+      (s, d) => {
+        val grain = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"))
+          .distinct()
+        val cells = grain.groupBy(col("event_type"), col("day"))
+          .agg(countDistinct(col("user_id")).as("k"))
+        val perType = cells.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_cells"),
+            min(col("k")).cast("long").as("min_k"),
+            sum(when(col("k") < 5, 1L).otherwise(0L)).cast("long")
+              .as("cells_lt5"))
+        val atRisk = grain
+          .join(cells.filter(col("k") < 5).select(col("event_type"),
+            col("day")), Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("users_at_risk"))
+        perType.join(atRisk, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_cells"), col("min_k"),
+            col("cells_lt5"),
+            coalesce(col("users_at_risk"), lit(0L)).as("users_at_risk"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH grain AS (SELECT DISTINCT event_type,
+             |    CAST(ts AS DATE) AS day, user_id FROM events),
+             |cells AS (SELECT event_type, day,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS k
+             |  FROM grain GROUP BY 1, 2),
+             |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+             |    CAST(min(k) AS BIGINT) AS min_k,
+             |    CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cells_lt5
+             |  FROM cells GROUP BY 1),
+             |ar AS (SELECT g.event_type,
+             |    CAST(count(DISTINCT g.user_id) AS BIGINT) AS users_at_risk
+             |  FROM grain g JOIN cells c
+             |    ON g.event_type = c.event_type AND g.day = c.day
+             |  WHERE c.k < 5 GROUP BY 1)
+             |SELECT pt.event_type, n_cells, min_k, cells_lt5,
+             |  coalesce(users_at_risk, 0) AS users_at_risk
+             |FROM pt LEFT JOIN ar ON pt.event_type = ar.event_type
+             |ORDER BY pt.event_type""".stripMargin)),
+
+    // ── q116: inter-arrival burstiness per event type — gap
+    // statistics over each user's consecutive-event intervals:
+    // median and p90 gap plus the squared coefficient of variation
+    // CV² = n·Σg²/(Σg)² − 1 (CV² ≈ 1 is Poisson-like arrival; ≫ 1 is
+    // bursty — the replayed-firehose / bot-cadence read next to
+    // q82's volume spikes and q112's level shifts; a scripted client
+    // also shows as CV² ≈ 0, metronome cadence). Gaps are exact
+    // integer micros off q18's (ts, event_id) total order. Scale
+    // shape: one user_id-shuffle window pass (bounded per-user
+    // streams — the sessionization grain), then the moment aggregate
+    // runs map-side partial with Σg/Σg² in DECIMAL(38,0) (q58
+    // discipline — a year of micros gaps squares past 2⁶³); the
+    // exact percentile pair is the by-design oracle-anchor cost
+    // (q41's rule, q55's sketch is the scale twin); |types| output
+    // rows.
+    QueryDef(
+      "q116_interarrival",
+      (s, d) => {
+        val dec38 = "decimal(38,0)"
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val gaps = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_gaps"),
+            expr("percentile(gap, 0.5)").as("med_raw"),
+            expr("percentile(gap, 0.9)").as("p90_raw"),
+            sum(col("gap").cast(dec38)).as("sg"),
+            sum((col("gap").cast("decimal(19,0)") *
+              col("gap").cast("decimal(19,0)")).cast(dec38)).as("sgg"))
+          .filter(col("n_gaps") >= 2)
+          .select(col("event_type"), col("n_gaps"),
+            round(col("med_raw") / 1000000.0, 6).as("med_gap_s"),
+            round(col("p90_raw") / 1000000.0, 6).as("p90_gap_s"),
+            round(col("n_gaps").cast("double") * col("sgg").cast("double") /
+              (col("sg").cast("double") * col("sg").cast("double")) -
+              lit(1.0), 6).as("cv2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS ts_us FROM events),
+             |g AS (SELECT event_type,
+             |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) AS gap
+             |  FROM e),
+             |f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    quantile_cont(gap, 0.5) AS med_raw,
+             |    quantile_cont(gap, 0.9) AS p90_raw,
+             |    sum(CAST(gap AS HUGEINT)) AS sg,
+             |    sum(CAST(gap AS HUGEINT)*gap) AS sgg
+             |  FROM f GROUP BY 1)
+             |SELECT event_type, n_gaps,
+             |  round(med_raw/1000000.0, 6) AS med_gap_s,
+             |  round(p90_raw/1000000.0, 6) AS p90_gap_s,
+             |  round(CAST(n_gaps AS DOUBLE)*CAST(sgg AS DOUBLE) /
+             |    (CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)) - 1.0, 6) AS cv2
+             |FROM a WHERE n_gaps >= 2 ORDER BY event_type""".stripMargin))
   )
 }

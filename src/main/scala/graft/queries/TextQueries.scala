@@ -20,6 +20,14 @@ object TextQueries {
     */
   private[graft] val Bm25Terms = Seq("hash", "join", "window")
 
+  /** The q114 probe phrases — adjacent pairs that actually occur in
+    * the corpus (so hit sets are non-degenerate); ONE definition
+    * shared by the Spark builder, the oracle SQL, and the spec's
+    * driver-side recompute (the [[Bm25Terms]] rule).
+    */
+  private[graft] val PhraseProbes =
+    Seq("customer join", "data stream", "table hash")
+
   /** Stopword list for the n-gram/stopword language heuristic (q30). */
   private val EnStops = Seq("the", "a", "of", "to", "in", "and")
   private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
@@ -1484,7 +1492,133 @@ object TextQueries {
              |JOIN uni ua ON ua.term = bi.term_a
              |JOIN uni ub ON ub.term = bi.term_b
              |CROSS JOIN tot
-             |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin))
+             |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin)),
+
+    // ── q114: exact phrase search — order-sensitive occurrence
+    // counts for a bounded probe-phrase set, top-10 documents per
+    // phrase (the retrieval face q99's bag-of-terms BM25 cannot
+    // express: "data stream" as a PHRASE, not two independent
+    // terms — and the primitive behind span-level benchmark
+    // contamination checks, where the probe is a benchmark sentence).
+    // Scale shape: q99's bounded-probe rule — for a FIXED phrase
+    // list the inverted positional index is unnecessary: each
+    // phrase's occurrence count is a codegen HOF scan over the bound
+    // token array (adjacent-pair equality at every start position),
+    // so counting runs MAP-SIDE in one corpus pass with no explode,
+    // no token shuffle; per-phrase top-10 goes through the
+    // GroupedTopK operator (map-side bounded heaps — q46's shape,
+    // which also keeps the 3-key phrase grain from pinning three
+    // reducers under a naive window), final order is a |phrases|×10
+    // row sort.
+    QueryDef(
+      "q114_phrase_search",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), tk => length(tk) > 0))
+        val perPhrase = PhraseProbes.map { ph =>
+          val Array(w1, w2) = ph.split(" ")
+          docs.select(lit(ph).as("phrase"), col("doc_id"),
+            when(size(col("tk")) >= 2,
+              size(filter(sequence(lit(0), size(col("tk")) - 2),
+                i => element_at(col("tk"), i + 1) === w1 &&
+                  element_at(col("tk"), i + 2) === w2)))
+              .otherwise(0).cast("long").as("n_occ"))
+        }.reduce(_.unionAll(_)).filter(col("n_occ") > 0)
+        graft.plans.GroupedTopK.topK(perPhrase, Seq("phrase"),
+            Seq(("n_occ", true), ("doc_id", false)), 10)
+          .select(col("phrase"), col("doc_id"), col("n_occ"))
+          .orderBy(col("phrase"), col("n_occ").desc, col("doc_id"))
+      },
+      Some {
+        val per = PhraseProbes.map { ph =>
+          val Array(w1, w2) = ph.split(" ")
+          s"""SELECT '$ph' AS phrase, doc_id,
+             |    CAST(len(list_filter(range(1, len(tk)),
+             |      i -> tk[i] = '$w1' AND tk[i+1] = '$w2')) AS BIGINT)
+             |      AS n_occ
+             |  FROM toks WHERE len(tk) >= 2""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH toks AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+           |  FROM documents),
+           |hits AS ($per),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY phrase
+           |    ORDER BY n_occ DESC, doc_id) AS rn
+           |  FROM hits WHERE n_occ > 0)
+           |SELECT phrase, doc_id, n_occ FROM r WHERE rn <= 10
+           |ORDER BY phrase, n_occ DESC, doc_id""".stripMargin
+      }),
+
+    // ── q115: source vocabulary overlap — pairwise Jaccard of the
+    // source vocabularies plus directional token-mass coverage
+    // ("what fraction of b's tokens does a's vocabulary cover" — the
+    // can-a-tokenizer-trained-on-a-handle-b read, and the lexical
+    // companion to q108's distributional divergence: q108 compares
+    // the distributions, q115 the supports). Scale shape: the
+    // corpus collapses once to the distinct (term, source) grain
+    // with per-source term masses (one hash agg); the pair expansion
+    // self-joins on term — per-term fanout is bounded by
+    // |sources|² (a constant ≤ 25 here, never corpus-scale), then
+    // one hash agg to the |sources|² pair grain; vocabulary sizes
+    // and masses broadcast back. All counts exact longs, jaccard and
+    // coverage are single divisions rounded 6.
+    QueryDef(
+      "q115_vocab_overlap",
+      (s, d) => {
+        val ts0 = t(s, d, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val sizes = ts0.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("v"),
+            sum(col("c")).cast("long").as("mass"))
+        val shared = ts0.select(col("source").as("source_a"), col("term"))
+          .join(ts0.select(col("source").as("source_b"), col("term"),
+            col("c").as("c_b")), Seq("term"))
+          .filter(col("source_a") =!= col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).cast("long").as("n_shared"),
+            sum(col("c_b")).cast("long").as("mass_b_covered"))
+        shared
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("v").as("v_a"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("v").as("v_b"), col("mass").as("mass_b"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("v_a") + col("v_b") - col("n_shared")).cast("double"), 6)
+              .as("jaccard"),
+            round(col("mass_b_covered").cast("double") /
+              col("mass_b").cast("double"), 6).as("cov_b_by_a"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH ts0 AS (SELECT source, u AS term,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS un(u)
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(c) AS BIGINT) AS mass
+             |  FROM ts0 GROUP BY 1),
+             |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared,
+             |    CAST(sum(b.c) AS BIGINT) AS mass_b_covered
+             |  FROM ts0 a JOIN ts0 b ON a.term = b.term
+             |    AND a.source <> b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared,
+             |  round(CAST(n_shared AS DOUBLE) /
+             |    CAST(sa.v + sb.v - n_shared AS DOUBLE), 6) AS jaccard,
+             |  round(CAST(mass_b_covered AS DOUBLE) /
+             |    CAST(sb.mass AS DOUBLE), 6) AS cov_b_by_a
+             |FROM shared
+             |JOIN sizes sa ON sa.source = shared.source_a
+             |JOIN sizes sb ON sb.source = shared.source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

@@ -1271,4 +1271,102 @@ class QueriesSpec extends SparkTestBase {
     assert(out.head._2.isEmpty && out.last._2.isEmpty,
       "edges of the audited range must be stable")
   }
+
+  test("q113 k-anonymity equals a driver recompute on the QI grain") {
+    val got = SparkEntry.queries("q113_k_anonymity")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val grain = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day", "user_id")
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .distinct
+    val want = grain.groupBy(_._1).map { case (tpe, xs) =>
+      val cells = xs.groupBy(x => (x._2)).map { case (_, ys) =>
+        ys.map(_._3).distinct.length.toLong }
+      val risky = xs.groupBy(_._2)
+        .filter(_._2.map(_._3).distinct.length < 5).keySet
+      tpe -> ((cells.size.toLong, cells.min, cells.count(_ < 5).toLong,
+        xs.filter(x => risky(x._2)).map(_._3).distinct.length.toLong))
+    }
+    assert(got == want)
+  }
+
+  test("q114 phrase hits equal a driver-side sliding-window recompute") {
+    val got = SparkEntry.queries("q114_phrase_search")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val want = TextQueries.PhraseProbes.flatMap { ph =>
+      val Array(w1, w2) = ph.split(" ")
+      docs.map { case (id, tk) =>
+        (ph, id, tk.zip(tk.drop(1)).count(p => p._1 == w1 && p._2 == w2).toLong)
+      }.filter(_._3 > 0).sortBy(h => (-h._3, h._2)).take(10)
+    }
+    assert(got.toSeq == want.toSeq,
+      s"${got.length} hits vs ${want.length}")
+    assert(got.nonEmpty, "probe phrases must hit the corpus")
+  }
+
+  test("q115 vocab overlap equals a recompute from the token counts") {
+    val got = SparkEntry.queries("q115_vocab_overlap")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val counts = sourceTokenCounts()
+    val srcs = counts.keys.toSeq.sorted
+    val wantKeys = (for {a <- srcs; b <- srcs if a != b} yield (a, b)).toSet
+    assert(got.keySet == wantKeys, "every ordered source pair reports")
+    got.foreach { case ((a, b), (nShared, jac, cov)) =>
+      val va = counts(a).keySet; val vb = counts(b).keySet
+      val inter = va.intersect(vb)
+      assert(nShared == inter.size.toLong, s"($a,$b) shared")
+      assert(math.abs(jac - inter.size.toDouble /
+        va.union(vb).size.toDouble) < 1e-6, s"($a,$b) jaccard")
+      val massB = counts(b).values.sum.toDouble
+      val covWant = inter.toSeq.map(counts(b)).sum / massB
+      assert(math.abs(cov - covWant) < 1e-6, s"($a,$b) coverage")
+      // symmetric parts agree across the mirrored pair
+      val (nS2, jac2, _) = got((b, a))
+      assert(nS2 == nShared && jac2 == jac, s"($a,$b) symmetry")
+    }
+  }
+
+  test("q116 burstiness equals exact driver-side gap moments") {
+    val got = SparkEntry.queries("q116_interarrival")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._2, x._3))
+      s.zip(s.drop(1)).map { case (p, c) => (c._4, c._2 - p._2) }
+    }.toSeq.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    def q(sorted: Seq[Long], p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = sorted(idx.toInt).toDouble
+      val hi = sorted(math.ceil(idx).toInt).toDouble
+      lo + (idx - idx.toInt) * (hi - lo)
+    }
+    val want = gaps.collect { case (t, gs) if gs.length >= 2 =>
+      val sorted = gs.sorted
+      val n = gs.length.toDouble
+      val sg = gs.map(BigInt(_)).sum
+      val sgg = gs.map(g => BigInt(g) * BigInt(g)).sum
+      val cv2 = n * sgg.toDouble / (sg.toDouble * sg.toDouble) - 1.0
+      t -> ((gs.length.toLong, q(sorted, 0.5) / 1e6, q(sorted, 0.9) / 1e6,
+        cv2))
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, (n, med, p90, cv2)) =>
+      val (wn, wmed, wp90, wcv2) = want(t)
+      assert(n == wn, s"$t n")
+      assert(math.abs(med - wmed) < 1e-6, s"$t med $med vs $wmed")
+      assert(math.abs(p90 - wp90) < 1e-6, s"$t p90 $p90 vs $wp90")
+      assert(math.abs(cv2 - wcv2) < 1e-6, s"$t cv2 $cv2 vs $wcv2")
+      assert(cv2 > -1.0 - 1e-9, s"$t cv2 lower bound")
+    }
+  }
 }

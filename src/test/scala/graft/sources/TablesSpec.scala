@@ -115,6 +115,45 @@ class TablesSpec extends SparkTestBase {
     }
   }
 
+  test("events loader dispatches on the observed timestamp layout") {
+    // The events fixture has shipped as TIMESTAMP(NANOS) (surfacing as
+    // LongType under nanosAsLong), plain micros TIMESTAMP, and
+    // TIMESTAMP_NTZ across fixture generations — schema evolution the
+    // loader must absorb by dispatching on the OBSERVED footer type.
+    // All three layouts of the same instant must read back identical.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val micros = 1700000000123456L // an exact-micros instant
+    def dirFor(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"ev-$tag").toString
+    // nanos era: raw long nanos column named ts
+    val dNanos = dirFor("nanos")
+    Seq((1L, micros * 1000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dNanos/events.parquet")
+    // micros era: a true TIMESTAMP column (UTC session)
+    val dMicros = dirFor("micros")
+    Seq((1L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+      .write.mode("overwrite").parquet(s"$dMicros/events.parquet")
+    // NTZ era: same wall-clock digits, no zone — equal instant under
+    // the UTC session the engine pins
+    val dNtz = dirFor("ntz")
+    Seq((1L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        timestamp_micros(lit(micros)).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    val got = Seq(dNanos, dMicros, dNtz).map { d =>
+      val df = Tables(spark, d, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$d ts type")
+      df.select(unix_micros(col("ts"))).collect().head.getLong(0)
+    }
+    assert(got.forall(_ == micros), s"instants must agree: $got")
+  }
+
   test("all ten fixture tables load with expected columns") {
     Tables.names.foreach { n =>
       val df = Tables(spark, sf(), n)
