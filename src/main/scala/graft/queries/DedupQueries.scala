@@ -995,6 +995,70 @@ object DedupQueries {
               |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |    AS BIGINT) AS pairs_at_or_above
-              |FROM b ORDER BY bucket""".stripMargin))
+              |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ── q120: duplication coverage curve — the top-20 near-dup
+    // families by size with each family's share of the corpus and
+    // the running cumulative share (q96 histograms the family SIZES;
+    // q120 answers the release question those sizes imply: "if I
+    // collapse just the k biggest templates, what fraction of the
+    // corpus have I already addressed?" — a steep curve means a
+    // handful of boilerplate families carry the dedup win). Scale
+    // shape: the cached cluster map rolls up to |families| (hash
+    // agg, map-side partials), top-20 plans as TakeOrdered (never a
+    // global sort), the 1-row corpus total broadcasts (q91's scalar
+    // shape), and the rank/cumulative window runs over exactly 20
+    // rows — bounded by the LIMIT, not the corpus.
+    QueryDef(
+      "q120_dup_coverage",
+      (s, d) => {
+        val fam = clusterMap(s, d)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("long").as("family_size"))
+        val tot = fam.agg(sum(col("family_size")).cast("long").as("n_docs"))
+        val top = fam
+          .orderBy(col("family_size").desc, col("cluster"))
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("family_size").desc, col("cluster"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_size",
+            sum(col("family_size"))
+              .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)).cast("long"))
+          .select(col("rank").cast("long").as("rank"), col("cluster"),
+            col("family_size"),
+            round(col("family_size").cast("double") /
+              col("n_docs").cast("double"), 6).as("share"),
+            round(col("cum_size").cast("double") /
+              col("n_docs").cast("double"), 6).as("cum_share"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |$clusterLabSql,
+              |cm AS (SELECT d.doc_id,
+              |    COALESCE(l.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              |fam AS (SELECT cluster,
+              |    CAST(count(*) AS BIGINT) AS family_size
+              |  FROM cm GROUP BY cluster),
+              |tot AS (SELECT CAST(sum(family_size) AS BIGINT) AS n_docs
+              |  FROM fam),
+              |top AS (SELECT cluster, family_size FROM fam
+              |  ORDER BY family_size DESC, cluster LIMIT 20),
+              |r AS (SELECT cluster, family_size,
+              |    CAST(row_number() OVER (ORDER BY family_size DESC,
+              |      cluster) AS BIGINT) AS rank,
+              |    CAST(sum(family_size) OVER (ORDER BY family_size DESC,
+              |      cluster ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |      AS cum_size
+              |  FROM top)
+              |SELECT rank, cluster, family_size,
+              |  round(CAST(family_size AS DOUBLE)/CAST(n_docs AS DOUBLE), 6)
+              |    AS share,
+              |  round(CAST(cum_size AS DOUBLE)/CAST(n_docs AS DOUBLE), 6)
+              |    AS cum_share
+              |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin))
   )
 }

@@ -2128,6 +2128,117 @@ object Relational {
              |  round(p90_raw/1000000.0, 6) AS p90_gap_s,
              |  round(CAST(n_gaps AS DOUBLE)*CAST(sgg AS DOUBLE) /
              |    (CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)) - 1.0, 6) AS cv2
-             |FROM a WHERE n_gaps >= 2 ORDER BY event_type""".stripMargin))
+             |FROM a WHERE n_gaps >= 2 ORDER BY event_type""".stripMargin)),
+
+    // ── q117: order↔lineitem price reconciliation audit — does the
+    // header total equal the recomputed sum of its lines under the
+    // TPC-H formula Σ extprice·(1−disc)·(1+tax)? The cross-table
+    // data-quality gate q101's FK audit does not cover (q101 checks
+    // the keys exist; q117 checks the MONEY agrees — double-applied
+    // discounts, lost lines, and currency drift all land here, and on
+    // this synthetic fixture the invariant genuinely fails for most
+    // orders, so the report is non-degenerate). Per status: orders,
+    // childless orders (no lines at all — a different failure than a
+    // wrong sum), mismatches, worst |diff|, net drift. All money
+    // flows as exact cent units (Q.fxUnits discipline): the per-line
+    // product rounds once (both engines, same op order), sums are
+    // LONG-exact, the diff is an integer compare — no float
+    // reconciliation ever says "close enough". Scale shape: lineitem
+    // aggregates to the |orders| grain with map-side partials, one
+    // equi-join at that grain (the natural co-partition key), then a
+    // |statuses|-row rollup.
+    QueryDef(
+      "q117_order_reconcile",
+      (s, d) => {
+        val lsum = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(Q.fxUnits(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")),
+            100)).as("lsum_u"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            Q.fxUnits(col("o_totalprice"), 100).as("o_u"))
+          .join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
+          .withColumn("diff_u",
+            when(col("lsum_u").isNotNull, col("o_u") - col("lsum_u")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(when(col("lsum_u").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_childless"),
+            sum(when(col("diff_u") =!= 0L, 1L).otherwise(0L)).cast("long")
+              .as("n_mismatched"),
+            (max(abs(col("diff_u"))) / 100.0).as("max_abs_diff"),
+            (sum(col("diff_u")) / 100.0).as("net_drift"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""WITH lsum AS (SELECT l_orderkey,
+             |    sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)
+             |      *100) AS BIGINT)) AS lsum_u
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT o_orderstatus,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS o_u, lsum_u,
+             |    CASE WHEN lsum_u IS NOT NULL THEN
+             |      CAST(round(o_totalprice*100) AS BIGINT) - lsum_u END
+             |      AS diff_u
+             |  FROM orders LEFT JOIN lsum ON o_orderkey = l_orderkey)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CASE WHEN lsum_u IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_childless,
+             |  CAST(sum(CASE WHEN diff_u <> 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_mismatched,
+             |  max(abs(diff_u))/100.0 AS max_abs_diff,
+             |  sum(diff_u)/100.0 AS net_drift
+             |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // ── q118: per-type equi-width value histogram — the 10-bin shape
+    // read behind q93's min/max profile (a profile says the range; a
+    // histogram says where the mass sits — bimodality, clipping
+    // walls, and heavy tails are invisible to min/max/mean). The
+    // float trap is bin-edge assignment: a value ON an edge must land
+    // in the same bin in both engines, so binning runs ENTIRELY in
+    // exact cent units — bin = (u−lo)·10 div (hi−lo), clamped to 9
+    // at u = hi, bounds back-derived with the same integer division;
+    // no double ever decides a bin. Scale shape: per-type bounds are
+    // one map-side-partial agg to |types| rows, broadcast back as an
+    // equi-join (never a BNLJ), then one hash agg to the ≤
+    // |types|×10 grain.
+    QueryDef(
+      "q118_value_hist",
+      (s, d) => {
+        val u = t(s, d, "events")
+          .select(col("event_type"), Q.fxUnits(col("value"), 100).as("u"))
+        val bounds = u.groupBy(col("event_type"))
+          .agg(min(col("u")).as("lo_u"), max(col("u")).as("hi_u"))
+        u.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("bin",
+            when(col("hi_u") === col("lo_u"), lit(0L))
+              .otherwise(least(lit(9L),
+                expr("(u - lo_u) * 10 div (hi_u - lo_u)"))))
+          .groupBy(col("event_type"), col("bin"), col("lo_u"), col("hi_u"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(col("event_type"), col("bin"),
+            (expr("lo_u + bin * (hi_u - lo_u) div 10") / 100.0)
+              .as("bin_lo"),
+            (expr("lo_u + (bin + 1) * (hi_u - lo_u) div 10") / 100.0)
+              .as("bin_hi"),
+            col("n"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some("""WITH u AS (SELECT event_type,
+             |    CAST(round(value*100) AS BIGINT) AS u FROM events),
+             |b AS (SELECT event_type, min(u) AS lo_u, max(u) AS hi_u
+             |  FROM u GROUP BY 1),
+             |binned AS (SELECT u.event_type,
+             |    CASE WHEN hi_u = lo_u THEN 0
+             |      ELSE least(9, (u - lo_u) * 10 // (hi_u - lo_u)) END
+             |      AS bin,
+             |    lo_u, hi_u
+             |  FROM u JOIN b ON u.event_type = b.event_type)
+             |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+             |  (lo_u + bin * (hi_u - lo_u) // 10)/100.0 AS bin_lo,
+             |  (lo_u + (bin + 1) * (hi_u - lo_u) // 10)/100.0 AS bin_hi,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM binned GROUP BY event_type, bin, lo_u, hi_u
+             |ORDER BY event_type, bin""".stripMargin))
   )
 }

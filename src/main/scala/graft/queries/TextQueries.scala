@@ -1513,18 +1513,29 @@ object TextQueries {
     QueryDef(
       "q114_phrase_search",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        // ONE corpus scan: all phrase counts as parallel columns over
+        // the bound token array, then a |phrases|-way stack unpivot —
+        // a per-phrase union would rescan the corpus once per probe
+        // (measured 3× the runtime of this shape at sf0.1)
+        val counted = t(s, d, "documents")
           .withColumn("tk",
             filter(split(col("text"), " "), tk => length(tk) > 0))
-        val perPhrase = PhraseProbes.map { ph =>
-          val Array(w1, w2) = ph.split(" ")
-          docs.select(lit(ph).as("phrase"), col("doc_id"),
-            when(size(col("tk")) >= 2,
-              size(filter(sequence(lit(0), size(col("tk")) - 2),
-                i => element_at(col("tk"), i + 1) === w1 &&
-                  element_at(col("tk"), i + 2) === w2)))
-              .otherwise(0).cast("long").as("n_occ"))
-        }.reduce(_.unionAll(_)).filter(col("n_occ") > 0)
+          .select(col("doc_id") +: PhraseProbes.zipWithIndex.map {
+            case (ph, ix) =>
+              val Array(w1, w2) = ph.split(" ")
+              when(size(col("tk")) >= 2,
+                size(filter(sequence(lit(0), size(col("tk")) - 2),
+                  i => element_at(col("tk"), i + 1) === w1 &&
+                    element_at(col("tk"), i + 2) === w2)))
+                .otherwise(0).cast("long").as(s"c$ix")
+          }: _*)
+        val stacked = PhraseProbes.zipWithIndex.map { case (ph, ix) =>
+          s"'$ph', c$ix"
+        }.mkString(", ")
+        val perPhrase = counted
+          .selectExpr("doc_id",
+            s"stack(${PhraseProbes.size}, $stacked) AS (phrase, n_occ)")
+          .filter(col("n_occ") > 0)
         graft.plans.GroupedTopK.topK(perPhrase, Seq("phrase"),
             Seq(("n_occ", true), ("doc_id", false)), 10)
           .select(col("phrase"), col("doc_id"), col("n_occ"))
@@ -1618,7 +1629,66 @@ object TextQueries {
              |FROM shared
              |JOIN sizes sa ON sa.source = shared.source_a
              |JOIN sizes sb ON sb.source = shared.source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ── q119: source concentration — Herfindahl–Hirschman index of
+    // the corpus token mass across sources, with the top source's
+    // share and the effective source count 1/HHI (the
+    // "is this corpus really N sources or one source wearing N
+    // names" read behind every mixing decision; the concentration
+    // summary next to q107's per-source entropy — q107 measures
+    // diversity WITHIN a source, q119 across them). One output row.
+    // Exactness: per-source masses are exact longs; Σmass² runs in
+    // DECIMAL(38,0)/HUGEINT (q58 moment discipline — corpus-scale
+    // token masses square past 2⁶³); HHI = Σm²/(Σm)² and the shares
+    // derive in double with one literal op order, round 6. Scale
+    // shape: wordcount grain → |sources| masses (map-side partials)
+    // → a single-row moment aggregate; nothing after the first agg
+    // touches the corpus.
+    QueryDef(
+      "q119_source_concentration",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val masses = t(s, d, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("mass"))
+        masses.agg(
+            count(lit(1)).cast("long").as("n_sources"),
+            sum(col("mass")).cast("long").as("total_tokens"),
+            max(col("mass")).cast("long").as("top_mass"),
+            sum((col("mass").cast(dec19) * col("mass").cast(dec19))
+              .cast(dec38)).as("ssq"))
+          .select(col("n_sources"), col("total_tokens"),
+            round(col("top_mass").cast("double") /
+              col("total_tokens").cast("double"), 6).as("top_share"),
+            round(col("ssq").cast("double") /
+              (col("total_tokens").cast("double") *
+                col("total_tokens").cast("double")), 6).as("hhi"),
+            round(col("total_tokens").cast("double") *
+              col("total_tokens").cast("double") /
+              col("ssq").cast("double"), 6).as("eff_sources"))
+      },
+      Some("""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS mass
+             |  FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS un(u)
+             |  GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             |  CAST(sum(mass) AS BIGINT) AS total_tokens,
+             |  round(CAST(max(mass) AS DOUBLE) /
+             |    CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE), 6) AS top_share,
+             |  round(CAST(sum(CAST(mass AS HUGEINT)*mass) AS DOUBLE) /
+             |    (CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE) *
+             |     CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE)), 6) AS hhi,
+             |  round(CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE) *
+             |    CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE) /
+             |    CAST(sum(CAST(mass AS HUGEINT)*mass) AS DOUBLE), 6)
+             |    AS eff_sources
+             |FROM m""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

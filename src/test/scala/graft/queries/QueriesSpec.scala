@@ -366,11 +366,14 @@ class QueriesSpec extends SparkTestBase {
     // the (source, term) wordcount grain — q91's scalar-broadcast shape.
     // q111 crossJoins the same 1-row token-total scalar into the
     // floored bigram frame — q91/q108's scalar-broadcast shape.
+    // q120 crossJoins the 1-row corpus-doc-total scalar into its
+    // LIMIT-20 family frame — q91's scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
-      "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations")
+      "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
+      "q120_dup_coverage")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1368,5 +1371,94 @@ class QueriesSpec extends SparkTestBase {
       assert(math.abs(cv2 - wcv2) < 1e-6, s"$t cv2 $cv2 vs $wcv2")
       assert(cv2 > -1.0 - 1e-9, s"$t cv2 lower bound")
     }
+  }
+
+  test("q117 reconciliation equals exact cent-unit driver arithmetic") {
+    val got = SparkEntry.queries("q117_order_reconcile")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val lsum = graft.sources.Tables(spark, sf(), "lineitem")
+      .selectExpr("l_orderkey",
+        "CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT) AS u")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val orders = graft.sources.Tables(spark, sf(), "orders")
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS u")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = orders.groupBy(_._2).map { case (st, xs) =>
+      val childless = xs.count(o => !lsum.contains(o._1)).toLong
+      val mism = xs.count(o =>
+        lsum.get(o._1).exists(_ != o._3)).toLong
+      st -> ((xs.length.toLong, childless, mism))
+    }
+    assert(got == want)
+    // the synthetic fixture genuinely violates the invariant — the
+    // audit must be non-degenerate, not vacuously all-zeros
+    assert(got.values.map(_._3).sum > 0, "expected real mismatches")
+  }
+
+  test("q118 bins partition each type's values; edges are exact units") {
+    val out = SparkEntry.queries("q118_value_hist")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val units = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("event_type", "CAST(round(value*100) AS BIGINT) AS u")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // bin mass reconciles to the corpus per type
+    val massGot = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val massWant = units.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(massGot == massWant, "histogram must partition the rows")
+    // every value falls in [bin_lo, bin_hi] of its driver-derived bin
+    val bounds = units.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).min, xs.map(_._2).max)).toMap
+    units.foreach { case (t, u) =>
+      val (lo, hi) = bounds(t)
+      val bin = if (hi == lo) 0L else math.min(9L, (u - lo) * 10 / (hi - lo))
+      val row = out.find(r => r._1 == t && r._2 == bin)
+      assert(row.isDefined, s"($t,$bin) missing for u=$u")
+      assert(u / 100.0 >= row.get._3 - 1e-9 && u / 100.0 <= row.get._4 + 1e-2,
+        s"$u outside [${row.get._3}, ${row.get._4}]")
+    }
+  }
+
+  test("q119 concentration equals the exact mass recompute; bounds hold") {
+    val r = SparkEntry.queries("q119_source_concentration")(spark, sf())
+      .collect().head
+    val (n, tot, topShare, hhi, eff) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val counts = sourceTokenCounts()
+    val masses = counts.view.mapValues(_.values.sum).values.toSeq
+    assert(n == masses.length.toLong && tot == masses.sum)
+    val totD = masses.sum.toDouble
+    assert(math.abs(topShare - masses.max / totD) < 1e-6)
+    val hhiWant = masses.map(m => BigInt(m) * BigInt(m)).sum.toDouble /
+      (totD * totD)
+    assert(math.abs(hhi - hhiWant) < 1e-6)
+    assert(math.abs(eff - 1.0 / hhiWant) < 1e-3)
+    // HHI ∈ [1/n, 1]; effective sources ∈ [1, n]
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+    assert(eff >= 1.0 - 1e-9 && eff <= n + 1e-6)
+  }
+
+  test("q120 coverage curve reconciles with q36's families") {
+    val got = SparkEntry.queries("q120_dup_coverage")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val cm = SparkEntry.queries("q36_dedup_clusters")(spark, sf())
+      .collect().map(r => r.getLong(1))
+    val fams = cm.groupBy(identity).map { case (c, xs) => (c, xs.length.toLong) }
+    val want = fams.toSeq.sortBy { case (c, sz) => (-sz, c) }.take(20)
+    assert(got.map(g => (g._2, g._3)).toSeq == want, "top-20 families")
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "dense ranks")
+    val totD = cm.length.toDouble
+    var cum = 0.0
+    got.foreach { case (_, _, sz, share, cumShare) =>
+      assert(math.abs(share - sz / totD) < 1e-6)
+      cum += sz / totD
+      assert(math.abs(cumShare - cum) < 1e-5)
+    }
+    // cumulative is monotone and <= 1
+    assert(got.last._5 <= 1.0 + 1e-9)
   }
 }
