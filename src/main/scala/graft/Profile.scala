@@ -159,6 +159,38 @@ object Profile {
     }
     println(f"PHASE release scaling exponent ${math.log(t10 / t1) / math.log(10)}%8.3f (1.0 = linear)")
 
+    // Round-6 probe: ChangelogCompaction's O(delta + touched slice)
+    // claim. A 3-key delta touches ≤3 of 32 hash buckets, so applying
+    // it to a 10× standing view must cost ≈ the 1× apply (the commit
+    // stages only touched buckets), NOT 10× — the ratio is the
+    // datapoint. Keys are chosen to exist in both views.
+    val evC = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+    val evC10 = (1 to 10).map(i =>
+        evC.withColumn("user_id", col("user_id") * 10 + lit(i.toLong)))
+      .reduce(_ unionAll _)
+    val cdcRoot = java.nio.file.Files
+      .createTempDirectory("graft-profile-cdc").toString
+    val vCols = Seq("ts_us", "event_id")
+    graft.streaming.ChangelogCompaction.applyDelta(
+      evC, s"$cdcRoot/v1", "user_id", vCols, Some(32))
+    graft.streaming.ChangelogCompaction.applyDelta(
+      evC10, s"$cdcRoot/v10", "user_id", vCols, Some(32))
+    val keys = evC.select(col("user_id")).distinct().limit(3)
+      .collect().map(_.getLong(0))
+    val delta1 = evC.filter(col("user_id").isin(keys: _*))
+    val delta10 = delta1.withColumn("user_id", col("user_id") * 10 + lit(1L))
+    val cd1 = timedS("cdc 3-key delta into 1x") {
+      graft.streaming.ChangelogCompaction.applyDelta(
+        delta1, s"$cdcRoot/v1", "user_id", vCols, Some(32)); ()
+    }
+    val cd10 = timedS("cdc 3-key delta into 10x") {
+      graft.streaming.ChangelogCompaction.applyDelta(
+        delta10, s"$cdcRoot/v10", "user_id", vCols, Some(32)); ()
+    }
+    println(f"PHASE cdc 10x/1x delta cost ratio ${cd10 / cd1}%8.3f (≈1.0 = O(delta), 10 = O(view))")
+
     spark.stop()
   }
 }
