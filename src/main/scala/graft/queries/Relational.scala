@@ -2239,6 +2239,50 @@ object Relational {
              |  (lo_u + (bin + 1) * (hi_u - lo_u) // 10)/100.0 AS bin_hi,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM binned GROUP BY event_type, bin, lo_u, hi_u
-             |ORDER BY event_type, bin""".stripMargin))
+             |ORDER BY event_type, bin""".stripMargin)),
+
+    // ── q124: day-of-week seasonality profile — per (event_type,
+    // ISO weekday) event mass with the within-type share and its
+    // exact deviation from the uniform 1/7 (the seasonal read q106's
+    // daily series implies but never aggregates: a type whose mass
+    // piles onto two weekdays is a batch job wearing an event-stream
+    // costume, and any weekly cadence biases every day-granularity
+    // drift baseline upstream). dow is Monday=0: Spark's weekday()
+    // and DuckDB's isodow()−1 agree on that convention (raw
+    // dayofweek does NOT — Spark counts Sunday=1, DuckDB Sunday=0 —
+    // the cross-engine trap this pins down). share and dev derive
+    // from exact counts with one literal op order, round 6. Scale
+    // shape: one corpus scan to the ≤ |types|×7 cell grain with
+    // map-side partials, a |types|-row broadcast back for the
+    // totals, output bounded by the calendar not the corpus.
+    QueryDef(
+      "q124_dow_seasonality",
+      (s, d) => {
+        val cells = t(s, d, "events")
+          .groupBy(col("event_type"), expr("weekday(ts)").cast("long")
+            .as("dow"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val totals = cells.groupBy(col("event_type"))
+          .agg(sum(col("n")).cast("long").as("n_type"))
+        cells.join(broadcast(totals), Seq("event_type"))
+          .select(col("event_type"), col("dow"), col("n"),
+            round(col("n").cast("double") / col("n_type").cast("double"), 6)
+              .as("share"),
+            round(col("n").cast("double") / col("n_type").cast("double") -
+              lit(1.0) / lit(7.0), 6).as("dev_uniform"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH cells AS (SELECT event_type,
+             |    CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+             |  FROM cells GROUP BY 1)
+             |SELECT cells.event_type, dow, n,
+             |  round(CAST(n AS DOUBLE)/CAST(n_type AS DOUBLE), 6) AS share,
+             |  round(CAST(n AS DOUBLE)/CAST(n_type AS DOUBLE) - 1.0/7.0, 6)
+             |    AS dev_uniform
+             |FROM cells JOIN tot ON cells.event_type = tot.event_type
+             |ORDER BY cells.event_type, dow""".stripMargin))
   )
 }

@@ -1688,7 +1688,152 @@ object TextQueries {
              |    CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE) /
              |    CAST(sum(CAST(mass AS HUGEINT)*mass) AS DOUBLE), 6)
              |    AS eff_sources
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ── q121: windowed term co-occurrence — unordered term pairs
+    // within a ±3-token window, top-20 by count (the context-pair
+    // statistic embedding training consumes — skip-gram/GloVe
+    // training data IS this grain; q60/q111 see only ADJACENT pairs,
+    // which misses most of a word's context). Pairs normalize
+    // (least, greatest) so both orders land in one cell. Scale
+    // shape: pair generation is nested codegen HOFs over the bound
+    // token array — each position emits ≤ 3 pairs map-side, so the
+    // explode carries ≤ 3·corpus-tokens rows into ONE hash agg at
+    // the pair-vocabulary grain (map-side partials); top-20 is
+    // TakeOrdered, never a global sort.
+    QueryDef(
+      "q121_cooccurrence",
+      (s, d) => {
+        val tk = col("tk")
+        t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), t => length(t) > 0))
+          .filter(size(tk) >= 2)
+          .select(explode(flatten(
+            transform(sequence(lit(0), size(tk) - 2), i =>
+              transform(sequence(i + 1, least(i + 3, size(tk) - 1)), j =>
+                struct(
+                  least(element_at(tk, i + 1), element_at(tk, j + 1))
+                    .as("term_a"),
+                  greatest(element_at(tk, i + 1), element_at(tk, j + 1))
+                    .as("term_b")))))).as("p"))
+          .select(col("p.term_a"), col("p.term_b"))
+          .groupBy(col("term_a"), col("term_b"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("n").desc, col("term_a"), col("term_b"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |pairs AS (SELECT least(t[i], t[j]) AS term_a,
+             |    greatest(t[i], t[j]) AS term_b
+             |  FROM toks,
+             |    unnest(range(1, len(t))) AS a(i),
+             |    unnest(range(i + 1, least(i + 3, len(t)) + 1)) AS b(j)
+             |  WHERE len(t) >= 2)
+             |SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n
+             |FROM pairs GROUP BY 1, 2
+             |ORDER BY n DESC, term_a, term_b LIMIT 20""".stripMargin)),
+
+    // ── q122: language-ID confusion matrix — the declared `lang`
+    // column vs q30's stopword-heuristic prediction, per (declared,
+    // predicted) cell with the within-declared share (the EVAL face
+    // of q30: a classifier without a confusion matrix is a guess;
+    // here the matrix also measures how anglocentric the heuristic
+    // is — non-en rows land in 'unknown' by construction). The cell
+    // share derives from two exact counts via the per-declared total
+    // broadcast back on an equi-join. Scale shape: one corpus scan
+    // to the ≤ |langs|×2 cell grain (map-side partials), a
+    // |langs|-row broadcast, done.
+    QueryDef(
+      "q122_lang_confusion",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        val pred = t(s, d, "documents")
+          .select(coalesce(col("lang"), lit(" null")).as("lang"),
+            (size(filter(toks, tk => tk.isin(EnStops: _*))).cast("double") /
+              size(toks).cast("double")).as("en_ratio"))
+          .select(col("lang"),
+            when(col("en_ratio") >= 0.05, "en").otherwise("unknown")
+              .as("pred_lang"))
+        val cells = pred.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val totals = cells.groupBy(col("lang"))
+          .agg(sum(col("n")).cast("long").as("n_lang"))
+        cells.join(broadcast(totals), Seq("lang"))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast("double") / col("n_lang").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""WITH p AS (SELECT coalesce(lang, ' null') AS lang,
+             |    CASE WHEN
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x IN ($EnStopsSql))) AS DOUBLE) /
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |        x -> len(x) > 0)) AS DOUBLE) >= 0.05
+             |      THEN 'en' ELSE 'unknown' END AS pred_lang
+             |  FROM documents),
+             |cells AS (SELECT lang, pred_lang,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM p GROUP BY 1, 2),
+             |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+             |  FROM cells GROUP BY 1)
+             |SELECT cells.lang, pred_lang, n,
+             |  round(CAST(n AS DOUBLE)/CAST(n_lang AS DOUBLE), 6) AS share
+             |FROM cells JOIN tot ON cells.lang = tot.lang
+             |ORDER BY cells.lang, pred_lang""".stripMargin)),
+
+    // ── q123: rare-token documents — per doc, the fraction of its
+    // tokens whose CORPUS frequency is ≤ 2, top-20 rarest (the
+    // gibberish/transcription-noise detector the q31 shape heuristics
+    // miss: a doc of plausible word-lengths built from tokens the
+    // rest of the corpus never uses is OCR garbage, a wrong-language
+    // leak, or hash salad — high rare_frac is exactly that signal;
+    // legitimate technical text rarely exceeds ~0.3). Scale shape:
+    // the (doc, term) wordcount grain joins global term counts on the
+    // |vocab|-keyed term column (shuffle join — vocab is
+    // corpus-scale), one hash agg back to the |docs| grain, top-20
+    // is TakeOrdered; rare_frac is two exact counts and one
+    // division.
+    QueryDef(
+      "q123_rare_token_docs",
+      (s, d) => {
+        val grain = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).as("term"))
+        val global = grain.groupBy(col("term"))
+          .agg(count(lit(1)).cast("long").as("gc"))
+        grain.join(global, Seq("term"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(col("gc") <= 2, 1L).otherwise(0L)).cast("long")
+              .as("rare_cnt"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("rare_cnt"),
+            round(col("rare_cnt").cast("double") /
+              col("n_tokens").cast("double"), 6).as("rare_frac"))
+          .orderBy(col("rare_frac").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH grain AS (SELECT doc_id, source, u AS term
+             |  FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS un(u)),
+             |g AS (SELECT term, CAST(count(*) AS BIGINT) AS gc
+             |  FROM grain GROUP BY 1),
+             |p AS (SELECT doc_id, source,
+             |    CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN gc <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS rare_cnt
+             |  FROM grain JOIN g USING (term) GROUP BY 1, 2)
+             |SELECT doc_id, source, n_tokens, rare_cnt,
+             |  round(CAST(rare_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |    AS rare_frac
+             |FROM p ORDER BY rare_frac DESC, doc_id LIMIT 20"""
+        .stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

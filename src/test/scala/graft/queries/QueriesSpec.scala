@@ -1461,4 +1461,83 @@ class QueriesSpec extends SparkTestBase {
     // cumulative is monotone and <= 1
     assert(got.last._5 <= 1.0 + 1e-9)
   }
+
+  test("q121 co-occurrence equals a driver-side window-pair recompute") {
+    val got = SparkEntry.queries("q121_cooccurrence")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val pairs = docs.flatMap { t =>
+      t.indices.flatMap { i =>
+        ((i + 1) to math.min(i + 3, t.length - 1)).map { j =>
+          if (t(i) <= t(j)) (t(i), t(j)) else (t(j), t(i))
+        }
+      }
+    }
+    val want = pairs.groupBy(identity)
+      .map { case (p, xs) => (p._1, p._2, xs.length.toLong) }.toSeq
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("q122 confusion matrix partitions the corpus; shares sum to 1") {
+    val got = SparkEntry.queries("q122_lang_confusion")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val total = graft.sources.Tables(spark, sf(), "documents").count()
+    assert(got.map(_._2._1).sum == total, "cells partition the corpus")
+    got.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val share = cells.map(_._2._2).sum
+      assert(math.abs(share - 1.0) < 1e-5, s"$lang shares sum to $share")
+    }
+    // the heuristic can only emit en/unknown — the matrix must show
+    // non-en declared languages landing in 'unknown'
+    val preds = got.map(_._1._2).toSet
+    assert(preds.subsetOf(Set("en", "unknown")))
+    assert(got.exists(c => c._1._1 != "en" && c._1._2 == "unknown"))
+  }
+
+  test("q123 rare-token ranking equals a driver recompute") {
+    val got = SparkEntry.queries("q123_rare_token_docs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val global = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val profile = docs.map { case (id, tk) =>
+      (id, tk.length.toLong, tk.count(global(_) <= 2L).toLong)
+    }
+    val want = profile
+      .sortBy { case (id, n, rare) =>
+        // the query orders on the ROUNDED frac — mirror it, or a
+        // beyond-6-decimals difference flips a tiebreak
+        (-BigDecimal(rare.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          id.toDouble)
+      }
+      .take(20).map(p => (p._1, p._2, p._3))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q124 seasonality: cells partition events, dow convention pinned") {
+    val got = SparkEntry.queries("q124_dow_seasonality")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.getDayOfWeek.getValue - 1L)) // Mon=0
+    val want = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(c => c._1 -> c._2._1).toMap == want,
+      "cell counts under the Monday=0 convention")
+    got.groupBy(_._1._1).foreach { case (t, cells) =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-5, s"$t shares")
+      cells.foreach { case ((_, dow), (_, share, dev)) =>
+        assert(dow >= 0 && dow <= 6)
+        assert(math.abs(dev - (share - 1.0 / 7.0)) < 1e-6)
+      }
+    }
+  }
 }
