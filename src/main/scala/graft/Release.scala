@@ -202,7 +202,7 @@ object Release {
         require(kept.columns.contains("source"),
           "equalizeSources needs a 'source' column in the corpus")
         val keptP = kept.persist() // consumed by count + rates + export
-        val srcKey = coalesce(col("source").cast("string"), lit(" null"))
+        val srcKey = coalesce(col("source").cast("string"), lit("\u0000null"))
         val tok = keptP.select(col("doc_id"), srcKey.as("source"),
           size(filter(split(col("text"), " "), tk => length(tk) > 0))
             .cast("long").as("n_tok"))
