@@ -2283,6 +2283,245 @@ object Relational {
              |  round(CAST(n AS DOUBLE)/CAST(n_type AS DOUBLE) - 1.0/7.0, 6)
              |    AS dev_uniform
              |FROM cells JOIN tot ON cells.event_type = tot.event_type
-             |ORDER BY cells.event_type, dow""".stripMargin))
+             |ORDER BY cells.event_type, dow""".stripMargin)),
+
+    // ── q125: join-key SKEW census — per FK edge, the per-key row
+    // distribution (key count, mean, p99, max, and the hottest key's
+    // rows): the number an engineer reads BEFORE choosing a join
+    // strategy at scale, because max/p99 ≫ mean is exactly the skew
+    // that pins one reducer and motivates salting (this query is the
+    // measurement face of `operators/SkewJoin` — the engine's salted
+    // miner exists because of the shape this query reports). Scale
+    // shape: each edge is one hash agg of the child to its key grain
+    // (map-side partials) then a tiny moment/percentile aggregate
+    // over the |keys| frame — the exact p99 ships each edge's key
+    // counts to one reducer, q41's by-design oracle-anchor rule
+    // (q55's sketch is the scale twin).
+    QueryDef(
+      "q125_join_skew_audit",
+      (s, d) => {
+        def edge(name: String, child: String, key: String) =
+          t(s, d, child)
+            .groupBy(col(key)).agg(count(lit(1)).cast("long").as("cnt"))
+            .agg(count(lit(1)).cast("long").as("n_keys"),
+              sum(col("cnt")).cast("long").as("n_rows"),
+              expr("percentile(cnt, 0.99)").as("p99_raw"),
+              max(col("cnt")).cast("long").as("max_rows"))
+            .select(lit(name).as("edge"), col("n_keys"),
+              round(col("n_rows").cast("double") /
+                col("n_keys").cast("double"), 6).as("mean_rows"),
+              round(col("p99_raw"), 6).as("p99_rows"), col("max_rows"))
+        Seq(edge("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          edge("lineitem.l_partkey", "lineitem", "l_partkey"),
+          edge("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          edge("orders.o_custkey", "orders", "o_custkey"))
+          .reduce(_.unionAll(_))
+          .orderBy(col("edge"))
+      },
+      Some {
+        def edgeSql(name: String, child: String, key: String) =
+          s"""SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS n_keys,
+             |    round(CAST(sum(cnt) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |      AS mean_rows,
+             |    round(quantile_cont(cnt, 0.99), 6) AS p99_rows,
+             |    CAST(max(cnt) AS BIGINT) AS max_rows
+             |  FROM (SELECT $key, CAST(count(*) AS BIGINT) AS cnt
+             |    FROM $child GROUP BY 1)""".stripMargin
+        Seq(edgeSql("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          edgeSql("lineitem.l_partkey", "lineitem", "l_partkey"),
+          edgeSql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          edgeSql("orders.o_custkey", "orders", "o_custkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+      }),
+
+    // ── q126: click→purchase time-to-convert — per user, the delay
+    // from FIRST click to the first purchase at-or-after it; one
+    // summary row (clickers, converted, conversion rate, median and
+    // p90 delay in seconds): the attribution-latency read behind
+    // funnel design (q63 counts ordered stage hits; q126 measures
+    // the WAIT — the number that decides an attribution window).
+    // Scale shape: two filtered aggregates collapse events to the
+    // |users| grain BEFORE any join (map-side partials), one
+    // equi-join on user_id at that grain, a second bounded agg for
+    // the first eligible purchase, then a single-row moment/
+    // percentile aggregate; delays are exact integer micros
+    // (q18's total order), percentiles are the q41 oracle-anchor
+    // price.
+    QueryDef(
+      "q126_time_to_convert",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstClick, Seq("user_id"))
+          .filter(col("ts_us") >= col("c0"))
+          .groupBy(col("user_id"))
+          .agg((min(col("ts_us")) - max(col("c0"))).as("delay_us"))
+        firstClick
+          .join(conv.select(col("user_id"), col("delay_us")),
+            Seq("user_id"), "left")
+          .agg(count(lit(1)).cast("long").as("n_clickers"),
+            sum(when(col("delay_us").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("n_converted"),
+            expr("percentile(delay_us, 0.5)").as("med_raw"),
+            expr("percentile(delay_us, 0.9)").as("p90_raw"))
+          .select(col("n_clickers"), col("n_converted"),
+            round(col("n_converted").cast("double") /
+              col("n_clickers").cast("double"), 6).as("conv_rate"),
+            round(col("med_raw") / 1000000.0, 6).as("med_delay_s"),
+            round(col("p90_raw") / 1000000.0, 6).as("p90_delay_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             |  FROM events),
+             |fc AS (SELECT user_id, min(ts_us) AS c0 FROM e
+             |  WHERE event_type = 'click' GROUP BY 1),
+             |conv AS (SELECT e.user_id,
+             |    min(ts_us) - max(c0) AS delay_us
+             |  FROM e JOIN fc ON e.user_id = fc.user_id
+             |  WHERE event_type = 'purchase' AND ts_us >= c0
+             |  GROUP BY 1),
+             |j AS (SELECT fc.user_id, delay_us
+             |  FROM fc LEFT JOIN conv ON fc.user_id = conv.user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+             |  CAST(sum(CASE WHEN delay_us IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_converted,
+             |  round(CAST(sum(CASE WHEN delay_us IS NOT NULL THEN 1 ELSE 0
+             |    END) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+             |  round(quantile_cont(delay_us, 0.5)/1000000.0, 6)
+             |    AS med_delay_s,
+             |  round(quantile_cont(delay_us, 0.9)/1000000.0, 6)
+             |    AS p90_delay_s
+             |FROM j""".stripMargin)),
+
+    // ── q127: revenue concentration — the top-20 customers by order
+    // revenue with per-customer and cumulative share (the 80/20 read
+    // over the demand side; q120's coverage-curve shape pointed at
+    // money instead of duplication — "how hostage is revenue to a
+    // handful of accounts"). Scale shape: orders collapse to the
+    // |customers| grain with exact cent sums (map-side partials),
+    // top-20 plans as TakeOrdered, the 1-row revenue total
+    // broadcasts (q91's scalar shape), rank/cumulative window runs
+    // over exactly the 20 LIMIT rows.
+    QueryDef(
+      "q127_revenue_concentration",
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(Q.fxUnits(col("o_totalprice"), 100)).as("rev_u"),
+            count(lit(1)).cast("long").as("n_orders"))
+        val tot = perCust.agg(sum(col("rev_u")).as("tot_u"))
+        val top = perCust
+          .orderBy(col("rev_u").desc, col("o_custkey")).limit(20)
+        val w = Window.orderBy(col("rev_u").desc, col("o_custkey"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum_u",
+            sum(col("rev_u"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("rank"), col("o_custkey"), col("n_orders"),
+            (col("rev_u") / 100.0).as("revenue"),
+            round(col("rev_u").cast("double") /
+              col("tot_u").cast("double"), 6).as("share"),
+            round(col("cum_u").cast("double") /
+              col("tot_u").cast("double"), 6).as("cum_share"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_u,
+             |    CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT sum(rev_u) AS tot_u FROM pc),
+             |top AS (SELECT * FROM pc
+             |  ORDER BY rev_u DESC, o_custkey LIMIT 20),
+             |r AS (SELECT o_custkey, n_orders, rev_u,
+             |    CAST(row_number() OVER (ORDER BY rev_u DESC, o_custkey)
+             |      AS BIGINT) AS rank,
+             |    sum(rev_u) OVER (ORDER BY rev_u DESC, o_custkey
+             |      ROWS UNBOUNDED PRECEDING) AS cum_u
+             |  FROM top)
+             |SELECT rank, o_custkey, n_orders, rev_u/100.0 AS revenue,
+             |  round(CAST(rev_u AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
+             |    AS share,
+             |  round(CAST(cum_u AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
+             |    AS cum_share
+             |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)),
+
+    // ── q128: RFM customer segmentation — every customer bucketed by
+    // Recency (days from the corpus's last order date to their last:
+    // ≤365 / ≤730 / older), Frequency (1–2 / 3–5 / 6+ orders) and
+    // Monetary (revenue terciles), with segment counts and revenue
+    // share: the classic mixing read over the demand side (which
+    // cells hold the business; "lapsed big spenders" = r2/r3 × m3 is
+    // the cell every retention campaign targets). Determinism: R and
+    // F cut on exact integers (days, counts); the M tercile
+    // thresholds are the same quantile interpolation both engines
+    // compute from identical cent-unit longs (q41's argument), and
+    // revenues compare as exact integers against those thresholds.
+    // Scale shape: orders → |customers| grain (one hash agg,
+    // map-side partials); the (max date, t1, t2) scalars ride ONE
+    // 1-row broadcast (q91's shape); bucketing is then map-side and
+    // the final agg lands on ≤ 27 cells.
+    QueryDef(
+      "q128_customer_rfm",
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).cast("long").as("freq"),
+            sum(Q.fxUnits(col("o_totalprice"), 100)).as("rev_u"))
+        val scal = perCust.agg(max(col("last_d")).as("max_d"),
+          expr("percentile(rev_u, CAST(1 AS DOUBLE)/3)").as("t1"),
+          expr("percentile(rev_u, CAST(2 AS DOUBLE)/3)").as("t2"))
+        perCust.crossJoin(broadcast(scal))
+          .withColumn("r_bucket",
+            when(datediff(col("max_d"), col("last_d")) <= 365, "r1_active")
+              .when(datediff(col("max_d"), col("last_d")) <= 730,
+                "r2_cooling")
+              .otherwise("r3_lapsed"))
+          .withColumn("f_bucket",
+            when(col("freq") <= 2, "f1_rare")
+              .when(col("freq") <= 5, "f2_regular")
+              .otherwise("f3_frequent"))
+          .withColumn("m_bucket",
+            when(col("rev_u").cast("double") <= col("t1"), "m1_low")
+              .when(col("rev_u").cast("double") <= col("t2"), "m2_mid")
+              .otherwise("m3_high"))
+          .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            sum(col("rev_u")).as("seg_u"))
+          .withColumn("revenue", col("seg_u") / 100.0)
+          .drop("seg_u")
+          .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    max(CAST(o_orderdate AS DATE)) AS last_d,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_u
+             |  FROM orders GROUP BY 1),
+             |scal AS (SELECT max(last_d) AS max_d,
+             |    quantile_cont(rev_u, CAST(1 AS DOUBLE)/3) AS t1,
+             |    quantile_cont(rev_u, CAST(2 AS DOUBLE)/3) AS t2
+             |  FROM pc),
+             |b AS (SELECT
+             |    CASE WHEN date_diff('day', last_d, max_d) <= 365
+             |      THEN 'r1_active'
+             |      WHEN date_diff('day', last_d, max_d) <= 730
+             |      THEN 'r2_cooling' ELSE 'r3_lapsed' END AS r_bucket,
+             |    CASE WHEN freq <= 2 THEN 'f1_rare'
+             |      WHEN freq <= 5 THEN 'f2_regular'
+             |      ELSE 'f3_frequent' END AS f_bucket,
+             |    CASE WHEN CAST(rev_u AS DOUBLE) <= t1 THEN 'm1_low'
+             |      WHEN CAST(rev_u AS DOUBLE) <= t2 THEN 'm2_mid'
+             |      ELSE 'm3_high' END AS m_bucket,
+             |    rev_u
+             |  FROM pc CROSS JOIN scal)
+             |SELECT r_bucket, f_bucket, m_bucket,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  sum(rev_u)/100.0 AS revenue
+             |FROM b GROUP BY 1, 2, 3
+             |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin))
   )
 }

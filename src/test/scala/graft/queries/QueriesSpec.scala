@@ -368,12 +368,16 @@ class QueriesSpec extends SparkTestBase {
     // floored bigram frame — q91/q108's scalar-broadcast shape.
     // q120 crossJoins the 1-row corpus-doc-total scalar into its
     // LIMIT-20 family frame — q91's scalar-broadcast shape.
+    // q127 (1-row revenue total into the LIMIT-20 customer frame) and
+    // q128 (1-row max-date/tercile scalars into the |customers|
+    // grain) are the same scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
-      "q120_dup_coverage")
+      "q120_dup_coverage", "q127_revenue_concentration",
+      "q128_customer_rfm")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1539,5 +1543,99 @@ class QueriesSpec extends SparkTestBase {
         assert(math.abs(dev - (share - 1.0 / 7.0)) < 1e-6)
       }
     }
+  }
+
+  test("q125 skew census equals per-edge driver recomputes") {
+    val got = SparkEntry.queries("q125_join_skew_audit")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+    def keyCounts(child: String, key: String): Seq[Long] =
+      graft.sources.Tables(spark, sf(), child).select(key).collect()
+        .map(_.getLong(0)).groupBy(identity).values.map(_.length.toLong).toSeq
+    val edges = Seq(
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    assert(got.keySet == edges.map(_._1).toSet)
+    edges.foreach { case (name, child, key) =>
+      val cnts = keyCounts(child, key)
+      val (nKeys, mean, mx) = got(name)
+      assert(nKeys == cnts.length.toLong, s"$name keys")
+      assert(mx == cnts.max, s"$name max")
+      assert(math.abs(mean - cnts.sum.toDouble / cnts.length) < 1e-6,
+        s"$name mean")
+    }
+  }
+
+  test("q126 conversion stats equal a per-user driver recompute") {
+    val r = SparkEntry.queries("q126_time_to_convert")(spark, sf())
+      .collect().head
+    val (nc, nv, rate, med) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val delays = byUser.values.flatMap { xs =>
+      val clicks = xs.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) None
+      else {
+        val c0 = clicks.min
+        val ps = xs.filter(x => x._2 == "purchase" && x._3 >= c0).map(_._3)
+        Some(if (ps.isEmpty) None else Some(ps.min - c0))
+      }
+    }.toSeq
+    assert(nc == delays.length.toLong, "clickers")
+    val conv = delays.flatten
+    assert(nv == conv.length.toLong, "converted")
+    assert(math.abs(rate - conv.length.toDouble / delays.length) < 1e-6)
+    val sorted = conv.sorted.toIndexedSeq
+    val idx = (sorted.length - 1) * 0.5
+    val wantMed = (sorted(idx.toInt) +
+      (idx - idx.toInt) * (sorted(math.ceil(idx).toInt) -
+        sorted(idx.toInt))) / 1e6
+    assert(math.abs(med - wantMed) < 1e-5, s"median $med vs $wantMed")
+  }
+
+  test("q127 concentration curve equals a driver recompute") {
+    val got = SparkEntry.queries("q127_revenue_concentration")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5)))
+    val pc = graft.sources.Tables(spark, sf(), "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice*100) AS BIGINT) AS u")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val tot = pc.values.sum.toDouble
+    val want = pc.toSeq.sortBy { case (k, u) => (-u, k) }.take(20)
+    assert(got.map(_._2).toSeq == want.map(_._1), "top-20 customers")
+    var cum = 0.0
+    got.zip(want).foreach { case ((_, _, share, cumShare), (_, u)) =>
+      assert(math.abs(share - u / tot) < 1e-6)
+      cum += u / tot
+      assert(math.abs(cumShare - cum) < 1e-5)
+    }
+  }
+
+  test("q128 RFM cells partition customers; revenue reconciles") {
+    val got = SparkEntry.queries("q128_customer_rfm")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4))))
+    val nCust = graft.sources.Tables(spark, sf(), "orders")
+      .select("o_custkey").distinct().count()
+    assert(got.map(_._2._1).sum == nCust, "cells partition customers")
+    val totRev = graft.sources.Tables(spark, sf(), "orders")
+      .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS u")
+      .collect().map(_.getLong(0)).sum / 100.0
+    assert(math.abs(got.map(_._2._2).sum - totRev) < 0.01,
+      "segment revenue sums to corpus revenue")
+    // bucket vocabulary discipline
+    got.foreach { case ((rb, fb, mb), _) =>
+      assert(Set("r1_active", "r2_cooling", "r3_lapsed")(rb))
+      assert(Set("f1_rare", "f2_regular", "f3_frequent")(fb))
+      assert(Set("m1_low", "m2_mid", "m3_high")(mb))
+    }
+    // the M terciles must actually split: all three levels appear
+    assert(got.map(_._1._3).toSet.size == 3, "terciles degenerate")
   }
 }
