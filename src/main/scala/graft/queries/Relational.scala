@@ -2522,6 +2522,131 @@ object Relational {
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  sum(rev_u)/100.0 AS revenue
              |FROM b GROUP BY 1, 2, 3
-             |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin))
+             |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin)),
+
+    // ── q129: day-over-day top movers — the 10 largest absolute
+    // day-over-day volume swings per (event_type, day), with the
+    // signed delta and the percent change (the "what changed
+    // yesterday" triage read that turns q106's series into a ranked
+    // worklist; q112 flags sustained shifts, q129 surfaces the
+    // single-day jumps worth a human look). Runs over the
+    // calendar-DENSIFIED per-type series (q106's rule — a silent
+    // day IS a move, to zero), so day-1 rows exist for every gap.
+    // Scale shape: one corpus scan to the |types×days| rollup
+    // (map-side partials), the lag window shuffles only that
+    // calendar-bounded frame partitioned by type, top-10 is
+    // TakeOrdered on |Δ| with exact-integer tiebreaks.
+    QueryDef(
+      "q129_top_movers",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val days = span
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val types = daily.select(col("event_type")).distinct()
+        val dense = types.crossJoin(broadcast(days))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        dense
+          .withColumn("prev", lag(col("cnt"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("delta", col("cnt") - col("prev"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("prev"), col("cnt"), col("delta"),
+            when(col("prev") > 0,
+              round(col("delta").cast("double") /
+                col("prev").cast("double"), 6)).as("pct_change"))
+          .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+          .limit(10)
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |dense AS (SELECT t.event_type, days.day,
+             |    coalesce(cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT event_type FROM daily) t
+             |  CROSS JOIN days
+             |  LEFT JOIN daily ON daily.event_type = t.event_type
+             |    AND daily.day = days.day),
+             |l AS (SELECT event_type, day, cnt,
+             |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
+             |      AS prev
+             |  FROM dense)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, prev,
+             |  cnt, cnt - prev AS delta,
+             |  CASE WHEN prev > 0 THEN
+             |    round(CAST(cnt - prev AS DOUBLE)/CAST(prev AS DOUBLE), 6)
+             |  END AS pct_change
+             |FROM l WHERE prev IS NOT NULL
+             |ORDER BY abs(cnt - prev) DESC, event_type, day
+             |LIMIT 10""".stripMargin)),
+
+    // ── q130: gaps-and-islands activity streaks — each user's
+    // LONGEST run of consecutive active days (plus their active-day
+    // count and streak window), top-20 streaks: the classic
+    // gaps-and-islands pattern (the engagement read behind retention
+    // mechanics, and the one standard SQL window idiom the suite had
+    // not yet exercised). The island key is the date-minus-row_number
+    // constant: consecutive days share it, any gap shifts it — pure
+    // per-user window arithmetic, no self-join. Scale shape: events
+    // collapse to the distinct (user, day) grain first (one hash
+    // agg), the row_number window shuffles that bounded grain once
+    // on user_id (q35's sessionization partitioning), islands
+    // aggregate per (user, island) then per user, top-20 is
+    // TakeOrdered.
+    QueryDef(
+      "q130_activity_streaks",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val islands = days
+          .withColumn("grp",
+            date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).cast("long").as("len"),
+            min(col("day")).as("from_d"), max(col("day")).as("to_d"))
+        val best = islands
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("len"), col("from_d"), col("to_d")))
+            .as("b"),
+            sum(col("len")).cast("long").as("n_active_days"))
+        best
+          .select(col("user_id"), col("n_active_days"),
+            col("b.len").as("streak_days"),
+            date_format(col("b.from_d"), "yyyy-MM-dd").as("streak_from"),
+            date_format(col("b.to_d"), "yyyy-MM-dd").as("streak_to"))
+          .orderBy(col("streak_days").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |    CAST(ts AS DATE) AS day FROM events),
+             |r AS (SELECT user_id, day,
+             |    day - CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY day) AS INTEGER) AS grp
+             |  FROM days),
+             |isl AS (SELECT user_id, grp,
+             |    CAST(count(*) AS BIGINT) AS len,
+             |    min(day) AS from_d, max(day) AS to_d
+             |  FROM r GROUP BY 1, 2),
+             |best AS (SELECT user_id,
+             |    max({'len': len, 'from_d': from_d, 'to_d': to_d}) AS b,
+             |    CAST(sum(len) AS BIGINT) AS n_active_days
+             |  FROM isl GROUP BY 1)
+             |SELECT user_id, n_active_days,
+             |  b.len AS streak_days,
+             |  strftime(b.from_d, '%Y-%m-%d') AS streak_from,
+             |  strftime(b.to_d, '%Y-%m-%d') AS streak_to
+             |FROM best
+             |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin))
   )
 }

@@ -371,13 +371,16 @@ class QueriesSpec extends SparkTestBase {
     // q127 (1-row revenue total into the LIMIT-20 customer frame) and
     // q128 (1-row max-date/tercile scalars into the |customers|
     // grain) are the same scalar-broadcast shape.
+    // q129 crossJoins the |types| dimension (≤ a handful of rows)
+    // with the generated |days| calendar to densify per-type series —
+    // both sides are dimension-bounded, never corpus-scale.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
       "q120_dup_coverage", "q127_revenue_concentration",
-      "q128_customer_rfm")
+      "q128_customer_rfm", "q129_top_movers")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1637,5 +1640,53 @@ class QueriesSpec extends SparkTestBase {
     }
     // the M terciles must actually split: all three levels appear
     assert(got.map(_._1._3).toSet.size == 3, "terciles degenerate")
+  }
+
+  test("q129 movers equal a driver recompute over the dense series") {
+    val got = SparkEntry.queries("q129_top_movers")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val daily = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val allDays = daily.keys.map(_._2)
+    val (lo, hi) = (allDays.min, allDays.max)
+    val types = daily.keys.map(_._1).toSeq.distinct
+    val moves = types.flatMap { t =>
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+        .sliding(2).map { case Seq(p, c) =>
+          val prev = daily.getOrElse((t, p), 0L)
+          val cur = daily.getOrElse((t, c), 0L)
+          (t, c.toString, prev, cur, cur - prev)
+        }.toSeq
+    }
+    val want = moves
+      .sortBy { case (t, dstr, _, _, delta) => (-math.abs(delta), t, dstr) }
+      .take(10)
+    assert(got.toSeq == want)
+  }
+
+  test("q130 streaks equal a driver gaps-and-islands recompute") {
+    val got = SparkEntry.queries("q130_activity_streaks")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    val days = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val want = days.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sortBy(_.toEpochDay)
+      // islands: split where the day gap exceeds 1
+      val islands = ds.tail.foldLeft(List(List(ds.head))) { (acc, d) =>
+        if (d.toEpochDay == acc.head.head.toEpochDay + 1)
+          (d :: acc.head) :: acc.tail
+        else List(d) :: acc
+      }.map(_.reverse).reverse
+      // the query breaks len ties by the GREATEST (from, to) struct
+      val best = islands.map(i => (i.length.toLong, i.head, i.last))
+        .maxBy(i => (i._1, i._2.toEpochDay, i._3.toEpochDay))
+      (u, ds.length.toLong, best._1, best._2.toString, best._3.toString)
+    }.toSeq.sortBy(x => (-x._3, x._1)).take(20)
+    assert(got.toSeq == want)
   }
 }
