@@ -341,6 +341,17 @@ class QueriesSpec extends SparkTestBase {
       "q72 must chunk without shuffling")
     assert(hashExchanges("q67_pii_scrub") <= 2,
       "q67 shuffles only its exact-distinct rollup pair")
+    // round-6 shapes: q109's whole point is ONE hash aggregate (the
+    // window formulation would add a sort exchange per key group);
+    // q121's pair generation is map-side HOFs — only the pair-grain
+    // agg may exchange; q114 counts every probe phrase in ONE scan —
+    // its exchanges are the GroupedTopK partial/final pair at most.
+    assert(hashExchanges("q109_cdc_compact") == 1,
+      "q109 must compact in a single exchange")
+    assert(hashExchanges("q121_cooccurrence") <= 1,
+      "q121 pair mining must not shuffle tokens before the agg")
+    assert(hashExchanges("q114_phrase_search") <= 2,
+      "q114 must stay one-scan + grouped-topk")
   }
 
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
