@@ -2647,6 +2647,52 @@ object Relational {
              |  strftime(b.from_d, '%Y-%m-%d') AS streak_from,
              |  strftime(b.to_d, '%Y-%m-%d') AS streak_to
              |FROM best
-             |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin))
+             |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ── q132: trailing-30-day rolling revenue per customer at every
+    // order — a RANGE frame over event-TIME (days), not a ROWS
+    // frame: two orders on the same day are peers and always roll up
+    // together, and the window reaches back 29 calendar days however
+    // many order rows that spans — the one standard window-frame
+    // variant the suite had not exercised (q43's moving average is
+    // ROWS-based; q61's coverage is explode-based). The frame key is
+    // exact epoch days (integers both engines), revenue is exact
+    // cent units, so every frame boundary and every sum is
+    // bit-identical. Scale shape: ONE shuffle on o_custkey (bounded
+    // per-customer order streams — the q35 sessionization grain),
+    // the range frame evaluates per partition in one pass; output is
+    // the order grain itself.
+    QueryDef(
+      "q132_rolling_revenue",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("epoch_day"))
+          .rangeBetween(-29, 0)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("epoch_day"),
+            Q.fxUnits(col("o_totalprice"), 100).as("u"))
+          .withColumn("rev30_u", sum(col("u")).over(w).cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(date_add(lit("1970-01-01").cast("date"),
+              col("epoch_day").cast("int")), "yyyy-MM-dd").as("day"),
+            (col("u") / 100.0).as("order_rev"),
+            (col("rev30_u") / 100.0).as("rev_30d"))
+          .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS epoch_day,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS u
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey,
+             |  strftime(DATE '1970-01-01' +
+             |    to_days(CAST(epoch_day AS INTEGER)), '%Y-%m-%d') AS day,
+             |  u/100.0 AS order_rev,
+             |  CAST(sum(u) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    /100.0 AS rev_30d
+             |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin))
   )
 }

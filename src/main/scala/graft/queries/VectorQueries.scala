@@ -653,7 +653,77 @@ object VectorQueries {
              |  round(CAST(max(norm2_fx) AS DOUBLE) / 1e12, 6) AS max_norm2,
              |  round((CAST(sum(norm2_fx) AS DOUBLE) / CAST(count(*) AS DOUBLE))
              |    / 1e12, 6) AS mean_norm2
-             |FROM v GROUP BY label ORDER BY label""".stripMargin))
+             |FROM v GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ── q131: embedding centroid DRIFT per label — L2 distance
+    // between the even-vec_id and odd-vec_id halves' centroids (the
+    // two-batch proxy: a re-embedded or model-bumped delivery shifts
+    // a label's centroid long before any downstream eval notices;
+    // this is the embedding-space face of q92's value drift, and the
+    // batch twin of `IncrementalVectors`' TV-drift refit trigger).
+    // The float trap is double: a Σ of 64 per-dim doubles is
+    // aggregation-order-dependent, AND a centroid difference of two
+    // divisions isn't exact — so the per-dim delta cross-multiplies
+    // to the exact integer sE·nO − sO·nE (micro-unit sums × counts),
+    // its square accumulates in DECIMAL(38,0)/HUGEINT, and ONE
+    // double division + sqrt closes (q108's exact-rational
+    // discipline, pointed at vectors). Scale shape: the (vec, dim)
+    // posexplode grain — 64·|vecs| narrow rows — aggregates with
+    // map-side partials to |labels|×2×64 cells, everything after is
+    // dimension-bounded.
+    QueryDef(
+      "q131_embedding_drift",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val cells = t(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2).as("parity"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("parity"), col("dim"))
+          .agg(sum(round(col("x").cast("double") * 1e6).cast("long"))
+            .cast("long").as("sx"),
+            count(lit(1)).cast("long").as("n"))
+        val e = cells.filter(col("parity") === 0)
+          .select(col("label"), col("dim"), col("sx").as("sx_e"),
+            col("n").as("n_e"))
+        val o = cells.filter(col("parity") === 1)
+          .select(col("label"), col("dim"), col("sx").as("sx_o"),
+            col("n").as("n_o"))
+        e.join(o, Seq("label", "dim"))
+          .withColumn("dc",
+            (col("sx_e").cast(dec19) * col("n_o").cast(dec19) -
+              col("sx_o").cast(dec19) * col("n_e").cast(dec19))
+              .cast(dec38))
+          .groupBy(col("label"))
+          .agg(max(col("n_e")).as("n_even"), max(col("n_o")).as("n_odd"),
+            sum((col("dc") * col("dc")).cast(dec38)).as("ss"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+            round(sqrt(col("ss").cast("double")) /
+              (col("n_even").cast("double") * col("n_odd").cast("double") *
+                1e6), 6).as("drift_l2"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH g AS (SELECT label, vec_id % 2 AS parity, dim,
+             |    CAST(round(CAST(embedding[dim] AS DOUBLE)*1e6) AS BIGINT)
+             |      AS ux
+             |  FROM embeddings,
+             |    unnest(range(1, len(embedding)+1)) AS u(dim)),
+             |cells AS (SELECT label, parity, dim,
+             |    CAST(sum(ux) AS BIGINT) AS sx,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM g GROUP BY 1, 2, 3),
+             |j AS (SELECT e.label, e.dim,
+             |    CAST(e.sx AS HUGEINT)*o.n - CAST(o.sx AS HUGEINT)*e.n
+             |      AS dc,
+             |    e.n AS n_e, o.n AS n_o
+             |  FROM cells e JOIN cells o
+             |    ON e.label = o.label AND e.dim = o.dim
+             |    AND e.parity = 0 AND o.parity = 1)
+             |SELECT label, max(n_e) AS n_even, max(n_o) AS n_odd,
+             |  round(sqrt(CAST(sum(dc*dc) AS DOUBLE)) /
+             |    (CAST(max(n_e) AS DOUBLE)*CAST(max(n_o) AS DOUBLE)*1e6), 6)
+             |    AS drift_l2
+             |FROM j GROUP BY label ORDER BY label""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -1700,4 +1700,62 @@ class QueriesSpec extends SparkTestBase {
     }.toSeq.sortBy(x => (-x._3, x._1)).take(20)
     assert(got.toSeq == want)
   }
+
+  test("q131 centroid drift equals an exact BigInt driver recompute") {
+    val got = SparkEntry.queries("q131_embedding_drift")(spark, sf())
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val vecs = graft.sources.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 1e6))))
+    val want = vecs.groupBy(_._2).flatMap { case (lab, xs) =>
+      val (ev, od) = xs.partition(_._1 % 2 == 0)
+      if (ev.isEmpty || od.isEmpty) None
+      else {
+        val dims = ev.head._3.length
+        val sE = (0 until dims).map(i => BigInt(ev.map(_._3(i)).sum))
+        val sO = (0 until dims).map(i => BigInt(od.map(_._3(i)).sum))
+        val ss = (0 until dims).map { i =>
+          val dc = sE(i) * od.length - sO(i) * ev.length
+          dc * dc
+        }.sum
+        val drift = math.sqrt(ss.toDouble) /
+          (ev.length.toDouble * od.length.toDouble * 1e6)
+        Some(lab -> ((ev.length.toLong, od.length.toLong, drift)))
+      }
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (lab, (ne, no, drift)) =>
+      val (we, wo, wd) = want(lab)
+      assert(ne == we && no == wo, s"label $lab halves")
+      assert(math.abs(drift - wd) < 1e-5, s"label $lab drift $drift vs $wd")
+      assert(drift >= 0.0)
+    }
+  }
+
+  test("q132 rolling revenue equals a per-customer driver recompute") {
+    val got = SparkEntry.queries("q132_rolling_revenue")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(4)))
+    val orders = graft.sources.Tables(spark, sf(), "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS day",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS ed",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3).toLong, r.getLong(4)))
+    val want = orders.groupBy(_._1).values.flatMap { xs =>
+      xs.map { o =>
+        val rev = xs.filter(x => x._4 >= o._4 - 29 && x._4 <= o._4)
+          .map(_._5).sum
+        (o._1, o._2, o._3, rev / 100.0)
+      }
+    }.toSeq.sortBy(x => (x._1, x._3, x._2))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9, s"rolling sum $g vs $w")
+    }
+  }
 }
