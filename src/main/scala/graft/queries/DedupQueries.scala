@@ -1011,53 +1011,27 @@ object DedupQueries {
     // rows — bounded by the LIMIT, not the corpus.
     QueryDef(
       "q120_dup_coverage",
-      (s, d) => {
-        val fam = clusterMap(s, d)
-          .groupBy(col("cluster"))
-          .agg(count(lit(1)).cast("long").as("family_size"))
-        val tot = fam.agg(sum(col("family_size")).cast("long").as("n_docs"))
-        val top = fam
-          .orderBy(col("family_size").desc, col("cluster"))
-          .limit(20)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("family_size").desc, col("cluster"))
-        top.crossJoin(broadcast(tot))
-          .withColumn("rank", row_number().over(w))
-          .withColumn("cum_size",
-            sum(col("family_size"))
-              .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
-                .unboundedPreceding, 0)).cast("long"))
-          .select(col("rank").cast("long").as("rank"), col("cluster"),
-            col("family_size"),
-            round(col("family_size").cast("double") /
-              col("n_docs").cast("double"), 6).as("share"),
-            round(col("cum_size").cast("double") /
-              col("n_docs").cast("double"), 6).as("cum_share"))
-          .orderBy(col("rank"))
-      },
+      (s, d) => Q.coverageCurve(
+          clusterMap(s, d)
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).cast("long").as("family_size")),
+          "cluster", "family_size", 20)
+        .select(col("rank"), col("cluster"), col("family_size"),
+          col("share"), col("cum_share"))
+        .orderBy(col("rank")),
       Some(s"""WITH RECURSIVE $pairsSql,
               |$clusterLabSql,
               |cm AS (SELECT d.doc_id,
               |    COALESCE(l.cluster, d.doc_id) AS cluster
               |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
-              |fam AS (SELECT cluster,
+              |pk AS (SELECT cluster,
               |    CAST(count(*) AS BIGINT) AS family_size
               |  FROM cm GROUP BY cluster),
-              |tot AS (SELECT CAST(sum(family_size) AS BIGINT) AS n_docs
-              |  FROM fam),
-              |top AS (SELECT cluster, family_size FROM fam
-              |  ORDER BY family_size DESC, cluster LIMIT 20),
-              |r AS (SELECT cluster, family_size,
-              |    CAST(row_number() OVER (ORDER BY family_size DESC,
-              |      cluster) AS BIGINT) AS rank,
-              |    CAST(sum(family_size) OVER (ORDER BY family_size DESC,
-              |      cluster ROWS UNBOUNDED PRECEDING) AS BIGINT)
-              |      AS cum_size
-              |  FROM top)
+              |${Q.coverageCurveSql("cluster", "family_size", 20)}
               |SELECT rank, cluster, family_size,
-              |  round(CAST(family_size AS DOUBLE)/CAST(n_docs AS DOUBLE), 6)
+              |  round(CAST(family_size AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
               |    AS share,
-              |  round(CAST(cum_size AS DOUBLE)/CAST(n_docs AS DOUBLE), 6)
+              |  round(CAST(cum_mass AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
               |    AS cum_share
               |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin))
   )

@@ -117,6 +117,47 @@ object Q {
     */
   def knuthBucketSql(idCol: String, mod: Long): String =
     s"(($idCol & 2147483647) * 2654435761) % $mod"
+
+  /** Top-N rank + cumulative-share coverage curve over a per-key mass
+    * frame — the ONE definition of the curve contract shared by q120
+    * (duplication coverage) and q127 (revenue concentration), so the
+    * two curves can never drift in top-N size, tie-break, or rounding.
+    * Returns `rank` + every input column + `share`/`cum_share`;
+    * callers project/rename. Scale shape: top-N plans as TakeOrdered
+    * (never a global sort), the 1-row mass total broadcasts (q91's
+    * scalar shape — callers whitelist the BNLJ), the rank/cumulative
+    * window runs over exactly the N LIMIT rows.
+    */
+  def coverageCurve(
+      perKey: DataFrame, keyCol: String, massCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = perKey.agg(sum(col(massCol)).as("__tot"))
+    val top = perKey.orderBy(col(massCol).desc, col(keyCol)).limit(n)
+    val w = Window.orderBy(col(massCol).desc, col(keyCol))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum",
+        sum(col(massCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("share",
+        round(col(massCol).cast("double") / col("__tot").cast("double"), 6))
+      .withColumn("cum_share",
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6))
+      .drop("__tot", "__cum")
+  }
+
+  /** Oracle twin of [[coverageCurve]]: `tot`/`top`/`r` CTEs over a
+    * caller-defined `pk` CTE; read the final projection from
+    * `r CROSS JOIN tot` (`rank`, the pk columns, `cum_mass`, `tot_u`).
+    */
+  def coverageCurveSql(keyCol: String, massCol: String, n: Int): String =
+    s"""tot AS (SELECT sum($massCol) AS tot_u FROM pk),
+       |top AS (SELECT * FROM pk ORDER BY $massCol DESC, $keyCol LIMIT $n),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY $massCol DESC,
+       |      $keyCol) AS BIGINT) AS rank,
+       |    sum($massCol) OVER (ORDER BY $massCol DESC, $keyCol
+       |      ROWS UNBOUNDED PRECEDING) AS cum_mass
+       |  FROM top)""".stripMargin
 }
 
 /** Session-scoped persisted-DataFrame cache keyed by (session, dir)

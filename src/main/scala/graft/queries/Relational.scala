@@ -19,6 +19,67 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Relational {
   import Q._
 
+  /** Calendar-densified daily event counts, optionally per key — the
+    * ONE densify definition behind q106 (series), q112 (changepoint
+    * flanks) and q129 (per-type movers): a day with no events is an
+    * explicit ZERO row (a silent outage day is exactly the day worth
+    * looking at), and the day dimension GENERATES from the observed
+    * span (`explode(sequence)`) — never a day×day join (q61's rule).
+    * The keyed form crosses the ≤ handful-of-rows key dimension with
+    * the generated calendar — both sides dimension-bounded.
+    */
+  private def denseDaily(
+      s: SparkSession, d: String,
+      keyCol: Option[String] = None): DataFrame = {
+    val ev = t(s, d, "events")
+    val daily = keyCol
+      .fold(ev.groupBy(to_date(col("ts")).as("day")))(k =>
+        ev.groupBy(col(k), to_date(col("ts")).as("day")))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val days = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    keyCol match {
+      case None =>
+        days.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      case Some(k) =>
+        daily.select(col(k)).distinct()
+          .crossJoin(broadcast(days))
+          .join(daily, Seq(k, "day"), "left")
+          .select(col(k), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }
+  }
+
+  /** Oracle twin of [[denseDaily]]: the `daily`/`span`/`days`/`dense`
+    * CTE chain (callers read from `dense(day[, key], cnt)`).
+    */
+  private def denseDailySql(keyCol: Option[String] = None): String =
+    keyCol match {
+      case None =>
+        """daily AS (SELECT CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+          |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+          |dense AS (SELECT days.day AS day, coalesce(cnt, 0) AS cnt
+          |  FROM days LEFT JOIN daily USING (day))""".stripMargin
+      case Some(k) =>
+        s"""daily AS (SELECT $k, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+           |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+           |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+           |dense AS (SELECT t.$k, days.day AS day,
+           |    coalesce(cnt, 0) AS cnt
+           |  FROM (SELECT DISTINCT $k FROM daily) t
+           |  CROSS JOIN days
+           |  LEFT JOIN daily ON daily.$k = t.$k
+           |    AND daily.day = days.day)""".stripMargin
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q01: scan + predicate filter (ref: drop_files suffix predicate
@@ -1853,31 +1914,19 @@ object Relational {
     QueryDef(
       "q106_calendar_density",
       (s, d) => {
-        val daily = t(s, d, "events")
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).cast("long").as("cnt"))
-        val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
         val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-        days.join(daily, Seq("day"), "left")
-          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        denseDaily(s, d)
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("cnt"),
             round(sum(col("cnt")).over(w).cast("double") /
               count(lit(1)).over(w).cast("double"), 6).as("ma7"))
           .orderBy(col("day"))
       },
-      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
-             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
-             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-             |f AS (SELECT d.day, coalesce(cnt, 0) AS cnt
-             |  FROM days d LEFT JOIN daily USING (day))
+      Some(s"""WITH ${denseDailySql()}
              |SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
              |  round(CAST(sum(cnt) OVER w AS DOUBLE) /
              |    CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
-             |FROM f
+             |FROM dense
              |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
              |  AND CURRENT ROW)
              |ORDER BY day""".stripMargin)),
@@ -1950,14 +1999,7 @@ object Relational {
     QueryDef(
       "q112_changepoint",
       (s, d) => {
-        val daily = t(s, d, "events")
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).cast("long").as("cnt"))
-        val days = daily
-          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val dense = days.join(daily, Seq("day"), "left")
-          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val dense = denseDaily(s, d)
         val wB = Window.orderBy(col("day")).rowsBetween(-7, -1)
         val wA = Window.orderBy(col("day")).rowsBetween(1, 7)
         dense
@@ -1978,18 +2020,12 @@ object Relational {
                 col("before_sum").cast("double"), 6)).as("ratio"))
           .orderBy(col("day"))
       },
-      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
-             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
-             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-             |f AS (SELECT d.day, coalesce(cnt, 0) AS cnt
-             |  FROM days d LEFT JOIN daily USING (day)),
+      Some(s"""WITH ${denseDailySql()},
              |w AS (SELECT day,
              |    count(*) OVER wb AS before_n, count(*) OVER wa AS after_n,
              |    CAST(sum(cnt) OVER wb AS BIGINT) AS before_sum,
              |    CAST(sum(cnt) OVER wa AS BIGINT) AS after_sum
-             |  FROM f
+             |  FROM dense
              |  WINDOW wb AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
              |      AND 1 PRECEDING),
              |    wa AS (ORDER BY day ROWS BETWEEN 1 FOLLOWING
@@ -2407,45 +2443,25 @@ object Relational {
     // over exactly the 20 LIMIT rows.
     QueryDef(
       "q127_revenue_concentration",
-      (s, d) => {
-        val perCust = t(s, d, "orders")
-          .groupBy(col("o_custkey"))
-          .agg(sum(Q.fxUnits(col("o_totalprice"), 100)).as("rev_u"),
-            count(lit(1)).cast("long").as("n_orders"))
-        val tot = perCust.agg(sum(col("rev_u")).as("tot_u"))
-        val top = perCust
-          .orderBy(col("rev_u").desc, col("o_custkey")).limit(20)
-        val w = Window.orderBy(col("rev_u").desc, col("o_custkey"))
-        top.crossJoin(broadcast(tot))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .withColumn("cum_u",
-            sum(col("rev_u"))
-              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .select(col("rank"), col("o_custkey"), col("n_orders"),
-            (col("rev_u") / 100.0).as("revenue"),
-            round(col("rev_u").cast("double") /
-              col("tot_u").cast("double"), 6).as("share"),
-            round(col("cum_u").cast("double") /
-              col("tot_u").cast("double"), 6).as("cum_share"))
-          .orderBy(col("rank"))
-      },
-      Some("""WITH pc AS (SELECT o_custkey,
+      (s, d) => Q.coverageCurve(
+          t(s, d, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(Q.fxUnits(col("o_totalprice"), 100)).as("rev_u"),
+              count(lit(1)).cast("long").as("n_orders")),
+          "o_custkey", "rev_u", 20)
+        .select(col("rank"), col("o_custkey"), col("n_orders"),
+          (col("rev_u") / 100.0).as("revenue"),
+          col("share"), col("cum_share"))
+        .orderBy(col("rank")),
+      Some(s"""WITH pk AS (SELECT o_custkey,
              |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_u,
              |    CAST(count(*) AS BIGINT) AS n_orders
              |  FROM orders GROUP BY 1),
-             |tot AS (SELECT sum(rev_u) AS tot_u FROM pc),
-             |top AS (SELECT * FROM pc
-             |  ORDER BY rev_u DESC, o_custkey LIMIT 20),
-             |r AS (SELECT o_custkey, n_orders, rev_u,
-             |    CAST(row_number() OVER (ORDER BY rev_u DESC, o_custkey)
-             |      AS BIGINT) AS rank,
-             |    sum(rev_u) OVER (ORDER BY rev_u DESC, o_custkey
-             |      ROWS UNBOUNDED PRECEDING) AS cum_u
-             |  FROM top)
+             |${Q.coverageCurveSql("o_custkey", "rev_u", 20)}
              |SELECT rank, o_custkey, n_orders, rev_u/100.0 AS revenue,
              |  round(CAST(rev_u AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
              |    AS share,
-             |  round(CAST(cum_u AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
+             |  round(CAST(cum_mass AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
              |    AS cum_share
              |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)),
 
@@ -2539,19 +2555,8 @@ object Relational {
     QueryDef(
       "q129_top_movers",
       (s, d) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).cast("long").as("cnt"))
-        val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-        val days = span
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val types = daily.select(col("event_type")).distinct()
-        val dense = types.crossJoin(broadcast(days))
-          .join(daily, Seq("event_type", "day"), "left")
-          .select(col("event_type"), col("day"),
-            coalesce(col("cnt"), lit(0L)).as("cnt"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        dense
+        denseDaily(s, d, Some("event_type"))
           .withColumn("prev", lag(col("cnt"), 1).over(w))
           .filter(col("prev").isNotNull)
           .withColumn("delta", col("cnt") - col("prev"))
@@ -2564,18 +2569,7 @@ object Relational {
           .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
           .limit(10)
       },
-      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-             |    CAST(count(*) AS BIGINT) AS cnt
-             |  FROM events GROUP BY 1, 2),
-             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
-             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
-             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-             |dense AS (SELECT t.event_type, days.day,
-             |    coalesce(cnt, 0) AS cnt
-             |  FROM (SELECT DISTINCT event_type FROM daily) t
-             |  CROSS JOIN days
-             |  LEFT JOIN daily ON daily.event_type = t.event_type
-             |    AND daily.day = days.day),
+      Some(s"""WITH ${denseDailySql(Some("event_type"))},
              |l AS (SELECT event_type, day, cnt,
              |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
              |      AS prev

@@ -32,6 +32,17 @@ object TextQueries {
   private val EnStops = Seq("the", "a", "of", "to", "in", "and")
   private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
 
+  /** q30's language-ID decision threshold and verdict — ONE definition
+    * shared by the classifier (q30) and its confusion-matrix eval
+    * (q122), Spark and SQL sides alike: tuning the threshold or the
+    * [[EnStops]] list can never silently de-link the eval from the
+    * classifier it claims to measure (the [[Bm25Terms]] rule).
+    */
+  private[graft] val EnRatioThreshold = 0.05
+
+  private def predLangFromRatio(r: org.apache.spark.sql.Column) =
+    when(r >= EnRatioThreshold, "en").otherwise("unknown")
+
   /** The q67 PII patterns (Java-regex ∩ RE2 syntax so every engine
     * agrees) and the stage-sequential redaction chain, shared with the
     * streaming ingest path ([[graft.streaming.DocumentPipeline]]) —
@@ -290,8 +301,7 @@ object TextQueries {
               .as("stop_cnt"))
           .withColumn("en_ratio",
             col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
-          .withColumn("pred_lang",
-            when(col("en_ratio") >= 0.05, "en").otherwise("unknown"))
+          .withColumn("pred_lang", predLangFromRatio(col("en_ratio")))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH s AS (SELECT doc_id,
@@ -302,7 +312,8 @@ object TextQueries {
               |  FROM documents)
               |SELECT doc_id, n_tokens, stop_cnt,
               |  CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS en_ratio,
-              |  CASE WHEN CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 0.05
+              |  CASE WHEN CAST(stop_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+              |    >= $EnRatioThreshold
               |    THEN 'en' ELSE 'unknown' END AS pred_lang
               |FROM s ORDER BY doc_id""".stripMargin)),
 
@@ -1750,13 +1761,16 @@ object TextQueries {
       "q122_lang_confusion",
       (s, d) => {
         val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        // null-lang sentinel: the \u0000 prefix cannot collide with
+        // any real language tag (Release's null-source convention —
+        // a doc whose lang LITERALLY says "null" with a space or NUL
+        // prefix must not fold into the NULL cell)
         val pred = t(s, d, "documents")
-          .select(coalesce(col("lang"), lit(" null")).as("lang"),
+          .select(coalesce(col("lang"), lit("\u0000null")).as("lang"),
             (size(filter(toks, tk => tk.isin(EnStops: _*))).cast("double") /
               size(toks).cast("double")).as("en_ratio"))
-          .select(col("lang"),
-            when(col("en_ratio") >= 0.05, "en").otherwise("unknown")
-              .as("pred_lang"))
+          .select(col("lang"), predLangFromRatio(col("en_ratio"))
+            .as("pred_lang"))
         val cells = pred.groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).cast("long").as("n"))
         val totals = cells.groupBy(col("lang"))
@@ -1767,12 +1781,13 @@ object TextQueries {
               .as("share"))
           .orderBy(col("lang"), col("pred_lang"))
       },
-      Some(s"""WITH p AS (SELECT coalesce(lang, ' null') AS lang,
+      Some(s"""WITH p AS (SELECT
+             |    coalesce(lang, chr(0) || 'null') AS lang,
              |    CASE WHEN
              |      CAST(len(list_filter(string_split(text, ' '),
              |        x -> x IN ($EnStopsSql))) AS DOUBLE) /
              |      CAST(len(list_filter(string_split(text, ' '),
-             |        x -> len(x) > 0)) AS DOUBLE) >= 0.05
+             |        x -> len(x) > 0)) AS DOUBLE) >= $EnRatioThreshold
              |      THEN 'en' ELSE 'unknown' END AS pred_lang
              |  FROM documents),
              |cells AS (SELECT lang, pred_lang,

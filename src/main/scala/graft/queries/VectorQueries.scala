@@ -664,13 +664,22 @@ object VectorQueries {
     // The float trap is double: a Σ of 64 per-dim doubles is
     // aggregation-order-dependent, AND a centroid difference of two
     // divisions isn't exact — so the per-dim delta cross-multiplies
-    // to the exact integer sE·nO − sO·nE (micro-unit sums × counts),
-    // its square accumulates in DECIMAL(38,0)/HUGEINT, and ONE
-    // double division + sqrt closes (q108's exact-rational
-    // discipline, pointed at vectors). Scale shape: the (vec, dim)
-    // posexplode grain — 64·|vecs| narrow rows — aggregates with
-    // map-side partials to |labels|×2×64 cells, everything after is
-    // dimension-bounded.
+    // to the exact integer sE·nO − sO·nE (micro-unit sums × counts,
+    // q108's exact-rational discipline), then QUANTIZES back to
+    // per-dim micro-units (round(dc/(nE·nO)) — both engines divide
+    // the same exact integers as the same doubles, so the rounded
+    // long is identical) BEFORE squaring. The quantized delta is
+    // bounded by the VALUE DOMAIN (≤ 2·10⁶·max|x| micro-units —
+    // q116's rule), not the corpus, so its square can never overflow
+    // the DECIMAL(38,0) accumulator — squaring dc directly would
+    // cross 38 digits once a label's halves reach ~10⁶ vectors, and
+    // Spark non-ANSI NULLs the product while DuckDB's HUGEINT
+    // errors: a silent underreport on one engine and a failure on
+    // the other. Cost of the quantize: ≤ 0.5 micro-unit per dim
+    // (the q77/q107 rounding argument; spec tolerance covers it).
+    // Scale shape: the (vec, dim) posexplode grain — 64·|vecs|
+    // narrow rows — aggregates with map-side partials to
+    // |labels|×2×64 cells, everything after is dimension-bounded.
     QueryDef(
       "q131_embedding_drift",
       (s, d) => {
@@ -694,13 +703,16 @@ object VectorQueries {
             (col("sx_e").cast(dec19) * col("n_o").cast(dec19) -
               col("sx_o").cast(dec19) * col("n_e").cast(dec19))
               .cast(dec38))
+          .withColumn("d_fx",
+            round(col("dc").cast("double") /
+              (col("n_e").cast("double") * col("n_o").cast("double")))
+              .cast("long"))
           .groupBy(col("label"))
           .agg(max(col("n_e")).as("n_even"), max(col("n_o")).as("n_odd"),
-            sum((col("dc") * col("dc")).cast(dec38)).as("ss"))
+            sum((col("d_fx").cast(dec19) * col("d_fx").cast(dec19))
+              .cast(dec38)).as("ss"))
           .select(col("label"), col("n_even"), col("n_odd"),
-            round(sqrt(col("ss").cast("double")) /
-              (col("n_even").cast("double") * col("n_odd").cast("double") *
-                1e6), 6).as("drift_l2"))
+            round(sqrt(col("ss").cast("double")) / 1e6, 6).as("drift_l2"))
           .orderBy(col("label"))
       },
       Some("""WITH g AS (SELECT label, vec_id % 2 AS parity, dim,
@@ -713,16 +725,17 @@ object VectorQueries {
              |    CAST(count(*) AS BIGINT) AS n
              |  FROM g GROUP BY 1, 2, 3),
              |j AS (SELECT e.label, e.dim,
-             |    CAST(e.sx AS HUGEINT)*o.n - CAST(o.sx AS HUGEINT)*e.n
-             |      AS dc,
+             |    CAST(round(CAST(CAST(e.sx AS HUGEINT)*o.n
+             |        - CAST(o.sx AS HUGEINT)*e.n AS DOUBLE) /
+             |      (CAST(e.n AS DOUBLE)*CAST(o.n AS DOUBLE))) AS BIGINT)
+             |      AS d_fx,
              |    e.n AS n_e, o.n AS n_o
              |  FROM cells e JOIN cells o
              |    ON e.label = o.label AND e.dim = o.dim
              |    AND e.parity = 0 AND o.parity = 1)
              |SELECT label, max(n_e) AS n_even, max(n_o) AS n_odd,
-             |  round(sqrt(CAST(sum(dc*dc) AS DOUBLE)) /
-             |    (CAST(max(n_e) AS DOUBLE)*CAST(max(n_o) AS DOUBLE)*1e6), 6)
-             |    AS drift_l2
+             |  round(sqrt(CAST(sum(CAST(d_fx AS HUGEINT)*d_fx) AS DOUBLE))
+             |    / 1e6, 6) AS drift_l2
              |FROM j GROUP BY label ORDER BY label""".stripMargin))
   )
 

@@ -34,14 +34,21 @@ object Tables {
       // accepted — a multi-source deployment should scope it per read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType => // nanos-as-long era: rebuild micros exactly
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampType => raw
-        case _ => // TIMESTAMP_NTZ era: same instant under the UTC session
+        case TimestampNTZType => // same instant under the UTC session
           raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          // fail LOUDLY on a layout we have never seen: a blanket cast
+          // would read e.g. an epoch-seconds INT era as corrupt
+          // instants in every downstream time query (the readOrc
+          // retype rule: analysis-time error, not silent data)
+          sys.error(s"events.ts has unsupported parquet type $other — " +
+            "teach Tables the new fixture era explicitly")
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -1716,12 +1716,15 @@ class QueriesSpec extends SparkTestBase {
         val dims = ev.head._3.length
         val sE = (0 until dims).map(i => BigInt(ev.map(_._3(i)).sum))
         val sO = (0 until dims).map(i => BigInt(od.map(_._3(i)).sum))
+        // mirror the query's quantize-then-square: the per-dim delta
+        // rounds to micro-units BEFORE squaring (domain-bounded, so
+        // the square can't overflow at corpus scale)
         val ss = (0 until dims).map { i =>
           val dc = sE(i) * od.length - sO(i) * ev.length
-          dc * dc
+          val dFx = math.round(dc.toDouble / (ev.length.toDouble * od.length))
+          BigInt(dFx) * BigInt(dFx)
         }.sum
-        val drift = math.sqrt(ss.toDouble) /
-          (ev.length.toDouble * od.length.toDouble * 1e6)
+        val drift = math.sqrt(ss.toDouble) / 1e6
         Some(lab -> ((ev.length.toLong, od.length.toLong, drift)))
       }
     }
