@@ -1033,6 +1033,65 @@ object DedupQueries {
               |    AS share,
               |  round(CAST(cum_mass AS DOUBLE)/CAST(tot_u AS DOUBLE), 6)
               |    AS cum_share
-              |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin))
+              |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)),
+
+    // ── q134: shingle document-frequency PROFILE — the 3-gram index's
+    // df distribution in power-of-two buckets (shingles at df=1 are
+    // unique content; the high buckets are boilerplate templates),
+    // with each bucket's share of total index postings: the
+    // TUNING read behind the miner's hot-shingle thresholds
+    // (`HotShingleDf` / `MinerRelativeHot`) — where the posting mass
+    // actually sits decides where salting starts paying, and a corpus
+    // whose top bucket grows across deliveries is accreting
+    // boilerplate (q81 names the passages; q134 sizes the
+    // phenomenon). Bucket = floor(log2(df)): boundaries sit exactly
+    // on powers of two, where log2 is exact in IEEE double on both
+    // engines, so bucketing cannot diverge (between boundaries
+    // monotonicity suffices). Scale shape: the (doc, shingle) grain
+    // aggregates to |distinct shingles| (hash agg, map-side
+    // partials), then to ≤ 64 buckets; the share is a window over
+    // that bounded frame (q09's rule) — no scalar broadcast needed.
+    QueryDef(
+      "q134_shingle_df_profile",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        val ex = t(s, d, "documents")
+          .withColumn("tk", toks)
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(0), size(col("tk")) - 3), i =>
+                concat_ws(" ", element_at(col("tk"), i + 1),
+                  element_at(col("tk"), i + 2),
+                  element_at(col("tk"), i + 3))))).as("g"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        ex.groupBy(col("g"))
+          .agg(count(lit(1)).cast("long").as("df"))
+          .withColumn("bucket", floor(log2(col("df"))).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            sum(col("df")).cast("long").as("n_postings"))
+          .withColumn("df_lo", expr("CAST(pow(2, bucket) AS BIGINT)"))
+          .withColumn("postings_share",
+            round(col("n_postings").cast("double") /
+              sum(col("n_postings")).over(w).cast("double"), 6))
+          .select(col("bucket"), col("df_lo"), col("n_shingles"),
+            col("n_postings"), col("postings_share"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $shingleSql,
+              |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+              |  FROM ex GROUP BY 1),
+              |b AS (SELECT CAST(floor(log2(df)) AS BIGINT) AS bucket,
+              |    CAST(count(*) AS BIGINT) AS n_shingles,
+              |    CAST(sum(df) AS BIGINT) AS n_postings
+              |  FROM df GROUP BY 1)
+              |SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS df_lo,
+              |  n_shingles, n_postings,
+              |  round(CAST(n_postings AS DOUBLE) /
+              |    CAST(sum(n_postings) OVER () AS DOUBLE), 6)
+              |    AS postings_share
+              |FROM b ORDER BY bucket""".stripMargin))
   )
 }

@@ -1848,7 +1848,69 @@ object TextQueries {
              |  round(CAST(rare_cnt AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
              |    AS rare_frac
              |FROM p ORDER BY rare_frac DESC, doc_id LIMIT 20"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── q133: per-source GLOBAL quality-decile mix — each source's
+    // documents bucketed by where their q31 score falls in the
+    // CORPUS-WIDE score distribution (9 exact global percentile
+    // thresholds → 10 deciles), with within-source shares: the
+    // fairness read behind any per-source quality gate (q65/Release
+    // apply one absolute floor; q133 shows whether a source is
+    // systematically low-quality relative to the corpus, or just
+    // differently shaped — the q69 mixing decision needs exactly
+    // this). Determinism: both engines interpolate the same 9
+    // thresholds from identical doubles (q41's argument) and every
+    // doc compares its identical score against them — decile
+    // assignment cannot diverge. Scale shape: the materialized
+    // quality base joins source once at the corpus grain, the 1-row
+    // threshold frame broadcasts (q91's scalar shape), decile
+    // assignment is a map-side array scan, one hash agg to the ≤
+    // |sources|×10 cell grain; the within-source share is a window
+    // over that bounded cell frame (q09's ratio-of-total rule).
+    QueryDef(
+      "q133_quality_deciles",
+      (s, d) => {
+        val pcts = (1 to 9).map(_ / 10.0)
+        val base = qualityScores(s, d)
+          .filter(col("score").isNotNull)
+          .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+        val ths = base.agg(
+          expr(s"percentile(score, array(${pcts.mkString(", ")}))")
+            .as("ths"))
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+        base.crossJoin(broadcast(ths))
+          .withColumn("decile",
+            (size(filter(col("ths"), th => col("score") > th)) + 1)
+              .cast("long"))
+          .groupBy(col("source"), col("decile"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("share",
+            round(col("n").cast("double") /
+              sum(col("n")).over(wSrc).cast("double"), 6))
+          .orderBy(col("source"), col("decile"))
+      },
+      Some {
+        val pcts = (1 to 9).map(_ / 10.0)
+        s"""WITH $QualityCteSql,
+           |p AS (SELECT q.doc_id, d.source, q.score
+           |  FROM q JOIN documents d USING (doc_id)
+           |  WHERE q.score IS NOT NULL),
+           |ths AS (SELECT quantile_cont(score,
+           |    [${pcts.mkString(", ")}]) AS ths FROM p),
+           |dec AS (SELECT source,
+           |    CAST(len(list_filter(ths, th -> score > th)) + 1 AS BIGINT)
+           |      AS decile
+           |  FROM p CROSS JOIN ths),
+           |cells AS (SELECT source, decile, CAST(count(*) AS BIGINT) AS n
+           |  FROM dec GROUP BY 1, 2)
+           |SELECT source, decile, n,
+           |  round(CAST(n AS DOUBLE) /
+           |    CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE), 6)
+           |    AS share
+           |FROM cells ORDER BY source, decile""".stripMargin
+      })
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

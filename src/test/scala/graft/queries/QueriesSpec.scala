@@ -391,7 +391,7 @@ class QueriesSpec extends SparkTestBase {
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
       "q120_dup_coverage", "q127_revenue_concentration",
-      "q128_customer_rfm", "q129_top_movers")
+      "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1699,6 +1699,60 @@ class QueriesSpec extends SparkTestBase {
       (u, ds.length.toLong, best._1, best._2.toString, best._3.toString)
     }.toSeq.sortBy(x => (-x._3, x._1)).take(20)
     assert(got.toSeq == want)
+  }
+
+  test("q133 deciles partition each source; assignment matches thresholds") {
+    val got = SparkEntry.queries("q133_quality_deciles")(spark, sf())
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val scored = TextQueries.qualityScores(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("score").isNotNull)
+      .join(graft.sources.Tables(spark, sf(), "documents")
+        .select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._2._1).sum == scored.length.toLong,
+      "cells partition the scored corpus")
+    // driver-side thresholds with the same interpolation, then the
+    // same strict-greater decile rule
+    val sorted = scored.map(_._2).sorted.toIndexedSeq
+    def q(p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      sorted(idx.toInt) + (idx - idx.toInt) *
+        (sorted(math.ceil(idx).toInt) - sorted(idx.toInt))
+    }
+    val ths = (1 to 9).map(i => q(i / 10.0))
+    val want = scored.groupBy { case (src, sc) =>
+      (src, ths.count(sc > _).toLong + 1)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got.map(c => c._1 -> c._2._1).toMap == want)
+    got.groupBy(_._1._1).foreach { case (src, cells) =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-5, s"$src shares")
+      cells.foreach { case ((_, dec), _) => assert(dec >= 1 && dec <= 10) }
+    }
+  }
+
+  test("q134 df profile reconciles: shingle and posting mass partition") {
+    val got = SparkEntry.queries("q134_shingle_df_profile")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val dfs = docs.filter(_.length >= 3).flatMap { tk =>
+      tk.indices.dropRight(2)
+        .map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").distinct
+    }.groupBy(identity).map(_._2.length.toLong)
+    val want = dfs.groupBy(df =>
+      (63 - java.lang.Long.numberOfLeadingZeros(df)).toLong)
+      .map { case (b, xs) => b -> ((xs.size.toLong, xs.sum)) }
+    assert(got.map(r => r._1 -> ((r._3, r._4))).toMap == want)
+    got.foreach { case (bucket, dfLo, _, _, _) =>
+      assert(dfLo == (1L << bucket), s"bucket $bucket lower bound")
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-5,
+      "posting shares sum to 1")
+    assert(got.exists(_._1 == 0L), "df=1 unique-content bucket present")
   }
 
   test("q131 centroid drift equals an exact BigInt driver recompute") {
