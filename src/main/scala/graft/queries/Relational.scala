@@ -2687,6 +2687,72 @@ object Relational {
              |  CAST(sum(u) OVER (PARTITION BY o_custkey ORDER BY epoch_day
              |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
              |    /100.0 AS rev_30d
-             |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin))
+             |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
+
+    // ── q135: market-basket part affinity — the top-20 part pairs by
+    // LIFT (co-order rate over independence: lift = c_ab·N /
+    // (o_a·o_b)) with a support floor, the association-mining
+    // primitive behind "frequently bought together" (raw co-counts
+    // just surface the two most popular parts; lift normalizes the
+    // marginals away — q111's PMI argument on baskets instead of
+    // token windows). Support ≥ 2 kills the single-co-occurrence
+    // noise lift is notorious for. Scale shape: lineitem collapses
+    // to the DISTINCT (order, part) grain first (one hash agg);
+    // the pair self-join keys on l_orderkey, where fanout is
+    // BASKET-bounded (≤ 13² per order on any corpus — order size is
+    // a domain constant, never corpus-scale); marginal order-counts
+    // attach via |parts|-keyed equi-joins; the 1-row order total
+    // broadcasts (q91's scalar shape); lift derives from exact
+    // DECIMAL(38,0)/HUGEINT integer products with ONE division,
+    // round 6; top-20 is TakeOrdered.
+    QueryDef(
+      "q135_market_basket",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val marg = op.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).cast("long").as("o_cnt"))
+        val tot = op.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).cast("long").as("n_orders"))
+        val pairs = op.toDF("l_orderkey", "part_a")
+          .join(op.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).cast("long").as("c_ab"))
+          .filter(col("c_ab") >= 2)
+        pairs
+          .join(marg.toDF("part_a", "o_a"), Seq("part_a"))
+          .join(marg.toDF("part_b", "o_b"), Seq("part_b"))
+          .crossJoin(broadcast(tot))
+          .select(col("part_a"), col("part_b"), col("c_ab"),
+            round((col("c_ab").cast(dec19) * col("n_orders").cast(dec19))
+              .cast(dec38).cast("double") /
+              (col("o_a").cast(dec19) * col("o_b").cast(dec19))
+                .cast(dec38).cast("double"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS o_cnt
+             |  FROM op GROUP BY 1),
+             |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |    AS n_orders FROM op),
+             |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT part_a, part_b, c_ab,
+             |  round(CAST(CAST(c_ab AS HUGEINT)*n_orders AS DOUBLE) /
+             |    CAST(CAST(ma.o_cnt AS HUGEINT)*mb.o_cnt AS DOUBLE), 6)
+             |    AS lift
+             |FROM pairs
+             |JOIN marg ma ON ma.l_partkey = part_a
+             |JOIN marg mb ON mb.l_partkey = part_b
+             |CROSS JOIN tot
+             |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin))
   )
 }

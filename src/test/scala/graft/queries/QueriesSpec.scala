@@ -391,7 +391,8 @@ class QueriesSpec extends SparkTestBase {
       "q88_knn_label_eval", "q89_mix_temperature", "q91_heavy_hitters",
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
       "q120_dup_coverage", "q127_revenue_concentration",
-      "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles")
+      "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
+      "q135_market_basket")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1753,6 +1754,32 @@ class QueriesSpec extends SparkTestBase {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-5,
       "posting shares sum to 1")
     assert(got.exists(_._1 == 0L), "df=1 unique-content bucket present")
+  }
+
+  test("q135 basket lift equals a driver recompute over distinct pairs") {
+    val got = SparkEntry.queries("q135_market_basket")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val op = graft.sources.Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val marg = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val pairs = op.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2L).toMap
+    val want = pairs.toSeq.map { case ((a, b), c) =>
+      val lift = BigDecimal(
+        (BigInt(c) * nOrders).toDouble / (BigInt(marg(a)) * marg(b)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, lift)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    assert(got.toSeq == want.map(w => (w._1, w._2, w._3, w._4)))
+    // lift > 1 means genuinely associated — the top of the list must be
+    assert(got.headOption.forall(_._4 > 1.0))
   }
 
   test("q131 centroid drift equals an exact BigInt driver recompute") {
