@@ -2753,6 +2753,193 @@ object Relational {
              |JOIN marg ma ON ma.l_partkey = part_a
              |JOIN marg mb ON mb.l_partkey = part_b
              |CROSS JOIN tot
-             |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin))
+             |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
+    // ── q136: windowed SEQUENTIAL funnel — view → first click AFTER
+    // that view → first purchase AFTER that click, completed only
+    // when the whole chain fits in 24 h: the attribution-window
+    // funnel q63 deliberately is not (q63 compares independent
+    // first-touch times, which calls a user who clicked before ever
+    // viewing "stage 1" and ignores how long conversion took; q126
+    // measures one hop's wait — q136 gates the full chain). Stage
+    // times are exact integer micros; every comparison is integer.
+    // Scale shape: three conditional aggregates, each collapsing the
+    // event stream to the |users| grain BEFORE its join (map-side
+    // partials, user-keyed equi-joins — the q126 shape extended one
+    // stage); the final single-row rollup closes with exact counts
+    // and two rounded rates.
+    QueryDef(
+      "q136_funnel_window",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val v0 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("v"))
+        val c0 = ev.filter(col("event_type") === "click")
+          .join(v0, Seq("user_id"))
+          .filter(col("ts_us") > col("v"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("c"), max(col("v")).as("v"))
+        val p0 = ev.filter(col("event_type") === "purchase")
+          .join(c0, Seq("user_id"))
+          .filter(col("ts_us") > col("c"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("p"), max(col("v")).as("v"))
+        val dayUs = 86400000000L
+        v0.join(c0.select(col("user_id"), lit(1L).as("clicked")),
+            Seq("user_id"), "left")
+          .join(p0.select(col("user_id"),
+            when(col("p") - col("v") <= dayUs, 1L).otherwise(0L)
+              .as("completed"), lit(1L).as("purchased")),
+            Seq("user_id"), "left")
+          .agg(count(lit(1)).cast("long").as("n_viewers"),
+            sum(coalesce(col("clicked"), lit(0L))).cast("long")
+              .as("n_clicked_after"),
+            sum(coalesce(col("purchased"), lit(0L))).cast("long")
+              .as("n_purchased_after"),
+            sum(coalesce(col("completed"), lit(0L))).cast("long")
+              .as("n_completed_24h"))
+          .select(col("n_viewers"), col("n_clicked_after"),
+            col("n_purchased_after"), col("n_completed_24h"),
+            round(col("n_purchased_after").cast("double") /
+              col("n_viewers").cast("double"), 6).as("chain_rate"),
+            round(col("n_completed_24h").cast("double") /
+              col("n_viewers").cast("double"), 6).as("window_rate"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |v0 AS (SELECT user_id, min(ts_us) AS v FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c0 AS (SELECT e.user_id, min(ts_us) AS c, max(v) AS v
+             |  FROM e JOIN v0 ON e.user_id = v0.user_id
+             |  WHERE event_type = 'click' AND ts_us > v GROUP BY 1),
+             |p0 AS (SELECT e.user_id, min(ts_us) AS p, max(v) AS v
+             |  FROM e JOIN c0 ON e.user_id = c0.user_id
+             |  WHERE event_type = 'purchase' AND ts_us > c GROUP BY 1),
+             |j AS (SELECT v0.user_id,
+             |    CASE WHEN c0.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |      AS clicked,
+             |    CASE WHEN p0.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |      AS purchased,
+             |    CASE WHEN p0.user_id IS NOT NULL
+             |      AND p0.p - p0.v <= 86400000000 THEN 1 ELSE 0 END
+             |      AS completed
+             |  FROM v0
+             |  LEFT JOIN c0 ON v0.user_id = c0.user_id
+             |  LEFT JOIN p0 ON v0.user_id = p0.user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+             |  CAST(sum(clicked) AS BIGINT) AS n_clicked_after,
+             |  CAST(sum(purchased) AS BIGINT) AS n_purchased_after,
+             |  CAST(sum(completed) AS BIGINT) AS n_completed_24h,
+             |  round(CAST(sum(purchased) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS chain_rate,
+             |  round(CAST(sum(completed) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS window_rate
+             |FROM j""".stripMargin)),
+
+    // ── q137: anomalous users by event-mix DIVERGENCE — each user's
+    // event-type distribution vs the corpus's, as Jensen–Shannon
+    // divergence, top-20 most divergent (the behavioral bot/replay
+    // read next to q116's cadence: a scraper is all 'view', a fraud
+    // script all 'purchase' — mix divergence catches what volume and
+    // timing stats miss). q108's exact-integer JSD machinery
+    // transplanted to the (user, type) grain: p/m and q/m are the
+    // integer rationals 2cN/(cN+gn) and 2gn/(cN+gn), each ln'd once
+    // into micro-unit costs, weighted sums accumulate in
+    // DECIMAL(38,0), two double divisions + round 6 close. A type
+    // the user never emits contributes exactly ln2 on the q side
+    // (cost of the c=0 row) — which is why the (user, type) grain
+    // ENUMERATES all types per user: the |types| dimension (a
+    // handful) crosses the |users| frame, never the corpus. Scale
+    // shape: one corpus scan to |users|×|types| cells, the 1-row
+    // global-mix frame broadcasts, divergence is a map-side cost
+    // lookup + one hash agg per user, top-20 TakeOrdered.
+    QueryDef(
+      "q137_user_mix_divergence",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"))
+        val cells = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val users = cells.groupBy(col("user_id"))
+          .agg(sum(col("c")).cast("long").as("n_u"))
+        val global = cells.groupBy(col("event_type"))
+          .agg(sum(col("c")).cast("long").as("g"))
+        val tot = global.agg(sum(col("g")).cast("long").as("n_tot"))
+        val full = users
+          .crossJoin(broadcast(global.crossJoin(tot)))
+          .join(cells, Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("n_u"), col("g"), col("n_tot"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .withColumn("den",
+            (col("c").cast(dec19) * col("n_tot").cast(dec19) +
+              col("g").cast(dec19) * col("n_u").cast(dec19)).cast(dec38))
+        val costP = when(col("c") > 0,
+          round(lit(1000000.0) * log(
+            (lit(2).cast(dec19) * col("c").cast(dec19) *
+              col("n_tot").cast(dec19)).cast(dec38).cast("double") /
+              col("den").cast("double"))).cast("long")).otherwise(lit(0L))
+        val costQ = round(lit(1000000.0) * log(
+          (lit(2).cast(dec19) * col("g").cast(dec19) *
+            col("n_u").cast(dec19)).cast(dec38).cast("double") /
+            col("den").cast("double"))).cast("long")
+        full
+          .withColumn("cost_p", costP).withColumn("cost_q", costQ)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_u")).as("n_events"),
+            max(col("n_tot")).as("n_tot"),
+            sum((col("c").cast(dec19) * col("cost_p").cast(dec19))
+              .cast(dec38)).as("sump"),
+            sum((col("g").cast(dec19) * col("cost_q").cast(dec19))
+              .cast(dec38)).as("sumq"))
+          .select(col("user_id"), col("n_events"),
+            round(
+              lit(0.5) * (col("sump").cast("double") /
+                (col("n_events").cast("double") * lit(1000000.0))) +
+                lit(0.5) * (col("sumq").cast("double") /
+                  (col("n_tot").cast("double") * lit(1000000.0))), 6)
+              .as("jsd"))
+          .orderBy(col("jsd").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH cells AS (SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |users AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_u
+             |  FROM cells GROUP BY 1),
+             |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS g
+             |  FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot FROM g),
+             |fl AS (SELECT u.user_id, u.n_u, g.event_type, g.g,
+             |    n_tot, coalesce(c, 0) AS c,
+             |    CAST(coalesce(c, 0) AS HUGEINT)*n_tot
+             |      + CAST(g.g AS HUGEINT)*u.n_u AS den
+             |  FROM users u CROSS JOIN g CROSS JOIN tot
+             |  LEFT JOIN cells ON cells.user_id = u.user_id
+             |    AND cells.event_type = g.event_type),
+             |costed AS (SELECT user_id, n_u, n_tot, c, g,
+             |    CASE WHEN c > 0 THEN
+             |      CAST(round(1000000.0*ln(CAST(2*CAST(c AS HUGEINT)*n_tot
+             |        AS DOUBLE)/CAST(den AS DOUBLE))) AS BIGINT)
+             |      ELSE 0 END AS cost_p,
+             |    CAST(round(1000000.0*ln(CAST(2*CAST(g AS HUGEINT)*n_u
+             |      AS DOUBLE)/CAST(den AS DOUBLE))) AS BIGINT) AS cost_q
+             |  FROM fl),
+             |a AS (SELECT user_id, max(n_u) AS n_events,
+             |    max(n_tot) AS n_tot,
+             |    sum(CAST(c AS HUGEINT)*cost_p) AS sump,
+             |    sum(CAST(g AS HUGEINT)*cost_q) AS sumq
+             |  FROM costed GROUP BY 1)
+             |SELECT user_id, n_events,
+             |  round(0.5*(CAST(sump AS DOUBLE)/(CAST(n_events AS DOUBLE)
+             |      *1000000.0))
+             |    + 0.5*(CAST(sumq AS DOUBLE)/(CAST(n_tot AS DOUBLE)
+             |      *1000000.0)), 6) AS jsd
+             |FROM a ORDER BY jsd DESC, user_id LIMIT 20""".stripMargin))
   )
 }

@@ -392,7 +392,7 @@ class QueriesSpec extends SparkTestBase {
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
       "q120_dup_coverage", "q127_revenue_concentration",
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
-      "q135_market_basket")
+      "q135_market_basket", "q137_user_mix_divergence")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1780,6 +1780,72 @@ class QueriesSpec extends SparkTestBase {
     assert(got.toSeq == want.map(w => (w._1, w._2, w._3, w._4)))
     // lift > 1 means genuinely associated — the top of the list must be
     assert(got.headOption.forall(_._4 > 1.0))
+  }
+
+  test("q136 windowed funnel equals a per-user sequential recompute") {
+    val r = SparkEntry.queries("q136_funnel_window")(spark, sf())
+      .collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .filter("event_type IN ('view','click','purchase')")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nv, nc, np, ncomp) = (0L, 0L, 0L, 0L)
+    byUser.values.foreach { xs =>
+      val views = xs.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        nv += 1
+        val v = views.min
+        val clicks = xs.filter(x => x._2 == "click" && x._3 > v).map(_._3)
+        if (clicks.nonEmpty) {
+          nc += 1
+          val c = clicks.min
+          val ps = xs.filter(x => x._2 == "purchase" && x._3 > c).map(_._3)
+          if (ps.nonEmpty) {
+            np += 1
+            if (ps.min - v <= 86400000000L) ncomp += 1
+          }
+        }
+      }
+    }
+    assert(got == ((nv, nc, np, ncomp)), s"$got vs ${(nv, nc, np, ncomp)}")
+    // the stage chain must be monotone
+    assert(nv >= nc && nc >= np && np >= ncomp)
+  }
+
+  test("q137 mix divergence equals an exact driver JSD; bounds hold") {
+    val got = SparkEntry.queries("q137_user_mix_divergence")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val global = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = ev.length.toDouble
+    val want = ev.groupBy(_._1).map { case (u, xs) =>
+      val cs = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val nU = xs.length.toDouble
+      val jsd = global.map { case (t, g) =>
+        val p = cs.getOrElse(t, 0L) / nU
+        val q = g / nTot
+        val m = (p + q) / 2.0
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      (u, xs.length.toLong, jsd)
+    }.toSeq.sortBy { x =>
+      // rank by the ROUNDED value like the query (q123's rule)
+      (-BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, x._1)
+    }
+    // top-20 membership and values (micro-rounding tolerance)
+    got.zip(want.take(20)).foreach { case ((gu, gn, gj), (wu, wn, wj)) =>
+      assert(math.abs(gj - wj) < 5e-6, s"user $gu jsd $gj vs $wj")
+      assert(gj >= -1e-9 && gj <= math.log(2.0) + 1e-9)
+      assert(gn == (if (gu == wu) wn else gn))
+    }
+    assert(got.map(_._1).toSet == want.take(20).map(_._1).toSet,
+      "top-20 divergent users")
   }
 
   test("q131 centroid drift equals an exact BigInt driver recompute") {
