@@ -2940,6 +2940,68 @@ object Relational {
              |      *1000000.0))
              |    + 0.5*(CAST(sumq AS DOUBLE)/(CAST(n_tot AS DOUBLE)
              |      *1000000.0)), 6) AS jsd
-             |FROM a ORDER BY jsd DESC, user_id LIMIT 20""".stripMargin))
+             |FROM a ORDER BY jsd DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ── q139: TIME-WEIGHTED average value per event type — each
+    // event's value holds until the user's next event, and the mean
+    // weights by that holding duration: the state-integral read for
+    // any "current level" signal (billing meters, sensor readings,
+    // session quality), where the plain average (q08) over-counts
+    // rapid-fire updates and under-counts long-held states; the
+    // plain mean ships alongside so the bias is visible. The last
+    // event of each user stream has no successor and is excluded
+    // (its holding time is unobserved — q106's honest-extent rule).
+    // Exactness: durations are exact integer micros off q18's
+    // (ts, event_id) total order, values are exact cent units, and
+    // the value·duration products accumulate in DECIMAL(38,0)
+    // (micros × cents crosses 2⁶³ fast — q58 discipline); each mean
+    // is ONE double division, round 6. Scale shape: one user_id-
+    // shuffle window pass (bounded per-user streams), then a
+    // map-side-partial moment aggregate to |types| rows.
+    QueryDef(
+      "q139_time_weighted_value",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            Q.fxUnits(col("value"), 100).as("v_fx"))
+          .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+          .filter(col("dur").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_held"),
+            sum(col("dur").cast(dec38)).as("sdur"),
+            sum((col("v_fx").cast(dec19) * col("dur").cast(dec19))
+              .cast(dec38)).as("svd"),
+            sum(col("v_fx").cast(dec38)).as("sv"))
+          .select(col("event_type"), col("n_held"),
+            round(col("svd").cast("double") /
+              (col("sdur").cast("double") * 100.0), 6).as("tw_avg"),
+            round(col("sv").cast("double") /
+              (col("n_held").cast("double") * 100.0), 6).as("plain_avg"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS ts_us,
+             |    CAST(round(value*100) AS BIGINT) AS v_fx
+             |  FROM events),
+             |g AS (SELECT event_type, v_fx,
+             |    lead(ts_us) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id) - ts_us AS dur
+             |  FROM e),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_held,
+             |    sum(CAST(dur AS HUGEINT)) AS sdur,
+             |    sum(CAST(v_fx AS HUGEINT)*dur) AS svd,
+             |    sum(CAST(v_fx AS HUGEINT)) AS sv
+             |  FROM g WHERE dur IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_held,
+             |  round(CAST(svd AS DOUBLE)/(CAST(sdur AS DOUBLE)*100.0), 6)
+             |    AS tw_avg,
+             |  round(CAST(sv AS DOUBLE)/(CAST(n_held AS DOUBLE)*100.0), 6)
+             |    AS plain_avg
+             |FROM a ORDER BY event_type""".stripMargin))
   )
 }

@@ -736,7 +736,64 @@ object VectorQueries {
              |SELECT label, max(n_e) AS n_even, max(n_o) AS n_odd,
              |  round(sqrt(CAST(sum(CAST(d_fx AS HUGEINT)*d_fx) AS DOUBLE))
              |    / 1e6, 6) AS drift_l2
-             |FROM j GROUP BY label ORDER BY label""".stripMargin))
+             |FROM j GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ── q138: MUTUAL nearest-neighbor pairs — vectors that are each
+    // other's top-1 cosine neighbor (the dedup-confidence upgrade
+    // over one-sided similarity: a near-dup claim where BOTH sides
+    // agree is the high-precision subset every alignment/dedup
+    // pipeline keeps first; one-sided kNN lists are q23/q29/q40's
+    // job). Determinism: the argmax runs on the 6-rounded cosine
+    // with a smallest-id tiebreak — a lexicographic max over the
+    // (cos, −id) struct, identical in both engines (q109's
+    // struct-max trick). Exact all-pairs form, q28's rule: the
+    // oracle-checkable baseline, HARD-guarded past 100k vectors
+    // (use the IVF family at scale); each side's rows spread via
+    // the repartitioned vector base so the pair scan parallelizes.
+    QueryDef(
+      "q138_mutual_nn",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = emb(s, d)
+        require(!overPairLimit(s, d),
+          "q138 is the exact mutual-NN baseline (>100k vectors => " +
+            ">5e9 pairs); compose the IVF family (q40/q54) at this scale")
+        val a = e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val nn = a.join(b, col("vec_a") =!= col("vec_b"))
+          .select(col("vec_a"),
+            round(GraftFunctions.dotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6).as("c"),
+            col("vec_b"))
+          .groupBy(col("vec_a"))
+          .agg(max(struct(col("c").as("c"), (-col("vec_b")).as("nid")))
+            .as("m"))
+          .select(col("vec_a"), col("m.c").as("cos_sim"),
+            (-col("m.nid")).as("nn_b"))
+        nn.toDF("x_id", "x_cos", "x_nn")
+          .join(nn.toDF("y_id", "y_cos", "y_nn"),
+            col("x_nn") === col("y_id") && col("y_nn") === col("x_id") &&
+              col("x_id") < col("y_id"))
+          .select(col("x_id").as("vec_a"), col("y_id").as("vec_b"),
+            col("x_cos").as("cos_sim"))
+          .orderBy(col("vec_a"))
+      },
+      Some(s"""${cosSql("TRUE", "TRUE")},
+              |p AS (SELECT vec_a, vec_b,
+              |    round(dot/(sqrt(na)*sqrt(nb)), 6) AS c
+              |  FROM s WHERE vec_a <> vec_b),
+              |nn AS (SELECT vec_a,
+              |    max({'c': c, 'nid': -vec_b}) AS m
+              |  FROM p GROUP BY 1),
+              |n2 AS (SELECT vec_a, m.c AS cos_sim, -m.nid AS nn_b
+              |  FROM nn)
+              |SELECT x.vec_a AS vec_a, x.nn_b AS vec_b,
+              |  x.cos_sim AS cos_sim
+              |FROM n2 x JOIN n2 y ON x.nn_b = y.vec_a
+              |  AND y.nn_b = x.vec_a AND x.vec_a < y.vec_a
+              |ORDER BY vec_a""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

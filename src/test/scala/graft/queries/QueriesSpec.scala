@@ -392,7 +392,8 @@ class QueriesSpec extends SparkTestBase {
       "q99_bm25_search", "q108_js_divergence", "q111_pmi_collocations",
       "q120_dup_coverage", "q127_revenue_concentration",
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
-      "q135_market_basket", "q137_user_mix_divergence")
+      "q135_market_basket", "q137_user_mix_divergence",
+      "q138_mutual_nn")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -1846,6 +1847,71 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got.map(_._1).toSet == want.take(20).map(_._1).toSet,
       "top-20 divergent users")
+  }
+
+  test("q138 mutual pairs equal a brute-force argmax recompute") {
+    val got = SparkEntry.queries("q138_mutual_nn")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = graft.sources.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nn = vecs.map { case (id, v) =>
+      val best = vecs.filter(_._1 != id)
+        .map { case (oid, ov) =>
+          (BigDecimal(cos(v, ov))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, -oid)
+        }.max
+      id -> -best._2
+    }.toMap
+    val want = nn.toSeq
+      .filter { case (a, b) => nn(b) == a && a < b }
+      .sortBy(_._1)
+    assert(got.toSeq == want, s"${got.length} vs ${want.length} pairs")
+    assert(got.nonEmpty, "a clustered corpus must have mutual pairs")
+    // mutuality is symmetric by construction: no id appears twice
+    val ids = got.flatMap(p => Seq(p._1, p._2))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("q139 time-weighted mean equals exact BigInt integrals") {
+    val got = SparkEntry.queries("q139_time_weighted_value")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS ts_us", "CAST(round(value*100) AS BIGINT) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val held = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._4, x._2))
+      s.zip(s.drop(1)).map { case (cur, nxt) =>
+        (cur._3, cur._5, nxt._4 - cur._4)
+      }
+    }.toSeq
+    val want = held.groupBy(_._1).map { case (t, hs) =>
+      val sdur = hs.map(h => BigInt(h._3)).sum
+      val svd = hs.map(h => BigInt(h._2) * BigInt(h._3)).sum
+      val sv = hs.map(h => BigInt(h._2)).sum
+      t -> ((hs.length.toLong,
+        svd.toDouble / (sdur.toDouble * 100.0),
+        sv.toDouble / (hs.length.toDouble * 100.0)))
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, (n, tw, pl)) =>
+      val (wn, wtw, wpl) = want(t)
+      assert(n == wn, s"$t held count")
+      assert(math.abs(tw - wtw) < 1e-6, s"$t tw $tw vs $wtw")
+      assert(math.abs(pl - wpl) < 1e-6, s"$t plain $pl vs $wpl")
+    }
   }
 
   test("q131 centroid drift equals an exact BigInt driver recompute") {
