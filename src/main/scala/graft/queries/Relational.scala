@@ -3002,6 +3002,62 @@ object Relational {
              |    AS tw_avg,
              |  round(CAST(sv AS DOUBLE)/(CAST(n_held AS DOUBLE)*100.0), 6)
              |    AS plain_avg
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ── q140: Benford first-digit audit — the observed first-
+    // significant-digit distribution of order totals vs Benford's
+    // law (P(d) = log₁₀(1 + 1/d)): the forensic read auditors run on
+    // any money column, because fabricated or generator-capped
+    // amounts drift from Benford long before any range check fires
+    // (on THIS synthetic fixture the deviation is large — which is
+    // itself the point: the audit correctly fingerprints a uniform
+    // generator as non-natural data). First digits extract from the
+    // exact cent units via string head — integer-exact in both
+    // engines, and invariant to the ×100 cent scaling (leading
+    // significant digit doesn't move with decimal shifts). Expected
+    // shares are the same 9 closed-form doubles computed identically
+    // on both sides; observed share and deviation are one division
+    // each, round 6. Scale shape: one scan to a 9-row hash agg with
+    // map-side partials; the total rides the same tiny frame via a
+    // 9-row window (q09's ratio-of-total rule) — nothing broadcast,
+    // nothing quadratic.
+    QueryDef(
+      "q140_benford_audit",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        t(s, d, "orders")
+          .select(Q.fxUnits(col("o_totalprice"), 100).as("u"))
+          .filter(col("u") > 0)
+          .select(substring(col("u").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("share",
+            round(col("n").cast("double") /
+              sum(col("n")).over(w).cast("double"), 6))
+          .withColumn("benford",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+              6))
+          .withColumn("dev", round(col("share") - col("benford"), 6))
+          .select(col("digit"), col("n"), col("share"), col("benford"),
+            col("dev"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH u AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+             |    AS u FROM orders),
+             |dg AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT)
+             |    AS digit
+             |  FROM u WHERE u > 0),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |  FROM dg GROUP BY 1),
+             |sh AS (SELECT digit, n,
+             |    round(CAST(n AS DOUBLE)/CAST(sum(n) OVER () AS DOUBLE), 6)
+             |      AS share,
+             |    round(log10(1.0 + 1.0/CAST(digit AS DOUBLE)), 6)
+             |      AS benford
+             |  FROM c)
+             |SELECT digit, n, share, benford,
+             |  round(share - benford, 6) AS dev
+             |FROM sh ORDER BY digit""".stripMargin))
   )
 }

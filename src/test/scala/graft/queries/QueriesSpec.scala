@@ -1914,6 +1914,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q140 Benford audit equals a driver recompute; fingerprints the generator") {
+    val got = SparkEntry.queries("q140_benford_audit")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val digits = graft.sources.Tables(spark, sf(), "orders")
+      .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS u")
+      .collect().map(_.getLong(0)).filter(_ > 0)
+      .map(_.toString.head.asDigit.toLong)
+    val want = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == want, "digit histogram")
+    val total = digits.length.toDouble
+    got.foreach { case (d, n, share, benford, dev) =>
+      assert(d >= 1 && d <= 9)
+      assert(math.abs(share - n / total) < 1e-6, s"digit $d share")
+      assert(math.abs(benford - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(math.abs(dev - (share - benford)) < 2e-6, s"digit $d dev")
+    }
+    // shares partition; and a uniform synthetic generator must NOT
+    // look Benford — the audit's whole point is flagging that
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5)
+    assert(got.map(r => math.abs(r._5)).max > 0.01,
+      "synthetic uniform amounts should deviate visibly from Benford")
+  }
+
   test("q131 centroid drift equals an exact BigInt driver recompute") {
     val got = SparkEntry.queries("q131_embedding_drift")(spark, sf())
       .collect().map(r => r.getInt(0) ->
