@@ -90,24 +90,45 @@ object Bench {
       s"\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Round 4's official bench record came back EMPTY: the diagnostics
-    // line (spread + plan hashes) outgrew the driver's captured output
-    // tail, truncating away every timing. So (a) the LAST thing printed
-    // is a compact line that always fits — total + per-query medians,
-    // no diagnostics — and (b) only that canonical line carries
-    // "metric":"total"; the diagnostics line is a distinct metric so a
-    // consumer aggregating records by metric name can never
-    // double-count the run. Order matters: tails keep the end.
-    println(s"""{"metric":"total_diagnostics","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"plans":$plans,"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // Rounds 4 AND 5 both lost the headline to tail truncation: the
-    // "compact" line above still embeds the full per-query map, so when
-    // the driver keeps only the last N bytes, the head (metric + value)
-    // falls off. The LAST line printed must therefore be bounded-size —
-    // no per-query map at all, just the headline total — so ANY tail
-    // window, however small, keeps a parsable record of the run.
+    // The regression-gate slice: the FIXED q01–q54 query set of the
+    // round-2 ≈30.5 s baseline record. The suite keeps growing (140+
+    // queries), so "total ≤ 2× of a 54-query baseline" is meaningless as
+    // a gate — the comparable metric is the sum over the SAME queries
+    // the baseline measured. Membership is by declared query number
+    // (q01…q54), which is stable: queries are never renumbered, only
+    // appended.
+    def qNum(name: String): Int =
+      name.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
+    val sliceResults = results.filter { case (k, _, _, _, ok) => ok && qNum(k) <= 54 }
+    val slice = sliceResults.map(_._2).sum
+    val nSlice = sliceResults.size
     val nQueries = results.count(_._5)
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","runs":$runs,"n_queries":$nQueries,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Rounds 4, 5 AND 6 each lost part of the official record to stdout
+    // tail truncation — the per-query map and the spread/plan-hash
+    // diagnostics never survived the driver's capture window. The full
+    // record therefore goes to a FILE (BENCH_DETAIL.json, overwritten
+    // per run, committed per round), and stdout carries ONLY bounded-
+    // size lines: the fixed-slice gate metric and the headline total.
+    // Any tail window, however small, keeps a parsable record; anyone
+    // needing per-query attribution reads the file artifact.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail =
+      s"""{"metric":"bench_detail","value":$total,"unit":"sec","runs":$runs,
+         |"n_queries":$nQueries,"slice_q01_q54":$slice,"n_slice":$nSlice,
+         |"queries":$qs,
+         |"spread":$spreads,
+         |"plans":$plans,
+         |"failed":$failedJson,"sf":"$sfDir","cpus":"$cpus"}
+         |""".stripMargin
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      // a detail-write failure must not sink the run; the stdout lines
+      // below still carry the gate metrics
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"slice_q01_q54","value":$slice,"unit":"sec","runs":$runs,"n_slice":$nSlice,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","runs":$runs,"n_queries":$nQueries,"failed":$failedJson,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -3013,8 +3013,13 @@ object Relational {
     // itself the point: the audit correctly fingerprints a uniform
     // generator as non-natural data). First digits extract from the
     // exact cent units via string head — integer-exact in both
-    // engines, and invariant to the ×100 cent scaling (leading
-    // significant digit doesn't move with decimal shifts). Expected
+    // engines. The audited digit is the CENT amount's: a pure decimal
+    // shift never moves the leading significant digit, but the cent
+    // ROUNDING can carry across a power of ten (9.9999 → 1000 cents
+    // reads 1, not 9), so amounts at rounding boundaries may report a
+    // different digit than the raw double would — both engines derive
+    // the cent units identically, so the statistic is still
+    // bit-identical; it is defined over cent-unit amounts. Expected
     // shares are the same 9 closed-form doubles computed identically
     // on both sides; observed share and deviation are one division
     // each, round 6. Scale shape: one scan to a 9-row hash agg with
@@ -3058,6 +3063,293 @@ object Relational {
              |  FROM c)
              |SELECT digit, n, share, benford,
              |  round(share - benford, 6) AS dev
-             |FROM sh ORDER BY digit""".stripMargin))
+             |FROM sh ORDER BY digit""".stripMargin)),
+
+    // ── q141: RIGHT OUTER join — returns coverage over the full part
+    // catalog. The fact side is deliberately selective (high-quantity
+    // returns: l_returnflag = 'R', l_quantity ≥ 40), so the preserved
+    // RIGHT side genuinely null-extends: ~12% of parts have no such
+    // return and must still appear in the brand rollup (the report a
+    // merchandiser actually reads — "which brands have catalog items
+    // the returns process never touched"). This closes the last join
+    // shape in the declared family (inner/left/semi/anti/full/range/
+    // as-of/lateral all exist; q83 closed FULL OUTER in r6).
+    //
+    // Scale shape: the fact side pre-aggregates to the part-key grain
+    // BEFORE the join (map-side partials into one exchange at ≤|parts|
+    // rows), then broadcasts into the catalog scan — a RightOuter
+    // BroadcastHashJoin with the build on the aggregated left, so the
+    // 100 TB fact table never joins at row grain and the catalog never
+    // shuffles. Null-extension is audited by the n_never_returned
+    // measure (counts right rows with no left match).
+    QueryDef(
+      "q141_right_outer",
+      (s, d) => {
+        val ret = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") >= 40)
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).cast("long").as("n_ret"),
+            sum(col("l_quantity").cast("long")).cast("long").as("ret_units"),
+            sum(Q.fxUnits(col("l_extendedprice"), 100)).cast("long")
+              .as("ret_cents"))
+        broadcast(ret)
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"),
+            "right_outer")
+          .groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            sum(when(col("n_ret").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_never_returned"),
+            sum(coalesce(col("n_ret"), lit(0L))).cast("long")
+              .as("n_ret_rows"),
+            sum(coalesce(col("ret_units"), lit(0L))).cast("long")
+              .as("ret_units"),
+            sum(coalesce(col("ret_cents"), lit(0L))).cast("long")
+              .as("ret_cents"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH ret AS (
+             |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ret,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_units,
+             |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+             |      AS BIGINT) AS ret_cents
+             |  FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity >= 40
+             |  GROUP BY 1)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(CASE WHEN n_ret IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_never_returned,
+             |  CAST(sum(coalesce(n_ret, 0)) AS BIGINT) AS n_ret_rows,
+             |  CAST(sum(coalesce(ret_units, 0)) AS BIGINT) AS ret_units,
+             |  CAST(sum(coalesce(ret_cents, 0)) AS BIGINT) AS ret_cents
+             |FROM ret RIGHT OUTER JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q142: approximate column profile — the 100 TB ANALYZE twin of
+    // q93. q93's exact per-column distinct is the stated oracle-anchor
+    // contract, and its price is k pruned scans + one distinct
+    // exchange per column (the one-pass exact rewrite was MEASURED
+    // WORSE — Spark's multi-distinct Expand groups on all 8 value
+    // columns at once; BASELINE.md records the trap). HLL++ sketches
+    // have no such trap: approx_count_distinct partials COMPOSE in a
+    // single aggregate, so all 8 columns profile in ONE scan with
+    // map-side partials and a 1-row final — no Expand, no per-column
+    // exchange, no second pass. n_rows / n_null / min / max stay
+    // exact (they were never the expensive part); only n_distinct is
+    // sketched (rsd 0.01 — ~12k registers per column, still trivially
+    // broadcast-size; rsd 0.02 measured 2.3% off on l_shipdate at
+    // sf0.001, past the declared gate), gated ≤2% against q93's exact counts in
+    // QueriesSpec. Approx by design → no DuckDB oracle (q45/q55
+    // precedent; DuckDB's approx_count_distinct uses a different
+    // sketch and cannot hash-match).
+    QueryDef(
+      "q142_column_profile_approx",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val num = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+        val id = (c: org.apache.spark.sql.Column) => c
+        val dt = (c: org.apache.spark.sql.Column) =>
+          date_format(c, "yyyy-MM-dd")
+        val cols: Seq[(String, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+          Seq(
+            ("l_discount", col("l_discount"), num),
+            ("l_extendedprice", col("l_extendedprice"), num),
+            ("l_linestatus", col("l_linestatus"), id),
+            ("l_orderkey", col("l_orderkey"), id),
+            ("l_quantity", col("l_quantity"), num),
+            ("l_returnflag", col("l_returnflag"), id),
+            ("l_shipdate", col("l_shipdate"), dt),
+            ("l_tax_nonzero", nullif(col("l_tax"), lit(0.0)), num))
+        val measures =
+          count(lit(1)).cast("long").as("n_rows") +:
+          cols.flatMap { case (n, c, render) => Seq(
+            sum(when(c.isNull, 1L).otherwise(0L)).cast("long")
+              .as(s"null_$n"),
+            approx_count_distinct(c, 0.01).cast("long").as(s"nd_$n"),
+            render(min(c)).cast("string").as(s"min_$n"),
+            render(max(c)).cast("string").as(s"max_$n")) }
+        val one = li.agg(measures.head, measures.tail: _*)
+        val stacked = cols.map { case (n, _, _) =>
+          s"'$n', null_$n, nd_$n, min_$n, max_$n" }.mkString(", ")
+        one.selectExpr("n_rows",
+            s"stack(${cols.size}, $stacked)" +
+              " AS (column, n_null, n_distinct_approx, min_s, max_s)")
+          .select(col("column"), col("n_rows"), col("n_null"),
+            col("n_distinct_approx"), col("min_s"), col("max_s"))
+          .orderBy(col("column"))
+      },
+      None),
+
+    // ── q143: WEIGHTED percentiles — quantity-weighted p50/p90 of the
+    // line price per return flag ("half the UNITS shipped sold at or
+    // below this price" — the unit-weighted read; q41's unweighted
+    // percentiles answer about rows, which over-represents small
+    // orders). Lower-weighted-quantile definition: pₚ = min{v : cumw ≥
+    // p·W} — entirely in exact integers (cumw·2 ≥ W for p50,
+    // cumw·10 ≥ 9·W for p90; worst case ~5e15 at 10¹³ rows × qty 50,
+    // inside long), so both engines resolve the same cent value and no
+    // interpolation arithmetic exists to diverge.
+    //
+    // Scale shape: the corpus collapses FIRST to the (flag, price-cent)
+    // grain — one hash agg with map-side partials whose output is
+    // bounded by the PRICE DOMAIN (distinct cent values the price
+    // range admits — ~10⁷ worst case), not by corpus rows; the cumsum
+    // window then runs per flag over that domain-bounded frame, and
+    // the |flags|-row totals broadcast back. At fixture sf the
+    // collapsed grain is near row count (synthetic prices rarely
+    // repeat), but at 100 TB the domain bound is what holds: the
+    // window never sees corpus-scale input. The final rollup is a
+    // |flags|-row conditional-min aggregate.
+    QueryDef(
+      "q143_weighted_percentile",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            Q.fxUnits(col("l_extendedprice"), 100).as("cents"))
+          .agg(sum(col("l_quantity").cast("long")).cast("long").as("w"))
+        val tot = base.groupBy(col("flag"))
+          .agg(sum(col("w")).cast("long").as("tw"))
+        val cw = Window.partitionBy(col("flag")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("cumw", sum(col("w")).over(cw).cast("long"))
+          .join(broadcast(tot), Seq("flag"))
+          .groupBy(col("flag"))
+          .agg(max(col("tw")).as("total_units"),
+            min(when(col("cumw") * 2 >= col("tw"), col("cents"))).as("p50c"),
+            min(when(col("cumw") * 10 >= col("tw") * 9, col("cents")))
+              .as("p90c"))
+          .select(col("flag"), col("total_units"),
+            (col("p50c").cast("double") / 100.0).as("p50"),
+            (col("p90c").cast("double") / 100.0).as("p90"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw
+             |  FROM b GROUP BY 1),
+             |c AS (SELECT b.flag, cents, w, tw,
+             |    sum(w) OVER (PARTITION BY b.flag ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS cumw
+             |  FROM b JOIN t ON t.flag = b.flag)
+             |SELECT flag, CAST(max(tw) AS BIGINT) AS total_units,
+             |  CAST(min(CASE WHEN cumw*2 >= tw THEN cents END)
+             |    AS DOUBLE)/100.0 AS p50,
+             |  CAST(min(CASE WHEN cumw*10 >= tw*9 THEN cents END)
+             |    AS DOUBLE)/100.0 AS p90
+             |FROM c GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ── q144: calendar GAP-FILL with last-observation-carried-forward
+    // — per event type, the dense daily series where a day with no
+    // events carries the previous observed day's mean value (the
+    // standard time-series repair between a sparse event feed and any
+    // model that wants one row per day: sensors, prices, meter
+    // levels), plus the staleness age (days since the value was last
+    // observed — the "how stale is this fill" column a consumer gates
+    // on). Null before a type's first observation: there is nothing
+    // honest to carry (q139's honest-extent rule).
+    //
+    // Determinism: the carried value is the daily exact-cent mean
+    // rounded to 6 BEFORE the carry, so both engines forward
+    // bit-identical doubles; staleness is exact DATE arithmetic.
+    // Scale shape: the corpus collapses map-side to the (type, day)
+    // grain (one hash agg); the calendar generates from the observed
+    // span (explode(sequence), q61's rule — never a day×day join);
+    // the LOCF window runs per type over the |days| calendar — a
+    // DIMENSION-bounded frame (types × days, ~12.5 k rows at any
+    // corpus size), so the unbounded-preceding frame is safe at any
+    // scale.
+    QueryDef(
+      "q144_gap_fill",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(Q.fxUnits(col("value"), 100)).cast("long").as("cents"))
+          .withColumn("day_avg",
+            round(col("cents").cast("double") /
+              (col("n_events").cast("double") * 100.0), 6))
+        val days = daily
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val lw = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select(col("event_type")).distinct()
+          .crossJoin(broadcast(days))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("filled",
+            last(col("day_avg"), ignoreNulls = true).over(lw))
+          .withColumn("last_obs",
+            last(when(col("n_events").isNotNull, col("day")),
+              ignoreNulls = true).over(lw))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("filled"),
+            datediff(col("day"), col("last_obs")).cast("long")
+              .as("staleness_days"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |dense AS (SELECT t.event_type, days.day, n_events,
+             |    round(CAST(cents AS DOUBLE) /
+             |      (CAST(n_events AS DOUBLE)*100.0), 6) AS day_avg
+             |  FROM (SELECT DISTINCT event_type FROM daily) t
+             |  CROSS JOIN days
+             |  LEFT JOIN daily ON daily.event_type = t.event_type
+             |    AND daily.day = days.day)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+             |  coalesce(n_events, 0) AS n_events,
+             |  last_value(day_avg IGNORE NULLS) OVER w AS filled,
+             |  CAST(date_diff('day',
+             |    last_value(CASE WHEN n_events IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER w, day) AS BIGINT) AS staleness_days
+             |FROM dense
+             |WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |  ROWS UNBOUNDED PRECEDING)
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ── q145: sliding 7-day distinct users via HLL sketch UNION — the
+    // 100 TB twin of q61. q61's exact form replicates every (day,
+    // user) row into 7 window anchors before the distinct-count
+    // shuffle — 7× a corpus-scale exchange. Here the corpus collapses
+    // ONCE to |days| fixed-size Datasketches HLL sketches (lgConfigK
+    // 14 ≈ 16 KB each, rsd ≈ 0.8%); the 7-anchor replication and the
+    // union then run over the ~2.5 k-row sketch frame — kilobytes,
+    // not the event stream. Sketch union is exactly the mergeable-
+    // partial-aggregate property that makes the pattern hold for ANY
+    // window length (a 90-day window costs the same shuffle). Approx
+    // by design → no DuckDB oracle (Datasketches HLL ≠ DuckDB's
+    // sketch); QueriesSpec gates the per-day estimate within 5% of
+    // q61's exact counts (q45's precedent).
+    QueryDef(
+      "q145_sliding_distinct_hll",
+      (s, d) => {
+        val dailySk = t(s, d, "events")
+          .select(to_date(col("ts")).as("dd"), col("user_id"))
+          .groupBy(col("dd"))
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        val days = dailySk.select(col("dd").as("day")).distinct()
+        dailySk
+          .select(explode(sequence(col("dd"), date_add(col("dd"), 6)))
+            .as("day"), col("sk"))
+          .groupBy(col("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false))
+            .cast("long").as("n_users_7d_est"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_users_7d_est"))
+          .orderBy(col("day"))
+      },
+      None)
   )
 }

@@ -162,8 +162,45 @@ object TextQueries {
   /** Drop this session's cached text bases (see
     * [[DedupQueries.clearCaches]] for when eviction matters).
     */
-  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     qualityCache.clear(s)
+    lmCache.clear(s)
+    termDfCache.clear(s)
+    bm25Cache.clear(s)
+    bm25StatsCache.clear(s)
+    phraseHitsCache.clear(s)
+  }
+
+  // q99's BM25 corpus stats (1 row) + probe-term tf hit rows, and
+  // q114's phrase-hit posting list — the last derived bases that
+  // rebuilt per session before round 7; now uniform with the shingle/
+  // LM/vector families (build once, stamp-checked, durable-tier read
+  // in a cold session).
+  private val bm25Cache = new StampedCache("bm25_tf_hits")
+  private val bm25StatsCache = new StampedCache("bm25_stats")
+  private val phraseHitsCache = new StampedCache("phrase_hits")
+
+  private val termDfCache = new StampedCache("term_df")
+
+  /** Corpus term document-frequency table `(term, df)` — the derived
+    * base behind q121's stopword prune (and the natural artifact any
+    * df-weighted statistic reads). Built once per corpus as a
+    * wordcount-shaped pass — per-doc distinct token set exploded into
+    * ONE hash agg at term grain, map-side partials — then persisted
+    * through the stamped/durable tier like the shingle and LM bases:
+    * at 100 TB this is the build-at-ingest dictionary, never a
+    * per-query recompute.
+    */
+  private[graft] def termDf(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    termDfCache.get(s, d) {
+      t(s, d, "documents")
+        .select(explode(array_distinct(
+          filter(split(col("text"), " "), tk => length(tk) > 0)))
+          .as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"))
+    }
 
   private val lmCache = new StampedCache("lm_bigram_cost")
 
@@ -1148,7 +1185,7 @@ object TextQueries {
       (s, d) => {
         val terms = Bm25Terms
         val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-        val withTf = t(s, d, "documents")
+        def withTf = t(s, d, "documents")
           .withColumn("tk",
             filter(split(col("text"), " "), tk => length(tk) > 0))
           .select(Seq(
@@ -1156,12 +1193,26 @@ object TextQueries {
             terms.zipWithIndex.map { case (tm, i) =>
               size(filter(col("tk"), x => x === tm)).cast("long").as(s"tf$i")
             }: _*)
-        val stats = withTf.agg(
-          count(lit(1)).cast("long").as("n_docs"),
-          Seq(sum(col("dl")).cast("long").as("total_dl")) ++
-            terms.indices.map(i =>
-              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
-                .as(s"df$i")): _*)
+        // Both derived frames ride the stamped/durable tier (round 7 —
+        // the last index family that still rebuilt per session): the
+        // 1-row corpus stats (N, Σdl, df per term) and the tf rows of
+        // the ≤|hit docs| documents matching any probe term. A cold
+        // session reads two small artifacts instead of re-scanning the
+        // corpus; the stats frame stays the corpus-WIDE aggregate (it
+        // must count non-matching docs, so it cannot derive from the
+        // hits artifact).
+        val stats = bm25StatsCache.get(s, d) {
+          withTf.agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            Seq(sum(col("dl")).cast("long").as("total_dl")) ++
+              terms.indices.map(i =>
+                sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
+                  .as(s"df$i")): _*)
+        }
+        val hits = bm25Cache.get(s, d) {
+          withTf.filter(terms.indices.map(i => col(s"tf$i") > 0)
+            .reduce(_ || _))
+        }
         val avgdl = dbl(col("total_dl")) / dbl(col("n_docs"))
         def contrib(i: Int) = {
           val tf = dbl(col(s"tf$i"))
@@ -1170,8 +1221,7 @@ object TextQueries {
             (tf * 2.2) /
             (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * dbl(col("dl"))) / avgdl))
         }
-        withTf.crossJoin(broadcast(stats))
-          .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+        hits.crossJoin(broadcast(stats))
           .select(Seq(col("doc_id"), col("dl").as("n_tokens")) ++
             terms.zipWithIndex.map { case (tm, i) =>
               col(s"tf$i").as(s"tf_$tm") } :+
@@ -1528,25 +1578,31 @@ object TextQueries {
         // the bound token array, then a |phrases|-way stack unpivot —
         // a per-phrase union would rescan the corpus once per probe
         // (measured 3× the runtime of this shape at sf0.1)
-        val counted = t(s, d, "documents")
-          .withColumn("tk",
-            filter(split(col("text"), " "), tk => length(tk) > 0))
-          .select(col("doc_id") +: PhraseProbes.zipWithIndex.map {
-            case (ph, ix) =>
-              val Array(w1, w2) = ph.split(" ")
-              when(size(col("tk")) >= 2,
-                size(filter(sequence(lit(0), size(col("tk")) - 2),
-                  i => element_at(col("tk"), i + 1) === w1 &&
-                    element_at(col("tk"), i + 2) === w2)))
-                .otherwise(0).cast("long").as(s"c$ix")
-          }: _*)
-        val stacked = PhraseProbes.zipWithIndex.map { case (ph, ix) =>
-          s"'$ph', c$ix"
-        }.mkString(", ")
-        val perPhrase = counted
-          .selectExpr("doc_id",
-            s"stack(${PhraseProbes.size}, $stacked) AS (phrase, n_occ)")
-          .filter(col("n_occ") > 0)
+        // the (phrase, doc_id, n_occ) hit list rides the stamped/
+        // durable tier (round 7): it is the phrase-search posting
+        // artifact — small (hit docs only), rebuilt only when the
+        // corpus stamp moves, read cold by any later session
+        val perPhrase = phraseHitsCache.get(s, d) {
+          val counted = t(s, d, "documents")
+            .withColumn("tk",
+              filter(split(col("text"), " "), tk => length(tk) > 0))
+            .select(col("doc_id") +: PhraseProbes.zipWithIndex.map {
+              case (ph, ix) =>
+                val Array(w1, w2) = ph.split(" ")
+                when(size(col("tk")) >= 2,
+                  size(filter(sequence(lit(0), size(col("tk")) - 2),
+                    i => element_at(col("tk"), i + 1) === w1 &&
+                      element_at(col("tk"), i + 2) === w2)))
+                  .otherwise(0).cast("long").as(s"c$ix")
+            }: _*)
+          val stacked = PhraseProbes.zipWithIndex.map { case (ph, ix) =>
+            s"'$ph', c$ix"
+          }.mkString(", ")
+          counted
+            .selectExpr("doc_id",
+              s"stack(${PhraseProbes.size}, $stacked) AS (phrase, n_occ)")
+            .filter(col("n_occ") > 0)
+        }
         graft.plans.GroupedTopK.topK(perPhrase, Seq("phrase"),
             Seq(("n_occ", true), ("doc_id", false)), 10)
           .select(col("phrase"), col("doc_id"), col("n_occ"))
@@ -1706,27 +1762,75 @@ object TextQueries {
     // statistic embedding training consumes — skip-gram/GloVe
     // training data IS this grain; q60/q111 see only ADJACENT pairs,
     // which misses most of a word's context). Pairs normalize
-    // (least, greatest) so both orders land in one cell. Scale
-    // shape: pair generation is nested codegen HOFs over the bound
-    // token array — each position emits ≤ 3 pairs map-side, so the
-    // explode carries ≤ 3·corpus-tokens rows into ONE hash agg at
-    // the pair-vocabulary grain (map-side partials); top-20 is
-    // TakeOrdered, never a global sort.
+    // (least, greatest) so both orders land in one cell.
+    //
+    // Stopword df-prune (round 7): terms whose document frequency
+    // exceeds `spark.graft.cooc.dfCeiling` (share of docs, default
+    // 0.5) are dropped BEFORE pair emission — ubiquitous terms carry
+    // no co-occurrence signal (their PMI ≈ 0 by construction) yet
+    // dominate pair MASS, which is exactly the cost term at 100 TB.
+    // The window stays ±3 ORIGINAL token positions: pruning removes
+    // pair endpoints, it does not compress distances (two rare terms
+    // separated by 5 stopwords still do NOT pair). Semantics note on
+    // the fixtures: the synthetic vocabulary is 31 terms of which 30
+    // appear in ~77% of documents, so the prune keeps only the rare
+    // 'dup' marker and the result is deliberately small — on a real
+    // corpus the df distribution is Zipfian and the ceiling removes
+    // the ~1% stopword head that carries ~half the token mass.
+    // Ceiling ≥ 1.0 disables the prune (positions survive intact and
+    // the gap condition is vacuous, so the plan degrades to the
+    // original unpruned pair mining — QueriesSpec proves the
+    // equivalence).
+    //
+    // Scale shape: the hot set derives from the cached/durable
+    // `term_df` base (built once per corpus) via a PLAN-TIME collect
+    // bounded by avg-distinct-terms-per-doc ÷ ceiling (Σdf ≤ N·avg ⇒
+    // ≤ ~2·avg terms at the 0.5 default; require-guarded loud) and
+    // compiles into an InSet token filter — no join, no broadcast.
+    // Pair generation is nested codegen HOFs over the surviving
+    // POSITION array — each surviving position emits ≤ 3 pairs
+    // map-side, so the explode carries ≤ 3·surviving-tokens rows into
+    // ONE hash agg at the pair-vocabulary grain (map-side partials);
+    // top-20 is TakeOrdered, never a global sort.
     QueryDef(
       "q121_cooccurrence",
       (s, d) => {
+        val ceiling =
+          s.conf.get("spark.graft.cooc.dfCeiling", "0.5").toDouble
+        val hot: Seq[String] =
+          if (ceiling >= 1.0) Nil
+          else {
+            val nDocs = t(s, d, "documents").count()
+            val h = termDf(s, d)
+              .filter(col("df").cast("double") > lit(ceiling * nDocs))
+              .select(col("term")).collect().map(_.getString(0)).toSeq
+            require(h.size <= 100000,
+              s"q121 hot-term set ${h.size} exceeds the plan-time bound" +
+                " — raise spark.graft.cooc.dfCeiling or rebuild term_df")
+            h
+          }
         val tk = col("tk")
+        val ps = col("ps")
         t(s, d, "documents")
           .withColumn("tk",
             filter(split(col("text"), " "), t => length(t) > 0))
           .filter(size(tk) >= 2)
+          .withColumn("ps",
+            if (hot.isEmpty) sequence(lit(0), size(tk) - 1)
+            else filter(sequence(lit(0), size(tk) - 1),
+              i => !element_at(tk, i + 1).isin(hot: _*)))
+          .filter(size(ps) >= 2)
           .select(explode(flatten(
-            transform(sequence(lit(0), size(tk) - 2), i =>
-              transform(sequence(i + 1, least(i + 3, size(tk) - 1)), j =>
-                struct(
-                  least(element_at(tk, i + 1), element_at(tk, j + 1))
+            transform(sequence(lit(0), size(ps) - 2), a =>
+              transform(
+                filter(sequence(a + 1, least(a + 3, size(ps) - 1)), b =>
+                  element_at(ps, b + 1) - element_at(ps, a + 1) <= 3),
+                b => struct(
+                  least(element_at(tk, element_at(ps, a + 1) + 1),
+                      element_at(tk, element_at(ps, b + 1) + 1))
                     .as("term_a"),
-                  greatest(element_at(tk, i + 1), element_at(tk, j + 1))
+                  greatest(element_at(tk, element_at(ps, a + 1) + 1),
+                      element_at(tk, element_at(ps, b + 1) + 1))
                     .as("term_b")))))).as("p"))
           .select(col("p.term_a"), col("p.term_b"))
           .groupBy(col("term_a"), col("term_b"))
@@ -1737,12 +1841,19 @@ object TextQueries {
       Some("""WITH toks AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
              |  FROM documents),
-             |pairs AS (SELECT least(t[i], t[j]) AS term_a,
-             |    greatest(t[i], t[j]) AS term_b
-             |  FROM toks,
-             |    unnest(range(1, len(t))) AS a(i),
-             |    unnest(range(i + 1, least(i + 3, len(t)) + 1)) AS b(j)
-             |  WHERE len(t) >= 2)
+             |nd AS (SELECT count(*) AS n_docs FROM toks),
+             |df AS (SELECT u AS term, count(DISTINCT doc_id) AS df
+             |  FROM toks, unnest(t) AS un(u) GROUP BY 1),
+             |hot AS (SELECT term FROM df, nd
+             |  WHERE CAST(df AS DOUBLE) > 0.5 * n_docs),
+             |pos AS (SELECT doc_id, i, t[i] AS term
+             |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+             |  WHERE len(t) >= 2
+             |    AND t[i] NOT IN (SELECT term FROM hot)),
+             |pairs AS (SELECT least(p.term, q.term) AS term_a,
+             |    greatest(p.term, q.term) AS term_b
+             |  FROM pos p JOIN pos q
+             |    ON q.doc_id = p.doc_id AND q.i > p.i AND q.i <= p.i + 3)
              |SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n
              |FROM pairs GROUP BY 1, 2
              |ORDER BY n DESC, term_a, term_b LIMIT 20""".stripMargin)),

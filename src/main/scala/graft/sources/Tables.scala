@@ -17,6 +17,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // once-per-path guard for the nanos-era magnitude check below
+  private val nanosRangeChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  // an analysis error's useful text may sit behind wrapper exceptions
+  private def msgChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
     if (name == "events") {
@@ -27,17 +36,46 @@ object Tables {
       // (micros, NTZ). Schema evolution across corpus generations is
       // exactly the 100 TB reality, so the loader dispatches on the
       // OBSERVED footer type instead of assuming one era's layout.
-      // NOTE nanosAsLong is session-wide and stays set: after the
-      // first events read, other TIMESTAMP(NANOS) parquet in the same
-      // session also surfaces as LongType instead of erroring. The
-      // fixtures have exactly one nanos-era table, so this is
-      // accepted — a multi-source deployment should scope it per read.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is set ONLY after the plain footer probe fails
+      // with the SPARK-40819 nanos rejection (round 7 — previously it
+      // was set unconditionally, so unrelated TIMESTAMP(NANOS) parquet
+      // read in a non-nanos-era session silently surfaced as LongType;
+      // now non-nanos eras leave session state untouched). Once set it
+      // stays set for the session — the documented cost of reading a
+      // nanos-era corpus on a shared session.
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      val path = s"$sfDir/$name.parquet"
+      val raw =
+        try spark.read.parquet(path)
+        catch {
+          case e: Throwable if msgChain(e).exists(m =>
+              m.contains("TIMESTAMP(NANOS") || m.contains("NANOS")) =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
       raw.schema("ts").dataType match {
-        case LongType => // nanos-as-long era: rebuild micros exactly
+        case LongType =>
+          // nanos-as-long era: rebuild micros exactly. A plain BIGINT
+          // ts column is INDISTINGUISHABLE from NANOS-under-the-flag
+          // by type alone, so sanity-check the magnitude of one
+          // sampled value before dividing: nanos for any instant
+          // 1973..2128 lie in [1e17, 5e18]; epoch-micros (~1.6e15) or
+          // epoch-seconds (~1.6e9) shipped as raw BIGINT would pass
+          // the type dispatch and come out wrong by 1000× — fail
+          // loudly instead. Checked once per directory (tiny
+          // single-row-group read, memoized).
+          if (nanosRangeChecked.putIfAbsent(path, true) == null) {
+            spark.read.parquet(path).select("ts").limit(1).collect()
+              .headOption.foreach { r =>
+                val v = r.getLong(0)
+                require(v >= 100000000000000000L &&
+                    v <= 5000000000000000000L,
+                  s"events.ts long value $v is outside the plausible " +
+                    "nanos range [1e17, 5e18] — this BIGINT era is not " +
+                    "TIMESTAMP(NANOS); teach Tables its unit explicitly")
+              }
+          }
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampType => raw
         case TimestampNTZType => // same instant under the UTC session

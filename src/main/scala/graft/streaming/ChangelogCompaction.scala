@@ -56,7 +56,15 @@ object ChangelogCompaction {
   }
 
   /** Merge one changelog delta into the standing view at `path`
-    * (creating it if absent). Returns the standing view row count.
+    * (creating it if absent). Returns the rows COMMITTED by this
+    * delivery: the whole view in full-rewrite mode (the rewrite writes
+    * every row), the touched-slice row count in partitioned mode. The
+    * partitioned return is deliberately NOT the standing total — a
+    * per-delivery `standingCount` would footer-scan every bucket of
+    * the view on every micro-batch, an O(view) read that breaks the
+    * documented O(delta + touched slice) apply cost; a caller that
+    * wants the table total calls [[PartitionedCommit.standingCount]]
+    * explicitly, outside the delivery loop.
     */
   def applyDelta(
       delta: DataFrame, path: String, keyCol: String,
@@ -95,7 +103,6 @@ object ChangelogCompaction {
               .withColumn(B, PartitionedCommit.bucketOf(col(keyCol), n))
         }
         PartitionedCommit.commitPartitions(spark, merged, path, touched)
-        PartitionedCommit.standingCount(spark, path)
     }
   }
 

@@ -1482,24 +1482,10 @@ class QueriesSpec extends SparkTestBase {
     assert(got.last._5 <= 1.0 + 1e-9)
   }
 
-  test("q121 co-occurrence equals a driver-side window-pair recompute") {
-    val got = SparkEntry.queries("q121_cooccurrence")(spark, sf())
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val docs = graft.sources.Tables(spark, sf(), "documents")
-      .select("text").collect()
-      .map(_.getString(0).split(" ").filter(_.nonEmpty))
-    val pairs = docs.flatMap { t =>
-      t.indices.flatMap { i =>
-        ((i + 1) to math.min(i + 3, t.length - 1)).map { j =>
-          if (t(i) <= t(j)) (t(i), t(j)) else (t(j), t(i))
-        }
-      }
-    }
-    val want = pairs.groupBy(identity)
-      .map { case (p, xs) => (p._1, p._2, xs.length.toLong) }.toSeq
-      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
-    assert(got.toSeq == want)
-  }
+  // (the former "q121 ≡ driver-side window-pair recompute" pin moved
+  // into the round-7 df-prune test at the end of this suite, which
+  // proves BOTH modes: the default pruned statistic and, at ceiling
+  // 1.0, exactly the original unpruned recompute this test pinned.)
 
   test("q122 confusion matrix partitions the corpus; shares sum to 1") {
     val got = SparkEntry.queries("q122_lang_confusion")(spark, sf())
@@ -1996,6 +1982,163 @@ class QueriesSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) =>
       assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
       assert(math.abs(g._4 - w._4) < 1e-9, s"rolling sum $g vs $w")
+    }
+  }
+
+  test("q141 right outer preserves the full part catalog and genuinely null-extends") {
+    val out = SparkEntry.queries("q141_right_outer")(spark, sf()).collect()
+    val nParts = graft.sources.Tables(spark, sf(), "part").count()
+    assert(out.map(_.getLong(1)).sum == nParts,
+      "every catalog part must appear exactly once across brands")
+    assert(out.map(_.getLong(2)).sum > 0,
+      "some parts must have no qualifying return (real null-extension)")
+    // the declared join shape survives optimization: the logical plan
+    // keeps RightOuter (EliminateOuterJoin must not downgrade it — the
+    // aggregate reads the null-extended side via n_ret IS NULL)
+    val logical = SparkEntry.queries("q141_right_outer")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    assert(logical.contains("RightOuter"),
+      "q141 must plan a genuine right-outer join")
+  }
+
+  test("q142 approx profile: exact measures match q93, distincts within 2%, one pass") {
+    val exact = SparkEntry.queries("q93_column_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = SparkEntry.queries("q142_column_profile_approx")(spark, sf())
+      .collect()
+    assert(approx.map(_.getString(0)).toSet == exact.keySet)
+    approx.foreach { r =>
+      val name = r.getString(0)
+      val e = exact(name)
+      assert(r.getLong(1) == e.getLong(1), s"$name n_rows")
+      assert(r.getLong(2) == e.getLong(2), s"$name n_null")
+      val (ex, ap) = (e.getLong(3), r.getLong(3))
+      assert(ex == 0 || math.abs(ap - ex).toDouble / ex <= 0.02,
+        s"$name: approx distinct $ap vs exact $ex drifts past 2%")
+      assert(Option(r.getString(4)) == Option(e.getString(4)) &&
+        Option(r.getString(5)) == Option(e.getString(5)), s"$name min/max")
+    }
+    // the whole point of the twin: ONE aggregate pass — no Expand (the
+    // q93 multi-distinct trap BASELINE.md records), no hash exchange
+    val plan = SparkEntry.queries("q142_column_profile_approx")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "q142 must not hit the multi-distinct Expand trap")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "q142 is a single global aggregate — no per-column exchange")
+  }
+
+  test("q121 df-prune: default ceiling prunes hot terms; ceiling 1.0 is the unpruned statistic") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    // brute-force reference: pairs over surviving ORIGINAL positions,
+    // window = position distance ≤ 3 (pruning removes endpoints, it
+    // does not compress distances)
+    def pairs(keep: String => Boolean): Map[(String, String), Long] = {
+      val m = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      docs.foreach { t =>
+        val ps = t.indices.filter(i => keep(t(i)))
+        for {
+          ai <- ps.indices
+          bi <- (ai + 1) until ps.length
+          if ps(bi) - ps(ai) <= 3
+        } {
+          val (a, b) = (t(ps(ai)), t(ps(bi)))
+          m(if (a <= b) (a, b) else (b, a)) += 1
+        }
+      }
+      m.toMap
+    }
+    def top(m: Map[(String, String), Long]) =
+      m.toSeq.map { case ((a, b), c) => (a, b, c) }
+        .sortBy { case (a, b, c) => (-c, a, b) }.take(20).toList
+    def run() = SparkEntry.queries("q121_cooccurrence")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toList
+    val n = docs.length
+    val df = docs.flatMap(_.distinct).groupBy(identity).map {
+      case (k, v) => k -> v.size }
+    val hot = df.collect { case (k, c) if c > 0.5 * n => k }.toSet
+    assert(hot.nonEmpty, "fixture must have ubiquitous terms to prune")
+    assert(run() == top(pairs(w => !hot(w))),
+      "default ceiling 0.5 must equal the brute-force pruned statistic")
+    spark.conf.set("spark.graft.cooc.dfCeiling", "1.0")
+    try assert(run() == top(pairs(_ => true)),
+      "ceiling 1.0 must reproduce the original unpruned pair mining")
+    finally spark.conf.unset("spark.graft.cooc.dfCeiling")
+  }
+
+  test("q143 weighted percentiles equal a driver-side exact recompute") {
+    val got = SparkEntry.queries("q143_weighted_percentile")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = graft.sources.Tables(spark, sf(), "lineitem")
+      .selectExpr("l_returnflag",
+        "CAST(round(l_extendedprice*100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (flag, xs) =>
+      val tw = xs.map(_._3).sum
+      val sorted = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      def pick(num: Long, den: Long): Long = { // min v: cumw*den >= num*tw
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum * den >= num * tw }
+          .get._1
+      }
+      flag -> ((tw, pick(1, 2) / 100.0, pick(9, 10) / 100.0))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (flag, (tw, p50, p90)) =>
+      val (gtw, g50, g90) = got(flag)
+      assert(gtw == tw, s"$flag total units")
+      assert(g50 == p50 && g90 == p90,
+        s"$flag: got ($g50, $g90) want ($p50, $p90)")
+    }
+  }
+
+  test("q144 gap-fill carries the last observed value and ages it honestly") {
+    val out = SparkEntry.queries("q144_gap_fill")(spark, sf()).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // grain: every (type, calendar-day) cell exactly once
+    val types = out.map(_._1).distinct
+    val days = out.map(_._2).distinct
+    assert(out.length == types.length * days.length,
+      "output must be the dense types × calendar grid")
+    out.groupBy(_._1).foreach { case (tpe, cells) =>
+      val seq = cells.sortBy(_._2)
+      var lastVal: Option[Double] = None
+      var sinceObs = -1L
+      seq.foreach { case (_, day, n, filled, stale) =>
+        if (n > 0) {
+          assert(filled.isDefined, s"$tpe $day observed day must fill")
+          lastVal = filled
+          sinceObs = 0L
+          assert(stale.contains(0L), s"$tpe $day staleness on observed day")
+        } else {
+          assert(filled == lastVal,
+            s"$tpe $day must carry the last observed value")
+          if (sinceObs >= 0) sinceObs += 1
+          assert(stale == (if (sinceObs < 0) None else Some(sinceObs)),
+            s"$tpe $day staleness")
+        }
+      }
+    }
+  }
+
+  test("q145 HLL sliding distinct is within 5% of exact q61 per day") {
+    val exact = SparkEntry.queries("q61_sliding_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q145_sliding_distinct_hll")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "same anchored-day set as q61")
+    exact.foreach { case (day, ex) =>
+      assert(math.abs(est(day) - ex).toDouble / ex <= 0.05,
+        s"$day: est ${est(day)} vs exact $ex")
     }
   }
 }

@@ -149,7 +149,11 @@ class IndexStoreSpec extends SparkTestBase {
     // entries are fresh builds by construction)
     val families = Seq("q25_dedup_ngram_jaccard", "q26_dedup_minhash",
       "q27_dedup_simhash", "q40_ann_ivf", "q54_dedup_embedding_ivf",
-      "q73_image_phash_dedup", "q75_image_dedup_clusters")
+      "q73_image_phash_dedup", "q75_image_dedup_clusters",
+      // round 7: the last per-session rebuilders joined the tier —
+      // BM25 stats + tf hits (q99), phrase posting list (q114),
+      // term-df dictionary (q121's stopword prune)
+      "q99_bm25_search", "q114_phrase_search", "q121_cooccurrence")
     val truth = families.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
 
     // warm store-enabled session: builds and persists every index
@@ -165,7 +169,8 @@ class IndexStoreSpec extends SparkTestBase {
     val stored = fs.listStatus(corpusRoot).map(_.getPath.getName).toSet
     Seq("shingles", "minhash_bands", "simhash_sigs", "exact_pairs",
       "minhash_pairs", "simhash_pairs", "phash_sigs", "phash_pairs",
-      "phash_cluster_map", "ivf_cids", "ivf_centroids").foreach(n =>
+      "phash_cluster_map", "ivf_cids", "ivf_centroids",
+      "bm25_tf_hits", "bm25_stats", "phrase_hits", "term_df").foreach(n =>
       assert(stored.contains(n), s"expected stored index $n, got $stored"))
 
     // cold session (fresh StampedCache keys): must serve the stored
@@ -181,6 +186,8 @@ class IndexStoreSpec extends SparkTestBase {
     graft.queries.VectorQueries.clearCaches(s2)
     graft.queries.MultimodalQueries.clearCaches(s1)
     graft.queries.MultimodalQueries.clearCaches(s2)
+    graft.queries.TextQueries.clearCaches(s1)
+    graft.queries.TextQueries.clearCaches(s2)
   }
 
   test("the stored index is the source of truth for a cold session") {
