@@ -1092,6 +1092,55 @@ object DedupQueries {
               |  round(CAST(n_postings AS DOUBLE) /
               |    CAST(sum(n_postings) OVER () AS DOUBLE), 6)
               |    AS postings_share
-              |FROM b ORDER BY bucket""".stripMargin))
+              |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ── q157: cluster CONFLICT report — near-dup families whose
+    // members disagree on source or language. A multi-source family
+    // is a template circulating across providers (one copy should
+    // ship, and q85's cross-source-leakage view counts the pairs —
+    // this names the family and its span); a multi-LANG family is
+    // usually a lang-ID error inside near-identical text (q30's
+    // classifier flagging siblings differently), i.e. a labeling bug
+    // surfaced by dedup structure. Consumes the cached cluster map —
+    // cross-family composition like q149, no new mining.
+    //
+    // Scale shape: cluster map (built once, stamped) joins documents
+    // on doc_id (key-grain), rolls up to |clusters|, filters to the
+    // conflicted few. The member list is NOT collected — only
+    // bounded distinct-count measures and the sorted source list
+    // (bounded by |sources| = 20, a dimension).
+    QueryDef(
+      "q157_cluster_conflicts",
+      (s, d) => {
+        clusterMap(s, d)
+          .join(t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("lang")),
+            Seq("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct(col("source")).cast("long").as("n_sources"),
+            countDistinct(col("lang")).cast("long").as("n_langs"),
+            array_join(array_sort(collect_set(col("source"))), ",")
+              .as("sources"))
+          .filter(col("n_docs") > 1 &&
+            (col("n_sources") > 1 || col("n_langs") > 1))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |$clusterLabSql,
+              |cm AS (SELECT d.doc_id,
+              |    COALESCE(l.cluster, d.doc_id) AS cluster,
+              |    d.source, d.lang
+              |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              |g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |    string_agg(DISTINCT source, ',' ORDER BY source)
+              |      AS sources
+              |  FROM cm GROUP BY 1)
+              |SELECT cluster, n_docs, n_sources, n_langs, sources
+              |FROM g
+              |WHERE n_docs > 1 AND (n_sources > 1 OR n_langs > 1)
+              |ORDER BY cluster""".stripMargin))
   )
 }

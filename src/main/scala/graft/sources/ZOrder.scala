@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Z-order (Morton-curve) data layout — multi-dimensional clustering
+  * for scan pruning (ref: the reference re-sorts its working set by a
+  * single user-picked column, `Batch Processor.py:452-460`; at 100 TB
+  * the question becomes which ONE column to cluster by, and the
+  * z-curve answers "both").
+  *
+  * A table sorted by column A packs A tightly per file but leaves
+  * every file spanning the FULL range of column B — predicates on B
+  * prune nothing. Interleaving the bits of both columns' bucket ids
+  * into one sort key makes file boundaries axis-aligned rectangles in
+  * (A, B) space: each file covers ~2^(−k/2) of EACH dimension's
+  * range, so parquet min/max stats prune scans on either column (or
+  * both). That is the entire mechanism — no index structure, no read-
+  * path code: the WRITTEN LAYOUT is the index, and Spark's ordinary
+  * row-group/file skipping consumes it.
+  *
+  * Quantization is linear between the observed min/max (one tiny agg;
+  * the 1-row collect is plan-time bounded, q50's count precedent).
+  * Heavily skewed columns would crowd into few buckets — rank-based
+  * quantization (percentile boundaries) is the refinement; linear
+  * keeps the write path one pass and is exact for the uniform-ish
+  * key domains it targets (ids, dates, buckets).
+  *
+  * Scale shape: one pass — project z, `repartitionByRange` on z (the
+  * same sampled exchange any global sort pays), sort within
+  * partitions, write. No shuffle beyond the one range exchange; file
+  * count = partition count.
+  */
+object ZOrder {
+
+  /** Morton interleave of two bucket ids (each in [0, 2^bits)):
+    * a's bit i lands at 2i+1, b's at 2i. Pure Column arithmetic —
+    * the fold builds a flat codegen-friendly bit-op tree, no UDF.
+    */
+  def interleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Linear bucket id of `c` over [lo, hi] into 2^bits buckets. */
+  private def bucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = (hi - lo).max(1L)
+    val n = 1L << bits
+    // (c-lo)*n/span with the top edge clamped into the last bucket
+    least(((c.cast("long") - lo) * n / span), lit(n - 1))
+  }
+
+  /** `df` re-laid-out on the z-curve of two integral columns, in
+    * `nFiles` range partitions sorted by z — ready to write. The
+    * min/max probe is one aggregate over the two columns only.
+    */
+  def layout(df: DataFrame, colA: String, colB: String,
+      nFiles: Int, bits: Int = 16): DataFrame = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order columns $colA/$colB are all-null or the frame is empty")
+    val z = interleave(
+      bucket(col(colA), r.getLong(0), r.getLong(1), bits),
+      bucket(col(colB), r.getLong(2), r.getLong(3), bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Write `df` z-ordered on (colA, colB) as `nFiles` parquet files. */
+  def write(df: DataFrame, colA: String, colB: String,
+      nFiles: Int, path: String, bits: Int = 16): Unit =
+    layout(df, colA, colB, nFiles, bits)
+      .write.mode("overwrite").parquet(path)
+}

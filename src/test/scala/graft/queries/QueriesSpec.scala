@@ -385,6 +385,9 @@ class QueriesSpec extends SparkTestBase {
     // q129 crossJoins the |types| dimension (≤ a handful of rows)
     // with the generated |days| calendar to densify per-type series —
     // both sides are dimension-bounded, never corpus-scale.
+    // q144 is the same |types| × generated-calendar densify (the
+    // LOCF gap-fill grid) — both sides dimension-bounded, the corpus
+    // enters only through the pre-aggregated (type, day) means.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
@@ -393,13 +396,20 @@ class QueriesSpec extends SparkTestBase {
       "q120_dup_coverage", "q127_revenue_concentration",
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
       "q135_market_basket", "q137_user_mix_divergence",
-      "q138_mutual_nn")
+      "q138_mutual_nn", "q144_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
       if (!bnljOk(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans BNLJ")
     }
+  }
+
+  test("q154 plans the bloom prefilter ahead of the exact semi-join") {
+    val plan = SparkEntry.queries("q154_bloom_prune")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"q154 must keep the scan-side bloom prefilter in the plan:\n$plan")
   }
 
   test("q54 IVF pairs are a subset of q28 exact pairs with decent recall") {

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+
+  private def li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+
+  /** Mean per-file normalized span of `c` across the files under
+    * `path`: 0 = each file covers a point, 1 = every file covers the
+    * whole global range. The file-skipping figure of merit — parquet
+    * min/max pruning removes a file iff the predicate misses its span.
+    */
+  private def meanSpan(path: String, c: String): Double = {
+    val fs = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    val g = li.agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+    val span = (g.getLong(1) - g.getLong(0)).max(1L).toDouble
+    val spans = fs.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble / span
+    }
+    spans.sum / spans.length
+  }
+
+  test("interleave is monotone in each dimension's bits and invertible-disjoint") {
+    val df = spark.range(0, 256).toDF("i")
+      .select((col("i") / 16).cast("long").as("a"),
+        (col("i") % 16).cast("long").as("b"))
+      .withColumn("z", ZOrder.interleave(col("a"), col("b"), 4))
+    // 16x16 grid -> 256 DISTINCT z values (the curve is a bijection)
+    assert(df.select("z").distinct().count() == 256)
+    // spot-check canonical Morton values: (a=1,b=0) -> 2, (0,1) -> 1;
+    // (3,5): a=0b11 -> positions 1,3 = 10; b=0b101 -> positions 0,4 = 17
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 0L)) == 2L && m((0L, 1L)) == 1L && m((3L, 5L)) == 27L)
+  }
+
+  test("z-order layout tightens per-file spans on BOTH columns; linear sort only on one") {
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("linear").toString
+    ZOrder.write(li, "l_partkey", "l_suppkey", 8, zdir)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(ldir)
+
+    // the linear layout prunes partkey perfectly but leaves suppkey
+    // files spanning ~the full range; z-order splits the budget
+    val zPart = meanSpan(zdir, "l_partkey")
+    val zSupp = meanSpan(zdir, "l_suppkey")
+    val lSupp = meanSpan(ldir, "l_suppkey")
+    assert(zPart < 0.7, s"z-order partkey span too wide: $zPart")
+    assert(zSupp < 0.7, s"z-order suppkey span too wide: $zSupp")
+    assert(lSupp > 0.9, s"linear layout should NOT cluster suppkey: $lSupp")
+
+    // layout is a permutation: nothing lost, nothing invented
+    val a = spark.read.parquet(zdir)
+    assert(a.count() == li.count())
+    val s1 = a.agg(sum(col("l_orderkey")), sum(col("l_linenumber"))).head()
+    val s2 = li.agg(sum(col("l_orderkey")), sum(col("l_linenumber"))).head()
+    assert(s1 == s2)
+  }
+
+  test("empty or all-null layout input fails loudly") {
+    intercept[IllegalArgumentException] {
+      ZOrder.layout(li.filter(lit(false)), "l_partkey", "l_suppkey", 2)
+        .count()
+    }
+  }
+}
