@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, in SURVEY.md §2.3 order. */
   private val all: Seq[QueryDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      DedupQueries.defs ++ MultimodalQueries.defs ++ Analytics.defs
+      DedupQueries.defs ++ MultimodalQueries.defs ++ Analytics.defs ++
+      Analytics.defs2
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query name")
 

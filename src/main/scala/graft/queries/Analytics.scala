@@ -1121,4 +1121,195 @@ object Analytics {
   /** 0–9 bucket spine for q156 (tiny generated frame, no scan). */
   private def spark_range10(s: SparkSession) =
     s.range(0, 10).select(col("id").as("bucket"))
+
+  val defs2: Seq[QueryDef] = Seq(
+
+    // ── q162: multi-state event-context ENRICHMENT — each purchase
+    // annotated with the user's latest click, latest view, and the
+    // count of errors in the preceding 10 minutes: the feature-
+    // engineering join every fraud/recommendation pipeline runs
+    // before scoring. q37/q151 carry ONE state; the point here is
+    // that k carried states still cost ONE user-keyed exchange — the
+    // union+window form scales in states, where k as-of joins would
+    // pay k exchanges.
+    //
+    // Scale shape: one exchange keyed on user_id; two window specs
+    // over it (the row-frame prefix for the carried maxima — clicks/
+    // views sort before purchases at equal ts, so same-instant
+    // context is inclusive; a RANGE frame over ts for the bounded
+    // error count — range frames ignore the tiebreak, so equal-ts
+    // inclusion is symmetric by construction). Nothing joins at row
+    // grain.
+    QueryDef(
+      "q162_event_context_enrich",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("event_type")
+            .isin("click", "view", "error", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            (col("event_type") === "purchase").cast("int").as("is_p"))
+        val wRow = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wRange = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-600L * 1000000L, 0)
+        e.withColumn("last_click_us",
+            max(when(col("event_type") === "click", col("ts_us")))
+              .over(wRow))
+          .withColumn("last_view_us",
+            max(when(col("event_type") === "view", col("ts_us")))
+              .over(wRow))
+          .withColumn("n_err_10m",
+            sum((col("event_type") === "error").cast("long")).over(wRange)
+              .cast("long"))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("ts_us").as("purchase_ts_us"),
+            col("last_click_us"), col("last_view_us"), col("n_err_10m"),
+            when(col("last_click_us").isNotNull,
+              (col("ts_us") - col("last_click_us")).cast("double") /
+                1000000.0).as("click_gap_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS ts_us,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+             |  FROM events
+             |  WHERE event_type IN ('click', 'view', 'error', 'purchase')),
+             |m AS (SELECT event_id, user_id, ts_us, is_p,
+             |    max(CASE WHEN event_type = 'click' THEN ts_us END)
+             |      OVER wr AS last_click_us,
+             |    max(CASE WHEN event_type = 'view' THEN ts_us END)
+             |      OVER wr AS last_view_us,
+             |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      OVER wg AS BIGINT) AS n_err_10m
+             |  FROM e
+             |  WINDOW wr AS (PARTITION BY user_id
+             |      ORDER BY ts_us, is_p, event_id
+             |      ROWS UNBOUNDED PRECEDING),
+             |    wg AS (PARTITION BY user_id ORDER BY ts_us
+             |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, ts_us AS purchase_ts_us,
+             |  last_click_us, last_view_us, n_err_10m,
+             |  CASE WHEN last_click_us IS NOT NULL THEN
+             |    CAST(ts_us - last_click_us AS DOUBLE)/1000000.0
+             |  END AS click_gap_s
+             |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin)),
+
+    // ── q163: week-over-week revenue change per nation — the weekly
+    // growth scorecard (q129 does day-over-day at type grain; this is
+    // the ISO-week grain through the customer→nation dimension).
+    // Weeks truncate to their Monday in both engines (date_trunc
+    // 'week' ≡ Monday start on both); the change ratio derives from
+    // exact cent integers, NULL on a nation's first week (q139's
+    // honest-extent rule).
+    //
+    // Scale shape: orders pre-aggregate map-side to (custkey, week)
+    // — no, better: customer⋈nation broadcasts into orders, the agg
+    // keys on (nation, week) directly (map-side partials), and the
+    // lag window runs per-nation over the |nations|×|weeks| frame —
+    // dimension-bounded.
+    QueryDef(
+      "q163_wow_change",
+      (s, d) => {
+        val nat = broadcast(t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")))
+        val weekly = t(s, d, "orders")
+          .join(nat, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"),
+            date_format(date_trunc("week", col("o_orderdate")),
+              "yyyy-MM-dd").as("week"))
+          .agg(sum(Q.fxUnits(col("o_totalprice"), 100)).cast("long")
+            .as("rev_u"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("week"))
+        weekly
+          .withColumn("prev_u", lag(col("rev_u"), 1).over(w))
+          .select(col("n_name"), col("week"),
+            (col("rev_u") / 100.0).as("revenue"),
+            (col("prev_u") / 100.0).as("prev_revenue"),
+            when(col("prev_u") > 0,
+              round((col("rev_u") - col("prev_u")).cast("double") /
+                col("prev_u").cast("double"), 6)).as("wow_pct"))
+          .orderBy(col("n_name"), col("week"))
+      },
+      Some("""WITH nat AS (SELECT c_custkey, n_name
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |weekly AS (SELECT n_name,
+             |    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+             |      AS week,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS rev_u
+             |  FROM orders JOIN nat ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |lg AS (SELECT n_name, week, rev_u,
+             |    lag(rev_u, 1) OVER (PARTITION BY n_name ORDER BY week)
+             |      AS prev_u
+             |  FROM weekly)
+             |SELECT n_name, week, rev_u/100.0 AS revenue,
+             |  prev_u/100.0 AS prev_revenue,
+             |  CASE WHEN prev_u > 0 THEN
+             |    round(CAST(rev_u - prev_u AS DOUBLE)/CAST(prev_u AS DOUBLE),
+             |      6) END AS wow_pct
+             |FROM lg ORDER BY n_name, week""".stripMargin)),
+
+    // ── q164: cascade-impact ANALYSIS — if delinquent customers
+    // (negative account balance) were purged, what cascades: orders,
+    // line items, and revenue at risk, per market segment. The
+    // impact-analysis query every retention/GDPR purge runs BEFORE
+    // the q05-style anti-join actually deletes (measure, then cut).
+    //
+    // Scale shape: the flagged-customer frame carries only keys +
+    // segment; orders join on custkey, line items PRE-AGGREGATE to
+    // the orderkey grain before their join (map-side partials — the
+    // fact table never joins at line grain against the flagged set);
+    // final rollup is a |segments|-row agg.
+    QueryDef(
+      "q164_cascade_impact",
+      (s, d) => {
+        val flagged = t(s, d, "customer")
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val lines = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(Q.fxUnits(col("l_extendedprice"), 100)).cast("long")
+              .as("line_cents"))
+        t(s, d, "orders")
+          .join(flagged, col("o_custkey") === col("c_custkey"))
+          .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(countDistinct(col("c_custkey")).cast("long")
+            .as("n_customers"),
+            count(lit(1)).cast("long").as("n_orders"),
+            sum(coalesce(col("n_lines"), lit(0L))).cast("long")
+              .as("n_lines"),
+            sum(Q.fxUnits(col("o_totalprice"), 100)).cast("long")
+              .as("order_cents"),
+            sum(coalesce(col("line_cents"), lit(0L))).cast("long")
+              .as("line_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH flagged AS (SELECT c_custkey, c_mktsegment
+             |  FROM customer WHERE c_acctbal < 0),
+             |lines AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS n_lines,
+             |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+             |      AS BIGINT) AS line_cents
+             |  FROM lineitem GROUP BY 1)
+             |SELECT c_mktsegment AS segment,
+             |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(coalesce(n_lines, 0)) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    AS order_cents,
+             |  CAST(sum(coalesce(line_cents, 0)) AS BIGINT) AS line_cents
+             |FROM orders
+             |JOIN flagged ON o_custkey = c_custkey
+             |LEFT JOIN lines ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin))
+  )
 }

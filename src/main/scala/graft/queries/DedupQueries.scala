@@ -1141,6 +1141,47 @@ object DedupQueries {
               |SELECT cluster, n_docs, n_sources, n_langs, sources
               |FROM g
               |WHERE n_docs > 1 AND (n_sources > 1 OR n_langs > 1)
-              |ORDER BY cluster""".stripMargin))
+              |ORDER BY cluster""".stripMargin)),
+
+    // ── q165: near-dup pair-graph DEGREE histogram — how many direct
+    // near-dup partners each document has, bucketed. q96 sizes the
+    // connected FAMILIES; degree sees the graph's local density
+    // instead: a family of 10 can be a chain (degrees ≤ 2 —
+    // drift-of-versions) or a clique (degree 9 — one template
+    // stamped 10×), and the two dedup very differently (a chain's
+    // endpoints may not even meet the pair threshold against each
+    // other). Degree-0 docs (nothing near-duplicated) anchor the
+    // histogram as the unique mass.
+    //
+    // Scale shape: rides the persisted verified-pair artifact (built
+    // once, stamped); both pair directions union to the (doc, degree)
+    // grain (map-side partials), the left join against the corpus
+    // id-frame fills degree-0, and the histogram is a ≤|distinct
+    // degrees| agg. Text is never touched.
+    QueryDef(
+      "q165_dup_degree_hist",
+      (s, d) => {
+        val pairs = exactPairs(s, d)
+        val deg = pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("degree"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy(col("degree"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy(col("degree"))
+      },
+      Some(s"""WITH $pairsSql,
+              |$pairsThresholdSql,
+              |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+              |  FROM (SELECT doc_a AS doc_id FROM pairs
+              |    UNION ALL SELECT doc_b FROM pairs)
+              |  GROUP BY 1),
+              |j AS (SELECT coalesce(deg.degree, 0) AS degree
+              |  FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
+              |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM j GROUP BY 1 ORDER BY degree""".stripMargin))
   )
 }

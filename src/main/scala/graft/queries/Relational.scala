@@ -3149,27 +3149,45 @@ object Relational {
         val id = (c: org.apache.spark.sql.Column) => c
         val dt = (c: org.apache.spark.sql.Column) =>
           date_format(c, "yyyy-MM-dd")
+        // Sketch keys: Datasketches HLL accepts int/long/string/binary,
+        // so each column feeds through an INJECTIVE long/string map
+        // (cents for the exact-2-decimal money/rate columns, micros
+        // for the timestamp) — cardinality is preserved exactly, only
+        // the estimate is approximate. lgConfigK 14 ≈ 0.8% rsd, well
+        // inside the spec's 2% gate. The r7 lesson (BASELINE.md): 8
+        // HLL++ `approx_count_distinct(rsd 0.01)` buffers flatten to
+        // ~13k LONG slots, forcing a codegen-less SortAggregate
+        // (measured 3.6 s — SLOWER than q93's exact 2.6 s); the
+        // Datasketches agg keeps 8 opaque binary buffers in an
+        // ObjectHashAggregate with sparse-mode updates (0.35 s).
         val cols: Seq[(String, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column,
             org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
           Seq(
-            ("l_discount", col("l_discount"), num),
-            ("l_extendedprice", col("l_extendedprice"), num),
-            ("l_linestatus", col("l_linestatus"), id),
-            ("l_orderkey", col("l_orderkey"), id),
-            ("l_quantity", col("l_quantity"), num),
-            ("l_returnflag", col("l_returnflag"), id),
-            ("l_shipdate", col("l_shipdate"), dt),
-            ("l_tax_nonzero", nullif(col("l_tax"), lit(0.0)), num))
+            ("l_discount", col("l_discount"),
+              Q.fxUnits(col("l_discount"), 100), num),
+            ("l_extendedprice", col("l_extendedprice"),
+              Q.fxUnits(col("l_extendedprice"), 100), num),
+            ("l_linestatus", col("l_linestatus"), col("l_linestatus"), id),
+            ("l_orderkey", col("l_orderkey"), col("l_orderkey"), id),
+            ("l_quantity", col("l_quantity"),
+              Q.fxUnits(col("l_quantity"), 100), num),
+            ("l_returnflag", col("l_returnflag"), col("l_returnflag"), id),
+            ("l_shipdate", col("l_shipdate"),
+              unix_micros(col("l_shipdate").cast("timestamp")), dt),
+            ("l_tax_nonzero", nullif(col("l_tax"), lit(0.0)),
+              Q.fxUnits(nullif(col("l_tax"), lit(0.0)), 100), num))
         val measures =
           count(lit(1)).cast("long").as("n_rows") +:
-          cols.flatMap { case (n, c, render) => Seq(
+          cols.flatMap { case (n, c, sk, render) => Seq(
             sum(when(c.isNull, 1L).otherwise(0L)).cast("long")
               .as(s"null_$n"),
-            approx_count_distinct(c, 0.01).cast("long").as(s"nd_$n"),
+            hll_sketch_estimate(hll_sketch_agg(sk, 14)).cast("long")
+              .as(s"nd_$n"),
             render(min(c)).cast("string").as(s"min_$n"),
             render(max(c)).cast("string").as(s"max_$n")) }
         val one = li.agg(measures.head, measures.tail: _*)
-        val stacked = cols.map { case (n, _, _) =>
+        val stacked = cols.map { case (n, _, _, _) =>
           s"'$n', null_$n, nd_$n, min_$n, max_$n" }.mkString(", ")
         one.selectExpr("n_rows",
             s"stack(${cols.size}, $stacked)" +
