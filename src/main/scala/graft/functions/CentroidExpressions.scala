@@ -278,4 +278,98 @@ object KMeansLite {
       }
     }
   }
+
+  /** Fit `k` EUCLIDEAN centroids — no normalization anywhere, because
+    * magnitude IS information here: this is the product-quantization
+    * sub-codebook trainer (q172), where each codeword must reconstruct
+    * its subvector's actual length, not just its direction. Same
+    * determinism contract as [[fit]]: the sample is the first `sampleN`
+    * rows in xxhash64(id) order, init is farthest-point (by L2
+    * distance, first index wins ties), Lloyd assignment breaks ties
+    * toward the lower centroid index, and an emptied cluster keeps its
+    * previous centroid.
+    */
+  def fitEuclidean(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      k: Int = 16,
+      sampleN: Int = 1024,
+      iters: Int = 8): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions._
+    val rows = df
+      .select(col(embCol).cast("array<double>").as("e"), col(idCol).as("id"))
+      .filter(col("e").isNotNull)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .collect()
+    val sample: Array[Array[Double]] = rows
+      .map(_.getSeq[Double](0))
+      .collect { case s if s != null => s.toArray }
+    require(sample.nonEmpty, "k-means sample is empty")
+    if (sample.length <= k) return sample
+    val cents = new Array[Array[Double]](k)
+    cents(0) = sample(0)
+    val minD = sample.map(l2sq(_, cents(0)))
+    var c = 1
+    while (c < k) {
+      var best = 0; var bd = -1.0
+      var i = 0
+      while (i < sample.length) {
+        if (minD(i) > bd) { bd = minD(i); best = i }
+        i += 1
+      }
+      cents(c) = sample(best)
+      i = 0
+      while (i < sample.length) {
+        val dd = l2sq(sample(i), cents(c))
+        if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+      c += 1
+    }
+    var cur: Array[Array[Double]] = cents
+    var it = 0
+    while (it < iters) { cur = lloydEuclid(sample, cur); it += 1 }
+    cur
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** One Euclidean Lloyd iteration: assign to min-L2 centroid (ties →
+    * lower id), recompute each centroid as the plain (un-normalized)
+    * mean of its members; an emptied cluster keeps its centroid.
+    */
+  private def lloydEuclid(
+      sample: Array[Array[Double]],
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = cents.length
+    val dim = cents(0).length
+    val sums = Array.fill(k, dim)(0.0)
+    val counts = new Array[Int](k)
+    var i = 0
+    while (i < sample.length) {
+      val v = sample(i)
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val d = l2sq(v, cents(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      var x = 0
+      while (x < dim) { sums(best)(x) += v(x); x += 1 }
+      counts(best) += 1
+      i += 1
+    }
+    Array.tabulate(k) { j =>
+      if (counts(j) == 0) cents(j)
+      else Array.tabulate(dim)(x => sums(j)(x) / counts(j))
+    }
+  }
 }

