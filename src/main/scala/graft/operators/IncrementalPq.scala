@@ -34,12 +34,13 @@ object IncrementalPq {
   def fitBooks(
       df: DataFrame,
       embCol: String,
-      idCol: String): Array[Array[Array[Double]]] =
+      idCol: String,
+      k: Int = K): Array[Array[Array[Double]]] =
     Array.tabulate(M) { m =>
       graft.functions.KMeansLite.fitEuclidean(
         df.select(slice(col(embCol), m * Dsub + 1, Dsub).as("sub"),
           col(idCol).as("__pq_id")),
-        "sub", "__pq_id", k = K)
+        "sub", "__pq_id", k = k)
     }
 
   /** Euclidean nearest-codeword ranking through the max-dot

@@ -125,4 +125,87 @@ object VectorIndexMaintenance {
         ()
       }
       .start()
+
+  /** What one PQ micro-batch did — the code-index twin of
+    * [[BatchReport]].
+    */
+  final case class PqBatchReport(
+      corpusRows: Long,
+      codeRows: Long,
+      drift: Double,
+      refitNeeded: Boolean)
+
+  /** PQ face of [[upsertBatch]]: merge one batch of
+    * `(vec_id, embedding)` rows into the corpus at `corpusPath` and
+    * its NARROW PQ codes table at `codesPath` (`vec_id, c0..c{M-1}` —
+    * the [[graft.operators.IncrementalPq]] layout; the 32×-compressed
+    * scan q172's ADC stage reads). The batch encodes map-side against
+    * FIXED codebooks — a delivery costs the delivery, never a corpus
+    * re-encode or a codebook refit — and codebook staleness surfaces
+    * per batch as the code-share drift
+    * ([[graft.operators.IncrementalPq.codeDrift]]) measured BEFORE
+    * the upsert. Same durability/idempotence contract as
+    * [[upsertBatch]].
+    */
+  def upsertBatchPq(
+      batch: DataFrame,
+      corpusPath: String,
+      codesPath: String,
+      books: Array[Array[Array[Double]]],
+      driftThreshold: Double =
+        graft.operators.IncrementalPq.DefaultDriftThreshold,
+      numBuckets: Option[Int] = None): PqBatchReport = {
+    val spark = batch.sparkSession
+    val deduped = CorpusMaintenance.dedupBatch(
+      batch.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+      "vec_id").persist()
+    try {
+      val codesDelta = graft.operators.IncrementalPq.encode(deduped, books)
+      val hasStanding = numBuckets match {
+        case Some(_) => graft.operators.PartitionedCommit
+          .healInterrupted(spark, codesPath)
+        case None => graft.operators.CommitSink
+          .healInterrupted(spark, codesPath)
+      }
+      val drift =
+        if (!hasStanding) 0.0
+        else graft.operators.IncrementalPq.codeDrift(
+          spark.read.parquet(codesPath)
+            .drop(graft.operators.PartitionedCommit.BucketCol), codesDelta)
+      val corpusRows = CorpusMaintenance.upsertBatch(
+        deduped, corpusPath, "vec_id", numBuckets)
+      val codeRows = CorpusMaintenance.upsertBatch(
+        codesDelta, codesPath, "vec_id", numBuckets)
+      PqBatchReport(corpusRows, codeRows, drift, drift > driftThreshold)
+    } finally {
+      deduped.unpersist()
+      ()
+    }
+  }
+
+  /** Continuous PQ maintenance — [[maintain]]'s twin over
+    * [[upsertBatchPq]]; `onBatch` receives each [[PqBatchReport]]
+    * (wire the refit flag to a codebook-refit queue — the refit
+    * itself stays the caller's move, as with the IVF face).
+    */
+  def maintainPq(
+      vecs: DataFrame,
+      corpusPath: String,
+      codesPath: String,
+      books: Array[Array[Array[Double]]],
+      checkpoint: String,
+      driftThreshold: Double =
+        graft.operators.IncrementalPq.DefaultDriftThreshold,
+      numBuckets: Option[Int] = None,
+      onBatch: PqBatchReport => Unit = _ => ()): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(upsertBatchPq(
+          batch, corpusPath, codesPath, books, driftThreshold, numBuckets))
+        ()
+      }
+      .start()
 }

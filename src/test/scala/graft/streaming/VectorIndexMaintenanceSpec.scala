@@ -153,4 +153,74 @@ class VectorIndexMaintenanceSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L, 3L, 4L),
       s"standing assignment must survive the interrupted commit, got $ids")
   }
+
+  // ── PQ face: 16-dim vectors so the first two 8-dim subspaces carry
+  // real signal (family A peaks in subspace 0, family B in subspace 1)
+  private def aVec(i: Long) = (i, Array.tabulate(16)(d =>
+    if (d == 0) 1.0f else if (d == 8) 0.01f * i else 0.0f))
+  private def bVec(i: Long) = (i, Array.tabulate(16)(d =>
+    if (d == 8) 1.0f else if (d == 0) 0.01f * i else 0.0f))
+
+  // trained on vectors FROM the two test families (same small-i
+  // perturbations) with k=2 codewords per subspace, so each subspace
+  // learns exactly the two family regions — the IVF tests' two-
+  // centroid setup translated to PQ. Training on far-away vectors
+  // would collapse every test row onto one codeword and mask all
+  // drift; k=|samples| would make every sample its own codeword and
+  // read family-internal variation as drift.
+  private lazy val pqBooks = graft.operators.IncrementalPq.fitBooks(
+    ((1L to 8L).map(aVec) ++ (11L to 18L).map(i => (i, bVec(i - 10)._2)))
+      .toDF("vec_id", "embedding"),
+    "embedding", "vec_id", k = 2)
+
+  test("PQ face: corpus and codes stay in lockstep; maintained == one-pass re-encode") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("pqmaint")
+    val corpus = root + "/vectors"
+    val codes = root + "/pq_codes"
+    val reports =
+      scala.collection.mutable.ListBuffer[VectorIndexMaintenance.PqBatchReport]()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexMaintenance.maintainPq(
+      in.toDF().toDF("vec_id", "embedding"), corpus, codes, pqBooks,
+      tmp("pqmaint-ckpt"), onBatch = r => reports.synchronized { reports += r })
+    in.addData(aVec(1), bVec(2))
+    q.processAllAvailable()
+    in.addData(bVec(2), aVec(3), bVec(4))
+    q.processAllAvailable()
+    q.stop()
+    val storedCorpus = spark.read.parquet(corpus)
+    val storedCodes = spark.read.parquet(codes)
+    assert(storedCorpus.count() == 4 && storedCodes.count() == 4)
+    // the codes table is NARROW — embeddings live in the corpus
+    assert(storedCodes.schema.fieldNames.toSeq ==
+      "vec_id" +: (0 until graft.operators.IncrementalPq.M).map(m => s"c$m"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        (1 to graft.operators.IncrementalPq.M).map(r.getInt).toList)).toSet
+    val rebuild = rows(
+      graft.operators.IncrementalPq.encode(storedCorpus, pqBooks))
+    assert(rows(storedCodes) == rebuild,
+      "maintained codes must equal the one-pass re-encode of the corpus")
+    assert(reports.size == 2)
+    assert(reports.head.drift == 0.0 && !reports.head.refitNeeded)
+    assert(!reports(1).refitNeeded, s"balanced delivery drifted: ${reports(1)}")
+  }
+
+  test("PQ face: a delivery collapsed onto one code region raises the refit flag") {
+    val root = tmp("pqmaint2")
+    val corpus = root + "/vectors"
+    val codes = root + "/pq_codes"
+    val r1 = VectorIndexMaintenance.upsertBatchPq(
+      (Seq(aVec(1), bVec(2), aVec(3), bVec(4))).toDF("vec_id", "embedding"),
+      corpus, codes, pqBooks)
+    assert(r1.corpusRows == 4 && r1.codeRows == 4 && r1.drift == 0.0)
+    // every delta row is the SAME vector → one code per subspace vs
+    // the standing half-half mix
+    val one = aVec(1)._2
+    val r2 = VectorIndexMaintenance.upsertBatchPq(
+      (10L to 25L).map(i => (i, one)).toDF("vec_id", "embedding"),
+      corpus, codes, pqBooks)
+    assert(r2.refitNeeded, s"a collapsed delivery must flag a refit: $r2")
+  }
 }
