@@ -75,6 +75,47 @@ object BloomPrune {
     val bloom = buildFor(dimKeys, dimKey, n, fpp)
     fact.filter(mightContain(bloom, fact(factKey)))
   }
+
+  // Stamp-keyed memo of built sketches: a bloom is a derived index
+  // artifact like centroids/PQ codes, and rebuilding it (a distinct
+  // count + a full bloom aggregation over the dim side) on EVERY
+  // query run was the one index family skipping the build-once
+  // discipline (r7 review). Keyed (session, tag) with the stamp in
+  // the value (the StampedCache rule); `tag` must capture the dim
+  // DEFINITION (predicate + key + corpus dir), since the frame itself
+  // cannot be hashed. The sketch is a few hundred KB — dropped
+  // entries just re-broadcast.
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Long, Broadcast[BloomFilter])]()
+
+  /** Get-or-build the memoized broadcast bloom for (`session`, `tag`)
+    * at `stamp`. The build (count + bloom agg jobs) runs OUTSIDE any
+    * map lock — a lost race means one redundant build, not a held bin
+    * lock for the jobs' duration (the SkewJoin probe rule).
+    */
+  def cachedFor(
+      dimKeys: DataFrame,
+      dimKey: String,
+      tag: String,
+      stamp: Long,
+      fpp: Double = 0.01): Broadcast[BloomFilter] = {
+    val k = (dimKeys.sparkSession, tag)
+    val cur = bloomCache.get(k)
+    if (cur != null && cur._1 == stamp) cur._2
+    else {
+      val n = dimKeys.select(dimKey).distinct().count().max(1L)
+      val built = buildFor(dimKeys, dimKey, n, fpp)
+      bloomCache.put(k, (stamp, built))
+      built
+    }
+  }
+
+  /** Drop one session's memoized sketches (session-retirement hook,
+    * like the query modules' clearCaches).
+    */
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    bloomCache.forEach { (k, _) => if (k._1 eq s) bloomCache.remove(k) }
 }
 
 /** `bloom.mightContainLong(key)` as a Catalyst expression — a few

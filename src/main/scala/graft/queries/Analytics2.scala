@@ -444,16 +444,19 @@ object Analytics2 {
         val qNorm = math.sqrt(q.map(x => x * x).sum)
         def sub(m: Int): Array[Double] =
           q.slice(m * PqDsub, math.min((m + 1) * PqDsub, q.length))
-        val ipLut = Array.tabulate(PqM, PqK) { (m, j) =>
-          val c = books(m)(j); val v = sub(m)
+        // LUT size follows the BOOK's length, not the nominal K:
+        // fitEuclidean returns fewer codewords when the training
+        // sample is small (sample.length <= k short-circuits), and a
+        // fixed-K tabulate would index past the short book
+        val ipLut = Array.tabulate(PqM)(m => books(m).map { c =>
+          val v = sub(m)
           var t0 = 0.0; var i = 0
           val n = math.min(c.length, v.length)
           while (i < n) { t0 += c(i) * v(i); i += 1 }
           t0
-        }
-        val n2Lut = Array.tabulate(PqM, PqK) { (m, j) =>
-          books(m)(j).map(x => x * x).sum
-        }
+        })
+        val n2Lut = Array.tabulate(PqM)(m =>
+          books(m).map(_.map(x => x * x).sum))
         def look(lut: Array[Array[Double]], m: Int) =
           element_at(array(lut(m).map(lit): _*), col(s"c$m") + 1)
         val ip = (0 until PqM).map(look(ipLut, _)).reduce(_ + _)
@@ -494,10 +497,6 @@ object Analytics2 {
     QueryDef(
       "q173_promo_share",
       (s, d) => {
-        val revMicro = (Q.fxUnits(col("l_extendedprice"), 100)
-          .cast("decimal(19,0)") *
-          (lit(100L) - Q.fxUnits(col("l_discount"), 100))
-            .cast("decimal(19,0)")).cast("decimal(38,0)")
         t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part")
             .select(col("p_partkey"), col("p_type"))),
@@ -629,19 +628,10 @@ object Analytics2 {
              |ORDER BY nation_key, pct_rank, s_name""".stripMargin))
   )
 
-  /** Exact discounted line revenue in micro-dollars (cents × remaining
-    * pct), accumulating DECIMAL(38,0) — shared by the pack-2 star
-    * reports (q146's rule: a 100 TB year of micro-unit products
-    * crosses 2⁶³).
-    */
-  private def revMicro = (Q.fxUnits(col("l_extendedprice"), 100)
-    .cast("decimal(19,0)") *
-    (lit(100L) - Q.fxUnits(col("l_discount"), 100))
-      .cast("decimal(19,0)")).cast("decimal(38,0)")
-
-  private val revMicroSql =
-    """CAST(round(l_extendedprice*100) AS HUGEINT) *
-      |      (100 - CAST(round(l_discount*100) AS BIGINT))""".stripMargin
+  // Exact discounted revenue: ONE definition in [[Q.revMicro]] /
+  // [[Q.revMicroSql]] (shared with q146's star rollup).
+  private def revMicro = Q.revMicro
+  private val revMicroSql = Q.revMicroSql
 
   /** TPC-H completion pack (q176–q181): the remaining canonical
     * shapes — correlated per-group scalar filters (Q17), market share

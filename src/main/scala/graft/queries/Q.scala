@@ -146,6 +146,61 @@ object Q {
       .drop("__tot", "__cum")
   }
 
+  /** Exact discounted line revenue in micro-dollars — cents ×
+    * (100 − discount pct) — accumulating DECIMAL(38,0): a 100 TB year
+    * of 10¹² line items × ~10⁹ micro-units crosses 2⁶³. ONE
+    * definition for every revenue rollup (q146/q173/q177–q181 — r7
+    * review folded three inlined copies) with [[revMicroSql]] as its
+    * oracle twin, so the fixed-point discipline cannot desync.
+    */
+  def revMicro: Column = (fxUnits(col("l_extendedprice"), 100)
+    .cast("decimal(19,0)") *
+    (lit(100L) - fxUnits(col("l_discount"), 100))
+      .cast("decimal(19,0)")).cast("decimal(38,0)")
+
+  /** Oracle fragment matching [[revMicro]] exactly (HUGEINT). */
+  val revMicroSql: String =
+    """CAST(round(l_extendedprice*100) AS HUGEINT) *
+      |      (100 - CAST(round(l_discount*100) AS BIGINT))""".stripMargin
+
+  /** Two-pass exact global ranking: range-repartition + in-partition
+    * sort on `sortCols`, then `zipWithIndex` appends the 1-based
+    * global order index `rn` — the scale-safe replacement for an
+    * unpartitioned ranking window ("Moving all data to a single
+    * partition"). ONE definition for every consumer (q50 deciles,
+    * q149 calibration, q153 Gini — r7 review folded their three
+    * inlined copies) so the partition-count choice and row-index
+    * semantics can never drift between them.
+    */
+  def globalRankByRange(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df
+      .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rn", org.apache.spark.sql.types.LongType, nullable = false))
+    s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
+  /** ntile(10)-equivalent decile from the exact global index `rn` over
+    * `n` rows: the first n%10 buckets take ⌈n/10⌉ rows, the rest
+    * ⌊n/10⌋ — SQL ntile semantics derived from exact integers (shared
+    * by q50 and q149, same fold as [[globalRankByRange]]).
+    */
+  def exactDecile(rn: Column, n: Long): Column = {
+    val q = n / 10
+    val r = n % 10
+    val big = r * (q + 1) // rows living in the ceil-sized buckets
+    when(rn <= lit(big),
+      (floor((rn - 1) / lit((q + 1).toDouble)) + 1).cast("int"))
+      .otherwise((lit(r) + floor((rn - lit(big) - 1) /
+        lit(q.max(1L).toDouble)) + 1).cast("int"))
+  }
+
   /** Oracle twin of [[coverageCurve]]: `tot`/`top`/`r` CTEs over a
     * caller-defined `pk` CTE; read the final projection from
     * `r CROSS JOIN tot` (`rank`, the pk columns, `cum_mass`, `tot_u`).

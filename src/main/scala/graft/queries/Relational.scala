@@ -874,25 +874,9 @@ object Relational {
         // metadata-backed count: one column-free scan job (the same
         // bounded driver-side probe cost as the q28 size guard)
         val n = base.count()
-        val sorted = base
-          .repartitionByRange(s.sparkContext.defaultParallelism,
-            col("c_acctbal"), col("c_custkey"))
-          .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
-        val schema = org.apache.spark.sql.types.StructType(
-          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-            "rn", org.apache.spark.sql.types.LongType, nullable = false))
-        val withRn = s.createDataFrame(
-          sorted.rdd.zipWithIndex().map { case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
-          schema)
-        val q = n / 10
-        val r10 = n % 10
-        val bigBuckets = r10 * (q + 1) // rows living in the ceil-sized buckets
-        val decile =
-          when(col("rn") <= lit(bigBuckets),
-            (floor((col("rn") - 1) / lit((q + 1).toDouble)) + 1).cast("int"))
-            .otherwise((lit(r10) + floor((col("rn") - lit(bigBuckets) - 1) /
-              lit(q.max(1L).toDouble)) + 1).cast("int"))
+        val withRn = Q.globalRankByRange(base,
+          Seq(col("c_acctbal"), col("c_custkey")))
+        val decile = Q.exactDecile(col("rn"), n)
         val pr =
           if (n <= 1L) lit(0.0)
           else round((col("rn") - 1).cast("double") / lit((n - 1).toDouble), 6)

@@ -169,16 +169,31 @@ object TextQueries {
     bm25Cache.clear(s)
     bm25StatsCache.clear(s)
     phraseHitsCache.clear(s)
+    // the hot-term memo is keyed by session too — dropping it here
+    // keeps a retired session collectable (r7 review: it was the one
+    // per-session cache this hook missed)
+    hotTermsCache.forEach { (k, _) =>
+      if (k._1 eq s) hotTermsCache.remove(k)
+    }
   }
 
   // q99's BM25 corpus stats (1 row) + probe-term tf hit rows, and
   // q114's phrase-hit posting list — the last derived bases that
   // rebuilt per session before round 7; now uniform with the shingle/
   // LM/vector families (build once, stamp-checked, durable-tier read
-  // in a cold session).
-  private val bm25Cache = new StampedCache("bm25_tf_hits")
-  private val bm25StatsCache = new StampedCache("bm25_stats")
-  private val phraseHitsCache = new StampedCache("phrase_hits")
+  // in a cold session). The PROBE SET is part of each artifact's
+  // identity (the pq_codes_m8k16 rule): an edited Bm25Terms /
+  // PhraseProbes must MISS the durable store and rebuild — the stored
+  // tf0..tfN column names would still line up, so a cold session
+  // would otherwise silently score the old terms.
+  private def probeTag(probes: Seq[String]): String =
+    f"${scala.util.hashing.MurmurHash3.orderedHash(probes)}%08x"
+  private val bm25Cache =
+    new StampedCache(s"bm25_tf_hits_${probeTag(Bm25Terms)}")
+  private val bm25StatsCache =
+    new StampedCache(s"bm25_stats_${probeTag(Bm25Terms)}")
+  private val phraseHitsCache =
+    new StampedCache(s"phrase_hits_${probeTag(PhraseProbes)}")
 
   private val termDfCache = new StampedCache("term_df")
 

@@ -64,8 +64,11 @@ object Tables {
           // epoch-seconds (~1.6e9) shipped as raw BIGINT would pass
           // the type dispatch and come out wrong by 1000× — fail
           // loudly instead. Checked once per directory (tiny
-          // single-row-group read, memoized).
-          if (nanosRangeChecked.putIfAbsent(path, true) == null) {
+          // single-row-group read); the memo records the path only
+          // AFTER the require passes — marking it up front would let
+          // a retried call in the same JVM skip the failed check and
+          // silently divide the bad era by 1000.
+          if (!nanosRangeChecked.containsKey(path)) {
             spark.read.parquet(path).select("ts").limit(1).collect()
               .headOption.foreach { r =>
                 val v = r.getLong(0)
@@ -75,6 +78,7 @@ object Tables {
                     "nanos range [1e17, 5e18] — this BIGINT era is not " +
                     "TIMESTAMP(NANOS); teach Tables its unit explicitly")
               }
+            nanosRangeChecked.put(path, true)
           }
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampType => raw

@@ -46,12 +46,30 @@ object ZOrder {
     }
   }
 
-  /** Linear bucket id of `c` over [lo, hi] into 2^bits buckets. */
-  private def bucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+  /** Linear bucket id of `c` over [lo, hi] into 2^bits buckets.
+    * Overflow-safe by construction — the naive (c−lo)·n/span form
+    * wraps long arithmetic once the domain span exceeds 2⁶³/2^bits
+    * (~1.4e14 at bits=16: a few YEARS of epoch-micros), silently
+    * producing garbage z-keys, i.e. a random layout with no error.
+    * Wide domains divide FIRST (width ≥ span/n + 1 ⟹ quotient < n,
+    * no clamp needed); narrow domains multiply by n/(span+1), whose
+    * product is < n and cannot wrap either.
+    */
+  private def bucket(colName: String, lo: Long, hi: Long, bits: Int): Column = {
     val span = (hi - lo).max(1L)
     val n = 1L << bits
-    // (c-lo)*n/span with the top edge clamped into the last bucket
-    least(((c.cast("long") - lo) * n / span), lit(n - 1))
+    if (span + 1 >= n) {
+      // exact integer DIV: width > span/n makes the quotient < n with
+      // no clamp, and both operands stay well under 2⁶³ (a double-
+      // division floor could land off-by-one at exact multiples)
+      val width = span / n + 1L
+      expr(s"(CAST(`$colName` AS BIGINT) - ${lo}L) DIV ${width}L")
+    } else {
+      // small domain: spread across the bucket range so this column's
+      // bits carry comparable weight in the interleave; factor·span < n
+      val factor = n / (span + 1)
+      expr(s"(CAST(`$colName` AS BIGINT) - ${lo}L) * ${factor}L")
+    }
   }
 
   /** `df` re-laid-out on the z-curve of two integral columns, in
@@ -67,8 +85,8 @@ object ZOrder {
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"z-order columns $colA/$colB are all-null or the frame is empty")
     val z = interleave(
-      bucket(col(colA), r.getLong(0), r.getLong(1), bits),
-      bucket(col(colB), r.getLong(2), r.getLong(3), bits), bits)
+      bucket(colA, r.getLong(0), r.getLong(1), bits),
+      bucket(colB, r.getLong(2), r.getLong(3), bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

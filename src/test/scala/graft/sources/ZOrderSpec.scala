@@ -16,7 +16,10 @@ class ZOrderSpec extends SparkTestBase {
     val fs = new java.io.File(path).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
-    val g = li.agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+    // global span from the laid-out dataset itself (not a hardcoded
+    // source table — the wide-domain test lays out a synthetic frame)
+    val g = spark.read.parquet(path)
+      .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
     val span = (g.getLong(1) - g.getLong(0)).max(1L).toDouble
     val spans = fs.map { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
@@ -69,5 +72,25 @@ class ZOrderSpec extends SparkTestBase {
       ZOrder.layout(li.filter(lit(false)), "l_partkey", "l_suppkey", 2)
         .count()
     }
+  }
+
+  test("wide domains (epoch-micros span) still cluster — no long overflow") {
+    import spark.implicits._
+    // a ~6-year span of epoch-micros (~1.9e14): the former
+    // (c-lo)*2^bits form wrapped 2⁶³ here and produced garbage keys;
+    // the divide-first form must keep both columns clustered
+    val base = 1700000000000000L
+    val rows = (0 until 4096).map { i =>
+      val t = base + (i.toLong * 46655243111L) % 190000000000000L
+      (t, (i * 2654435761L) % 1000L)
+    }
+    val df = rows.toDF("ts_us", "key")
+    val dir = java.nio.file.Files.createTempDirectory("zwide").toString
+    ZOrder.write(df, "ts_us", "key", 8, dir)
+    val tSpan = meanSpan(dir, "ts_us")
+    val kSpan = meanSpan(dir, "key")
+    assert(tSpan < 0.7, s"wide-domain ts files span too much: $tSpan")
+    assert(kSpan < 0.7, s"key files span too much: $kSpan")
+    assert(spark.read.parquet(dir).count() == 4096)
   }
 }
