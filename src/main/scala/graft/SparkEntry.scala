@@ -16,7 +16,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       DedupQueries.defs ++ MultimodalQueries.defs ++ Analytics.defs ++
-      Analytics.defs2 ++ Analytics2.defs ++ Analytics2.defs2
+      Analytics.defs2 ++ Analytics2.defs ++ Analytics2.defs2 ++
+      Analytics2.defs3
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query name")
 

@@ -938,4 +938,113 @@ object Analytics2 {
               |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
               |ORDER BY n_lines""".stripMargin))
   )
+
+  /** The q182/q183 rule set over order lines joined to their order —
+    * ONE definition feeding both the audit counts and the exemplar
+    * report, so the two faces cannot drift. Bound predicates phrase
+    * through exact fixed-point units ([[Q]] discipline); NULL holds
+    * (the orphan join miss) counts as a violation per the
+    * [[graft.operators.QualityRules.Rule]] convention.
+    */
+  private def dqRules: Seq[graft.operators.QualityRules.Rule] = {
+    import graft.operators.QualityRules.Rule
+    Seq(
+      Rule("discount_bounded",
+        Q.fxUnits(col("l_discount"), 100).between(0, 10)),
+      Rule("flag_known", col("l_returnflag").isin("A", "N", "R")),
+      Rule("has_order", col("o_orderkey").isNotNull),
+      Rule("price_positive", Q.fxUnits(col("l_extendedprice"), 100) > 0),
+      Rule("qty_in_range", Q.fxUnits(col("l_quantity"), 1).between(1, 50)),
+      Rule("ship_after_order", col("l_shipdate") >= col("o_orderdate")))
+  }
+
+  private def dqFrame(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .withColumn("line_uid",
+        col("l_orderkey") * 100L + col("l_linenumber"))
+
+  /** Mirror of one rule's VIOLATION predicate in oracle SQL (NOT
+    * coalesce(holds, FALSE) — the Rule convention verbatim).
+    */
+  private val dqViolSql: Seq[(String, String)] = Seq(
+    "discount_bounded" ->
+      "CAST(round(l_discount*100) AS BIGINT) BETWEEN 0 AND 10",
+    "flag_known" -> "l_returnflag IN ('A','N','R')",
+    "has_order" -> "ok IS NOT NULL",
+    "price_positive" -> "CAST(round(l_extendedprice*100) AS BIGINT) > 0",
+    "qty_in_range" -> "CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 50",
+    "ship_after_order" -> "l_shipdate >= o_orderdate")
+
+  /** Data-quality pack: the declared faces of
+    * [[graft.operators.QualityRules]] (the deequ/dbt-test shape) —
+    * q182 counts every rule's violations in ONE corpus pass, q183
+    * shows the k smallest violating line ids per rule through the
+    * bounded per-group heap.
+    */
+  val defs3: Seq[QueryDef] = Seq(
+
+    // ── q182: the rule AUDIT — violation counts + rates for six
+    // expectations over order lines (bounds, domain membership, FK
+    // presence, date ordering; ship_after_order genuinely fails on
+    // ~half the fixture's lines — the early-ship mass q174 buckets).
+    // Scale shape: ALL rules in ONE aggregate (conditional sums,
+    // map-side combined — never a filter().count() per rule, which
+    // would scan the corpus |rules| times); the 1×|rules| result
+    // unpivots map-side. The left join is the one corpus exchange.
+    QueryDef(
+      "q182_dq_audit",
+      (s, d) =>
+        graft.operators.QualityRules.audit(dqFrame(s, d), dqRules),
+      Some(s"""WITH f AS (SELECT l.*, o.o_orderkey AS ok, o.o_orderdate
+              |  FROM lineitem l LEFT JOIN orders o
+              |    ON l.l_orderkey = o.o_orderkey),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |${dqViolSql.zipWithIndex.map { case ((_, h), i) =>
+                 s"    sum(CASE WHEN NOT coalesce($h, FALSE) " +
+                   s"THEN 1 ELSE 0 END) AS b$i"
+               }.mkString(",\n")}
+              |  FROM f)
+              |SELECT rule, n_rows, n_bad,
+              |  round(CAST(n_bad AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+              |    AS bad_frac
+              |FROM (
+              |${dqViolSql.zipWithIndex.map { case ((n, _), i) =>
+                 s"  SELECT '$n' AS rule, n_rows, " +
+                   s"CAST(b$i AS BIGINT) AS n_bad FROM m"
+               }.mkString("\n  UNION ALL\n")}
+              |)
+              |ORDER BY rule""".stripMargin)),
+
+    // ── q183: the rule EXEMPLARS — up to 5 violating line ids per
+    // rule for triage, deterministic (smallest line_uid first; the
+    // uid is the unique (orderkey, linenumber) composite). Scale
+    // shape: one scan emits (rule, uid) pairs ONLY for violations
+    // (map-side explode of the per-row violated-rule array), then
+    // GroupedTopK's per-partition heaps bound the exchange at
+    // k·partitions rows — a 90%-bad corpus does not ship 90% of
+    // itself to the report.
+    QueryDef(
+      "q183_dq_exemplars",
+      (s, d) =>
+        graft.operators.QualityRules.exemplars(
+          dqFrame(s, d), dqRules, "line_uid", 5),
+      Some(s"""WITH f AS (SELECT l.*, o.o_orderkey AS ok, o.o_orderdate,
+              |    l.l_orderkey*100 + l.l_linenumber AS line_uid
+              |  FROM lineitem l LEFT JOIN orders o
+              |    ON l.l_orderkey = o.o_orderkey),
+              |v AS (
+              |${dqViolSql.map { case (n, h) =>
+                 s"  SELECT '$n' AS rule, line_uid FROM f " +
+                   s"WHERE NOT coalesce($h, FALSE)"
+               }.mkString("\n  UNION ALL\n")}
+              |),
+              |r AS (SELECT rule, line_uid, row_number() OVER
+              |    (PARTITION BY rule ORDER BY line_uid) AS rn FROM v)
+              |SELECT rule, CAST(line_uid AS BIGINT) AS line_uid
+              |FROM r WHERE rn <= 5
+              |ORDER BY rule, line_uid""".stripMargin))
+  )
 }
