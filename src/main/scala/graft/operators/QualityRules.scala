@@ -44,10 +44,13 @@ object QualityRules {
     require(rules.nonEmpty, "empty rule set")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names")
+    // coalesce: sum over an EMPTY frame is NULL, and the streaming
+    // monitor audits every micro-batch including empty ones — an
+    // empty delivery must report 0 violations, not null-crash
     val aggs = count(lit(1)).cast("long").as("n_rows") +:
       rules.map(r =>
-        sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L))
-          .cast("long").as(s"__bad_${r.name}"))
+        coalesce(sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).cast("long").as(s"__bad_${r.name}"))
     val one = df.agg(aggs.head, aggs.tail: _*)
     // |rules|-column 1-row frame → |rules| rows via stack (map-side)
     val stacked = rules.map(r =>
@@ -55,9 +58,35 @@ object QualityRules {
     one.selectExpr("n_rows",
       s"stack(${rules.size}, $stacked) AS (rule, n_bad)")
       .select(col("rule"), col("n_rows"), col("n_bad"),
-        round(col("n_bad").cast("double") /
-          col("n_rows").cast("double"), 6).as("bad_frac"))
+        // empty-frame guard (ANSI divide-by-zero): an empty delivery
+        // reports rate 0, matching its 0 violations
+        when(col("n_rows") > 0,
+          round(col("n_bad").cast("double") /
+            col("n_rows").cast("double"), 6))
+          .otherwise(lit(0.0)).as("bad_frac"))
       .orderBy(col("rule"))
+  }
+
+  /** Raised by [[gate]]: the release-blocking face of the audit, with
+    * every failing rule and its realized rate in the message.
+    */
+  final case class GateFailed(failures: Seq[(String, Double)])
+    extends RuntimeException(
+      "quality gate failed: " + failures
+        .map { case (n, f) => f"$n (bad_frac $f%.6f)" }.mkString(", "))
+
+  /** Pre-release gate: run [[audit]] and throw [[GateFailed]] if ANY
+    * rule's violation rate exceeds `maxBadFrac` (default: zero
+    * tolerance). The release-pipeline composition point — a corpus
+    * that fails its structural expectations should fail the RELEASE,
+    * loudly, not ship and be discovered downstream. Cost: the one
+    * audit pass.
+    */
+  def gate(df: DataFrame, rules: Seq[Rule], maxBadFrac: Double = 0.0): Unit = {
+    val bad = audit(df, rules).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+      .filter(_._2 > maxBadFrac)
+    if (bad.nonEmpty) throw GateFailed(bad.toSeq)
   }
 
   /** Up to `maxExemplars` violating rows per rule, keyed for triage:
