@@ -89,10 +89,17 @@ object BloomPrune {
     (org.apache.spark.sql.SparkSession, String),
     (Long, Broadcast[BloomFilter])]()
 
+  private val hooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.SparkSession]()
+
   /** Get-or-build the memoized broadcast bloom for (`session`, `tag`)
     * at `stamp`. The build (count + bloom agg jobs) runs OUTSIDE any
     * map lock — a lost race means one redundant build, not a held bin
-    * lock for the jobs' duration (the SkewJoin probe rule).
+    * lock for the jobs' duration (the SkewJoin probe rule). Entries
+    * self-evict at application end (the StampedCache listener rule —
+    * without it every session that ever built a sketch stays pinned
+    * in this JVM-wide map; r7 review); a replaced stale-stamp sketch
+    * is destroyed, not left to the ContextCleaner.
     */
   def cachedFor(
       dimKeys: DataFrame,
@@ -100,22 +107,43 @@ object BloomPrune {
       tag: String,
       stamp: Long,
       fpp: Double = 0.01): Broadcast[BloomFilter] = {
-    val k = (dimKeys.sparkSession, tag)
+    val s = dimKeys.sparkSession
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            clearCaches(s)
+            hooked.remove(s)
+            ()
+          }
+        })
+    }
+    val k = (s, tag)
     val cur = bloomCache.get(k)
     if (cur != null && cur._1 == stamp) cur._2
     else {
       val n = dimKeys.select(dimKey).distinct().count().max(1L)
       val built = buildFor(dimKeys, dimKey, n, fpp)
-      bloomCache.put(k, (stamp, built))
+      val prev = bloomCache.put(k, (stamp, built))
+      if (prev != null) prev._2.destroy()
       built
     }
   }
 
-  /** Drop one session's memoized sketches (session-retirement hook,
-    * like the query modules' clearCaches).
+  /** Drop one session's memoized sketches — the session-RETIREMENT
+    * hook for services cycling sessions on a shared context (the
+    * app-end listener above only fires per application); call it next
+    * to the query modules' clearCaches.
     */
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit =
-    bloomCache.forEach { (k, _) => if (k._1 eq s) bloomCache.remove(k) }
+    bloomCache.forEach { (k, v) =>
+      if (k._1 eq s) {
+        bloomCache.remove(k)
+        v._2.destroy()
+      }
+    }
 }
 
 /** `bloom.mightContainLong(key)` as a Catalyst expression — a few

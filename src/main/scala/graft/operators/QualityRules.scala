@@ -40,10 +40,21 @@ object QualityRules {
     * bad_frac)` — `n_rows` repeated per rule row for ratio reads.
     * Result is |rules| rows, ordered by rule name.
     */
-  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  /** Authoring validation shared by every face: names are identifiers
+    * (they interpolate into generated SQL — a quote or backtick would
+    * otherwise surface as an opaque ParseException or, crafted, a
+    * silently mislabeled report), unique, and the set non-empty.
+    */
+  private def validate(rules: Seq[Rule]): Unit = {
     require(rules.nonEmpty, "empty rule set")
     require(rules.map(_.name).distinct.size == rules.size,
       "duplicate rule names")
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name '${r.name}' must be an identifier ([A-Za-z0-9_]+)"))
+  }
+
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    validate(rules)
     // coalesce: sum over an EMPTY frame is NULL, and the streaming
     // monitor audits every micro-batch including empty ones — an
     // empty delivery must report 0 violations, not null-crash
@@ -83,25 +94,36 @@ object QualityRules {
     * audit pass.
     */
   def gate(df: DataFrame, rules: Seq[Rule], maxBadFrac: Double = 0.0): Unit = {
+    // decide on the EXACT counts, not the display-rounded bad_frac:
+    // round(4/1e7, 6) = 0.0 would slip 4 real violations through a
+    // zero-tolerance gate on a 10 M-row corpus (r7 review)
     val bad = audit(df, rules).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
-      .filter(_._2 > maxBadFrac)
-    if (bad.nonEmpty) throw GateFailed(bad.toSeq)
+      .map { r =>
+        val (n, nBad) = (r.getLong(1), r.getLong(2))
+        (r.getString(0), nBad,
+          if (n == 0) 0.0 else nBad.toDouble / n)
+      }
+      .filter { case (_, nBad, frac) => nBad > 0 && frac > maxBadFrac }
+    if (bad.nonEmpty)
+      throw GateFailed(bad.map { case (n, _, f) => (n, f) }.toSeq)
   }
 
-  /** Up to `maxExemplars` violating rows per rule, keyed for triage:
-    * `(rule, order key, violation row columns...)`. One corpus scan:
-    * each row emits one (rule, row) pair per rule it violates
-    * (map-side array + explode — bad rows are the minority, so the
-    * emitted grain is the violation mass, then the per-rule heap cuts
-    * it to k·partitions before any exchange).
+  /** Up to `maxExemplars` violating row KEYS per rule, for triage:
+    * `(rule, orderCol)` — the key is the lookup handle, the row
+    * itself stays in the corpus (shipping arbitrary row payloads
+    * through the heap would carry the violation mass this shape
+    * exists to avoid). One corpus scan: each row emits one entry per
+    * RULE (a |rules|-wide map-side array + explode), non-violations
+    * null out and filter immediately, so only the violation grain
+    * survives to the per-rule heap — which cuts it to k·partitions
+    * rows before any exchange.
     */
   def exemplars(
       df: DataFrame,
       rules: Seq[Rule],
       orderCol: String,
       maxExemplars: Int = 5): DataFrame = {
-    require(rules.nonEmpty, "empty rule set")
+    validate(rules)
     val tagged = df.select(
       explode(array(rules.map(r =>
         when(coalesce(r.holds, lit(false)), lit(null).cast("string"))

@@ -56,8 +56,20 @@ object ZOrder {
     * product is < n and cannot wrap either.
     */
   private def bucket(colName: String, lo: Long, hi: Long, bits: Int): Column = {
-    val span = (hi - lo).max(1L)
     val n = 1L << bits
+    // full-width signed domains (xxhash64 keys: lo ≈ Long.MIN, hi ≈
+    // Long.MAX) overflow hi−lo itself — (hi−lo).max(1) would wrap to
+    // a SMALL span and send the widest possible domain down the
+    // narrow-domain multiply branch, wrapping again per row (the
+    // silent random layout this function exists to prevent). Detect
+    // in BigInt; bucket by flipping the sign bit (unsigned order) and
+    // taking the top `bits` — exact equi-width over the full 2⁶⁴
+    // line, no subtraction anywhere.
+    if (BigInt(hi) - BigInt(lo) + 1 > BigInt(Long.MaxValue))
+      return shiftrightunsigned(
+        col(colName).cast("long").bitwiseXOR(lit(Long.MinValue)),
+        64 - bits)
+    val span = (hi - lo).max(1L)
     if (span + 1 >= n) {
       // exact integer DIV: width > span/n makes the quotient < n with
       // no clamp, and both operands stay well under 2⁶³ (a double-

@@ -28,9 +28,17 @@ object QualityMonitor {
       batchId: Long,
       nRows: Long,
       badByRule: Map[String, Long]) {
-    def badFrac(rule: String): Double =
-      if (nRows == 0) 0.0
-      else badByRule.getOrElse(rule, 0L).toDouble / nRows
+    /** Violation rate of `rule` in this delivery. An unknown rule
+      * name throws — a typo in alert-threshold wiring would
+      * otherwise read every batch as clean forever (r7 review), the
+      * exact silent failure the monitor exists to prevent.
+      */
+    def badFrac(rule: String): Double = {
+      require(badByRule.contains(rule),
+        s"unknown rule '$rule' — audited rules: ${badByRule.keys.toSeq.sorted
+          .mkString(", ")}")
+      if (nRows == 0) 0.0 else badByRule(rule).toDouble / nRows
+    }
   }
 
   /** Audit one (batch) frame into a [[BatchAudit]] — exposed so batch

@@ -56,13 +56,36 @@ class QualityRulesSpec extends SparkTestBase {
     assert(ex.groupBy(_._1).values.forall(_.length <= 2), "k bound")
   }
 
-  test("authoring errors fail loudly") {
+  test("authoring errors fail loudly — on BOTH faces") {
     intercept[IllegalArgumentException] {
       QualityRules.audit(df, Seq.empty)
     }
+    val dup = Seq(Rule("dup", col("v") > 0), Rule("dup", col("v") < 0))
+    intercept[IllegalArgumentException] { QualityRules.audit(df, dup) }
     intercept[IllegalArgumentException] {
-      QualityRules.audit(df,
-        Seq(Rule("dup", col("v") > 0), Rule("dup", col("v") < 0)))
+      QualityRules.exemplars(df, dup, "id")
     }
+    // names interpolate into generated SQL — non-identifier names must
+    // fail the validated require, not an opaque ParseException
+    val quoted = Seq(Rule("price > 0 ('usd')", col("v") > 0))
+    intercept[IllegalArgumentException] { QualityRules.audit(df, quoted) }
+    intercept[IllegalArgumentException] {
+      QualityRules.exemplars(df, quoted, "id")
+    }
+  }
+
+  test("the gate decides on exact counts, not the rounded display rate") {
+    // 1 bad row in 4,000,001: the display rate rounds to 0.000000 at
+    // 6 dp, but zero tolerance must still fail — the decision comes
+    // from the exact n_bad, never the rounded bad_frac
+    val many = spark.range(0, 4000001L).toDF("id")
+      .withColumn("v", when(col("id") === 0, -1).otherwise(1))
+    val r = Seq(Rule("v_positive", col("v") > 0))
+    val shown = QualityRules.audit(many, r).collect().head.getDouble(3)
+    assert(shown == 0.0, s"premise: the display rate rounds to 0, got $shown")
+    val e = intercept[QualityRules.GateFailed] {
+      QualityRules.gate(many, r)
+    }
+    assert(e.failures.map(_._1) == Seq("v_positive"))
   }
 }

@@ -20,11 +20,14 @@ class ZOrderSpec extends SparkTestBase {
     // source table — the wide-domain test lays out a synthetic frame)
     val g = spark.read.parquet(path)
       .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-    val span = (g.getLong(1) - g.getLong(0)).max(1L).toDouble
+    // BigInt subtraction: a full-width signed domain overflows hi − lo
+    // in long arithmetic (the exact bug the full-width test pins)
+    val span = (BigInt(g.getLong(1)) - BigInt(g.getLong(0)))
+      .max(BigInt(1)).toDouble
     val spans = fs.map { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
         .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-      (r.getLong(1) - r.getLong(0)).toDouble / span
+      (BigInt(r.getLong(1)) - BigInt(r.getLong(0))).toDouble / span
     }
     spans.sum / spans.length
   }
@@ -90,6 +93,25 @@ class ZOrderSpec extends SparkTestBase {
     val tSpan = meanSpan(dir, "ts_us")
     val kSpan = meanSpan(dir, "key")
     assert(tSpan < 0.7, s"wide-domain ts files span too much: $tSpan")
+    assert(kSpan < 0.7, s"key files span too much: $kSpan")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
+  test("full-width signed domains (xxhash64-style keys) cluster too") {
+    import spark.implicits._
+    // keys spread over the ENTIRE signed-long line: hi − lo itself
+    // overflows, which the former span arithmetic wrapped into a
+    // small span (narrow branch → per-row overflow → random layout);
+    // the sign-flip top-bits branch must keep both columns clustered
+    val rows = (0 until 4096).map { i =>
+      (i.toLong * 0x9E3779B97F4A7C15L, i.toLong % 500L)
+    }
+    val df = rows.toDF("h", "key")
+    val dir = java.nio.file.Files.createTempDirectory("zfull").toString
+    ZOrder.write(df, "h", "key", 8, dir)
+    val hSpan = meanSpan(dir, "h")
+    val kSpan = meanSpan(dir, "key")
+    assert(hSpan < 0.7, s"full-width hash files span too much: $hSpan")
     assert(kSpan < 0.7, s"key files span too much: $kSpan")
     assert(spark.read.parquet(dir).count() == 4096)
   }

@@ -46,6 +46,9 @@ class QualityMonitorSpec extends SparkTestBase {
     assert(a.nRows == 0)
     assert(a.badByRule == Map("v_positive" -> 0L, "v_small" -> 0L))
     assert(a.badFrac("v_positive") == 0.0)
+    // a typo'd rule name in alert wiring must surface immediately,
+    // not read as permanently clean
+    intercept[IllegalArgumentException] { a.badFrac("v_positiv") }
   }
 
   test("the gate passes a clean frame and fails a dirty one loudly") {
