@@ -191,6 +191,42 @@ object Profile {
     }
     println(f"PHASE cdc 10x/1x delta cost ratio ${cd10 / cd1}%8.3f (≈1.0 = O(delta), 10 = O(view))")
 
+    // Round-7 probes: the two new corpus-scale shapes. (a) The
+    // star-profit join (q179's plan: three broadcast dims + ONE
+    // orderkey exchange + a |nations|×|years| agg) must stay ~linear
+    // when the fact side grows 10× — a superlinear jump would mean a
+    // dim stopped broadcasting. (b) The multi-rule audit (q182's
+    // engine) is a single map-side-combined aggregate, so 10× rows
+    // must cost ≈10× map work with no new exchange.
+    val part = graft.sources.Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = graft.sources.Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = graft.sources.Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    def profit(f: org.apache.spark.sql.DataFrame) = f
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy"))
+      .agg(sum(graft.queries.Q.revMicro).as("rev"))
+    time("star profit 1x")(profit(li).write.mode("overwrite").format("noop").save())
+    time("star profit 10x")(profit(li10).write.mode("overwrite").format("noop").save())
+
+    import graft.operators.QualityRules.Rule
+    val probe = Seq(
+      Rule("qty_in_range",
+        graft.queries.Q.fxUnits(col("l_quantity"), 1).between(1, 50)),
+      Rule("price_positive",
+        graft.queries.Q.fxUnits(col("l_extendedprice"), 100) > 0),
+      Rule("flag_known", col("l_returnflag").isin("A", "N", "R")))
+    def ruleAudit(f: org.apache.spark.sql.DataFrame) =
+      graft.operators.QualityRules.audit(f, probe)
+    time("rule audit 1x")(ruleAudit(li).write.mode("overwrite").format("noop").save())
+    time("rule audit 10x")(ruleAudit(li10).write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }
