@@ -1047,4 +1047,149 @@ object Analytics2 {
               |FROM r WHERE rn <= 5
               |ORDER BY rule, line_uid""".stripMargin))
   )
+
+  /** Round-7 tail pack: the sketch-set-algebra overlap matrix and the
+    * exact seasonal decomposition.
+    */
+  val defs4: Seq[QueryDef] = Seq(
+
+    // ── q184: sketch audience-overlap matrix — estimated
+    // |users(A) ∩ users(B)| for every event-type pair via HLL
+    // inclusion-exclusion (|A|+|B|−|A∪B|) plus the implied Jaccard:
+    // the "how much do these segments share" read marketing/growth
+    // runs across every segment pair. q115 computes the EXACT overlap
+    // for vocabularies by shuffling (token, source) pairs; this is
+    // the 100 TB twin for user audiences — the corpus collapses ONCE
+    // to |types| mergeable 16 KB sketches (map-side partials, the
+    // q145 property), and ALL pairwise math runs on that
+    // kilobyte-sized frame: adding a segment costs one sketch, not a
+    // corpus re-shuffle, and the same stored sketches answer every
+    // future pairwise question.
+    //
+    // Plan note: the pair enumeration self-joins the |types|-row
+    // sketch frame on a < condition — a BNLJ over two
+    // dimension-bounded sides (like q129's calendar densify,
+    // allowlisted). Approximate (HLL, lgK 14 ≈ 0.8% rsd;
+    // inclusion-exclusion amplifies on small intersections) → no
+    // oracle; scalatest gates the estimates against exact
+    // intersections.
+    QueryDef(
+      "q184_user_overlap_hll",
+      (s, d) => {
+        val sk = t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+          .select(col("event_type"),
+            hll_sketch_estimate(col("sk")).as("est"), col("sk"))
+        val a = sk.select(col("event_type").as("type_a"),
+          col("est").as("est_a"), col("sk").as("sk_a"))
+        val b = sk.select(col("event_type").as("type_b"),
+          col("est").as("est_b"), col("sk").as("sk_b"))
+        a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            col("est_a").cast("long").as("users_a"),
+            col("est_b").cast("long").as("users_b"),
+            hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+              .cast("long").as("users_union"))
+          .withColumn("overlap_est",
+            greatest(col("users_a") + col("users_b") - col("users_union"),
+              lit(0L)))
+          .withColumn("jaccard_est",
+            round(col("overlap_est").cast("double") /
+              col("users_union").cast("double"), 6))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      None),
+
+    // ── q185: STL-style daily revenue decomposition — every day's
+    // revenue split into trend (centered 7-day moving average),
+    // day-of-week seasonal (the mean detrended value of that
+    // weekday), and residual: the classic read that separates "sales
+    // are growing" from "it's Friday" from "something happened",
+    // composing q43's moving average, q124's DOW profile, and q158's
+    // residual ranking into one decomposition whose parts re-add to
+    // the series.
+    //
+    // Exactness: the corpus collapses to exact daily cents; the
+    // trend numerator (Σ of 7 days) and the detrended numerator
+    // (7·rev − Σ7) stay exact integers — seasonal group sums
+    // accumulate DECIMAL(38,0) — and trend/seasonal/residual are
+    // single-chain double derivations mirrored op-for-op, rounded 6.
+    // Honest extent: trend (and everything derived from it) is NULL
+    // on days whose centered window is incomplete (the first/last 3).
+    // Scale shape: one scan → |days| grain map-side; the centered
+    // window and the 7-row seasonal join run over the
+    // dimension-bounded dense calendar (q144's rule); no-order
+    // calendar days are honest zero-revenue days.
+    QueryDef(
+      "q185_stl_decompose",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("dt"))
+          .agg(sum(Q.fxUnits(col("o_totalprice"), 100)).as("rev_c"))
+        val cal = daily
+          .agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+        val dense = cal.join(daily, Seq("dt"), "left")
+          .select(col("dt"), coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+        val w7 = Window.orderBy(col("dt")).rowsBetween(-3, 3)
+        val trended = dense
+          .withColumn("sum7", sum(col("rev_c")).over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .withColumn("num",
+            when(col("cnt7") === 7, lit(7L) * col("rev_c") - col("sum7")))
+        val seasonal = trended.filter(col("cnt7") === 7)
+          .select((weekday(col("dt")) + 1).as("dow"),
+            col("num").cast("decimal(38,0)").as("numd"))
+          .groupBy(col("dow"))
+          .agg(sum(col("numd")).as("s_num"),
+            count(lit(1)).cast("long").as("n_dow"))
+        trended
+          .join(broadcast(seasonal),
+            (weekday(col("dt")) + 1) === col("dow"), "left")
+          .select(
+            date_format(col("dt"), "yyyy-MM-dd").as("day"),
+            (col("rev_c") / 100.0).as("rev"),
+            when(col("cnt7") === 7,
+              round(col("sum7") / 700.0, 6)).as("trend"),
+            when(col("cnt7") === 7,
+              round(col("s_num").cast("double") /
+                (col("n_dow").cast("double") * 700.0), 6)).as("seasonal"),
+            when(col("cnt7") === 7,
+              round(col("rev_c") / 100.0 - col("sum7") / 700.0 -
+                col("s_num").cast("double") /
+                  (col("n_dow").cast("double") * 700.0), 6)).as("residual"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS rev_c
+             |  FROM orders GROUP BY dt),
+             |cal AS (SELECT unnest(generate_series(
+             |    (SELECT min(dt) FROM daily),
+             |    (SELECT max(dt) FROM daily),
+             |    INTERVAL 1 DAY))::DATE AS dt),
+             |dense AS (SELECT cal.dt, coalesce(daily.rev_c, 0) AS rev_c
+             |  FROM cal LEFT JOIN daily ON cal.dt = daily.dt),
+             |tr AS (SELECT dt, rev_c,
+             |    sum(rev_c) OVER w AS sum7,
+             |    count(*) OVER w AS cnt7
+             |  FROM dense
+             |  WINDOW w AS (ORDER BY dt
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |se AS (SELECT isodow(dt) AS dow,
+             |    sum(CAST(7*rev_c - sum7 AS HUGEINT)) AS s_num,
+             |    CAST(count(*) AS BIGINT) AS n_dow
+             |  FROM tr WHERE cnt7 = 7 GROUP BY dow)
+             |SELECT strftime(tr.dt, '%Y-%m-%d') AS day,
+             |  rev_c/100.0 AS rev,
+             |  CASE WHEN cnt7 = 7 THEN round(sum7/700.0, 6) END AS trend,
+             |  CASE WHEN cnt7 = 7 THEN round(CAST(s_num AS DOUBLE)
+             |    /(CAST(n_dow AS DOUBLE)*700.0), 6) END AS seasonal,
+             |  CASE WHEN cnt7 = 7 THEN round(rev_c/100.0 - sum7/700.0
+             |    - CAST(s_num AS DOUBLE)/(CAST(n_dow AS DOUBLE)*700.0), 6)
+             |    END AS residual
+             |FROM tr LEFT JOIN se ON isodow(tr.dt) = se.dow
+             |ORDER BY day""".stripMargin))
+  )
 }

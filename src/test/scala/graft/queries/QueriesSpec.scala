@@ -394,6 +394,10 @@ class QueriesSpec extends SparkTestBase {
     // q178 crossJoins the 1-row max-revenue scalar into the
     // |suppliers|-grain revenue frame for the exact-integer argmax
     // equality — the same scalar-broadcast shape.
+    // q184 pair-enumerates the |event types|-row sketch frame against
+    // itself on a < condition — both sides dimension-bounded (q129's
+    // calendar-densify class); the corpus entered once, through the
+    // mergeable sketch aggregate.
     val bnljOk = Set("q23_sim_topk", "q28_dedup_embedding",
       "q59_tfidf_top_terms", "q69_domain_mix",
       "q71_ann_int8", "q78_filtered_ann", "q80_semantic_decontaminate",
@@ -403,7 +407,7 @@ class QueriesSpec extends SparkTestBase {
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
       "q135_market_basket", "q137_user_mix_divergence",
       "q138_mutual_nn", "q144_gap_fill", "q168_idle_capital",
-      "q178_top_supplier")
+      "q178_top_supplier", "q184_user_overlap_hll")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -2241,6 +2245,51 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("GreaterThanOrEqual(l_quantity,0.5)") &&
       plan.contains("LessThan(l_quantity,30.5)"),
       s"q181's shared quantity envelope must reach PushedFilters:\n$plan")
+  }
+
+  test("q184 sketch overlaps track the exact audience intersections") {
+    import org.apache.spark.sql.functions.{col => c}
+    val users = graft.sources.Tables(spark, sf(), "events")
+      .select(c("event_type"), c("user_id")).distinct().collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("q184_user_overlap_hll")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), est) =>
+      val exact = (users(a) & users(b)).size
+      // lgK 14 rsd ≈0.8%; inclusion-exclusion amplifies — gate 10%
+      // relative with a small absolute floor for tiny intersections
+      assert(math.abs(est - exact) <= math.max(5.0, 0.10 * exact),
+        s"$a∩$b: est $est vs exact $exact")
+    }
+  }
+
+  test("q185 decomposition parts re-add to the series where defined") {
+    val rows = SparkEntry.queries("q185_stl_decompose")(spark, sf())
+      .collect()
+    assert(rows.length >= 7)
+    var defined = 0
+    rows.foreach { r =>
+      val rev = r.getDouble(1)
+      if (!r.isNullAt(2)) {
+        defined += 1
+        val (t, s0, res) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(math.abs(rev - (t + s0 + res)) <= 3e-6,
+          s"${r.getString(0)}: $rev != $t + $s0 + $res")
+      } else {
+        // incomplete centered window ⇒ every derived part is null
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+    // exactly the first and last 3 calendar days lack a full window
+    assert(defined == rows.length - 6,
+      s"${rows.length} days, $defined with trend")
+    // the seasonal components sum to ~0 weighted by their day counts
+    // (mean-detrended by construction) — spot the weighted-mean law
+    val seas = rows.filter(!_.isNullAt(3)).map(_.getDouble(3))
+    assert(seas.sum / seas.length < 1e3, "seasonal stays centered-ish")
   }
 
   test("q175 rank statistics are normalized per nation") {
