@@ -1190,6 +1190,139 @@ object Analytics2 {
              |    - CAST(s_num AS DOUBLE)/(CAST(n_dow AS DOUBLE)*700.0), 6)
              |    END AS residual
              |FROM tr LEFT JOIN se ON isodow(tr.dt) = se.dow
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // ── q186: price-volume-mix decomposition — per brand, the
+    // 1996→1997 revenue change split into a VOLUME effect (quantity
+    // change at the old average price) and a PRICE effect (the rest):
+    // the finance-standard "why did revenue move" waterfall, and the
+    // decomposition identity vol + price = Δrev holds exactly in real
+    // arithmetic (price_eff = rev₂ − q₂·p̄₁ absorbs the joint term).
+    //
+    // Exactness: both years collapse to exact (Σcents, Σunits) per
+    // brand; the effects are single-chain double derivations from
+    // those integers, mirrored op-for-op, round 6; a brand with no
+    // base-year volume has no meaningful base price — NULL effects
+    // (honest extent). Scale shape: the fact scan date-prunes to the
+    // two years, part broadcasts, ONE hash agg to the
+    // |brands|×2 grain; the year pivot is a |brands|-row self-join of
+    // that tiny frame (conditional aggregation keeps it one frame —
+    // no join at all).
+    QueryDef(
+      "q186_price_volume_mix",
+      (s, d) => {
+        val y = year(col("l_shipdate"))
+        val base = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= Q.ts("1996-01-01") &&
+            col("l_shipdate") < Q.ts("1998-01-01"))
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(when(y === 1996, Q.fxUnits(col("l_quantity"), 1))
+              .otherwise(0L)).as("q1"),
+            sum(when(y === 1996, Q.fxUnits(col("l_extendedprice"), 100))
+              .otherwise(0L)).as("r1"),
+            sum(when(y === 1997, Q.fxUnits(col("l_quantity"), 1))
+              .otherwise(0L)).as("q2"),
+            sum(when(y === 1997, Q.fxUnits(col("l_extendedprice"), 100))
+              .otherwise(0L)).as("r2"))
+        def dbl(c: String) = col(c).cast("double")
+        base.select(col("p_brand"),
+          ((col("r2") - col("r1")) / 100.0).as("rev_delta"),
+          when(col("q1") > 0,
+            round((dbl("q2") - dbl("q1")) * (dbl("r1") / dbl("q1")) / 100.0,
+              6)).as("volume_effect"),
+          when(col("q1") > 0,
+            round((dbl("r2") - dbl("q2") * (dbl("r1") / dbl("q1"))) / 100.0,
+              6)).as("price_effect"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH y AS (SELECT p_brand,
+             |    CAST(sum(CASE WHEN year(l_shipdate) = 1996
+             |      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS q1,
+             |    CAST(sum(CASE WHEN year(l_shipdate) = 1996
+             |      THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS r1,
+             |    CAST(sum(CASE WHEN year(l_shipdate) = 1997
+             |      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS q2,
+             |    CAST(sum(CASE WHEN year(l_shipdate) = 1997
+             |      THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS r2
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |  GROUP BY p_brand)
+             |SELECT p_brand, (r2 - r1)/100.0 AS rev_delta,
+             |  CASE WHEN q1 > 0 THEN round((CAST(q2 AS DOUBLE)
+             |    - CAST(q1 AS DOUBLE))
+             |    *(CAST(r1 AS DOUBLE)/CAST(q1 AS DOUBLE))/100.0, 6)
+             |    END AS volume_effect,
+             |  CASE WHEN q1 > 0 THEN round((CAST(r2 AS DOUBLE)
+             |    - CAST(q2 AS DOUBLE)
+             |    *(CAST(r1 AS DOUBLE)/CAST(q1 AS DOUBLE)))/100.0, 6)
+             |    END AS price_effect
+             |FROM y ORDER BY p_brand""".stripMargin)),
+
+    // ── q187: customer lifetime survival curve — S(m) = share of
+    // customers whose first-to-last-order span reaches ≥ m months,
+    // with the at-risk count: the Kaplan-Meier-flavored retention
+    // read (every customer's span is fully observed in a closed
+    // corpus, so this is the exact empirical survival function, no
+    // censoring machinery needed). The longitudinal twin of q62's
+    // day-over-day retention.
+    //
+    // Exactness: lifetimes are exact integer day diffs DIV 30 (both
+    // engines integer-divide); the curve derives from a reverse
+    // cumulative sum over the |months|-bounded lifetime histogram —
+    // the corpus collapses to per-customer (first, last) in its ONE
+    // exchange, and everything after is dimension-bounded. Share is
+    // one rounded double division per month row.
+    QueryDef(
+      "q187_survival_curve",
+      (s, d) => {
+        val lt = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+            .cast("long") / 30L).cast("long").as("lt_m"))
+        val hist = lt.groupBy(col("lt_m"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val months = hist.agg(max(col("lt_m")).as("mx"))
+          .select(explode(sequence(lit(0L), col("mx"))).as("m"))
+        val w = Window.orderBy(col("m").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy(lit(1))
+        months.join(hist, col("m") === col("lt_m"), "left")
+          .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
+          .withColumn("at_risk", sum(col("n")).over(w))
+          .withColumn("n_cust", sum(col("n")).over(tot))
+          .select(col("m"), col("at_risk"),
+            round(col("at_risk").cast("double") /
+              col("n_cust").cast("double"), 6).as("survival"))
+          .orderBy(col("m"))
+      },
+      Some("""WITH lt AS (SELECT o_custkey,
+             |    datediff('day', min(o_orderdate), max(o_orderdate))//30
+             |      AS lt_m
+             |  FROM orders GROUP BY o_custkey),
+             |h AS (SELECT lt_m, CAST(count(*) AS BIGINT) AS n
+             |  FROM lt GROUP BY lt_m),
+             |months AS (SELECT unnest(generate_series(0,
+             |    (SELECT max(lt_m) FROM h))) AS m),
+             |j AS (SELECT m, coalesce(n, 0) AS n
+             |  FROM months LEFT JOIN h ON m = lt_m),
+             |c AS (SELECT m, n,
+             |    sum(n) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING)
+             |      AS at_risk,
+             |    sum(n) OVER () AS n_cust
+             |  FROM j)
+             |SELECT CAST(m AS BIGINT) AS m, CAST(at_risk AS BIGINT)
+             |    AS at_risk,
+             |  round(CAST(at_risk AS DOUBLE)/CAST(n_cust AS DOUBLE), 6)
+             |    AS survival
+             |FROM c ORDER BY m""".stripMargin))
   )
 }

@@ -2292,6 +2292,33 @@ class QueriesSpec extends SparkTestBase {
     assert(seas.sum / seas.length < 1e3, "seasonal stays centered-ish")
   }
 
+  test("q186 effects re-add to the revenue delta where the base exists") {
+    val rows = SparkEntry.queries("q186_price_volume_mix")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    var defined = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        defined += 1
+        val (d0, v, p) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(math.abs(d0 - (v + p)) <= 3e-6,
+          s"${r.getString(0)}: Δ$d0 != vol $v + price $p")
+      } else assert(r.isNullAt(3), "effects are null together")
+    }
+    assert(defined > 0, "some brand has base-year volume")
+  }
+
+  test("q187 survival starts at 1 and never increases") {
+    val rows = SparkEntry.queries("q187_survival_curve")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.head._1 == 0L && rows.head._3 == 1.0,
+      s"every customer survives month 0: ${rows.head}")
+    rows.sliding(2).foreach { case Array((m1, a1, s1), (m2, a2, s2)) =>
+      assert(m2 == m1 + 1, "dense month spine")
+      assert(a2 <= a1 && s2 <= s1, s"survival rose at month $m2")
+    }
+  }
+
   test("q175 rank statistics are normalized per nation") {
     val rows = SparkEntry.queries("q175_balance_rank")(spark, sf())
       .collect().map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)))
