@@ -204,6 +204,13 @@ object Profile {
       .select(col("s_suppkey"), col("s_nationkey"))
     val nat = graft.sources.Tables(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"))
+    // q179's REAL arithmetic incl. the retail-cost term — the
+    // broadcast part column must be consumed, or the probe times a
+    // shape the query doesn't run
+    val costMicro = (graft.queries.Q.fxUnits(col("p_retailprice"), 100)
+      .cast("decimal(19,0)") *
+      (graft.queries.Q.fxUnits(col("l_quantity"), 1) * 100L)
+        .cast("decimal(19,0)")).cast("decimal(38,0)")
     def profit(f: org.apache.spark.sql.DataFrame) = f
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -211,7 +218,7 @@ object Profile {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy"))
-      .agg(sum(graft.queries.Q.revMicro).as("rev"))
+      .agg(sum(graft.queries.Q.revMicro - costMicro).as("profit"))
     time("star profit 1x")(profit(li).write.mode("overwrite").format("noop").save())
     time("star profit 10x")(profit(li10).write.mode("overwrite").format("noop").save())
 

@@ -2253,17 +2253,56 @@ class QueriesSpec extends SparkTestBase {
       .select(c("event_type"), c("user_id")).distinct().collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // columns: type_a, type_b, users_a, users_b, users_union(4),
+    // overlap_est(5), jaccard_est(6) — gate BOTH set estimates (an
+    // earlier version of this test read users_union as the overlap
+    // and could not have caught a broken inclusion-exclusion)
     val got = SparkEntry.queries("q184_user_overlap_hll")(spark, sf())
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
     assert(got.nonEmpty)
-    got.foreach { case ((a, b), est) =>
-      val exact = (users(a) & users(b)).size
+    got.foreach { case ((a, b), (unionEst, overlapEst)) =>
+      val exactI = (users(a) & users(b)).size
+      val exactU = (users(a) | users(b)).size
       // lgK 14 rsd ≈0.8%; inclusion-exclusion amplifies — gate 10%
       // relative with a small absolute floor for tiny intersections
-      assert(math.abs(est - exact) <= math.max(5.0, 0.10 * exact),
-        s"$a∩$b: est $est vs exact $exact")
+      assert(math.abs(overlapEst - exactI) <= math.max(5.0, 0.10 * exactI),
+        s"$a∩$b: est $overlapEst vs exact $exactI")
+      assert(math.abs(unionEst - exactU) <= math.max(5.0, 0.10 * exactU),
+        s"$a∪$b: est $unionEst vs exact $exactU")
     }
+  }
+
+  test("HLL inclusion-exclusion distinguishes partial overlaps (q184 machinery)") {
+    // the fixture is degenerate for this purpose (every user does
+    // every event type, so ∩ == ∪ for all pairs and a gate over it
+    // cannot tell the overlap from the union) — drive the same
+    // sketch pipeline over a constructed PARTIAL overlap:
+    // A = 0..999, B = 500..1499 ⇒ |A∩B| = 500, |A∪B| = 1500
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 1000L).map(("A", _)) ++
+      (500L until 1500L).map(("B", _))).toDF("seg", "user_id")
+    val sk = df.groupBy(col("seg"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("est"))
+    val a = sk.filter(col("seg") === "A")
+      .select(col("est").as("ea"), col("sk").as("ska"))
+    val b = sk.filter(col("seg") === "B")
+      .select(col("est").as("eb"), col("sk").as("skb"))
+    val r = a.crossJoin(b)
+      .select(col("ea"), col("eb"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
+      .collect().head
+    // hll_sketch_estimate returns LONG
+    val (ea, eb, eu) =
+      (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble)
+    val overlap = ea + eb - eu
+    assert(math.abs(eu - 1500.0) <= 0.05 * 1500, s"union est $eu")
+    assert(math.abs(overlap - 500.0) <= 0.10 * 500, s"overlap est $overlap")
+    // the estimates genuinely discriminate ∩ from ∪ and from |A|/|B|
+    assert(overlap < 0.8 * eu && overlap < 0.8 * ea)
   }
 
   test("q185 decomposition parts re-add to the series where defined") {
@@ -2286,10 +2325,15 @@ class QueriesSpec extends SparkTestBase {
     // exactly the first and last 3 calendar days lack a full window
     assert(defined == rows.length - 6,
       s"${rows.length} days, $defined with trend")
-    // the seasonal components sum to ~0 weighted by their day counts
-    // (mean-detrended by construction) — spot the weighted-mean law
+    // the seasonal component is mean-detrended by construction, so
+    // its day-weighted mean must be SMALL relative to the series
+    // scale (edge windows keep it from being exactly 0) — absolute
+    // value, and a data-scaled bound, so a sign-flipped or biased
+    // seasonal cannot slip through
     val seas = rows.filter(!_.isNullAt(3)).map(_.getDouble(3))
-    assert(seas.sum / seas.length < 1e3, "seasonal stays centered-ish")
+    val meanRev = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(seas.sum / seas.length) <= 0.05 * math.abs(meanRev),
+      s"seasonal mean ${seas.sum / seas.length} vs mean rev $meanRev")
   }
 
   test("q186 effects re-add to the revenue delta where the base exists") {
@@ -2311,11 +2355,15 @@ class QueriesSpec extends SparkTestBase {
   test("q187 survival starts at 1 and never increases") {
     val rows = SparkEntry.queries("q187_survival_curve")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "survival curve must have at least month 0")
     assert(rows.head._1 == 0L && rows.head._3 == 1.0,
       s"every customer survives month 0: ${rows.head}")
-    rows.sliding(2).foreach { case Array((m1, a1, s1), (m2, a2, s2)) =>
-      assert(m2 == m1 + 1, "dense month spine")
-      assert(a2 <= a1 && s2 <= s1, s"survival rose at month $m2")
+    // filter keeps a 1-row curve from feeding a 1-element window into
+    // the pair match (MatchError instead of a real assertion)
+    rows.sliding(2).filter(_.length == 2).foreach {
+      case Array((m1, a1, s1), (m2, a2, s2)) =>
+        assert(m2 == m1 + 1, "dense month spine")
+        assert(a2 <= a1 && s2 <= s1, s"survival rose at month $m2")
     }
   }
 
