@@ -152,8 +152,11 @@ class IndexStoreSpec extends SparkTestBase {
       "q73_image_phash_dedup", "q75_image_dedup_clusters",
       // round 7: the last per-session rebuilders joined the tier —
       // BM25 stats + tf hits (q99), phrase posting list (q114),
-      // term-df dictionary (q121's stopword prune)
-      "q99_bm25_search", "q114_phrase_search", "q121_cooccurrence")
+      // term-df dictionary (q121's stopword prune), PQ codes (q172 —
+      // the codebooks refit deterministically per session, the NARROW
+      // codes frame is the stored full-corpus pass)
+      "q99_bm25_search", "q114_phrase_search", "q121_cooccurrence",
+      "q172_ann_pq")
     val truth = families.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
 
     // warm store-enabled session: builds and persists every index
@@ -173,7 +176,8 @@ class IndexStoreSpec extends SparkTestBase {
     Seq("shingles", "minhash_bands", "simhash_sigs", "exact_pairs",
       "minhash_pairs", "simhash_pairs", "phash_sigs", "phash_pairs",
       "phash_cluster_map", "ivf_cids", "ivf_centroids",
-      "bm25_tf_hits", "bm25_stats", "phrase_hits", "term_df").foreach(n =>
+      "bm25_tf_hits", "bm25_stats", "phrase_hits", "term_df",
+      "pq_codes").foreach(n =>
       assert(stored.exists(_.startsWith(n)),
         s"expected stored index $n*, got $stored"))
 
@@ -192,6 +196,8 @@ class IndexStoreSpec extends SparkTestBase {
     graft.queries.MultimodalQueries.clearCaches(s2)
     graft.queries.TextQueries.clearCaches(s1)
     graft.queries.TextQueries.clearCaches(s2)
+    graft.queries.Analytics2.clearCaches(s1)
+    graft.queries.Analytics2.clearCaches(s2)
   }
 
   test("the stored index is the source of truth for a cold session") {
