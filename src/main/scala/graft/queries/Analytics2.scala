@@ -1323,6 +1323,70 @@ object Analytics2 {
              |    AS at_risk,
              |  round(CAST(at_risk AS DOUBLE)/CAST(n_cust AS DOUBLE), 6)
              |    AS survival
-             |FROM c ORDER BY m""".stripMargin))
+             |FROM c ORDER BY m""".stripMargin)),
+
+    // ── q188: weekly cohort retention MATRIX — users cohorted by
+    // their first-ever event week, and for every (cohort, weeks-since)
+    // cell the distinct active users plus the share of the cohort
+    // still active: the retention TRIANGLE every growth team reads
+    // (q62 measures day-over-day return GLOBALLY; the matrix separates
+    // "January's users churned" from "users churn"; q152 cohorts by
+    // first TYPE — this cohorts by first TIME).
+    //
+    // Exactness: cohort weeks and offsets are exact date arithmetic
+    // (ISO date_trunc('week') on both engines, day-diff DIV 7);
+    // retention is one rounded division of exact distinct counts.
+    // Scale shape: ONE user-keyed exchange produces both the
+    // first-week frame and the (user, week) activity set (the
+    // activity distinct re-shuffles the same key space); the cohort
+    // join is user-co-partitioned; everything after lives on the
+    // \|weeks\|² matrix grain, with the cohort-size denominator read
+    // from the matrix's own offset-0 column via a 1-row-per-cohort
+    // window (never a second corpus pass).
+    QueryDef(
+      "q188_cohort_matrix",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+        val firstWk = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val active = ev.distinct()
+        val cells = active
+          .join(firstWk, Seq("user_id"))
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")).cast("long") / 7L)
+              .cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_active"))
+        val wCohort = Window.partitionBy(col("cohort_wk"))
+        cells
+          .withColumn("cohort_n",
+            max(when(col("week_offset") === 0, col("n_active"))).over(wCohort))
+          .select(
+            date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("cohort_n"),
+            round(col("n_active").cast("double") /
+              col("cohort_n").cast("double"), 6).as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_wk
+             |  FROM ev GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, wk FROM ev),
+             |cells AS (SELECT cohort_wk,
+             |    datediff('day', cohort_wk, wk)//7 AS week_offset,
+             |    CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+             |  FROM act JOIN f ON act.user_id = f.user_id
+             |  GROUP BY cohort_wk, week_offset),
+             |m AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_active
+             |    END) OVER (PARTITION BY cohort_wk) AS cohort_n
+             |  FROM cells)
+             |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+             |  CAST(week_offset AS BIGINT) AS week_offset, n_active,
+             |  CAST(cohort_n AS BIGINT) AS cohort_n,
+             |  round(CAST(n_active AS DOUBLE)/CAST(cohort_n AS DOUBLE), 6)
+             |    AS retention
+             |FROM m ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }

@@ -2367,6 +2367,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q188 cohort matrix: offset-0 retention is 1 and cohorts partition users") {
+    val rows = SparkEntry.queries("q188_cohort_matrix")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { case (cw, _, n, cn, ret) =>
+      assert(n == cn && ret == 1.0, s"cohort $cw offset 0 must be full")
+    }
+    rows.foreach { case (cw, off, n, cn, ret) =>
+      assert(n <= cn, s"$cw+$off active $n exceeds cohort $cn")
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+    // cohort sizes partition the user base: Σ cohort_n == |users|
+    val nUsers = graft.sources.Tables(spark, sf(), "events")
+      .select(org.apache.spark.sql.functions.col("user_id"))
+      .distinct().count()
+    val sumCohorts = rows.filter(_._2 == 0L).map(_._4).sum
+    assert(sumCohorts == nUsers, s"Σ cohort sizes $sumCohorts != $nUsers users")
+  }
+
   test("q175 rank statistics are normalized per nation") {
     val rows = SparkEntry.queries("q175_balance_rank")(spark, sf())
       .collect().map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)))
