@@ -98,8 +98,16 @@ object BloomPrune {
     * lock for the jobs' duration (the SkewJoin probe rule). Entries
     * self-evict at application end (the StampedCache listener rule —
     * without it every session that ever built a sketch stays pinned
-    * in this JVM-wide map; r7 review); a replaced stale-stamp sketch
-    * is destroyed, not left to the ContextCleaner.
+    * in this JVM-wide map; r7 review). Publication is CAS-shaped
+    * (putIfAbsent/replace), never a blind put: a blind put's returned
+    * "previous" value can be a broadcast another thread just built,
+    * RETURNED, and is actively probing — destroying it fails that
+    * in-flight query with a destroyed-broadcast SparkException (r7
+    * ADVICE). The only broadcast ever destroy()ed here is the one this
+    * thread built and lost the race with — no other thread can hold
+    * it; a superseded stale-stamp sketch is unpersisted (executor
+    * blocks dropped, handle still valid for any in-flight probe) and
+    * left to the ContextCleaner.
     */
   def cachedFor(
       dimKeys: DataFrame,
@@ -124,11 +132,24 @@ object BloomPrune {
     val cur = bloomCache.get(k)
     if (cur != null && cur._1 == stamp) cur._2
     else {
+      // build outside any map lock; publish via CAS (scaladoc above)
       val n = dimKeys.select(dimKey).distinct().count().max(1L)
       val built = buildFor(dimKeys, dimKey, n, fpp)
-      val prev = bloomCache.put(k, (stamp, built))
-      if (prev != null) prev._2.destroy()
-      built
+      val mine = (stamp, built)
+      var winner = mine
+      var settled = false
+      while (!settled) {
+        val prev = bloomCache.putIfAbsent(k, mine)
+        if (prev == null) settled = true
+        else if (prev._1 == stamp) { winner = prev; settled = true }
+        else if (bloomCache.replace(k, prev, mine)) {
+          prev._2.unpersist()
+          settled = true
+        }
+        // replace lost to a third thread: loop and re-examine its entry
+      }
+      if (winner ne mine) built.destroy()
+      winner._2
     }
   }
 

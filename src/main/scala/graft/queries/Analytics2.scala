@@ -46,15 +46,46 @@ object Analytics2 {
       (org.apache.spark.sql.SparkSession, String),
       (Long, Array[Array[Array[Double]]])]()
 
+  private val pqBookHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.SparkSession]()
+
+  /** Codebooks for (session, dir): the fit (8 driver-side k-means
+    * fits, each a Spark job) runs OUTSIDE the map lock — running it
+    * inside `compute` held the bin lock for the jobs' duration and
+    * stalled any concurrent session hashing to the same bin (r7
+    * ADVICE; the build-outside-the-lock rule BloomPrune documents).
+    * The fit is deterministic from the corpus, so a lost race costs
+    * one redundant identical fit and a blind put is safe — both
+    * racers wrote the same value. Entries self-evict at application
+    * end (the StampedCache listener rule — same ADVICE pass: a
+    * session retired without Analytics2.clearCaches stayed pinned).
+    */
   private def pqBooks(
       s: org.apache.spark.sql.SparkSession,
-      d: String): Array[Array[Array[Double]]] =
-    pqBookCache.compute((s, d), { case ((ss, dir), cur) =>
-      val stamp = Q.dirStamp(dir)
-      if (cur != null && cur._1 == stamp) cur
-      else (stamp, graft.operators.IncrementalPq.fitBooks(
-        t(ss, dir, "embeddings"), "embedding", "vec_id"))
-    })._2
+      d: String): Array[Array[Array[Double]]] = {
+    if (pqBookHooked.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            pqBookCache.forEach { (k, _) =>
+              if (k._1 eq s) pqBookCache.remove(k) }
+            pqBookHooked.remove(s)
+            ()
+          }
+        })
+    }
+    val stamp = Q.dirStamp(d)
+    val cur = pqBookCache.get((s, d))
+    if (cur != null && cur._1 == stamp) cur._2
+    else {
+      val books = graft.operators.IncrementalPq.fitBooks(
+        t(s, d, "embeddings"), "embedding", "vec_id")
+      pqBookCache.put((s, d), (stamp, books))
+      books
+    }
+  }
 
   /** The encoded corpus: (vec_id, c0..c7) — 8 small ints per vector,
     * the 32×-compressed PQ index. Built in ONE map-side pass over the
@@ -304,13 +335,13 @@ object Analytics2 {
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |  GROUP BY l_orderkey, l_suppkey),
              |po AS (SELECT l_orderkey FROM osl GROUP BY l_orderkey
-             |  HAVING count(*) >= 2 AND sum(sup_late) = 1)
-             |SELECT s_name, CAST(count(*) AS BIGINT) AS n_blamed
-             |FROM osl
-             |JOIN po USING (l_orderkey)
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |WHERE sup_late = 1
-             |GROUP BY s_name
+             |  HAVING count(*) >= 2 AND sum(sup_late) = 1),
+             |blame AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_blamed
+             |  FROM osl JOIN po USING (l_orderkey)
+             |  WHERE sup_late = 1
+             |  GROUP BY l_suppkey)
+             |SELECT s_name, n_blamed
+             |FROM blame JOIN supplier ON l_suppkey = s_suppkey
              |ORDER BY n_blamed DESC, s_name
              |LIMIT 20""".stripMargin)),
 
