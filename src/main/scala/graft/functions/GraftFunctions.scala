@@ -37,6 +37,9 @@ object GraftFunctions {
       "vec_norm" -> ((es: Seq[Expression]) => VecNorm(es(0))),
       "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
       "phash64" -> ((es: Seq[Expression]) => PHash64(es(0))),
+      "video_frame_hashes" -> ((es: Seq[Expression]) =>
+        VideoFrameHashes(es(0), VideoStride, VideoMaxFrames)),
+      "audio_fp64" -> ((es: Seq[Expression]) => AudioFingerprint64(es(0))),
       "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
       "minhash_sig32" -> ((es: Seq[Expression]) => MinHashSignature(es(0), 32)),
       "lsh_bucket8" -> ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanes)))
@@ -63,6 +66,21 @@ object GraftFunctions {
 
   /** 64-bit DCT perceptual hash of a binary media payload. */
   def phash64(content: Column): Column = call_function("phash64", content)
+
+  /** Canonical temporal-signature layout (every frame, first 16): the
+    * constants are part of the durable signature artifact's identity —
+    * [[graft.queries.MultimodalQueries]] bakes them into the store
+    * name, so a layout change misses rather than misreads.
+    */
+  val VideoStride = 1
+  val VideoMaxFrames = 16
+
+  /** Ordered frame pHashes of a video payload (q189 temporal sig). */
+  def videoFrameHashes(content: Column): Column =
+    call_function("video_frame_hashes", content)
+
+  /** 64-bit energy-envelope audio fingerprint (q190). */
+  def audioFp64(content: Column): Column = call_function("audio_fp64", content)
 
   /** Unicode NFC canonicalization (q87's normalization-dedup step). */
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)

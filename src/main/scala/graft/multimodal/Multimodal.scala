@@ -456,6 +456,143 @@ object Multimodal {
         case Some(frames) => frames.length
         case None => if (content == null) 0 else content.length / 256 + 1
       }
+
+    /** Per-video TEMPORAL signature: ordered [[phash64]] of every
+      * `stride`-th frame, capped at `maxFrames`. REAL for RIFF-AVI
+      * payloads (each sampled video chunk of an MJPEG stream is a
+      * standalone JPEG, decoded by phash64's ImageIO path);
+      * deterministic fake otherwise — successive 256-byte windows,
+      * the same granularity as [[frameCount]]'s fake, each hashed
+      * through the byte-4-gram grid.
+      *
+      * FIXED stride, never length-relative sampling: a trimmed or
+      * truncated video keeps a PREFIX of the signature sequence
+      * unchanged, which is exactly what q189's bag-containment verify
+      * needs for truncation tolerance (sampling k frames spread over
+      * the LENGTH would re-seat every sample point when the tail is
+      * cut). The cap bounds per-record decode cost at corpus scale —
+      * maxFrames × (JPEG decode + 10k-multiply DCT) regardless of
+      * payload size. (Reference progenitor: the opaque per-record
+      * media stage, `Batch Processor.py:228-244` ingest surface.)
+      */
+    def videoFrameHashes(
+        content: Array[Byte], stride: Int, maxFrames: Int): Array[Long] =
+      if (content == null || content.length == 0 || stride <= 0 ||
+        maxFrames <= 0) Array.empty
+      else {
+        val frames: Iterator[Array[Byte]] = aviVideoChunks(content) match {
+          case Some(chunks) =>
+            chunks.iterator.zipWithIndex.collect {
+              case (f, i) if i % stride == 0 => f
+            }
+          case None => content.grouped(256)
+        }
+        frames.take(maxFrames).map(phash64).toArray
+      }
+
+    /** Locate the PCM payload of a RIFF-WAVE: (dataOffset,
+      * bytesAvailable, bitsPerSample). Same defensive walk as
+      * [[decodeWav]] (Long advance, even-padding, truncation keeps
+      * the bytes in hand); None for non-WAVE or non-PCM (compressed
+      * formats would need a codec — those payloads take the fake
+      * path, loudly deterministic rather than wrongly decoded).
+      */
+    private def wavPcmData(
+        content: Array[Byte]): Option[(Int, Int, Int)] = try {
+      if (content == null || content.length < 36) return None
+      def fourcc(o: Int) = new String(content, o, 4, "ISO-8859-1")
+      def u16(o: Int) = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+          ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+      var off = 12L
+      var bits = -1
+      var isPcm = false
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= content.length && (bits < 0 || dataOff < 0)) {
+        val o = off.toInt
+        val id = fourcc(o)
+        val size = u32(o + 4)
+        if (id == "fmt " && off + 8 + 16 <= content.length) {
+          isPcm = u16(o + 8) == 1
+          bits = u16(o + 22)
+        } else if (id == "data") {
+          dataOff = o + 8
+          dataLen = math.min(size, (content.length - dataOff).toLong).toInt
+        }
+        off += 8L + size + (size & 1L)
+      }
+      if (isPcm && dataOff >= 0 && dataLen > 0 && (bits == 8 || bits == 16))
+        Some((dataOff, dataLen, bits))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** 64-bit ENERGY-ENVELOPE audio fingerprint. REAL for RIFF-WAVE
+      * PCM payloads: the data chunk's samples (8/16-bit; channels stay
+      * interleaved — the interleaved stream's envelope is the mix's
+      * envelope at this granularity) fold into 65 equal windows of
+      * summed |amplitude|, and bit i is set where window i+1's energy
+      * exceeds window i's. A DERIVATIVE-SIGN code, so the signature is
+      * invariant to uniform volume scaling (both sides of every
+      * comparison scale together) and to container-level rewrites —
+      * re-chunked RIFF, extra metadata chunks, 8↔16-bit requantization
+      * of the same waveform — because only the PCM orders the
+      * comparisons; duplicate audio in different containers, the gap
+      * the r7 verdict named, lands within a few Hamming bits and the
+      * q190 block mining pairs it. Non-WAVE payloads fold their raw
+      * bytes as centered 8-bit samples (deterministic fake, the
+      * lumaGrid32 byte-path discipline). 0L when fewer than 130
+      * samples are in hand (a sub-2-per-window envelope has no
+      * derivative worth coding).
+      */
+    def audioFingerprint64(content: Array[Byte]): Long = {
+      if (content == null || content.length == 0) return 0L
+      val W = 65
+      val energy = new Array[Double](W)
+      var n = 0
+      wavPcmData(content) match {
+        case Some((off, len, bits)) if bits == 16 =>
+          n = len / 2
+          if (n < 2 * W) return 0L
+          var i = 0
+          while (i < n) {
+            val o = off + 2 * i
+            val s = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+            energy((i.toLong * W / n).toInt) += math.abs(s.toInt)
+            i += 1
+          }
+        case Some((off, len, _)) => // 8-bit PCM: unsigned, centered 128
+          n = len
+          if (n < 2 * W) return 0L
+          var i = 0
+          while (i < n) {
+            energy((i.toLong * W / n).toInt) +=
+              math.abs((content(off + i) & 0xff) - 128)
+            i += 1
+          }
+        case None =>
+          n = content.length
+          if (n < 2 * W) return 0L
+          var i = 0
+          while (i < n) {
+            energy((i.toLong * W / n).toInt) +=
+              math.abs((content(i) & 0xff) - 128)
+            i += 1
+          }
+      }
+      // windows are equal-sized within rounding (±1 sample), so summed
+      // energy compares like mean energy; strict > keeps flat stretches
+      // (silence) coding 0-bits deterministically
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (energy(b + 1) > energy(b)) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
   }
 
   /** Decode metadata for every record — `mapPartitions` so that real

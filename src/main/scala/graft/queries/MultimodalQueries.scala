@@ -38,7 +38,140 @@ object MultimodalQueries {
     phashCache.clear(s)
     phashPairsCache.clear(s)
     phashClusterCache.clear(s)
+    videoSigCache.clear(s)
+    videoPairsCache.clear(s)
+    audioSigCache.clear(s)
+    audioPairsCache.clear(s)
   }
+
+  /** Per-video temporal signatures, persisted per (session, dir):
+    * (doc_id, sigs ARRAY<LONG>). The frame decode + per-frame DCT is
+    * the expensive pass, so like the pHash base it materializes once
+    * through the stamped/durable tier; the store name bakes in the
+    * stride/cap layout (the durable-artifact-identity rule — a layout
+    * change must MISS the store, not read signatures of another
+    * shape). Real RIFF-AVI payloads hash their sampled MJPEG frames;
+    * the text fixtures hash deterministic 256-byte windows of the
+    * canonicalized bytes (same lower() canonicalization as the
+    * q22/q27/q73 dedup family, so exact-dup documents carry identical
+    * signatures and near-dups share their unchanged windows).
+    */
+  private val videoSigCache = new StampedCache(
+    s"video_phash_sigs_s${graft.functions.GraftFunctions.VideoStride}" +
+      s"f${graft.functions.GraftFunctions.VideoMaxFrames}")
+
+  private def videoSigs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    videoSigCache.get(s, d) {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.videoFrameHashes(
+          lower(col("text")).cast("binary")).as("sigs"))
+    }
+
+  /** q189's verified near-dup video pairs: candidates from the q73
+    * 4×16-bit block index over EVERY sampled frame's pHash (pigeonhole
+    * per frame: a frame pair within Hamming 3 shares a block; keying
+    * blocks WITHOUT the frame index is what makes a trimmed video
+    * still collide with its source), mined through the shared salted
+    * self-join, then bag-containment verified: count the shorter
+    * video's frames having a Hamming-≤3 match anywhere in the longer
+    * one and keep pairs covering ≥ 60%. The k×k verify is bounded by
+    * the signature cap (≤16×16 comparisons/pair) — never corpus-
+    * scaled. Persisted like the text family's verified pair sets.
+    */
+  private val videoPairsCache = new StampedCache(
+    s"video_phash_pairs_s${graft.functions.GraftFunctions.VideoStride}" +
+      s"f${graft.functions.GraftFunctions.VideoMaxFrames}")
+
+  private def videoPairs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    videoPairsCache.get(s, d) {
+      val sigs = videoSigs(s, d)
+      val frames = sigs.select(col("doc_id"), explode(col("sigs")).as("sig"))
+      val blockArr = array((0 until 4).map(k =>
+        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+      val blocks = frames.select(col("doc_id"), posexplode(blockArr))
+        .toDF("doc_id", "block_idx", "block_val")
+        .distinct() // a video re-emits its static scenes' blocks per frame
+      graft.operators.SkewJoin
+        .saltedSelfPairs(
+          blocks.select(
+            xxhash64(col("block_idx"), col("block_val")).as("k"),
+            col("doc_id")),
+          "k", "doc_id",
+          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
+        .toDF("doc_a", "doc_b")
+        .distinct()
+        .join(sigs.toDF("doc_a", "sigs_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sigs_b"), "doc_b")
+        .withColumn("fs",
+          when(size(col("sigs_a")) <= size(col("sigs_b")), col("sigs_a"))
+            .otherwise(col("sigs_b")))
+        .withColumn("fl",
+          when(size(col("sigs_a")) <= size(col("sigs_b")), col("sigs_b"))
+            .otherwise(col("sigs_a")))
+        .withColumn("matched", expr(
+          "CAST(size(filter(fs, x -> exists(fl, y -> bit_count(x ^ y) <= 3))) AS BIGINT)"))
+        .withColumn("n_short", size(col("fs")).cast("long"))
+        // integer cross-multiply, never a double ratio (exactness rule)
+        .filter(col("n_short") > 0 && col("matched") * 10 >= col("n_short") * 6)
+        .select(col("doc_a"), col("doc_b"), col("matched"), col("n_short"))
+    }
+
+  /** Audio fingerprints, persisted per (session, dir): (doc_id, sig).
+    * Real RIFF-WAVE PCM payloads code their energy envelope; the text
+    * fixtures code the canonicalized bytes as centered 8-bit samples.
+    */
+  private val audioSigCache = new StampedCache("audio_fp_sigs")
+
+  private def audioSigs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    audioSigCache.get(s, d) {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.audioFp64(
+          lower(col("text")).cast("binary")).as("sig"))
+    }
+
+  /** q190's verified near-dup audio pairs — the q27/q73 mining shape
+    * verbatim over the envelope fingerprint: 4×16-bit block index,
+    * salted miner, exact Hamming ≤ 3 verify, persisted pair set.
+    */
+  private val audioPairsCache = new StampedCache("audio_fp_pairs")
+
+  private def audioPairs(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    audioPairsCache.get(s, d) {
+      // 0L is the decoder's REFUSAL sentinel (payload too short to
+      // envelope) — without this filter every refused payload pairs
+      // with every other at Hamming 0, a |refused|² clique of false
+      // "duplicates" (caught at sf0.01: 67 short docs → 2211 bogus
+      // pairs). Refused payloads are absent from the mine, not
+      // mutually identical.
+      val sigs = audioSigs(s, d).filter(col("sig") =!= 0L)
+      val blockArr = array((0 until 4).map(k =>
+        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
+      val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
+        .toDF("doc_id", "block_idx", "block_val")
+      graft.operators.SkewJoin
+        .saltedSelfPairs(
+          blocks.select(
+            xxhash64(col("block_idx"), col("block_val")).as("k"),
+            col("doc_id")),
+          "k", "doc_id",
+          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
+        .toDF("doc_a", "doc_b")
+        .distinct()
+        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
 
   /** pHash near-dup pairs (doc_a, doc_b, hamming ≤ 3): the q27-style
     * 4×16-bit block index over the persisted signature base, mined
@@ -128,6 +261,38 @@ object MultimodalQueries {
     QueryDef(
       "q75_image_dedup_clusters",
       (s, d) => phashClusterMap(s, d).orderBy(col("doc_id")),
+      None),
+
+    // ── q189: VIDEO content near-dup (the r7 verdict's #1 gap) — a
+    // re-encoded, re-containered, or trimmed copy of a video is
+    // invisible to byte/exact dedup; the temporal pHash signature
+    // pairs it. Per video: ordered phash64 of its sampled frames
+    // (real MJPEG/AVI extraction; 256-byte-window fake for non-AVI
+    // payloads) → per-frame 4×16-bit block index (frame index NOT in
+    // the key, so trims still collide) → salted miner → bounded
+    // (≤cap²) bag-containment Hamming verify at ≥60% of the shorter
+    // side's frames. No oracle — DuckDB cannot decode frames or DCT
+    // (rows-only driver check); MultimodalSpec gates the real-AVI
+    // path (JPEG re-encode ≤3 bits/frame, truncation containment=1,
+    // block mining ≡ brute force on the fixture corpus).
+    QueryDef(
+      "q189_video_phash_dedup",
+      (s, d) => videoPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      None),
+
+    // ── q190: AUDIO content near-dup (r7 verdict gap #2) — duplicate
+    // audio in a different container/bit depth/volume was invisible
+    // to the dedup family while q34 read WAV headers only. The
+    // 64-bit energy-envelope derivative code is container-, volume-,
+    // and requantization-invariant by construction (it reads only
+    // PCM and compares adjacent window energies), so re-packaged
+    // duplicates land within a few Hamming bits; mining is the
+    // q27/q73 block family verbatim. No oracle (rows-only);
+    // MultimodalSpec gates container-rewrite identity, exact ×4
+    // volume-scale identity, noise ≤2 bits, mining ≡ brute force.
+    QueryDef(
+      "q190_audio_fp_dedup",
+      (s, d) => audioPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       None)
   )
 

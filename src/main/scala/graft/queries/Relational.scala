@@ -947,6 +947,32 @@ object Relational {
              |SELECT user_id, count(*) AS surplus_clicks
              |FROM ea GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ── q191: INTERSECT ALL — the one standard set-op variant q52
+    // left unexercised (r7 verdict gap #3): multiplicity-preserving
+    // intersection, i.e. per user min(#clicks, #views) joint events.
+    // Spark plans `intersectAll` as a count-compare aggregate + a
+    // `least` replicate — no window, both sides partial-aggregated
+    // map-side before the one key exchange, the same scale shape as
+    // q52's exceptAll.
+    QueryDef(
+      "q191_intersect_all",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"))
+        clicks.intersectAll(views)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("joint_mult"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+             |ia AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM v)
+             |SELECT user_id, count(*) AS joint_mult
+             |FROM ia GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ── q53: LATERAL correlated subquery — top-2 customers per nation
     // through the shared-SQL entry point (one string, both engines).
     // Spark plans this as a lateral join; semantically the per-group

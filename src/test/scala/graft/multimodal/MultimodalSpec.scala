@@ -228,30 +228,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.resize(renderPng(8, 8), 0, 4).isEmpty)
   }
 
-  test("MJPEG-AVI frames extract for real and decode end-to-end") {
-    // build a real 6-frame MJPEG AVI: each video chunk is a genuine
-    // JPEG (distinct solid color per frame), wrapped in the canonical
-    // RIFF AVI / LIST movi / 00dc layout the chunk walk parses
-    def jpeg(rgb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
-      val bos = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
-      bos.toByteArray
+  // ── shared RIFF builders (AVI + WAV) for the real-decode gates ──
+
+  private def le32b(v: Int) = Array[Byte](
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def ccb(s: String) = s.getBytes("ISO-8859-1")
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    ccb(id) ++ le32b(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+
+  /** A real MJPEG AVI: each frame a genuine JPEG in the canonical
+    * RIFF AVI / LIST movi / 00dc layout the chunk walk parses.
+    */
+  private def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = ccb("movi") ++ frames.flatMap(f => riffChunk("00dc", f)).toArray
+    val aviBody = ccb("AVI ") ++ riffChunk("LIST", movi)
+    ccb("RIFF") ++ le32b(aviBody.length) ++ aviBody
+  }
+
+  private def jpegSolid(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  /** A textured scene JPEG (gradient phase-shifted per frame index, so
+    * distinct frames carry DISTINCT pHashes — a flat solid color has a
+    * degenerate all-low DCT whatever its hue), with an optional
+    * few-pixel tweak to model a lossy re-encode of the same scene.
+    */
+  private def jpegScene(phase: Int, tweak: Boolean = false): Array[Byte] = {
+    val (w, h) = (64, 48)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 255 * ((x + phase * 17) % w) / w
+      val v = if (x >= (phase * 11) % 32 && x < (phase * 11) % 32 + 16 &&
+        y >= h / 4 && y < h / 2) 230 else g
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
-    def le32(v: Int) = Array[Byte](
-      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    def chunk(id: String, body: Array[Byte]): Array[Byte] =
-      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++
-        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    if (tweak) (0 until 5).foreach { i =>
+      val x = (i * 7) % w; val y = (i * 11) % h
+      val v = math.min(255, (img.getRGB(x, y) & 0xff) + 6)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  test("MJPEG-AVI frames extract for real and decode end-to-end") {
     val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff,
       0xff00ff)
-    val frames = colors.map(jpeg)
-    val movi = "movi".getBytes("ISO-8859-1") ++
-      frames.flatMap(f => chunk("00dc", f)).toArray
-    val aviBody = "AVI ".getBytes("ISO-8859-1") ++ chunk("LIST", movi)
-    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(aviBody.length) ++ aviBody
+    val frames = colors.map(jpegSolid)
+    val avi = buildAvi(frames)
 
     assert(Multimodal.Decoders.frameCount(avi) == 6)
     val all = Multimodal.Decoders.sampleFrames(avi, 1)
@@ -288,5 +323,182 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.frameCount(content) == 1000 / 256 + 1)
     assert(Multimodal.Decoders.sampleFrames(content, 100).length == 10)
     assert(Multimodal.Decoders.decodeImage(Array[Byte](1)) == ((0, 0)))
+  }
+
+  // ── q189 temporal video signature: decoder-level gates ──
+
+  test("videoFrameHashes: real AVI path — per-frame pHash, re-encode ≤3 bits, truncation keeps a prefix") {
+    val scenes = (0 until 6).map(p => jpegScene(p))
+    val avi = buildAvi(scenes)
+    val sig = Multimodal.Decoders.videoFrameHashes(avi, 1, 16)
+    // REAL path: one hash per video chunk, each equal to the frame's
+    // own pHash (the fake 256-byte-window path would yield a count
+    // keyed to byte length, not frame count)
+    assert(sig.length == 6)
+    scenes.zipWithIndex.foreach { case (f, i) =>
+      assert(sig(i) == Multimodal.Decoders.phash64(f), s"frame $i")
+    }
+    // distinct scenes carry distinct hashes (the signature is temporal
+    // information, not 6 copies of one value)
+    assert(sig.distinct.length > 1)
+    // determinism
+    assert(Multimodal.Decoders.videoFrameHashes(avi, 1, 16).toSeq == sig.toSeq)
+    // RE-ENCODE tolerance: the same scenes re-rendered with a
+    // few-pixel luma tweak (a lossy re-encode) stay within 3 Hamming
+    // bits per frame — inside the q189 mining threshold
+    val reenc = Multimodal.Decoders.videoFrameHashes(
+      buildAvi((0 until 6).map(p => jpegScene(p, tweak = true))), 1, 16)
+    assert(reenc.length == 6)
+    sig.zip(reenc).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(ham(a, b) <= 3, s"frame $i re-encode drifted ${ham(a, b)} bits")
+    }
+    // TRUNCATION tolerance: the first-4-frames cut carries exactly the
+    // first 4 hashes (fixed-stride sampling — a length-relative sample
+    // would re-seat every point), so its bag containment in the full
+    // video is 4/4 = 1 ≥ the 60% q189 gate
+    val cut = Multimodal.Decoders.videoFrameHashes(
+      buildAvi(scenes.take(4)), 1, 16)
+    assert(cut.toSeq == sig.take(4).toSeq)
+    // stride and cap honored on the real path
+    assert(Multimodal.Decoders.videoFrameHashes(avi, 2, 16).toSeq ==
+      Seq(sig(0), sig(2), sig(4)))
+    assert(Multimodal.Decoders.videoFrameHashes(avi, 1, 2).toSeq ==
+      sig.take(2).toSeq)
+  }
+
+  test("videoFrameHashes: fake path — 256-byte windows, deterministic, truncation prefix") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 40).getBytes
+    val sig = Multimodal.Decoders.videoFrameHashes(text, 1, 16)
+    assert(sig.length == math.min(16, (text.length + 255) / 256))
+    assert(Multimodal.Decoders.videoFrameHashes(text, 1, 16).toSeq == sig.toSeq)
+    // each window hashes independently: a one-byte edit in window 2
+    // leaves every other window's hash untouched
+    val edited = text.clone(); edited(600) = 'X'
+    val esig = Multimodal.Decoders.videoFrameHashes(edited, 1, 16)
+    assert(esig.length == sig.length)
+    sig.indices.filter(_ != 2).foreach { i =>
+      assert(esig(i) == sig(i), s"window $i perturbed by a window-2 edit")
+    }
+    // truncation at a window boundary keeps the prefix
+    val cut = Multimodal.Decoders.videoFrameHashes(text.take(512), 1, 16)
+    assert(cut.toSeq == sig.take(2).toSeq)
+    // degenerates
+    assert(Multimodal.Decoders.videoFrameHashes(null, 1, 16).isEmpty)
+    assert(Multimodal.Decoders.videoFrameHashes(text, 0, 16).isEmpty)
+    assert(Multimodal.Decoders.videoFrameHashes(Array.emptyByteArray, 1, 16).isEmpty)
+  }
+
+  // ── q190 audio energy-envelope fingerprint: decoder-level gates ──
+
+  /** 16-bit PCM WAV of a square wave whose per-window amplitude is
+    * `amp(j)` for each of the 65 envelope windows (130 samples each —
+    * equal windows, so window j's summed |energy| is 130·amp(j)).
+    * `extraChunk` prepends a LIST metadata chunk; `dataFirst` emits
+    * the data chunk before fmt — both container-level rewrites that
+    * must not move a single signature bit.
+    */
+  private def buildWav16(
+      amp: Int => Int,
+      extraChunk: Boolean = false,
+      dataFirst: Boolean = false): Array[Byte] = {
+    val n = 65 * 130
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amp(i / 130)
+      val s = if (i % 2 == 0) a else -a // square wave: mean |x| = a
+      pcm(2 * i) = s.toByte
+      pcm(2 * i + 1) = (s >> 8).toByte
+      i += 1
+    }
+    val fmt = ccb("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000 * 2) ++ le16b(2) ++ le16b(16)
+    val data = ccb("data") ++ le32b(pcm.length) ++ pcm
+    val extra =
+      if (extraChunk) ccb("LIST") ++ le32b(4) ++ ccb("INFO")
+      else Array.emptyByteArray
+    val body = if (dataFirst) extra ++ data ++ fmt else extra ++ fmt ++ data
+    ccb("RIFF") ++ le32b(4 + body.length) ++ ccb("WAVE") ++ body
+  }
+
+  /** The SAME waveform requantized to 8-bit unsigned PCM. */
+  private def buildWav8(amp: Int => Int): Array[Byte] = {
+    val n = 65 * 130
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val a = amp(i / 130) / 256 // 16→8-bit requantization
+      val s = if (i % 2 == 0) a else -a
+      pcm(i) = (128 + s).toByte
+      i += 1
+    }
+    val fmt = ccb("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000) ++ le16b(1) ++ le16b(8)
+    val data = ccb("data") ++ le32b(pcm.length) ++ pcm
+    val body = fmt ++ data
+    ccb("RIFF") ++ le32b(4 + body.length) ++ ccb("WAVE") ++ body
+  }
+
+  // per-window amplitude with LARGE adjacent gaps (≥1300), so
+  // requantization/noise perturbations (≤ a few units of mean
+  // energy) can never flip a window comparison
+  private def ampWalk(j: Int): Int = 1500 + (j % 3) * 1400 + j * 10
+
+  test("audioFingerprint64: real PCM path — container/volume/requantization invariant, noise-tolerant") {
+    val base = Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk))
+    // the envelope codes the DESIGNED derivative signs: amp rises
+    // j→j+1 except at each %3 wrap (j=2→3, 5→6, …), so the expected
+    // bit pattern is computable independently
+    var want = 0L
+    (0 until 64).foreach { b =>
+      if (ampWalk(b + 1) > ampWalk(b)) want |= (1L << b)
+    }
+    assert(base == want, f"envelope bits ${base}%016x != designed ${want}%016x")
+    // determinism
+    assert(Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk)) == base)
+    // CONTAINER rewrites: extra metadata chunk, data-before-fmt — the
+    // PCM is identical, so the fingerprint is identical (bit-for-bit)
+    assert(Multimodal.Decoders.audioFingerprint64(
+      buildWav16(ampWalk, extraChunk = true)) == base)
+    assert(Multimodal.Decoders.audioFingerprint64(
+      buildWav16(ampWalk, dataFirst = true)) == base)
+    // VOLUME: exact ×4 gain scales every window energy together —
+    // derivative signs (and so the fingerprint) unchanged
+    assert(Multimodal.Decoders.audioFingerprint64(
+      buildWav16(j => ampWalk(j) * 4)) == base)
+    // REQUANTIZATION to 8-bit: same waveform, coarser samples — the
+    // designed ≥1300 inter-window gaps dwarf the ≤256 quantization
+    // error, so the code is again identical
+    assert(Multimodal.Decoders.audioFingerprint64(buildWav8(ampWalk)) == base)
+    // additive NOISE: ±1-sample dither shifts window means ≤1 against
+    // the ≥1300 gaps — identical code (gate ≤2 bits for headroom)
+    val noisy = Multimodal.Decoders.audioFingerprint64(
+      buildWav16(j => ampWalk(j) + (if (j % 2 == 0) 1 else -1)))
+    assert(ham(base, noisy) <= 2)
+    // a genuinely different envelope is far
+    val other = Multimodal.Decoders.audioFingerprint64(
+      buildWav16(j => 4000 - ampWalk(j) / 2))
+    assert(ham(base, other) > 10)
+  }
+
+  test("audioFingerprint64: fake path deterministic; degenerate payloads code 0") {
+    val text = ("pack my box with five dozen liquor jugs " * 60).getBytes
+    val h = Multimodal.Decoders.audioFingerprint64(text)
+    assert(h == Multimodal.Decoders.audioFingerprint64(text.clone()))
+    // exact duplicate bytes → distance 0; different text → far
+    val other = ("sphinx of black quartz judge my vow now ok " * 56).getBytes
+    assert(ham(h, Multimodal.Decoders.audioFingerprint64(other)) > 5)
+    // sub-2-per-window payloads refuse with the defined 0 signature
+    assert(Multimodal.Decoders.audioFingerprint64("tiny".getBytes) == 0L)
+    assert(Multimodal.Decoders.audioFingerprint64(null) == 0L)
+    assert(Multimodal.Decoders.audioFingerprint64(Array.emptyByteArray) == 0L)
+    // a compressed (non-PCM format tag) WAVE refuses the real path and
+    // takes the deterministic fake instead of mis-decoding
+    val nonPcm = ccb("RIFF") ++ le32b(200) ++ ccb("WAVE") ++
+      ccb("fmt ") ++ le32b(16) ++ le16b(85) ++ le16b(1) ++ le32b(8000) ++
+      le32b(8000) ++ le16b(1) ++ le16b(16) ++
+      ccb("data") ++ le32b(130 * 65) ++ Array.tabulate(130 * 65)(i => (i % 17).toByte)
+    assert(Multimodal.Decoders.audioFingerprint64(nonPcm) ==
+      Multimodal.Decoders.audioFingerprint64(nonPcm.clone()))
   }
 }
