@@ -234,6 +234,48 @@ object Profile {
     time("rule audit 1x")(ruleAudit(li).write.mode("overwrite").format("noop").save())
     time("rule audit 10x")(ruleAudit(li10).write.mode("overwrite").format("noop").save())
 
+    // Round-8 probe: DocumentPipeline's end-to-end delta cost (the r7
+    // verdict's ask — the CDC probe's shape applied to the TEXT
+    // pipeline). The SAME small delta batch upserts into a 1× vs a 10×
+    // standing corpus (both partition-grain, 32 buckets): the writes
+    // are bucket-scoped O(batch) and the mine joins the delta's
+    // shingles against the standing index with the delta side
+    // broadcast, so the only standing-sized term is the pruned index
+    // SCAN — the ratio quantifies how far the composed path is from
+    // the O(delta) ideal at this scale. Corpora are id-shifted
+    // replicas (the release-probe discipline); delta keys exist in
+    // both, so both runs pay the same replaced-doc retirement work.
+    val dpRoot = java.nio.file.Files
+      .createTempDirectory("graft-profile-dp").toString
+    def dpPaths(tag: String) =
+      (s"$dpRoot/corpus$tag", s"$dpRoot/shingles$tag", s"$dpRoot/cands$tag")
+    val docsDp10 = (1 to 10).map(i => shift(docs, "doc_id", i))
+      .reduce(_ unionAll _)
+    val (dc1, ds1, dk1) = dpPaths("1x")
+    val (dc10, ds10, dk10) = dpPaths("10x")
+    timedS("docpipe standing build 1x") {
+      graft.streaming.DocumentPipeline.upsertBatch(
+        docs, dc1, ds1, dk1, numBuckets = Some(32)); ()
+    }
+    timedS("docpipe standing build 10x") {
+      graft.streaming.DocumentPipeline.upsertBatch(
+        docsDp10, dc10, ds10, dk10, numBuckets = Some(32)); ()
+    }
+    // the delta: 20 existing docs re-delivered with edited text (the
+    // replace path — retire + re-shingle + re-mine), same ids per run
+    val deltaDocs = docs.orderBy(col("doc_id")).limit(20)
+      .withColumn("text", concat(col("text"), lit(" delta edit")))
+    val deltaDocs10 = shift(deltaDocs, "doc_id", 1)
+    val dp1 = timedS("docpipe 20-doc delta into 1x") {
+      graft.streaming.DocumentPipeline.upsertBatch(
+        deltaDocs, dc1, ds1, dk1, numBuckets = Some(32)); ()
+    }
+    val dp10 = timedS("docpipe 20-doc delta into 10x") {
+      graft.streaming.DocumentPipeline.upsertBatch(
+        deltaDocs10, dc10, ds10, dk10, numBuckets = Some(32)); ()
+    }
+    println(f"PHASE docpipe 10x/1x delta cost ratio ${dp10 / dp1}%8.3f (≈1.0 = O(delta), 10 = O(corpus))")
+
     spark.stop()
   }
 }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * row-group/file skipping consumes it.
   *
   * Quantization is linear between the observed min/max (one tiny agg;
-  * the 1-row collect is plan-time bounded, q50's count precedent).
-  * Heavily skewed columns would crowd into few buckets — rank-based
-  * quantization (percentile boundaries) is the refinement; linear
-  * keeps the write path one pass and is exact for the uniform-ish
-  * key domains it targets (ids, dates, buckets).
+  * the 1-row collect is plan-time bounded, q50's count precedent) —
+  * right for the uniform-ish key domains it targets (ids, dates,
+  * buckets). Heavily skewed columns crowd into few linear buckets;
+  * [[layoutRanked]] is the refinement: percentile (rank) boundaries
+  * from one approxQuantile pass put equal row mass in every bucket,
+  * so file rectangles track density instead of range (spec proves the
+  * per-file rank-span tightening on a heavy-tailed fixture).
   *
   * Scale shape: one pass — project z, `repartitionByRange` on z (the
   * same sampled exchange any global sort pays), sort within
@@ -83,6 +85,85 @@ object ZOrder {
       expr(s"(CAST(`$colName` AS BIGINT) - ${lo}L) * ${factor}L")
     }
   }
+
+  /** Rank (percentile) bucket id: the count of `splits` ≤ value, via
+    * binary search over the deduped sorted boundary array. The
+    * documented refinement for SKEWED columns (scaladoc above): linear
+    * quantization crowds a heavy-tailed column into bucket 0 — every
+    * written file then spans nearly the column's whole VALUE MASS and
+    * min/max pruning dies on exactly the hot range queries hit; rank
+    * boundaries put ≈equal ROW MASS in every bucket, so file
+    * boundaries track the data's density, not its range. A few-compare
+    * binary search per row on the write path only; CodegenFallback is
+    * fine next to the range exchange the layout pays anyway.
+    */
+  private case class RankBucket(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      splits: Array[Long])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case o => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"rank_bucket expects bigint, got ${o.catalogString}")
+      }
+    override def nullSafeEval(v: Any): Any = {
+      val i = java.util.Arrays.binarySearch(splits, v.asInstanceOf[Long])
+      (if (i >= 0) i + 1 else -i - 1).toLong
+    }
+    override def prettyName: String = "rank_bucket"
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
+  /** Percentile boundaries for `colName` (cast long): up to 2^bits − 1
+    * splits from one `approxQuantile` pass (Greenwald-Khanna sketch —
+    * a single corpus scan, driver array of size 2^bits, the same
+    * plan-time-bounded shape as the linear min/max probe). Duplicates
+    * collapse (a value holding >1/2^bits of the mass owns one bucket),
+    * so heavily-repeated keys cannot split across boundaries.
+    */
+  private def rankSplits(
+      df: DataFrame, colName: String, bits: Int): Array[Long] = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    df.select(col(colName).cast("long").as(colName))
+      .stat.approxQuantile(colName, probs, 1.0 / (4 * n))
+      .map(_.toLong).distinct.sorted
+  }
+
+  /** [[layout]] with RANK quantization on both columns — the skewed-
+    * column form. `bits` defaults to 10 (1024 buckets/dimension):
+    * boundary count is 2^bits per column driver-side, and 10+10
+    * interleaved bits give a 20-bit z — more than any practical
+    * `nFiles` needs to keep file rectangles tight.
+    */
+  def layoutRanked(df: DataFrame, colA: String, colB: String,
+      nFiles: Int, bits: Int = 10): DataFrame = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    require(bits >= 1 && bits <= 15, s"rank bits=$bits out of range")
+    def rb(c: String) = org.apache.spark.sql.GraftPlanBridge.column(
+      RankBucket(
+        org.apache.spark.sql.GraftPlanBridge.expression(
+          col(c).cast("long")),
+        rankSplits(df, c, bits)))
+    df.withColumn("__z", interleave(rb(colA), rb(colB), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Write `df` rank-z-ordered on (colA, colB) as parquet. */
+  def writeRanked(df: DataFrame, colA: String, colB: String,
+      nFiles: Int, path: String, bits: Int = 10): Unit =
+    layoutRanked(df, colA, colB, nFiles, bits)
+      .write.mode("overwrite").parquet(path)
 
   /** `df` re-laid-out on the z-curve of two integral columns, in
     * `nFiles` range partitions sorted by z — ready to write. The

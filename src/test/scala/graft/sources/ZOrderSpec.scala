@@ -97,6 +97,64 @@ class ZOrderSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("rank quantization tightens skewed-column files where linear cannot") {
+    import spark.implicits._
+    // heavy-tailed column a: ~94% of rows land under 2^10 while the
+    // tail reaches ~2^30 — linear buckets over [lo, hi] put nearly the
+    // whole row mass into bucket 0, so the z-curve has no information
+    // about a for most rows and files mix a-values freely. Rank
+    // boundaries split the mass evenly and recover the clustering.
+    val rows = (0 until 16384).map { i =>
+      val u = (i * 2654435761L) % 16384L // decorrelate skew from order
+      val a = if (u % 16 == 15) 1024L + (u * 65537L) % (1L << 30)
+        else (u * 131L) % 1024L
+      (a, u % 997L)
+    }
+    val df = rows.toDF("a", "b")
+    val ldir = java.nio.file.Files.createTempDirectory("zlin").toString
+    val rdir = java.nio.file.Files.createTempDirectory("zrank").toString
+    ZOrder.write(df, "a", "b", 64, ldir)
+    ZOrder.writeRanked(df, "a", "b", 64, rdir)
+
+    // figure of merit for a SKEWED column: per-file span of the
+    // column's RANK (fraction of the sorted value list covered), not
+    // its raw value span — the tail makes raw spans meaningless while
+    // rank span is exactly what density-tracking boundaries tighten
+    val sortedVals = rows.map(_._1).distinct.sorted.toArray
+    def rankOf(v: Long): Int = {
+      val i = java.util.Arrays.binarySearch(sortedVals, v)
+      if (i >= 0) i else -i - 1
+    }
+    def meanRankSpan(path: String): Double = {
+      val fs = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      val spans = fs.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("a")), max(col("a"))).head()
+        (rankOf(r.getLong(1)) - rankOf(r.getLong(0))).toDouble /
+          sortedVals.length
+      }
+      spans.sum / spans.length
+    }
+    val lin = meanRankSpan(ldir)
+    val rnk = meanRankSpan(rdir)
+    // measured at 64 files: linear ≈0.5+ (files holding bucket-0 rows
+    // span the whole 94% low mass; pure-tail files dilute the mean),
+    // ranked ≈0.13 — the z-curve theoretical floor for 64 files is
+    // 3 bits/dimension = 1/8 rank span, and rank boundaries sit on it
+    assert(lin > 0.4, s"skew fixture lost its point — linear span: $lin")
+    assert(rnk < 0.2, s"rank layout should tighten skewed files: $rnk")
+    assert(rnk < lin / 2, s"rank span $rnk not a 2x win over linear $lin")
+    // the uniform column stays clustered under BOTH layouts
+    assert(meanSpan(rdir, "b") < 0.7)
+    // permutation: nothing lost, nothing invented
+    assert(spark.read.parquet(rdir).count() == 16384)
+    val s1 = spark.read.parquet(rdir).agg(sum(col("a")), sum(col("b"))).head()
+    val s2 = df.agg(sum(col("a")), sum(col("b"))).head()
+    assert(s1 == s2)
+  }
+
   test("full-width signed domains (xxhash64-style keys) cluster too") {
     import spark.implicits._
     // keys spread over the ENTIRE signed-long line: hi − lo itself
