@@ -58,27 +58,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Stable fingerprint of a query's optimized plan: canonicalized
-    // (exprIds normalized) so it is identical across runs/JVMs of the
-    // same code, different when the plan genuinely changed. Durable/
-    // cached base subtrees are normalized OUT first: an index-backed
-    // query's plan embeds the InMemoryRelation's build lineage (store-
-    // warm: a parquet scan of the stored index; store-cold: the full
-    // corpus build), so the same code hashed differently across store
-    // states — exactly when hash equality is needed as the noise-vs-
-    // plan-change attribution anchor (r7 verdict; 41 queries flipped).
-    // Each cached base collapses to a schema-only leaf, so the hash
-    // covers the query's OWN plan plus the cached frame's schema; the
-    // store tier the timings came from is stamped separately
-    // (`index_store` above).
-    def planHash(df: org.apache.spark.sql.DataFrame): String = {
-      val norm = df.queryExecution.optimizedPlan.transform {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
-      }
-      f"${scala.util.hashing.MurmurHash3.stringHash(
-        norm.canonicalized.toString)}%08x"
-    }
+    // Stable fingerprint of a query's optimized plan: identical across
+    // runs/JVMs/sessions/store states of the same code, different when
+    // the plan genuinely changed — the noise-vs-plan-change attribution
+    // anchor. One shared definition (normalization rationale there):
+    def planHash(df: org.apache.spark.sql.DataFrame): String =
+      graft.plans.PlanFingerprint.hash(df)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ListBuffer[Double]]()

@@ -1117,11 +1117,20 @@ object DedupQueries {
             .select(col("doc_id"), col("source"), col("lang")),
             Seq("doc_id"))
           .groupBy(col("cluster"))
+          // the source SET is already collected for display, so both
+          // distinct counts read their sets' size instead of
+          // countDistinct — one ordinary hash-agg pass, no
+          // multi-distinct Expand (3× rows, and gid branch order that
+          // varies per session, wobbling the canonical plan hash on
+          // identical code — r8 PlanHash finding); sources/langs are
+          // low-cardinality dims, so the per-cluster sets stay tiny
           .agg(count(lit(1)).cast("long").as("n_docs"),
-            countDistinct(col("source")).cast("long").as("n_sources"),
-            countDistinct(col("lang")).cast("long").as("n_langs"),
-            array_join(array_sort(collect_set(col("source"))), ",")
-              .as("sources"))
+            array_sort(collect_set(col("source"))).as("src_set"),
+            size(collect_set(col("lang"))).cast("long").as("n_langs"))
+          .select(col("cluster"), col("n_docs"),
+            size(col("src_set")).cast("long").as("n_sources"),
+            col("n_langs"),
+            array_join(col("src_set"), ",").as("sources"))
           .filter(col("n_docs") > 1 &&
             (col("n_sources") > 1 || col("n_langs") > 1))
           .orderBy(col("cluster"))

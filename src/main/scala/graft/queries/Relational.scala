@@ -1164,13 +1164,23 @@ object Relational {
           .agg(min(to_date(col("ts"))).as("cohort"))
         val act = ev.select(col("user_id"), to_date(col("ts")).as("d"))
           .distinct()
+        // Pre-collapse to one row per (cohort, user) with a retained
+        // flag, then plain counts — each user has exactly ONE cohort,
+        // so count(*) IS the distinct user count. Equivalent to the
+        // former two-countDistinct form but without Spark's
+        // multi-distinct Expand: that rewrite triples the rows AND
+        // orders its gid branches by a hash-map iteration that varies
+        // per session, which made this query's canonical plan hash
+        // flip between bench runs (r8 PlanHash finding) — the
+        // attribution anchor must not wobble on identical code.
         first.join(act, Seq("user_id"))
+          .groupBy(col("cohort"), col("user_id"))
+          .agg(max(when(col("d").between(
+            date_add(col("cohort"), 1), date_add(col("cohort"), 7)), 1L)
+            .otherwise(0L)).as("ret"))
           .groupBy(col("cohort"))
-          .agg(
-            countDistinct(col("user_id")).as("n_cohort"),
-            countDistinct(when(col("d").between(
-              date_add(col("cohort"), 1), date_add(col("cohort"), 7)),
-              col("user_id"))).as("n_retained_7d"))
+          .agg(count(lit(1)).as("n_cohort"),
+            sum(col("ret")).as("n_retained_7d"))
           .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
             col("n_cohort"), col("n_retained_7d"))
           .orderBy(col("cohort"))
