@@ -1,6 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{And, Expression,
+  GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual,
+  MultiCommutativeOp}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
 
 /** The bench's canonical plan fingerprint — ONE definition shared by
   * [[graft.Bench]] (the judged BENCH_DETAIL `plans` map) and the
@@ -10,81 +17,132 @@ import org.apache.spark.sql.DataFrame
   * Cross-round timing deltas are attributed by hash equality ("same
   * hash + wide spread = load noise; changed hash = a real plan
   * change"), so the fingerprint must be identical across JVMs,
-  * sessions, and index-store states whenever the PLAN is the same.
-  * Three session artifacts would otherwise leak in (each measured
-  * breaking equality in the r8 cold-vs-warm store check):
+  * sessions, and index-store states (disabled / cold / warm) whenever
+  * the QUERY is the same code. Each normalization below removes one
+  * measured source of false inequality (found by the r8 cold-vs-warm
+  * and store-vs-disabled sweeps); none of the removed tokens carries
+  * plan information — a genuine plan change alters operator
+  * structure, not addresses, null-check placement, or conjunct order.
   *
-  *  1. cached/durable base subtrees — an index-backed query's
-  *     optimized plan embeds the InMemoryRelation's BUILD lineage
-  *     (store-warm: a parquet scan of the stored index; store-cold:
-  *     the full corpus build). Each collapses to a schema-only leaf;
-  *     the store tier is stamped separately in BENCH_DETAIL.
-  *  2. opaque literals print their array object identity
-  *     (`[J@1a2b3c` — centroid/LUT/survivor literals differ by JVM
-  *     ADDRESS even when bit-identical).
-  *  3. Broadcast handles print their session-sequence id
-  *     (`Broadcast(12)` — a warm session builds fewer broadcasts
-  *     before the query, shifting every id).
+  *  1. Cached AND durable base subtrees collapse to schema-only
+  *     leaves: an index-backed query's optimized plan embeds the
+  *     base's lineage (in-session: the full corpus build inside an
+  *     InMemoryRelation; store-enabled: a parquet scan of the stored
+  *     index), so the same code hashed differently across store
+  *     states. The store tier the timings came from is stamped
+  *     separately (`index_store` in BENCH_DETAIL).
+  *  2. Null-check artifacts are dropped (IsNotNull conjuncts, and
+  *     Filter nodes made empty by that): a store-read base carries
+  *     parquet's all-nullable schema while the same frame built
+  *     in-session keeps non-null expression types, so the optimizer
+  *     keeps/elides different `isnotnull` guards around IDENTICAL
+  *     query logic (measured: the q64/q70/q77… store-vs-disabled
+  *     flips were null-check placement plus #3/#4 below). The hash is
+  *     therefore blind to null-check-only plan edits — accepted:
+  *     those are optimizer-inferred, not authored semantics.
+  *  3. Comparison direction is normalized (a > b ⇒ b < a): the
+  *     builder emits whichever orientation its code path produced,
+  *     and the two base lineages produce opposite orientations of
+  *     the same predicate.
+  *  4. Commutative-conjunct order is re-sorted by the NORMALIZED
+  *     rendering: canonicalization orders `multicommutativeop`
+  *     operands by expression hashCode, which a broadcast handle or
+  *     plan-embedded object identity perturbs (measured: q154's
+  *     cold-vs-warm flip was only `bloom_might_contain`'s position).
+  *  5. String-level scrubs: opaque literals print their array object
+  *     identity (`[J@1a2b3c` — centroid/LUT/survivor literals differ
+  *     by JVM ADDRESS even when bit-identical); broadcast handles
+  *     print their session-sequence id (`Broadcast(12)`); typed-API
+  *     nodes (MapPartitions — the q91 Misra–Gries pass) print their
+  *     function object as a JVM hidden-class token
+  *     (`$$Lambda$2041/0x00007f…`) whose number tracks CLASS-LOAD
+  *     ORDER, which the store state shifts.
   *
-  * None of those tokens carries plan information — a genuine plan
-  * change alters operator structure, not addresses. NOTE the converse
-  * duty this puts on PLAN-EMBEDDED VALUES: any literal built from a
-  * `collect()` (Misra–Gries survivors, learned centroids, hot-term
-  * sets) must be collected in a canonical ORDER, or the same logical
-  * artifact hashes differently per session — the deterministic-
-  * artifact rule extended to plan literals.
+  * NOTE the converse duty this puts on PLAN-EMBEDDED VALUES: any
+  * literal built from a `collect()` (Misra–Gries survivors, learned
+  * centroids, hot-term sets) must be collected in a canonical ORDER,
+  * or the same logical artifact hashes differently per session — the
+  * deterministic-artifact rule extended to plan literals.
   */
 object PlanFingerprint {
 
+  private def strNorm(s: String): String = s
+    .replaceAll("@[0-9a-fA-F]+", "@x")
+    .replaceAll("Broadcast\\(\\d+\\)", "Broadcast(#)")
+    .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case o => Seq(o)
+  }
+
   /** The normalized canonicalized plan string the hash covers. */
   def normalizedPlan(df: DataFrame): String = {
-    val norm = df.queryExecution.optimizedPlan.transform {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        // nullability widened: a store-read base carries parquet's
-        // all-nullable schema while the same frame built in-session
-        // keeps non-null expression types — same frame, two leaf
-        // strings (measured: the q40/q54/q64/q70/q77 store-vs-disabled
-        // flips were ONLY this)
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          r.output.map(_.withNullability(true)))
+    val storeRoot = graft.sources.IndexStore.root(df.sparkSession)
+      .map(r => new org.apache.hadoop.fs.Path(r).toUri.getPath)
+    // 1. base-subtree collapse (nullability widened so the two leaf
+    // forms — built frame vs parquet round-trip — print identically)
+    val collapsed = df.queryExecution.optimizedPlan.transform {
+      case r: InMemoryRelation =>
+        LocalRelation(r.output.map(_.withNullability(true)))
+      case lr: LogicalRelation if storeRoot.exists(root =>
+          lr.relation match {
+            case h: HadoopFsRelation =>
+              h.location.rootPaths.nonEmpty &&
+                h.location.rootPaths.forall(_.toUri.getPath.startsWith(root))
+            case _ => false
+          }) =>
+        LocalRelation(lr.output.map(_.withNullability(true)))
     }
-    // Conjunct order inside Filter/Join conditions tracks the
-    // optimizer's constraint-inference iteration, which follows live
-    // exprIds — two sessions whose earlier plans consumed different id
-    // ranges emit `a AND b` vs `b AND a` (measured: the last
-    // store-vs-disabled flips were ONLY this). Sort the top-level
-    // conjuncts of the CANONICALIZED tree (stringified only — never
-    // executed) by their rendered form.
-    def sortConjuncts(
-        e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : org.apache.spark.sql.catalyst.expressions.Expression = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(_, _) =>
-        def split(
-            x: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          x match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              split(l) ++ split(r)
-            case o => Seq(o)
-          }
-        split(e).sortBy(_.toString)
-          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-      case o => o
+    // 1b. widen nullability on EVERY attribute reference, not just the
+    // leaf definitions: canonicalization orients a comparison by its
+    // operands' hashCodes, and an AttributeReference's semantic hash
+    // includes nullability — so `size(s) > 0` canonicalized to
+    // `0 < size(s)` against the non-null in-session base but stayed
+    // `size(s) > 0` against the nullable parquet round-trip (measured:
+    // the last q64/q70 store-vs-disabled flips were ONLY this). The
+    // fingerprint is nullability-blind by design (see #2).
+    val nullWide = collapsed.transformAllExpressions {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withNullability(true)
     }
-    val canon = norm.canonicalized.transform {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.copy(condition = sortConjuncts(f.condition))
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-        j.copy(condition = j.condition.map(sortConjuncts))
+    // 2. null-check artifacts out
+    val noNullChecks = nullWide.transform {
+      case f: Filter =>
+        val kept = splitConjuncts(f.condition)
+          .filterNot(_.isInstanceOf[IsNotNull])
+        if (kept.isEmpty) f.child else Filter(kept.reduce(And), f.child)
     }
-    canon.toString
-      .replaceAll("@[0-9a-fA-F]+", "@x")
-      .replaceAll("Broadcast\\(\\d+\\)", "Broadcast(#)")
-      // typed-API nodes (MapPartitions — the q91 Misra–Gries pass)
-      // print their function object as a JVM hidden-class token
-      // (`$$Lambda$2041/0x00007f…`) whose number and address track
-      // CLASS-LOAD ORDER, which the store state shifts
-      .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+    // 3. one comparison orientation
+    val dirNorm = noNullChecks.transformAllExpressions {
+      case GreaterThan(l, r) => LessThan(r, l)
+      case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
+    }
+    // 4. canonicalize (exprIds normalized), then impose a
+    // rendering-order on commutative conjuncts — the canonical
+    // hashCode order is session-dependent exactly when a conjunct
+    // embeds a broadcast/object handle (stringified only — never
+    // executed)
+    // orientation must be re-unified AFTER canonicalization too:
+    // Canonicalize re-orients each comparison by its operands'
+    // hashCodes, which still differ across base lineages in ways the
+    // widening above cannot fully erase — the POST-canonical flip
+    // makes the final orientation unconditional. Run it as its OWN
+    // pass so the conjunct sort below keys on already-oriented
+    // renderings (transformDown sorts a node before its children are
+    // rewritten).
+    val oriented = dirNorm.canonicalized.transformAllExpressions {
+      case GreaterThan(l, r) => LessThan(r, l)
+      case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
+    }
+    val canon = oriented.transformAllExpressions {
+      case m: MultiCommutativeOp =>
+        m.withNewChildren(
+          m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
+      case a @ And(_, _) =>
+        splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
+    }
+    strNorm(canon.toString)
   }
 
   /** 8-hex-digit fingerprint of [[normalizedPlan]]. */

@@ -1191,6 +1191,50 @@ object DedupQueries {
               |j AS (SELECT coalesce(deg.degree, 0) AS degree
               |  FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id)
               |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
-              |FROM j GROUP BY 1 ORDER BY degree""".stripMargin))
+              |FROM j GROUP BY 1 ORDER BY degree""".stripMargin)),
+
+    // ── q192: LSH miner RECALL audit — the mining-quality readout a
+    // curator runs before trusting the approximate dedup path at
+    // 100 TB, where the exact miner (q25) is the thing being replaced:
+    // per 0.05 Jaccard band of the exact ≥0.5 pair set, how many pairs
+    // did the MinHash-LSH miner (q26) also surface? q26's pairs are
+    // exact-Jaccard-VERIFIED candidates, so they are a subset of q25's
+    // by construction — precision is 1.0 and the only question is
+    // recall, which banding theory says follows 1−(1−j²)^16 (16 bands
+    // × 2 rows): ≈0.99 at j=0.5, →1 above. A recall dip in a band is
+    // the first symptom of a broken band layout or an over-aggressive
+    // hot-key guard, caught here per band instead of buried in one
+    // corpus-wide average (q97 curves the exact pair mass by
+    // threshold; this curves the MINER's coverage of it).
+    //
+    // Scale shape: both inputs are the persisted output-sized pair
+    // artifacts (never re-mined here — StampedCache/IndexStore), the
+    // join is pair-keyed on frames bounded by the dup mass, and the
+    // band histogram is a ≤10-row aggregate. No oracle: MinHash is not
+    // SQL-expressible — rows-only driver check + the QueriesSpec gate
+    // (band-wise found ≤ exact, exact equality to a recomputation from
+    // q25/q26 outputs, floor on high-band recall).
+    QueryDef(
+      "q192_lsh_recall_audit",
+      (s, d) => {
+        val exact = exactPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        val found = minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        exact.join(found, Seq("doc_a", "doc_b"), "left")
+          .select(
+            // jaccard ∈ [0.5, 1]; j = 1.0 folds into the top band
+            (least(floor(col("jaccard") * 20), lit(19.0)) / 20.0)
+              .as("band_lo"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+          .groupBy(col("band_lo"))
+          .agg(count(lit(1)).cast("long").as("n_exact"),
+            sum(col("hit")).cast("long").as("n_found"))
+          .withColumn("recall",
+            round(col("n_found").cast("double") /
+              col("n_exact").cast("double"), 4))
+          .orderBy(col("band_lo"))
+      },
+      None)
   )
 }

@@ -186,6 +186,65 @@ object Q {
       schema)
   }
 
+  /** Two-pass exact global EXCLUSIVE prefix sum of long column
+    * `massCol` in `(sortCols, …)` order — the scale-safe replacement
+    * for `sum(mass) OVER (ORDER BY … ROWS … 1 PRECEDING)`, whose
+    * unpartitioned window would serialize the corpus through one
+    * task. Same structure as [[globalRankByRange]] / q90's
+    * source-keyed cumsum: range-repartition + in-partition sort, a
+    * partition-local running-sum pass, then the ≤P per-partition
+    * masses collect once and broadcast back as exact offsets. Also
+    * returns the exact global TOTAL (the offsets' sum) — callers
+    * needing a share-of-total or budget threshold get it from the
+    * same bounded collect instead of a second corpus aggregate.
+    * `massCol` must be LONG and non-null; exactness is integer.
+    */
+  def globalCumBefore(
+      df: DataFrame, sortCols: Seq[Column], massCol: String)
+      : (DataFrame, Long) = {
+    val s = df.sparkSession
+    val parts = df
+      .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val mi = parts.schema.fieldIndex(massCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      parts.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("local_cb",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val withLocal = s.createDataFrame(
+      parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = 0L
+        it.map { r =>
+          // Seq[Any]: a bare Seq(pid, cum) would weak-conform the Int
+          // pid up to Long and break the IntegerType schema field
+          val out = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq[Any](pid, cum))
+          cum += r.getLong(mi)
+          out
+        }
+      }, schema)
+    // bounded collect (≤ P rows): per-partition masses → driver-side
+    // prefix scan in partition order → exact offset of each
+    // partition's first row (empty partitions simply don't appear)
+    val masses = withLocal.groupBy(col("pid"))
+      .agg(max(col("local_cb") + col(massCol)).as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = masses.scanLeft((0, 0L)) {
+      case ((_, run), (pid, mass)) => (pid, run + mass)
+    }
+    val total = offsets.last._2
+    val offDf = s.createDataFrame(
+      masses.map(_._1).zip(offsets.dropRight(1).map(_._2)).toSeq)
+      .toDF("pid", "p_off")
+    val out = withLocal.join(broadcast(offDf), Seq("pid"))
+      .withColumn("cum_before", col("p_off") + col("local_cb"))
+      .drop("pid", "local_cb", "p_off")
+    (out, total)
+  }
+
   /** ntile(10)-equivalent decile from the exact global index `rn` over
     * `n` rows: the first n%10 buckets take ⌈n/10⌉ rows, the rest
     * ⌊n/10⌋ — SQL ntile semantics derived from exact integers (shared

@@ -3388,6 +3388,74 @@ object Relational {
             col("n_users_7d_est"))
           .orderBy(col("day"))
       },
-      None)
+      None),
+
+    // ── q194: event-time DISORDER audit — the measurement that sizes a
+    // streaming watermark before anyone deploys one: per event with an
+    // earlier-ARRIVING predecessor from the same user (arrival order =
+    // event_id; the generator's write order), its lateness is how far
+    // its event time sits behind the user's running event-time
+    // high-water mark. The lateness histogram (in-order / <1 m /
+    // <10 m / <1 h / ≥1 h, with each bucket's share and max skew) reads
+    // directly as "a watermark of X drops this fraction of events" —
+    // the exact batch twin of what `withWatermark` silently discards in
+    // [[graft.streaming.EventStream]]. Bucket keys carry a sort prefix
+    // so lexicographic order IS severity order.
+    //
+    // Scale shape: ONE user-partitioned window pass (running max over
+    // arrival order — partitioned by user, never global), then a
+    // ≤5-row histogram aggregate; the share divides by the windowed
+    // total over that dimension-bounded frame (q09's form). Exact
+    // integer microseconds end-to-end; seconds only at display.
+    QueryDef(
+      "q194_ooo_audit",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_max", max(col("us")).over(w))
+          .filter(col("prev_max").isNotNull)
+          .withColumn("skew_us",
+            greatest(lit(0L), col("prev_max") - col("us")))
+          .withColumn("bucket",
+            when(col("skew_us") === 0L, "a_in_order")
+              .when(col("skew_us") < 60000000L, "b_lt_1m")
+              .when(col("skew_us") < 600000000L, "c_lt_10m")
+              .when(col("skew_us") < 3600000000L, "d_lt_1h")
+              .otherwise("e_ge_1h"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            // integer DIV, not `/` (double) — exact at any magnitude
+            expr("max(skew_us) DIV 1000000").cast("long").as("max_skew_s"))
+          .withColumn("share",
+            round(col("n_events").cast("double") /
+              sum(col("n_events")).over(Window.partitionBy())
+                .cast("double"), 6))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             |  FROM events),
+             |w AS (SELECT user_id, us,
+             |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max
+             |  FROM e),
+             |sk AS (SELECT greatest(0, prev_max - us) AS skew_us
+             |  FROM w WHERE prev_max IS NOT NULL),
+             |b AS (SELECT CASE WHEN skew_us = 0 THEN 'a_in_order'
+             |    WHEN skew_us < 60000000 THEN 'b_lt_1m'
+             |    WHEN skew_us < 600000000 THEN 'c_lt_10m'
+             |    WHEN skew_us < 3600000000 THEN 'd_lt_1h'
+             |    ELSE 'e_ge_1h' END AS bucket, skew_us
+             |  FROM sk),
+             |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(max(skew_us) // 1000000 AS BIGINT) AS max_skew_s
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_events, max_skew_s,
+             |  round(CAST(n_events AS DOUBLE) /
+             |    CAST(sum(n_events) OVER () AS DOUBLE), 6) AS share
+             |FROM g ORDER BY bucket""".stripMargin))
   )
 }

@@ -2060,7 +2060,71 @@ object TextQueries {
            |    CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE), 6)
            |    AS share
            |FROM cells ORDER BY source, decile""".stripMargin
-      })
+      }),
+
+    // ── q193: token-BUDGET greedy selection — the curation step that
+    // actually ships a training mix: rank every scored document by the
+    // q31 quality score (ties by doc_id) and admit documents in rank
+    // order until a global token budget (here 50% of the scored
+    // corpus's token mass — scale-free) is exhausted; report each
+    // source's share of the survivors. The probabilistic mixers
+    // (q65/q69/q89) hit a rate; this is the deterministic "best N
+    // tokens" cut whose outcome per source IS the quality ranking's
+    // verdict on that source. Admission is by exact integers: a doc is
+    // in iff its exclusive prefix mass + own mass ≤ budget.
+    //
+    // Scale shape: the global rank-order cumsum is NOT an
+    // unpartitioned window (the q50 anti-pattern) — [[Q.globalCumBefore]]
+    // range-repartitions on (score desc, doc_id), cumsums within
+    // partitions, and broadcasts the ≤P exact partition offsets; the
+    // budget threshold comes from the same bounded collect (no second
+    // corpus aggregate, no scalar cross join). Two narrow passes over
+    // (doc_id, n_tok, score, source); text never leaves the score scan.
+    QueryDef(
+      "q193_budget_select",
+      (s, d) => {
+        val scored = qualityScores(s, d)
+          .filter(col("score").isNotNull)
+          .select(col("doc_id"), col("n_tokens").as("n_tok"), col("score"))
+          .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+        val (cum, total) = Q.globalCumBefore(scored,
+          Seq(col("score").desc, col("doc_id")), "n_tok")
+        val budget = total / 2
+        cum
+          .withColumn("sl",
+            when(col("cum_before") + col("n_tok") <= budget, 1L)
+              .otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("sl")).cast("long").as("n_sel"),
+            sum(col("n_tok")).cast("long").as("tok_total"),
+            sum(col("sl") * col("n_tok")).cast("long").as("tok_sel"))
+          .withColumn("sel_share",
+            round(col("tok_sel").cast("double") /
+              col("tok_total").cast("double"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $QualityCteSql,
+             |p AS (SELECT q.doc_id, d.source, s.n_tokens AS n_tok, q.score
+             |  FROM q JOIN s USING (doc_id) JOIN documents d USING (doc_id)
+             |  WHERE q.score IS NOT NULL),
+             |tot AS (SELECT sum(n_tok) // 2 AS budget FROM p),
+             |c AS (SELECT doc_id, source, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM p),
+             |sel AS (SELECT source, n_tok,
+             |    CASE WHEN cb + n_tok <= budget THEN 1 ELSE 0 END AS sl
+             |  FROM c CROSS JOIN tot)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(sl) AS BIGINT) AS n_sel,
+             |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+             |  CAST(sum(sl*n_tok) AS BIGINT) AS tok_sel,
+             |  round(CAST(sum(sl*n_tok) AS DOUBLE)/CAST(sum(n_tok) AS DOUBLE), 6)
+             |    AS sel_share
+             |FROM sel GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

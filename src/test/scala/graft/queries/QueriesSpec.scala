@@ -2505,4 +2505,137 @@ class QueriesSpec extends SparkTestBase {
       assert(rs.map(_._3).max == 1.0, s"nation $nk cume_dist must reach 1")
     }
   }
+
+  test("q192 recall audit equals a recomputation from q25/q26 and stays high") {
+    // the audit must be EXACTLY the banded join of its two inputs —
+    // recompute it driver-side from the declared q25/q26 outputs
+    val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val found = SparkEntry.queries("q26_dedup_minhash")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def band(j: Double): Double = math.min(math.floor(j * 20), 19.0) / 20.0
+    val expect = exact.groupBy { case (_, j) => band(j) }.map {
+      case (b, ps) =>
+        val hit = ps.count { case (p, _) => found(p) }
+        (b, (ps.size.toLong, hit.toLong,
+          BigDecimal(hit.toDouble / ps.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q192_lsh_recall_audit")(spark, sf())
+      .collect()
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // q26 verifies candidates, so found ⊆ exact: n_found ≤ n_exact
+    got.foreach { case (b, (ne, nf, _)) =>
+      assert(nf <= ne, s"band $b found $nf > exact $ne")
+    }
+    // banding theory (16 bands × 2 rows): recall ≈ 1−(1−j²)^16 ≥ 0.99
+    // at j = 0.5 — gate the measured overall recall well below that
+    val (neTot, nfTot) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(neTot > 0, "fixture must contain exact near-dup pairs")
+    assert(nfTot * 10 >= neTot * 7, s"overall recall too low: $nfTot/$neTot")
+  }
+
+  test("q193 budget selection equals the greedy brute force; no global window") {
+    import org.apache.spark.sql.functions._
+    // brute force: rank all scored docs by (score desc, doc_id),
+    // admit while the running token mass stays within half the total
+    val docs = graft.queries.TextQueries.qualityScores(spark, sf())
+      .filter(col("score").isNotNull)
+      .join(graft.queries.Q.t(spark, sf(), "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ranked = docs.sortBy { case (id, _, _, sc) => (-sc, id) }
+    val budget = ranked.map(_._3).sum / 2
+    var cum = 0L
+    val sel = ranked.map { case (id, src, n, _) =>
+      val in = cum + n <= budget
+      cum += n
+      (id, src, n, in)
+    }
+    val expect = sel.groupBy(_._2).map { case (src, rs) =>
+      val tokSel = rs.filter(_._4).map(_._3).sum
+      val tokTot = rs.map(_._3).sum
+      (src, (rs.size.toLong, rs.count(_._4).toLong, tokTot, tokSel,
+        BigDecimal(tokSel.toDouble / tokTot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val df = SparkEntry.queries("q193_budget_select")(spark, sf())
+    val got = df.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // the global cumsum must be the two-pass form, not a window over
+    // one partition (q50's discipline)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q193 planned a Window:\n$plan")
+  }
+
+  test("q194 disorder audit equals a per-user brute force") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val skews = ev.groupBy(_._2).values.flatMap { rows =>
+      val ordered = rows.sortBy(_._1)
+      var mx = Long.MinValue
+      ordered.flatMap { case (_, _, us) =>
+        val out = if (mx == Long.MinValue) None
+        else Some(math.max(0L, mx - us))
+        mx = math.max(mx, us)
+        out
+      }
+    }.toSeq
+    def bucket(us: Long): String =
+      if (us == 0L) "a_in_order"
+      else if (us < 60000000L) "b_lt_1m"
+      else if (us < 600000000L) "c_lt_10m"
+      else if (us < 3600000000L) "d_lt_1h"
+      else "e_ge_1h"
+    val tot = skews.size
+    val expect = skews.groupBy(bucket).map { case (b, xs) =>
+      (b, (xs.size.toLong, xs.max / 1000000L,
+        BigDecimal(xs.size.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q194_ooo_audit")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(tot > 0, "fixture must contain successor events")
+  }
+
+  test("q194 buckets a crafted disordered stream one-of-each (fixture is all in-order)") {
+    // the sf fixtures arrive perfectly event-time-sorted, so the
+    // declared query's fixture answer is the single a_in_order row —
+    // correct but degenerate. The bucketing itself must be proven on
+    // real disorder (q82's crafted-stream discipline; a gate that can
+    // only ever see one branch is vacuous — the r6 q184 lesson).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ooo").toString
+    val base = 1700000000L * 1000000000L // epoch nanos (nanos-era table)
+    def at(sec: Long) = base + sec * 1000000000L
+    // user 1 arrival order (event_id) vs event time: one case per bucket
+    val ts1 = Seq(0L, 100L, 70L, 1000L, 500L, 5000L, 2000L, 20000L, 10000L)
+    val rows = ts1.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, at(sec), 1L, "click", 1.0, "{}")
+    } :+ ((100L, at(0L), 2L, "click", 1.0, "{}")) // lone event: excluded
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q194_ooo_audit")(spark, tmp)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toSeq
+    val expect = Seq(
+      "a_in_order" -> ((4L, 0L, 0.5)),    // 100, 1000, 5000, 20000
+      "b_lt_1m" -> ((1L, 30L, 0.125)),    // 70 after 100
+      "c_lt_10m" -> ((1L, 500L, 0.125)),  // 500 after 1000
+      "d_lt_1h" -> ((1L, 3000L, 0.125)),  // 2000 after 5000
+      "e_ge_1h" -> ((1L, 10000L, 0.125))) // 10000 after 20000
+    assert(got == expect, s"got=$got")
+  }
 }
