@@ -71,6 +71,11 @@ case class AudioFingerprint64(child: Expression)
 
   override def dataType: DataType = LongType
 
+  // null = the decoder REFUSED (payload too short to envelope) — kept
+  // distinct from the legitimate all-zero code 0L (monotone
+  // non-increasing envelopes), which must stay minable (r8 review)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case o => TypeCheckResult.TypeCheckFailure(
@@ -80,6 +85,7 @@ case class AudioFingerprint64(child: Expression)
   override def nullSafeEval(v: Any): Any =
     graft.multimodal.Multimodal.Decoders
       .audioFingerprint64(v.asInstanceOf[Array[Byte]])
+      .map(java.lang.Long.valueOf).orNull
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -485,7 +485,12 @@ object Multimodal {
             chunks.iterator.zipWithIndex.collect {
               case (f, i) if i % stride == 0 => f
             }
-          case None => content.grouped(256)
+          case None =>
+            // same (content, stride) contract as the real path: the
+            // fake's fixed windows sample at the stride too (r8 review)
+            content.grouped(256).zipWithIndex.collect {
+              case (w, i) if i % stride == 0 => w
+            }
         }
         frames.take(maxFrames).map(phash64).toArray
       }
@@ -543,19 +548,23 @@ object Multimodal {
       * the r7 verdict named, lands within a few Hamming bits and the
       * q190 block mining pairs it. Non-WAVE payloads fold their raw
       * bytes as centered 8-bit samples (deterministic fake, the
-      * lumaGrid32 byte-path discipline). 0L when fewer than 130
-      * samples are in hand (a sub-2-per-window envelope has no
-      * derivative worth coding).
+      * lumaGrid32 byte-path discipline). None — NOT a sentinel code —
+      * when fewer than 130 samples are in hand (a sub-2-per-window
+      * envelope has no derivative worth coding): 0L is a LEGITIMATE
+      * code (any monotone non-increasing envelope — fade-outs,
+      * silence), so refusal must be out-of-band or genuine all-zero
+      * duplicates would be conflated with refusals and dropped from
+      * the mine (r8 review finding).
       */
-    def audioFingerprint64(content: Array[Byte]): Long = {
-      if (content == null || content.length == 0) return 0L
+    def audioFingerprint64(content: Array[Byte]): Option[Long] = {
+      if (content == null || content.length == 0) return None
       val W = 65
       val energy = new Array[Double](W)
       var n = 0
       wavPcmData(content) match {
         case Some((off, len, bits)) if bits == 16 =>
           n = len / 2
-          if (n < 2 * W) return 0L
+          if (n < 2 * W) return None
           var i = 0
           while (i < n) {
             val o = off + 2 * i
@@ -565,7 +574,7 @@ object Multimodal {
           }
         case Some((off, len, _)) => // 8-bit PCM: unsigned, centered 128
           n = len
-          if (n < 2 * W) return 0L
+          if (n < 2 * W) return None
           var i = 0
           while (i < n) {
             energy((i.toLong * W / n).toInt) +=
@@ -574,7 +583,7 @@ object Multimodal {
           }
         case None =>
           n = content.length
-          if (n < 2 * W) return 0L
+          if (n < 2 * W) return None
           var i = 0
           while (i < n) {
             energy((i.toLong * W / n).toInt) +=
@@ -591,7 +600,7 @@ object Multimodal {
         if (energy(b + 1) > energy(b)) sig |= (1L << b)
         b += 1
       }
-      sig
+      Some(sig)
     }
   }
 

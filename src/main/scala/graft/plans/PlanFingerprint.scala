@@ -67,7 +67,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
 object PlanFingerprint {
 
   private def strNorm(s: String): String = s
-    .replaceAll("@[0-9a-fA-F]+", "@x")
+    // ONLY JVM array-identity tokens ([J@1a2b3c, [[F@…, [Lfoo.Bar;@…)
+    // — a bare `@hex` scrub would also rewrite user string literals
+    // ("a@dead.com" and "a@beef.com" both → "a@x.com"), making two
+    // genuinely different plans hash identical and breaking the
+    // changed-literal sensitivity the spec pins (r8 review finding)
+    .replaceAll("\\[+(?:[BCDFIJSZ]|L[\\w.$]+;)@[0-9a-fA-F]+", "[@x")
     .replaceAll("Broadcast\\(\\d+\\)", "Broadcast(#)")
     .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
 
@@ -89,7 +94,12 @@ object PlanFingerprint {
           lr.relation match {
             case h: HadoopFsRelation =>
               h.location.rootPaths.nonEmpty &&
-                h.location.rootPaths.forall(_.toUri.getPath.startsWith(root))
+                h.location.rootPaths.forall { p =>
+                  // path-component boundary: /data/idx must not claim
+                  // /data/idx_backup's scans (r8 review finding)
+                  val pp = p.toUri.getPath
+                  pp == root || pp.startsWith(root + "/")
+                }
             case _ => false
           }) =>
         LocalRelation(lr.output.map(_.withNullability(true)))

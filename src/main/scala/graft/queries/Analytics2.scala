@@ -54,11 +54,15 @@ object Analytics2 {
     * inside `compute` held the bin lock for the jobs' duration and
     * stalled any concurrent session hashing to the same bin (r7
     * ADVICE; the build-outside-the-lock rule BloomPrune documents).
-    * The fit is deterministic from the corpus, so a lost race costs
-    * one redundant identical fit and a blind put is safe — both
-    * racers wrote the same value. Entries self-evict at application
-    * end (the StampedCache listener rule — same ADVICE pass: a
-    * session retired without Analytics2.clearCaches stayed pinned).
+    * The fit is deterministic from the corpus, so a SAME-STAMP lost
+    * race costs one redundant identical fit. The install is still
+    * stamp-guarded, NOT a blind put: if the corpus dir was rewritten
+    * mid-fit, a slow fitter's stale books must not overwrite a fresh
+    * racer's entry (the blind put re-installed the OLD stamp, and
+    * every later caller refit until the churn settled — r8 review
+    * finding). Entries self-evict at application end (the
+    * StampedCache listener rule — same ADVICE pass: a session
+    * retired without Analytics2.clearCaches stayed pinned).
     */
   private def pqBooks(
       s: org.apache.spark.sql.SparkSession,
@@ -82,7 +86,12 @@ object Analytics2 {
     else {
       val books = graft.operators.IncrementalPq.fitBooks(
         t(s, d, "embeddings"), "embedding", "vec_id")
-      pqBookCache.put((s, d), (stamp, books))
+      // install only while OUR stamp is still the dir's CURRENT stamp
+      // (cheap re-walk); keep whatever a fresher racer installed
+      pqBookCache.compute((s, d), (_, prev) =>
+        if (stamp == Q.dirStamp(d)) (stamp, books)
+        else if (prev != null) prev
+        else null)
       books
     }
   }

@@ -151,25 +151,9 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairsCache.get(s, d) {
       GraftFunctions.register(s)
-      val sigs = simhashSigs(s, d)
-      val blockArr = array((0 until 4).map(k =>
-        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-      val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
-        .toDF("doc_id", "block_idx", "block_val")
-      graft.operators.SkewJoin
-        .saltedSelfPairs(
-          blocks.select(
-            xxhash64(col("block_idx"), col("block_val")).as("k"),
-            col("doc_id")),
-          "k", "doc_id", relativeHot = MinerRelativeHot)
-        .toDF("doc_a", "doc_b")
-        .distinct()
-        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      graft.operators.HammingBlocks.hammingPairs(
+        simhashSigs(s, d), "doc_id", "sig",
+        maxBits = 3, relativeHot = MinerRelativeHot)
     }
 
   /** Exact Jaccard over candidate pairs given per-doc shingle arrays. */

@@ -90,20 +90,12 @@ object MultimodalQueries {
     videoPairsCache.get(s, d) {
       val sigs = videoSigs(s, d)
       val frames = sigs.select(col("doc_id"), explode(col("sigs")).as("sig"))
-      val blockArr = array((0 until 4).map(k =>
-        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-      val blocks = frames.select(col("doc_id"), posexplode(blockArr))
-        .toDF("doc_id", "block_idx", "block_val")
-        .distinct() // a video re-emits its static scenes' blocks per frame
-      graft.operators.SkewJoin
-        .saltedSelfPairs(
-          blocks.select(
-            xxhash64(col("block_idx"), col("block_val")).as("k"),
-            col("doc_id")),
-          "k", "doc_id",
-          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
-        .toDF("doc_a", "doc_b")
-        .distinct()
+      // distinctBlocks: a video re-emits its static scenes' blocks
+      // per frame
+      graft.operators.HammingBlocks
+        .blockCandidates(frames, "doc_id", "sig",
+          relativeHot = graft.queries.DedupQueries.MinerRelativeHot,
+          distinctBlocks = true)
         .join(sigs.toDF("doc_a", "sigs_a"), "doc_a")
         .join(sigs.toDF("doc_b", "sigs_b"), "doc_b")
         .withColumn("fs",
@@ -145,32 +137,19 @@ object MultimodalQueries {
   private def audioPairs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     audioPairsCache.get(s, d) {
-      // 0L is the decoder's REFUSAL sentinel (payload too short to
-      // envelope) — without this filter every refused payload pairs
-      // with every other at Hamming 0, a |refused|² clique of false
+      // NULL is the decoder's refusal (payload too short to envelope)
+      // — without this filter every refused payload would pair with
+      // every other at Hamming 0, a |refused|² clique of false
       // "duplicates" (caught at sf0.01: 67 short docs → 2211 bogus
-      // pairs). Refused payloads are absent from the mine, not
-      // mutually identical.
-      val sigs = audioSigs(s, d).filter(col("sig") =!= 0L)
-      val blockArr = array((0 until 4).map(k =>
-        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-      val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
-        .toDF("doc_id", "block_idx", "block_val")
-      graft.operators.SkewJoin
-        .saltedSelfPairs(
-          blocks.select(
-            xxhash64(col("block_idx"), col("block_val")).as("k"),
-            col("doc_id")),
-          "k", "doc_id",
-          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
-        .toDF("doc_a", "doc_b")
-        .distinct()
-        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // pairs). Refusal is OUT-OF-BAND (null), not the 0L sentinel it
+      // first shipped as: 0L is a legitimate code (monotone
+      // non-increasing envelope — fade-outs, silence), and genuine
+      // all-zero duplicates must stay minable (r8 review finding).
+      val sigs = audioSigs(s, d).filter(col("sig").isNotNull)
+      graft.operators.HammingBlocks.hammingPairs(
+        sigs, "doc_id", "sig",
+        maxBits = 3,
+        relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
     }
 
   /** pHash near-dup pairs (doc_a, doc_b, hamming ≤ 3): the q27-style
@@ -186,29 +165,10 @@ object MultimodalQueries {
   private def phashPairs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     phashPairsCache.get(s, d) {
-      val sigs = phashSigs(s, d)
-      val blockArr = array((0 until 4).map(k =>
-        shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)
-      val blocks = sigs.select(col("doc_id"), posexplode(blockArr))
-        .toDF("doc_id", "block_idx", "block_val")
-      // exact-duplicate payloads share ALL FOUR blocks — the hottest
-      // possible keys — so the block join runs through the shared
-      // salted miner; signatures re-join per side for the verify
-      graft.operators.SkewJoin
-        .saltedSelfPairs(
-          blocks.select(
-            xxhash64(col("block_idx"), col("block_val")).as("k"),
-            col("doc_id")),
-          "k", "doc_id",
-          relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
-        .toDF("doc_a", "doc_b")
-        .distinct()
-        .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      graft.operators.HammingBlocks.hammingPairs(
+        phashSigs(s, d), "doc_id", "sig",
+        maxBits = 3,
+        relativeHot = graft.queries.DedupQueries.MinerRelativeHot)
     }
 
   val defs: Seq[QueryDef] = Seq(

@@ -229,7 +229,11 @@ object Q {
     // prefix scan in partition order → exact offset of each
     // partition's first row (empty partitions simply don't appear)
     val masses = withLocal.groupBy(col("pid"))
-      .agg(max(col("local_cb") + col(massCol)).as("mass"))
+      // sum, not max(local_cb + mass): the sum is the partition total
+      // for ANY sign of mass, where the max form silently mis-offsets
+      // on negative masses (signed deltas are a legitimate future
+      // caller — r8 review finding)
+      .agg(sum(col(massCol)).as("mass"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = masses.scanLeft((0, 0L)) {

@@ -122,20 +122,26 @@ object ZOrder {
         : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
   }
 
-  /** Percentile boundaries for `colName` (cast long): up to 2^bits − 1
-    * splits from one `approxQuantile` pass (Greenwald-Khanna sketch —
-    * a single corpus scan, driver array of size 2^bits, the same
-    * plan-time-bounded shape as the linear min/max probe). Duplicates
-    * collapse (a value holding >1/2^bits of the mass owns one bucket),
-    * so heavily-repeated keys cannot split across boundaries.
+  /** Percentile boundaries for each of `colNames` (cast long): up to
+    * 2^bits − 1 splits per column from ONE `approxQuantile` pass
+    * (Greenwald-Khanna sketch — a single corpus scan for ALL columns,
+    * driver arrays of size 2^bits, the same plan-time-bounded shape
+    * as the linear min/max probe). Duplicates collapse (a value
+    * holding >1/2^bits of the mass owns one bucket), so
+    * heavily-repeated keys cannot split across boundaries.
     */
   private def rankSplits(
-      df: DataFrame, colName: String, bits: Int): Array[Long] = {
+      df: DataFrame, colNames: Seq[String], bits: Int)
+      : Seq[Array[Long]] = {
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    df.select(col(colName).cast("long").as(colName))
-      .stat.approxQuantile(colName, probs, 1.0 / (4 * n))
-      .map(_.toLong).distinct.sorted
+    // the MULTI-column approxQuantile overload: one Greenwald-Khanna
+    // scan computes every column's boundary array — per-column calls
+    // were one full corpus scan EACH on the write path (r8 review)
+    df.select(colNames.map(c => col(c).cast("long").as(c)): _*)
+      .stat.approxQuantile(colNames.toArray, probs, 1.0 / (4 * n))
+      .map(_.map(_.toLong).distinct.sorted)
+      .toSeq
   }
 
   /** [[layout]] with RANK quantization on both columns — the skewed-
@@ -148,12 +154,15 @@ object ZOrder {
       nFiles: Int, bits: Int = 10): DataFrame = {
     require(nFiles >= 1, "nFiles must be >= 1")
     require(bits >= 1 && bits <= 15, s"rank bits=$bits out of range")
-    def rb(c: String) = org.apache.spark.sql.GraftPlanBridge.column(
-      RankBucket(
-        org.apache.spark.sql.GraftPlanBridge.expression(
-          col(c).cast("long")),
-        rankSplits(df, c, bits)))
-    df.withColumn("__z", interleave(rb(colA), rb(colB), bits))
+    val Seq(splitsA, splitsB) = rankSplits(df, Seq(colA, colB), bits)
+    def rb(c: String, splits: Array[Long]) =
+      org.apache.spark.sql.GraftPlanBridge.column(
+        RankBucket(
+          org.apache.spark.sql.GraftPlanBridge.expression(
+            col(c).cast("long")),
+          splits))
+    df.withColumn("__z",
+        interleave(rb(colA, splitsA), rb(colB, splitsB), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -445,7 +445,7 @@ class MultimodalSpec extends SparkTestBase {
   private def ampWalk(j: Int): Int = 1500 + (j % 3) * 1400 + j * 10
 
   test("audioFingerprint64: real PCM path — container/volume/requantization invariant, noise-tolerant") {
-    val base = Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk))
+    val base = Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk)).get
     // the envelope codes the DESIGNED derivative signs: amp rises
     // j→j+1 except at each %3 wrap (j=2→3, 5→6, …), so the expected
     // bit pattern is computable independently
@@ -455,43 +455,48 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(base == want, f"envelope bits ${base}%016x != designed ${want}%016x")
     // determinism
-    assert(Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk)) == base)
+    assert(Multimodal.Decoders.audioFingerprint64(buildWav16(ampWalk)).get == base)
     // CONTAINER rewrites: extra metadata chunk, data-before-fmt — the
     // PCM is identical, so the fingerprint is identical (bit-for-bit)
     assert(Multimodal.Decoders.audioFingerprint64(
-      buildWav16(ampWalk, extraChunk = true)) == base)
+      buildWav16(ampWalk, extraChunk = true)).get == base)
     assert(Multimodal.Decoders.audioFingerprint64(
-      buildWav16(ampWalk, dataFirst = true)) == base)
+      buildWav16(ampWalk, dataFirst = true)).get == base)
     // VOLUME: exact ×4 gain scales every window energy together —
     // derivative signs (and so the fingerprint) unchanged
     assert(Multimodal.Decoders.audioFingerprint64(
-      buildWav16(j => ampWalk(j) * 4)) == base)
+      buildWav16(j => ampWalk(j) * 4)).get == base)
     // REQUANTIZATION to 8-bit: same waveform, coarser samples — the
     // designed ≥1300 inter-window gaps dwarf the ≤256 quantization
     // error, so the code is again identical
-    assert(Multimodal.Decoders.audioFingerprint64(buildWav8(ampWalk)) == base)
+    assert(Multimodal.Decoders.audioFingerprint64(buildWav8(ampWalk)).get == base)
     // additive NOISE: ±1-sample dither shifts window means ≤1 against
     // the ≥1300 gaps — identical code (gate ≤2 bits for headroom)
     val noisy = Multimodal.Decoders.audioFingerprint64(
-      buildWav16(j => ampWalk(j) + (if (j % 2 == 0) 1 else -1)))
+      buildWav16(j => ampWalk(j) + (if (j % 2 == 0) 1 else -1))).get
     assert(ham(base, noisy) <= 2)
     // a genuinely different envelope is far
     val other = Multimodal.Decoders.audioFingerprint64(
-      buildWav16(j => 4000 - ampWalk(j) / 2))
+      buildWav16(j => 4000 - ampWalk(j) / 2)).get
     assert(ham(base, other) > 10)
   }
 
-  test("audioFingerprint64: fake path deterministic; degenerate payloads code 0") {
+  test("audioFingerprint64: fake path deterministic; degenerate payloads refuse") {
     val text = ("pack my box with five dozen liquor jugs " * 60).getBytes
-    val h = Multimodal.Decoders.audioFingerprint64(text)
-    assert(h == Multimodal.Decoders.audioFingerprint64(text.clone()))
+    val h = Multimodal.Decoders.audioFingerprint64(text).get
+    assert(h == Multimodal.Decoders.audioFingerprint64(text.clone()).get)
     // exact duplicate bytes → distance 0; different text → far
     val other = ("sphinx of black quartz judge my vow now ok " * 56).getBytes
-    assert(ham(h, Multimodal.Decoders.audioFingerprint64(other)) > 5)
-    // sub-2-per-window payloads refuse with the defined 0 signature
-    assert(Multimodal.Decoders.audioFingerprint64("tiny".getBytes) == 0L)
-    assert(Multimodal.Decoders.audioFingerprint64(null) == 0L)
-    assert(Multimodal.Decoders.audioFingerprint64(Array.emptyByteArray) == 0L)
+    assert(ham(h, Multimodal.Decoders.audioFingerprint64(other).get) > 5)
+    // sub-2-per-window payloads refuse OUT-OF-BAND (None, not a 0L
+    // sentinel: 0L is a legitimate all-zero envelope code — r8 review)
+    assert(Multimodal.Decoders.audioFingerprint64("tiny".getBytes).isEmpty)
+    assert(Multimodal.Decoders.audioFingerprint64(null).isEmpty)
+    assert(Multimodal.Decoders.audioFingerprint64(Array.emptyByteArray).isEmpty)
+    // an all-zero code is VALID and distinct from refusal: a monotone
+    // non-increasing (fading) envelope codes 0L and must stay minable
+    assert(Multimodal.Decoders.audioFingerprint64(
+      buildWav16(j => 9000 - j * 130)).contains(0L))
     // a compressed (non-PCM format tag) WAVE refuses the real path and
     // takes the deterministic fake instead of mis-decoding
     val nonPcm = ccb("RIFF") ++ le32b(200) ++ ccb("WAVE") ++

@@ -51,6 +51,17 @@ class PlanFingerprintSpec extends SparkTestBase {
       "a changed literal should change the fingerprint")
   }
 
+  test("a changed STRING literal moves the hash even when it looks hex-ish") {
+    // the @hex scrub must only eat JVM array-identity tokens — a bare
+    // `@[0-9a-f]+` rewrite made "a@dead.com" and "a@beef.com" hash
+    // identical (r8 review finding)
+    def q(lit0: String) = df().filter(col("o_orderpriority") =!= lit0)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    assert(PlanFingerprint.hash(q("a@dead.com")) !=
+      PlanFingerprint.hash(q("a@beef.com")),
+      "hex-ish string literals were scrubbed out of the fingerprint")
+  }
+
   test("conjunct order inside a filter does not move the hash") {
     val a = df().filter(col("o_totalprice") > 0.0 &&
         col("o_orderstatus") === "O")

@@ -538,9 +538,10 @@ class QueriesSpec extends SparkTestBase {
       col("doc_id"),
       graft.functions.GraftFunctions.audioFp64(
         lower(col("text")).cast("binary")).as("sig"))
-      // the decoder's 0L refusal sentinel is excluded from mining —
-      // refused payloads must never form a mutual-duplicate clique
-      .filter(col("sig") =!= 0L)
+      // the decoder's NULL refusal is excluded from mining — refused
+      // payloads must never form a mutual-duplicate clique (and 0L is
+      // a legitimate code that STAYS minable — r8 review)
+      .filter(col("sig").isNotNull)
     val brute = sigs.as("a").join(sigs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
@@ -574,7 +575,8 @@ class QueriesSpec extends SparkTestBase {
       cc("RIFF") ++ le32(4 + body.length) ++ cc("WAVE") ++ body
     }
     def amp(j: Int) = 1500 + (j % 3) * 1400 + j * 10
-    val fp = graft.multimodal.Multimodal.Decoders.audioFingerprint64 _
+    def fp(b: Array[Byte]): Long =
+      graft.multimodal.Multimodal.Decoders.audioFingerprint64(b).get
     val orig = fp(wav16(amp, pad = false))
     val dups = Seq(
       fp(wav16(amp, pad = true)), // re-containered
