@@ -276,6 +276,33 @@ object Profile {
     }
     println(f"PHASE docpipe 10x/1x delta cost ratio ${dp10 / dp1}%8.3f (≈1.0 = O(delta), 10 = O(corpus))")
 
+    // Round-8 probe: the two-pass global cumsum (q193's budget
+    // selection / q90's packing spine, [[graft.queries.Q.globalCumBefore]])
+    // must scale LINEARLY in the corpus — its only non-narrow pieces
+    // are one range exchange and a ≤P-row collect, so the 10× ratio
+    // should sit near 10 (linear), never near 100 (an accidental
+    // quadratic would mean the offsets join degenerated). Probed on
+    // the q193 shape: score → rank-order cumsum → budget flags.
+    val scored1 = docs
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") % 97).cast("double").as("score"))
+    val scored10 = (1 to 10).map(i => shift(scored1, "doc_id", i))
+      .reduce(_ unionAll _)
+    def cumProbe(f: org.apache.spark.sql.DataFrame): Unit = {
+      val (cum, total) = graft.queries.Q.globalCumBefore(
+        f, Seq(col("score").desc, col("doc_id")), "n_tok")
+      val budget = total / 2
+      cum.filter(col("cum_before") + col("n_tok") <= budget)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val cb1 = timedS("global cumsum 1x")(cumProbe(scored1))
+    val cb10 = timedS("global cumsum 10x")(cumProbe(scored10))
+    println(f"PHASE global cumsum 10x/1x ratio ${cb10 / cb1}%8.3f (≈10 = linear)")
+
     spark.stop()
   }
 }

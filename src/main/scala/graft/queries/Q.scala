@@ -249,6 +249,71 @@ object Q {
     (out, total)
   }
 
+  /** Per-KEY twin of [[globalCumBefore]]: exact exclusive prefix sum
+    * of `massCol` within each `keyCol` group, ordered by `sortCols` —
+    * the scale-safe replacement for `sum(mass) OVER (PARTITION BY key
+    * ORDER BY …)` when the key is LOW-CARDINALITY but the rows are
+    * corpus-grain (a |keys|-partition WindowExec funnels the whole
+    * corpus through |keys| reducer tasks; q143's flag-keyed cumsum
+    * and q90's source-keyed packing both have exactly this shape).
+    * Range partitioning on (key, sortCols) keeps each key contiguous,
+    * so the per-(partition, key) mass collect is bounded by
+    * P + |keys| rows. `keyCol` must be a non-null STRING column
+    * (null keys would silently drop out of the offset join);
+    * `massCol` LONG non-null.
+    */
+  def keyedCumBefore(
+      df: DataFrame, keyCol: String, sortCols: Seq[Column],
+      massCol: String): DataFrame = {
+    val s = df.sparkSession
+    val allSort = col(keyCol) +: sortCols
+    val parts = df
+      .repartitionByRange(s.sparkContext.defaultParallelism, allSort: _*)
+      .sortWithinPartitions(allSort: _*)
+    val ki = parts.schema.fieldIndex(keyCol)
+    val mi = parts.schema.fieldIndex(massCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      parts.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("local_cb",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    // partition-local running cumsum, reset at each key change (the
+    // range partitioner keeps each partition sorted by (key, sort))
+    val withLocal = s.createDataFrame(
+      parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curKey: String = null
+        var started = false
+        var cum = 0L
+        it.map { r =>
+          val k = r.getString(ki)
+          if (!started || k != curKey) { started = true; curKey = k; cum = 0L }
+          // Seq[Any]: a bare Seq(pid, cum) would weak-conform the Int
+          // pid up to Long and break the IntegerType schema field
+          val out = org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq[Any](pid, cum))
+          cum += r.getLong(mi)
+          out
+        }
+      }, schema)
+    val masses = withLocal.groupBy(col("pid"), col(keyCol))
+      .agg(sum(col(massCol)).as("mass"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // per-key prefix over partition order — no cross-key ordering
+    // needed, each key's partitions are contiguous and ascending
+    val offsets = masses.groupBy(_._2).iterator.flatMap {
+      case (k, rows) =>
+        var run = 0L
+        rows.sortBy(_._1).map { case (pid, _, m) =>
+          val off = run; run += m; (pid, k, off)
+        }
+    }.toSeq
+    val offDf = s.createDataFrame(offsets).toDF("pid", keyCol, "key_off")
+    withLocal.join(broadcast(offDf), Seq("pid", keyCol))
+      .withColumn("cum_before", col("key_off") + col("local_cb"))
+      .drop("pid", "local_cb", "key_off")
+  }
+
   /** ntile(10)-equivalent decile from the exact global index `rn` over
     * `n` rows: the first n%10 buckets take ⌈n/10⌉ rows, the rest
     * ⌊n/10⌋ — SQL ntile semantics derived from exact integers (shared

@@ -3247,6 +3247,15 @@ object Relational {
           .agg(sum(col("l_quantity").cast("long")).cast("long").as("w"))
         val tot = base.groupBy(col("flag"))
           .agg(sum(col("w")).cast("long").as("tw"))
+        // the |flags|-partition window is DOMAIN-bounded, not
+        // corpus-bounded: the grain aggregate above already collapsed
+        // the corpus to (flag, distinct cents) rows, and the cents
+        // domain is bounded by the price range — at any corpus scale
+        // each flag's frame holds ≤ |distinct prices| rows, so the
+        // 3-task window never funnels corpus mass (probed r8: the
+        // keyed two-pass rewrite MEASURED 1.4× slower here because it
+        // re-derives the grain for the offset pass — the two-pass
+        // form is for corpus-grain rows, q90/q193)
         val cw = Window.partitionBy(col("flag")).orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         base
@@ -3419,12 +3428,10 @@ object Relational {
           .filter(col("prev_max").isNotNull)
           .withColumn("skew_us",
             greatest(lit(0L), col("prev_max") - col("us")))
+          // thresholds shared with the streaming face
+          // ([[graft.streaming.LatenessAudit]]) — ONE definition
           .withColumn("bucket",
-            when(col("skew_us") === 0L, "a_in_order")
-              .when(col("skew_us") < 60000000L, "b_lt_1m")
-              .when(col("skew_us") < 600000000L, "c_lt_10m")
-              .when(col("skew_us") < 3600000000L, "d_lt_1h")
-              .otherwise("e_ge_1h"))
+            graft.operators.Lateness.bucketCol(col("skew_us")))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).cast("long").as("n_events"),
             // integer DIV, not `/` (double) — exact at any magnitude

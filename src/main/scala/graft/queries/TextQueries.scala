@@ -1034,50 +1034,11 @@ object TextQueries {
           .select(col("doc_id"), col("source"),
             tokenMass(s, d, col("text")).as("n_tok"))
           .filter(col("n_tok") > 0)
-        val parts = tok
-          .repartitionByRange(s.sparkContext.defaultParallelism,
-            col("source"), col("doc_id"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-        val schema = org.apache.spark.sql.types.StructType(
-          parts.schema.fields ++ Seq(
-            org.apache.spark.sql.types.StructField("pid",
-              org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("local_cb",
-              org.apache.spark.sql.types.LongType, nullable = false)))
-        // partition-local running cumsum, reset at each source change
-        // (the range partitioner keeps each partition sorted by
-        // (source, doc_id), so a source's rows are contiguous)
-        val withLocal = s.createDataFrame(
-          parts.rdd.mapPartitionsWithIndex { (pid, it) =>
-            var curSrc: String = null
-            var cum = 0L
-            it.map { r =>
-              val src = r.getString(1)
-              if (src != curSrc) { curSrc = src; cum = 0L }
-              // Seq[Any]: Seq(pid, cum) would weak-conform the Int pid
-              // up to Long and break the IntegerType schema field
-              val out = org.apache.spark.sql.Row.fromSeq(
-                r.toSeq ++ Seq[Any](pid, cum))
-              cum += r.getLong(2)
-              out
-            }
-          }, schema)
-        // bounded collect (≤ P + |sources| rows): last cumsum + mass
-        // per (partition, source) → driver-side per-source prefix scan
-        // over partition order → exact global offset of each
-        // partition's first row of each source
-        val totals = withLocal.groupBy(col("pid"), col("source"))
-          .agg(max(col("local_cb") + col("n_tok")).as("mass"))
-          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-        val offsets = totals.sortBy { case (pid, src, _) => (src, pid) }
-          .foldLeft((List.empty[(Int, String, Long)], "", 0L)) {
-            case ((acc, prevSrc, run), (pid, src, mass)) =>
-              val base = if (src == prevSrc) run else 0L
-              ((pid, src, base) :: acc, src, base + mass)
-          }._1
-        val offDf = s.createDataFrame(offsets).toDF("pid", "source", "src_off")
-        withLocal.join(broadcast(offDf), Seq("pid", "source"))
-          .withColumn("cb", col("src_off") + col("local_cb"))
+        // the source-keyed exclusive cumsum is the shared two-pass
+        // helper (this query's inline form was its first copy; q143
+        // became the second — folded per the shared-idiom rule)
+        Q.keyedCumBefore(tok, "source", Seq(col("doc_id")), "n_tok")
+          .withColumn("cb", col("cum_before"))
           .select(col("doc_id"), col("source"), col("n_tok"),
             expr(s"cb DIV $L").as("seq_id"),
             (col("cb") % L).as("seq_off"),

@@ -60,6 +60,7 @@ class QueriesSpec extends SparkTestBase {
       s"q50 must not funnel through a single partition:\n$plan")
   }
 
+
   test("q01 pushes all three predicates to the scan") {
     val plan = SparkEntry.queries("q01_scan_filter")(spark, sf())
       .queryExecution.executedPlan.toString
