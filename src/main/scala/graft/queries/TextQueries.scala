@@ -29,8 +29,8 @@ object TextQueries {
     Seq("customer join", "data stream", "table hash")
 
   /** Stopword list for the n-gram/stopword language heuristic (q30). */
-  private val EnStops = Seq("the", "a", "of", "to", "in", "and")
-  private val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
+  private[graft] val EnStops = Seq("the", "a", "of", "to", "in", "and")
+  private[graft] val EnStopsSql = EnStops.map(w => s"'$w'").mkString(", ")
 
   /** q30's language-ID decision threshold and verdict — ONE definition
     * shared by the classifier (q30) and its confusion-matrix eval
@@ -40,7 +40,7 @@ object TextQueries {
     */
   private[graft] val EnRatioThreshold = 0.05
 
-  private def predLangFromRatio(r: org.apache.spark.sql.Column) =
+  private[graft] def predLangFromRatio(r: org.apache.spark.sql.Column) =
     when(r >= EnRatioThreshold, "en").otherwise("unknown")
 
   /** The q67 PII patterns (Java-regex ∩ RE2 syntax so every engine
@@ -196,6 +196,98 @@ object TextQueries {
     new StampedCache(s"phrase_hits_${probeTag(PhraseProbes)}")
 
   private val termDfCache = new StampedCache("term_df")
+
+  /** ONE definition of the Okapi BM25 scoring pass (k1 = 1.2,
+    * b = 0.75, fixed [[Bm25Terms]] probe) shared by the ranked search
+    * (q99) and the hybrid RRF fusion (q201) — the [[Bm25Terms]] rule:
+    * a tuned constant or a changed probe set can never de-link a
+    * consumer from the definition it claims to rank by. Returns the
+    * scored HIT frame `(doc_id, dl, tf0..tfN, score)` pre-ordering:
+    * tf/dl compute map-side in one corpus scan (codegen HOF over the
+    * bound token array — no explode, no token shuffle), the 1-row
+    * corpus stats broadcast back, the ≥1-hit filter prunes before
+    * anything sorts, and both derived frames ride the stamped/durable
+    * tier (a cold session reads two small artifacts instead of
+    * re-scanning the corpus). Score rounds to 6 HERE so every consumer
+    * ranks by the same value.
+    */
+  private[graft] def bm25ScoredHits(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Bm25Terms
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    def withTf = t(s, d, "documents")
+      .withColumn("tk",
+        filter(split(col("text"), " "), tk => length(tk) > 0))
+      .select(Seq(
+        col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(col("tk"), x => x === tm)).cast("long").as(s"tf$i")
+        }: _*)
+    // the stats frame stays the corpus-WIDE aggregate (it must count
+    // non-matching docs, so it cannot derive from the hits artifact)
+    val stats = bm25StatsCache.get(s, d) {
+      withTf.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        Seq(sum(col("dl")).cast("long").as("total_dl")) ++
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
+              .as(s"df$i")): _*)
+    }
+    val hits = bm25Cache.get(s, d) {
+      withTf.filter(terms.indices.map(i => col(s"tf$i") > 0)
+        .reduce(_ || _))
+    }
+    val avgdl = dbl(col("total_dl")) / dbl(col("n_docs"))
+    def contrib(i: Int) = {
+      val tf = dbl(col(s"tf$i"))
+      val df = col(s"df$i")
+      log((dbl(col("n_docs") - df) + 0.5) / (dbl(df) + 0.5) + 1.0) *
+        (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * dbl(col("dl"))) / avgdl))
+    }
+    hits.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.indices.map(i => col(s"tf$i")) :+
+        round(terms.indices.map(contrib).reduce(_ + _), 6).as("score"): _*)
+  }
+
+  /** Oracle twin of [[bm25ScoredHits]]: CTE chain ending in
+    * `sc(doc_id, dl, tf0..tfN, score)` — same literal operation order,
+    * same round-6. [[bm25ScoredSqlCteBody]] is the same chain without
+    * the `WITH` keyword, for oracles composing it after other CTEs.
+    */
+  private[graft] def bm25ScoredSqlCte: String =
+    "WITH " + bm25ScoredSqlCteBody
+
+  private[graft] def bm25ScoredSqlCteBody: String = {
+    val terms = Bm25Terms
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$tm')) AS BIGINT) AS tf$i"
+    }.mkString(",\n           |    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n           |    ")
+    val contribs = terms.indices.map(i =>
+      s"""ln((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
+      .mkString(" + ")
+    val tfSel = terms.indices.map(i => s"tf$i").mkString(", ")
+    val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""base AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM base),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_dl,
+       |    $dfCols
+       |  FROM tf),
+       |sc AS (SELECT doc_id, dl, $tfSel,
+       |    round($contribs, 6) AS score
+       |  FROM tf CROSS JOIN st
+       |  WHERE $anyHit)""".stripMargin
+  }
 
   /** q121's plan-time hot-term set, memoized per (session, dir,
     * ceiling, corpus stamp) — a bounded Seq (require-guarded ≤100k),
@@ -1168,79 +1260,19 @@ object TextQueries {
       "q99_bm25_search",
       (s, d) => {
         val terms = Bm25Terms
-        val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-        def withTf = t(s, d, "documents")
-          .withColumn("tk",
-            filter(split(col("text"), " "), tk => length(tk) > 0))
-          .select(Seq(
-            col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
-            terms.zipWithIndex.map { case (tm, i) =>
-              size(filter(col("tk"), x => x === tm)).cast("long").as(s"tf$i")
-            }: _*)
-        // Both derived frames ride the stamped/durable tier (round 7 —
-        // the last index family that still rebuilt per session): the
-        // 1-row corpus stats (N, Σdl, df per term) and the tf rows of
-        // the ≤|hit docs| documents matching any probe term. A cold
-        // session reads two small artifacts instead of re-scanning the
-        // corpus; the stats frame stays the corpus-WIDE aggregate (it
-        // must count non-matching docs, so it cannot derive from the
-        // hits artifact).
-        val stats = bm25StatsCache.get(s, d) {
-          withTf.agg(
-            count(lit(1)).cast("long").as("n_docs"),
-            Seq(sum(col("dl")).cast("long").as("total_dl")) ++
-              terms.indices.map(i =>
-                sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
-                  .as(s"df$i")): _*)
-        }
-        val hits = bm25Cache.get(s, d) {
-          withTf.filter(terms.indices.map(i => col(s"tf$i") > 0)
-            .reduce(_ || _))
-        }
-        val avgdl = dbl(col("total_dl")) / dbl(col("n_docs"))
-        def contrib(i: Int) = {
-          val tf = dbl(col(s"tf$i"))
-          val df = col(s"df$i")
-          log((dbl(col("n_docs") - df) + 0.5) / (dbl(df) + 0.5) + 1.0) *
-            (tf * 2.2) /
-            (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * dbl(col("dl"))) / avgdl))
-        }
-        hits.crossJoin(broadcast(stats))
+        bm25ScoredHits(s, d)
           .select(Seq(col("doc_id"), col("dl").as("n_tokens")) ++
             terms.zipWithIndex.map { case (tm, i) =>
-              col(s"tf$i").as(s"tf_$tm") } :+
-            round(terms.indices.map(contrib).reduce(_ + _), 6).as("score"): _*)
+              col(s"tf$i").as(s"tf_$tm") } :+ col("score"): _*)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
       Some {
-        val terms = Bm25Terms
-        val tfCols = terms.zipWithIndex.map { case (tm, i) =>
-          s"CAST(len(list_filter(tk, x -> x = '$tm')) AS BIGINT) AS tf$i"
-        }.mkString(",\n             |    ")
-        val dfCols = terms.indices.map(i =>
-          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-          .mkString(",\n             |    ")
-        val contribs = terms.indices.map(i =>
-          s"""ln((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
-          .mkString(" + ")
-        val tfOut = terms.zipWithIndex.map { case (tm, i) =>
+        val tfOut = Bm25Terms.zipWithIndex.map { case (tm, i) =>
           s"tf$i AS tf_$tm" }.mkString(", ")
-        val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-        s"""WITH base AS (SELECT doc_id,
-           |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-           |  FROM documents),
-           |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-           |    $tfCols
-           |  FROM base),
-           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(dl) AS BIGINT) AS total_dl,
-           |    $dfCols
-           |  FROM tf)
-           |SELECT doc_id, dl AS n_tokens, $tfOut,
-           |  round($contribs, 6) AS score
-           |FROM tf CROSS JOIN st
-           |WHERE $anyHit
+        s"""$bm25ScoredSqlCte
+           |SELECT doc_id, dl AS n_tokens, $tfOut, score
+           |FROM sc
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
       }),
 
@@ -2085,7 +2117,131 @@ object TextQueries {
              |  CAST(sum(sl*n_tok) AS BIGINT) AS tok_sel,
              |  round(CAST(sum(sl*n_tok) AS DOUBLE)/CAST(sum(n_tok) AS DOUBLE), 6)
              |    AS sel_share
-             |FROM sel GROUP BY source ORDER BY source""".stripMargin))
+             |FROM sel GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── q202: n-gram DIVERSITY (type-token ratio) per source, at
+    // unigram and trigram grain — the repetitiveness readout next to
+    // q107's entropy (entropy weighs the distribution; TTR counts how
+    // much of the emitted mass is NOVEL — templated/boilerplate text
+    // craters trigram TTR long before unigram TTR moves, which is why
+    // generation papers report distinct-n). Scale shape: gram rows go
+    // through ONE wordcount-shaped (source, grain, gram) hash agg with
+    // map-side partials, and the distinct count derives by a SECOND
+    // map-side rollup over that collapsed frame — the two-level form,
+    // never a countDistinct Expand (the r8 plan-hash lesson); trigram
+    // construction is a codegen transform over the token array (no
+    // self-join, no positional explode join).
+    QueryDef(
+      "q202_ngram_diversity",
+      (s, d) => {
+        val tk = filter(split(col("text"), " "), x => length(x) > 0)
+        val base = t(s, d, "documents").select(col("source"), tk.as("tk"))
+        val uni = base
+          .select(col("source"), lit("1_unigram").as("grain"),
+            explode(col("tk")).as("g"))
+        val tri = base.filter(size(col("tk")) >= 3)
+          .select(col("source"), lit("3_trigram").as("grain"),
+            explode(transform(sequence(lit(0), size(col("tk")) - 3),
+              i => concat_ws(" ", col("tk")(i), col("tk")(i + 1),
+                col("tk")(i + 2)))).as("g"))
+        uni.unionByName(tri)
+          .groupBy(col("source"), col("grain"), col("g"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .groupBy(col("source"), col("grain"))
+          .agg(sum(col("n")).cast("long").as("n_total"),
+            count(lit(1)).cast("long").as("n_distinct"))
+          .withColumn("ttr",
+            round(col("n_distinct").cast("double") /
+              col("n_total").cast("double"), 6))
+          .orderBy(col("source"), col("grain"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    list_filter(string_split(text,' '), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |uni AS (SELECT source, '1_unigram' AS grain,
+             |    unnest(tk) AS g FROM tok),
+             |tri AS (SELECT source, '3_trigram' AS grain,
+             |    unnest(list_transform(range(1, len(tk)-1),
+             |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+             |  FROM tok WHERE len(tk) >= 3),
+             |gc AS (SELECT source, grain, g, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM tri)
+             |  GROUP BY source, grain, g)
+             |SELECT source, grain,
+             |  CAST(sum(n) AS BIGINT) AS n_total,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  round(CAST(count(*) AS DOUBLE)/CAST(sum(n) AS DOUBLE), 6)
+             |    AS ttr
+             |FROM gc GROUP BY source, grain
+             |ORDER BY source, grain""".stripMargin)),
+
+    // ── q203: context-LENGTH coverage — docs bucketed by whitespace
+    // token count into fixed power-of-2 ceilings, with each bucket's
+    // doc count, token mass, and the CUMULATIVE share of corpus tokens
+    // at or below it: reads as "a context window of X tokens covers Y%
+    // of the corpus without truncation" — the planning twin of q193's
+    // budget cut (q193 answers "which docs fit a token budget", this
+    // answers "which window fits the docs"). Exact integer thresholds
+    // (no log2 floats), bucket keys sort-prefixed so lexicographic
+    // order IS the size order (the q194 bucket discipline). Scale
+    // shape: one corpus scan into a ≤6-row histogram; the running
+    // share windows over that dimension-bounded frame (q09's form).
+    QueryDef(
+      "q203_length_coverage",
+      (s, d) => {
+        val n = size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long")
+        val bucket = when(col("n_tok") <= 64, "a_le_64")
+          .when(col("n_tok") <= 128, "b_le_128")
+          .when(col("n_tok") <= 256, "c_le_256")
+          .when(col("n_tok") <= 512, "d_le_512")
+          .when(col("n_tok") <= 1024, "e_le_1024")
+          .otherwise("f_gt_1024")
+        val h = t(s, d, "documents")
+          .select(n.as("n_tok"))
+          .select(bucket.as("bucket"), col("n_tok"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .unboundedFollowing)
+        h.withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .withColumn("cum_share",
+            round(col("cum_tokens").cast("double") /
+              sum(col("tokens")).over(wAll).cast("double"), 6))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH s AS (SELECT
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |b AS (SELECT CASE WHEN n_tok <= 64 THEN 'a_le_64'
+             |    WHEN n_tok <= 128 THEN 'b_le_128'
+             |    WHEN n_tok <= 256 THEN 'c_le_256'
+             |    WHEN n_tok <= 512 THEN 'd_le_512'
+             |    WHEN n_tok <= 1024 THEN 'e_le_1024'
+             |    ELSE 'f_gt_1024' END AS bucket, n_tok
+             |  FROM s),
+             |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS tokens
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_docs, tokens,
+             |  CAST(sum(tokens) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_tokens,
+             |  round(CAST(sum(tokens) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS DOUBLE) /
+             |    CAST(sum(tokens) OVER () AS DOUBLE), 6) AS cum_share
+             |FROM h ORDER BY bucket""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

@@ -793,7 +793,80 @@ object VectorQueries {
               |  x.cos_sim AS cos_sim
               |FROM n2 x JOIN n2 y ON x.nn_b = y.vec_a
               |  AND y.nn_b = x.vec_a AND x.vec_a < y.vec_a
-              |ORDER BY vec_a""".stripMargin))
+              |ORDER BY vec_a""".stripMargin)),
+
+    // ── q201: HYBRID retrieval — reciprocal-rank fusion (RRF, k=60)
+    // of the lexical BM25 ranking (ONE shared scoring definition with
+    // q99 — [[TextQueries.bm25ScoredHits]]) and the semantic cosine
+    // ranking against the query document's embedding (q23's measure;
+    // doc_id ≡ vec_id in the corpus, the q80 linkage): the
+    // two-retriever fusion every RAG-ish eval pipeline runs, where
+    // lexical misses (paraphrase) and semantic misses (rare exact
+    // terms) cover each other. Docs outside the BM25 hit set keep a
+    // NULL lexical rank and contribute only their semantic term
+    // (honest absence, not a pseudo-rank).
+    //
+    // Scale shape: both rankings are CORPUS-grain, so neither may ride
+    // an unpartitioned ranking window — each uses the two-pass
+    // [[Q.globalRankByRange]] (range exchange + zipWithIndex; the
+    // q50/q193 family). The fusion join is rank-frame against
+    // hit-sized rank-frame (AQE broadcasts the hits side), and the
+    // top-15 cut is TakeOrdered on the rounded fusion score with
+    // doc_id tiebreak — a total order. Exactness: both ranks are
+    // exact integers over round-6 sort keys; the RRF sum is one
+    // mirrored double chain, round 6.
+    QueryDef(
+      "q201_hybrid_search",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = emb(s, d)
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val semScored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6)
+              .as("cos_sim"))
+        val semRank = Q.globalRankByRange(semScored,
+          Seq(col("cos_sim").desc, col("vec_id")))
+          .select(col("vec_id"), col("rn").as("rank_sem"))
+        val lexRank = Q.globalRankByRange(
+          TextQueries.bm25ScoredHits(s, d)
+            .filter(col("doc_id") =!= 0)
+            .select(col("doc_id"), col("score")),
+          Seq(col("score").desc, col("doc_id")))
+          .select(col("doc_id").as("lex_id"), col("rn").as("rank_lex"))
+        semRank
+          .join(lexRank, col("vec_id") === col("lex_id"), "left")
+          .select(col("vec_id").as("doc_id"), col("rank_sem"),
+            col("rank_lex"),
+            round(lit(1.0) / (lit(60.0) + col("rank_sem").cast("double")) +
+              coalesce(
+                lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")),
+                lit(0.0)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some(s"""${cosSql("vec_id = 0", "vec_id <> 0")},
+              |${TextQueries.bm25ScoredSqlCteBody},
+              |sem AS (SELECT vec_b AS doc_id,
+              |    row_number() OVER (ORDER BY
+              |      round(dot/(sqrt(na)*sqrt(nb)), 6) DESC, vec_b)
+              |      AS rank_sem
+              |  FROM s),
+              |lex AS (SELECT doc_id,
+              |    row_number() OVER (ORDER BY score DESC, doc_id)
+              |      AS rank_lex
+              |  FROM sc WHERE doc_id <> 0)
+              |SELECT sem.doc_id AS doc_id,
+              |  CAST(rank_sem AS BIGINT) AS rank_sem,
+              |  CAST(rank_lex AS BIGINT) AS rank_lex,
+              |  round(1.0/(60.0 + CAST(rank_sem AS DOUBLE)) +
+              |    COALESCE(1.0/(60.0 + CAST(rank_lex AS DOUBLE)), 0.0), 6)
+              |    AS rrf
+              |FROM sem LEFT JOIN lex ON sem.doc_id = lex.doc_id
+              |ORDER BY rrf DESC, doc_id
+              |LIMIT 15""".stripMargin))
   )
 
   /** Int8 scalar-quantized vector base (see q71): `round(x·127 /

@@ -413,7 +413,10 @@ class QueriesSpec extends SparkTestBase {
       "q128_customer_rfm", "q129_top_movers", "q133_quality_deciles",
       "q135_market_basket", "q137_user_mix_divergence",
       "q138_mutual_nn", "q144_gap_fill", "q168_idle_capital",
-      "q178_top_supplier", "q184_user_overlap_hll")
+      "q178_top_supplier", "q184_user_overlap_hll",
+      // q201: the 1-row query-embedding broadcast (q23's shape) plus
+      // the BM25 1-row stats broadcast inside the shared scorer
+      "q201_hybrid_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -2640,5 +2643,140 @@ class QueriesSpec extends SparkTestBase {
       "d_lt_1h" -> ((1L, 3000L, 0.125)),  // 2000 after 5000
       "e_ge_1h" -> ((1L, 10000L, 0.125))) // 10000 after 20000
     assert(got == expect, s"got=$got")
+  }
+
+  test("q195 plans the top-10 as TakeOrdered and pushes both date cuts") {
+    val plan = SparkEntry.queries("q195_ship_priority")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q195's limit-10 must not global-sort:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate") &&
+      plan.contains("GreaterThan(l_shipdate"),
+      s"q195's date cuts must reach PushedFilters:\n$plan")
+  }
+
+  test("q196 reports exactly the two trade directions, supplier side broadcast") {
+    val df = SparkEntry.queries("q196_bilateral_trade")(spark, sf())
+    val dirs = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs == Set(("ASIA", "EUROPE"), ("EUROPE", "ASIA")),
+      s"unexpected directions: $dirs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q196's 2-nation supplier dim must broadcast:\n$plan")
+  }
+
+  test("q197 output is ordered by returned revenue, ties impossible by custkey") {
+    val rev = SparkEntry.queries("q197_returned_items")(spark, sf())
+      .collect().map(_.getDouble(4))
+    assert(rev.nonEmpty && rev.sameElements(rev.sorted.reverse),
+      s"q197 must order by returned revenue desc: ${rev.toSeq}")
+  }
+
+  test("q198 min price per part matches the brute-force minimum") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q198_min_price_supplier")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    // brute force: cheapest observed cent price per part over the same
+    // scope (EU suppliers, size 1-15), no join-back subtlety
+    val eurKeys = graft.sources.Tables(spark, sf(), "supplier")
+      .join(graft.sources.Tables(spark, sf(), "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables(spark, sf(), "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val sizedKeys = graft.sources.Tables(spark, sf(), "part")
+      .filter(col("p_size").between(1, 15))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val brute = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .filter(r => eurKeys.contains(r.getLong(1)) &&
+        sizedKeys.contains(r.getLong(0)))
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs =>
+        rs.map(r => math.round(r.getDouble(2) * 100)).min / 100.0).toMap
+    got.foreach { case (pk, price) =>
+      assert(brute(pk) == price, s"part $pk: got $price brute ${brute(pk)}")
+    }
+  }
+
+  test("q199 conserves documents and never saves more tokens than exist") {
+    val rows = SparkEntry.queries("q199_dup_inflation")(spark, sf())
+      .collect()
+    val total = graft.sources.Tables(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "per-source doc counts must sum to the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3),
+        s"${r.getString(0)}: dup_tokens above total_tokens")
+      assert(r.getLong(2) <= r.getLong(1),
+        s"${r.getString(0)}: more dup docs than docs")
+    }
+  }
+
+  test("q200 fertility totals reconcile with q32's regex token counts") {
+    val q200 = SparkEntry.queries("q200_token_fertility")(spark, sf())
+      .collect()
+    val q32 = SparkEntry.queries("q32_token_count")(spark, sf())
+      .collect()
+    // same corpus, same regex tokenizer — the (source × lang) split
+    // must roll up to q32's per-source subword totals exactly
+    val bySource = q200.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    q32.foreach { r =>
+      assert(bySource(r.getString(0)) == r.getLong(3),
+        s"${r.getString(0)}: q200 ${bySource(r.getString(0))} vs q32 ${r.getLong(3)}")
+    }
+  }
+
+  test("q201 fusion arithmetic, ordering, and rank sanity hold") {
+    val rows = SparkEntry.queries("q201_hybrid_search")(spark, sf())
+      .collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getLong(0)).distinct.length == 15, "dup doc_ids")
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.sameElements(rrfs.sorted.reverse), "not rrf-desc ordered")
+    val n = graft.sources.Tables(spark, sf(), "embeddings").count()
+    rows.foreach { r =>
+      val rs = r.getLong(1)
+      assert(rs >= 1 && rs < n, s"rank_sem $rs out of range")
+      val lexTerm =
+        if (r.isNullAt(2)) 0.0 else 1.0 / (60.0 + r.getLong(2).toDouble)
+      val expect = BigDecimal(1.0 / (60.0 + rs.toDouble) + lexTerm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"doc ${r.getLong(0)}: rrf ${r.getDouble(3)} vs $expect")
+    }
+  }
+
+  test("q202 unigram totals reconcile with q32, TTR bounded") {
+    val q202 = SparkEntry.queries("q202_ngram_diversity")(spark, sf())
+      .collect()
+    val uniTotal = q202.filter(_.getString(1) == "1_unigram")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    SparkEntry.queries("q32_token_count")(spark, sf()).collect().foreach { r =>
+      assert(uniTotal(r.getString(0)) == r.getLong(2),
+        s"${r.getString(0)}: unigram mass ${uniTotal(r.getString(0))} " +
+          s"vs q32 ws tokens ${r.getLong(2)}")
+    }
+    q202.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "distinct above total")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0,
+        s"ttr ${r.getDouble(4)} out of (0,1]")
+    }
+  }
+
+  test("q203 coverage is monotone, conserves docs, and ends at share 1") {
+    val rows = SparkEntry.queries("q203_length_coverage")(spark, sf())
+      .collect()
+    val cums = rows.map(_.getLong(3))
+    assert(cums.sameElements(cums.sorted), "cum_tokens not monotone")
+    assert(rows.last.getDouble(4) == 1.0,
+      s"final cum_share ${rows.last.getDouble(4)} != 1.0")
+    val total = graft.sources.Tables(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "docs not conserved")
   }
 }
