@@ -25,9 +25,6 @@ import org.apache.spark.sql.functions._
 object Analytics3 {
   import Q._
 
-  private def revMicro = Q.revMicro
-  private val revMicroSql = Q.revMicroSql
-
   val defs: Seq[QueryDef] = Seq(
 
     // ── q195: shipping priority (TPC-H Q3 analog) — the 10 highest-
@@ -332,11 +329,13 @@ object Analytics3 {
       "q200_token_fertility",
       (s, d) => {
         val toks = filter(split(col("text"), " "), tk => length(tk) > 0)
+        // the subword count is the ONE shared definition with q32
+        // (regex by default, real BPE under the session flag), so the
+        // fertility readout can never disagree with the suite's own
+        // token masses
         val scored = t(s, d, "documents")
           .select(col("source"), col("n_chars"),
-            size(regexp_extract_all(col("text"),
-              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
-              .cast("long").as("re_tokens"),
+            TextQueries.subwordCount(s, d).as("re_tokens"),
             size(toks).cast("long").as("n_tokens"),
             size(filter(toks, tk => tk.isin(TextQueries.EnStops: _*)))
               .cast("long").as("stop_cnt"))

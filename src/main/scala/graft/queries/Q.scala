@@ -254,8 +254,11 @@ object Q {
     * the scale-safe replacement for `sum(mass) OVER (PARTITION BY key
     * ORDER BY …)` when the key is LOW-CARDINALITY but the rows are
     * corpus-grain (a |keys|-partition WindowExec funnels the whole
-    * corpus through |keys| reducer tasks; q143's flag-keyed cumsum
-    * and q90's source-keyed packing both have exactly this shape).
+    * corpus through |keys| reducer tasks; q90's source-keyed packing
+    * is exactly this shape). Only worth it at corpus grain: q143's
+    * flag-keyed cumsum runs over a domain-bounded frame (distinct
+    * cents) where this rewrite MEASURED 1.4× slower and was rejected
+    * — see the note at its call site.
     * Range partitioning on (key, sortCols) keeps each key contiguous,
     * so the per-(partition, key) mass collect is bounded by
     * P + |keys| rows. `keyCol` must be a non-null STRING column

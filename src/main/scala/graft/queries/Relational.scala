@@ -3442,7 +3442,7 @@ object Relational {
                 .cast("double"), 6))
           .orderBy(col("bucket"))
       },
-      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
              |  FROM events),
              |w AS (SELECT user_id, us,
              |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
@@ -3452,9 +3452,9 @@ object Relational {
              |sk AS (SELECT greatest(0, prev_max - us) AS skew_us
              |  FROM w WHERE prev_max IS NOT NULL),
              |b AS (SELECT CASE WHEN skew_us = 0 THEN 'a_in_order'
-             |    WHEN skew_us < 60000000 THEN 'b_lt_1m'
-             |    WHEN skew_us < 600000000 THEN 'c_lt_10m'
-             |    WHEN skew_us < 3600000000 THEN 'd_lt_1h'
+             |    WHEN skew_us < ${graft.operators.Lateness.M1Us} THEN 'b_lt_1m'
+             |    WHEN skew_us < ${graft.operators.Lateness.M10Us} THEN 'c_lt_10m'
+             |    WHEN skew_us < ${graft.operators.Lateness.H1Us} THEN 'd_lt_1h'
              |    ELSE 'e_ge_1h' END AS bucket, skew_us
              |  FROM sk),
              |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,

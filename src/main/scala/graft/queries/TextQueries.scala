@@ -77,6 +77,21 @@ object TextQueries {
       graft.functions.BpeVocab.tokenCount(c, graft.functions.BpeVocab.merges(s, d))
     else size(filter(split(c, " "), tk => length(tk) > 0)).cast("long")
 
+  /** Subword token count of `text` under the session tokenizer — the
+    * oracle-checkable regex approximation by default, the
+    * corpus-learned REAL BPE under [[BpeFlag]]. ONE definition shared
+    * by q32 and q200 (fertility), so the budget-planner readout can
+    * never de-link from the suite's own token masses.
+    */
+  private[graft] def subwordCount(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Column =
+    if (bpeOn(s))
+      graft.functions.BpeVocab.tokenCount(
+        col("text"), graft.functions.BpeVocab.merges(s, d))
+    else size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
   /** Token array of a text column under the session's tokenizer. */
   private def tokenArray(
       s: org.apache.spark.sql.SparkSession, d: String,
@@ -508,12 +523,7 @@ object TextQueries {
     QueryDef(
       "q32_token_count",
       (s, d) => {
-        val subword =
-          if (bpeOn(s))
-            graft.functions.BpeVocab.tokenCount(
-              col("text"), graft.functions.BpeVocab.merges(s, d))
-          else size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+        val subword = subwordCount(s, d)
         t(s, d, "documents")
           .withColumn("ws_tokens",
             size(filter(split(col("text"), " "), tk => length(tk) > 0))
@@ -1127,8 +1137,9 @@ object TextQueries {
             tokenMass(s, d, col("text")).as("n_tok"))
           .filter(col("n_tok") > 0)
         // the source-keyed exclusive cumsum is the shared two-pass
-        // helper (this query's inline form was its first copy; q143
-        // became the second — folded per the shared-idiom rule)
+        // helper (extracted from this query's inline form; q143 keeps
+        // its Window form — its input is domain-bounded to distinct
+        // cents, where the keyed rewrite MEASURED 1.4× slower)
         Q.keyedCumBefore(tok, "source", Seq(col("doc_id")), "n_tok")
           .withColumn("cb", col("cum_before"))
           .select(col("doc_id"), col("source"), col("n_tok"),
