@@ -627,6 +627,53 @@ object Analytics3 {
              |JOIN norms nb ON nb.label = p.label_b
              |JOIN counts ca ON ca.label = p.label_a
              |JOIN counts cb ON cb.label = p.label_b
-             |ORDER BY label_a, label_b""".stripMargin))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ── q207: metric melt — UNPIVOT the per-source wide metric frame
+    // into (source, metric, value) long form: the inverse of q42's
+    // pivot, completing the reshape pair (this is the export shape a
+    // metric store or time-series DB ingests — one row per measurement,
+    // not one column per metric). All five measures are exact BIGINTs
+    // (a melt's value column carries ONE type; mixed-type metrics
+    // would silently cast — the long grain keeps it lossless).
+    //
+    // Scale shape: ONE |sources|-grain exchange computes the wide
+    // frame (map-side partials over the corpus scan); the melt itself
+    // is Spark's Expand over the ALREADY-COLLAPSED |sources| rows —
+    // ×5 fanout at dimension grain, never corpus grain (the same
+    // Expand that is a trap at corpus grain — q93's rejected
+    // multi-distinct rewrite — is free here).
+    QueryDef(
+      "q207_metric_melt",
+      (s, d) => {
+        val wide = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(size(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).cast("long")).cast("long")
+              .as("sum_ws_tokens"),
+            min(col("n_chars")).cast("long").as("min_chars"),
+            max(col("n_chars")).cast("long").as("max_chars"))
+        wide.unpivot(
+          Array(col("source")),
+          Array(col("n_docs"), col("sum_chars"), col("sum_ws_tokens"),
+            col("min_chars"), col("max_chars")),
+          "metric", "value")
+          .orderBy(col("source"), col("metric"))
+      },
+      Some("""WITH w AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |    CAST(sum(len(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0))) AS BIGINT) AS sum_ws_tokens,
+             |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |    CAST(max(n_chars) AS BIGINT) AS max_chars
+             |  FROM documents GROUP BY source)
+             |SELECT source, metric, value FROM (
+             |  UNPIVOT w
+             |  ON n_docs, sum_chars, sum_ws_tokens, min_chars, max_chars
+             |  INTO NAME metric VALUE value)
+             |ORDER BY source, metric""".stripMargin))
   )
 }

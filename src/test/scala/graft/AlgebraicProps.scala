@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TopKAggregator
-import graft.operators.{DedupClusters, SkewJoin}
+import graft.operators.{DedupClusters, PageRank, SkewJoin}
 import org.apache.spark.sql.SparkSession
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
@@ -157,5 +157,22 @@ object AlgebraicProps extends Properties("graft") {
         math.abs(c.map(x => x * x).sum - 1.0) < 1e-9
       }
       identical && unit
+    }
+
+  // any multigraph over a small node alphabet (parallel edges and
+  // self-loops included — both faces must treat them identically)
+  private val rankEdges: Gen[List[(String, String, Long)]] =
+    Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5), Gen.choose(1L, 20L))
+        .map { case (a, b, w) => (s"n$a", s"n$b", w) })
+      .map(_.take(12))
+
+  property("PageRank faces agree bit-for-bit on any graph, any depth") =
+    forAll(rankEdges, Gen.choose(1, 4)) { (es, k) =>
+      import spark.implicits._
+      val dist = PageRank.ranks(es.toDF("src", "dst", "w"), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq
+      dist == PageRank.ranksLocal(es, k).sortBy(_._1)
     }
 }
