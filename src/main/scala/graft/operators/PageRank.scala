@@ -71,22 +71,31 @@ object PageRank {
   }
 
   /** Distributed power iteration: `edges` must carry (src STRING,
-    * dst STRING, w LONG>0). Each iteration is ONE equi-join of the
-    * (|nodes|)-grain rank frame into the persisted edge frame and ONE
-    * dst-keyed aggregate — shuffles stay at graph grain, never corpus
-    * grain (the caller aggregates the corpus into `edges` first).
-    * Intermediate rank frames persist eagerly and the predecessor
-    * unpersists, so the lineage never re-executes an iteration.
-    * Returns (node, r) with r in rank units.
+    * dst STRING, w LONG>0) — both validations the local face enforces
+    * run here too (one edge-grain probe job), so the two faces can
+    * never silently diverge on invalid input (a w=0 row would make
+    * its src's divisor 0 and non-ANSI decimal division would NULL the
+    * contribution where the local face throws). Each iteration is ONE
+    * equi-join of the (|nodes|)-grain rank frame into the persisted
+    * edge frame and ONE dst-keyed aggregate — shuffles stay at graph
+    * grain, never corpus grain (the caller aggregates the corpus into
+    * `edges` first). Intermediate rank frames persist eagerly and the
+    * predecessor unpersists, so the lineage never re-executes an
+    * iteration. Returns (node, r) with r in rank units — the frame is
+    * PERSISTED and materialized; the caller owns it and must
+    * `unpersist()` when done (the loop's ancestry is already
+    * released, only the returned frame stays pinned).
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .persist()
+    require(e0.limit(1).count() > 0, "PageRank over an empty edge set")
+    require(e0.filter(col("w").isNull || col("w") <= 0L)
+      .limit(1).count() == 0L, "edge weights must be positive")
+    val e = e0.persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
-    require(n > 0, "PageRank over an empty edge set")
     val tele = teleOf(n)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
     val ew = e.join(outw, "src").persist()

@@ -567,17 +567,21 @@ object Analytics3 {
       (s, d) => {
         val dec19 = "decimal(19,0)"
         val dec38 = "decimal(38,0)"
+        // cells carries the per-label vector count too (every vector
+        // contributes one row per dim, so n is constant across a
+        // label's dims) — the ONE corpus pass really is one: a
+        // separate counts scan would re-read the corpus (q131's idiom)
         val cells = t(s, d, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy(col("label"), col("dim"))
           .agg(sum(round(col("x").cast("double") * 1e6).cast("long"))
-            .cast("long").as("sx"))
+            .cast("long").as("sx"),
+            count(lit(1)).cast("long").as("n"))
         val norms = cells
           .groupBy(col("label"))
           .agg(sum((col("sx").cast(dec19) * col("sx").cast(dec19))
-            .cast(dec38)).as("ss"))
-        val counts = t(s, d, "embeddings")
-          .groupBy(col("label")).agg(count(lit(1)).cast("long").as("n"))
+            .cast(dec38)).as("ss"),
+            max(col("n")).as("n"))
         val a = cells.select(col("label").as("label_a"), col("dim"),
           col("sx").as("sxa"))
         val b = cells.select(col("label").as("label_b"),
@@ -588,13 +592,9 @@ object Analytics3 {
           .agg(sum((col("sxa").cast(dec19) * col("sxb").cast(dec19))
             .cast(dec38)).as("dot"))
           .join(norms.select(col("label").as("label_a"),
-            col("ss").as("ss_a")), Seq("label_a"))
+            col("ss").as("ss_a"), col("n").as("n_a")), Seq("label_a"))
           .join(norms.select(col("label").as("label_b"),
-            col("ss").as("ss_b")), Seq("label_b"))
-          .join(counts.select(col("label").as("label_a"),
-            col("n").as("n_a")), Seq("label_a"))
-          .join(counts.select(col("label").as("label_b"),
-            col("n").as("n_b")), Seq("label_b"))
+            col("ss").as("ss_b"), col("n").as("n_b")), Seq("label_b"))
           .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
             round(col("dot").cast("double") /
               (sqrt(col("ss_a").cast("double")) *
@@ -606,27 +606,25 @@ object Analytics3 {
              |      AS ux
              |  FROM embeddings,
              |    unnest(range(1, len(embedding)+1)) AS u(dim)),
-             |cells AS (SELECT label, dim, CAST(sum(ux) AS BIGINT) AS sx
+             |cells AS (SELECT label, dim, CAST(sum(ux) AS BIGINT) AS sx,
+             |    CAST(count(*) AS BIGINT) AS n
              |  FROM g GROUP BY 1, 2),
              |norms AS (SELECT label,
-             |    sum(CAST(sx AS HUGEINT) * sx) AS ss
+             |    sum(CAST(sx AS HUGEINT) * sx) AS ss,
+             |    CAST(max(n) AS BIGINT) AS n
              |  FROM cells GROUP BY 1),
-             |counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-             |  FROM embeddings GROUP BY 1),
              |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
              |    sum(CAST(a.sx AS HUGEINT) * b.sx) AS dot
              |  FROM cells a JOIN cells b
              |    ON a.dim = b.dim AND a.label < b.label
              |  GROUP BY 1, 2)
-             |SELECT p.label_a, p.label_b, ca.n AS n_a, cb.n AS n_b,
+             |SELECT p.label_a, p.label_b, na.n AS n_a, nb.n AS n_b,
              |  round(CAST(p.dot AS DOUBLE) /
              |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
              |    6) AS cosine
              |FROM pairs p
              |JOIN norms na ON na.label = p.label_a
              |JOIN norms nb ON nb.label = p.label_b
-             |JOIN counts ca ON ca.label = p.label_a
-             |JOIN counts cb ON cb.label = p.label_b
              |ORDER BY label_a, label_b""".stripMargin)),
 
     // ── q207: metric melt — UNPIVOT the per-source wide metric frame
@@ -646,15 +644,22 @@ object Analytics3 {
     QueryDef(
       "q207_metric_melt",
       (s, d) => {
+        // NULL measures melt differently across engines (Spark unpivot
+        // RETAINS null-valued rows, DuckDB UNPIVOT drops them —
+        // verified divergence), so every measure is null-proofed at
+        // the row grain BEFORE aggregation, identically in the oracle
         val wide = t(s, d, "documents")
+          .select(col("source"),
+            coalesce(col("n_chars"), lit(0L)).as("nc"),
+            coalesce(col("text"), lit("")).as("tx"))
           .groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(col("n_chars")).cast("long").as("sum_chars"),
-            sum(size(filter(split(col("text"), " "),
+            sum(col("nc")).cast("long").as("sum_chars"),
+            sum(size(filter(split(col("tx"), " "),
               tk => length(tk) > 0)).cast("long")).cast("long")
               .as("sum_ws_tokens"),
-            min(col("n_chars")).cast("long").as("min_chars"),
-            max(col("n_chars")).cast("long").as("max_chars"))
+            min(col("nc")).cast("long").as("min_chars"),
+            max(col("nc")).cast("long").as("max_chars"))
         wide.unpivot(
           Array(col("source")),
           Array(col("n_docs"), col("sum_chars"), col("sum_ws_tokens"),
@@ -662,14 +667,17 @@ object Analytics3 {
           "metric", "value")
           .orderBy(col("source"), col("metric"))
       },
-      Some("""WITH w AS (SELECT source,
+      Some("""WITH s AS (SELECT source,
+             |    coalesce(n_chars, 0) AS nc, coalesce(text, '') AS tx
+             |  FROM documents),
+             |w AS (SELECT source,
              |    CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-             |    CAST(sum(len(list_filter(string_split(text, ' '),
+             |    CAST(sum(nc) AS BIGINT) AS sum_chars,
+             |    CAST(sum(len(list_filter(string_split(tx, ' '),
              |      x -> len(x) > 0))) AS BIGINT) AS sum_ws_tokens,
-             |    CAST(min(n_chars) AS BIGINT) AS min_chars,
-             |    CAST(max(n_chars) AS BIGINT) AS max_chars
-             |  FROM documents GROUP BY source)
+             |    CAST(min(nc) AS BIGINT) AS min_chars,
+             |    CAST(max(nc) AS BIGINT) AS max_chars
+             |  FROM s GROUP BY source)
              |SELECT source, metric, value FROM (
              |  UNPIVOT w
              |  ON n_docs, sum_chars, sum_ws_tokens, min_chars, max_chars

@@ -170,9 +170,10 @@ object AlgebraicProps extends Properties("graft") {
   property("PageRank faces agree bit-for-bit on any graph, any depth") =
     forAll(rankEdges, Gen.choose(1, 4)) { (es, k) =>
       import spark.implicits._
-      val dist = PageRank.ranks(es.toDF("src", "dst", "w"), k)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val out = PageRank.ranks(es.toDF("src", "dst", "w"), k)
+      val dist = out.collect().map(r => r.getString(0) -> r.getLong(1))
         .sortBy(_._1).toSeq
+      out.unpersist()
       dist == PageRank.ranksLocal(es, k).sortBy(_._1)
     }
 }

@@ -41,8 +41,10 @@ class PageRankSpec extends SparkTestBase {
 
   test("distributed face ≡ local face, bit for bit") {
     val df = spark.createDataFrame(edges).toDF("src", "dst", "w")
-    val dist = PageRank.ranks(df, 7).collect()
+    val out = PageRank.ranks(df, 7)
+    val dist = out.collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    out.unpersist()
     val local = PageRank.ranksLocal(edges, 7).sortBy(_._1)
     assert(dist.toSeq == local,
       s"faces diverge:\n dist=$dist\n local=$local")
@@ -55,8 +57,10 @@ class PageRankSpec extends SparkTestBase {
     val wide = Seq(("s", "t", 900000000000L), ("t", "s", 800000000000L),
       ("s", "u", 100000000000L))
     val df = spark.createDataFrame(wide).toDF("src", "dst", "w")
-    val dist = PageRank.ranks(df, 4).collect()
+    val out = PageRank.ranks(df, 4)
+    val dist = out.collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    out.unpersist()
     val local = PageRank.ranksLocal(wide, 4).sortBy(_._1)
     assert(dist.toSeq == local)
     assert(dist.forall(_._2 > 0L), s"overflow sign flip: $dist")
