@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 warehouse + curation pack (SURVEY.md §2.4 q195+).
@@ -24,6 +25,51 @@ import org.apache.spark.sql.functions._
   */
 object Analytics3 {
   import Q._
+
+  private val tradeEdgesCache = new StampedCache("trade_edges")
+
+  /** The supplier-nation → customer-nation shipment edge frame
+    * (src, dst, w = line count): the ONE corpus collapse behind the
+    * graph family (q204 rank, q208 structure) — built once per
+    * (session, corpus) and shared through the stamped/durable tier so
+    * the second graph query never re-reads the fact tables. Plan
+    * shape: the supplier dim broadcasts into the fact map-side, the
+    * customer side reaches the fact through orders (custkey exchange
+    * at orders grain), the one corpus-scale exchange is the orderkey
+    * join, and the aggregate lands on the ≤|nations|² edge grain.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    tradeEdgesCache.get(s, d) {
+      val suppNat = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("src"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("src"))
+      val custNat = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("dst"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("dst"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(custNat, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("dst"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+    }
+
+  /** Drop this session's cached trade-edge frame (stamped, so a
+    * corpus rewrite rebuilds automatically; long-lived services evict
+    * on shutdown to release the session pin — the [[StampedCache]]
+    * discipline every query file follows).
+    */
+  def clearCaches(s: SparkSession): Unit =
+    tradeEdgesCache.clear(s)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -385,12 +431,11 @@ object Analytics3 {
     // recursive term — the oracle string is generated by the same loop
     // that picks k).
     //
-    // Scale shape: the corpus collapses ONCE — lineitem joins the
-    // broadcast supplier-nation dim map-side, rides its one orderkey
-    // exchange into the customer-keyed orders frame, and aggregates to
-    // the ≤|nations|² edge grain. The iteration then runs on the
-    // driver over the collected ≤625-row edge list (the bounded-
-    // collect pattern: q40's k-means samples, q128's scalars). For
+    // Scale shape: the corpus collapses ONCE into the SHARED
+    // [[tradeEdges]] frame (stamped/durable — q208 reads the same
+    // artifact without re-touching the fact tables). The iteration
+    // then runs on the driver over the collected ≤625-row edge list
+    // (the bounded-collect pattern: q40's k-means samples). For
     // node sets that do NOT collapse (user/document graphs), the
     // distributed twin [[graft.operators.PageRank.ranks]] runs the
     // same arithmetic as graph-grain joins — PageRankSpec proves the
@@ -399,28 +444,7 @@ object Analytics3 {
       "q204_nation_pagerank",
       (s, d) => {
         val iters = 10
-        val suppNat = t(s, d, "supplier")
-          .join(broadcast(t(s, d, "nation")
-            .select(col("n_nationkey"), col("n_name").as("src"))),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("src"))
-        val custNat = t(s, d, "customer")
-          .join(broadcast(t(s, d, "nation")
-            .select(col("n_nationkey").as("cn_key"),
-              col("n_name").as("dst"))),
-            col("c_nationkey") === col("cn_key"))
-          .select(col("c_custkey"), col("dst"))
-        val ord = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-          .join(custNat, col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("dst"))
-        val edges = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
-          .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).cast("long").as("w"))
-        val es = edges.collect()
+        val es = tradeEdges(s, d).collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
         val ranks = graft.operators.PageRank.ranksLocal(es, iters)
         import s.implicits._
@@ -682,6 +706,121 @@ object Analytics3 {
              |  UNPIVOT w
              |  ON n_docs, sum_chars, sum_ws_tokens, min_chars, max_chars
              |  INTO NAME metric VALUE value)
-             |ORDER BY source, metric""".stripMargin))
+             |ORDER BY source, metric""".stripMargin)),
+
+    // ── q208: trade-graph structure profile — the STRUCTURE readout
+    // next to q204's rank: per nation, out/in degree, out/in weighted
+    // mass, net balance, and the RECIPROCATED share of its outbound
+    // mass (how much of what it ships goes to partners that ship
+    // back). Rank says who matters; this says what the graph looks
+    // like — the pair a graph analyst reads together.
+    //
+    // Exactness: degrees and masses are exact longs off the same
+    // collapsed edge frame as q204; the reciprocated share is the one
+    // display double (recip_w / out_w, round 6). The reciprocity
+    // self-join runs at the ≤|nations|² edge grain.
+    //
+    // Scale shape: rides the SHARED [[tradeEdges]] frame (built once
+    // per session/corpus — with q204 in the same session the fact
+    // tables are touched exactly once for the whole graph family);
+    // everything downstream is dimension-grain (self-join + two
+    // rollups over ≤625 rows, AQE-broadcast).
+    QueryDef(
+      "q208_trade_graph_profile",
+      (s, d) => {
+        val edges = tradeEdges(s, d)
+        val rev = edges.select(col("src").as("r_src"),
+          col("dst").as("r_dst"))
+        val withRecip = edges.join(rev,
+            col("src") === col("r_dst") && col("dst") === col("r_src"),
+            "left")
+          .withColumn("recip_w",
+            when(col("r_src").isNotNull, col("w")).otherwise(lit(0L)))
+        val outSide = withRecip.groupBy(col("src").as("nation"))
+          .agg(count(lit(1)).cast("long").as("out_deg"),
+            sum(col("w")).cast("long").as("out_w"),
+            sum(col("recip_w")).cast("long").as("recip_w"))
+        val inSide = edges.groupBy(col("dst").as("nation"))
+          .agg(count(lit(1)).cast("long").as("in_deg"),
+            sum(col("w")).cast("long").as("in_w"))
+        outSide.join(inSide, Seq("nation"), "full_outer")
+          .select(col("nation"),
+            coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+            coalesce(col("out_w"), lit(0L)).as("out_w"),
+            coalesce(col("in_w"), lit(0L)).as("in_w"),
+            (coalesce(col("out_w"), lit(0L)) -
+              coalesce(col("in_w"), lit(0L))).as("balance"),
+            when(coalesce(col("out_w"), lit(0L)) > 0L,
+              round(coalesce(col("recip_w"), lit(0L)).cast("double") /
+                col("out_w").cast("double"), 6)).otherwise(lit(0.0))
+              .as("recip_share"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
+             |    CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  GROUP BY 1, 2),
+             |wr AS (SELECT e.src, e.dst, e.w,
+             |    CASE WHEN r.src IS NOT NULL THEN e.w ELSE 0 END AS recip_w
+             |  FROM edges e LEFT JOIN edges r
+             |    ON e.src = r.dst AND e.dst = r.src),
+             |o AS (SELECT src AS nation, CAST(count(*) AS BIGINT) AS out_deg,
+             |    CAST(sum(w) AS BIGINT) AS out_w,
+             |    CAST(sum(recip_w) AS BIGINT) AS recip_w
+             |  FROM wr GROUP BY 1),
+             |i AS (SELECT dst AS nation, CAST(count(*) AS BIGINT) AS in_deg,
+             |    CAST(sum(w) AS BIGINT) AS in_w
+             |  FROM edges GROUP BY 1)
+             |SELECT coalesce(o.nation, i.nation) AS nation,
+             |  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+             |  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+             |  CAST(coalesce(o.out_w, 0) AS BIGINT) AS out_w,
+             |  CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w,
+             |  CAST(coalesce(o.out_w, 0) - coalesce(i.in_w, 0) AS BIGINT)
+             |    AS balance,
+             |  CASE WHEN coalesce(o.out_w, 0) > 0
+             |    THEN round(CAST(coalesce(o.recip_w, 0) AS DOUBLE) /
+             |      CAST(o.out_w AS DOUBLE), 6)
+             |    ELSE 0.0 END AS recip_share
+             |FROM o FULL OUTER JOIN i ON o.nation = i.nation
+             |ORDER BY nation""".stripMargin)),
+
+    // ── q209: bitmap-accelerated exact distinct — distinct users per
+    // event type via Spark's BITMAP aggregate family
+    // (bitmap_bucket_number / bitmap_bit_position /
+    // bitmap_construct_agg / bitmap_or_agg / bitmap_count): the
+    // 100 TB exact-distinct accelerator. The two-level shape is the
+    // point — level 1 builds a ≤4 KB bitmap per (type, id-bucket)
+    // with map-side partials (the exchange carries bitmaps, never
+    // ids), level 2 ORs the per-bucket bitmaps and sums their
+    // popcounts. Distinct counting without a countDistinct Expand,
+    // without a two-level exact-distinct row explosion, and — unlike
+    // q45's HLL — EXACT, so the DuckDB oracle is a plain
+    // count(DISTINCT). The bitmaps are also mergeable state: the same
+    // frame incrementally absorbs a delta by OR (the sketch-family
+    // maintenance story with zero error).
+    QueryDef(
+      "q209_bitmap_distinct",
+      (s, d) => {
+        val buckets = t(s, d, "events")
+          .select(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bkt"),
+            expr("bitmap_bit_position(user_id)").as("pos"))
+          .groupBy(col("event_type"), col("bkt"))
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        buckets.groupBy(col("event_type"))
+          .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

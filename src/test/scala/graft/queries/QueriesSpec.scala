@@ -379,6 +379,37 @@ class QueriesSpec extends SparkTestBase {
     assert(n.values.sum > 0)
   }
 
+  test("q208 structure profile: mass conservation and bounded shares") {
+    val rows = SparkEntry.queries("q208_trade_graph_profile")(spark, sf())
+      .collect()
+    // every shipped line leaves one nation and arrives at one: the
+    // outbound and inbound masses are the same edge mass
+    val outW = rows.map(r => r.getLong(r.fieldIndex("out_w"))).sum
+    val inW = rows.map(r => r.getLong(r.fieldIndex("in_w"))).sum
+    assert(outW == inW, s"mass leak: out=$outW in=$inW")
+    assert(rows.map(r => r.getLong(r.fieldIndex("balance"))).sum == 0L,
+      "balances must sum to zero")
+    rows.foreach { r =>
+      val share = r.getDouble(r.fieldIndex("recip_share"))
+      assert(share >= 0.0 && share <= 1.0 + 1e-9, s"share $share")
+      assert(r.getLong(r.fieldIndex("out_deg")) <= rows.length)
+    }
+  }
+
+  test("q209 bitmap distinct == exact countDistinct, with no Expand") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q209_bitmap_distinct")(spark, sf())
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables(spark, sf(), "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"bitmap path diverged: $got vs $exact")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "the bitmap path must not plan a countDistinct Expand")
+  }
+
   test("documented map-side shapes stay map-side (q67 scrub, q72 chunking)") {
     // these queries' scale story is "one corpus scan, text never
     // shuffles": chunking has NO hash exchange at all (the orderBy
