@@ -51,7 +51,8 @@ object PageRank {
   def ranksLocal(
       edges: Seq[(String, String, Long)], iters: Int): Seq[(String, Long)] = {
     require(edges.nonEmpty, "PageRank over an empty edge set")
-    require(edges.forall(_._3 > 0), "edge weights must be positive")
+    require(edges.forall(e => e._3 > 0 && e._1 != null && e._2 != null),
+      "edge weights must be positive and keys non-null")
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val n = nodes.size
     val outW: Map[String, Long] =
@@ -71,11 +72,15 @@ object PageRank {
   }
 
   /** Distributed power iteration: `edges` must carry (src STRING,
-    * dst STRING, w LONG>0) — both validations the local face enforces
-    * run here too (one edge-grain probe job), so the two faces can
+    * dst STRING, w LONG>0), keys non-null — the validations the local
+    * face enforces run here too, on the PERSISTED frame in one
+    * aggregate job (validating before persist would re-execute the
+    * caller's corpus-scale lineage per probe), so the two faces can
     * never silently diverge on invalid input (a w=0 row would make
     * its src's divisor 0 and non-ANSI decimal division would NULL the
-    * contribution where the local face throws). Each iteration is ONE
+    * contribution where the local face throws; a null key would drop
+    * out of the equi-joins where the local face carries it — both are
+    * refused loudly instead). Each iteration is ONE
     * equi-join of the (|nodes|)-grain rank frame into the persisted
     * edge frame and ONE dst-keyed aggregate — shuffles stay at graph
     * grain, never corpus grain (the caller aggregates the corpus into
@@ -87,12 +92,23 @@ object PageRank {
     * released, only the returned frame stays pinned).
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
-    val e0 = edges
+    val e = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    require(e0.limit(1).count() > 0, "PageRank over an empty edge set")
-    require(e0.filter(col("w").isNull || col("w") <= 0L)
-      .limit(1).count() == 0L, "edge weights must be positive")
-    val e = e0.persist()
+      .persist()
+    // one aggregate job over the persisted frame checks everything
+    // the local face requires; invalid input unpins before throwing
+    val probe = e.agg(
+      count(lit(1)).as("n_edges"),
+      coalesce(sum((col("w").isNull || col("w") <= 0L ||
+        col("src").isNull || col("dst").isNull).cast("long")), lit(0L))
+        .as("n_bad"))
+      .collect()(0)
+    if (probe.getLong(0) == 0L || probe.getLong(1) > 0L) {
+      e.unpersist()
+      require(probe.getLong(0) > 0L, "PageRank over an empty edge set")
+      require(probe.getLong(1) == 0L,
+        "edge weights must be positive and keys non-null")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()

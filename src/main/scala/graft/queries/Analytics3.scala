@@ -71,6 +71,22 @@ object Analytics3 {
   def clearCaches(s: SparkSession): Unit =
     tradeEdgesCache.clear(s)
 
+  /** Oracle CTE matching [[tradeEdges]] exactly — the ONE SQL
+    * definition of the edge frame, interpolated into both graph-query
+    * oracles (q204/q208) so an edge-definition change can never leave
+    * one oracle testing a different graph (the revMicroSql rule).
+    */
+  private val TradeEdgesSql: String =
+    """edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q195: shipping priority (TPC-H Q3 analog) — the 10 highest-
@@ -465,15 +481,7 @@ object Analytics3 {
              |  LEFT JOIN outw ow ON ow.src = e.src
              |  GROUP BY n.node, m.tele)"""
         }.mkString(",\n")
-        s"""WITH edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
-           |    CAST(count(*) AS BIGINT) AS w
-           |  FROM lineitem
-           |  JOIN supplier ON l_suppkey = s_suppkey
-           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
-           |  JOIN orders ON l_orderkey = o_orderkey
-           |  JOIN customer ON o_custkey = c_custkey
-           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-           |  GROUP BY 1, 2),
+        s"""WITH $TradeEdgesSql,
            |nodes AS (SELECT src AS node FROM edges
            |  UNION SELECT dst FROM edges),
            |meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -591,10 +599,14 @@ object Analytics3 {
       (s, d) => {
         val dec19 = "decimal(19,0)"
         val dec38 = "decimal(38,0)"
-        // cells carries the per-label vector count too (every vector
-        // contributes one row per dim, so n is constant across a
-        // label's dims) — the ONE corpus pass really is one: a
-        // separate counts scan would re-read the corpus (q131's idiom)
+        // cells carries the per-label vector count too, so the ONE
+        // corpus pass really is one (a separate counts scan would
+        // re-read the corpus — q131's idiom). n_a/n_b therefore count
+        // vectors CONTRIBUTING to the centroid: a null/empty embedding
+        // row carries no components, drops at posexplode, and is not
+        // counted (for ragged arrays max(n) reports the widest dim's
+        // contributor count) — identical in the oracle by the same
+        // unnest semantics
         val cells = t(s, d, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy(col("label"), col("dim"))
@@ -757,15 +769,7 @@ object Analytics3 {
               .as("recip_share"))
           .orderBy(col("nation"))
       },
-      Some("""WITH edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
-             |    CAST(count(*) AS BIGINT) AS w
-             |  FROM lineitem
-             |  JOIN supplier ON l_suppkey = s_suppkey
-             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
-             |  JOIN orders ON l_orderkey = o_orderkey
-             |  JOIN customer ON o_custkey = c_custkey
-             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-             |  GROUP BY 1, 2),
+      Some(s"""WITH $TradeEdgesSql,
              |wr AS (SELECT e.src, e.dst, e.w,
              |    CASE WHEN r.src IS NOT NULL THEN e.w ELSE 0 END AS recip_w
              |  FROM edges e LEFT JOIN edges r
@@ -810,12 +814,12 @@ object Analytics3 {
       (s, d) => {
         val buckets = t(s, d, "events")
           .select(col("event_type"),
-            expr("bitmap_bucket_number(user_id)").as("bkt"),
-            expr("bitmap_bit_position(user_id)").as("pos"))
+            bitmap_bucket_number(col("user_id")).as("bkt"),
+            bitmap_bit_position(col("user_id")).as("pos"))
           .groupBy(col("event_type"), col("bkt"))
-          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+          .agg(bitmap_construct_agg(col("pos")).as("bm"))
         buckets.groupBy(col("event_type"))
-          .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+          .agg(sum(bitmap_count(col("bm"))).cast("long").as("n_users"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,

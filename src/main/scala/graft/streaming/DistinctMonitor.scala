@@ -59,11 +59,11 @@ object DistinctMonitor {
       idCol: String): Seq[(String, Long, Array[Byte])] =
     batch
       .select(col(keyCol).cast("string").as("k"),
-        expr(s"bitmap_bucket_number($idCol)").as("bkt"),
-        expr(s"bitmap_bit_position($idCol)").as("pos"))
+        bitmap_bucket_number(col(idCol)).as("bkt"),
+        bitmap_bit_position(col(idCol)).as("pos"))
       .filter(col("k").isNotNull && col("pos").isNotNull)
       .groupBy(col("k"), col("bkt"))
-      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2)))
       .toSeq
