@@ -68,8 +68,28 @@ object Analytics3 {
     * on shutdown to release the session pin — the [[StampedCache]]
     * discipline every query file follows).
     */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     tradeEdgesCache.clear(s)
+    userBitmapsCache.clear(s)
+  }
+
+  private val userBitmapsCache = new StampedCache("user_bitmaps")
+
+  /** The (event_type, bucket) → user-id bitmap frame (q209's level-1
+    * aggregate): the ONE corpus collapse behind the bitmap family —
+    * q209 popcounts it, q210 ANDs it pairwise — built once per
+    * (session, corpus) through the stamped/durable tier. The exchange
+    * carries ≤4 KB bitmaps, never ids.
+    */
+  private def userBitmaps(s: SparkSession, d: String): DataFrame =
+    userBitmapsCache.get(s, d) {
+      t(s, d, "events")
+        .select(col("event_type").as("et"),
+          bitmap_bucket_number(col("user_id")).as("bkt"),
+          bitmap_bit_position(col("user_id")).as("pos"))
+        .groupBy(col("et"), col("bkt"))
+        .agg(bitmap_construct_agg(col("pos")).as("bm"))
+    }
 
   /** Oracle CTE matching [[tradeEdges]] exactly — the ONE SQL
     * definition of the edge frame, interpolated into both graph-query
@@ -812,19 +832,81 @@ object Analytics3 {
     QueryDef(
       "q209_bitmap_distinct",
       (s, d) => {
-        val buckets = t(s, d, "events")
-          .select(col("event_type"),
-            bitmap_bucket_number(col("user_id")).as("bkt"),
-            bitmap_bit_position(col("user_id")).as("pos"))
-          .groupBy(col("event_type"), col("bkt"))
-          .agg(bitmap_construct_agg(col("pos")).as("bm"))
-        buckets.groupBy(col("event_type"))
+        userBitmaps(s, d)
+          .groupBy(col("et").as("event_type"))
           .agg(sum(bitmap_count(col("bm"))).cast("long").as("n_users"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── q210: bitmap-exact audience overlap — pairwise distinct-user
+    // intersection and Jaccard between event types via `bitmap_and_agg`:
+    // the ZERO-ERROR twin of q184's HLL inclusion-exclusion matrix
+    // (same readout, exact instead of ±2%, at the bitmap family's
+    // Θ(distinct-bits) price — right for dense bounded id domains,
+    // q184 for unbounded ones). The AND rides the same (type, bucket)
+    // bitmap frame as q209: each bucket row fans out to the ≤|types|−1
+    // pairs containing its type, the per-(pair, bucket) AND keeps only
+    // groups where BOTH types contributed (a single-row group would
+    // return its own bitmap — filtered, an absent side means an empty
+    // intersection), and popcounts sum per pair.
+    //
+    // Scale shape: the corpus collapses ONCE into the bitmap frame
+    // (the q209 level-1 exchange, carrying ≤4 KB bitmaps); the pair
+    // fanout/AND/rollup all run at the ≤|types|²×|buckets| dimension
+    // grain. No id-grain self-join — the classic exact-overlap
+    // formulation joins the corpus against itself on user_id.
+    QueryDef(
+      "q210_bitmap_overlap",
+      (s, d) => {
+        val buckets = userBitmaps(s, d)
+        val perType = buckets.groupBy(col("et"))
+          .agg(sum(bitmap_count(col("bm"))).cast("long").as("n"))
+        val types = perType.select(col("et").as("other"))
+        val expanded = buckets
+          .join(broadcast(types), col("other") =!= col("et"))
+          .select(
+            least(col("et"), col("other")).as("type_a"),
+            greatest(col("et"), col("other")).as("type_b"),
+            col("et"), col("bkt"), col("bm"))
+        val inter = expanded
+          .groupBy(col("type_a"), col("type_b"), col("bkt"))
+          .agg(bitmap_and_agg(col("bm")).as("abm"),
+            count(lit(1)).cast("long").as("sides"))
+          .filter(col("sides") === 2L)
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(sum(bitmap_count(col("abm"))).cast("long").as("n_inter"))
+        val pairs = perType.select(col("et").as("type_a"), col("n").as("n_a"))
+          .join(perType.select(col("et").as("type_b"), col("n").as("n_b")),
+            col("type_a") < col("type_b"))
+        pairs.join(inter, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+          .withColumn("jaccard",
+            round(col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type AS et, user_id
+             |  FROM events),
+             |n AS (SELECT et, CAST(count(*) AS BIGINT) AS n
+             |  FROM du GROUP BY et),
+             |inter AS (SELECT a.et AS type_a, b.et AS type_b,
+             |    CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM du a JOIN du b
+             |    ON a.user_id = b.user_id AND a.et < b.et
+             |  GROUP BY 1, 2)
+             |SELECT na.et AS type_a, nb.et AS type_b,
+             |  na.n AS n_a, nb.n AS n_b,
+             |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+             |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+             |    CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+             |    AS jaccard
+             |FROM n na JOIN n nb ON na.et < nb.et
+             |LEFT JOIN inter i ON i.type_a = na.et AND i.type_b = nb.et
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 }

@@ -410,6 +410,34 @@ class QueriesSpec extends SparkTestBase {
       "the bitmap path must not plan a countDistinct Expand")
   }
 
+  test("q210 bitmap overlap == exact pair intersections, bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q210_bitmap_overlap")(spark, sf())
+      .collect()
+    // independent exact truth: distinct (type, user) pairs self-joined
+    val du = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type").as("et"), col("user_id")).distinct()
+    val truth = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.et") < col("b.et"))
+      .groupBy(col("a.et").as("ta"), col("b.et").as("tb"))
+      .agg(count(lit(1)).as("ni"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getString(r.fieldIndex("type_a")),
+        r.getString(r.fieldIndex("type_b")))
+      val ni = r.getLong(r.fieldIndex("n_inter"))
+      assert(ni == truth.getOrElse(key, 0L),
+        s"$key: bitmap $ni vs exact ${truth.getOrElse(key, 0L)}")
+      val na = r.getLong(r.fieldIndex("n_a"))
+      val nb = r.getLong(r.fieldIndex("n_b"))
+      assert(ni <= math.min(na, nb), "intersection exceeds a side")
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j >= 0.0 && j <= 1.0 + 1e-9)
+    }
+  }
+
   test("documented map-side shapes stay map-side (q67 scrub, q72 chunking)") {
     // these queries' scale story is "one corpus scan, text never
     // shuffles": chunking has NO hash exchange at all (the orderBy
