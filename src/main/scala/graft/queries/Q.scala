@@ -202,26 +202,46 @@ object Q {
   def globalCumBefore(
       df: DataFrame, sortCols: Seq[Column], massCol: String)
       : (DataFrame, Long) = {
+    val (out, totals) = globalCumBeforeN(df, sortCols, Seq(massCol))
+    (out.withColumnRenamed(s"cum_before_$massCol", "cum_before"),
+      totals.head)
+  }
+
+  /** Multi-column face of [[globalCumBefore]]: exclusive prefix sums
+    * of SEVERAL long mass columns in one range-repartition pass
+    * (calling the single-column form k times would pay k corpus
+    * shuffles for sums that ride the same order — q216's KS statistic
+    * needs both samples' CDFs on one value spine). Appends
+    * `cum_before_<col>` per input column; returns the exact global
+    * totals in `massCols` order.
+    */
+  def globalCumBeforeN(
+      df: DataFrame, sortCols: Seq[Column], massCols: Seq[String])
+      : (DataFrame, Seq[Long]) = {
     val s = df.sparkSession
     val parts = df
       .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val mi = parts.schema.fieldIndex(massCol)
+    val mis = massCols.map(parts.schema.fieldIndex)
     val schema = org.apache.spark.sql.types.StructType(
-      parts.schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("pid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("local_cb",
-          org.apache.spark.sql.types.LongType, nullable = false)))
+      parts.schema.fields ++
+        (org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          massCols.map(c => org.apache.spark.sql.types.StructField(
+            s"local_cb_$c",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     val withLocal = s.createDataFrame(
       parts.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var cum = 0L
+        val cums = Array.fill(mis.length)(0L)
         it.map { r =>
-          // Seq[Any]: a bare Seq(pid, cum) would weak-conform the Int
-          // pid up to Long and break the IntegerType schema field
+          // Seq[Any]: a bare Seq(pid, …) would weak-conform the Int
+          // pid up to Long and break the IntegerType schema field.
+          // cums.toList COPIES — an ArraySeq wrapper would alias the
+          // mutating array into already-emitted rows
           val out = org.apache.spark.sql.Row.fromSeq(
-            r.toSeq ++ Seq[Any](pid, cum))
-          cum += r.getLong(mi)
+            r.toSeq ++ (Seq[Any](pid) ++ cums.toList))
+          var i = 0
+          while (i < mis.length) { cums(i) += r.getLong(mis(i)); i += 1 }
           out
         }
       }, schema)
@@ -233,20 +253,40 @@ object Q {
       // for ANY sign of mass, where the max form silently mis-offsets
       // on negative masses (signed deltas are a legitimate future
       // caller — r8 review finding)
-      .agg(sum(col(massCol)).as("mass"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .agg(sum(col(massCols.head)).as("m0"),
+        massCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).as(s"m${i + 1}") }: _*)
+      .collect()
+      .map(r => (r.getInt(0), massCols.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)
-    val offsets = masses.scanLeft((0, 0L)) {
-      case ((_, run), (pid, mass)) => (pid, run + mass)
+    val offsets = masses.scanLeft(
+      (0, massCols.map(_ => 0L): Seq[Long])) {
+      case ((_, run), (pid, mass)) =>
+        (pid, run.zip(mass).map { case (a, b) => a + b })
     }
-    val total = offsets.last._2
+    val totals = offsets.last._2
     val offDf = s.createDataFrame(
-      masses.map(_._1).zip(offsets.dropRight(1).map(_._2)).toSeq)
-      .toDF("pid", "p_off")
-    val out = withLocal.join(broadcast(offDf), Seq("pid"))
-      .withColumn("cum_before", col("p_off") + col("local_cb"))
-      .drop("pid", "local_cb", "p_off")
-    (out, total)
+      s.sparkContext.parallelize(
+        masses.map(_._1).zip(offsets.dropRight(1).map(_._2)).map {
+          case (pid, offs) =>
+            org.apache.spark.sql.Row.fromSeq(Seq[Any](pid) ++ offs)
+        }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          massCols.indices.map(i =>
+            org.apache.spark.sql.types.StructField(s"p_off_$i",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+    val joined = withLocal.join(broadcast(offDf), Seq("pid"))
+    val withCums = massCols.zipWithIndex.foldLeft(joined) {
+      case (d, (c, i)) =>
+        d.withColumn(s"cum_before_$c",
+          col(s"p_off_$i") + col(s"local_cb_$c"))
+    }
+    val out = withCums.drop(
+      "pid" +: (massCols.map(c => s"local_cb_$c") ++
+        massCols.indices.map(i => s"p_off_$i")): _*)
+    (out, totals)
   }
 
   /** Per-KEY twin of [[globalCumBefore]]: exact exclusive prefix sum

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** BFS all-pairs hop distances: hand-checked graphs covering chains,
+  * direction, cycles, self-loops, and disconnection; the
+  * edge-order-independence determinism claim; and the driver-local ≡
+  * distributed two-face equivalence (PageRankSpec's discipline).
+  */
+class BfsSpec extends SparkTestBase {
+
+  test("chain distances follow edge direction only") {
+    // a -> b -> c -> d: forward distances 1/2/3, nothing backward
+    val h = Bfs.allPairsHops(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(h == Map(("a", "b") -> 1, ("a", "c") -> 2, ("a", "d") -> 3,
+      ("b", "c") -> 1, ("b", "d") -> 2, ("c", "d") -> 1))
+  }
+
+  test("shortcut beats the long way round") {
+    // a->b->c plus direct a->c: d(a,c) = 1
+    val h = Bfs.allPairsHops(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(h(("a", "c")) == 1)
+  }
+
+  test("cycles terminate and self/cycle-return distances are excluded") {
+    val h = Bfs.allPairsHops(Seq(("a", "b"), ("b", "a"), ("a", "a")))
+    assert(h == Map(("a", "b") -> 1, ("b", "a") -> 1))
+  }
+
+  test("disconnected nodes simply do not appear as sources") {
+    val h = Bfs.allPairsHops(Seq(("a", "b"), ("c", "d")))
+    assert(h == Map(("a", "b") -> 1, ("c", "d") -> 1))
+  }
+
+  test("result is a pure function of the edge set (order + dup independent)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("b", "d"), ("d", "e"))
+    val h1 = Bfs.allPairsHops(edges)
+    val h2 = Bfs.allPairsHops(scala.util.Random.shuffle(edges ++ edges))
+    assert(h1 == h2)
+  }
+
+  // deterministic pseudo-random sparse digraph: 30 nodes, ~2.5
+  // out-edges each via a fixed LCG — long chains + dead ends + cycles
+  private def messyGraph: Seq[(String, String)] = {
+    var seed = 0x9E3779B97F4A7C15L
+    def next(mod: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % mod).toInt + mod) % mod
+    }
+    (0 until 30).flatMap { i =>
+      (0 until 1 + next(3)).map(_ => (s"n$i", s"n${next(30)}"))
+    }
+  }
+
+  test("distributed face is row-identical to the driver-local face") {
+    import spark.implicits._
+    for (edges <- Seq(
+        Seq(("a", "b"), ("b", "c"), ("c", "d"), ("c", "a"), ("x", "x")),
+        messyGraph)) {
+      val local = Bfs.allPairsHops(edges)
+      val dist = Bfs.hopsDistributed(
+          edges.toDF("src", "dst"))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          r.getInt(2))).toMap
+      assert(dist == local,
+        s"faces disagree: only-dist=${dist.toSet -- local.toSet} " +
+          s"only-local=${local.toSet -- dist.toSet}")
+    }
+  }
+
+  test("distributed face honors a source restriction") {
+    import spark.implicits._
+    val edges = messyGraph
+    val srcs = Set("n0", "n7")
+    val local = Bfs.allPairsHops(edges).filter { case ((s, _), _) =>
+      srcs.contains(s)
+    }
+    val dist = Bfs.hopsDistributed(
+        edges.toDF("src", "dst"),
+        sources = Some(srcs.toSeq.toDF("src")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getInt(2))).toMap
+    assert(dist == local)
+  }
+
+  test("distributed face fails loudly on a hop cap below the diameter") {
+    import spark.implicits._
+    val chain = (0 until 6).map(i => (s"c$i", s"c${i + 1}"))
+    intercept[DedupClusters.NotConverged] {
+      Bfs.hopsDistributed(chain.toDF("src", "dst"), maxHops = 3)
+    }
+  }
+}
