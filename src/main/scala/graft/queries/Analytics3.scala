@@ -38,7 +38,7 @@ object Analytics3 {
     * at orders grain), the one corpus-scale exchange is the orderkey
     * join, and the aggregate lands on the ≤|nations|² edge grain.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[queries] def tradeEdges(s: SparkSession, d: String): DataFrame =
     tradeEdgesCache.get(s, d) {
       val suppNat = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")
@@ -96,7 +96,7 @@ object Analytics3 {
     * oracles (q204/q208) so an edge-definition change can never leave
     * one oracle testing a different graph (the revMicroSql rule).
     */
-  private val TradeEdgesSql: String =
+  private[queries] val TradeEdgesSql: String =
     """edges AS (SELECT sn.n_name AS src, cn.n_name AS dst,
       |    CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem

@@ -1,0 +1,497 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 closing pack: the two classic scan-aggregate plan shapes
+  * the suite had not yet declared as standalone queries.
+  *
+  * q211 is the TPC-H Q1 pricing summary — THE canonical "one corpus
+  * scan, tiny group-by, many exact measures" benchmark query (q08 is
+  * the minimal hash-agg; q14 the single-row conditional summary; this
+  * is the full multi-measure grouped report with derived averages).
+  * q212 is the TPC-H Q6 forecast-revenue delta — the agg-ONLY scan
+  * whose entire cost is how much of the fact file the predicates let
+  * the reader skip; it exists to pin the pure-pushdown plan shape
+  * (q01 pins pushdown on a row-returning scan; this pins it under
+  * full aggregation, where a lost filter silently inflates one number
+  * instead of adding rows).
+  *
+  * Reference progenitor: the A18 aggregate/summarize row of SURVEY
+  * §2.1 (`Batch Processor.py:287-365` fold with per-stage counters) —
+  * the reference folds per-record counters on one pass; these are the
+  * declarative Spark twins at warehouse semantics.
+  *
+  * Disciplines as everywhere else ([[Q]]): every money measure is an
+  * exact fixed-point integer sum (DECIMAL(38,0) where a product can
+  * cross 2⁶³ at 100 TB), display doubles derive in single mirrored
+  * operation chains, output carries a total order.
+  */
+object Analytics4 {
+  import Q._
+
+  private def revMicro = Q.revMicro
+  private val revMicroSql = Q.revMicroSql
+  private val TradeEdgesSql = Analytics3.TradeEdgesSql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q211: pricing summary report (TPC-H Q1 analog) — per
+    // (returnflag, linestatus): quantity/base/discounted/charged
+    // totals plus derived averages over everything shipped on or
+    // before the cutoff. Plan shape: ONE corpus scan (the date cut
+    // pushes to parquet), all eight measures accumulate in a single
+    // two-phase HashAggregate with map-side partials onto a ≤6-row
+    // group frame — never one pass per measure. Exactness: quantity/
+    // price/discount sum in cents (LONG — ≤10⁴-unit values keep Σ
+    // under 2⁶³ past 10¹⁴ rows); the discounted and taxed-charge
+    // products sum as DECIMAL(38,0) (cents × pct [× pct] crosses 2⁶³
+    // on a 100 TB year — revMicro's rule); every displayed double is
+    // one mirrored division chain over those exact integers.
+    QueryDef(
+      "q211_pricing_summary",
+      (s, d) => {
+        val chargeMicro = (revMicro *
+          (lit(100L) + fxUnits(col("l_tax"), 100)).cast("decimal(19,0)"))
+          .cast("decimal(38,0)")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= Q.ts("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(fxUnits(col("l_quantity"), 100)).as("sq"),
+            sum(fxUnits(col("l_extendedprice"), 100)).as("sb"),
+            sum(revMicro).as("sd"),
+            sum(chargeMicro).as("sc"),
+            sum(fxUnits(col("l_discount"), 100)).as("sdsc"),
+            count(lit(1)).cast("long").as("n_lines"))
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            (col("sq").cast("double") / 100.0).as("sum_qty"),
+            (col("sb").cast("double") / 100.0).as("sum_base"),
+            (col("sd").cast("double") / 10000.0).as("sum_disc"),
+            (col("sc").cast("double") / 1000000.0).as("sum_charge"),
+            (col("sq").cast("double") / col("n_lines").cast("double") / 100.0)
+              .as("avg_qty"),
+            (col("sb").cast("double") / col("n_lines").cast("double") / 100.0)
+              .as("avg_price"),
+            (col("sdsc").cast("double") / col("n_lines").cast("double") / 100.0)
+              .as("avg_disc"),
+            col("n_lines"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""WITH a AS (SELECT l_returnflag, l_linestatus,
+              |    sum(CAST(round(l_quantity*100) AS BIGINT)) AS sq,
+              |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sb,
+              |    sum($revMicroSql) AS sd,
+              |    sum(($revMicroSql) *
+              |        (100 + CAST(round(l_tax*100) AS BIGINT))) AS sc,
+              |    sum(CAST(round(l_discount*100) AS BIGINT)) AS sdsc,
+              |    CAST(count(*) AS BIGINT) AS n_lines
+              |  FROM lineitem
+              |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |  GROUP BY l_returnflag, l_linestatus)
+              |SELECT l_returnflag, l_linestatus,
+              |  CAST(sq AS DOUBLE)/100.0 AS sum_qty,
+              |  CAST(sb AS DOUBLE)/100.0 AS sum_base,
+              |  CAST(sd AS DOUBLE)/10000.0 AS sum_disc,
+              |  CAST(sc AS DOUBLE)/1000000.0 AS sum_charge,
+              |  CAST(sq AS DOUBLE)/CAST(n_lines AS DOUBLE)/100.0 AS avg_qty,
+              |  CAST(sb AS DOUBLE)/CAST(n_lines AS DOUBLE)/100.0 AS avg_price,
+              |  CAST(sdsc AS DOUBLE)/CAST(n_lines AS DOUBLE)/100.0 AS avg_disc,
+              |  n_lines
+              |FROM a
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── q212: forecast revenue delta (TPC-H Q6 analog) — the revenue
+    // a blanket removal of one discount band on small-quantity lines
+    // would have changed in one year: sum(price × discount) under
+    // three banded predicates, ONE output row. Plan shape: every
+    // predicate (date range, discount band, quantity cap) phrases on
+    // the RAW scan columns so all three reach PushedFilters (the
+    // q181 rule — a round() wrapper would block the skip), and the
+    // aggregation is a single partial/final pair over the surviving
+    // rows with NO exchange beyond the 1-row final. The product sums
+    // as DECIMAL(38,0) (cents × pct — revMicro's overflow rule); the
+    // band compares raw doubles with identical literals both engines
+    // (q01's precedent: fixture values are 2-decimal, both engines
+    // read the same parquet doubles, so the comparisons agree).
+    QueryDef(
+      "q212_forecast_revenue",
+      (s, d) => {
+        val discMicro = (fxUnits(col("l_extendedprice"), 100)
+          .cast("decimal(19,0)") *
+          fxUnits(col("l_discount"), 100).cast("decimal(19,0)"))
+          .cast("decimal(38,0)")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= Q.ts("1997-01-01") &&
+            col("l_shipdate") < Q.ts("1998-01-01") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(
+            count(lit(1)).cast("long").as("n_lines"),
+            sum(discMicro).as("rm"))
+          .select(col("n_lines"),
+            (col("rm").cast("double") / 10000.0).as("revenue"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT) *
+             |           CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+             |    /10000.0 AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ── q213: trade-graph TRIANGLE census — per nation over the
+    // undirected simple support of the shipment graph: degree,
+    // triangles through the node, and the local clustering
+    // coefficient 2·tri/(deg·(deg−1)): the "are my partners also
+    // partners" structure readout next to q204's rank and q208's
+    // degree/balance profile (rank says who is central; clustering
+    // says whether the neighborhood is a clique or a star). Exact and
+    // hash-matched — the ordered a<b<c enumeration counts each
+    // triangle exactly once. Plan shape: rides the SHARED
+    // stamped/durable tradeEdges frame (the graph family's one corpus
+    // collapse — third reader, still zero extra fact scans); the
+    // support dedup, two-hop join, and closing join all run at the
+    // ≤|nations|² edge grain, AQE-broadcast. For graphs that DON'T
+    // collapse to a dimension (doc-level similarity graphs), the same
+    // ordered formulation distributes as two edge-keyed shuffles —
+    // the node-iterator MapReduce triangle algorithm — with the usual
+    // high-degree salting; nothing here assumes the small grain
+    // except the oracle.
+    QueryDef(
+      "q213_triangle_census",
+      (s, d) => {
+        val e = Analytics3.tradeEdges(s, d)
+        val und = e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e2.a") === col("e1.b"))
+          .join(und.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        val perNode = tri
+          .select(explode(array(col("x"), col("y"), col("z"))).as("nation"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).cast("long").as("tri"))
+        val deg = und
+          .select(explode(array(col("a"), col("b"))).as("nation"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).cast("long").as("deg"))
+        val nodes = e.select(col("src").as("nation"))
+          .union(e.select(col("dst"))).distinct()
+        nodes
+          .join(deg, Seq("nation"), "left")
+          .join(perNode, Seq("nation"), "left")
+          .select(col("nation"),
+            coalesce(col("deg"), lit(0L)).as("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .withColumn("clustering",
+            when(col("deg") >= 2,
+              round(col("tri").cast("double") * 2.0 /
+                (col("deg").cast("double") *
+                  (col("deg").cast("double") - 1.0)), 6)))
+          .orderBy(col("nation"))
+      },
+      Some(s"""WITH $TradeEdgesSql,
+              |und AS (SELECT DISTINCT least(src, dst) AS a,
+              |    greatest(src, dst) AS b
+              |  FROM edges WHERE src <> dst),
+              |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |  FROM und e1
+              |  JOIN und e2 ON e2.a = e1.b
+              |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |pern AS (SELECT nation, CAST(count(*) AS BIGINT) AS tri
+              |  FROM (SELECT x AS nation FROM tri
+              |    UNION ALL SELECT y FROM tri
+              |    UNION ALL SELECT z FROM tri)
+              |  GROUP BY nation),
+              |deg AS (SELECT nation, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT a AS nation FROM und
+              |    UNION ALL SELECT b FROM und)
+              |  GROUP BY nation),
+              |nodes AS (SELECT src AS nation FROM edges
+              |  UNION SELECT dst FROM edges)
+              |SELECT n.nation,
+              |  coalesce(deg.deg, 0) AS deg,
+              |  coalesce(pern.tri, 0) AS tri,
+              |  CASE WHEN coalesce(deg.deg, 0) >= 2 THEN
+              |    round(CAST(coalesce(pern.tri, 0) AS DOUBLE) * 2.0 /
+              |      (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0)),
+              |      6) END AS clustering
+              |FROM nodes n
+              |LEFT JOIN deg ON deg.nation = n.nation
+              |LEFT JOIN pern ON pern.nation = n.nation
+              |ORDER BY n.nation""".stripMargin)),
+
+    // ── q214: daily-revenue AUTOCORRELATION function — r_k for lags
+    // 1..14 over the dense zero-filled daily order-revenue series
+    // (q185's exact series definition): the readout an analyst runs
+    // BEFORE q124/q185 to see whether weekly seasonality is even
+    // there (r_7/r_14 spikes) and how fast momentum decays. Exact and
+    // hash-matched: with S=Σx, Q2=Σx², and per lag C=Σx_t·x_{t+k},
+    // A/B the head/tail sums, the numerator n²C − nS(A+B) + (n−k)S²
+    // and denominator n²Q2 − nS² are INTEGER (DECIMAL(38,0) — cents ×
+    // cents × n² stays under 10³⁸ for any real corpus; ANSI fails
+    // loudly past it, decMoments' honest-bound rule), so r_k is one
+    // mirrored double division. Plan shape: the corpus collapses to
+    // the |days|-bounded daily frame in ONE exchange; the 14 leads
+    // ride one window pass over that dimension-bounded spine (q185's
+    // rule), all 3×14+3 sums land in ONE aggregate, and the lag rows
+    // explode from the 1-row moment frame.
+    QueryDef(
+      "q214_revenue_acf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val maxLag = 14
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("dt"))
+          .agg(sum(fxUnits(col("o_totalprice"), 100)).as("rev_c"))
+        val cal = daily
+          .agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+        val dense = cal.join(daily, Seq("dt"), "left")
+          .select(col("dt"), coalesce(col("rev_c"), lit(0L)).as("x"))
+        val w = Window.orderBy(col("dt"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        val withLeads = (1 to maxLag).foldLeft(dense) { (df, k) =>
+          df.withColumn(s"x$k", lead(col("x"), k).over(w))
+        }
+        val measures =
+          Seq(count(lit(1)).cast("long").as("n"),
+            sum(dec(col("x")).cast("decimal(38,0)")).as("s"),
+            sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,0)"))
+              .as("q2")) ++
+          (1 to maxLag).flatMap { k =>
+            Seq(
+              sum((dec(col("x")) * dec(col(s"x$k"))).cast("decimal(38,0)"))
+                .as(s"c$k"),
+              sum(when(col(s"x$k").isNotNull, dec(col("x")))
+                .cast("decimal(38,0)")).as(s"a$k"),
+              sum(dec(col(s"x$k")).cast("decimal(38,0)")).as(s"b$k"))
+          }
+        val mom = withLeads.agg(measures.head, measures.tail: _*)
+        val lagRows = mom.select(
+          col("n").cast("decimal(38,0)").as("n"),
+          col("s"), col("q2"),
+          explode(array((1 to maxLag).map { k =>
+            struct(lit(k.toLong).as("lag"), col(s"c$k").as("c"),
+              col(s"a$k").as("a"), col(s"b$k").as("b"))
+          }: _*)).as("e"))
+        lagRows.select(
+          col("e.lag").as("lag"),
+          (col("n").cast("long") - col("e.lag")).as("n_pairs"),
+          (col("n") * col("n") * col("e.c") -
+            col("n") * col("s") * (col("e.a") + col("e.b")) +
+            (col("n") - col("e.lag").cast("decimal(38,0)")) *
+              col("s") * col("s")).as("num"),
+          (col("n") * col("n") * col("q2") -
+            col("n") * col("s") * col("s")).as("den"))
+          .select(col("lag"), col("n_pairs"),
+            when(col("den") =!= 0,
+              round(col("num").cast("double") / col("den").cast("double"),
+                6)).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS rev_c
+             |  FROM orders GROUP BY dt),
+             |cal AS (SELECT unnest(generate_series(
+             |    (SELECT min(dt) FROM daily),
+             |    (SELECT max(dt) FROM daily),
+             |    INTERVAL 1 DAY))::DATE AS dt),
+             |dense AS (SELECT cal.dt, coalesce(daily.rev_c, 0) AS x
+             |  FROM cal LEFT JOIN daily ON cal.dt = daily.dt),
+             |lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+             |led AS (SELECT d.dt, d.x, l.lag,
+             |    lead(d.x, l.lag) OVER (PARTITION BY l.lag ORDER BY d.dt)
+             |      AS xk
+             |  FROM dense d CROSS JOIN lags l),
+             |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS s,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q2
+             |  FROM dense),
+             |lm AS (SELECT lag,
+             |    sum(CAST(x AS HUGEINT) * CAST(xk AS HUGEINT)) AS c,
+             |    sum(CASE WHEN xk IS NOT NULL THEN CAST(x AS HUGEINT) END)
+             |      AS a,
+             |    sum(CAST(xk AS HUGEINT)) AS b
+             |  FROM led GROUP BY lag)
+             |SELECT CAST(lm.lag AS BIGINT) AS lag,
+             |  CAST(mom.n - lm.lag AS BIGINT) AS n_pairs,
+             |  CASE WHEN mom.n*mom.n*mom.q2 - mom.n*mom.s*mom.s <> 0 THEN
+             |    round(CAST(mom.n*mom.n*lm.c - mom.n*mom.s*(lm.a + lm.b)
+             |        + (mom.n - lm.lag)*mom.s*mom.s AS DOUBLE)
+             |      / CAST(mom.n*mom.n*mom.q2 - mom.n*mom.s*mom.s AS DOUBLE),
+             |      6) END AS acf
+             |FROM lm CROSS JOIN mom
+             |ORDER BY lag""".stripMargin)),
+
+    // ── q215: trade REACHABILITY profile — per nation over the
+    // directed shipment graph: reachable partner count, eccentricity
+    // (max hops to any reachable partner), and mean hops — the
+    // "how far is everyone" readout completing the graph family
+    // (q204 rank, q208 balance, q213 closure). Exact and
+    // hash-matched: BFS distances are a pure function of the edge
+    // set (`operators/Bfs`), and the oracle recomputes them as a
+    // recursive CTE whose walk is bounded by (src, dst, hops) dedup +
+    // a hop cap above any possible diameter (|nations| is a fixed
+    // dimension). Plan shape: rides the SHARED stamped tradeEdges
+    // frame — fourth graph reader, still one corpus collapse for the
+    // family; the BFS is O(|nations|·|edges|) driver work on the
+    // bounded-collect edge list (q204's pattern); the distributed
+    // face for non-collapsing graphs is the iterative frontier join
+    // (Bfs scaladoc — DedupClusters' loop discipline).
+    QueryDef(
+      "q215_trade_reachability",
+      (s, d) => {
+        val e = Analytics3.tradeEdges(s, d)
+        val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+        val hops = graft.operators.Bfs.allPairsHops(es.toSeq)
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        import s.implicits._
+        val rows = nodes.map { n =>
+          val out = hops.collect { case ((`n`, _), h) => h }
+          (n, out.size.toLong,
+            if (out.isEmpty) 0L else out.max.toLong,
+            out.map(_.toLong).sum)
+        }.toSeq
+        rows.toDF("nation", "n_reach", "ecc", "hop_mass")
+          .select(col("nation"), col("n_reach"), col("ecc"),
+            when(col("n_reach") > 0,
+              round(col("hop_mass").cast("double") /
+                col("n_reach").cast("double"), 6)).as("mean_hops"))
+          .orderBy(col("nation"))
+      },
+      Some {
+        // UNROLLED k-hop closure, q204's generated-CTE pattern — NOT
+        // WITH RECURSIVE: DuckDB 1.0.0 re-evaluates non-recursive
+        // CTEs referenced under a WITH RECURSIVE header once per
+        // iteration (nodes came back 20×, best 35× — measured), so a
+        // recursive walk oracle silently multiplies its own
+        // aggregates. hop_k = distinct endpoints of length-k WALKS
+        // (revisits allowed — a pair first reachable at distance k
+        // always has a k-walk, and longer walks lose the min());
+        // k caps at |nations|−1 = 24, the longest possible shortest
+        // path over the FIXED 25-nation dimension.
+        // AS MATERIALIZED throughout: DuckDB inlines multiply- and
+        // chain-referenced CTEs, re-running the corpus joins once per
+        // unrolled level (13 s at sf0.001 inlined, 2 s at sf0.01
+        // materialized — measured)
+        val maxK = 24
+        val hopCtes = (2 to maxK).map { k =>
+          s"""hop$k AS MATERIALIZED (SELECT DISTINCT c.src, e.dst
+             |  FROM hop${k - 1} c JOIN dedges e ON e.src = c.dst)"""
+            .stripMargin
+        }.mkString(",\n")
+        val unionAll = (1 to maxK)
+          .map(k => s"SELECT src, dst, $k AS hops FROM hop$k")
+          .mkString("\n    UNION ALL ")
+        s"""WITH ${TradeEdgesSql
+             .replace("edges AS (", "edges AS MATERIALIZED (")},
+           |dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+           |  WHERE src <> dst),
+           |hop1 AS (SELECT src, dst FROM dedges),
+           |$hopCtes,
+           |best AS (SELECT src, dst, min(hops) AS hops
+           |  FROM ($unionAll)
+           |  WHERE dst <> src GROUP BY src, dst),
+           |prof AS (SELECT src,
+           |    CAST(count(*) AS BIGINT) AS n_reach,
+           |    CAST(max(hops) AS BIGINT) AS ecc,
+           |    CAST(sum(hops) AS BIGINT) AS hop_mass
+           |  FROM best GROUP BY src),
+           |nodes AS (SELECT src AS nation FROM edges
+           |  UNION SELECT dst FROM edges)
+           |SELECT n.nation,
+           |  coalesce(p.n_reach, 0) AS n_reach,
+           |  coalesce(p.ecc, 0) AS ecc,
+           |  CASE WHEN p.n_reach > 0 THEN
+           |    round(CAST(p.hop_mass AS DOUBLE) / CAST(p.n_reach AS DOUBLE),
+           |      6) END AS mean_hops
+           |FROM nodes n LEFT JOIN prof p ON p.src = n.nation
+           |ORDER BY n.nation""".stripMargin
+      }),
+
+    // ── q216: exact two-sample Kolmogorov–Smirnov DRIFT statistic —
+    // D = max |F₁(v) − F₂(v)| between the 1996 and 1997 order-value
+    // distributions, with the value attaining it: the
+    // distribution-level drift test next to the binned family (q156
+    // PSI, q108 JS, q92 TV need a bin choice; KS is bin-free and
+    // catches shape drift the bins smooth away). Exact and
+    // hash-matched: the CDF difference is cross-multiplied to the
+    // integer |K₁·n₂ − K₂·n₁| (DECIMAL(38,0)/HUGEINT — cum×total
+    // crosses 2⁶³ far below 100 TB), so the argmax is an integer
+    // comparison and D derives in one mirrored double step. Plan
+    // shape: the corpus collapses to the distinct-value grain in ONE
+    // exchange (both samples' counts as conditional sums — no
+    // union/pivot); both CDFs ride ONE [[Q.globalCumBeforeN]]
+    // range-repartition pass (the q50/q193 two-pass discipline — a
+    // value-ordered cumsum window would funnel the corpus through a
+    // single partition); the argmax is TakeOrdered(1); the totals
+    // come from the cumsum's own bounded collect, never a second
+    // corpus aggregate.
+    QueryDef(
+      "q216_ks_drift",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= Q.ts("1996-01-01") &&
+            col("o_orderdate") < Q.ts("1998-01-01"))
+          .select(
+            (col("o_orderdate") < Q.ts("1997-01-01")).as("is1"),
+            fxUnits(col("o_totalprice"), 100).as("v"))
+        val per = o.groupBy(col("v"))
+          .agg(sum(when(col("is1"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("is1"), 1L).otherwise(0L)).as("c2"))
+        val (cum, totals) =
+          Q.globalCumBeforeN(per, Seq(col("v")), Seq("c1", "c2"))
+        val (n1, n2) = (totals.head, totals(1))
+        cum
+          .select(col("v"),
+            abs((col("cum_before_c1") + col("c1")).cast("decimal(38,0)") *
+              lit(n2) -
+              (col("cum_before_c2") + col("c2")).cast("decimal(38,0)") *
+                lit(n1)).as("diff"))
+          .orderBy(col("diff").desc, col("v"))
+          .limit(1)
+          .select(lit(n1).as("n1"), lit(n2).as("n2"),
+            (col("v").cast("double") / 100.0).as("at_value"),
+            round(col("diff").cast("double") /
+              (lit(n1).cast("double") * lit(n2).cast("double")), 6)
+              .as("d_stat"))
+      },
+      Some("""WITH o AS (SELECT
+             |    (o_orderdate < TIMESTAMP '1997-01-01') AS is1,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+             |per AS (SELECT v,
+             |    sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2
+             |  FROM o GROUP BY v),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2 FROM per),
+             |cum AS (SELECT v,
+             |    sum(c1) OVER (ORDER BY v) AS k1,
+             |    sum(c2) OVER (ORDER BY v) AS k2
+             |  FROM per),
+             |d AS (SELECT v,
+             |    abs(CAST(k1 AS HUGEINT)*n2 - CAST(k2 AS HUGEINT)*n1)
+             |      AS diff
+             |  FROM cum CROSS JOIN tot
+             |  ORDER BY diff DESC, v LIMIT 1)
+             |SELECT tot.n1, tot.n2,
+             |  CAST(d.v AS DOUBLE)/100.0 AS at_value,
+             |  round(CAST(d.diff AS DOUBLE)
+             |    /(CAST(tot.n1 AS DOUBLE)*CAST(tot.n2 AS DOUBLE)), 6)
+             |    AS d_stat
+             |FROM d CROSS JOIN tot""".stripMargin))
+  )
+}

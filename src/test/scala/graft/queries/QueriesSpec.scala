@@ -521,7 +521,12 @@ class QueriesSpec extends SparkTestBase {
       "q178_top_supplier", "q184_user_overlap_hll",
       // q201: the 1-row query-embedding broadcast (q23's shape) plus
       // the BM25 1-row stats broadcast inside the shared scorer
-      "q201_hybrid_search")
+      "q201_hybrid_search",
+      // q210: the |event types|-row per-type distinct frame pair-
+      // enumerates against itself on a < condition — q184's exact
+      // dimension-bounded shape (the corpus entered once, through the
+      // shared bitmap frame)
+      "q210_bitmap_overlap")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -2883,5 +2888,149 @@ class QueriesSpec extends SparkTestBase {
       s"final cum_share ${rows.last.getDouble(4)} != 1.0")
     val total = graft.sources.Tables(spark, sf(), "documents").count()
     assert(rows.map(_.getLong(1)).sum == total, "docs not conserved")
+  }
+
+  test("q211 is one two-phase HashAggregate pass with the date cut pushed") {
+    val df = SparkEntry.queries("q211_pricing_summary")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "q211 rides hash aggregation")
+    assert(!plan.contains("SortAggregate"),
+      s"q211 must not demote to SortAggregate:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      s"q211's ship cut must reach PushedFilters:\n$plan")
+    // all eight measures come from the ONE aggregate — exactly one
+    // shuffle in the whole plan (the partial->final exchange)
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"q211 must be a single partial/final aggregation pass:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 6, s"six (flag,status) groups: ${rows.length}")
+    rows.foreach { r =>
+      // charge >= discounted revenue >= 0 (tax only ever adds)
+      assert(r.getDouble(5) >= r.getDouble(4) && r.getDouble(4) > 0.0,
+        s"charge/disc inversion: $r")
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 0.10 + 1e-9,
+        s"avg discount out of fixture band: $r")
+    }
+  }
+
+  test("q212 pushes all three predicate families and aggregates to one row") {
+    val df = SparkEntry.queries("q212_forecast_revenue")(spark, sf())
+    // read the scan's pushed-filter metadata directly — the plan's
+    // toString TRUNCATES long filter lists (maxFields), so substring
+    // checks against it miss filters that are in fact pushed
+    // sparkPlan, not executedPlan: the AQE wrapper is itself a leaf
+    // and would hide the scan from collectLeaves
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), s"date band must push: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThanOrEqual(l_discount"),
+      s"discount band must push: $pushed")
+    assert(pushed.contains("LessThan(l_quantity"),
+      s"quantity cap must push: $pushed")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) > 0, s"${rows.toSeq}")
+    // cross-check against the brute-force product over the same band
+    import org.apache.spark.sql.functions._
+    val exp = graft.sources.Tables(spark, sf(), "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long")).as("m"))
+      .agg(sum(col("m"))).collect()(0).getLong(0)
+    assert(rows(0).getDouble(1) == exp.toDouble / 10000.0,
+      s"revenue ${rows(0).getDouble(1)} != brute ${exp / 10000.0}")
+  }
+
+  test("q213 triangle census: mass divisible by 3, tri <= C(deg,2), coeff in [0,1]") {
+    val rows = SparkEntry.queries("q213_triangle_census")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    // every triangle contributes to exactly three nations
+    assert(rows.map(_.getLong(2)).sum % 3 == 0, "triangle mass not 3-divisible")
+    rows.foreach { r =>
+      val (deg, tri) = (r.getLong(1), r.getLong(2))
+      assert(tri <= deg * (deg - 1) / 2,
+        s"${r.getString(0)}: $tri triangles exceed C($deg,2)")
+      if (deg >= 2) {
+        val c = r.getDouble(3)
+        assert(c >= 0.0 && c <= 1.0, s"clustering $c out of [0,1]")
+      } else assert(r.isNullAt(3), "deg<2 must yield NULL clustering")
+    }
+  }
+
+  test("q214 acf matches a driver-side brute force over the dense daily series") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q214_revenue_acf")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == 14)
+    // rebuild the dense zero-filled daily cents series (bounded: |days|)
+    val daily = graft.sources.Tables(spark, sf(), "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val lo = daily.keys.min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val hi = daily.keys.max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val xs = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+      .map(d => daily.getOrElse(d, 0L).toDouble).toArray
+    val n = xs.length
+    val mean = xs.sum / n
+    val den = xs.map(v => (v - mean) * (v - mean)).sum
+    (1 to 14).foreach { k =>
+      val num = (0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+      val (pairs, acf) = got(k.toLong)
+      assert(pairs == n - k, s"lag $k pairs $pairs != ${n - k}")
+      assert(math.abs(acf - num / den) < 1e-4,
+        s"lag $k: acf $acf != brute ${num / den}")
+      assert(math.abs(acf) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q215 reachability: bounds hold and mean is within [1, ecc]") {
+    val rows = SparkEntry.queries("q215_trade_reachability")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      val (reach, ecc) = (r.getLong(1), r.getLong(2))
+      assert(reach <= n - 1, s"${r.getString(0)} reaches $reach of ${n - 1}")
+      assert(ecc <= math.max(0, n - 1), "eccentricity above node bound")
+      if (reach > 0) {
+        val m = r.getDouble(3)
+        assert(m >= 1.0 && m <= ecc.toDouble,
+          s"${r.getString(0)}: mean hops $m outside [1, $ecc]")
+      } else assert(r.isNullAt(3), "unreachable nation must yield NULL mean")
+    }
+  }
+
+  test("q216 KS d-stat matches a driver-side brute force, and plans no window") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q216_ks_drift")(spark, sf())
+    // the CDFs must ride the two-pass cumsum, never a value-ordered
+    // unpartitioned window (q50's rule)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q216 must not plan a window:\n$plan")
+    val r = df.collect()(0)
+    val (n1, n2, dStat) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    // brute force over the collected order values (bounded fixture)
+    val vals = graft.sources.Tables(spark, sf(), "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select((col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .as("is1"), round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val s1 = vals.filter(_._1).map(_._2).sorted
+    val s2 = vals.filterNot(_._1).map(_._2).sorted
+    assert(n1 == s1.length && n2 == s2.length)
+    val cuts = (s1 ++ s2).distinct.sorted
+    val brute = cuts.map { c =>
+      math.abs(s1.count(_ <= c).toDouble / s1.length -
+        s2.count(_ <= c).toDouble / s2.length)
+    }.max
+    assert(math.abs(dStat - brute) < 1e-5, s"d $dStat != brute $brute")
   }
 }
