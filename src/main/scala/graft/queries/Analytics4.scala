@@ -150,44 +150,29 @@ object Analytics4 {
     // partners" structure readout next to q204's rank and q208's
     // degree/balance profile (rank says who is central; clustering
     // says whether the neighborhood is a clique or a star). Exact and
-    // hash-matched — the ordered a<b<c enumeration counts each
-    // triangle exactly once. Plan shape: rides the SHARED
-    // stamped/durable tradeEdges frame (the graph family's one corpus
-    // collapse — third reader, still zero extra fact scans); the
-    // support dedup, two-hop join, and closing join all run at the
-    // ≤|nations|² edge grain, AQE-broadcast. For graphs that DON'T
-    // collapse to a dimension (doc-level similarity graphs), the same
-    // ordered formulation distributes as two edge-keyed shuffles —
-    // the node-iterator MapReduce triangle algorithm — with the usual
-    // high-degree salting; nothing here assumes the small grain
-    // except the oracle.
+    // hash-matched — `operators/Triangles`' degree orientation gives
+    // every triangle exactly one two-out-edge apex. Plan shape: rides
+    // the SHARED stamped/durable tradeEdges frame (the graph family's
+    // one corpus collapse — third reader, still zero extra fact
+    // scans); the orientation, wedge, and closure joins all run at
+    // the ≤|nations|² edge grain here, AQE-broadcast — but the
+    // operator's oriented out-degree is O(√m) on ANY graph, so the
+    // SAME plan holds when the edges are corpus-scale (doc-similarity
+    // graphs) where a naive neighbor-pair enumeration would emit
+    // |corpus|² wedges from one hub; TrianglesSpec pins ≡ brute
+    // force, and this query's spec additionally reconciles the
+    // census against the operator on the live frame.
     QueryDef(
       "q213_triangle_census",
       (s, d) => {
         val e = Analytics3.tradeEdges(s, d)
-        val und = e.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-        val tri = und.as("e1")
-          .join(und.as("e2"), col("e2.a") === col("e1.b"))
-          .join(und.as("e3"),
-            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-          .select(col("e1.a").as("x"), col("e1.b").as("y"),
-            col("e2.b").as("z"))
-        val perNode = tri
-          .select(explode(array(col("x"), col("y"), col("z"))).as("nation"))
-          .groupBy(col("nation"))
-          .agg(count(lit(1)).cast("long").as("tri"))
-        val deg = und
-          .select(explode(array(col("a"), col("b"))).as("nation"))
-          .groupBy(col("nation"))
-          .agg(count(lit(1)).cast("long").as("deg"))
+        val stats = graft.operators.Triangles
+          .perNode(e.select(col("src"), col("dst")))
+          .withColumnRenamed("node", "nation")
         val nodes = e.select(col("src").as("nation"))
           .union(e.select(col("dst"))).distinct()
         nodes
-          .join(deg, Seq("nation"), "left")
-          .join(perNode, Seq("nation"), "left")
+          .join(stats, Seq("nation"), "left")
           .select(col("nation"),
             coalesce(col("deg"), lit(0L)).as("deg"),
             coalesce(col("tri"), lit(0L)).as("tri"))
@@ -492,6 +477,129 @@ object Analytics4 {
              |  round(CAST(d.diff AS DOUBLE)
              |    /(CAST(tot.n1 AS DOUBLE)*CAST(tot.n2 AS DOUBLE)), 6)
              |    AS d_stat
-             |FROM d CROSS JOIN tot""".stripMargin))
+             |FROM d CROSS JOIN tot""".stripMargin)),
+
+    // ── q217: priority backlog audit (TPC-H Q4 analog) — per order
+    // priority over one quarter's orders: how many had at least ONE
+    // line shipped more than 60 days after the order date (EXISTS at
+    // order grain — each order counts once no matter how many lines
+    // ran late; q174 is the same domain at LINE grain). The fixture
+    // has no commit/receipt dates, so "late" re-bases on the
+    // ship-vs-order delay q170/q174 already use. Plan shape: the
+    // date-pruned quarter of orders BROADCASTS into the one fact
+    // scan (the corpus side never shuffles — an order-keyed
+    // lineitem⋈orders exchange would move the whole fact table for a
+    // 1/24 order slice); the EXISTS dedups at the bounded late-key
+    // grain; the final rollup is |priorities| rows. Counts exact
+    // longs, the share one mirrored rounded division.
+    QueryDef(
+      "q217_priority_backlog",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= Q.ts("1996-01-01") &&
+            col("o_orderdate") < Q.ts("1996-04-01"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val lateKeys = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(broadcast(o.select(col("o_orderkey"), col("o_orderdate"))),
+            col("l_orderkey") === col("o_orderkey") &&
+              datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+          .select(col("o_orderkey")).distinct()
+        o.join(lateKeys.withColumn("late", lit(1L)), Seq("o_orderkey"),
+            "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(coalesce(col("late"), lit(0L))).cast("long").as("n_late"))
+          .select(col("o_orderpriority"), col("n_orders"), col("n_late"),
+            round(col("n_late").cast("double") /
+              col("n_orders").cast("double"), 6).as("late_share"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+             |lk AS (SELECT DISTINCT o.o_orderkey
+             |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+             |  WHERE datediff('day', o.o_orderdate, l.l_shipdate) > 60)
+             |SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CASE WHEN lk.o_orderkey IS NOT NULL THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_late,
+             |  round(CAST(sum(CASE WHEN lk.o_orderkey IS NOT NULL THEN 1
+             |      ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS late_share
+             |FROM o LEFT JOIN lk ON o.o_orderkey = lk.o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── q218: important parts (TPC-H Q11 analog) — the parts whose
+    // revenue supplied by ONE nation's suppliers exceeds TWICE the
+    // mean per-part share of that nation's total: the HAVING-over-
+    // global-fraction shape (q49 exercises the scalar compare, q168
+    // the scalar × anti-join compose; this is the grouped-sum-vs-
+    // global cut). The fixture has no partsupp, so "supplied value"
+    // re-bases on delivered discounted revenue (revMicro); and where
+    // TPC-H hand-scales Q11's fraction by 1/SF so the cut stays
+    // meaningful as the corpus grows, the mean-relative form is
+    // SELF-scaling — a fixed 0.1% returned 175/191 parts at sf0.001
+    // and 0/11695 at sf0.1 (measured), while 2×mean keeps a strict
+    // non-empty subset at every scale (the MinerRelativeHot lesson:
+    // corpus-relative thresholds, never absolute ones). Exactness:
+    // the CUT cross-multiplies in DECIMAL(38,0) — vm·n > 2·total
+    // with n the part count from the same 1-row frame — never
+    // comparing a double share against a double threshold (q168's
+    // rule); the displayed value/share derive in mirrored single
+    // divisions, and the sort key `value` is the exact integer vm's
+    // monotone image (collisions need vm > 2⁵³ micro ≈ $10¹¹ on one
+    // part — flagged, not possible at any real corpus). Plan shape:
+    // the nation's supplier keys BROADCAST into the one fact scan
+    // (semi-join, no fact shuffle); the part-grain aggregate takes
+    // the one exchange; the 1-row (total, n) frame broadcasts back
+    // over the PART-grain frame (q49/q127 scalar shape,
+    // BNLJ-allowlisted) — the second pass over the pruned slice is
+    // the price of the self-referential threshold, both passes
+    // map-side-combined.
+    QueryDef(
+      "q218_important_parts",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_8")
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val perPart = t(s, d, "lineitem")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(revMicro).as("vm"))
+        val tot = perPart.agg(sum(col("vm")).as("tot"),
+          count(lit(1)).cast("decimal(38,0)").as("n_parts"))
+        perPart.crossJoin(broadcast(tot))
+          .filter(col("vm") * col("n_parts") > col("tot") * lit(2))
+          .select(col("l_partkey").as("p_partkey"),
+            (col("vm").cast("double") / 10000.0).as("value"),
+            round(lit(100.0) * col("vm").cast("double") /
+              col("tot").cast("double"), 6).as("share_pct"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      Some(s"""WITH sup AS (SELECT s_suppkey FROM supplier
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_8'),
+              |pp AS (SELECT l_partkey, sum($revMicroSql) AS vm
+              |  FROM lineitem
+              |  WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+              |  GROUP BY l_partkey),
+              |tot AS (SELECT sum(vm) AS tot,
+              |    CAST(count(*) AS HUGEINT) AS n_parts FROM pp)
+              |SELECT l_partkey AS p_partkey,
+              |  CAST(vm AS DOUBLE)/10000.0 AS value,
+              |  round(100.0*CAST(vm AS DOUBLE)/CAST(tot AS DOUBLE), 6)
+              |    AS share_pct
+              |FROM pp CROSS JOIN tot
+              |WHERE vm * n_parts > tot * 2
+              |ORDER BY value DESC, p_partkey""".stripMargin))
   )
 }

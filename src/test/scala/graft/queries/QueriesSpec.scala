@@ -526,7 +526,11 @@ class QueriesSpec extends SparkTestBase {
       // enumerates against itself on a < condition — q184's exact
       // dimension-bounded shape (the corpus entered once, through the
       // shared bitmap frame)
-      "q210_bitmap_overlap")
+      "q210_bitmap_overlap",
+      // q218: the 1-row supplied-revenue total broadcasts back over
+      // the part-grain frame for the exact cross-multiplied fraction
+      // cut — q49/q127/q168's scalar-broadcast shape
+      "q218_important_parts")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -3032,5 +3036,108 @@ class QueriesSpec extends SparkTestBase {
         s2.count(_ <= c).toDouble / s2.length)
     }.max
     assert(math.abs(dStat - brute) < 1e-5, s"d $dStat != brute $brute")
+  }
+
+  test("q213 census reconciles against a driver brute force on the live edges") {
+    // independent of BOTH the operator's degree orientation and the
+    // oracle's two-hop SQL: collect the (bounded, dimension-grain)
+    // edge frame and count per-nation triangles definitionally
+    val edges = graft.queries.Analytics3.tradeEdges(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
+    val nb = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val got = SparkEntry.queries("q213_triangle_census")(spark, sf())
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      val ns = nb.getOrElse(n, Set.empty).toSeq.sorted
+      val tri = (for {
+        i <- ns.indices; j <- (i + 1) until ns.size
+        if und.contains(
+          if (ns(i) < ns(j)) (ns(i), ns(j)) else (ns(j), ns(i)))
+      } yield 1).size.toLong
+      assert(got(n) == (ns.size.toLong, tri),
+        s"$n: got ${got(n)}, brute (${ns.size}, $tri)")
+    }
+  }
+
+  test("q217 backlog equals a driver recompute and broadcasts the order slice") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q217_priority_backlog")(spark, sf())
+    // the quarter's orders must reach the fact scan as a broadcast —
+    // an order-keyed fact exchange would shuffle the corpus for a
+    // 1/24 order slice
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q217 must broadcast the pruned order slice:\n$plan")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver recompute from the raw tables (bounded at spec sf)
+    val o = graft.sources.Tables(spark, sf(), "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getString(2)))
+    val shipByOrder = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    val late = o.filter { case (k, od, _) =>
+      shipByOrder.getOrElse(k, Array.empty[(Long, Long)])
+        .exists { case (_, sd) => sd - od > 60 }
+    }.map(_._1).toSet
+    val exp = o.groupBy(_._3).map { case (p, os) =>
+      p -> (os.size.toLong, os.count(x => late(x._1)).toLong)
+    }
+    assert(got == exp, s"got $got expected $exp")
+    assert(got.values.forall { case (n, l) => l <= n && n > 0 })
+  }
+
+  test("q218 cut equals a driver recompute; the fact side never shuffles") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q218_important_parts")(spark, sf())
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // driver recompute: nation suppliers -> per-part micro sums -> cut
+    val supKeys = graft.sources.Tables(spark, sf(), "supplier")
+      .join(graft.sources.Tables(spark, sf(), "nation")
+        .filter(col("n_name") === "NATION_8").select(col("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .filter(col("l_suppkey").isInCollection(supKeys))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("vm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sum }
+    val tot = per.values.map(BigInt(_)).sum
+    val n = per.size
+    val exp = per
+      .filter { case (_, vm) => BigInt(vm) * n > tot * 2 }
+      .toSeq.map { case (p, vm) => (p, vm.toDouble / 10000.0) }
+      .sortBy { case (p, v) => (-v, p) }
+    // the self-scaling 2x-mean cut must be a strict non-empty subset
+    assert(exp.nonEmpty && exp.size < n, s"degenerate cut: ${exp.size}/$n")
+    assert(got.map(r => (r._1, r._2)).toSeq == exp,
+      s"cut mismatch: got ${got.take(5).toSeq} expected ${exp.take(5)}")
+    got.foreach { case (_, _, share) =>
+      assert(share > 100.0 * 2.0 / n - 1e-6 && share <= 100.0)
+    }
+    // plan: suppliers broadcast into the scan; the only fact exchange
+    // is the part-grain aggregate (no suppkey-keyed fact shuffle)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"q218 must broadcast-semi the supplier keys:\n$plan")
   }
 }
