@@ -600,6 +600,140 @@ object Analytics4 {
               |    AS share_pct
               |FROM pp CROSS JOIN tot
               |WHERE vm * n_parts > tot * 2
-              |ORDER BY value DESC, p_partkey""".stripMargin))
+              |ORDER BY value DESC, p_partkey""".stripMargin)),
+
+    // ── q219: LINEAR multi-touch attribution — every purchase splits
+    // one unit of conversion credit equally across the user's
+    // non-purchase touches in the 7 days before it; per channel
+    // (event type): conversions touched, touch count, total credit.
+    // The fractional-fan-in sibling of q152's first-touch (winner
+    // takes all) and q126's latency (time, not credit): the report a
+    // growth analyst runs to stop over-crediting the last click.
+    // Exactness: credit is DEFINED in integer micro-credits —
+    // floor(10⁶·tᵢ/nᵢ) per (conversion, channel), integer `div` both
+    // engines — because a Σ(tᵢ/nᵢ) of doubles hash-diverges on
+    // accumulation order (the fxSum lesson applied to fractions: when
+    // the exact rational sum has no common denominator, fix the
+    // quantum instead); the display credit is the one mirrored
+    // division. Conversions with NO in-window touch simply don't
+    // appear in the fan-in (documented: unattributed, not
+    // zero-credited). Plan shape: ONE user-keyed exchange joins the
+    // purchase slice to the touch slice (equi-join on user, the
+    // ±window as a residual range predicate — never a time-keyed
+    // BNLJ); fanout is per-user activity-bounded, AQE-skew-eligible
+    // for hot users; the (conversion, channel) and conversion-grain
+    // aggregates reuse the conv_id key; final rollup is |types| rows.
+    QueryDef(
+      "q219_linear_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("us").as("cus"))
+        val touch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"), col("us"))
+        val perConvType = conv.join(touch, Seq("user_id"))
+          .filter(col("us") < col("cus") &&
+            col("us") >= col("cus") - lit(604800000000L))
+          .groupBy(col("conv_id"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("t_cnt"))
+        val perConv = perConvType.groupBy(col("conv_id"))
+          .agg(sum(col("t_cnt")).as("n_touch"))
+        perConvType.join(perConv, Seq("conv_id"))
+          .select(col("event_type"), col("conv_id"), col("t_cnt"),
+            expr("(1000000 * t_cnt) div n_touch").as("credit_e6"))
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("conv_id")).cast("long")
+              .as("n_conversions"),
+            sum(col("t_cnt")).cast("long").as("n_touches"),
+            sum(col("credit_e6")).cast("long").as("credit_e6"))
+          .select(col("event_type"), col("n_conversions"),
+            col("n_touches"), col("credit_e6"),
+            round(col("credit_e6").cast("double") / 1000000.0, 6)
+              .as("credit"))
+          .orderBy(col("credit_e6").desc, col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS us FROM events),
+             |p AS (SELECT event_id AS conv_id, user_id, us AS cus
+             |  FROM ev WHERE event_type = 'purchase'),
+             |tc AS (SELECT user_id, event_type, us
+             |  FROM ev WHERE event_type <> 'purchase'),
+             |pt AS (SELECT p.conv_id, tc.event_type,
+             |    CAST(count(*) AS BIGINT) AS t_cnt
+             |  FROM p JOIN tc ON p.user_id = tc.user_id
+             |    AND tc.us < p.cus AND tc.us >= p.cus - 604800000000
+             |  GROUP BY 1, 2),
+             |n AS (SELECT conv_id, sum(t_cnt) AS n_touch
+             |  FROM pt GROUP BY 1)
+             |SELECT pt.event_type,
+             |  CAST(count(DISTINCT pt.conv_id) AS BIGINT)
+             |    AS n_conversions,
+             |  CAST(sum(pt.t_cnt) AS BIGINT) AS n_touches,
+             |  CAST(sum((1000000 * pt.t_cnt) // n.n_touch) AS BIGINT)
+             |    AS credit_e6,
+             |  round(CAST(sum((1000000 * pt.t_cnt) // n.n_touch)
+             |    AS DOUBLE)/1000000.0, 6) AS credit
+             |FROM pt JOIN n USING (conv_id)
+             |GROUP BY pt.event_type
+             |ORDER BY credit_e6 DESC, event_type""".stripMargin)),
+
+    // ── q220: corpus NOVELTY curve — split the ingest stream (doc_id
+    // is delivery order) into ten tranches and report, per tranche,
+    // how many documents are the FIRST occurrence of their exact-dup
+    // family (q22's md5(lower(text)) fingerprint — one convention for
+    // exact identity everywhere): the "is the crawl saturating"
+    // readout a curator checks before paying for the next tranche —
+    // novelty that decays toward zero says new deliveries are re-
+    // crawls (q70 measures n-gram novelty BETWEEN two fixed corpora;
+    // this is the within-stream time series of exact novelty).
+    // Exactness: a doc is novel iff its doc_id equals its family's
+    // min doc_id (first occurrence counts as novel even when the
+    // duplicate lands in the same tranche — the standard convention);
+    // counts are longs, the rate one mirrored rounded division; the
+    // tranche id is integer `div` against the 1-row max-id frame
+    // (never double-bucketed). Plan shape: one text scan computes the
+    // fingerprint; the family min is one fp-keyed exchange and the
+    // join-back reuses the same key (co-partitioned); the 1-row max
+    // broadcasts (q49/q127 scalar shape, BNLJ-allowlisted); the final
+    // rollup is 10 rows. Text never shuffles — only (doc_id, fp).
+    QueryDef(
+      "q220_novelty_curve",
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        val mx = f.agg(max(col("doc_id")).as("mx"))
+        val first = f.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("first_id"))
+        f.join(first, Seq("fp"))
+          .crossJoin(broadcast(mx))
+          .select(expr("(10 * doc_id) div (mx + 1)").as("tranche"),
+            when(col("doc_id") === col("first_id"), 1L).otherwise(0L)
+              .as("novel"))
+          .groupBy(col("tranche"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("novel")).cast("long").as("n_novel"))
+          .select(col("tranche"), col("n_docs"), col("n_novel"),
+            round(col("n_novel").cast("double") /
+              col("n_docs").cast("double"), 6).as("novelty_rate"))
+          .orderBy(col("tranche"))
+      },
+      Some("""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp
+             |  FROM documents),
+             |mx AS (SELECT max(doc_id) AS mx FROM f),
+             |fs AS (SELECT fp, min(doc_id) AS first_id
+             |  FROM f GROUP BY fp)
+             |SELECT CAST((10 * f.doc_id) // (mx.mx + 1) AS BIGINT)
+             |    AS tranche,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN f.doc_id = fs.first_id THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN f.doc_id = fs.first_id THEN 1
+             |      ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS novelty_rate
+             |FROM f JOIN fs USING (fp) CROSS JOIN mx
+             |GROUP BY 1 ORDER BY tranche""".stripMargin))
   )
 }

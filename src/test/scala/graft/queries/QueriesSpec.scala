@@ -530,7 +530,11 @@ class QueriesSpec extends SparkTestBase {
       // q218: the 1-row supplied-revenue total broadcasts back over
       // the part-grain frame for the exact cross-multiplied fraction
       // cut — q49/q127/q168's scalar-broadcast shape
-      "q218_important_parts")
+      "q218_important_parts",
+      // q220: the 1-row max-doc-id frame broadcasts into the
+      // fingerprint join for the integer tranche id — the same
+      // scalar-broadcast shape
+      "q220_novelty_curve")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -3139,5 +3143,70 @@ class QueriesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftSemi"),
       s"q218 must broadcast-semi the supplier keys:\n$plan")
+  }
+
+  test("q219 credit equals a driver recompute; micro-credits conserve") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q219_linear_attribution")(spark, sf())
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // driver recompute from the raw events (bounded at spec sf)
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touchesByUser = ev.filter(_._3 != "purchase").groupBy(_._2)
+    val week = 604800000000L
+    // per (conv, type) counts from the definitional window
+    val perConvType = ev.filter(_._3 == "purchase").flatMap {
+      case (cid, u, _, cus) =>
+        touchesByUser.getOrElse(u, Array.empty)
+          .filter(t => t._4 < cus && t._4 >= cus - week)
+          .groupBy(_._3).map { case (ty, ts) => (cid, ty, ts.length.toLong) }
+    }
+    val nByConv = perConvType.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._3).sum }
+    val exp = perConvType.groupBy(_._2).map { case (ty, xs) =>
+      ty -> (xs.map(_._1).distinct.size.toLong, xs.map(_._3).sum,
+        xs.map(x => 1000000L * x._3 / nByConv(x._1)).sum)
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // conservation: each conversion hands out <= 1e6 micro-credits,
+    // and at least 1e6 - (|types|-1) (floor loses < 1 per channel)
+    val nConv = nByConv.size.toLong
+    val total = got.values.map(_._3).sum
+    assert(total <= 1000000L * nConv &&
+      total > 1000000L * nConv - 5L * nConv,
+      s"credit mass $total vs $nConv conversions")
+    // the user-keyed join must stay a hash join (the window is a
+    // residual predicate, never a time-keyed nested loop)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q219 degraded:\n$plan")
+  }
+
+  test("q220 novelty equals a driver recompute; mass and families conserve") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q220_novelty_curve")(spark, sf())
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max
+    val firstId = docs.groupBy(_._2).map { case (fp, ds) =>
+      fp -> ds.map(_._1).min
+    }
+    val exp = docs.groupBy { case (id, _) => 10L * id / (mx + 1) }
+      .map { case (b, ds) =>
+        (b, ds.length.toLong,
+          ds.count { case (id, fp) => firstId(fp) == id }.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp, s"got ${got.toSeq} expected $exp")
+    // every doc lands in exactly one tranche; novel docs = families
+    assert(got.map(_._2).sum == docs.length.toLong)
+    assert(got.map(_._3).sum == firstId.size.toLong)
   }
 }
