@@ -734,6 +734,129 @@ object Analytics4 {
              |      ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
              |    AS novelty_rate
              |FROM f JOIN fs USING (fp) CROSS JOIN mx
-             |GROUP BY 1 ORDER BY tranche""".stripMargin))
+             |GROUP BY 1 ORDER BY tranche""".stripMargin)),
+
+    // ── q221: ABC inventory classification — every part assigned to
+    // revenue class A/B/C by its position on the descending
+    // cumulative-revenue curve (A = the head covering the first 80%
+    // of corpus revenue, B = to 95%, C = the tail), reported as the
+    // 3-row class profile: the warehouse planner's classic 80/15/5
+    // cut (q127 reads the same curve as a top-20 customer LIMIT; q120
+    // as a duplication coverage curve; this CLASSIFIES the full part
+    // population). Exactness: revenue fixes at CENTS per part (micro
+    // would cross 2⁶³ in the global running sum at 100 TB — the
+    // per-part quantum is floor(vm/10⁴), mirrored); the class cut
+    // cross-multiplies integers — A iff 5·cum_before < 4·total, B iff
+    // 20·cum_before < 19·total (cum_before EXCLUSIVE, so the part
+    // that crosses a boundary still belongs to the class it finishes:
+    // ties impossible to misclassify, never double-vs-double); share
+    // one mirrored division. Plan shape: one fact exchange to part
+    // grain; the descending global cumsum is `Q.globalCumBefore`
+    // (range-repartition + partition-local running sum + ≤P broadcast
+    // offsets — the q50/q90/q193 two-pass family, NO corpus-wide
+    // window); total comes from the same bounded collect; final
+    // rollup 3 rows.
+    QueryDef(
+      "q221_abc_classes",
+      (s, d) => {
+        val perPart = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(revMicro).as("vm"))
+          .select(col("l_partkey"),
+            expr("CAST(vm div 10000 AS BIGINT)").as("rev_cents"))
+        val (cum, total) = Q.globalCumBefore(perPart,
+          Seq(col("rev_cents").desc, col("l_partkey")), "rev_cents")
+        cum
+          .select(col("rev_cents"),
+            when(col("cum_before") * 5 < lit(total) * 4, "A")
+              .when(col("cum_before") * 20 < lit(total) * 19, "B")
+              .otherwise("C").as("abc_class"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            sum(col("rev_cents")).cast("long").as("rev_cents"))
+          .select(col("abc_class"), col("n_parts"), col("rev_cents"),
+            round(col("rev_cents").cast("double") / total.toDouble, 6)
+              .as("rev_share"))
+          .orderBy(col("abc_class"))
+      },
+      Some(s"""WITH pp AS (SELECT l_partkey,
+              |    CAST((sum($revMicroSql)) // 10000 AS BIGINT)
+              |      AS rev_cents
+              |  FROM lineitem GROUP BY l_partkey),
+              |c AS (SELECT rev_cents,
+              |    CAST(coalesce(sum(rev_cents) OVER (
+              |      ORDER BY rev_cents DESC, l_partkey
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS BIGINT) AS cum_before,
+              |    CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+              |  FROM pp),
+              |k AS (SELECT rev_cents,
+              |    CASE WHEN cum_before * 5 < total * 4 THEN 'A'
+              |         WHEN cum_before * 20 < total * 19 THEN 'B'
+              |         ELSE 'C' END AS abc_class,
+              |    total FROM c)
+              |SELECT abc_class,
+              |  CAST(count(*) AS BIGINT) AS n_parts,
+              |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+              |  round(CAST(sum(rev_cents) AS DOUBLE)
+              |    /CAST(max(total) AS DOUBLE), 6) AS rev_share
+              |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin)),
+
+    // ── q222: engagement STICKINESS — per absolute week (epoch-day
+    // div 7, the same deterministic calendar both engines): active
+    // days, Σ of daily distinct users (DAU mass), weekly distinct
+    // users (WAU), and stickiness = DAU_sum/(7·WAU) — the DAU/WAU
+    // ratio a growth team tracks weekly (q106 densifies daily VOLUME,
+    // q130 measures per-user streaks; this is the population-level
+    // habit readout). Convention: the divisor is the 7-day CALENDAR
+    // week — silent days count zero (q106's lesson), so edge weeks
+    // read honestly low rather than silently inflating. Exactness:
+    // both numerator and denominator are exact distinct counts; the
+    // ratio is one mirrored rounded division. Plan shape: the corpus
+    // collapses ONCE to the distinct (day, user) grain (one
+    // exchange); the daily and weekly rollups both ride that bounded
+    // frame (the weekly re-distinct runs at (week, user) grain, far
+    // below corpus); the week join is dimension-grain.
+    QueryDef(
+      "q222_stickiness",
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(datediff(col("ts").cast("date"), lit("1970-01-01")
+            .cast("date")).cast("long").as("day"), col("user_id"))
+          .distinct()
+          .withColumn("week", expr("day div 7"))
+        val daily = du.groupBy(col("week"), col("day"))
+          .agg(count(lit(1)).cast("long").as("dau"))
+        val weekly = du.groupBy(col("week"))
+          .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+        daily.groupBy(col("week"))
+          .agg(count(lit(1)).cast("long").as("days_active"),
+            sum(col("dau")).cast("long").as("dau_sum"))
+          .join(weekly, Seq("week"))
+          .select(col("week"), col("days_active"), col("dau_sum"),
+            col("wau"),
+            round(col("dau_sum").cast("double") /
+              (col("wau").cast("double") * 7.0), 6).as("stickiness"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+             |  FROM events),
+             |dw AS (SELECT day // 7 AS week, day, user_id FROM du),
+             |daily AS (SELECT week, day,
+             |    CAST(count(*) AS BIGINT) AS dau
+             |  FROM dw GROUP BY 1, 2),
+             |weekly AS (SELECT week,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |  FROM dw GROUP BY 1)
+             |SELECT daily.week,
+             |  CAST(count(*) AS BIGINT) AS days_active,
+             |  CAST(sum(dau) AS BIGINT) AS dau_sum,
+             |  max(wau) AS wau,
+             |  round(CAST(sum(dau) AS DOUBLE)
+             |    /(CAST(max(wau) AS DOUBLE) * 7.0), 6) AS stickiness
+             |FROM daily JOIN weekly ON daily.week = weekly.week
+             |GROUP BY daily.week ORDER BY daily.week""".stripMargin))
   )
 }

@@ -3209,4 +3209,73 @@ class QueriesSpec extends SparkTestBase {
     assert(got.map(_._2).sum == docs.length.toLong)
     assert(got.map(_._3).sum == firstId.size.toLong)
   }
+
+  test("q221 ABC classes equal a driver recompute; no global window") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q221_abc_classes")(spark, sf())
+    // the descending cumsum must ride the two-pass range-repartition
+    // form, never a corpus-wide Window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q221 planned a Window:\n$plan")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver recompute: per-part cents, sort desc, exclusive cumsum
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(graft.queries.Q.revMicro).as("vm"))
+      .select(col("l_partkey"),
+        expr("CAST(vm div 10000 AS BIGINT)").as("rc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (p, rc) => (-rc, p) }
+    val total = per.map(_._2).sum
+    var cum = 0L
+    val exp = scala.collection.mutable.Map[String, (Long, Long)]()
+    per.foreach { case (_, rc) =>
+      val cls = if (cum * 5 < total * 4) "A"
+        else if (cum * 20 < total * 19) "B" else "C"
+      val (n, s0) = exp.getOrElse(cls, (0L, 0L))
+      exp(cls) = (n + 1, s0 + rc)
+      cum += rc
+    }
+    assert(got == exp.toMap, s"got $got expected ${exp.toMap}")
+    // construction invariants: the exclusive-cumsum cut guarantees A
+    // covers AT LEAST 80% of revenue (the crossing part stays in A)
+    // and A+B at least 95%; mass conserves. (A "head class is small"
+    // law does NOT hold here — this fixture's per-part revenue is
+    // near-uniform, so the 80% head legitimately holds ~80% of parts;
+    // the classifier is about mass brackets, not skew.)
+    assert(got("A")._2 * 5 >= total * 4, s"A below 80%: $got")
+    assert((got("A")._2 + got.getOrElse("B", (0L, 0L))._2) * 20 >=
+      total * 19, s"A+B below 95%: $got")
+    assert(got.values.map(_._2).sum == total)
+  }
+
+  test("q222 stickiness equals a driver recompute; ratio bounded by 1/7 rule") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q222_stickiness")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val du = graft.sources.Tables(spark, sf(), "events")
+      .select(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val exp = du.groupBy { case (day, _) => day / 7 }.map {
+      case (w, xs) =>
+        val dauSum = xs.groupBy(_._1).values.map(_.size.toLong).sum
+        val days = xs.map(_._1).distinct.size.toLong
+        val wau = xs.map(_._2).distinct.size.toLong
+        (w, days, dauSum, wau)
+    }.toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == exp,
+      s"got ${got.toSeq} expected $exp")
+    got.foreach { case (_, days, dauSum, wau, st) =>
+      // each day's DAU <= WAU, so dau_sum <= days*wau and the
+      // calendar-week ratio is bounded by days/7; a user active once
+      // contributes at least 1/(7*wau)
+      assert(st <= days.toDouble / 7.0 + 1e-9 && st > 0.0)
+      assert(dauSum >= wau, "each weekly user has at least one active day")
+    }
+  }
 }
