@@ -645,8 +645,11 @@ object Analytics4 {
           .select(col("event_type"), col("conv_id"), col("t_cnt"),
             expr("(1000000 * t_cnt) div n_touch").as("credit_e6"))
           .groupBy(col("event_type"))
-          .agg(countDistinct(col("conv_id")).cast("long")
-              .as("n_conversions"),
+          // the frame is unique per (conv, type) by construction, so
+          // a plain count IS the distinct conversion count — a
+          // countDistinct here would plan a needless Expand+distinct
+          // pass over the corpus-grain frame (r8 review finding)
+          .agg(count(lit(1)).cast("long").as("n_conversions"),
             sum(col("t_cnt")).cast("long").as("n_touches"),
             sum(col("credit_e6")).cast("long").as("credit_e6"))
           .select(col("event_type"), col("n_conversions"),
@@ -669,8 +672,7 @@ object Analytics4 {
              |n AS (SELECT conv_id, sum(t_cnt) AS n_touch
              |  FROM pt GROUP BY 1)
              |SELECT pt.event_type,
-             |  CAST(count(DISTINCT pt.conv_id) AS BIGINT)
-             |    AS n_conversions,
+             |  CAST(count(*) AS BIGINT) AS n_conversions,
              |  CAST(sum(pt.t_cnt) AS BIGINT) AS n_touches,
              |  CAST(sum((1000000 * pt.t_cnt) // n.n_touch) AS BIGINT)
              |    AS credit_e6,

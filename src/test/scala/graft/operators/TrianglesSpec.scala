@@ -8,28 +8,7 @@ import graft.SparkTestBase
   * discipline for the graph family's distributed faces.
   */
 class TrianglesSpec extends SparkTestBase {
-
-  private def brute(edges: Seq[(String, String)])
-      : Map[String, (Long, Long)] = {
-    val und = edges.filter(e => e._1 != e._2)
-      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
-    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
-    val adj = nodes.map { n =>
-      n -> und.collect {
-        case (`n`, m) => m
-        case (m, `n`) => m
-      }
-    }.toMap
-    nodes.map { n =>
-      val nb = adj(n).toSeq.sorted
-      val tri = (for {
-        i <- nb.indices; j <- (i + 1) until nb.size
-        if und.contains(
-          if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i)))
-      } yield 1).size
-      n -> (adj(n).size.toLong, tri.toLong)
-    }.toMap
-  }
+  import TrianglesSpec.brute
 
   private def run(edges: Seq[(String, String)])
       : Map[String, (Long, Long)] = {
@@ -93,5 +72,34 @@ class TrianglesSpec extends SparkTestBase {
       edges ++ edges.map(_.swap) ++ edges.take(10) ++
         Seq(("n1", "n1"), ("n3", "n3")))
     assert(run(edges) == run(messy))
+  }
+}
+
+/** The definitional O(n³) per-node wedge-closure brute force — ONE
+  * copy, shared by [[TrianglesSpec]] and the q213 reconciliation test
+  * (two drifting copies of the same definitional algorithm was an r8
+  * review finding).
+  */
+object TrianglesSpec {
+  def brute(edges: Seq[(String, String)])
+      : Map[String, (Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = nodes.map { n =>
+      n -> und.collect {
+        case (`n`, m) => m
+        case (m, `n`) => m
+      }
+    }.toMap
+    nodes.map { n =>
+      val nb = adj(n).toSeq.sorted
+      val tri = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und.contains(
+          if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i)))
+      } yield 1).size
+      n -> (adj(n).size.toLong, tri.toLong)
+    }.toMap
   }
 }

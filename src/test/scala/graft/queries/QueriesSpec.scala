@@ -3045,27 +3045,21 @@ class QueriesSpec extends SparkTestBase {
   test("q213 census reconciles against a driver brute force on the live edges") {
     // independent of BOTH the operator's degree orientation and the
     // oracle's two-hop SQL: collect the (bounded, dimension-grain)
-    // edge frame and count per-nation triangles definitionally
+    // edge frame and count per-nation triangles definitionally (the
+    // ONE shared brute-force copy — TrianglesSpec.brute)
     val edges = graft.queries.Analytics3.tradeEdges(spark, sf())
       .collect().map(r => (r.getString(0), r.getString(1)))
-    val und = edges.filter(e => e._1 != e._2)
-      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
-    val nb = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
-      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val exp = graft.operators.TrianglesSpec.brute(edges.toSeq)
     val got = SparkEntry.queries("q213_triangle_census")(spark, sf())
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    assert(got.keySet == nodes.toSet)
-    nodes.foreach { n =>
-      val ns = nb.getOrElse(n, Set.empty).toSeq.sorted
-      val tri = (for {
-        i <- ns.indices; j <- (i + 1) until ns.size
-        if und.contains(
-          if (ns(i) < ns(j)) (ns(i), ns(j)) else (ns(j), ns(i)))
-      } yield 1).size.toLong
-      assert(got(n) == (ns.size.toLong, tri),
-        s"$n: got ${got(n)}, brute (${ns.size}, $tri)")
+    // brute drops edge-free nodes; the query left-joins the node
+    // dimension, so isolated nations (none in this fixture's edge
+    // frame, but allowed) read (0, 0)
+    assert(got.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    got.foreach { case (n, dt) =>
+      assert(dt == exp.getOrElse(n, (0L, 0L)),
+        s"$n: got $dt, brute ${exp.getOrElse(n, (0L, 0L))}")
     }
   }
 
