@@ -303,6 +303,42 @@ object Profile {
     val cb10 = timedS("global cumsum 10x")(cumProbe(scored10))
     println(f"PHASE global cumsum 10x/1x ratio ${cb10 / cb1}%8.3f (≈10 = linear)")
 
+    // Round-8 probe: the q219 attribution join (the round's only new
+    // corpus×slice join). Its intermediate is Θ(Σ_u purchases_u ×
+    // in-window touches_u) — linear when the corpus grows by USERS
+    // (per-user density constant: the honest growth model for a
+    // bigger corpus), quadratic only when one user's DENSITY grows,
+    // which is semantic (every purchase must see its window's
+    // touches) and bounded by the 7-day window, with AQE skew
+    // splitting the hot user's partition. The probe pins the first
+    // claim: 10× users at constant density should sit near 10×.
+    val ev1 = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val ev10 = (1 to 10)
+      .map(i => shift(shift(ev1, "user_id", i), "event_id", i))
+      .reduce(_ unionAll _)
+    def attrProbe(ev: org.apache.spark.sql.DataFrame): Unit = {
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("us").as("cus"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"), col("us"))
+      val pct = conv.join(touch, Seq("user_id"))
+        .filter(col("us") < col("cus") &&
+          col("us") >= col("cus") - lit(604800000000L))
+        .groupBy(col("conv_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("t_cnt"))
+      pct.join(pct.groupBy(col("conv_id"))
+          .agg(sum(col("t_cnt")).as("n_touch")), Seq("conv_id"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("(1000000 * t_cnt) div n_touch")).as("credit_e6"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    val at1 = timedS("attribution 1x users")(attrProbe(ev1))
+    val at10 = timedS("attribution 10x users")(attrProbe(ev10))
+    println(f"PHASE attribution 10x/1x ratio ${at10 / at1}%8.3f (≈10 = linear in users)")
+
     spark.stop()
   }
 }
