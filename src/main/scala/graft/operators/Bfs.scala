@@ -88,31 +88,42 @@ object Bfs {
     settled = settled.localCheckpoint(true)
     var frontier = settled
     var hop = 1
+    def expand(f: DataFrame, s: DataFrame, h: Int): DataFrame = f
+      .select(col("src"), col("dst").as("hop_from"))
+      .join(step, Seq("hop_from"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(s.select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_anti")
+      .withColumn("hops", lit(h))
+      .localCheckpoint(true)
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       val prevS = settled
       val prevF = frontier
-      val next = frontier
-        .select(col("src"), col("dst").as("hop_from"))
-        .join(step, Seq("hop_from"))
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .join(settled.select(col("src"), col("dst")),
-          Seq("src", "dst"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint(true)
+      val next = expand(frontier, settled, hop)
       settled = settled.union(next).localCheckpoint(true)
       prevS.unpersist()
       prevF.unpersist()
       frontier = next
     }
     if (!frontier.isEmpty) {
-      val pending = frontier.count()
-      settled.unpersist()
-      frontier.unpersist()
-      throw DedupClusters.NotConverged(maxHops, pending,
-        "frontier pairs still expanding")
+      // hop == maxHops with frontier pairs settled THIS round: the
+      // graph's diameter may equal maxHops exactly, in which case the
+      // distances are already complete and the frontier simply has
+      // nothing left to expand. Probe one more expansion and fail
+      // only if it actually produces new pairs — so maxHops is an
+      // inclusive diameter bound, matching the scaladoc.
+      val probe = expand(frontier, settled, hop + 1)
+      val pending = probe.count()
+      probe.unpersist()
+      if (pending > 0) {
+        settled.unpersist()
+        frontier.unpersist()
+        throw DedupClusters.NotConverged(maxHops, pending,
+          "frontier pairs still expanding")
+      }
     }
     frontier.unpersist()
     settled

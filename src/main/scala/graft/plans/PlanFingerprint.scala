@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{And, Expression,
-  GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual,
-  MultiCommutativeOp}
+  GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan,
+  LessThanOrEqual, Literal, MultiCommutativeOp}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -56,7 +56,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *     nodes (MapPartitions — the q91 Misra–Gries pass) print their
   *     function object as a JVM hidden-class token
   *     (`$$Lambda$2041/0x00007f…`) whose number tracks CLASS-LOAD
-  *     ORDER, which the store state shifts.
+  *     ORDER, which the store state shifts — or as a plain
+  *     object-identity token (`$$Lambda@7f62ce`) whose hex tracks RUN
+  *     ORDER (the r9 OrderHash repro of the r8 control's q91 flip).
+  *  6. IN-literal lists collapse to an order-insensitive
+  *     count+content-hash token (`inlist#n=…#h=…`): collected-artifact
+  *     lists render in collection order and `InSet` prints Set
+  *     iteration order; content sensitivity is preserved, ordering is
+  *     erased ([[PlanFingerprintSpec]] pins both directions).
   *
   * NOTE the converse duty this puts on PLAN-EMBEDDED VALUES: any
   * literal built from a `collect()` (Misra–Gries survivors, learned
@@ -74,11 +81,30 @@ object PlanFingerprint {
     // changed-literal sensitivity the spec pins (r8 review finding)
     .replaceAll("\\[+(?:[BCDFIJSZ]|L[\\w.$]+;)@[0-9a-fA-F]+", "[@x")
     .replaceAll("Broadcast\\(\\d+\\)", "Broadcast(#)")
-    .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+    // lambda identity in BOTH renderings: the hidden-class token
+    // ($$Lambda$2041/0x7f…, class-load-order sensitive) and the plain
+    // object-identity form ($$Lambda@7f62cea — what Spark 4.1 prints
+    // for a typed-API MapPartitions function object, RUN-ORDER
+    // sensitive: the r8 control's q91 flip was exactly this token)
+    // the two suffixes also COMBINE ($$Lambda$8328/0x7f…@44a3bd —
+    // hidden class then identity), so eat one or both
+    .replaceAll(
+      "\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+|@[0-9a-fA-F]+){1,2}",
+      "\\$\\$Lambda")
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case o => Seq(o)
+  }
+
+  /** Canonical rendering of an IN literal list: element count plus an
+    * order-insensitive content hash (elements sorted by normalized
+    * rendering before hashing).
+    */
+  private def inToken(rendered: Seq[String]): String = {
+    val sorted = rendered.sorted
+    f"inlist#n=${sorted.length}#h=${
+      scala.util.hashing.MurmurHash3.orderedHash(sorted)}%08x"
   }
 
   /** The normalized canonicalized plan string the hash covers. */
@@ -151,6 +177,19 @@ object PlanFingerprint {
           m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
       case a @ And(_, _) =>
         splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
+      // 4b. IN-literal lists collapse to a count+content-hash token,
+      // ORDER-INSENSITIVELY: a collected-artifact list (hot terms,
+      // survivors) renders in collection order, and InSet prints its
+      // Set's iteration order — neither carries plan semantics. The
+      // token keeps full content SENSITIVITY (any changed/added
+      // element moves the hash) while erasing ordering; the literal
+      // is a fingerprint-only placeholder, never executed.
+      case In(v, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        In(v, Seq(Literal(inToken(list.map(e => strNorm(e.toString))))))
+      case InSet(v, hset) =>
+        In(v, Seq(Literal(
+          inToken(hset.iterator.map(x => strNorm(String.valueOf(x))).toSeq))))
     }
     strNorm(canon.toString)
   }

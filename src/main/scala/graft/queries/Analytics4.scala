@@ -30,8 +30,6 @@ import org.apache.spark.sql.functions._
 object Analytics4 {
   import Q._
 
-  private def revMicro = Q.revMicro
-  private val revMicroSql = Q.revMicroSql
   private val TradeEdgesSql = Analytics3.TradeEdgesSql
 
   val defs: Seq[QueryDef] = Seq(
@@ -750,7 +748,8 @@ object Analytics4 {
     // per-part quantum is floor(vm/10⁴), mirrored); the class cut
     // cross-multiplies integers — A iff 5·cum_before < 4·total, B iff
     // 20·cum_before < 19·total (cum_before EXCLUSIVE, so the part
-    // that crosses a boundary still belongs to the class it finishes:
+    // that crosses a boundary stays in the class where it STARTS —
+    // class A therefore always covers at least 80% of revenue:
     // ties impossible to misclassify, never double-vs-double); share
     // one mirrored division. Plan shape: one fact exchange to part
     // grain; the descending global cumsum is `Q.globalCumBefore`

@@ -450,7 +450,12 @@ private[queries] final class StampedCache(
 
   private[queries] def evict(s: SparkSession, dir: String): Unit = {
     val v = m.remove((s, dir))
-    if (v != null) v._2.unpersist()
+    // the onApplicationEnd listener races the context teardown: by the
+    // time it fires the context may already be stopped, and unpersist
+    // then throws "Cannot call methods on a stopped SparkContext" —
+    // the blocks are gone with the context, so dropping the map entry
+    // is the whole remaining job
+    if (v != null && !s.sparkContext.isStopped) v._2.unpersist()
   }
 
   /** Evict (and unpersist) all of this session's entries. Keys are

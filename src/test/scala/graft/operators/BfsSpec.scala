@@ -91,4 +91,19 @@ class BfsSpec extends SparkTestBase {
       Bfs.hopsDistributed(chain.toDF("src", "dst"), maxHops = 3)
     }
   }
+
+  test("maxHops == diameter exactly converges (inclusive bound)") {
+    // a 6-hop chain has diameter 6: the final frontier is non-empty
+    // (the hop-6 pairs settle in the last round) but expands to
+    // nothing — the r9 probe must recognize completion instead of
+    // throwing NotConverged (the r8 advice finding: convergence used
+    // to require maxHops >= diameter + 1)
+    import spark.implicits._
+    val chain = (0 until 6).map(i => (s"c$i", s"c${i + 1}"))
+    val local = Bfs.allPairsHops(chain)
+    val dist = Bfs.hopsDistributed(chain.toDF("src", "dst"), maxHops = 6)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getInt(2))).toMap
+    assert(dist == local)
+  }
 }

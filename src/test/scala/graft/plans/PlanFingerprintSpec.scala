@@ -62,6 +62,52 @@ class PlanFingerprintSpec extends SparkTestBase {
       "hex-ish string literals were scrubbed out of the fingerprint")
   }
 
+  test("IN-literal list order does not move the hash; content does") {
+    // both sides of the InSet conversion threshold (default 10): a
+    // short list stays `In(...)`, a long one becomes `InSet` whose
+    // toString renders Set-iteration order — both must hash
+    // order-insensitively, and a changed ELEMENT must still move it
+    def q(vals: Seq[String]) = df()
+      .filter(col("o_orderpriority").isin(vals: _*))
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    val short = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    assert(PlanFingerprint.hash(q(short)) ==
+      PlanFingerprint.hash(q(short.reverse)),
+      "In literal order leaked into the fingerprint")
+    assert(PlanFingerprint.hash(q(short)) !=
+      PlanFingerprint.hash(q(Seq("1-URGENT", "2-HIGH", "5-LOW"))),
+      "a changed In element should move the hash")
+    val long = (1 to 12).map(i => f"p$i%02d")
+    assert(PlanFingerprint.hash(q(long)) ==
+      PlanFingerprint.hash(q(new scala.util.Random(7).shuffle(long))),
+      "InSet rendering order leaked into the fingerprint")
+    assert(PlanFingerprint.hash(q(long)) !=
+      PlanFingerprint.hash(q(long.updated(5, "zz"))),
+      "a changed InSet element should move the hash")
+  }
+
+  test("typed-API lambda object identity does not move the hash") {
+    // MapPartitions prints its function object as $$Lambda@<identity
+    // hex> (run-order sensitive — the r8 control's q91 flip); two
+    // DISTINCT lambda objects of the same code must hash identically
+    import spark.implicits._
+    // the capture forces a FRESH closure instance per call (a
+    // non-capturing lambda is a cached singleton and would make the
+    // identity comparison vacuous)
+    def q(off: Int) = df().select(col("o_orderpriority")).as[String]
+      .mapPartitions(it => it.map(_.length + off))
+      .toDF("n").groupBy(col("n")).count().orderBy(col("n"))
+    val a = q(0)
+    val b = q(0)
+    assert(PlanFingerprint.normalizedPlan(a).contains("MapPartitions"),
+      "fixture lost its MapPartitions node")
+    assert(!PlanFingerprint.normalizedPlan(a).matches(
+      "(?s).*Lambda[@$/].*"),
+      "a lambda identity token survived normalization")
+    assert(PlanFingerprint.hash(a) == PlanFingerprint.hash(b),
+      "lambda object identity leaked into the fingerprint")
+  }
+
   test("conjunct order inside a filter does not move the hash") {
     val a = df().filter(col("o_totalprice") > 0.0 &&
         col("o_orderstatus") === "O")
