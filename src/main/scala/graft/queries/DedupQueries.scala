@@ -385,10 +385,12 @@ object DedupQueries {
   }
 
   /** One row per fixed 16-token segment occurrence
-    * `(doc_id, hh: md5, ntok)` — the shared single-scan pass under
-    * q76 (per-doc dup accounting) and q81 (corpus-wide boilerplate
-    * report): tokens bind once, segment enumeration is a codegen'd
-    * HOF, and rows carry 16-byte digests, never segment text.
+    * `(doc_id, idx: 0-based segment position, hh: md5, ntok)` — the
+    * shared single-scan pass under q76 (per-doc dup accounting), q81
+    * (corpus-wide boilerplate report) and q223 (maximal duplicated
+    * runs, which needs the position to merge adjacency): tokens bind
+    * once, segment enumeration is a codegen'd HOF, and rows carry
+    * 16-byte digests, never segment text.
     */
   private def docSegments(s: SparkSession, d: String): DataFrame = {
     val W = 16
@@ -397,25 +399,27 @@ object DedupQueries {
         filter(split(col("text"), " "), tk => length(tk) > 0))
       .withColumn("n", size(col("tk")))
       .filter(col("n") > 0)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), expr(s"CAST((n + ${W - 1}) DIV $W AS INT) - 1")),
-          i => slice(col("tk"), i * W + 1, lit(W)))).as("seg"))
+          i => slice(col("tk"), i * W + 1, lit(W)))).as(Seq("idx", "seg")))
       .select(col("doc_id"),
+        col("idx").cast("long").as("idx"),
         md5(array_join(col("seg"), " ")).as("hh"),
         size(col("seg")).cast("long").as("ntok"))
   }
 
-  /** The q76/q81 segment-derivation CTE chain (DuckDB twin of
-    * [[docSegments]]), shared so the two oracles cannot drift.
+  /** The q76/q81/q223 segment-derivation CTE chain (DuckDB twin of
+    * [[docSegments]]), shared so the oracles cannot drift.
     */
   private val segSql: String =
     """toks AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
       |  FROM documents),
       |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-      |segs AS (SELECT doc_id, list_slice(t, i*16 + 1, i*16 + 16) AS seg
+      |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+      |    list_slice(t, i*16 + 1, i*16 + 16) AS seg
       |  FROM d, unnest(range(0, (n + 15) // 16)) AS r(i)),
-      |h AS (SELECT doc_id, md5(array_to_string(seg, ' ')) AS hh,
+      |h AS (SELECT doc_id, idx, md5(array_to_string(seg, ' ')) AS hh,
       |    CAST(len(seg) AS BIGINT) AS ntok
       |  FROM segs)""".stripMargin
 
@@ -681,6 +685,78 @@ object DedupQueries {
               |SELECT seg_md5, df, occurrences, example_doc FROM agg
               |WHERE df >= 2
               |ORDER BY df DESC, occurrences DESC, seg_md5 LIMIT 20""".stripMargin)),
+
+    // ── q223: maximal duplicated SPANS — q76's segment scrub at the
+    // grain a cutter actually cuts: adjacent duplicated 16-token
+    // segments (segment-hash df ≥ 2) merge into MAXIMAL runs per
+    // document, so a 400-token mirrored block reports as ONE span,
+    // not 25 segments. Per run: (doc_id, span_start = first segment
+    // index, span_segs, span_tokens, min_df = the weakest
+    // cross-document evidence inside the run), plus the per-doc
+    // readouts a release report leads with (longest run, duplicated
+    // mass in runs) denormalized onto each row. q76 stays the
+    // per-doc accounting face; q81 the corpus-wide passage report;
+    // q223 names the byte ranges.
+    //
+    // Scale shape: the shared [[docSegments]] single scan, df as one
+    // segment-cardinality-bounded aggregate joined back on the
+    // segment hash (the q76 exchange), then gaps-and-islands: run id
+    // = idx − row_number within the doc's duplicated segments — the
+    // ONLY window is per-document, bounded by doc length / 16, never
+    // corpus-wide (Q.scala's window rule); runs and the per-doc
+    // rollup aggregate at run grain. Every measure is an exact
+    // integer; output carries a total order.
+    QueryDef(
+      "q223_dup_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val segs = docSegments(s, d)
+        val dfq = segs.groupBy(col("hh"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val dup = segs.join(dfq, Seq("hh")).filter(col("df") >= 2)
+        val runs = dup
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("idx"))))
+          .withColumn("grp", col("idx") - col("rn"))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(
+            min(col("idx")).cast("long").as("span_start"),
+            count(lit(1)).cast("long").as("span_segs"),
+            sum(col("ntok")).cast("long").as("span_tokens"),
+            min(col("df")).cast("long").as("min_df"))
+          .drop("grp")
+        val per = runs.groupBy(col("doc_id"))
+          .agg(max(col("span_segs")).cast("long").as("doc_longest_segs"),
+            sum(col("span_tokens")).cast("long").as("doc_run_tokens"))
+        runs.join(per, Seq("doc_id"))
+          .select(col("doc_id"), col("span_start"), col("span_segs"),
+            col("span_tokens"), col("min_df"),
+            col("doc_longest_segs"), col("doc_run_tokens"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH $segSql,
+              |dfq AS (SELECT hh, count(DISTINCT doc_id) AS df
+              |  FROM h GROUP BY 1),
+              |dup AS (SELECT h.doc_id, idx, ntok, df
+              |  FROM h JOIN dfq USING (hh) WHERE df >= 2),
+              |r AS (SELECT doc_id, idx, ntok, df,
+              |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+              |      AS grp
+              |  FROM dup),
+              |runs AS (SELECT doc_id,
+              |    CAST(min(idx) AS BIGINT) AS span_start,
+              |    CAST(count(*) AS BIGINT) AS span_segs,
+              |    CAST(sum(ntok) AS BIGINT) AS span_tokens,
+              |    CAST(min(df) AS BIGINT) AS min_df
+              |  FROM r GROUP BY doc_id, grp),
+              |per AS (SELECT doc_id,
+              |    CAST(max(span_segs) AS BIGINT) AS doc_longest_segs,
+              |    CAST(sum(span_tokens) AS BIGINT) AS doc_run_tokens
+              |  FROM runs GROUP BY doc_id)
+              |SELECT runs.doc_id, span_start, span_segs, span_tokens,
+              |  min_df, doc_longest_segs, doc_run_tokens
+              |FROM runs JOIN per USING (doc_id)
+              |ORDER BY doc_id, span_start""".stripMargin)),
 
     // ── q84: QUALITY-aware survivor selection — collapse each near-dup
     // cluster to its highest-quality member instead of q36's min-id

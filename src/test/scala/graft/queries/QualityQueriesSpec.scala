@@ -259,6 +259,94 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(q76(ex) >= 1L, "example doc must carry dup segments in q76")
   }
 
+  test("q223 merges a 400-token mirrored block into ONE span, splits on gaps") {
+    // docs 0/1 share a 400-token block = 25 aligned segments -> one
+    // run of 25 segments / 400 tokens, NOT 25 rows; doc 2 shares two
+    // separate 16-token blocks with doc 3, split by a unique middle
+    // segment -> exactly two runs with the gap preserved
+    val B = (1 to 400).map(i => f"b$i%03d").mkString(" ")
+    val S1 = (1 to 16).map(i => f"s$i%02d").mkString(" ")
+    val S2 = (1 to 16).map(i => f"t$i%02d").mkString(" ")
+    val mid = (1 to 16).map(i => s"m$i").mkString(" ")
+    val mid2 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val rows = Seq(
+      (0L, B + " xtail", "en", "s"),
+      (1L, B + " ytail", "en", "s"),
+      (2L, S1 + " " + mid + " " + S2, "en", "s"),
+      (3L, S1 + " " + mid2 + " " + S2, "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q223_dup_spans")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byDoc = out.groupBy(_._1)
+    // the mirrored block is ONE maximal span per doc
+    assert(byDoc(0L).toSeq == Seq((0L, 0L, 25L, 400L, 2L, 25L, 400L)),
+      s"doc0: ${byDoc(0L).toSeq}")
+    assert(byDoc(1L).toSeq == Seq((1L, 0L, 25L, 400L, 2L, 25L, 400L)),
+      s"doc1: ${byDoc(1L).toSeq}")
+    // gap between the two shared blocks splits the runs
+    assert(byDoc(2L).toSeq.sortBy(_._2) == Seq(
+      (2L, 0L, 1L, 16L, 2L, 1L, 32L), (2L, 2L, 1L, 16L, 2L, 1L, 32L)),
+      s"doc2: ${byDoc(2L).toSeq}")
+    assert(byDoc(3L).toSeq.sortBy(_._2) == Seq(
+      (3L, 0L, 1L, 16L, 2L, 1L, 32L), (3L, 2L, 1L, 16L, 2L, 1L, 32L)),
+      s"doc3: ${byDoc(3L).toSeq}")
+  }
+
+  test("q223 runs are row-identical to a driver-side merge on real docs") {
+    // recompute the whole pipeline in plain Scala over the sf0.001
+    // corpus: tokenize, 16-token segments, df by md5, merge adjacent
+    // duplicated segments into maximal runs — the query must match
+    // EXACTLY (same grain, same measures)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def segsOf(text: String): Seq[(Int, Int, String)] = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      tk.grouped(16).zipWithIndex.map { case (seg, i) =>
+        (i, seg.length, md5hex(seg.mkString(" ")))
+      }.toSeq
+    }
+    val all = docs.filter(_._2.split(" ").exists(_.nonEmpty))
+      .map { case (id, t) => id -> segsOf(t) }
+    val df = scala.collection.mutable.Map[String, Set[Long]]()
+    all.foreach { case (id, segs) =>
+      segs.foreach { case (_, _, h) => df(h) = df.getOrElse(h, Set()) + id }
+    }
+    val expected = all.flatMap { case (id, segs) =>
+      val dup = segs.filter { case (_, _, h) => df(h).size >= 2 }
+      // maximal adjacent runs over the surviving indices
+      val runs = dup.foldLeft(List.empty[List[(Int, Int, String)]]) {
+        case (acc, s) => acc match {
+          case cur :: rest if cur.head._1 == s._1 - 1 => (s :: cur) :: rest
+          case _ => List(s) :: acc
+        }
+      }.reverse.map(_.reverse)
+      val runRows = runs.map { r =>
+        (id, r.head._1.toLong, r.length.toLong,
+          r.map(_._2).sum.toLong,
+          r.map(x => df(x._3).size).min.toLong)
+      }
+      if (runRows.isEmpty) Nil
+      else {
+        val longest = runRows.map(_._3).max
+        val mass = runRows.map(_._4).sum
+        runRows.map(t => (t._1, t._2, t._3, t._4, t._5, longest, mass))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q223_dup_spans")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("q77 scores corpus-typical text low and rare-continuation text high") {
     // docs 0-3 share one dominant bigram chain, so their continuations
     // are corpus-typical (low -ln p). Doc 4 uses the SAME frequent
