@@ -339,6 +339,63 @@ object Profile {
     val at10 = timedS("attribution 10x users")(attrProbe(ev10))
     println(f"PHASE attribution 10x/1x ratio ${at10 / at1}%8.3f (≈10 = linear in users)")
 
+    // Round-9 probe: the q219 touch CAP against the pathological cell
+    // the user axis can't produce — ONE user whose touch density
+    // explodes. Replicate one user's touches 300× and purchases 10×
+    // (time-shifted by microseconds, so every replica stays
+    // in-window) so that user's purchases×touches join cell
+    // dominates; the capped form flattens it (join fanout ≤ cap per
+    // purchase) while the uncapped form pays the full quadratic cell.
+    // Worst-case bound, measured: uncapped Θ(P_hot × T_hot) vs
+    // capped Θ(P_hot × cap + T_hot log T_hot) per hot user.
+    val hotUser = ev1.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).limit(1)
+      .collect()(0).getLong(0)
+    val hotTouches = ev1
+      .filter(col("user_id") === hotUser &&
+        col("event_type") =!= "purchase")
+    val hotPurch = ev1
+      .filter(col("user_id") === hotUser &&
+        col("event_type") === "purchase")
+    def reps(f: org.apache.spark.sql.DataFrame, n: Int) =
+      (1 to n).map(i => f
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1e12.toLong))
+        .withColumn("us", col("us") + lit(i.toLong)))
+      .reduce(_ unionAll _)
+    val evHot = ev1.unionAll(reps(hotTouches, 300))
+      .unionAll(reps(hotPurch, 10))
+    def cappedProbe(ev: org.apache.spark.sql.DataFrame, cap: Int): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("us").as("cus"))
+      val ranked = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)))
+      val touch = ranked.filter(col("rn") <= cap)
+        .select(col("user_id"), col("event_type"), col("us"))
+      val pct = conv.join(touch, Seq("user_id"))
+        .filter(col("us") < col("cus") &&
+          col("us") >= col("cus") - lit(604800000000L))
+        .groupBy(col("conv_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("t_cnt"))
+      pct.join(pct.groupBy(col("conv_id"))
+          .agg(sum(col("t_cnt")).as("n_touch")), Seq("conv_id"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("(1000000 * t_cnt) div n_touch")).as("credit_e6"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    // uncapped = the ORIGINAL windowless join (what shipped before
+    // the cap), so the ratio prices exactly what the cap buys
+    val hotUncapped = timedS("attribution hot-user uncapped")(
+      attrProbe(evHot))
+    val hotCapped = timedS("attribution hot-user cap=500")(
+      cappedProbe(evHot, 500))
+    println(f"PHASE attribution hot-user uncapped/capped ratio " +
+      f"${hotUncapped / hotCapped}%8.3f (>1 = cap bounds the quadratic cell)")
+
     spark.stop()
   }
 }

@@ -32,6 +32,65 @@ object Analytics4 {
 
   private val TradeEdgesSql = Analytics3.TradeEdgesSql
 
+  /** q219's per-user in-window touch bound: only each user's most
+    * recent `Q219TouchCap` non-purchase touches enter the attribution
+    * join. Sized two orders of magnitude above any real per-user
+    * activity (fixture max: 80 touches/user at sf0.1) — the cap
+    * exists to bound the PATHOLOGICAL cell (one bot user making the
+    * purchases×touches join quadratic), not to sample honest users;
+    * `n_capped_users` in the output reports every user that hit it.
+    */
+  private[graft] val Q219TouchCap = 10000
+
+  /** q219's body with the touch cap as a parameter — the spec seam:
+    * [[QueriesSpec]] proves cap=10000 ≡ cap=MaxValue on the fixture
+    * and that a tiny cap counts exactly the over-cap users.
+    */
+  private[graft] def linearAttribution(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("us").as("cus"))
+    val ranked = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+    val touch = ranked.filter(col("rn") <= cap)
+      .select(col("user_id"), col("event_type"), col("us"))
+    val capped = ranked.filter(col("rn") > cap)
+      .agg(countDistinct(col("user_id")).cast("long")
+        .as("n_capped_users"))
+    val perConvType = conv.join(touch, Seq("user_id"))
+      .filter(col("us") < col("cus") &&
+        col("us") >= col("cus") - lit(604800000000L))
+      .groupBy(col("conv_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("t_cnt"))
+    val perConv = perConvType.groupBy(col("conv_id"))
+      .agg(sum(col("t_cnt")).as("n_touch"))
+    perConvType.join(perConv, Seq("conv_id"))
+      .select(col("event_type"), col("conv_id"), col("t_cnt"),
+        expr("(1000000 * t_cnt) div n_touch").as("credit_e6"))
+      .groupBy(col("event_type"))
+      // the frame is unique per (conv, type) by construction, so
+      // a plain count IS the distinct conversion count — a
+      // countDistinct here would plan a needless Expand+distinct
+      // pass over the corpus-grain frame (r8 review finding)
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(col("t_cnt")).cast("long").as("n_touches"),
+        sum(col("credit_e6")).cast("long").as("credit_e6"))
+      .crossJoin(broadcast(capped))
+      .select(col("event_type"), col("n_conversions"),
+        col("n_touches"), col("credit_e6"),
+        round(col("credit_e6").cast("double") / 1000000.0, 6)
+          .as("credit"),
+        col("n_capped_users"))
+      .orderBy(col("credit_e6").desc, col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q211: pricing summary report (TPC-H Q1 analog) — per
@@ -621,47 +680,39 @@ object Analytics4 {
     // BNLJ); fanout is per-user activity-bounded, AQE-skew-eligible
     // for hot users; the (conversion, channel) and conversion-grain
     // aggregates reuse the conv_id key; final rollup is |types| rows.
+    //
+    // Worst-case bound (r9): the join intermediate is
+    // Θ(Σ_u purchases_u × touches_u) — linear when the corpus grows
+    // by USERS (probed: 10× users ⇒ 3.97×, Profile.scala), but a
+    // single pathological user (a bot with 10⁹ touches) still owns a
+    // quadratic cell. The cap turns that cell linear: only each
+    // user's [[Q219TouchCap]] most RECENT touches (total order
+    // (us, event_id) desc — deterministic) enter the join, and the
+    // output's `n_capped_users` column reports exactly how many
+    // users hit the bound, so a truncated report NAMES its own
+    // truncation instead of silently under-crediting. At the cap's
+    // 10k default no fixture user is capped (max observed 80/user at
+    // sf0.1), so the capped form is spec-proved ≡ uncapped and the
+    // oracle hash is unchanged in distribution; the per-user
+    // row_number window is itself per-user-bounded work (linear in
+    // the hot user's touches — the price that replaces the quadratic
+    // join cell).
     QueryDef(
       "q219_linear_attribution",
-      (s, d) => {
-        val ev = t(s, d, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-        val conv = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("conv_id"), col("user_id"),
-            col("us").as("cus"))
-        val touch = ev.filter(col("event_type") =!= "purchase")
-          .select(col("user_id"), col("event_type"), col("us"))
-        val perConvType = conv.join(touch, Seq("user_id"))
-          .filter(col("us") < col("cus") &&
-            col("us") >= col("cus") - lit(604800000000L))
-          .groupBy(col("conv_id"), col("event_type"))
-          .agg(count(lit(1)).cast("long").as("t_cnt"))
-        val perConv = perConvType.groupBy(col("conv_id"))
-          .agg(sum(col("t_cnt")).as("n_touch"))
-        perConvType.join(perConv, Seq("conv_id"))
-          .select(col("event_type"), col("conv_id"), col("t_cnt"),
-            expr("(1000000 * t_cnt) div n_touch").as("credit_e6"))
-          .groupBy(col("event_type"))
-          // the frame is unique per (conv, type) by construction, so
-          // a plain count IS the distinct conversion count — a
-          // countDistinct here would plan a needless Expand+distinct
-          // pass over the corpus-grain frame (r8 review finding)
-          .agg(count(lit(1)).cast("long").as("n_conversions"),
-            sum(col("t_cnt")).cast("long").as("n_touches"),
-            sum(col("credit_e6")).cast("long").as("credit_e6"))
-          .select(col("event_type"), col("n_conversions"),
-            col("n_touches"), col("credit_e6"),
-            round(col("credit_e6").cast("double") / 1000000.0, 6)
-              .as("credit"))
-          .orderBy(col("credit_e6").desc, col("event_type"))
-      },
-      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+      (s, d) => linearAttribution(s, d, Q219TouchCap),
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
              |    epoch_us(ts) AS us FROM events),
              |p AS (SELECT event_id AS conv_id, user_id, us AS cus
              |  FROM ev WHERE event_type = 'purchase'),
-             |tc AS (SELECT user_id, event_type, us
+             |tr AS (SELECT user_id, event_type, us,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us DESC, event_id DESC) AS rn
              |  FROM ev WHERE event_type <> 'purchase'),
+             |tc AS (SELECT user_id, event_type, us FROM tr
+             |  WHERE rn <= $Q219TouchCap),
+             |cap AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+             |    AS n_capped_users
+             |  FROM tr WHERE rn > $Q219TouchCap),
              |pt AS (SELECT p.conv_id, tc.event_type,
              |    CAST(count(*) AS BIGINT) AS t_cnt
              |  FROM p JOIN tc ON p.user_id = tc.user_id
@@ -675,9 +726,10 @@ object Analytics4 {
              |  CAST(sum((1000000 * pt.t_cnt) // n.n_touch) AS BIGINT)
              |    AS credit_e6,
              |  round(CAST(sum((1000000 * pt.t_cnt) // n.n_touch)
-             |    AS DOUBLE)/1000000.0, 6) AS credit
-             |FROM pt JOIN n USING (conv_id)
-             |GROUP BY pt.event_type
+             |    AS DOUBLE)/1000000.0, 6) AS credit,
+             |  cap.n_capped_users
+             |FROM pt JOIN n USING (conv_id) CROSS JOIN cap
+             |GROUP BY pt.event_type, cap.n_capped_users
              |ORDER BY credit_e6 DESC, event_type""".stripMargin)),
 
     // ── q220: corpus NOVELTY curve — split the ingest stream (doc_id

@@ -534,7 +534,10 @@ class QueriesSpec extends SparkTestBase {
       // q220: the 1-row max-doc-id frame broadcasts into the
       // fingerprint join for the integer tranche id — the same
       // scalar-broadcast shape
-      "q220_novelty_curve")
+      "q220_novelty_curve",
+      // q219 (r9): the 1-row n_capped_users frame broadcasts into the
+      // |types|-row rollup — the scalar-broadcast shape again
+      "q219_linear_attribution")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -3174,11 +3177,47 @@ class QueriesSpec extends SparkTestBase {
     assert(total <= 1000000L * nConv &&
       total > 1000000L * nConv - 5L * nConv,
       s"credit mass $total vs $nConv conversions")
+    // no fixture user reaches the 10k touch cap
+    assert(df.collect().forall(_.getLong(5) == 0L),
+      "n_capped_users must be 0 at spec sf")
     // the user-keyed join must stay a hash join (the window is a
-    // residual predicate, never a time-keyed nested loop)
+    // residual predicate, never a time-keyed nested loop). The
+    // capped-frame scalar rides the allowlisted 1-row broadcast.
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"), s"q219 degraded:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q219 degraded:\n$plan")
+  }
+
+  test("q219 touch cap: capped == uncapped on the fixture; tiny cap counts capped users") {
+    import org.apache.spark.sql.functions._
+    // at the shipped 10k cap the fixture is untouched: row-identical
+    // to an effectively-uncapped run
+    val capped = Analytics4.linearAttribution(
+      spark, sf(), Analytics4.Q219TouchCap).collect().toSeq
+    val uncapped = Analytics4.linearAttribution(
+      spark, sf(), Int.MaxValue).collect().toSeq
+    assert(capped == uncapped, "10k cap altered fixture attribution")
+    // a tiny cap on a constructed stream: user 1 has 5 touches then a
+    // purchase, user 2 has 2 touches then a purchase — cap=3 keeps
+    // user 1's three most RECENT touches, truncates the rest, and
+    // n_capped_users counts EXACTLY user 1
+    val base = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    def us(min: Long) = java.sql.Timestamp.from(base.plusSeconds(min * 60))
+    val rows =
+      (1 to 5).map(i => (i.toLong, us(i.toLong), 1L, "click", 0.0, "{}")) ++
+      Seq((6L, us(6), 1L, "purchase", 1.0, "{}")) ++
+      (7 to 8).map(i => (i.toLong, us(i.toLong), 2L, "view", 0.0, "{}")) ++
+      Seq((9L, us(9), 2L, "purchase", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    spark.createDataFrame(rows.toSeq)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Analytics4.linearAttribution(spark, tmp, 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // user 1: touches 3,4,5 survive (most recent before the purchase),
+    // user 2: both views survive; exactly ONE user was capped
+    assert(out("click") == ((1L, 3L, 1000000L, 1L)), s"click: $out")
+    assert(out("view") == ((1L, 2L, 1000000L, 1L)), s"view: $out")
   }
 
   test("q220 novelty equals a driver recompute; mass and families conserve") {
