@@ -46,6 +46,17 @@ object GraftSql {
     *   - `pair_candidates` — the mined near-dup pair artifact with both
     *     overlap measures (q25/q68's shared index)
     *   - `lm_cost`        — q77's bigram cost table
+    *   - `trade_edges`    — the graph family's nation-to-nation
+    *     shipment edge frame (`src, dst, w`; q204/q208/q213/q215's
+    *     one corpus collapse)
+    *   - `user_bitmaps`   — the bitmap family's (event_type, bucket)
+    *     user-id bitmap frame (`et, bkt, bm`; q209 popcounts it,
+    *     q210 ANDs it — `bitmap_count`/`bitmap_and_agg` compose in
+    *     SQL directly)
+    *   - `phash_sigs` / `video_sigs` / `audio_sigs` — the media
+    *     signature bases (`doc_id, sig` / `doc_id, sigs`): the
+    *     decode+DCT pass materializes once, then Hamming probes are
+    *     plain `bit_count(sig ^ ?)` SQL
     *
     * Each is the SAME cached/persisted frame the Column API serves
     * (one definition, amortized build), so e.g.
@@ -70,6 +81,16 @@ object GraftSql {
       .createOrReplaceTempView("pair_candidates")
     graft.queries.TextQueries.lmCostTable(spark, sfDir)
       .createOrReplaceTempView("lm_cost")
+    graft.queries.Analytics3.tradeEdges(spark, sfDir)
+      .createOrReplaceTempView("trade_edges")
+    graft.queries.Analytics3.userBitmaps(spark, sfDir)
+      .createOrReplaceTempView("user_bitmaps")
+    graft.queries.MultimodalQueries.phashSigs(spark, sfDir)
+      .createOrReplaceTempView("phash_sigs")
+    graft.queries.MultimodalQueries.videoSigs(spark, sfDir)
+      .createOrReplaceTempView("video_sigs")
+    graft.queries.MultimodalQueries.audioSigs(spark, sfDir)
+      .createOrReplaceTempView("audio_sigs")
   }
 
   /** Convenience: open + run one statement. */

@@ -38,7 +38,7 @@ object Analytics3 {
     * at orders grain), the one corpus-scale exchange is the orderkey
     * join, and the aggregate lands on the ≤|nations|² edge grain.
     */
-  private[queries] def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
     tradeEdgesCache.get(s, d) {
       val suppNat = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")
@@ -81,7 +81,7 @@ object Analytics3 {
     * (session, corpus) through the stamped/durable tier. The exchange
     * carries ≤4 KB bitmaps, never ids.
     */
-  private def userBitmaps(s: SparkSession, d: String): DataFrame =
+  private[graft] def userBitmaps(s: SparkSession, d: String): DataFrame =
     userBitmapsCache.get(s, d) {
       t(s, d, "events")
         .select(col("event_type").as("et"),

@@ -20,7 +20,7 @@ object MultimodalQueries {
     */
   private val phashCache = new StampedCache("phash_sigs")
 
-  private def phashSigs(
+  private[graft] def phashSigs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     phashCache.get(s, d) {
       graft.functions.GraftFunctions.register(s)
@@ -60,7 +60,7 @@ object MultimodalQueries {
     s"video_phash_sigs_s${graft.functions.GraftFunctions.VideoStride}" +
       s"f${graft.functions.GraftFunctions.VideoMaxFrames}")
 
-  private def videoSigs(
+  private[graft] def videoSigs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     videoSigCache.get(s, d) {
       graft.functions.GraftFunctions.register(s)
@@ -118,7 +118,7 @@ object MultimodalQueries {
     */
   private val audioSigCache = new StampedCache("audio_fp_sigs")
 
-  private def audioSigs(
+  private[graft] def audioSigs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     audioSigCache.get(s, d) {
       graft.functions.GraftFunctions.register(s)

@@ -94,4 +94,56 @@ class GraftSqlSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(sqlBest == apiBest)
   }
+
+  test("r8 shared frames are SQL views agreeing with their declared queries") {
+    GraftSql.openDerived(spark, sf())
+    // user_bitmaps: the SQL popcount rollup IS q209
+    val sqlQ209 = spark.sql(
+      """SELECT et AS event_type,
+        |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+        |FROM user_bitmaps GROUP BY et ORDER BY et""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val apiQ209 = SparkEntry.queries("q209_bitmap_distinct")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlQ209 == apiQ209)
+    // trade_edges: the view is the graph family's frame, and mass
+    // conserves — every lineitem contributes exactly one edge unit
+    val sqlEdges = spark.sql(
+      "SELECT src, dst, w FROM trade_edges ORDER BY src, dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val apiEdges = graft.queries.Analytics3.tradeEdges(spark, sf())
+      .orderBy(col("src"), col("dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sqlEdges == apiEdges && sqlEdges.nonEmpty)
+    val liCount = spark.sql("SELECT count(*) FROM lineitem").head().getLong(0)
+    assert(sqlEdges.map(_._3).sum == liCount, "edge mass != lineitem count")
+    // media signature views: one row per document, identical to the
+    // accessor frames the q73/q189/q190 families ride
+    val nDocs = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
+    for ((view, api) <- Seq(
+        ("phash_sigs",
+          graft.queries.MultimodalQueries.phashSigs(spark, sf())),
+        ("audio_sigs",
+          graft.queries.MultimodalQueries.audioSigs(spark, sf())))) {
+      val viaSql = spark.sql(s"SELECT doc_id, sig FROM $view ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      val viaApi = api.orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(viaSql == viaApi && viaSql.length == nDocs, view)
+    }
+    val vSql = spark.sql(
+      "SELECT doc_id, sigs FROM video_sigs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val vApi = graft.queries.MultimodalQueries.videoSigs(spark, sf())
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(vSql == vApi && vSql.length == nDocs)
+    // the signature views compose in plain SQL: a Hamming self-probe
+    // on phash_sigs finds each doc itself at distance 0
+    val self = spark.sql(
+      """SELECT count(*) FROM phash_sigs a JOIN phash_sigs b
+        |ON a.sig = b.sig AND a.doc_id = b.doc_id""".stripMargin)
+      .head().getLong(0)
+    assert(self == nDocs)
+  }
 }
