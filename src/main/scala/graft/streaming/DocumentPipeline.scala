@@ -113,7 +113,8 @@ object DocumentPipeline {
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
       numBuckets: Option[Int] = None,
       signaturesPath: Option[String] = None,
-      lmPath: Option[String] = None): BatchReport = {
+      lmPath: Option[String] = None,
+      onCommitted: String => Unit = _ => ()): BatchReport = {
     val spark = batch.sparkSession
     val B = graft.operators.PartitionedCommit.BucketCol
     // Healed standing read, not bare fs.exists(): a crash inside a
@@ -221,11 +222,19 @@ object DocumentPipeline {
               spark, merged, candidatesPath, touched)
             graft.operators.PartitionedCommit.standingCount(spark, candidatesPath)
         }
+        // `onCommitted(artifact)` fires after each lockstep commit
+        // lands — an ops progress hook, and the crash-matrix spec's
+        // seam: throwing from it IS a kill between two commits, and
+        // [[DocumentPipelineSpec]] proves the replay heals every such
+        // interleaving to the one-pass rebuild state
+        onCommitted("candidates")
         val newCandidates = newCands.count()
         val shingleRows = CorpusMaintenance.upsertBatch(
           deltaSh, shinglesPath, "doc_id", numBuckets)
+        onCommitted("shingles")
         val corpusRows = CorpusMaintenance.upsertBatch(
           scrubbed, corpusPath, "doc_id", numBuckets)
+        onCommitted("corpus")
         val sigRows = signaturesPath.fold(0L) { p =>
           graft.functions.GraftFunctions.register(spark)
           CorpusMaintenance.upsertBatch(

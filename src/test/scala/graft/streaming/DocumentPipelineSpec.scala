@@ -157,6 +157,52 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(stored == rebuilt(p), "healed state != one-pass rebuild")
   }
 
+  test("crash matrix: a kill between EVERY pair of lockstep commits heals on replay") {
+    // the individual crash contracts (mid-rename heal, replay
+    // idempotence) are pinned above; this closes their COMPOSITION:
+    // for each point in the commit sequence candidates -> shingles ->
+    // corpus, kill the pipeline right after that commit lands (the
+    // onCommitted seam throws = the process dies between two
+    // commits), then replay the same batch and require the trio to
+    // equal a never-crashed control run AND the one-pass rebuild.
+    // The batch includes a REPLACEMENT (doc 2 rewritten, its (1,2)
+    // pair must die) so every interleaving also exercises stale-state
+    // retirement, not just append.
+    val b1 = Seq((1L, s"$base a1"), (2L, s"$base a2"))
+    val b2 = Seq((3L, s"$base a3"),
+      (2L, "rewritten into an entirely different document now"))
+    def snap(p: Paths) = (
+      spark.read.parquet(p.corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(p.shingles).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)))
+    val ctl = Paths(tmp("docpipe-matrix-ctl"))
+    DocumentPipeline.upsertBatch(docs(b1: _*), ctl.corpus, ctl.shingles, ctl.cands)
+    DocumentPipeline.upsertBatch(docs(b2: _*), ctl.corpus, ctl.shingles, ctl.cands)
+    val want = snap(ctl)
+    assert(want._3.exists { case (a, b, _, _, _) => a == 1L && b == 3L } &&
+      !want._3.exists { case (a, b, _, _, _) => a == 1L && b == 2L },
+      s"control run must replace the (1,2) pair with (1,3): ${want._3}")
+    case class Killed() extends RuntimeException("killed between commits")
+    for (point <- Seq("candidates", "shingles", "corpus")) {
+      val p = Paths(tmp(s"docpipe-matrix-$point"))
+      DocumentPipeline.upsertBatch(docs(b1: _*), p.corpus, p.shingles, p.cands)
+      intercept[Killed] {
+        DocumentPipeline.upsertBatch(
+          docs(b2: _*), p.corpus, p.shingles, p.cands,
+          onCommitted = a => if (a == point) throw Killed())
+      }
+      val r = DocumentPipeline.upsertBatch(
+        docs(b2: _*), p.corpus, p.shingles, p.cands)
+      assert(r.corpusRows == 3, s"crash after $point: $r")
+      assert(snap(p) == want,
+        s"crash after $point: healed trio != never-crashed control")
+      assert(candSet(spark.read.parquet(p.cands)) == rebuilt(p),
+        s"crash after $point: candidates != one-pass rebuild")
+    }
+  }
+
   test("PII is scrubbed before any artifact sees the text") {
     val p = Paths(tmp("docpipe-pii"))
     DocumentPipeline.upsertBatch(
