@@ -910,6 +910,66 @@ object Analytics4 {
              |  round(CAST(sum(dau) AS DOUBLE)
              |    /(CAST(max(wau) AS DOUBLE) * 7.0), 6) AS stickiness
              |FROM daily JOIN weekly ON daily.week = weekly.week
-             |GROUP BY daily.week ORDER BY daily.week""".stripMargin))
+             |GROUP BY daily.week ORDER BY daily.week""".stripMargin)),
+
+    // ── q225: weekly RETENTION cohort matrix (r9) — users grouped by
+    // the absolute week of their FIRST event (epoch-day div 7, the
+    // q222 calendar); for each cohort and offset k = 0..7, the
+    // distinct users active in week cohort+k and the retention rate:
+    // the triangle chart every growth review opens (q152 cohorts by
+    // first-event TYPE, q222 reads population stickiness, q130
+    // per-user streaks — this is the cohort×time matrix). k = 0 is
+    // the cohort week itself (rate 1 by construction — kept: the
+    // anchor row proves the denominator). Offsets beyond 7 weeks are
+    // out of the report's window and dropped, bounding the output at
+    // |weeks|×8. Exactness: distinct counts are exact, the rate is
+    // one mirrored rounded division.
+    //
+    // Scale shape: the corpus collapses ONCE to the distinct
+    // (user, week) grain (one exchange — q222's frame); the
+    // first-week rollup and the join-back both key on user_id
+    // (co-partitioned, no second corpus exchange); the final agg is
+    // (cohort, k) grain, ≤ |weeks|×8 rows. No corpus self-join.
+    QueryDef(
+      "q225_retention_cohorts",
+      (s, d) => {
+        val uw = t(s, d, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("day"))
+          // integer `div`, never `/` (Divide is DOUBLE division)
+          .select(col("user_id"), expr("day div 7").as("week"))
+          .distinct()
+        val first = uw.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort"))
+        val act = uw.join(first, Seq("user_id"))
+          .filter(col("week") - col("cohort") <= 7L)
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("k"))
+          .agg(count(lit(1)).cast("long").as("n_active"))
+        val cs = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).cast("long").as("n_cohort"))
+        act.join(cs, Seq("cohort"))
+          .select(col("cohort"), col("k"), col("n_cohort"),
+            col("n_active"),
+            round(col("n_active").cast("double") /
+              col("n_cohort").cast("double"), 6).as("rate"))
+          .orderBy(col("cohort"), col("k"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+             |  FROM events),
+             |f AS (SELECT user_id, min(week) AS cohort
+             |  FROM uw GROUP BY 1),
+             |act AS (SELECT cohort, week - cohort AS k,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM uw JOIN f USING (user_id)
+             |  WHERE week - cohort <= 7 GROUP BY 1, 2),
+             |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+             |  FROM f GROUP BY 1)
+             |SELECT cohort, k, n_cohort, n_active,
+             |  round(CAST(n_active AS DOUBLE)/CAST(n_cohort AS DOUBLE), 6)
+             |    AS rate
+             |FROM act JOIN cs USING (cohort) ORDER BY cohort, k""".stripMargin))
   )
 }

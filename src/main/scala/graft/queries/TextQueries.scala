@@ -2252,7 +2252,91 @@ object TextQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      AS DOUBLE) /
              |    CAST(sum(tokens) OVER () AS DOUBLE), 6) AS cum_share
-             |FROM h ORDER BY bucket""".stripMargin))
+             |FROM h ORDER BY bucket""".stripMargin)),
+
+    // ── q224: PACKING-efficiency sweep (r9) — the readout a training
+    // team reads BEFORE choosing a context length: for each candidate
+    // ctx ∈ {512, 1024, 2048, 4096}, the sequence count and padding
+    // mass under the three batching layouts — PACKED (per-source
+    // cross-doc concatenation, q90's layout: only each source's tail
+    // sequence pads), DOC-ALIGNED (each doc padded to its own
+    // ⌈n/ctx⌉ boundary — no cross-doc attention leakage, the padding
+    // price of that isolation), and SINGLE-SEQUENCE truncation (one
+    // sequence per doc, the token mass LOST at each ctx). q90 maps
+    // documents to the packed grid at one fixed ctx; this prices the
+    // grid choice itself. align_overhead = aligned/packed sequences
+    // is the headline multiplier. Exactness: every measure is an
+    // exact integer (⌈·⌉ as (n + ctx − 1) div ctx — integer div both
+    // engines); the one ratio is a mirrored rounded division.
+    //
+    // Scale shape: ONE corpus scan computes (source, n_tok); the
+    // 4-row ctx dimension broadcast-fans the per-doc stream 4× into
+    // a map-side-combined |ctx| hash agg (no corpus shuffle, the
+    // q129/q144 dimension-fanout class); the packed side re-uses the
+    // |sources| mass rollup crossed with the same 4-row dim at
+    // dimension grain. Output 4 rows.
+    QueryDef(
+      "q224_packing_efficiency",
+      (s, d) => {
+        import s.implicits._
+        val lDim = Seq(512L, 1024L, 2048L, 4096L).toDF("ctx")
+        val tok = t(s, d, "documents")
+          .select(col("source"), tokenMass(s, d, col("text")).as("n_tok"))
+          .filter(col("n_tok") > 0)
+        val docside = tok.crossJoin(broadcast(lDim))
+          .groupBy(col("ctx"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(expr("(n_tok + ctx - 1) div ctx")).cast("long")
+              .as("aligned_seqs"),
+            sum(expr("((n_tok + ctx - 1) div ctx) * ctx - n_tok"))
+              .cast("long").as("aligned_pad"),
+            sum(greatest(col("n_tok") - col("ctx"), lit(0L))).cast("long")
+              .as("trunc_tokens"))
+        val packed = tok.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("mass"))
+          .crossJoin(broadcast(lDim))
+          .groupBy(col("ctx"))
+          .agg(sum(expr("(mass + ctx - 1) div ctx")).cast("long")
+              .as("packed_seqs"),
+            sum(expr("((mass + ctx - 1) div ctx) * ctx - mass"))
+              .cast("long").as("packed_pad"))
+        docside.join(packed, Seq("ctx"))
+          .select(col("ctx"), col("n_docs"), col("packed_seqs"),
+            col("packed_pad"), col("aligned_seqs"), col("aligned_pad"),
+            col("trunc_tokens"),
+            round(col("aligned_seqs").cast("double") /
+              col("packed_seqs").cast("double"), 6).as("align_overhead"))
+          .orderBy(col("ctx"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |nz AS (SELECT * FROM tok WHERE n_tok > 0),
+             |ls AS (SELECT CAST(u AS BIGINT) AS ctx
+             |  FROM unnest([512,1024,2048,4096]) AS t(u)),
+             |docside AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum((n_tok + ctx - 1) // ctx) AS BIGINT)
+             |      AS aligned_seqs,
+             |    CAST(sum(((n_tok + ctx - 1) // ctx) * ctx - n_tok)
+             |      AS BIGINT) AS aligned_pad,
+             |    CAST(sum(greatest(n_tok - ctx, 0)) AS BIGINT)
+             |      AS trunc_tokens
+             |  FROM nz CROSS JOIN ls GROUP BY ctx),
+             |srcm AS (SELECT source, sum(n_tok) AS mass
+             |  FROM nz GROUP BY 1),
+             |packed AS (SELECT ctx,
+             |    CAST(sum((mass + ctx - 1) // ctx) AS BIGINT)
+             |      AS packed_seqs,
+             |    CAST(sum(((mass + ctx - 1) // ctx) * ctx - mass)
+             |      AS BIGINT) AS packed_pad
+             |  FROM srcm CROSS JOIN ls GROUP BY ctx)
+             |SELECT ctx, n_docs, packed_seqs, packed_pad, aligned_seqs,
+             |  aligned_pad, trunc_tokens,
+             |  round(CAST(aligned_seqs AS DOUBLE)
+             |    /CAST(packed_seqs AS DOUBLE), 6) AS align_overhead
+             |FROM docside JOIN packed USING (ctx)
+             |ORDER BY ctx""".stripMargin))
   )
 
   /** Per-partition Misra–Gries candidate mine over a one-column token

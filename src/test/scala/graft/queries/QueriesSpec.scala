@@ -3220,6 +3220,102 @@ class QueriesSpec extends SparkTestBase {
     assert(out("view") == ((1L, 2L, 1000000L, 1L)), s"view: $out")
   }
 
+  test("q224 packing sweep equals a driver recompute; mass conserves") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q224_packing_efficiency")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (Option(r.getString(0)),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .filter(_._2 > 0)
+    val total = docs.map(_._2).sum
+    for (ctx <- Seq(512L, 1024L, 2048L, 4096L)) {
+      def ceilDiv(n: Long) = (n + ctx - 1) / ctx
+      val alignedSeqs = docs.map { case (_, n) => ceilDiv(n) }.sum
+      val alignedPad = docs.map { case (_, n) => ceilDiv(n) * ctx - n }.sum
+      val trunc = docs.map { case (_, n) => math.max(n - ctx, 0L) }.sum
+      val masses = docs.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+      val packedSeqs = masses.map(ceilDiv).sum
+      val packedPad = masses.map(m => ceilDiv(m) * ctx - m).sum
+      assert(got(ctx) == ((docs.length.toLong, packedSeqs, packedPad,
+        alignedSeqs, alignedPad, trunc)), s"ctx=$ctx: ${got(ctx)}")
+      // packing can only help: ceil(sum) <= sum(ceil) per source
+      assert(packedSeqs <= alignedSeqs && packedPad <= alignedPad)
+      // token conservation: every aligned slot is a token or padding
+      assert(alignedSeqs * ctx == total + alignedPad, s"ctx=$ctx")
+    }
+  }
+
+  test("q225 cohort matrix equals a driver recompute; anchor rows exact") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q225_retention_cohorts")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val uw = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val day = Math.floorDiv(r.getTimestamp(1).toInstant.getEpochSecond,
+          86400L)
+        (r.getLong(0), Math.floorDiv(day, 7L))
+      }.distinct
+    val first = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val act = uw.map { case (u, w) => (first(u), w - first(u)) }
+      .filter(_._2 <= 7L)
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val sizes = first.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val exp = act.map { case ((c, k), n) => (c, k) -> ((sizes(c), n)) }
+    assert(got == exp, s"got $got expected $exp")
+    // k = 0 anchors: every cohort member is active in its first week
+    got.foreach { case ((c, k), (nc, na)) =>
+      if (k == 0L) assert(na == nc, s"cohort $c anchor")
+      assert(na <= nc, s"cohort $c k=$k")
+    }
+  }
+
+  test("q225 reads a constructed decaying cohort exactly") {
+    import org.apache.spark.sql.functions._
+    // cohort week W: users 1,2,3 start; user 1 returns week W+1,
+    // user 2 returns W+1 and W+3; user 4 starts at W+1 (its own
+    // cohort) — the matrix must keep the cohorts separate and read
+    // the decay 3 -> 2 -> 0 -> 1
+    val w0 = java.time.Instant.parse("2024-01-04T00:00:00Z") // week-aligned? no — any day works, div 7 is absolute
+    def ts(weeks: Long, h: Int) =
+      java.sql.Timestamp.from(w0.plusSeconds(weeks * 7 * 86400 + h * 3600))
+    val rows = Seq(
+      (1L, ts(0, 1), 1L, "view", 0.0, "{}"),
+      (2L, ts(0, 2), 2L, "view", 0.0, "{}"),
+      (3L, ts(0, 3), 3L, "view", 0.0, "{}"),
+      (4L, ts(1, 1), 1L, "click", 0.0, "{}"),
+      (5L, ts(1, 2), 2L, "view", 0.0, "{}"),
+      (6L, ts(3, 1), 2L, "view", 0.0, "{}"),
+      (7L, ts(1, 4), 4L, "view", 0.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cohort").toString
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q225_retention_cohorts")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // absolute weeks of the fixture instants
+    val base = Math.floorDiv(Math.floorDiv(w0.getEpochSecond, 86400L), 7L)
+    // 2024-01-04 is NOT on an epoch-week boundary in general; derive
+    // the two cohort weeks from the data's own convention
+    val wk = (weeks: Long) => Math.floorDiv(
+      Math.floorDiv(w0.plusSeconds(weeks * 7 * 86400).getEpochSecond,
+        86400L), 7L)
+    assert(base == wk(0))
+    val exp = Seq(
+      (wk(0), 0L, 3L, 3L, 1.0),
+      (wk(0), wk(1) - wk(0), 3L, 2L, 0.666667),
+      (wk(0), wk(3) - wk(0), 3L, 1L, 0.333333),
+      (wk(1), 0L, 1L, 1L, 1.0))
+    assert(out.toSeq.sortBy(t => (t._1, t._2)) ==
+      exp.sortBy(t => (t._1, t._2)), s"got ${out.toSeq}")
+  }
+
   test("q220 novelty equals a driver recompute; mass and families conserve") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q220_novelty_curve")(spark, sf())
