@@ -537,7 +537,12 @@ class QueriesSpec extends SparkTestBase {
       "q220_novelty_curve",
       // q219 (r9): the 1-row n_capped_users frame broadcasts into the
       // |types|-row rollup — the scalar-broadcast shape again
-      "q219_linear_attribution")
+      "q219_linear_attribution",
+      // q224 (r9): the 4-row ctx dimension broadcast-fans the per-doc
+      // token stream map-side (and the |sources| mass rollup) —
+      // q129/q144's dimension-bounded fanout class; the corpus never
+      // shuffles
+      "q224_packing_efficiency")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
