@@ -49,10 +49,13 @@ object OrderHash {
     ordered.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (only.isEmpty || only(name)) {
-        val p = plans.PlanFingerprint.normalizedPlan(df)
-        val h = f"${scala.util.hashing.MurmurHash3.stringHash(p)}%08x"
-        out += ((name, h))
-        if (printFull) println(s"PLAN_BEGIN $name\n$p\nPLAN_END $name")
+        // THE fingerprint definition, not a restatement — these HASH
+        // lines must be the hashes BENCH_DETAIL records
+        out += ((name, plans.PlanFingerprint.hash(df)))
+        if (printFull) {
+          val p = plans.PlanFingerprint.normalizedPlan(df)
+          println(s"PLAN_BEGIN $name\n$p\nPLAN_END $name")
+        }
       }
     }
     // stable print order regardless of build order, so two runs diff

@@ -365,34 +365,16 @@ object Profile {
       .reduce(_ unionAll _)
     val evHot = ev1.unionAll(reps(hotTouches, 300))
       .unionAll(reps(hotPurch, 10))
-    def cappedProbe(ev: org.apache.spark.sql.DataFrame, cap: Int): Unit = {
-      import org.apache.spark.sql.expressions.Window
-      val conv = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("conv_id"), col("user_id"),
-          col("us").as("cus"))
-      val ranked = ev.filter(col("event_type") =!= "purchase")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("us").desc, col("event_id").desc)))
-      val touch = ranked.filter(col("rn") <= cap)
-        .select(col("user_id"), col("event_type"), col("us"))
-      val pct = conv.join(touch, Seq("user_id"))
-        .filter(col("us") < col("cus") &&
-          col("us") >= col("cus") - lit(604800000000L))
-        .groupBy(col("conv_id"), col("event_type"))
-        .agg(count(lit(1)).cast("long").as("t_cnt"))
-      pct.join(pct.groupBy(col("conv_id"))
-          .agg(sum(col("t_cnt")).as("n_touch")), Seq("conv_id"))
-        .groupBy(col("event_type"))
-        .agg(sum(expr("(1000000 * t_cnt) div n_touch")).as("credit_e6"))
-        .write.mode("overwrite").format("noop").save()
-    }
     // uncapped = the ORIGINAL windowless join (what shipped before
-    // the cap), so the ratio prices exactly what the cap buys
+    // the cap), so the ratio prices exactly what the cap buys; the
+    // capped side drives the REAL q219 implementation
+    // (Analytics4.linearAttributionFrom), not a probe-local copy, so
+    // a logic change there is automatically what this ratio measures
     val hotUncapped = timedS("attribution hot-user uncapped")(
       attrProbe(evHot))
     val hotCapped = timedS("attribution hot-user cap=500")(
-      cappedProbe(evHot, 500))
+      graft.queries.Analytics4.linearAttributionFrom(evHot, 500)
+        .write.mode("overwrite").format("noop").save())
     println(f"PHASE attribution hot-user uncapped/capped ratio " +
       f"${hotUncapped / hotCapped}%8.3f (>1 = cap bounds the quadratic cell)")
 

@@ -171,25 +171,31 @@ object PlanFingerprint {
       case GreaterThan(l, r) => LessThan(r, l)
       case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
     }
-    val canon = oriented.transformAllExpressions {
-      case m: MultiCommutativeOp =>
-        m.withNewChildren(
-          m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
-      case a @ And(_, _) =>
-        splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
-      // 4b. IN-literal lists collapse to a count+content-hash token,
-      // ORDER-INSENSITIVELY: a collected-artifact list (hot terms,
-      // survivors) renders in collection order, and InSet prints its
-      // Set's iteration order — neither carries plan semantics. The
-      // token keeps full content SENSITIVITY (any changed/added
-      // element moves the hash) while erasing ordering; the literal
-      // is a fingerprint-only placeholder, never executed.
+    // 4b. IN-literal lists collapse to a count+content-hash token,
+    // ORDER-INSENSITIVELY: a collected-artifact list (hot terms,
+    // survivors) renders in collection order, and InSet prints its
+    // Set's iteration order — neither carries plan semantics. The
+    // token keeps full content SENSITIVITY (any changed/added
+    // element moves the hash) while erasing ordering; the literal
+    // is a fingerprint-only placeholder, never executed. Run as its
+    // OWN pass BEFORE the conjunct sort (the #4 orientation rule
+    // again): transformDown sorts an And before rewriting its
+    // children, so a sort keyed on the PRE-collapse rendering would
+    // still order conjuncts by the run-order-sensitive list.
+    val inNorm = oriented.transformAllExpressions {
       case In(v, list) if list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
         In(v, Seq(Literal(inToken(list.map(e => strNorm(e.toString))))))
       case InSet(v, hset) =>
         In(v, Seq(Literal(
           inToken(hset.iterator.map(x => strNorm(String.valueOf(x))).toSeq))))
+    }
+    val canon = inNorm.transformAllExpressions {
+      case m: MultiCommutativeOp =>
+        m.withNewChildren(
+          m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
+      case a @ And(_, _) =>
+        splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
     }
     strNorm(canon.toString)
   }

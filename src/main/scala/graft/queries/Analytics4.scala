@@ -47,22 +47,38 @@ object Analytics4 {
     * and that a tiny cap counts exactly the over-cap users.
     */
   private[graft] def linearAttribution(
-      s: SparkSession, d: String, cap: Int): DataFrame = {
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    linearAttributionFrom(
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")),
+      cap)
+
+  /** The same body over an arbitrary events frame
+    * `(event_id, user_id, event_type, us)` — [[graft.Profile]]'s
+    * hot-user probe drives THIS implementation (not a copy), so a
+    * logic change here is automatically what the probe prices.
+    */
+  private[graft] def linearAttributionFrom(
+      ev: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = t(s, d, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("conv_id"), col("user_id"),
         col("us").as("cus"))
-    val ranked = ev.filter(col("event_type") =!= "purchase")
+    val touches = ev.filter(col("event_type") =!= "purchase")
+    val touch = touches
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("us").desc, col("event_id").desc)))
-    val touch = ranked.filter(col("rn") <= cap)
+      .filter(col("rn") <= cap)
       .select(col("user_id"), col("event_type"), col("us"))
-    val capped = ranked.filter(col("rn") > cap)
-      .agg(countDistinct(col("user_id")).cast("long")
+    // the capped-user count needs NO window: a user is capped iff its
+    // total touch count exceeds the cap — one hash aggregate instead
+    // of a second consumer of the per-user sort (r9 review finding)
+    val capped = touches.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      // count(when), not sum(when): sum over an empty frame is NULL
+      .agg(count(when(col("n") > cap, lit(1))).cast("long")
         .as("n_capped_users"))
     val perConvType = conv.join(touch, Seq("user_id"))
       .filter(col("us") < col("cus") &&
@@ -710,9 +726,10 @@ object Analytics4 {
              |  FROM ev WHERE event_type <> 'purchase'),
              |tc AS (SELECT user_id, event_type, us FROM tr
              |  WHERE rn <= $Q219TouchCap),
-             |cap AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
-             |    AS n_capped_users
-             |  FROM tr WHERE rn > $Q219TouchCap),
+             |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_users
+             |  FROM (SELECT user_id FROM ev
+             |    WHERE event_type <> 'purchase'
+             |    GROUP BY 1 HAVING count(*) > $Q219TouchCap) cu),
              |pt AS (SELECT p.conv_id, tc.event_type,
              |    CAST(count(*) AS BIGINT) AS t_cnt
              |  FROM p JOIN tc ON p.user_id = tc.user_id

@@ -454,8 +454,17 @@ private[queries] final class StampedCache(
     // time it fires the context may already be stopped, and unpersist
     // then throws "Cannot call methods on a stopped SparkContext" —
     // the blocks are gone with the context, so dropping the map entry
-    // is the whole remaining job
-    if (v != null && !s.sparkContext.isStopped) v._2.unpersist()
+    // is the whole remaining job. isStopped alone is TOCTOU (the stop
+    // can complete between the check and the call), so the call is
+    // additionally guarded (r9 review finding).
+    if (v != null && !s.sparkContext.isStopped) {
+      try v._2.unpersist()
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("stopped SparkContext") => ()
+      }
+    }
   }
 
   /** Evict (and unpersist) all of this session's entries. Keys are

@@ -222,11 +222,13 @@ object DocumentPipeline {
               spark, merged, candidatesPath, touched)
             graft.operators.PartitionedCommit.standingCount(spark, candidatesPath)
         }
-        // `onCommitted(artifact)` fires after each lockstep commit
-        // lands — an ops progress hook, and the crash-matrix spec's
-        // seam: throwing from it IS a kill between two commits, and
-        // [[DocumentPipelineSpec]] proves the replay heals every such
-        // interleaving to the one-pass rebuild state
+        // `onCommitted(artifact)` fires after EACH lockstep commit
+        // lands — candidates/shingles/corpus always, then signatures
+        // and lm when those paths are maintained — an ops progress
+        // hook, and the crash-matrix spec's seam: throwing from it IS
+        // a kill between two commits, and [[DocumentPipelineSpec]]
+        // proves the replay heals every such interleaving to the
+        // one-pass rebuild state
         onCommitted("candidates")
         val newCandidates = newCands.count()
         val shingleRows = CorpusMaintenance.upsertBatch(
@@ -237,11 +239,13 @@ object DocumentPipeline {
         onCommitted("corpus")
         val sigRows = signaturesPath.fold(0L) { p =>
           graft.functions.GraftFunctions.register(spark)
-          CorpusMaintenance.upsertBatch(
+          val n = CorpusMaintenance.upsertBatch(
             scrubbed.select(col("doc_id"),
               graft.functions.GraftFunctions.phash64(
                 lower(col("text")).cast("binary")).as("sig")),
             p, "doc_id", numBuckets)
+          onCommitted("signatures")
+          n
         }
         // keyed per-doc tf rows (multi-row groups): a replaced doc's
         // upsert retires its old bigrams the same way it retires its
@@ -278,9 +282,11 @@ object DocumentPipeline {
               ()
             }
           }
-          CorpusMaintenance.upsertGroups(
+          val n = CorpusMaintenance.upsertGroups(
             lm.docTf(scrubbed), p, "doc_id", numBuckets,
             retireKeys = Some(batchIds))
+          onCommitted("lm")
+          n
         }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,

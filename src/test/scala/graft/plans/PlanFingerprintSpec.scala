@@ -84,6 +84,19 @@ class PlanFingerprintSpec extends SparkTestBase {
     assert(PlanFingerprint.hash(q(long)) !=
       PlanFingerprint.hash(q(long.updated(5, "zz"))),
       "a changed InSet element should move the hash")
+    // the collapse must run BEFORE the conjunct sort: with a sibling
+    // conjunct whose rendering sorts between the two IN orderings, a
+    // sort keyed on the pre-collapse rendering would order the
+    // conjuncts differently per run (r9 review finding)
+    def qc(vals: Seq[String]) = df()
+      .filter(col("o_orderpriority").isin(vals: _*) &&
+        col("o_orderstatus") === "O")
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    for (vals <- Seq(short, long)) {
+      assert(PlanFingerprint.hash(qc(vals)) ==
+        PlanFingerprint.hash(qc(vals.reverse)),
+        s"IN order reordered sibling conjuncts (n=${vals.length})")
+    }
   }
 
   test("typed-API lambda object identity does not move the hash") {

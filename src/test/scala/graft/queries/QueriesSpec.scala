@@ -3186,10 +3186,19 @@ class QueriesSpec extends SparkTestBase {
     assert(df.collect().forall(_.getLong(5) == 0L),
       "n_capped_users must be 0 at spec sf")
     // the user-keyed join must stay a hash join (the window is a
-    // residual predicate, never a time-keyed nested loop). The
-    // capped-frame scalar rides the allowlisted 1-row broadcast.
+    // residual predicate, never a time-keyed nested loop). EXACTLY
+    // one BNLJ is licensed — the 1-row capped-count scalar broadcast
+    // into the |types|-row rollup; a second one means the corpus-
+    // scale conv-touch join degraded (r9 review finding: the
+    // allowlist alone would let that slip through)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"q219 degraded:\n$plan")
+    // AQE's toString prints final + initial plans — count only the
+    // final section or a single join double-counts
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(bnlj == 1,
+      s"q219 must plan exactly the one scalar BNLJ, found $bnlj:\n$plan")
   }
 
   test("q219 touch cap: capped == uncapped on the fixture; tiny cap counts capped users") {

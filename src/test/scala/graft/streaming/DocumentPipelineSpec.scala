@@ -201,6 +201,45 @@ class DocumentPipelineSpec extends SparkTestBase {
       assert(candSet(spark.read.parquet(p.cands)) == rebuilt(p),
         s"crash after $point: candidates != one-pass rebuild")
     }
+    // the FIVE-artifact sequence: with signatures + LM maintained the
+    // commit order is candidates -> shingles -> corpus -> signatures
+    // -> lm; kill after each and require the full quintet to heal.
+    // The interesting new states are corpus-new/signatures-stale and
+    // signatures-new/lm-stale.
+    graft.functions.GraftFunctions.register(spark)
+    def snap5(p: Paths) = {
+      val sigs = spark.read.parquet(p.root + "/sigs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lm = spark.read.parquet(p.root + "/lm").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      (snap(p), sigs, lm)
+    }
+    val ctl5 = Paths(tmp("docpipe-matrix5-ctl"))
+    for (b <- Seq(b1, b2))
+      DocumentPipeline.upsertBatch(docs(b: _*), ctl5.corpus, ctl5.shingles,
+        ctl5.cands, signaturesPath = Some(ctl5.root + "/sigs"),
+        lmPath = Some(ctl5.root + "/lm"))
+    val want5 = snap5(ctl5)
+    for (point <- Seq("candidates", "shingles", "corpus",
+        "signatures", "lm")) {
+      val p = Paths(tmp(s"docpipe-matrix5-$point"))
+      DocumentPipeline.upsertBatch(docs(b1: _*), p.corpus, p.shingles,
+        p.cands, signaturesPath = Some(p.root + "/sigs"),
+        lmPath = Some(p.root + "/lm"))
+      intercept[Killed] {
+        DocumentPipeline.upsertBatch(
+          docs(b2: _*), p.corpus, p.shingles, p.cands,
+          signaturesPath = Some(p.root + "/sigs"),
+          lmPath = Some(p.root + "/lm"),
+          onCommitted = a => if (a == point) throw Killed())
+      }
+      DocumentPipeline.upsertBatch(docs(b2: _*), p.corpus, p.shingles,
+        p.cands, signaturesPath = Some(p.root + "/sigs"),
+        lmPath = Some(p.root + "/lm"))
+      assert(snap5(p) == want5,
+        s"crash after $point: healed quintet != never-crashed control")
+    }
   }
 
   test("PII is scrubbed before any artifact sees the text") {

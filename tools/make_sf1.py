@@ -123,7 +123,10 @@ tbl = pq.read_table(f"{SRC}/embeddings.parquet")
 vec_id = tbl.column("vec_id").to_numpy()
 label = tbl.column("label").to_numpy()
 emb = tbl.column("embedding").to_pylist()
-dim = max(len(v) for v in emb if v is not None)
+nonnull = [v for v in emb if v is not None and len(v) > 0]
+assert nonnull, "embeddings.parquet has no non-empty vectors to replicate"
+assert all(lab is not None for lab in label), "embeddings.parquet has null labels"
+dim = max(len(v) for v in nonnull)
 out_ids, out_emb, out_lab = [], [], []
 for i in range(REPS):
     signs = np.random.RandomState(i).choice([-1.0, 1.0], size=dim).astype(np.float32)

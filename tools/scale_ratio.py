@@ -14,9 +14,15 @@ a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 qa, qb = a["queries"], b["queries"]
 rows = []
-for name in sorted(qa):
-    if name in qb and qa[name] > 0:
+skipped = []
+for name in sorted(set(qa) | set(qb)):
+    if name in qa and name in qb and qa[name] > 0:
         rows.append((name, qa[name], qb[name], qb[name] / qa[name]))
+    else:
+        skipped.append(name)
+if skipped:
+    # no silent caps: a query absent from either record must be named
+    print(f"SKIPPED (absent from one record or zero-timed): {skipped}\n")
 rows.sort(key=lambda r: -r[3])
 print(f"{'query':42s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
 for n, x, y, r in rows:
@@ -36,7 +42,7 @@ fams = {
     "curation q61-q100": range(61, 101),
     "analytics q101-q150": range(101, 151),
     "analytics q151-q200": range(151, 201),
-    "warehouse/graph/bitmap q201-q223": range(201, 224),
+    "warehouse/graph/bitmap q201+": range(201, 300),
 }
 print("\nfamily rollup (sum of medians):")
 for fam, rng in fams.items():
