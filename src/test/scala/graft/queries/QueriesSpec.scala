@@ -3421,4 +3421,214 @@ class QueriesSpec extends SparkTestBase {
       assert(dauSum >= wau, "each weekly user has at least one active day")
     }
   }
+
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q226 growth accounting equals a driver recompute; flows conserve") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q226_growth_accounting")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val uw = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("ts")).collect()
+      .map { r =>
+        val day = Math.floorDiv(
+          r.getTimestamp(1).toInstant.getEpochSecond, 86400L)
+        (r.getLong(0), Math.floorDiv(day, 7L))
+      }.distinct
+    val wmin = uw.map(_._2).min
+    val wmax = uw.map(_._2).max
+    val byUser = uw.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).sorted }
+    val exp = (wmin to wmax).map { w =>
+      val active = byUser.count(_._2.contains(w)).toLong
+      val nNew = byUser.count(_._2.head == w).toLong
+      val ret = byUser.count { case (_, ws) =>
+        ws.contains(w) && ws.contains(w - 1) }.toLong
+      val res = byUser.count { case (_, ws) =>
+        ws.contains(w) && !ws.contains(w - 1) && ws.head < w }.toLong
+      val churn = byUser.count { case (_, ws) =>
+        ws.contains(w - 1) && !ws.contains(w) }.toLong
+      (w, active, nNew, ret, res, churn)
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq} expected $exp")
+    // conservation: active = new + retained + resurrected; churned(w)
+    // is exactly last week's actives that did not return
+    got.foreach { case (_, a, n, r, s, _) => assert(a == n + r + s) }
+    got.sliding(2).foreach {
+      case Array((_, a0, _, _, _, _), (_, _, _, r1, _, c1)) =>
+        assert(c1 == a0 - r1, "churn identity")
+      case _ =>
+    }
+  }
+
+  test("q226 reads a constructed gap/churn/silent-week fixture exactly") {
+    // u1 active weeks 0,1,3 (new, retained, churned@2, resurrected@3);
+    // u2 week 0 only (churned@1); u3 week 3 only (new@3, its first).
+    // Week 2 is fully SILENT — the densified axis must still carry it
+    // with u1's churn landing there. Nobody churns past wmax
+    // (censoring).
+    val w0 = java.time.Instant.parse("2024-03-06T00:00:00Z")
+    def ts(weeks: Long, h: Int) =
+      java.sql.Timestamp.from(w0.plusSeconds(weeks * 7 * 86400 + h * 3600))
+    val rows = Seq(
+      (1L, ts(0, 1), 1L, "view", 0.0, "{}"),
+      (2L, ts(1, 2), 1L, "view", 0.0, "{}"),
+      (3L, ts(3, 3), 1L, "view", 0.0, "{}"),
+      (4L, ts(0, 4), 2L, "view", 0.0, "{}"),
+      (5L, ts(3, 5), 3L, "view", 0.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-growth").toString
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q226_growth_accounting")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    val base = Math.floorDiv(Math.floorDiv(w0.getEpochSecond, 86400L), 7L)
+    val exp = Seq(
+      (base + 0, 2L, 2L, 0L, 0L, 0L, None),
+      (base + 1, 1L, 0L, 1L, 0L, 1L, Some(0.0)),
+      (base + 2, 0L, 0L, 0L, 0L, 1L, Some(0.0)),
+      (base + 3, 2L, 1L, 0L, 1L, 0L, None))
+    assert(out.toSeq == exp, s"got ${out.toSeq}")
+  }
+
+  test("q227 demand curve equals a driver OLS recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q227_demand_curve")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val sold = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val pts = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(2) * 100),
+        sold.getOrElse(r.getLong(1), 0L)))
+    val exp = pts.groupBy(_._1).flatMap { case (brand, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sy = xs.map(x => BigInt(x._3)).sum
+      val sxy = xs.map(x => BigInt(x._2) * BigInt(x._3)).sum
+      val sxx = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      if (n < 2 || den == 0.0) None
+      else {
+        val slope = num / den
+        Some(brand -> ((n, rnd6(slope),
+          rnd6(((sy.toDouble - slope * sx.toDouble) / n.toDouble) / 100.0))))
+      }
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q228 migration matrix equals a driver ntile recompute; mass conserves") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q228_spend_migration")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect().map { r =>
+        val day = r.get(1) match {
+          case t: java.sql.Timestamp =>
+            Math.floorDiv(t.toInstant.getEpochSecond, 86400L)
+          case dt: java.time.LocalDateTime => dt.toLocalDate.toEpochDay
+        }
+        (r.getLong(0), day, math.round(r.getDouble(2) * 100))
+      }
+    val mid = Math.floorDiv(os.map(_._2).min + os.map(_._2).max + 1L, 2L)
+    def quintiles(sel: ((Long, Long, Long)) => Boolean): Map[Long, Int] = {
+      val spend = os.filter(sel).groupBy(_._1)
+        .map { case (c, xs) => c -> xs.map(_._3).sum }.filter(_._2 > 0)
+      val ranked = spend.toSeq.sortBy { case (c, s) => (-s, c) }
+      val n = ranked.length.toLong
+      val q = n / 5
+      val r = n % 5
+      val big = r * (q + 1)
+      ranked.zipWithIndex.map { case ((c, _), i) =>
+        val rn = i + 1L
+        c -> (if (rn <= big) ((rn - 1) / (q + 1) + 1).toInt
+              else (r + (rn - big - 1) / math.max(q, 1L) + 1).toInt)
+      }.toMap
+    }
+    val h1 = quintiles(_._2 < mid)
+    val h2 = quintiles(_._2 >= mid)
+    val all = h1.keySet ++ h2.keySet
+    val cells = all.groupBy { c =>
+      (h1.get(c).map("q" + _).getOrElse("none"),
+        h2.get(c).map("q" + _).getOrElse("none"))
+    }.map { case (k, cs) => k -> cs.size.toLong }
+    val tot = cells.values.sum
+    val exp = cells.map { case (k, n) =>
+      k -> ((n, rnd6(n.toDouble / tot.toDouble))) }
+    assert(got == exp, s"got $got expected $exp")
+    assert(got.values.map(_._1).sum == all.size.toLong)
+  }
+
+  test("q229 prefix families equal a driver md5 recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q229_prefix_dup")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), md5hex(
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+          .take(16).mkString(" "))))
+    val famN = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val famX = docs.groupBy(_._2).map { case (fp, xs) =>
+      fp -> (xs.map(_._1).distinct.length > 1) }
+    val exp = docs.groupBy(_._1).map { case (src, xs) =>
+      val dup = xs.count(x => famN(x._2) >= 2).toLong
+      src -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        dup, rnd6(dup.toDouble / xs.length.toDouble),
+        xs.count(x => famN(x._2) >= 2 && famX(x._2)).toLong))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q230 top-seller turnover equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q230_topseller_turnover")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val pm = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_shipdate"), col("l_partkey"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map { r =>
+        val m = r.get(0) match {
+          case t: java.sql.Timestamp =>
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+          case dt: java.time.LocalDateTime => dt.toLocalDate
+        }
+        (f"${m.getYear}%04d-${m.getMonthValue}%02d", r.getLong(1),
+          BigInt(math.round(r.getDouble(2) * 100)) *
+            BigInt(100 - math.round(r.getDouble(3) * 100)))
+      }.groupBy(x => (x._1, x._2))
+      .map { case ((mo, pk), xs) => (mo, pk, xs.map(_._3).sum) }
+    val top = pm.groupBy(_._1).map { case (mo, xs) =>
+      mo -> xs.toSeq.sortBy(x => (-x._3, x._2)).take(10).map(_._2).toSet
+    }
+    def nextMonth(m: String): String = {
+      val Array(y, mo) = m.split("-").map(_.toInt)
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }
+    val exp = top.flatMap { case (mo, s1) =>
+      top.get(nextMonth(mo)).map { s2 =>
+        val common = (s1 & s2).size.toLong
+        mo -> ((nextMonth(mo), s1.size.toLong, s2.size.toLong, common,
+          rnd6(common.toDouble / (s1.size + s2.size - common).toDouble)))
+      }
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
