@@ -463,6 +463,1012 @@ object Analytics5 {
              |FROM sz s1 JOIN nxt n USING (month)
              |JOIN sz s2 ON s2.month = n.next_month
              |LEFT JOIN com c ON c.month = s1.month
-             |ORDER BY s1.month""".stripMargin))
+             |ORDER BY s1.month""".stripMargin)),
+
+    // ── q231: REORDER CADENCE by market segment — per-customer gaps
+    // between consecutive orders (day grain), rolled up per segment:
+    // gap count, repeat-customer count, exact mean gap, exact p50/p90
+    // gap, and the share of gaps ≤ 7 days ("weekly rebuyers"). q116
+    // reads event interarrival at the type grain; q128 scores RFM
+    // recency as a snapshot — this is the purchase-RHYTHM readout in
+    // between (how fast do customers come BACK, per segment). The gap
+    // multiset is tie-break-invariant (equal days diff to 0 whatever
+    // their order), but the lag window still carries the
+    // (day, orderkey) total order so the pass is deterministic.
+    //
+    // Scale shape: the lag window is PER-CUSTOMER (q130's bounded
+    // class — a customer's orders, never corpus-wide); the customer
+    // dim join is custkey-co-partitioned (AQE-broadcast when small);
+    // the rollup lands on |segments| rows. The exact percentile
+    // collects each segment's gaps into one aggregation buffer — the
+    // q41 exact-baseline class, with approx_percentile (q55's sketch)
+    // as the named 100 TB twin. count(DISTINCT custkey) rides a
+    // (segment, custkey) expand of the already-collapsed gap frame —
+    // bounded by the customer grain, not the order grain.
+    QueryDef(
+      "q231_reorder_cadence",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val gaps = t(s, d, "orders")
+          .select(col("o_custkey"), epochDay(col("o_orderdate")).as("day"),
+            col("o_orderkey"))
+          .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .select(col("o_custkey"), col("gap"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        gaps.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_gaps"),
+            countDistinct(col("o_custkey")).cast("long")
+              .as("n_repeat_customers"),
+            round(sum(col("gap")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_gap_days"),
+            round(expr("percentile(gap, 0.5)"), 6).as("p50_gap"),
+            round(expr("percentile(gap, 0.9)"), 6).as("p90_gap"),
+            round(count(when(col("gap") <= 7, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("weekly_share"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH g AS (SELECT o_custkey, o_orderkey,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+             |  FROM orders),
+             |lg AS (SELECT o_custkey, day - lag(day) OVER (
+             |    PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+             |  FROM g),
+             |gp AS (SELECT o_custkey, gap FROM lg WHERE gap IS NOT NULL)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT)
+             |    AS n_repeat_customers,
+             |  round(CAST(sum(gap) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS avg_gap_days,
+             |  round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+             |  round(quantile_cont(gap, 0.9), 6) AS p90_gap,
+             |  round(CAST(count(*) FILTER (WHERE gap <= 7) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS weekly_share
+             |FROM gp JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── q232: supplier-nation LATENCY TREND — per supplier nation, the
+    // OLS slope of ship latency (shipdate − orderdate, integer days)
+    // over the absolute ship-month index: "is this nation's fulfilment
+    // getting slower or faster", the TREND face of q174's static SLA
+    // quantiles (q174 scores the level; this scores the drift; q148
+    // flags the anomalies). q103/q227's moment discipline exactly —
+    // the five OLS moments accumulate as DECIMAL(38,0) integer sums
+    // (Σx² of ~10⁴·⁵-valued month indexes crosses 2⁶³ near 10¹⁰ rows),
+    // slope and mean derive in double through ONE mirrored chain;
+    // degenerate nations filtered, not NaN'd.
+    //
+    // Scale shape: ONE orderkey exchange joins lineitem to orders (the
+    // genuine fact-fact price); supplier and nation dims broadcast
+    // under AQE; the moments accumulate map-side onto the |nations|
+    // grain — no month collapse needed because the raw-point OLS is a
+    // pure aggregate (the monthly-average OLS would weight months
+    // equally instead of lines equally; raw-point is the declared
+    // semantic).
+    QueryDef(
+      "q232_supplier_latency_trend",
+      (s, d) => {
+        val dec38 = "decimal(38,0)"
+        val f = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("lat"),
+            (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+              .cast("long").as("mi"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val xd = col("mi").cast("decimal(19,0)")
+        val yd = col("lat").cast("decimal(19,0)")
+        val m = f.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(xd.cast(dec38)).as("sx"),
+            sum(yd.cast(dec38)).as("sy"),
+            sum((xd * yd).cast(dec38)).as("sxy"),
+            sum((xd * xd).cast(dec38)).as("sxx"))
+        val nD = col("n_lines").cast("double")
+        val sxD = col("sx").cast("double")
+        val syD = col("sy").cast("double")
+        val num = nD * col("sxy").cast("double") - sxD * syD
+        val den = nD * col("sxx").cast("double") - sxD * sxD
+        m.filter(col("n_lines") >= 2 && den =!= lit(0.0))
+          .select(col("n_name").as("nation"), col("n_lines"),
+            round(syD / nD, 6).as("avg_latency_days"),
+            round(num / den, 6).as("slope_days_per_month"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH f AS (SELECT l_suppkey,
+             |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat,
+             |    CAST(year(l_shipdate)*12 + month(l_shipdate) - 1
+             |      AS BIGINT) AS mi
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_lines,
+             |    sum(CAST(mi AS HUGEINT)) AS sx,
+             |    sum(CAST(lat AS HUGEINT)) AS sy,
+             |    sum(CAST(mi AS HUGEINT)*lat) AS sxy,
+             |    sum(CAST(mi AS HUGEINT)*mi) AS sxx
+             |  FROM f JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY 1),
+             |dm AS (SELECT n_name, n_lines,
+             |    CAST(n_lines AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+             |    CAST(n_lines AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+             |    CAST(sy AS DOUBLE) AS syd
+             |  FROM m)
+             |SELECT n_name AS nation, n_lines,
+             |  round(syd/CAST(n_lines AS DOUBLE), 6) AS avg_latency_days,
+             |  round(num/den, 6) AS slope_days_per_month
+             |FROM dm WHERE n_lines >= 2 AND den <> 0.0
+             |ORDER BY nation""".stripMargin)),
+
+    // ── q233: part INTRO-COHORT revenue ramp — parts grouped by their
+    // introduction month (first ship month), revenue laid out by month
+    // OFFSET from introduction (0, 1, 2, 3+): "how fast does a new
+    // part's revenue ramp, and does the ramp differ by launch
+    // cohort" — the PART-axis face of q188's customer cohort matrix
+    // (q220 reads corpus novelty; this reads the revenue consequence).
+    // Per cell: distinct parts contributing, exact revenue (micro-unit
+    // DECIMAL(38,0) sums → one display division), and the cell's share
+    // of its cohort's total revenue.
+    //
+    // Scale shape: revenue collapses to the (part, month) grain in one
+    // exchange; the intro month is a partkey-grain re-aggregate of
+    // THAT frame (no second corpus pass) joined back
+    // partkey-co-partitioned; the offset/cohort rollup lands on
+    // ≤|months|×4 rows and the cohort-share window rides that bounded
+    // frame (coverageCurve's window class). The distinct-part count in
+    // the 3+ bucket dedups at the already-collapsed (cohort, offset,
+    // part) grain.
+    QueryDef(
+      "q233_part_intro_ramp",
+      (s, d) => {
+        val pm = t(s, d, "lineitem")
+          .select(date_trunc("month", col("l_shipdate")).cast("date")
+            .as("m"), col("l_partkey"), revMicro.as("rm"))
+          .groupBy(col("l_partkey"), col("m"))
+          .agg(sum(col("rm").cast("decimal(38,0)")).as("rev"))
+        val intro = pm.groupBy(col("l_partkey")).agg(min(col("m")).as("im"))
+        val cells = pm.join(intro, Seq("l_partkey"))
+          .select(date_format(col("im"), "yyyy-MM").as("cohort"),
+            when(months_between(col("m"), col("im")) >= 3, lit("3+"))
+              .otherwise(months_between(col("m"), col("im"))
+                .cast("long").cast("string")).as("m_offset"),
+            col("rev"), col("l_partkey"))
+          .groupBy(col("cohort"), col("m_offset"))
+          .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+            sum(col("rev")).as("revm"))
+        val w = Window.partitionBy(col("cohort"))
+        cells.select(col("cohort"), col("m_offset"), col("n_parts"),
+          round(col("revm").cast("double") / 10000.0, 2).as("revenue"),
+          round(col("revm").cast("double") /
+            sum(col("revm")).over(w).cast("double"), 6).as("cohort_share"))
+          .orderBy(col("cohort"), col("m_offset"))
+      },
+      Some(s"""WITH pm AS (SELECT l_partkey,
+             |    date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rev
+             |  FROM lineitem GROUP BY 1, 2),
+             |intro AS (SELECT l_partkey, min(m) AS im FROM pm GROUP BY 1),
+             |cells AS (SELECT strftime(im, '%Y-%m') AS cohort,
+             |    CASE WHEN datediff('month', im, m) >= 3 THEN '3+'
+             |      ELSE CAST(datediff('month', im, m) AS VARCHAR) END
+             |      AS m_offset,
+             |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |    sum(rev) AS revm
+             |  FROM pm JOIN intro USING (l_partkey) GROUP BY 1, 2)
+             |SELECT cohort, m_offset, n_parts,
+             |  round(CAST(revm AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(revm AS DOUBLE) /
+             |    CAST(sum(revm) OVER (PARTITION BY cohort) AS DOUBLE), 6)
+             |    AS cohort_share
+             |FROM cells ORDER BY cohort, m_offset""".stripMargin)),
+
+    // ── q234: BRAND LOYALTY by market segment — each customer's line
+    // purchases collapsed to the (customer, brand) grain, then per
+    // customer: distinct brands, total lines, and the top brand's
+    // share; per segment: customers, mean brand breadth (exact integer
+    // ratio), the share of "loyal" customers (top brand ≥ half their
+    // lines — the integer predicate mx·2 ≥ tot, no float compare), and
+    // the exact median top-brand share. The assortment-BREADTH readout
+    // next to q128's RFM value scores and q135's basket pairs: do
+    // segments concentrate on one brand or spread. The median rides
+    // per-customer ratios that are each ONE exact-integer division —
+    // deterministic doubles, q41's exact-percentile class (q55's
+    // sketch is the named 100 TB twin).
+    //
+    // Scale shape: part dim joins partkey-co-partitioned (AQE
+    // broadcast when small); ONE orderkey exchange reaches custkey;
+    // the (customer, brand) collapse then the customer collapse are
+    // successive grain reductions (brand count per customer is
+    // domain-bounded); the customer dim join is custkey-co-partitioned
+    // and the rollup lands on |segments| rows.
+    QueryDef(
+      "q234_brand_loyalty",
+      (s, d) => {
+        val cb = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val pc = cb.groupBy(col("o_custkey"))
+          .agg(sum(col("n")).cast("long").as("tot"),
+            max(col("n")).cast("long").as("mx"),
+            count(lit(1)).cast("long").as("n_brands"))
+          .withColumn("top_share",
+            col("mx").cast("double") / col("tot").cast("double"))
+        pc.join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            round(sum(col("n_brands")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_brands"),
+            round(count(when(col("mx") * 2 >= col("tot"), 1)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("loyal_share"),
+            round(expr("percentile(top_share, 0.5)"), 6)
+              .as("p50_top_share"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH cb AS (SELECT o_custkey, p_brand,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |pc AS (SELECT o_custkey, CAST(sum(n) AS BIGINT) AS tot,
+             |    CAST(max(n) AS BIGINT) AS mx,
+             |    CAST(count(*) AS BIGINT) AS n_brands
+             |  FROM cb GROUP BY 1),
+             |pr AS (SELECT *, CAST(mx AS DOUBLE)/CAST(tot AS DOUBLE)
+             |    AS top_share FROM pc)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(CAST(sum(n_brands) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS avg_brands,
+             |  round(CAST(count(*) FILTER (WHERE mx*2 >= tot) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS loyal_share,
+             |  round(quantile_cont(top_share, 0.5), 6) AS p50_top_share
+             |FROM pr JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── q235: BOILERPLATE POSITION screen — q229's 16-token prefix
+    // fingerprint PLUS its suffix mirror (last 16 tokens), classified
+    // per document into intro-only / footer-only / both duplicate
+    // families: templated INTROS and boilerplate FOOTERS are the two
+    // standard positional-duplication patterns, and the overlap tells
+    // the curator whether one scrub rule or two are needed (q229
+    // reports the prefix screen's families; this is the positional
+    // JOINT distribution; q81 names the arbitrary-position passages at
+    // shingle cost). Short docs (≤16 tokens) have prefix ≡ suffix by
+    // construction and land in both/neither coherently in both
+    // engines (the slice arithmetic is the SAME explicit formula on
+    // each side — no negative-index dialect dependence).
+    //
+    // Scale shape: both fingerprints compute MAP-SIDE in codegen
+    // (lower → split → filter → slice → concat_ws → md5), so text
+    // never shuffles — only (doc_id, source, pfp, sfp) moves; each
+    // family count is one fp-grain exchange; the two join-backs reuse
+    // the fp keys; the rollup lands on |sources| rows.
+    QueryDef(
+      "q235_boilerplate_position",
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), " "),
+          tk => length(tk) > 0)
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ", slice(toks, lit(1), lit(16)))).as("pfp"),
+            md5(concat_ws(" ", slice(toks,
+              greatest(size(toks) - 15, lit(1)), lit(16)))).as("sfp"))
+        val pf = p.groupBy(col("pfp")).agg(count(lit(1)).cast("long").as("pn"))
+        val sfm = p.groupBy(col("sfp")).agg(count(lit(1)).cast("long").as("sn"))
+        p.join(pf, Seq("pfp")).join(sfm, Seq("sfp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("pn") >= 2 && col("sn") < 2, 1)).cast("long")
+              .as("intro_only"),
+            count(when(col("sn") >= 2 && col("pn") < 2, 1)).cast("long")
+              .as("footer_only"),
+            count(when(col("pn") >= 2 && col("sn") >= 2, 1)).cast("long")
+              .as("both_dup"),
+            round(count(when(col("pn") >= 2 || col("sn") >= 2, 1))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("either_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |    list_filter(string_split(lower(text), ' '),
+             |      x -> len(x) > 0) AS l
+             |  FROM documents),
+             |p AS (SELECT doc_id, source,
+             |    md5(array_to_string(l[1:16], ' ')) AS pfp,
+             |    md5(array_to_string(l[greatest(len(l)-15, 1):len(l)], ' '))
+             |      AS sfp
+             |  FROM tk),
+             |pf AS (SELECT pfp, CAST(count(*) AS BIGINT) AS pn
+             |  FROM p GROUP BY 1),
+             |sf AS (SELECT sfp, CAST(count(*) AS BIGINT) AS sn
+             |  FROM p GROUP BY 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE pn >= 2 AND sn < 2) AS BIGINT)
+             |    AS intro_only,
+             |  CAST(count(*) FILTER (WHERE sn >= 2 AND pn < 2) AS BIGINT)
+             |    AS footer_only,
+             |  CAST(count(*) FILTER (WHERE pn >= 2 AND sn >= 2) AS BIGINT)
+             |    AS both_dup,
+             |  round(CAST(count(*) FILTER (WHERE pn >= 2 OR sn >= 2)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS either_share
+             |FROM p JOIN pf USING (pfp) JOIN sf USING (sfp)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q236: monthly revenue by customer STATUS — each order labeled
+    // by the customer's history at that moment: first-ever order,
+    // active repeat (previous order ≤ 90 days back), or REACTIVATED
+    // (gap > 90 days); per month × status: orders, exact revenue, and
+    // the share of the month's revenue. The MONEY face of q226's
+    // user-count growth accounting (does growth revenue come from
+    // acquisition, habit, or win-back), next to q152's first-touch
+    // attribution and q62's binary retention. Same-day order pairs
+    // label deterministically through the (day, orderkey) window
+    // total order — both engines run the identical spec.
+    //
+    // Scale shape: the status label is ONE per-customer lag window
+    // (q130's bounded class) over the order grain — no corpus-wide
+    // window, no self-join; the rollup lands on ≤|months|×3 rows and
+    // the month-share window rides that bounded frame. Revenue is
+    // exact integer cents (DECIMAL(38,0) sums) with one display
+    // division.
+    QueryDef(
+      "q236_status_revenue",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val lab = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            epochDay(col("o_orderdate")).as("day"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .select(col("month"),
+            when(col("prev").isNull, "a_first")
+              .when(col("day") - col("prev") <= 90, "b_active")
+              .otherwise("c_reactivated").as("status"),
+            col("cents"))
+        val agg = lab.groupBy(col("month"), col("status"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).as("rc"))
+        val mw = Window.partitionBy(col("month"))
+        agg.select(col("month"), col("status"), col("n_orders"),
+          round(col("rc").cast("double") / 100.0, 2).as("revenue"),
+          round(col("rc").cast("double") /
+            sum(col("rc")).over(mw).cast("double"), 6).as("month_share"))
+          .orderBy(col("month"), col("status"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             |    strftime(o_orderdate, '%Y-%m') AS month,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |  FROM orders),
+             |lab AS (SELECT month,
+             |    CASE WHEN lag(day) OVER (PARTITION BY o_custkey
+             |        ORDER BY day, o_orderkey) IS NULL THEN 'a_first'
+             |      WHEN day - lag(day) OVER (PARTITION BY o_custkey
+             |        ORDER BY day, o_orderkey) <= 90 THEN 'b_active'
+             |      ELSE 'c_reactivated' END AS status,
+             |    cents
+             |  FROM o),
+             |agg AS (SELECT month, status,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    sum(CAST(cents AS HUGEINT)) AS rc
+             |  FROM lab GROUP BY 1, 2)
+             |SELECT month, status, n_orders,
+             |  round(CAST(rc AS DOUBLE)/100.0, 2) AS revenue,
+             |  round(CAST(rc AS DOUBLE) /
+             |    CAST(sum(rc) OVER (PARTITION BY month) AS DOUBLE), 6)
+             |    AS month_share
+             |FROM agg ORDER BY month, status""".stripMargin)),
+
+    // ── q237: DISCOUNT-BAND demand lift — line items bucketed by
+    // discount percentage point (0, 1–2, 3–4, 5–6, 7–8, 9–10), per
+    // band: lines, exact mean quantity, revenue, revenue share, and
+    // the LIFT of mean quantity vs the zero-discount band: "does a
+    // deeper discount actually move more units" — the banded
+    // first-order answer the per-brand regression (q227) summarizes
+    // away, and the promo-effect companion to q173's promo share.
+    // Mean quantity derives from exact integer quantity-unit sums
+    // with ONE mirrored operation chain; the lift divides the two
+    // unrounded means (scale factors cancel) and rounds once.
+    //
+    // Scale shape: one map-side bucketing pass, moments accumulate
+    // onto the ≤6-band grain; the baseline-band mean reaches every
+    // row via an unbounded window over the ≤6-row aggregate (never
+    // the corpus — coverageCurve's bounded-window class); revenue
+    // micro-units sum as DECIMAL(38,0).
+    QueryDef(
+      "q237_discount_lift",
+      (s, d) => {
+        val pct = fxUnits(col("l_discount"), 100)
+        val band = when(pct === 0, "d00").when(pct <= 2, "d01_02")
+          .when(pct <= 4, "d03_04").when(pct <= 6, "d05_06")
+          .when(pct <= 8, "d07_08").otherwise("d09_10")
+        val agg = t(s, d, "lineitem")
+          .select(band.as("band"), fxUnits(col("l_quantity"), 100).as("qu"),
+            revMicro.as("rm"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(col("qu").cast("decimal(38,0)")).as("sq"),
+            sum(col("rm").cast("decimal(38,0)")).as("rc"))
+        val aq = col("sq").cast("double") / col("n_lines").cast("double")
+        val all = Window.partitionBy(lit(1))
+        agg.withColumn("aq", aq)
+          .withColumn("aq0", max(when(col("band") === "d00", aq)).over(all))
+          .select(col("band"), col("n_lines"),
+            round(col("aq") / 100.0, 6).as("avg_qty"),
+            round(col("rc").cast("double") / 10000.0, 2).as("revenue"),
+            round(col("rc").cast("double") /
+              sum(col("rc")).over(all).cast("double"), 6).as("rev_share"),
+            round(col("aq") / col("aq0"), 6).as("qty_lift"))
+          .orderBy(col("band"))
+      },
+      Some(s"""WITH li AS (SELECT
+             |    CASE WHEN CAST(round(l_discount*100) AS BIGINT) = 0
+             |        THEN 'd00'
+             |      WHEN CAST(round(l_discount*100) AS BIGINT) <= 2
+             |        THEN 'd01_02'
+             |      WHEN CAST(round(l_discount*100) AS BIGINT) <= 4
+             |        THEN 'd03_04'
+             |      WHEN CAST(round(l_discount*100) AS BIGINT) <= 6
+             |        THEN 'd05_06'
+             |      WHEN CAST(round(l_discount*100) AS BIGINT) <= 8
+             |        THEN 'd07_08'
+             |      ELSE 'd09_10' END AS band,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qu,
+             |    CAST($revMicroSql AS HUGEINT) AS rm
+             |  FROM lineitem),
+             |agg AS (SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+             |    sum(CAST(qu AS HUGEINT)) AS sq, sum(rm) AS rc
+             |  FROM li GROUP BY 1),
+             |e AS (SELECT *, CAST(sq AS DOUBLE)/CAST(n_lines AS DOUBLE)
+             |    AS aq FROM agg),
+             |b AS (SELECT *, max(CASE WHEN band = 'd00' THEN aq END)
+             |    OVER () AS aq0,
+             |    sum(rc) OVER () AS tot FROM e)
+             |SELECT band, n_lines, round(aq/100.0, 6) AS avg_qty,
+             |  round(CAST(rc AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(rc AS DOUBLE)/CAST(tot AS DOUBLE), 6)
+             |    AS rev_share,
+             |  round(aq/aq0, 6) AS qty_lift
+             |FROM b ORDER BY band""".stripMargin)),
+
+    // ── q238: BASKET-SIZE profile — orders bucketed by line count
+    // (1…6, 7+), per bucket: orders, exact mean order value, total
+    // revenue, revenue share: "how much of the business rides small
+    // vs large baskets" — the size-marginal q135's pair mining
+    // conditions on, and the order-grain companion to q127's customer
+    // concentration. Mean order value derives as (Σrevenue / orders)
+    // in ONE mirrored chain from exact DECIMAL(38,0) micro-unit sums.
+    //
+    // Scale shape: lineitem collapses ONCE to the orderkey grain
+    // (count + revenue in the same aggregate); the bucket rollup
+    // lands on ≤7 rows; the share window rides that bounded frame.
+    QueryDef(
+      "q238_basket_profile",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .select(col("l_orderkey"), revMicro.as("rm"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(col("rm").cast("decimal(38,0)")).as("rc"))
+        val bucket = when(col("n_lines") >= 7, "b7plus")
+          .otherwise(concat(lit("b"), col("n_lines")))
+        val agg = per.select(bucket.as("bucket"), col("rc"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("rc")).as("rc"))
+        val all = Window.partitionBy(lit(1))
+        agg.select(col("bucket"), col("n_orders"),
+          round(col("rc").cast("double") / col("n_orders").cast("double")
+            / 10000.0, 2).as("avg_order_value"),
+          round(col("rc").cast("double") / 10000.0, 2).as("revenue"),
+          round(col("rc").cast("double") /
+            sum(col("rc")).over(all).cast("double"), 6).as("rev_share"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH per AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS n_lines,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rc
+             |  FROM lineitem GROUP BY 1),
+             |agg AS (SELECT CASE WHEN n_lines >= 7 THEN 'b7plus'
+             |      ELSE 'b' || CAST(n_lines AS VARCHAR) END AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    sum(rc) AS rc
+             |  FROM per GROUP BY 1)
+             |SELECT bucket, n_orders,
+             |  round(CAST(rc AS DOUBLE)/CAST(n_orders AS DOUBLE)/10000.0,
+             |    2) AS avg_order_value,
+             |  round(CAST(rc AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(rc AS DOUBLE)/CAST(sum(rc) OVER () AS DOUBLE),
+             |    6) AS rev_share
+             |FROM agg ORDER BY bucket""".stripMargin)),
+
+    // ── q239: HAPAX / type-token vocabulary profile per source —
+    // tokens, distinct types, type-token ratio, and the count+share
+    // of types that are corpus-wide hapax legomena (global frequency
+    // exactly 1 — such a type lives entirely inside one source):
+    // the vocabulary-HEALTH readout next to q107's entropy, q115's
+    // cross-source overlap, and q123's rare-token docs — a high
+    // hapax share flags noisy/OCR-damaged text, a low one flags
+    // templated text. Hapax status is decided on the GLOBAL token
+    // grain, then re-attributed to the owning source.
+    //
+    // Scale shape: q59/q115's vocabulary discipline — tokens
+    // aggregate at the (source, token) grain in one exchange, the
+    // global re-aggregate rides the token grain (both
+    // vocabulary-bounded, never collected); the join-back reuses the
+    // token key; the rollup lands on |sources| rows.
+    QueryDef(
+      "q239_hapax_share",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(col("source"), explode(filter(
+            split(lower(col("text")), " "), tk => length(tk) > 0))
+            .as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val g = tc.groupBy(col("token"))
+          .agg(sum(col("cnt")).cast("long").as("gcnt"))
+        tc.join(g, Seq("token"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_types"),
+            round(count(lit(1)).cast("double") /
+              sum(col("cnt")).cast("double"), 6).as("ttr"),
+            count(when(col("gcnt") === 1, 1)).cast("long")
+              .as("hapax_types"),
+            round(count(when(col("gcnt") === 1, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("hapax_type_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tc AS (SELECT source, t.token,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents,
+             |    unnest(list_filter(string_split(lower(text), ' '),
+             |      x -> len(x) > 0)) AS t(token)
+             |  GROUP BY 1, 2),
+             |g AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS gcnt
+             |  FROM tc GROUP BY 1)
+             |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  round(CAST(count(*) AS DOUBLE)/CAST(sum(cnt) AS DOUBLE), 6)
+             |    AS ttr,
+             |  CAST(count(*) FILTER (WHERE gcnt = 1) AS BIGINT)
+             |    AS hapax_types,
+             |  round(CAST(count(*) FILTER (WHERE gcnt = 1) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS hapax_type_share
+             |FROM tc JOIN g USING (token)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q240: nation ASSORTMENT overlap — for each nation pair, the
+    // Jaccard of the part sets their suppliers ship: "do two nations
+    // sell the same catalogue or complementary ones" — the
+    // assortment-similarity face of the trade graph (q196 weighs
+    // bilateral VOLUME, q208 profiles the graph structure; this
+    // compares what's ON OFFER). Only pairs sharing ≥1 part appear
+    // (an absent pair means zero overlap — both engines agree);
+    // pairs are unordered, named (a < b) by nation name.
+    //
+    // Scale shape: the shipped-assortment frame collapses to the
+    // distinct (nation, part) grain in one exchange (supplier/nation
+    // dims AQE-broadcast); the pair enumeration self-joins on
+    // partkey with per-part fanout bounded by |nations| (≤25
+    // co-suppliers per part — never all-pairs over parts); sizes are
+    // |nations|-grain; the output is ≤|nations|² rows.
+    QueryDef(
+      "q240_assortment_overlap",
+      (s, d) => {
+        val np = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"))
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nat"), col("l_partkey").as("pk"))
+          .distinct()
+        val sz = np.groupBy(col("nat"))
+          .agg(count(lit(1)).cast("long").as("n_parts"))
+        val a = np.toDF("nat_a", "pk")
+        val b = np.toDF("nat_b", "pk")
+        val com = a.join(b, Seq("pk"))
+          .filter(col("nat_a") < col("nat_b"))
+          .groupBy(col("nat_a"), col("nat_b"))
+          .agg(count(lit(1)).cast("long").as("n_common"))
+        com
+          .join(sz.toDF("nat_a", "na"), Seq("nat_a"))
+          .join(sz.toDF("nat_b", "nb"), Seq("nat_b"))
+          .select(col("nat_a"), col("nat_b"), col("na"), col("nb"),
+            col("n_common"),
+            round(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("nat_a"), col("nat_b"))
+      },
+      Some("""WITH np AS (SELECT DISTINCT n_name AS nat, l_partkey AS pk
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey),
+             |sz AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_parts
+             |  FROM np GROUP BY 1),
+             |com AS (SELECT a.nat AS nat_a, b.nat AS nat_b,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM np a JOIN np b ON a.pk = b.pk AND a.nat < b.nat
+             |  GROUP BY 1, 2)
+             |SELECT nat_a, nat_b, sa.n_parts AS na, sb.n_parts AS nb,
+             |  n_common,
+             |  round(CAST(n_common AS DOUBLE) /
+             |    CAST(sa.n_parts + sb.n_parts - n_common AS DOUBLE), 6)
+             |    AS jaccard
+             |FROM com
+             |JOIN sz sa ON sa.nat = nat_a
+             |JOIN sz sb ON sb.nat = nat_b
+             |ORDER BY nat_a, nat_b""".stripMargin)),
+
+    // ── q241: label CENTROID similarity matrix — pairwise cosine of
+    // per-label centroid embeddings: "are two labels' populations
+    // separable or near-collinear" — the between-CLASS readout next to
+    // q79's within-cluster composition, q131's temporal drift, and
+    // q88's per-point kNN eval. EXACT cross-engine: each component
+    // quantizes map-side to integer micro-units (round(v·10⁶) — the
+    // q107 quantization discipline applied to vectors), centroid SUMS
+    // accumulate as exact integers (cosine is scale-invariant, so the
+    // sum stands in for the mean with no float division), and
+    // dot/norms are integer products summed in DECIMAL(38,0) (a
+    // 10¹⁰-vector label's per-dim sum is ~10¹⁶; products cross 2⁶³)
+    // with ONE mirrored double chain at the end.
+    //
+    // Scale shape: posexplode fans each vector to (label, dim) —
+    // map-side partial aggregation collapses to the |labels|×dim
+    // grain before the only exchange; the pair enumeration joins
+    // centroids on dim with fanout |labels|²; everything downstream
+    // rides ≤|labels|²·dim rows — dimension-bounded.
+    QueryDef(
+      "q241_label_centroid_sim",
+      (s, d) => {
+        val cent = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("i"),
+            round(col("col").cast("double") * 1000000).cast("long").as("q"))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("q")).cast("long").as("c"))
+        val sz = t(s, d, "embeddings").groupBy(col("label"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val a = cent.toDF("label_a", "i", "ca")
+        val b = cent.toDF("label_b", "i", "cb")
+        val cad = col("ca").cast("decimal(19,0)")
+        val cbd = col("cb").cast("decimal(19,0)")
+        val p = a.join(b, Seq("i"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum((cad * cbd).cast("decimal(38,0)")).as("dot"),
+            sum((cad * cad).cast("decimal(38,0)")).as("na"),
+            sum((cbd * cbd).cast("decimal(38,0)")).as("nb"))
+        p.join(sz.toDF("label_a", "n_a"), Seq("label_a"))
+          .join(sz.toDF("label_b", "n_b"), Seq("label_b"))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) *
+                sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""WITH comp AS (SELECT label,
+             |    generate_subscripts(embedding, 1) AS i,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS c
+             |  FROM comp GROUP BY 1, 2),
+             |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+             |  FROM embeddings GROUP BY 1),
+             |p AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    sum(CAST(a.c AS HUGEINT)*b.c) AS dot,
+             |    sum(CAST(a.c AS HUGEINT)*a.c) AS na,
+             |    sum(CAST(b.c AS HUGEINT)*b.c) AS nb
+             |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b, sa.n AS n_a, sb.n AS n_b,
+             |  round(CAST(dot AS DOUBLE) /
+             |    (sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))), 6)
+             |    AS cos_sim
+             |FROM p JOIN sz sa ON sa.label = p.label_a
+             |JOIN sz sb ON sb.label = p.label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ── q242: SESSION DEPTH vs value — q35's sessions (2 h
+    // inactivity gap, the ONE shared definition) bucketed by event
+    // depth (1, 2–3, 4–9, 10+), per bucket: sessions, events, exact
+    // total value, value share, and mean value per session: "do long
+    // sessions carry the money" — the engagement-DEPTH face of q105's
+    // path shapes and q126's time-to-convert. Value is exact integer
+    // cents; the mean derives in ONE mirrored chain.
+    //
+    // Scale shape: the sessionize window is PER-USER (q35/q130's
+    // bounded class); sessions collapse in the same pass (count +
+    // value in one aggregate); the bucket rollup lands on ≤4 rows
+    // and the share window rides that frame.
+    QueryDef(
+      "q242_session_depth_value",
+      (s, d) => {
+        val gapUs = 7200000000L // 2h — q35's shared gap rule
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val sess = t(s, d, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("vu", fxUnits(col("value"), 100))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(col("vu").cast("decimal(38,0)")).as("sv"))
+        val bucket = when(col("n_events") === 1, "d01")
+          .when(col("n_events") <= 3, "d02_03")
+          .when(col("n_events") <= 9, "d04_09")
+          .otherwise("d10plus")
+        val agg = sess.select(bucket.as("depth"), col("n_events"), col("sv"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            sum(col("n_events")).cast("long").as("n_events"),
+            sum(col("sv")).as("sv"))
+        val all = Window.partitionBy(lit(1))
+        agg.select(col("depth"), col("n_sessions"), col("n_events"),
+          round(col("sv").cast("double") / 100.0, 2).as("total_value"),
+          round(col("sv").cast("double") /
+            sum(col("sv")).over(all).cast("double"), 6).as("value_share"),
+          round(col("sv").cast("double") /
+            col("n_sessions").cast("double") / 100.0, 6)
+            .as("avg_session_value"))
+          .orderBy(col("depth"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(value*100) AS BIGINT) AS vu FROM events),
+             |m AS (SELECT user_id, vu, CASE WHEN ts_us - lag(ts_us)
+             |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             |      > 7200000000 THEN 1 ELSE 0 END AS new_sess,
+             |    ts_us, event_id
+             |  FROM e),
+             |sess0 AS (SELECT user_id, vu,
+             |    sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS session_id
+             |  FROM m),
+             |sess AS (SELECT user_id, session_id,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    sum(CAST(vu AS HUGEINT)) AS sv
+             |  FROM sess0 GROUP BY 1, 2),
+             |agg AS (SELECT CASE WHEN n_events = 1 THEN 'd01'
+             |      WHEN n_events <= 3 THEN 'd02_03'
+             |      WHEN n_events <= 9 THEN 'd04_09'
+             |      ELSE 'd10plus' END AS depth,
+             |    CAST(count(*) AS BIGINT) AS n_sessions,
+             |    CAST(sum(n_events) AS BIGINT) AS n_events,
+             |    sum(sv) AS sv
+             |  FROM sess GROUP BY 1)
+             |SELECT depth, n_sessions, n_events,
+             |  round(CAST(sv AS DOUBLE)/100.0, 2) AS total_value,
+             |  round(CAST(sv AS DOUBLE)/CAST(sum(sv) OVER () AS DOUBLE),
+             |    6) AS value_share,
+             |  round(CAST(sv AS DOUBLE)/CAST(n_sessions AS DOUBLE)/100.0,
+             |    6) AS avg_session_value
+             |FROM agg ORDER BY depth""".stripMargin)),
+
+    // ── q243: BRAND PRICE DISPERSION — per brand over its parts'
+    // retail prices: count, exact mean, coefficient of variation in
+    // the algebraically-reduced form cv = √(n·Σx² − (Σx)²)/Σx (the
+    // population CV — every factor of the integer-cent scale cancels,
+    // so the only float ops are one sqrt and one division), exact
+    // p25/p50/p75, and the max/min range ratio: "is the brand's
+    // pricing disciplined or scattered" — the catalogue-side spread
+    // screen next to q227's demand slope and q93's generic column
+    // profile. Moments are exact integer cents in DECIMAL(38,0).
+    //
+    // Scale shape: part collapses map-side onto the |brands| grain in
+    // one aggregate (moments + min/max + the exact percentiles whose
+    // buffers are bounded by parts-per-brand — q41's exact-baseline
+    // class, q55's sketch the named twin at open-ended cardinality).
+    QueryDef(
+      "q243_brand_price_dispersion",
+      (s, d) => {
+        val m = t(s, d, "part")
+          .select(col("p_brand"), fxUnits(col("p_retailprice"), 100)
+            .as("xc"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            sum(col("xc").cast("decimal(38,0)")).as("sx"),
+            sum((col("xc").cast("decimal(19,0)") *
+              col("xc").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .as("sxx"),
+            min(col("xc")).as("mn"), max(col("xc")).as("mx"),
+            expr("percentile(xc, 0.25)").as("p25r"),
+            expr("percentile(xc, 0.5)").as("p50r"),
+            expr("percentile(xc, 0.75)").as("p75r"))
+        val nD = col("n_parts").cast("double")
+        val sxD = col("sx").cast("double")
+        m.filter(col("n_parts") >= 2)
+          .select(col("p_brand").as("brand"), col("n_parts"),
+            round(sxD / nD / 100.0, 2).as("mean_price"),
+            round(sqrt(nD * col("sxx").cast("double") - sxD * sxD) / sxD,
+              6).as("cv"),
+            round(col("p25r") / 100.0, 2).as("p25"),
+            round(col("p50r") / 100.0, 2).as("p50"),
+            round(col("p75r") / 100.0, 2).as("p75"),
+            round(col("mx").cast("double") / col("mn").cast("double"), 6)
+              .as("range_ratio"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH px AS (SELECT p_brand,
+             |    CAST(round(p_retailprice*100) AS BIGINT) AS xc
+             |  FROM part),
+             |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+             |    sum(CAST(xc AS HUGEINT)) AS sx,
+             |    sum(CAST(xc AS HUGEINT)*xc) AS sxx,
+             |    min(xc) AS mn, max(xc) AS mx,
+             |    quantile_cont(xc, 0.25) AS p25r,
+             |    quantile_cont(xc, 0.5) AS p50r,
+             |    quantile_cont(xc, 0.75) AS p75r
+             |  FROM px GROUP BY 1)
+             |SELECT p_brand AS brand, n_parts,
+             |  round(CAST(sx AS DOUBLE)/CAST(n_parts AS DOUBLE)/100.0, 2)
+             |    AS mean_price,
+             |  round(sqrt(CAST(n_parts AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    / CAST(sx AS DOUBLE), 6) AS cv,
+             |  round(p25r/100.0, 2) AS p25,
+             |  round(p50r/100.0, 2) AS p50,
+             |  round(p75r/100.0, 2) AS p75,
+             |  round(CAST(mx AS DOUBLE)/CAST(mn AS DOUBLE), 6)
+             |    AS range_ratio
+             |FROM m WHERE n_parts >= 2
+             |ORDER BY brand""".stripMargin)),
+
+    // ── q244: NUMERIC-DENSITY screen — per source: the share of
+    // numeric tokens (pure digit/punctuation number shapes) across
+    // the corpus (exact ratio of integer token sums) and the
+    // count+share of "table-like" docs (more than half their tokens
+    // numeric — integer predicate 2·num > tok): price lists, CSV
+    // dumps, and scoreboard pages that survive q31's
+    // punctuation/stopword screens but add little language signal —
+    // a standard curation cut the quality score family doesn't
+    // express. The regex is the simple digit class both engines'
+    // regex dialects agree on (q32's cross-engine regex precedent).
+    //
+    // Scale shape: both counts compute MAP-SIDE in codegen (split →
+    // filter → size — text never shuffles, only three integers per
+    // doc move); the rollup lands on |sources| rows.
+    QueryDef(
+      "q244_numeric_density",
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), " "),
+          tk => length(tk) > 0)
+        val nums = filter(toks, tk => tk.rlike("^[0-9][0-9.,%]*$"))
+        val per = t(s, d, "documents")
+          .select(col("source"), size(toks).cast("long").as("n_tok"),
+            size(nums).cast("long").as("n_num"))
+        per.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            round(sum(col("n_num")).cast("double") /
+              sum(col("n_tok")).cast("double"), 6).as("numeric_share"),
+            count(when(col("n_tok") > 0 &&
+              col("n_num") * 2 > col("n_tok"), 1)).cast("long")
+              .as("table_docs"),
+            round(count(when(col("n_tok") > 0 &&
+              col("n_num") * 2 > col("n_tok"), 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("table_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS n_tok,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      x -> regexp_matches(x, '^[0-9][0-9.,%]*$')))
+             |      AS BIGINT) AS n_num
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(n_num) AS DOUBLE)/CAST(sum(n_tok) AS DOUBLE),
+             |    6) AS numeric_share,
+             |  CAST(count(*) FILTER (WHERE n_tok > 0 AND n_num*2 > n_tok)
+             |    AS BIGINT) AS table_docs,
+             |  round(CAST(count(*) FILTER (WHERE n_tok > 0
+             |    AND n_num*2 > n_tok) AS DOUBLE)/CAST(count(*) AS DOUBLE),
+             |    6) AS table_share
+             |FROM per GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q245: HOUR-OF-DAY activity profile — per event type: events,
+    // the peak hour (UTC; ties to the earliest hour), its share, and
+    // the Shannon entropy of the 24-bin hour histogram (log e):
+    // "is this event type an always-on heartbeat (entropy → log 24)
+    // or a burst tied to a daily cycle" — the INTRADAY face of q124's
+    // day-of-week seasonality and q106's calendar density. Entropy
+    // follows q107's integer micro-unit quantization exactly: each
+    // bin's log-cost quantizes once, the Σc·cost accumulates as an
+    // exact integer, and the final H = ln N − Σ/(N·10⁶) is one
+    // mirrored double chain — no order-dependent float sums.
+    //
+    // Scale shape: counts collapse map-side onto the ≤|types|×24
+    // grain in one exchange; the peak pick is a window over each
+    // type's ≤24 rows (bounded-window class); entropy sums ride the
+    // same bounded frame.
+    QueryDef(
+      "q245_hour_profile",
+      (s, d) => {
+        val hc = t(s, d, "events")
+          .select(col("event_type"), hour(col("ts")).as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .withColumn("cost",
+            round(lit(1000000.0) * log(col("c").cast("double")))
+              .cast("long"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("c").desc, col("hr"))
+        val ranked = hc.withColumn("rk", row_number().over(w))
+        val agg = ranked.groupBy(col("event_type"))
+          .agg(sum(col("c")).cast("long").as("n_events"),
+            max(when(col("rk") === 1, col("hr"))).cast("long")
+              .as("peak_hour"),
+            max(when(col("rk") === 1, col("c"))).as("peak_c"),
+            sum((col("c").cast("decimal(19,0)") *
+              col("cost").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .as("num"))
+        agg.select(col("event_type"), col("n_events"), col("peak_hour"),
+          round(col("peak_c").cast("double") /
+            col("n_events").cast("double"), 6).as("peak_share"),
+          round(log(col("n_events").cast("double")) -
+            col("num").cast("double") /
+              (col("n_events").cast("double") * lit(1000000.0)), 6)
+            .as("hour_entropy"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hc AS (SELECT event_type, hour(ts) AS hr,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cc AS (SELECT *, CAST(round(1000000.0*ln(CAST(c AS DOUBLE)))
+             |      AS BIGINT) AS cost,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY c DESC, hr) AS rk
+             |  FROM hc),
+             |agg AS (SELECT event_type,
+             |    CAST(sum(c) AS BIGINT) AS n_events,
+             |    max(CASE WHEN rk = 1 THEN hr END) AS peak_hour,
+             |    max(CASE WHEN rk = 1 THEN c END) AS peak_c,
+             |    sum(CAST(c AS HUGEINT)*cost) AS num
+             |  FROM cc GROUP BY 1)
+             |SELECT event_type, n_events, peak_hour,
+             |  round(CAST(peak_c AS DOUBLE)/CAST(n_events AS DOUBLE), 6)
+             |    AS peak_share,
+             |  round(ln(CAST(n_events AS DOUBLE)) -
+             |    CAST(num AS DOUBLE)/(CAST(n_events AS DOUBLE)*1000000.0),
+             |    6) AS hour_entropy
+             |FROM agg ORDER BY event_type""".stripMargin))
   )
 }

@@ -3631,4 +3631,469 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  private def rnd2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** quantile_cont / Spark exact `percentile` interpolation. */
+  private def qCont(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    val pos = q * (s.length - 1)
+    val lo = pos.toInt
+    val hi = math.ceil(pos).toInt
+    s(lo) + (pos - lo) * (s(hi) - s(lo))
+  }
+
+  private def tsDay(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.toInstant.getEpochSecond, 86400L)
+    case dt: java.time.LocalDateTime => dt.toLocalDate.toEpochDay
+  }
+
+  private def tsDate(v: Any): java.time.LocalDate = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    case dt: java.time.LocalDateTime => dt.toLocalDate
+  }
+
+  test("q231 reorder cadence equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q231_reorder_cadence")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), tsDay(r.get(1)), r.getLong(2)))
+    val seg = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gaps = os.groupBy(_._1).toSeq.flatMap { case (c, xs) =>
+      xs.sortBy(x => (x._2, x._3)).map(_._2).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (c, b - a) }
+    }
+    val exp = gaps.groupBy(x => seg(x._1)).map { case (sg, xs) =>
+      val g = xs.map(_._2)
+      sg -> ((g.length.toLong, xs.map(_._1).distinct.length.toLong,
+        rnd6(g.sum.toDouble / g.length.toDouble),
+        rnd6(qCont(g.map(_.toDouble), 0.5)),
+        rnd6(qCont(g.map(_.toDouble), 0.9)),
+        rnd6(g.count(_ <= 7).toDouble / g.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q232 latency trend equals a driver BigInt OLS recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q232_supplier_latency_trend")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val om = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => r.getLong(0) -> tsDate(r.get(1))).toMap
+    val sup = graft.sources.Tables(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natm = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pts = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .collect().map { r =>
+        val ship = tsDate(r.get(2))
+        val lat = ship.toEpochDay - om(r.getLong(0)).toEpochDay
+        val mi = ship.getYear * 12L + ship.getMonthValue - 1L
+        (natm(sup(r.getLong(1))), mi, lat)
+      }
+    val exp = pts.groupBy(_._1).flatMap { case (nat, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sy = xs.map(x => BigInt(x._3)).sum
+      val sxy = xs.map(x => BigInt(x._2) * BigInt(x._3)).sum
+      val sxx = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      if (n < 2 || den == 0.0) None
+      else Some(nat -> ((n, rnd6(sy.toDouble / n.toDouble),
+        rnd6(num / den))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q233 intro-cohort ramp equals a driver recompute; shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q233_part_intro_ramp")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val pm = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_shipdate"), col("l_partkey"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map { r =>
+        val m = tsDate(r.get(0)).withDayOfMonth(1)
+        (r.getLong(1), m, BigInt(math.round(r.getDouble(2) * 100)) *
+          BigInt(100 - math.round(r.getDouble(3) * 100)))
+      }.groupBy(x => (x._1, x._2))
+      .map { case ((pk, m), xs) => (pk, m, xs.map(_._3).sum) }.toSeq
+    val intro = pm.groupBy(_._1).map { case (pk, xs) =>
+      pk -> xs.map(_._2).min(Ordering.by((d: java.time.LocalDate) =>
+        d.toEpochDay)) }
+    val cells = pm.groupBy { case (pk, m, _) =>
+      val im = intro(pk)
+      val off = java.time.temporal.ChronoUnit.MONTHS.between(im, m)
+      (f"${im.getYear}%04d-${im.getMonthValue}%02d",
+        if (off >= 3) "3+" else off.toString)
+    }.map { case (k, xs) =>
+      k -> ((xs.map(_._1).distinct.size.toLong, xs.map(_._3).sum)) }
+    val cohortTot = cells.groupBy(_._1._1).map { case (c, xs) =>
+      c -> xs.values.map(_._2).sum }
+    val exp = cells.map { case (k, (np, rev)) =>
+      k -> ((np, rnd2(rev.toDouble / 10000.0),
+        rnd6(rev.toDouble / cohortTot(k._1).toDouble))) }
+    assert(got == exp, s"got $got expected $exp")
+    // each cohort's shares sum to ~1 (rounding-tolerant)
+    got.toSeq.groupBy(_._1._1).values.foreach { xs =>
+      assert(math.abs(xs.map(_._2._3).sum - 1.0) < 1e-4) }
+  }
+
+  test("q234 brand loyalty equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q234_brand_loyalty")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seg = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (cust(r.getLong(0)), brand(r.getLong(1))))
+      .groupBy(_._1).map { case (c, xs) =>
+        val byBrand = xs.groupBy(_._2).values.map(_.size.toLong)
+        (c, byBrand.sum, byBrand.max, byBrand.size.toLong)
+      }
+    val exp = perCust.groupBy(x => seg(x._1)).map { case (sg, xs) =>
+      val n = xs.size.toLong
+      sg -> ((n, rnd6(xs.map(_._4).sum.toDouble / n.toDouble),
+        rnd6(xs.count(x => x._3 * 2 >= x._2).toDouble / n.toDouble),
+        rnd6(qCont(xs.map(x => x._3.toDouble / x._2.toDouble).toSeq, 0.5))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q235 boilerplate position equals a driver md5 recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q235_boilerplate_position")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        (r.getString(0), md5hex(toks.take(16).mkString(" ")),
+          md5hex(toks.takeRight(16).mkString(" ")))
+      }
+    val pn = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val sn = docs.groupBy(_._3).map { case (fp, xs) => fp -> xs.length }
+    val exp = docs.groupBy(_._1).map { case (src, xs) =>
+      val intro = xs.count(x => pn(x._2) >= 2 && sn(x._3) < 2).toLong
+      val footer = xs.count(x => sn(x._3) >= 2 && pn(x._2) < 2).toLong
+      val both = xs.count(x => pn(x._2) >= 2 && sn(x._3) >= 2).toLong
+      val either = xs.count(x => pn(x._2) >= 2 || sn(x._3) >= 2)
+      src -> ((xs.length.toLong, intro, footer, both,
+        rnd6(either.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q236 status revenue equals a driver recompute; shares sum per month") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q236_status_revenue")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice")).collect()
+      .map { r =>
+        val ld = tsDate(r.get(1))
+        (r.getLong(0), tsDay(r.get(1)), r.getLong(2),
+          f"${ld.getYear}%04d-${ld.getMonthValue}%02d",
+          math.round(r.getDouble(3) * 100))
+      }
+    val labeled = os.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3))
+      sorted.zipWithIndex.map { case (x, i) =>
+        val st =
+          if (i == 0) "a_first"
+          else if (x._2 - sorted(i - 1)._2 <= 90) "b_active"
+          else "c_reactivated"
+        (x._4, st, x._5)
+      }
+    }
+    val cells = labeled.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(x => BigInt(x._3)).sum)) }
+    val mTot = cells.groupBy(_._1._1).map { case (m, xs) =>
+      m -> xs.values.map(_._2).sum }
+    val exp = cells.map { case (k, (n, rc)) =>
+      k -> ((n, rnd2(rc.toDouble / 100.0),
+        rnd6(rc.toDouble / mTot(k._1).toDouble))) }
+    assert(got == exp, s"got $got expected $exp")
+    got.toSeq.groupBy(_._1._1).values.foreach { xs =>
+      assert(math.abs(xs.map(_._2._3).sum - 1.0) < 1e-4) }
+  }
+
+  test("q237 discount lift equals a driver recompute; d00 lift is 1") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q237_discount_lift")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_discount"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map { r =>
+        val pct = math.round(r.getDouble(0) * 100)
+        val band =
+          if (pct == 0) "d00" else if (pct <= 2) "d01_02"
+          else if (pct <= 4) "d03_04" else if (pct <= 6) "d05_06"
+          else if (pct <= 8) "d07_08" else "d09_10"
+        (band, math.round(r.getDouble(1) * 100),
+          BigInt(math.round(r.getDouble(2) * 100)) * BigInt(100 - pct))
+      }
+    val agg = li.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(x => BigInt(x._2)).sum,
+        xs.map(_._3).sum)) }
+    val tot = agg.values.map(_._3).sum
+    val aq0 = {
+      val (n, sq, _) = agg("d00"); sq.toDouble / n.toDouble
+    }
+    val exp = agg.map { case (b, (n, sq, rc)) =>
+      val aq = sq.toDouble / n.toDouble
+      b -> ((n, rnd6(aq / 100.0), rnd2(rc.toDouble / 10000.0),
+        rnd6(rc.toDouble / tot.toDouble), rnd6(aq / aq0)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    assert(got("d00")._5 == 1.0)
+  }
+
+  test("q238 basket profile equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q238_basket_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        BigInt(math.round(r.getDouble(1) * 100)) *
+          BigInt(100 - math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.size.toLong, xs.map(_._2).sum) }
+    val agg = per.groupBy { case (n, _) =>
+      if (n >= 7) "b7plus" else s"b$n" }
+      .map { case (b, xs) => b -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val tot = agg.values.map(_._2).sum
+    val exp = agg.map { case (b, (n, rc)) =>
+      b -> ((n, rnd2(rc.toDouble / n.toDouble / 10000.0),
+        rnd2(rc.toDouble / 10000.0), rnd6(rc.toDouble / tot.toDouble))) }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q239 hapax share equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q239_hapax_share")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val toks = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ")
+        .filter(_.nonEmpty).map(tk => (r.getString(0), tk)))
+    val tc = toks.groupBy(identity).map { case ((s0, tk), xs) =>
+      (s0, tk, xs.length.toLong) }
+    val g = tc.groupBy(_._2).map { case (tk, xs) => tk -> xs.map(_._3).sum }
+    val exp = tc.groupBy(_._1).map { case (src, xs) =>
+      val nTok = xs.map(_._3).sum
+      val nTyp = xs.size.toLong
+      val hap = xs.count(x => g(x._2) == 1L).toLong
+      src -> ((nTok, nTyp, rnd6(nTyp.toDouble / nTok.toDouble), hap,
+        rnd6(hap.toDouble / nTyp.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q240 assortment overlap equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q240_assortment_overlap")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sup = graft.sources.Tables(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natm = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val np = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).collect()
+      .map(r => (natm(sup(r.getLong(0))), r.getLong(1))).distinct
+    val byNat = np.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map(_._2).toSet }
+    val exp = byNat.toSeq.combinations(2).flatMap { pair =>
+      val Seq((n1, s1), (n2, s2)) = pair.sortBy(_._1)
+      val common = (s1 & s2).size.toLong
+      if (common == 0) None
+      else Some((n1, n2) -> ((s1.size.toLong, s2.size.toLong, common,
+        rnd6(common.toDouble / (s1.size + s2.size - common).toDouble))))
+    }.toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q241 centroid similarity equals a driver BigInt recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q241_label_centroid_sim")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val vecs = graft.sources.Tables(spark, sf(), "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1000000))))
+    val cents = vecs.groupBy(_._1).map { case (l, xs) =>
+      val dim = xs.head._2.length
+      l -> ((xs.length.toLong,
+        (0 until dim).map(i => xs.map(_._2(i)).sum)))
+    }
+    val labels = cents.keys.toSeq.sorted
+    val exp = (for {
+      a <- labels; b <- labels if a < b
+    } yield {
+      val (na0, ca) = cents(a)
+      val (nb0, cb) = cents(b)
+      val dot = ca.zip(cb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val naa = ca.map(x => BigInt(x) * BigInt(x)).sum
+      val nbb = cb.map(x => BigInt(x) * BigInt(x)).sum
+      (a, b) -> ((na0, nb0, rnd6(dot.toDouble /
+        (math.sqrt(naa.toDouble) * math.sqrt(nbb.toDouble)))))
+    }).toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q242 session depth value equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q242_session_depth_value")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts"))
+        .as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val out = scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      var prev = Long.MinValue
+      sorted.foreach { x =>
+        if (out.isEmpty || (prev != Long.MinValue &&
+          x._3 - prev > 7200000000L))
+          out += scala.collection.mutable.ArrayBuffer[Long]()
+        out.last += x._4
+        prev = x._3
+      }
+      out.map(s0 => (s0.length.toLong, s0.map(BigInt(_)).sum))
+    }
+    val agg = sessions.groupBy { case (n, _) =>
+      if (n == 1) "d01" else if (n <= 3) "d02_03"
+      else if (n <= 9) "d04_09" else "d10plus"
+    }.map { case (b, xs) =>
+      b -> ((xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).sum)) }
+    val tot = agg.values.map(_._3).sum
+    val exp = agg.map { case (b, (ns, ne, sv)) =>
+      b -> ((ns, ne, rnd2(sv.toDouble / 100.0),
+        rnd6(sv.toDouble / tot.toDouble),
+        rnd6(sv.toDouble / ns.toDouble / 100.0))) }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q243 price dispersion equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q243_brand_price_dispersion")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    val px = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_brand"), col("p_retailprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val exp = px.groupBy(_._1).collect {
+      case (b, xs) if xs.length >= 2 =>
+        val n = xs.length.toLong
+        val sx = xs.map(x => BigInt(x._2)).sum
+        val sxx = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+        val ds = xs.map(_._2.toDouble)
+        b -> ((n, rnd2(sx.toDouble / n.toDouble / 100.0),
+          rnd6(math.sqrt(n.toDouble * sxx.toDouble -
+            sx.toDouble * sx.toDouble) / sx.toDouble),
+          rnd2(qCont(ds, 0.25) / 100.0), rnd2(qCont(ds, 0.5) / 100.0),
+          rnd2(qCont(ds, 0.75) / 100.0),
+          rnd6(ds.max / ds.min)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q244 numeric density equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q244_numeric_density")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        (r.getString(0), toks.length.toLong,
+          toks.count(_.matches("[0-9][0-9.,%]*")).toLong)
+      }
+    val exp = per.groupBy(_._1).map { case (src, xs) =>
+      val tok = xs.map(_._2).sum
+      val num = xs.map(_._3).sum
+      val tbl = xs.count(x => x._2 > 0 && x._3 * 2 > x._2).toLong
+      src -> ((xs.length.toLong, tok, rnd6(num.toDouble / tok.toDouble),
+        tbl, rnd6(tbl.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q245 hour profile equals a driver recompute; entropy bounded") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q245_hour_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val hv = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map { r =>
+        val h = r.get(1) match {
+          case t: java.sql.Timestamp =>
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).getHour
+          case dt: java.time.LocalDateTime => dt.getHour
+        }
+        (r.getString(0), h)
+      }
+    val exp = hv.groupBy(_._1).map { case (et, xs) =>
+      val bins = xs.groupBy(_._2).map { case (h, ys) =>
+        (h, ys.length.toLong) }.toSeq
+      val n = bins.map(_._2).sum
+      val (peakH, peakC) = bins.minBy { case (h, c) => (-c, h) }
+      val num = bins.map { case (_, c) =>
+        BigInt(c) * BigInt(math.round(1000000.0 *
+          math.log(c.toDouble))) }.sum
+      et -> ((n, peakH.toLong, rnd6(peakC.toDouble / n.toDouble),
+        rnd6(math.log(n.toDouble) -
+          num.toDouble / (n.toDouble * 1000000.0))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // entropy of a 24-bin histogram is bounded by ln 24
+    got.values.foreach { case (_, _, _, h) =>
+      assert(h >= -1e-6 && h <= math.log(24.0) + 1e-6) }
+  }
 }
