@@ -1318,9 +1318,13 @@ object Analytics5 {
             round(sxD / nD / 100.0, 2).as("mean_price"),
             round(sqrt(nD * col("sxx").cast("double") - sxD * sxD) / sxD,
               6).as("cv"),
-            round(col("p25r") / 100.0, 2).as("p25"),
-            round(col("p50r") / 100.0, 2).as("p50"),
-            round(col("p75r") / 100.0, 2).as("p75"),
+            // 4 decimals, not 2: quartiles of integer cents terminate
+            // at quarter-cent fractions — round2 would land the
+            // half-cent case on the tie digit where the two engines'
+            // rounding modes disagree (q246's measured lesson)
+            round(col("p25r") / 100.0, 4).as("p25"),
+            round(col("p50r") / 100.0, 4).as("p50"),
+            round(col("p75r") / 100.0, 4).as("p75"),
             round(col("mx").cast("double") / col("mn").cast("double"), 6)
               .as("range_ratio"))
           .orderBy(col("brand"))
@@ -1342,9 +1346,9 @@ object Analytics5 {
              |  round(sqrt(CAST(n_parts AS DOUBLE)*CAST(sxx AS DOUBLE)
              |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
              |    / CAST(sx AS DOUBLE), 6) AS cv,
-             |  round(p25r/100.0, 2) AS p25,
-             |  round(p50r/100.0, 2) AS p50,
-             |  round(p75r/100.0, 2) AS p75,
+             |  round(p25r/100.0, 4) AS p25,
+             |  round(p50r/100.0, 4) AS p50,
+             |  round(p75r/100.0, 4) AS p75,
              |  round(CAST(mx AS DOUBLE)/CAST(mn AS DOUBLE), 6)
              |    AS range_ratio
              |FROM m WHERE n_parts >= 2
@@ -1469,6 +1473,287 @@ object Analytics5 {
              |  round(ln(CAST(n_events AS DOUBLE)) -
              |    CAST(num AS DOUBLE)/(CAST(n_events AS DOUBLE)*1000000.0),
              |    6) AS hour_entropy
-             |FROM agg ORDER BY event_type""".stripMargin))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // ── q246: TYPICAL-ORDER trend — monthly exact p25/median/p75 of
+    // order value plus the month-over-month change of the UNROUNDED
+    // median: "is the typical order growing" — the robust-center
+    // companion to q129's mean-based top movers and q163's WoW sums
+    // (a mean trend can be one whale; the median trend is the
+    // customer-typical story). Percentile interpolation runs on exact
+    // integer cents; the MoM delta subtracts unrounded medians and
+    // rounds once — both engines run the identical chain.
+    //
+    // Scale shape: orders collapse onto the |months| grain in one
+    // exchange (the exact per-month percentile buffers bound by
+    // orders-per-month — q41's exact-baseline class, q55's sketch the
+    // named twin); the MoM lag rides the |months|-row aggregate
+    // (bounded-window class).
+    QueryDef(
+      "q246_median_order_trend",
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .groupBy(col("month"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            expr("percentile(cents, 0.25)").as("p25r"),
+            expr("percentile(cents, 0.5)").as("p50r"),
+            expr("percentile(cents, 0.75)").as("p75r"))
+        // display at 4 decimals, not 2: a quartile of integer cents
+        // interpolates on quarter-cent fractions, so the true value
+        // TERMINATES at the 4th decimal and neither engine faces a
+        // round-half tie — round(…, 2) would put the half-cent case
+        // (…395) exactly on the tie digit, where Spark's
+        // decimal-string rounding and DuckDB's binary-double rounding
+        // legitimately disagree by one ulp (measured at sf0.01)
+        val w = Window.partitionBy(lit(1)).orderBy(col("month"))
+        m.withColumn("prev50", lag(col("p50r"), 1).over(w))
+          .select(col("month"), col("n_orders"),
+            round(col("p25r") / 100.0, 4).as("p25"),
+            round(col("p50r") / 100.0, 4).as("p50"),
+            round(col("p75r") / 100.0, 4).as("p75"),
+            round((col("p50r") - col("prev50")) / 100.0, 4)
+              .as("mom_change"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |  FROM orders),
+             |m AS (SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+             |    quantile_cont(cents, 0.25) AS p25r,
+             |    quantile_cont(cents, 0.5) AS p50r,
+             |    quantile_cont(cents, 0.75) AS p75r
+             |  FROM o GROUP BY 1)
+             |SELECT month, n_orders,
+             |  round(p25r/100.0, 4) AS p25,
+             |  round(p50r/100.0, 4) AS p50,
+             |  round(p75r/100.0, 4) AS p75,
+             |  round((p50r - lag(p50r) OVER (ORDER BY month))/100.0, 4)
+             |    AS mom_change
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // ── q247: SCRIPT-MIX screen — per declared language: docs, total
+    // characters, the non-ASCII character share (exact integer
+    // ratio), and the count+share of PURE-ASCII docs: a
+    // Latin-script-only doc declared as a non-Latin language (or the
+    // reverse) is the classic lang-LABEL inconsistency that q30's
+    // n-gram detector and q122's confusion matrix read
+    // statistically — this is the one-scan character-class ground
+    // truth next to them, and an encoding-damage (mojibake) screen
+    // per source corpus. The character class `[^ -~]` (printable
+    // ASCII complement) is literal-range regex both engines' dialects
+    // agree on (q32's cross-engine regex precedent).
+    //
+    // Scale shape: both counts compute MAP-SIDE in codegen (length +
+    // one regexp_replace length diff — text never shuffles, three
+    // integers per doc move); the rollup lands on |langs| rows.
+    QueryDef(
+      "q247_script_mix",
+      (s, d) => {
+        val chars = length(col("text")).cast("long")
+        val ascii = length(regexp_replace(col("text"), "[^ -~]", ""))
+          .cast("long")
+        val per = t(s, d, "documents")
+          .select(col("lang"), chars.as("n_chars"),
+            (chars - ascii).as("n_non_ascii"))
+        per.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars"),
+            round(sum(col("n_non_ascii")).cast("double") /
+              sum(col("n_chars")).cast("double"), 6)
+              .as("non_ascii_share"),
+            count(when(col("n_non_ascii") === 0, 1)).cast("long")
+              .as("pure_ascii_docs"),
+            round(count(when(col("n_non_ascii") === 0, 1)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("pure_ascii_share"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH per AS (SELECT lang,
+             |    CAST(len(text) AS BIGINT) AS n_chars,
+             |    CAST(len(text) - len(regexp_replace(text, '[^ -~]', '',
+             |      'g')) AS BIGINT) AS n_non_ascii
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  round(CAST(sum(n_non_ascii) AS DOUBLE)
+             |    / CAST(sum(n_chars) AS DOUBLE), 6) AS non_ascii_share,
+             |  CAST(count(*) FILTER (WHERE n_non_ascii = 0) AS BIGINT)
+             |    AS pure_ascii_docs,
+             |  round(CAST(count(*) FILTER (WHERE n_non_ascii = 0)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS pure_ascii_share
+             |FROM per GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ── q248: LINE-NUMBER contiguity audit — per order, is
+    // l_linenumber the dense 1…n sequence the schema promises?
+    // Bucketed by line count (q238's buckets): orders, contiguous
+    // orders (max = count = distinct — the integer three-way test),
+    // gapped (max > count), duplicated (distinct < count), and the
+    // contiguous share: the ORDER-STRUCTURE face of the DQ family
+    // (q101 audits FK edges, q117 reconciles order totals, q194
+    // audits out-of-order events — none reads the line sequence
+    // itself). The synthetic fixture draws line numbers randomly in
+    // 1..7, so the audit reports REAL gap/duplicate mass here; on a
+    // production warehouse the expectation is 100% contiguous and
+    // any other reading is a loader defect (q101's audit class).
+    // Law (spec-pinned): contiguous ⟺ ¬gapped ∧ ¬duplicated, since
+    // distinct = count forces max = count when max ≤ count.
+    //
+    // Scale shape: lineitem collapses ONCE to the orderkey grain
+    // (count + max + distinct-count in one aggregate — the distinct
+    // rides the per-order line numbers, domain-bounded); the bucket
+    // rollup lands on ≤7 rows.
+    QueryDef(
+      "q248_linenumber_audit",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            max(col("l_linenumber")).cast("long").as("mx"),
+            countDistinct(col("l_linenumber")).cast("long").as("dn"))
+        val bucket = when(col("cnt") >= 7, "b7plus")
+          .otherwise(concat(lit("b"), col("cnt")))
+        val contig = col("mx") === col("cnt") && col("dn") === col("cnt")
+        per.select(bucket.as("bucket"), col("cnt"), col("mx"), col("dn"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            count(when(contig, 1)).cast("long").as("n_contiguous"),
+            count(when(col("mx") > col("cnt"), 1)).cast("long")
+              .as("n_gapped"),
+            count(when(col("dn") < col("cnt"), 1)).cast("long")
+              .as("n_duplicated"),
+            round(count(when(contig, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("contig_share"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH per AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(max(l_linenumber) AS BIGINT) AS mx,
+             |    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS dn
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CASE WHEN cnt >= 7 THEN 'b7plus'
+             |    ELSE 'b' || CAST(cnt AS VARCHAR) END AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(count(*) FILTER (WHERE mx = cnt AND dn = cnt)
+             |    AS BIGINT) AS n_contiguous,
+             |  CAST(count(*) FILTER (WHERE mx > cnt) AS BIGINT)
+             |    AS n_gapped,
+             |  CAST(count(*) FILTER (WHERE dn < cnt) AS BIGINT)
+             |    AS n_duplicated,
+             |  round(CAST(count(*) FILTER (WHERE mx = cnt AND dn = cnt)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS contig_share
+             |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ── q249: CROSS-LANGUAGE prefix leakage — q229's 16-token prefix
+    // fingerprint keyed per LANGUAGE label: docs, docs in shared-
+    // prefix families (≥2), docs whose family SPANS language labels,
+    // and the spanning share. A family spanning langs is either a
+    // mislabeled duplicate (the lang-QA signal q122 reads
+    // statistically, here with textual ground truth) or an
+    // untranslated boilerplate block leaking across language
+    // partitions — both are curation actions. Same map-side digest
+    // discipline as q229/q235; the lang span detects via
+    // min(lang) ≠ max(lang) — no count-distinct on the family grain.
+    //
+    // Scale shape: identical to q229 — digest map-side, one fp-grain
+    // exchange, join-back on the fp key, |langs|-row rollup.
+    QueryDef(
+      "q249_cross_lang_prefix",
+      (s, d) => {
+        val fp = md5(concat_ws(" ",
+          slice(filter(split(lower(col("text")), " "),
+            tk => length(tk) > 0), 1, 16)))
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), fp.as("fp"))
+        val fam = p.groupBy(col("fp"))
+          .agg(count(lit(1)).cast("long").as("fam_n"),
+            when(min(col("lang")) =!= max(col("lang")), 1L)
+              .otherwise(0L).as("xlang"))
+        p.join(fam, Seq("fp"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("fam_n") >= 2, 1)).cast("long").as("dup_docs"),
+            count(when(col("fam_n") >= 2 && col("xlang") === 1L, 1))
+              .cast("long").as("xlang_docs"),
+            round(count(when(col("fam_n") >= 2 && col("xlang") === 1L, 1))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("xlang_share"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH p AS (SELECT doc_id, lang,
+             |    md5(array_to_string(list_filter(string_split(lower(text),
+             |      ' '), x -> len(x) > 0)[1:16], ' ')) AS fp
+             |  FROM documents),
+             |fam AS (SELECT fp, CAST(count(*) AS BIGINT) AS fam_n,
+             |    CASE WHEN min(lang) <> max(lang) THEN 1 ELSE 0 END
+             |      AS xlang
+             |  FROM p GROUP BY 1)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE fam_n >= 2) AS BIGINT)
+             |    AS dup_docs,
+             |  CAST(count(*) FILTER (WHERE fam_n >= 2 AND xlang = 1)
+             |    AS BIGINT) AS xlang_docs,
+             |  round(CAST(count(*) FILTER (WHERE fam_n >= 2 AND xlang = 1)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS xlang_share
+             |FROM p JOIN fam USING (fp)
+             |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ── q250: event-type ADOPTION overlap — per unordered event-type
+    // pair: users doing both, each type's user base, and the Jaccard:
+    // "are two features adopted by the same users or different
+    // ones" — the USER-level co-occurrence matrix next to q121's
+    // token-level co-occurrence and q102's sequential transitions
+    // (transitions read order; this reads population overlap
+    // regardless of order). Only pairs with ≥1 shared user appear
+    // (absent ≡ disjoint — both engines agree).
+    //
+    // Scale shape: the corpus collapses ONCE to the distinct
+    // (user, type) grain (one exchange — q222/q226's frame family);
+    // the pair enumeration self-joins on user with per-user fanout
+    // bounded by |types|; sizes are |types|-grain; the output is
+    // ≤|types|² rows.
+    QueryDef(
+      "q250_adoption_overlap",
+      (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val sz = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+        val a = ut.toDF("user_id", "type_a")
+        val b = ut.toDF("user_id", "type_b")
+        val com = a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).cast("long").as("n_both"))
+        com
+          .join(sz.toDF("type_a", "na"), Seq("type_a"))
+          .join(sz.toDF("type_b", "nb"), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+            col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("na") + col("nb") - col("n_both")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM ut GROUP BY 1),
+             |com AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, sa.n_users AS na, sb.n_users AS nb,
+             |  n_both,
+             |  round(CAST(n_both AS DOUBLE) /
+             |    CAST(sa.n_users + sb.n_users - n_both AS DOUBLE), 6)
+             |    AS jaccard
+             |FROM com
+             |JOIN sz sa ON sa.event_type = type_a
+             |JOIN sz sb ON sb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 }

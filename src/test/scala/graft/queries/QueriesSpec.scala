@@ -3635,6 +3635,9 @@ class QueriesSpec extends SparkTestBase {
   private def rnd2(x: Double): Double =
     BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  private def rnd4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** quantile_cont / Spark exact `percentile` interpolation. */
   private def qCont(xs: Seq[Double], q: Double): Double = {
     val s = xs.sorted
@@ -4035,8 +4038,8 @@ class QueriesSpec extends SparkTestBase {
         b -> ((n, rnd2(sx.toDouble / n.toDouble / 100.0),
           rnd6(math.sqrt(n.toDouble * sxx.toDouble -
             sx.toDouble * sx.toDouble) / sx.toDouble),
-          rnd2(qCont(ds, 0.25) / 100.0), rnd2(qCont(ds, 0.5) / 100.0),
-          rnd2(qCont(ds, 0.75) / 100.0),
+          rnd4(qCont(ds, 0.25) / 100.0), rnd4(qCont(ds, 0.5) / 100.0),
+          rnd4(qCont(ds, 0.75) / 100.0),
           rnd6(ds.max / ds.min)))
     }
     assert(got == exp, s"got $got expected $exp")
@@ -4095,5 +4098,132 @@ class QueriesSpec extends SparkTestBase {
     // entropy of a 24-bin histogram is bounded by ln 24
     got.values.foreach { case (_, _, _, h) =>
       assert(h >= -1e-6 && h <= math.log(24.0) + 1e-6) }
+  }
+
+  test("q246 median order trend equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q246_median_order_trend")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map { r =>
+        val ld = tsDate(r.get(0))
+        (f"${ld.getYear}%04d-${ld.getMonthValue}%02d",
+          math.round(r.getDouble(1) * 100))
+      }
+    val byM = os.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, xs) =>
+      val ds = xs.map(_._2.toDouble).toSeq
+      (m, xs.length.toLong, qCont(ds, 0.25), qCont(ds, 0.5),
+        qCont(ds, 0.75))
+    }
+    val exp = byM.zipWithIndex.map { case ((m, n, a, b, c), i) =>
+      val mom = if (i == 0) None
+        else Some(rnd4((b - byM(i - 1)._4) / 100.0))
+      m -> ((n, rnd4(a / 100.0), rnd4(b / 100.0), rnd4(c / 100.0), mom))
+    }.toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q247 script mix equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q247_script_mix")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val txt = r.getString(1)
+        val nonAscii = txt.count(c => c < ' ' || c > '~').toLong
+        (r.getString(0), txt.length.toLong, nonAscii)
+      }
+    val exp = per.groupBy(_._1).map { case (lang, xs) =>
+      val chars = xs.map(_._2).sum
+      val na = xs.map(_._3).sum
+      val pure = xs.count(_._3 == 0).toLong
+      lang -> ((xs.length.toLong, chars, rnd6(na.toDouble / chars.toDouble),
+        pure, rnd6(pure.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q248 linenumber audit equals a driver recompute; set law holds") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q248_linenumber_audit")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._2).max.toLong,
+          xs.map(_._2).distinct.length.toLong)
+      }
+    val exp = per.groupBy { case (n, _, _) =>
+      if (n >= 7) "b7plus" else s"b$n" }
+      .map { case (b, xs) =>
+        val contig = xs.count { case (n, mx, dn) => mx == n && dn == n }
+          .toLong
+        b -> ((xs.size.toLong, contig,
+          xs.count { case (n, mx, _) => mx > n }.toLong,
+          xs.count { case (n, _, dn) => dn < n }.toLong,
+          rnd6(contig.toDouble / xs.size.toDouble)))
+      }
+    assert(got == exp, s"got $got expected $exp")
+    // set law: contiguous = NOT gapped AND NOT duplicated (distinct =
+    // count forces max = count when max <= count), so the
+    // non-contiguous mass is the union bound n - c <= g + dup with
+    // each of g, dup <= n - c. The fixture draws line numbers
+    // randomly, so this data has real gap/dup mass to exercise it.
+    got.values.foreach { case (n, c, g, dup, _) =>
+      assert(n - c <= g + dup && g <= n - c && dup <= n - c) }
+    assert(got.values.map(x => x._3 + x._4).sum > 0,
+      "fixture should exercise the non-contiguous paths")
+  }
+
+  test("q249 cross-lang prefix equals a driver md5 recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q249_cross_lang_prefix")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), md5hex(
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+          .take(16).mkString(" "))))
+    val famN = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val famX = docs.groupBy(_._2).map { case (fp, xs) =>
+      fp -> (xs.map(_._1).distinct.length > 1) }
+    val exp = docs.groupBy(_._1).map { case (lang, xs) =>
+      val dup = xs.count(x => famN(x._2) >= 2).toLong
+      val xl = xs.count(x => famN(x._2) >= 2 && famX(x._2)).toLong
+      lang -> ((xs.length.toLong, dup, xl,
+        rnd6(xl.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q250 adoption overlap equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q250_adoption_overlap")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ut = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val byType = ut.groupBy(_._2).map { case (t0, xs) =>
+      t0 -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val exp = (for {
+      a <- types; b <- types if a < b
+      both = (byType(a) & byType(b)).size.toLong if both > 0
+    } yield (a, b) -> ((byType(a).size.toLong, byType(b).size.toLong,
+      both, rnd6(both.toDouble /
+        (byType(a).size + byType(b).size - both).toDouble)))).toMap
+    assert(got == exp, s"got $got expected $exp")
   }
 }
