@@ -1754,6 +1754,334 @@ object Analytics5 {
              |FROM com
              |JOIN sz sa ON sa.event_type = type_a
              |JOIN sz sb ON sb.event_type = type_b
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ── q251: PRIORITY vs latency — per order priority: lines, exact
+    // mean ship latency, exact p50/p90, max: "does the priority field
+    // actually buy faster fulfilment" — the check every ops review
+    // runs before trusting the field for routing; q174 scores the
+    // SLA per supplier, q232 the trend per nation — this is the
+    // priority-dimension cut. Latency is integer days; the mean is
+    // one exact-integer ratio; percentiles interpolate on integer
+    // days (round-6 display — tenth-of-a-day fractions, no
+    // cent-style tie digit).
+    //
+    // Scale shape: ONE orderkey exchange joins the two facts (q232's
+    // shape); moments + bounded percentile buffers accumulate onto
+    // the |priorities| grain.
+    QueryDef(
+      "q251_priority_latency",
+      (s, d) => {
+        val f = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("lat"))
+        f.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            round(sum(col("lat")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_latency_days"),
+            round(expr("percentile(lat, 0.5)"), 6).as("p50"),
+            round(expr("percentile(lat, 0.9)"), 6).as("p90"),
+            max(col("lat")).as("max_latency"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH f AS (SELECT o_orderpriority,
+             |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+             |  round(CAST(sum(lat) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS avg_latency_days,
+             |  round(quantile_cont(lat, 0.5), 6) AS p50,
+             |  round(quantile_cont(lat, 0.9), 6) AS p90,
+             |  CAST(max(lat) AS BIGINT) AS max_latency
+             |FROM f GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── q252: BURSTINESS (Fano dispersion) per event type — daily
+    // event counts over the CALENDAR-DENSIFIED day axis (q106's
+    // lesson: a silent day is a 0 observation, not a missing one),
+    // per type: active days, mean events/day, and the Fano index
+    // variance/mean in the reduced integer form
+    // (n·Σc² − (Σc)²)/(n·Σc): ≈1 is Poisson-like steady traffic, ≫1
+    // is bursty — the DISPERSION summary next to q82's point spikes,
+    // q148's EWMA anomalies, and q116's interarrival quantiles (those
+    // flag WHERE; this scores HOW MUCH overall). Moments are exact
+    // integer sums in DECIMAL(38,0); one mirrored double chain.
+    //
+    // Scale shape: the corpus collapses to the (type, day) grain in
+    // one exchange; the calendar densify is a |types|×|days| frame
+    // (both dimension-bounded — the |types|-row dim broadcasts onto
+    // the range); day bounds come from a parquet-stat min/max probe
+    // (q226's bounded driver class); the rollup lands on |types| rows.
+    QueryDef(
+      "q252_burstiness",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.agg(min(epochDay(col("ts"))).as("dmin"),
+          max(epochDay(col("ts"))).as("dmax")).head()
+        val (dmin, dmax) = (b.getLong(0), b.getLong(1))
+        val counts = ev
+          .select(col("event_type"), epochDay(col("ts")).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val types = ev.select(col("event_type")).distinct()
+        val cal = s.range(dmin, dmax + 1).toDF("day")
+          .crossJoin(broadcast(types))
+        val dense = cal.join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val m = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            count(when(col("c") > 0, 1)).cast("long").as("active_days"),
+            sum(col("c").cast("decimal(38,0)")).as("sc"),
+            sum((col("c").cast("decimal(19,0)") *
+              col("c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .as("scc"))
+        val nD = col("n_days").cast("double")
+        val scD = col("sc").cast("double")
+        m.select(col("event_type"), col("n_days"), col("active_days"),
+          round(scD / nD, 6).as("mean_per_day"),
+          round((nD * col("scc").cast("double") - scD * scD) /
+            (nD * scD), 6).as("fano"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT
+             |    min(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT)) AS dmin,
+             |    max(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT)) AS dmax
+             |  FROM events),
+             |counts AS (SELECT event_type,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(ts AS DATE)) AS BIGINT) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cal AS (SELECT t.event_type, d.day
+             |  FROM (SELECT DISTINCT event_type FROM events) t,
+             |    (SELECT unnest(range(dmin, dmax + 1)) AS day FROM b) d),
+             |dense AS (SELECT cal.event_type, coalesce(c, 0) AS c
+             |  FROM cal LEFT JOIN counts
+             |    ON counts.event_type = cal.event_type
+             |    AND counts.day = cal.day),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(count(*) FILTER (WHERE c > 0) AS BIGINT)
+             |      AS active_days,
+             |    sum(CAST(c AS HUGEINT)) AS sc,
+             |    sum(CAST(c AS HUGEINT)*c) AS scc
+             |  FROM dense GROUP BY 1)
+             |SELECT event_type, n_days, active_days,
+             |  round(CAST(sc AS DOUBLE)/CAST(n_days AS DOUBLE), 6)
+             |    AS mean_per_day,
+             |  round((CAST(n_days AS DOUBLE)*CAST(scc AS DOUBLE)
+             |    - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))
+             |    / (CAST(n_days AS DOUBLE)*CAST(sc AS DOUBLE)), 6)
+             |    AS fano
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ── q253: supplier HHI per brand — each brand's shipped quantity
+    // concentrated across suppliers: supplier count, Herfindahl index
+    // Σshare² in the reduced integer form Σq²/(Σq)², the top
+    // supplier's share, and the effective supplier count 1/HHI: the
+    // SUPPLY-RISK readout that generalizes q180's top-1 dominant
+    // supplier to the whole concentration curve (q169 reads diversity
+    // per nation; this reads fragility per product line). All moments
+    // are exact integer quantity-unit sums; HHI and its reciprocal
+    // derive in ONE mirrored double chain (effective count divides
+    // the unrounded squares, not the rounded HHI).
+    //
+    // Scale shape: the fact collapses to the (brand, supplier) grain
+    // in one exchange (part dim partkey-co-partitioned / broadcast);
+    // the brand rollup squares the per-supplier totals map-side onto
+    // the |brands| grain.
+    QueryDef(
+      "q253_supplier_hhi",
+      (s, d) => {
+        val bs = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            fxUnits(col("l_quantity"), 100).as("qu"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("l_suppkey"))
+          .agg(sum(col("qu")).cast("long").as("q"))
+        val qd = col("q").cast("decimal(19,0)")
+        val m = bs.groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_suppliers"),
+            sum(col("q").cast("decimal(38,0)")).as("sq"),
+            sum((qd * qd).cast("decimal(38,0)")).as("sq2"),
+            max(col("q")).as("mx"))
+        val totD = col("sq").cast("double")
+        val sq2D = col("sq2").cast("double")
+        m.select(col("p_brand").as("brand"), col("n_suppliers"),
+          round(sq2D / (totD * totD), 6).as("hhi"),
+          round(col("mx").cast("double") / totD, 6).as("top_share"),
+          round((totD * totD) / sq2D, 2).as("effective_suppliers"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH bs AS (SELECT p_brand, l_suppkey,
+             |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+             |      AS q
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+             |    sum(CAST(q AS HUGEINT)) AS sq,
+             |    sum(CAST(q AS HUGEINT)*q) AS sq2,
+             |    max(q) AS mx
+             |  FROM bs GROUP BY 1)
+             |SELECT p_brand AS brand, n_suppliers,
+             |  round(CAST(sq2 AS DOUBLE) /
+             |    (CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)), 6) AS hhi,
+             |  round(CAST(mx AS DOUBLE)/CAST(sq AS DOUBLE), 6)
+             |    AS top_share,
+             |  round((CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+             |    / CAST(sq2 AS DOUBLE), 2) AS effective_suppliers
+             |FROM m ORDER BY brand""".stripMargin)),
+
+    // ── q254: UNIT-PRICE drift audit — per part, the realized unit
+    // price (Σ extendedprice / Σ quantity) in the first vs second
+    // half of the ship calendar; per brand: parts sold in BOTH
+    // halves, parts whose price moved more than ±20%, the drift
+    // share, and the median price ratio: "which product lines are
+    // repricing under us" — the pricing-INTEGRITY audit next to
+    // q243's cross-part dispersion and q227's demand slope (q186
+    // decomposes revenue price×volume at the aggregate; this names
+    // the drifting lines). The ratio computes as the integer cross
+    // product (ep₂·q₁)/(ep₁·q₂) — DECIMAL(38,0) products, ONE
+    // division — so no intermediate float unit price exists; the
+    // half boundary is the integer midpoint of the ship-day span
+    // (q228's deterministic cut).
+    //
+    // Scale shape: the fact collapses to the part grain with all four
+    // conditional sums in ONE partkey exchange; the brand rollup
+    // (with its bounded per-brand percentile) rides the |parts| →
+    // |brands| reduction; day bounds are a parquet-stat probe.
+    QueryDef(
+      "q254_price_drift",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val b = li.agg(min(epochDay(col("l_shipdate"))).as("dmin"),
+          max(epochDay(col("l_shipdate"))).as("dmax")).head()
+        val mid = Math.floorDiv(b.getLong(0) + b.getLong(1) + 1L, 2L)
+        val early = epochDay(col("l_shipdate")) < mid
+        val per = li
+          .select(col("l_partkey"),
+            fxUnits(col("l_extendedprice"), 100).as("ep"),
+            fxUnits(col("l_quantity"), 100).as("qu"),
+            early.as("h1"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(when(col("h1"), col("ep")).otherwise(lit(0L)))
+            .cast("long").as("ep1"),
+            sum(when(col("h1"), col("qu")).otherwise(lit(0L)))
+              .cast("long").as("q1"),
+            sum(when(!col("h1"), col("ep")).otherwise(lit(0L)))
+              .cast("long").as("ep2"),
+            sum(when(!col("h1"), col("qu")).otherwise(lit(0L)))
+              .cast("long").as("q2"))
+          .filter(col("q1") > 0 && col("q2") > 0)
+        val num = (col("ep2").cast("decimal(19,0)") *
+          col("q1").cast("decimal(19,0)")).cast("decimal(38,0)")
+        val den = (col("ep1").cast("decimal(19,0)") *
+          col("q2").cast("decimal(19,0)")).cast("decimal(38,0)")
+        val withRatio = per
+          .withColumn("ratio", num.cast("double") / den.cast("double"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        withRatio.groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            count(when(col("ratio") > 1.2 || col("ratio") < 0.8, 1))
+              .cast("long").as("drifted_parts"),
+            round(count(when(col("ratio") > 1.2 || col("ratio") < 0.8, 1))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("drift_share"),
+            round(expr("percentile(ratio, 0.5)"), 6).as("median_ratio"))
+          .select(col("p_brand").as("brand"), col("n_parts"),
+            col("drifted_parts"), col("drift_share"), col("median_ratio"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH b AS (SELECT
+             |    min(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) AS BIGINT)) AS dmin,
+             |    max(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) AS BIGINT)) AS dmax
+             |  FROM lineitem),
+             |per AS (SELECT l_partkey,
+             |    CAST(sum(CASE WHEN CAST(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE)) AS BIGINT)
+             |        < (dmin + dmax + 1) // 2
+             |      THEN CAST(round(l_extendedprice*100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS ep1,
+             |    CAST(sum(CASE WHEN CAST(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE)) AS BIGINT)
+             |        < (dmin + dmax + 1) // 2
+             |      THEN CAST(round(l_quantity*100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS q1,
+             |    CAST(sum(CASE WHEN CAST(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE)) AS BIGINT)
+             |        >= (dmin + dmax + 1) // 2
+             |      THEN CAST(round(l_extendedprice*100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS ep2,
+             |    CAST(sum(CASE WHEN CAST(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE)) AS BIGINT)
+             |        >= (dmin + dmax + 1) // 2
+             |      THEN CAST(round(l_quantity*100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS q2
+             |  FROM lineitem, b GROUP BY 1),
+             |r AS (SELECT l_partkey,
+             |    CAST(CAST(ep2 AS HUGEINT)*q1 AS DOUBLE) /
+             |      CAST(CAST(ep1 AS HUGEINT)*q2 AS DOUBLE) AS ratio
+             |  FROM per WHERE q1 > 0 AND q2 > 0)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(count(*) FILTER (WHERE ratio > 1.2 OR ratio < 0.8)
+             |    AS BIGINT) AS drifted_parts,
+             |  round(CAST(count(*) FILTER (WHERE ratio > 1.2
+             |    OR ratio < 0.8) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS drift_share,
+             |  round(quantile_cont(ratio, 0.5), 6) AS median_ratio
+             |FROM r JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q255: VALUE ROUNDNESS audit — per event type: events, the
+    // share of whole-dollar values, the share of ten-dollar
+    // multiples, and the distinct-value ratio: human-entered or
+    // synthetic values cluster on round numbers and small value
+    // vocabularies, organic measurements don't — the digit-PATTERN
+    // screen next to q140's Benford first-digit audit (Benford reads
+    // the leading digit; this reads the trailing zeros and the
+    // repertoire). All three are integer predicates/counts on exact
+    // cents — no float anywhere before the display divisions.
+    //
+    // Scale shape: one map-side classification pass; the
+    // distinct-value count rides a (type, cents) expand of the
+    // already-bucketed frame — bounded by the VALUE VOCABULARY per
+    // type, not the event count; rollup |types| rows.
+    QueryDef(
+      "q255_value_roundness",
+      (s, d) => {
+        val per = t(s, d, "events")
+          .select(col("event_type"), fxUnits(col("value"), 100).as("vc"))
+        per.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            round(count(when(col("vc") % 100 === 0, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("whole_dollar_share"),
+            round(count(when(col("vc") % 1000 === 0, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("ten_dollar_share"),
+            round(countDistinct(col("vc")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("distinct_value_ratio"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH per AS (SELECT event_type,
+             |    CAST(round(value*100) AS BIGINT) AS vc FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(CAST(count(*) FILTER (WHERE vc % 100 = 0) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS whole_dollar_share,
+             |  round(CAST(count(*) FILTER (WHERE vc % 1000 = 0) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS ten_dollar_share,
+             |  round(CAST(count(DISTINCT vc) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS distinct_value_ratio
+             |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -4226,4 +4226,137 @@ class QueriesSpec extends SparkTestBase {
         (byType(a).size + byType(b).size - both).toDouble)))).toMap
     assert(got == exp, s"got $got expected $exp")
   }
+
+  test("q251 priority latency equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q251_priority_latency")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val om = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) ->
+        ((tsDate(r.get(1)), r.getString(2)))).toMap
+    val lats = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map { r =>
+        val (od, pr) = om(r.getLong(0))
+        (pr, tsDate(r.get(1)).toEpochDay - od.toEpochDay)
+      }
+    val exp = lats.groupBy(_._1).map { case (pr, xs) =>
+      val g = xs.map(_._2)
+      pr -> ((g.length.toLong, rnd6(g.sum.toDouble / g.length.toDouble),
+        rnd6(qCont(g.map(_.toDouble), 0.5)),
+        rnd6(qCont(g.map(_.toDouble), 0.9)), g.max))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q252 burstiness equals a driver recompute over the dense calendar") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q252_burstiness")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val ev = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), tsDay(r.get(1))))
+    val dmin = ev.map(_._2).min
+    val dmax = ev.map(_._2).max
+    val nDays = dmax - dmin + 1
+    val exp = ev.groupBy(_._1).map { case (et, xs) =>
+      val byDay = xs.groupBy(_._2).map { case (_, ys) => ys.length.toLong }
+      val counts = byDay.toSeq ++ Seq.fill((nDays - byDay.size).toInt)(0L)
+      val sc = counts.map(BigInt(_)).sum
+      val scc = counts.map(c => BigInt(c) * BigInt(c)).sum
+      et -> ((nDays, byDay.size.toLong,
+        rnd6(sc.toDouble / nDays.toDouble),
+        rnd6((nDays.toDouble * scc.toDouble - sc.toDouble * sc.toDouble)
+          / (nDays.toDouble * sc.toDouble))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q253 supplier HHI equals a driver recompute; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q253_supplier_hhi")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bs = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .map(r => ((brand(r.getLong(0)), r.getLong(1)),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case ((b, s0), xs) =>
+        (b, s0, xs.map(_._2).sum) }
+    val exp = bs.groupBy(_._1).map { case (b, xs) =>
+      val qs = xs.map(_._3).toSeq
+      val sq = qs.map(BigInt(_)).sum
+      val sq2 = qs.map(q => BigInt(q) * BigInt(q)).sum
+      b -> ((qs.length.toLong,
+        rnd6(sq2.toDouble / (sq.toDouble * sq.toDouble)),
+        rnd6(qs.max.toDouble / sq.toDouble),
+        rnd2((sq.toDouble * sq.toDouble) / sq2.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // 1/n <= HHI <= 1 and effective suppliers <= actual suppliers
+    got.values.foreach { case (n, hhi, top, eff) =>
+      assert(hhi >= 1.0 / n.toDouble - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(top * top <= hhi + 1e-9, "top share^2 is a lower bound")
+      assert(eff <= n.toDouble + 0.01)
+    }
+  }
+
+  test("q254 price drift equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q254_price_drift")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_quantity")).collect()
+      .map(r => (r.getLong(0), tsDay(r.get(1)),
+        math.round(r.getDouble(2) * 100), math.round(r.getDouble(3) * 100)))
+    val mid = Math.floorDiv(li.map(_._2).min + li.map(_._2).max + 1L, 2L)
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ratios = li.groupBy(_._1).toSeq.flatMap { case (pk, xs) =>
+      val (h1, h2) = xs.partition(_._2 < mid)
+      val (ep1, q1) = (h1.map(x => BigInt(x._3)).sum,
+        h1.map(x => BigInt(x._4)).sum)
+      val (ep2, q2) = (h2.map(x => BigInt(x._3)).sum,
+        h2.map(x => BigInt(x._4)).sum)
+      if (q1 > 0 && q2 > 0)
+        Some((brand(pk), (ep2 * q1).toDouble / (ep1 * q2).toDouble))
+      else None
+    }
+    val exp = ratios.groupBy(_._1).map { case (b, xs) =>
+      val rs = xs.map(_._2)
+      val drifted = rs.count(r => r > 1.2 || r < 0.8).toLong
+      b -> ((rs.length.toLong, drifted,
+        rnd6(drifted.toDouble / rs.length.toDouble),
+        rnd6(qCont(rs, 0.5))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q255 value roundness equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q255_value_roundness")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val vs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val exp = vs.groupBy(_._1).map { case (et, xs) =>
+      val n = xs.length.toLong
+      et -> ((n,
+        rnd6(xs.count(_._2 % 100 == 0).toDouble / n.toDouble),
+        rnd6(xs.count(_._2 % 1000 == 0).toDouble / n.toDouble),
+        rnd6(xs.map(_._2).distinct.length.toDouble / n.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
