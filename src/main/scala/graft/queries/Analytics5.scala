@@ -2082,6 +2082,336 @@ object Analytics5 {
              |    / CAST(count(*) AS DOUBLE), 6) AS ten_dollar_share,
              |  round(CAST(count(DISTINCT vc) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS distinct_value_ratio
-             |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ── q256: bigram ENTROPY RATE per source — the conditional
+    // entropy H(next | prev) of adjacent token pairs and its
+    // perplexity: how predictable is the text token-to-token —
+    // templated/boilerplate corpora sit low, diverse prose sits
+    // high — the sequence-level complexity readout that completes
+    // q107's unigram entropy, q60's raw bigram counts, and q77's
+    // per-doc LM scores (q77 scores DOCS under a trained LM; this
+    // scores the SOURCE's own statistics). H = Σ c(ab)·(ln c(a·) −
+    // ln c(ab)) / M with both logs quantized to integer micro-units
+    // (q107's discipline), the weighted sum exact in DECIMAL(38,0),
+    // and ONE mirrored double chain for H and e^H.
+    //
+    // Scale shape: bigrams aggregate at the (source, a, b) grain in
+    // one exchange (vocabulary²-bounded, never collected); the
+    // prefix marginal is a re-aggregate of THAT frame (no second
+    // corpus pass); the join-back reuses the (source, a) key; the
+    // rollup lands on |sources| rows.
+    QueryDef(
+      "q256_bigram_entropy_rate",
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .withColumn("tk",
+            filter(split(lower(col("text")), " "), tk => length(tk) > 0))
+          .filter(size(col("tk")) >= 2)
+          .select(col("source"),
+            explode(transform(sequence(lit(0), size(col("tk")) - 2),
+              i => struct(element_at(col("tk"), i + 1).as("a"),
+                element_at(col("tk"), i + 2).as("b")))).as("p"))
+          .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("source"), col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val pre = bg.groupBy(col("source"), col("a"))
+          .agg(sum(col("c")).cast("long").as("ca"))
+        val cost = (x: Column) =>
+          round(lit(1000000.0) * log(x.cast("double"))).cast("long")
+        val m = bg.join(pre, Seq("source", "a"))
+          .select(col("source"), col("c"),
+            ((cost(col("ca")) - cost(col("c"))).cast("decimal(19,0)") *
+              col("c").cast("decimal(19,0)")).cast("decimal(38,0)")
+              .as("term"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_bigrams"),
+            sum(col("term")).as("num"))
+        val h = col("num").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0))
+        m.select(col("source"), col("n_bigrams"),
+          round(h, 6).as("cond_entropy"),
+          round(exp(h), 6).as("perplexity"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    list_filter(string_split(lower(text), ' '),
+             |      x -> len(x) > 0) AS t
+             |  FROM documents),
+             |bg AS (SELECT source, t[i] AS a, t[i+1] AS b,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM toks, unnest(range(1, len(t))) AS u(i)
+             |  WHERE len(t) >= 2 GROUP BY 1, 2, 3),
+             |pre AS (SELECT source, a, CAST(sum(c) AS BIGINT) AS ca
+             |  FROM bg GROUP BY 1, 2),
+             |m AS (SELECT bg.source,
+             |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |    sum(CAST(CAST(round(1000000.0*ln(CAST(ca AS DOUBLE)))
+             |        AS BIGINT)
+             |      - CAST(round(1000000.0*ln(CAST(c AS DOUBLE)))
+             |        AS BIGINT) AS HUGEINT) * c) AS num
+             |  FROM bg JOIN pre ON bg.source = pre.source AND bg.a = pre.a
+             |  GROUP BY 1)
+             |SELECT source, n_bigrams,
+             |  round(CAST(num AS DOUBLE) /
+             |    (CAST(n_bigrams AS DOUBLE)*1000000.0), 6) AS cond_entropy,
+             |  round(exp(CAST(num AS DOUBLE) /
+             |    (CAST(n_bigrams AS DOUBLE)*1000000.0)), 6) AS perplexity
+             |FROM m ORDER BY source""".stripMargin)),
+
+    // ── q257: brand RETURN impact — per brand: lines, returned lines
+    // (l_returnflag = 'R'), exact revenue, returned revenue, and both
+    // return shares: "which product lines come back" — the
+    // merchandising cut of the returns family (q197 ranks returning
+    // CUSTOMERS, TPC-H Q10's angle; this names the product lines
+    // whose revenue is at risk). Revenue micro-units exact in
+    // DECIMAL(38,0); shares are mirrored one-division chains.
+    //
+    // Scale shape: part dim partkey-co-partitioned (AQE broadcast);
+    // the conditional aggregates collapse map-side onto the |brands|
+    // grain in one exchange — the return split costs no second pass.
+    QueryDef(
+      "q257_brand_returns",
+      (s, d) => {
+        val isR = col("l_returnflag") === "R"
+        t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_returnflag"), revMicro.as("rm"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            count(when(isR, 1)).cast("long").as("returned_lines"),
+            sum(col("rm").cast("decimal(38,0)")).as("rev"),
+            sum(when(isR, col("rm")).otherwise(lit(0L))
+              .cast("decimal(38,0)")).as("ret_rev"))
+          .select(col("p_brand").as("brand"), col("n_lines"),
+            col("returned_lines"),
+            round(col("rev").cast("double") / 10000.0, 2).as("revenue"),
+            round(col("ret_rev").cast("double") / 10000.0, 2)
+              .as("returned_revenue"),
+            round(col("returned_lines").cast("double") /
+              col("n_lines").cast("double"), 6).as("line_return_share"),
+            round(col("ret_rev").cast("double") /
+              col("rev").cast("double"), 6).as("revenue_return_share"))
+          .orderBy(col("brand"))
+      },
+      Some(s"""WITH li AS (SELECT p_brand, l_returnflag,
+             |    CAST($revMicroSql AS HUGEINT) AS rm
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+             |    AS returned_lines,
+             |  round(CAST(sum(rm) AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN rm
+             |    ELSE 0 END) AS DOUBLE)/10000.0, 2) AS returned_revenue,
+             |  round(CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+             |    AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS line_return_share,
+             |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN rm
+             |    ELSE 0 END) AS DOUBLE)/CAST(sum(rm) AS DOUBLE), 6)
+             |    AS revenue_return_share
+             |FROM li GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q258: BALANCE-DECILE spend — customers ranked into exact
+    // account-balance deciles (d1 = richest), per decile: customers,
+    // buyers, exact total and per-customer spend, and the decile's
+    // spend share: "does stated balance predict purchasing" — the
+    // wallet-vs-behavior calibration next to q128's RFM and q149's
+    // score-decile calibration (same exact-ntile machinery, a
+    // different predictor under test). Ranking is the two-pass
+    // [[Q.globalRankByRange]] + [[Q.exactDecile]] (q50's proved
+    // ntile equivalence) — never an unpartitioned window.
+    //
+    // Scale shape: the rank pass range-partitions the customer dim;
+    // spend collapses orders ONCE to the customer grain
+    // (custkey-co-partitioned join); the rollup lands on 10 rows and
+    // the share window rides that frame.
+    QueryDef(
+      "q258_balance_decile_spend",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), fxUnits(col("c_acctbal"), 100)
+            .as("bal"))
+        val n = cust.count()
+        val ranked = globalRankByRange(cust,
+          Seq(col("bal").desc, col("c_custkey")))
+          .select(col("c_custkey"), exactDecile(col("rn"), n).as("decile"))
+        val spend = t(s, d, "orders")
+          .select(col("o_custkey"), fxUnits(col("o_totalprice"), 100)
+            .as("cents"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).as("sp"))
+        val agg = ranked
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            count(col("sp")).cast("long").as("buyers"),
+            sum(coalesce(col("sp"), lit(0L).cast("decimal(38,0)")))
+              .as("sp"))
+        val all = Window.partitionBy(lit(1))
+        agg.select(col("decile"), col("n_customers"), col("buyers"),
+          round(col("sp").cast("double") / 100.0, 2).as("total_spend"),
+          round(col("sp").cast("double") /
+            col("n_customers").cast("double") / 100.0, 6)
+            .as("avg_spend_per_customer"),
+          round(col("sp").cast("double") /
+            sum(col("sp")).over(all).cast("double"), 6).as("spend_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+             |  FROM customer),
+             |r AS (SELECT c_custkey, ntile(10) OVER (
+             |    ORDER BY bal DESC, c_custkey) AS decile FROM c),
+             |sp AS (SELECT o_custkey,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    sum(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+             |      AS HUGEINT)) AS sp
+             |  FROM orders GROUP BY 1),
+             |agg AS (SELECT decile,
+             |    CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(count(sp.sp) AS BIGINT) AS buyers,
+             |    sum(coalesce(sp.sp, 0)) AS spv
+             |  FROM r LEFT JOIN sp ON c_custkey = o_custkey GROUP BY 1)
+             |SELECT decile, n_customers, buyers,
+             |  round(CAST(spv AS DOUBLE)/100.0, 2) AS total_spend,
+             |  round(CAST(spv AS DOUBLE)/CAST(n_customers AS DOUBLE)
+             |    /100.0, 6) AS avg_spend_per_customer,
+             |  round(CAST(spv AS DOUBLE)/CAST(sum(spv) OVER () AS DOUBLE),
+             |    6) AS spend_share
+             |FROM agg ORDER BY decile""".stripMargin)),
+
+    // ── q259: PAYLOAD-value correlation — per event type, the exact
+    // Pearson correlation between the JSON payload field `k` (q15's
+    // extraction) and the event value: "does the payload predict the
+    // money" — the semi-structured-data companion to q104's
+    // metric-pair matrix and q160's lead/lag correlation, and the
+    // only query exercising JSON extraction INSIDE a statistical
+    // aggregate. All six moments are exact integer sums in
+    // DECIMAL(38,0) (k·v products cross 2⁶³ at ~10¹⁰ rows of
+    // 10²-valued k × 10⁴-cent values); r derives in ONE mirrored
+    // double chain; degenerate types filter, not NaN.
+    //
+    // Scale shape: extraction + quantization are map-side; the six
+    // moments accumulate onto the |types| grain in one exchange.
+    QueryDef(
+      "q259_payload_value_corr",
+      (s, d) => {
+        val dec38 = "decimal(38,0)"
+        val kd = col("k").cast("decimal(19,0)")
+        val vd = col("vc").cast("decimal(19,0)")
+        val m = t(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            fxUnits(col("value"), 100).as("vc"))
+          .filter(col("k").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(kd.cast(dec38)).as("sk"),
+            sum(vd.cast(dec38)).as("sv"),
+            sum((kd * vd).cast(dec38)).as("skv"),
+            sum((kd * kd).cast(dec38)).as("skk"),
+            sum((vd * vd).cast(dec38)).as("svv"))
+        val nD = col("n").cast("double")
+        val skD = col("sk").cast("double")
+        val svD = col("sv").cast("double")
+        val dk = nD * col("skk").cast("double") - skD * skD
+        val dv = nD * col("svv").cast("double") - svD * svD
+        m.filter(col("n") >= 2 && dk =!= lit(0.0) && dv =!= lit(0.0))
+          .select(col("event_type"), col("n"),
+            round(skD / nD, 6).as("mean_k"),
+            round((nD * col("skv").cast("double") - skD * svD) /
+              (sqrt(dk) * sqrt(dv)), 6).as("corr_k_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1)
+             |      AS BIGINT) AS k,
+             |    CAST(round(value*100) AS BIGINT) AS vc
+             |  FROM events
+             |  WHERE regexp_extract(props, '"k": (-?[0-9]+)', 1) <> ''),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(k AS HUGEINT)) AS sk,
+             |    sum(CAST(vc AS HUGEINT)) AS sv,
+             |    sum(CAST(k AS HUGEINT)*vc) AS skv,
+             |    sum(CAST(k AS HUGEINT)*k) AS skk,
+             |    sum(CAST(vc AS HUGEINT)*vc) AS svv
+             |  FROM e GROUP BY 1),
+             |dm AS (SELECT *,
+             |    CAST(n AS DOUBLE)*CAST(skk AS DOUBLE)
+             |      - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE) AS dk,
+             |    CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+             |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE) AS dv
+             |  FROM m)
+             |SELECT event_type, n,
+             |  round(CAST(sk AS DOUBLE)/CAST(n AS DOUBLE), 6) AS mean_k,
+             |  round((CAST(n AS DOUBLE)*CAST(skv AS DOUBLE)
+             |    - CAST(sk AS DOUBLE)*CAST(sv AS DOUBLE))
+             |    / (sqrt(dk)*sqrt(dv)), 6) AS corr_k_value
+             |FROM dm WHERE n >= 2 AND dk <> 0.0 AND dv <> 0.0
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── q260: DEDUP FUNNEL — per source, the staged survivor counts
+    // of the cheap deterministic dedup screens: docs → exact-hash
+    // survivors (q22's md5(lower(text)) min-doc_id rule) → prefix-
+    // family survivors among those (q229's 16-token digest, same
+    // min-doc_id rule): the one-readout summary a curation review
+    // opens with before paying for shingle mining (q25/q26's
+    // near-dup layer names what these screens CAN'T see — the
+    // funnel's floor, not its ceiling). Both stages are corpus-WIDE
+    // families with survivor attribution to the owning source; the
+    // canonical-survivor rule is min(doc_id), q22's exactly, so the
+    // funnel composes with the declared dedup queries rather than
+    // re-deciding winners.
+    //
+    // Scale shape: both digests compute map-side in one scan; each
+    // stage is one fp-grain exchange + a join-back on the fp key
+    // (q229/q235's shape); the rollup lands on |sources| rows.
+    QueryDef(
+      "q260_dedup_funnel",
+      (s, d) => {
+        val pfp = md5(concat_ws(" ",
+          slice(filter(split(lower(col("text")), " "),
+            tk => length(tk) > 0), 1, 16)))
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(lower(col("text"))).as("h"), pfp.as("pf"))
+        val exMin = f.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+        val s1 = f.join(exMin, Seq("h"))
+          .withColumn("ex_surv", col("doc_id") === col("keep"))
+        val pfMin = s1.filter(col("ex_surv")).groupBy(col("pf"))
+          .agg(min(col("doc_id")).as("pkeep"))
+        val s2 = s1.join(pfMin, Seq("pf"), "left")
+          .withColumn("pf_surv",
+            col("ex_surv") && col("doc_id") === col("pkeep"))
+        s2.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("ex_surv"), 1)).cast("long").as("after_exact"),
+            count(when(col("pf_surv"), 1)).cast("long").as("after_prefix"),
+            round(lit(1.0) - count(when(col("pf_surv"), 1)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("total_reduction"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, md5(lower(text)) AS h,
+             |    md5(array_to_string(list_filter(string_split(lower(text),
+             |      ' '), x -> len(x) > 0)[1:16], ' ')) AS pf
+             |  FROM documents),
+             |ex AS (SELECT h, min(doc_id) AS keep FROM f GROUP BY 1),
+             |s1 AS (SELECT f.*, (doc_id = keep) AS ex_surv
+             |  FROM f JOIN ex USING (h)),
+             |pm AS (SELECT pf, min(doc_id) AS pkeep FROM s1
+             |  WHERE ex_surv GROUP BY 1),
+             |s2 AS (SELECT s1.*,
+             |    (ex_surv AND doc_id = pkeep) AS pf_surv
+             |  FROM s1 LEFT JOIN pm USING (pf))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) FILTER (WHERE ex_surv) AS BIGINT)
+             |    AS after_exact,
+             |  CAST(count(*) FILTER (WHERE pf_surv) AS BIGINT)
+             |    AS after_prefix,
+             |  round(1.0 - CAST(count(*) FILTER (WHERE pf_surv) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS total_reduction
+             |FROM s2 GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

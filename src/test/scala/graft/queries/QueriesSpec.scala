@@ -4359,4 +4359,154 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  test("q256 bigram entropy rate equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q256_bigram_entropy_rate")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val bgs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        val tk = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        tk.toSeq.sliding(2).collect { case Seq(a, b) =>
+          (r.getString(0), a, b) }
+      }
+    def cost(c: Long): Long = math.round(1000000.0 * math.log(c.toDouble))
+    val exp = bgs.groupBy(_._1).map { case (src, xs) =>
+      val cAB = xs.groupBy(x => (x._2, x._3))
+        .map { case (k, ys) => k -> ys.length.toLong }
+      val cA = xs.groupBy(_._2).map { case (a, ys) => a -> ys.length.toLong }
+      val m = xs.length.toLong
+      val num = cAB.map { case ((a, _), c) =>
+        BigInt(cost(cA(a)) - cost(c)) * BigInt(c) }.sum
+      val h = num.toDouble / (m.toDouble * 1000000.0)
+      src -> ((m, rnd6(h), rnd6(math.exp(h))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q257 brand returns equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q257_brand_returns")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map(r => (brand(r.getLong(0)), r.getString(1) == "R",
+        BigInt(math.round(r.getDouble(2) * 100)) *
+          BigInt(100 - math.round(r.getDouble(3) * 100))))
+    val exp = li.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val rl = xs.count(_._2).toLong
+      val rev = xs.map(_._3).sum
+      val rrev = xs.filter(_._2).map(_._3).sum
+      b -> ((n, rl, rnd2(rev.toDouble / 10000.0),
+        rnd2(rrev.toDouble / 10000.0), rnd6(rl.toDouble / n.toDouble),
+        rnd6(rrev.toDouble / rev.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q258 balance deciles equal a driver ntile recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q258_balance_decile_spend")(spark, sf())
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val spend = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val ranked = cust.sortBy { case (c, b) => (-b, c) }
+    val n = ranked.length.toLong
+    val q = n / 10
+    val r0 = n % 10
+    val big = r0 * (q + 1)
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) =>
+      val rn = i + 1L
+      if (rn <= big) ((rn - 1) / (q + 1) + 1).toInt
+      else (r0 + (rn - big - 1) / math.max(q, 1L) + 1).toInt
+    }
+    val totAll = spend.values.sum
+    val exp = byDec.map { case (dec, xs) =>
+      val nc = xs.length.toLong
+      val buyers = xs.count(x => spend.contains(x._1._1)).toLong
+      val sp = xs.flatMap(x => spend.get(x._1._1)).sum
+      dec -> ((nc, buyers, rnd2(sp.toDouble / 100.0),
+        rnd6(sp.toDouble / nc.toDouble / 100.0),
+        rnd6(sp.toDouble / totAll.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q259 payload correlation equals a driver BigInt recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q259_payload_value_corr")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val kRe = """"k": (-?[0-9]+)""".r
+    val pts = graft.sources.Tables(spark, sf(), "events")
+      .select(col("event_type"), col("props"), col("value")).collect()
+      .flatMap { r =>
+        kRe.findFirstMatchIn(r.getString(1)).map { m =>
+          (r.getString(0), m.group(1).toLong,
+            math.round(r.getDouble(2) * 100))
+        }
+      }
+    val exp = pts.groupBy(_._1).flatMap { case (et, xs) =>
+      val n = xs.length.toLong
+      val sk = xs.map(x => BigInt(x._2)).sum
+      val sv = xs.map(x => BigInt(x._3)).sum
+      val skv = xs.map(x => BigInt(x._2) * BigInt(x._3)).sum
+      val skk = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val svv = xs.map(x => BigInt(x._3) * BigInt(x._3)).sum
+      val dk = n.toDouble * skk.toDouble - sk.toDouble * sk.toDouble
+      val dv = n.toDouble * svv.toDouble - sv.toDouble * sv.toDouble
+      if (n < 2 || dk == 0.0 || dv == 0.0) None
+      else Some(et -> ((n, rnd6(sk.toDouble / n.toDouble),
+        rnd6((n.toDouble * skv.toDouble - sk.toDouble * sv.toDouble) /
+          (math.sqrt(dk) * math.sqrt(dv))))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // correlation is bounded
+    got.values.foreach { case (_, _, c) => assert(c >= -1.0 && c <= 1.0) }
+  }
+
+  test("q260 dedup funnel equals a driver recompute; funnel monotone") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q260_dedup_funnel")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val txt = r.getString(2).toLowerCase
+        (r.getLong(0), r.getString(1), md5hex(txt),
+          md5hex(txt.split(" ").filter(_.nonEmpty).take(16).mkString(" ")))
+      }
+    val exKeep = docs.groupBy(_._3).map { case (_, xs) =>
+      xs.map(_._1).min }.toSet
+    val pfKeep = docs.filter(x => exKeep(x._1)).groupBy(_._4)
+      .map { case (_, xs) => xs.map(_._1).min }.toSet
+    val exp = docs.groupBy(_._2).map { case (src, xs) =>
+      val ae = xs.count(x => exKeep(x._1)).toLong
+      val ap = xs.count(x => pfKeep(x._1)).toLong
+      src -> ((xs.length.toLong, ae, ap,
+        rnd6(1.0 - ap.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    got.values.foreach { case (n, ae, ap, _) =>
+      assert(ap <= ae && ae <= n) }
+  }
 }
