@@ -2412,6 +2412,309 @@ object Analytics5 {
              |    AS after_prefix,
              |  round(1.0 - CAST(count(*) FILTER (WHERE pf_surv) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS total_reduction
-             |FROM s2 GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM s2 GROUP BY 1 ORDER BY source""".stripMargin)),
+
+
+    // ── q261: FILL SPAN vs basket size — per order, the ship SPAN
+    // (days between the first and last line shipping), profiled by
+    // q238's basket-size buckets: orders, exact mean span, exact
+    // p50/p90 span, and the share of single-shipment orders
+    // (span = 0): "do big baskets fulfil in one wave or dribble out"
+    // — the within-ORDER spread that completes q251's order→ship
+    // latency (how late) and q238's value profile (how big). Span is
+    // an integer day difference of per-order min/max — exact.
+    //
+    // Scale shape: lineitem collapses ONCE to the orderkey grain
+    // (count + min + max in one aggregate); the bucket rollup lands
+    // on ≤7 rows with bounded percentile buffers per bucket.
+    QueryDef(
+      "q261_fill_span",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .select(col("l_orderkey"), epochDay(col("l_shipdate")).as("day"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            (max(col("day")) - min(col("day"))).as("span"))
+        val bucket = when(col("cnt") >= 7, "b7plus")
+          .otherwise(concat(lit("b"), col("cnt")))
+        per.select(bucket.as("bucket"), col("span"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            round(sum(col("span")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_span_days"),
+            round(expr("percentile(span, 0.5)"), 6).as("p50_span"),
+            round(expr("percentile(span, 0.9)"), 6).as("p90_span"),
+            round(count(when(col("span") === 0, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("single_wave_share"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH per AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(max(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE)))
+             |      - min(datediff('day', DATE '1970-01-01',
+             |        CAST(l_shipdate AS DATE))) AS BIGINT) AS span
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CASE WHEN cnt >= 7 THEN 'b7plus'
+             |    ELSE 'b' || CAST(cnt AS VARCHAR) END AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(CAST(sum(span) AS DOUBLE)/CAST(count(*) AS DOUBLE),
+             |    6) AS avg_span_days,
+             |  round(quantile_cont(span, 0.5), 6) AS p50_span,
+             |  round(quantile_cont(span, 0.9), 6) AS p90_span,
+             |  round(CAST(count(*) FILTER (WHERE span = 0) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS single_wave_share
+             |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ── q262: user ENGAGEMENT deciles — users ranked into exact
+    // deciles by event count (d1 = most active), per decile: users,
+    // events + share, exact total value + share: "how concentrated is
+    // engagement" — q127's revenue-concentration readout on the USER
+    // axis (q222 reads the population's weekly pulse; this reads its
+    // inequality; q255 screens the values those users produce). The
+    // ranking is the two-pass [[Q.globalRankByRange]] +
+    // [[Q.exactDecile]] (q50's proved ntile equivalence) — never an
+    // unpartitioned window; value sums are exact integer cents.
+    //
+    // Scale shape: events collapse ONCE to the user grain (count +
+    // value in one aggregate); the rank pass range-partitions the
+    // user-grain frame; the rollup lands on 10 rows and the share
+    // windows ride that frame.
+    QueryDef(
+      "q262_user_engagement_deciles",
+      (s, d) => {
+        val per = t(s, d, "events")
+          .select(col("user_id"), fxUnits(col("value"), 100).as("vc"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_ev"),
+            sum(col("vc").cast("decimal(38,0)")).as("sv"))
+        val n = per.count()
+        val ranked = globalRankByRange(per,
+          Seq(col("n_ev").desc, col("user_id")))
+          .select(exactDecile(col("rn"), n).as("decile"), col("n_ev"),
+            col("sv"))
+        val agg = ranked.groupBy(col("decile"))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum(col("n_ev")).cast("long").as("n_events"),
+            sum(col("sv")).as("sv"))
+        val all = Window.partitionBy(lit(1))
+        agg.select(col("decile"), col("n_users"), col("n_events"),
+          round(col("n_events").cast("double") /
+            sum(col("n_events")).over(all).cast("double"), 6)
+            .as("event_share"),
+          round(col("sv").cast("double") / 100.0, 2).as("total_value"),
+          round(col("sv").cast("double") /
+            sum(col("sv")).over(all).cast("double"), 6).as("value_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n_ev,
+             |    sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT))
+             |      AS sv
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT *, ntile(10) OVER (ORDER BY n_ev DESC, user_id)
+             |    AS decile FROM per),
+             |agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(n_ev) AS BIGINT) AS n_events, sum(sv) AS sv
+             |  FROM r GROUP BY 1)
+             |SELECT decile, n_users, n_events,
+             |  round(CAST(n_events AS DOUBLE) /
+             |    CAST(sum(n_events) OVER () AS DOUBLE), 6) AS event_share,
+             |  round(CAST(sv AS DOUBLE)/100.0, 2) AS total_value,
+             |  round(CAST(sv AS DOUBLE)/CAST(sum(sv) OVER () AS DOUBLE),
+             |    6) AS value_share
+             |FROM agg ORDER BY decile""".stripMargin)),
+
+    // ── q263: SENTENCE readability stats — per source: docs,
+    // sentences, exact mean sentence length in tokens (ratio of two
+    // integer sums), the share of LONG sentences (> 40 tokens), and
+    // the share of docs averaging long sentences (integer cross
+    // predicate tok·1 > 25·sent): the readability screen q24's
+    // token/char averages don't see (a 500-token doc of 10 sentences
+    // reads very differently from one 500-token run-on) — a standard
+    // quality cut next to q31's punctuation ratios and q66's
+    // repetition. Sentences split on the period-space boundary;
+    // empty fragments (doubled periods) drop on both engines.
+    //
+    // Scale shape: sentence and token counts compute MAP-SIDE in
+    // codegen (split → filter → size + one explode at the sentence
+    // grain for the length histogram share); the rollup lands on
+    // |sources| rows.
+    QueryDef(
+      "q263_sentence_stats",
+      (s, d) => {
+        val sents = filter(transform(split(col("text"), "\\. "),
+          x => trim(x)), x => length(x) > 0)
+        val sent = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(sents).as("sentence"))
+          .select(col("source"), col("doc_id"),
+            size(filter(split(col("sentence"), " "),
+              tk => length(tk) > 0)).cast("long").as("slen"))
+        val per = sent.groupBy(col("source"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_sent"),
+            sum(col("slen")).cast("long").as("n_tok"),
+            count(when(col("slen") > 40, 1)).cast("long").as("n_long"))
+        per.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_sent")).cast("long").as("n_sentences"),
+            round(sum(col("n_tok")).cast("double") /
+              sum(col("n_sent")).cast("double"), 6)
+              .as("avg_sentence_len"),
+            round(sum(col("n_long")).cast("double") /
+              sum(col("n_sent")).cast("double"), 6).as("long_share"),
+            round(count(when(col("n_tok") > col("n_sent") * 25, 1))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("runon_doc_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sent AS (SELECT source, doc_id,
+             |    CAST(len(list_filter(string_split(s.sentence, ' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS slen
+             |  FROM documents,
+             |    unnest(list_filter(list_transform(
+             |      string_split(text, '. '), x -> trim(x)),
+             |      x -> len(x) > 0)) AS s(sentence)),
+             |per AS (SELECT source, doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_sent,
+             |    CAST(sum(slen) AS BIGINT) AS n_tok,
+             |    CAST(count(*) FILTER (WHERE slen > 40) AS BIGINT)
+             |      AS n_long
+             |  FROM sent GROUP BY 1, 2)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+             |  round(CAST(sum(n_tok) AS DOUBLE)/CAST(sum(n_sent)
+             |    AS DOUBLE), 6) AS avg_sentence_len,
+             |  round(CAST(sum(n_long) AS DOUBLE)/CAST(sum(n_sent)
+             |    AS DOUBLE), 6) AS long_share,
+             |  round(CAST(count(*) FILTER (WHERE n_tok > n_sent*25)
+             |    AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS runon_doc_share
+             |FROM per GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q264: cross-nation PRICE PARITY — per part sold to customers
+    // in ≥2 nations, the spread between its best and worst realized
+    // unit price across nations; per brand: multi-nation parts,
+    // parity violators (max/min ratio > 1.2), violator share, median
+    // parity ratio: "is the same part priced differently by
+    // geography" — the SPATIAL price-integrity audit completing
+    // q254's temporal drift (q177 reads market share; this reads
+    // price discrimination). Per (part, nation) the unit price is
+    // Σep/Σqty; the cross-nation ratio computes as the integer cross
+    // product (ep_max·q_min)/(ep_min·q_max)… reduced instead to ONE
+    // division of two per-nation ratios — both engines run the
+    // identical double chain (each per-nation ratio is one exact-
+    // integer division, deterministic; max/min over those doubles is
+    // order-free).
+    //
+    // Scale shape: TWO fact joins reach the customer nation (q234's
+    // shape — orderkey then custkey, dims broadcast); the collapse to
+    // (part, nation) is one exchange; per-part max/min ride the
+    // ≤|nations| fanout; the brand rollup bounds the percentile
+    // buffers by parts-per-brand.
+    QueryDef(
+      "q264_price_parity",
+      (s, d) => {
+        val pn = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            fxUnits(col("l_extendedprice"), 100).as("ep"),
+            fxUnits(col("l_quantity"), 100).as("qu"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_partkey"), col("c_nationkey"))
+          .agg(sum(col("ep")).cast("long").as("sep"),
+            sum(col("qu")).cast("long").as("sq"))
+          .select(col("l_partkey"),
+            (col("sep").cast("double") / col("sq").cast("double"))
+              .as("up"))
+        val per = pn.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).cast("long").as("n_nations"),
+            max(col("up")).as("mx"), min(col("up")).as("mn"))
+          .filter(col("n_nations") >= 2)
+          .select(col("l_partkey"), (col("mx") / col("mn")).as("parity"))
+        per.join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            count(when(col("parity") > 1.2, 1)).cast("long")
+              .as("violators"),
+            round(count(when(col("parity") > 1.2, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("violator_share"),
+            round(expr("percentile(parity, 0.5)"), 6)
+              .as("median_parity"))
+          .select(col("p_brand").as("brand"), col("n_parts"),
+            col("violators"), col("violator_share"), col("median_parity"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH pn AS (SELECT l_partkey, c_nationkey,
+             |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+             |      AS DOUBLE) /
+             |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+             |      AS DOUBLE) AS up
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |per AS (SELECT l_partkey, max(up)/min(up) AS parity
+             |  FROM pn GROUP BY 1 HAVING count(*) >= 2)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(count(*) FILTER (WHERE parity > 1.2) AS BIGINT)
+             |    AS violators,
+             |  round(CAST(count(*) FILTER (WHERE parity > 1.2) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS violator_share,
+             |  round(quantile_cont(parity, 0.5), 6) AS median_parity
+             |FROM per JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q265: DEAD CATALOGUE — per brand: parts never shipped, the
+    // dead share, and the retail value locked in them (exact cents):
+    // "how much of the catalogue is shelf-ware" — the inventory
+    // hygiene readout that turns q05's anti-join mechanics into a
+    // business number (q218 ranks IMPORTANT parts; this names the
+    // opposite tail; q233 reads the ramp of parts that DID sell).
+    //
+    // Scale shape: the shipped-part set collapses to the distinct
+    // partkey grain in one exchange; the dim-side left-anti
+    // membership resolves in the partkey-co-partitioned join; the
+    // rollup lands on |brands| rows.
+    QueryDef(
+      "q265_dead_catalogue",
+      (s, d) => {
+        val shipped = t(s, d, "lineitem")
+          .select(col("l_partkey")).distinct()
+          .withColumn("sold", lit(1))
+        val per = t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"),
+            fxUnits(col("p_retailprice"), 100).as("cents"))
+          .join(shipped, col("p_partkey") === col("l_partkey"), "left")
+        per.groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            count(when(col("sold").isNull, 1)).cast("long")
+              .as("dead_parts"),
+            round(count(when(col("sold").isNull, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("dead_share"),
+            round(sum(when(col("sold").isNull, col("cents"))
+              .otherwise(lit(0L))).cast("double") / 100.0, 2)
+              .as("locked_retail_value"))
+          .select(col("p_brand").as("brand"), col("n_parts"),
+            col("dead_parts"), col("dead_share"),
+            col("locked_retail_value"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH shipped AS (SELECT DISTINCT l_partkey FROM lineitem)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(count(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT)
+             |    AS dead_parts,
+             |  round(CAST(count(*) FILTER (WHERE l_partkey IS NULL)
+             |    AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS dead_share,
+             |  round(CAST(sum(CASE WHEN l_partkey IS NULL
+             |    THEN CAST(round(p_retailprice*100) AS BIGINT)
+             |    ELSE 0 END) AS DOUBLE)/100.0, 2) AS locked_retail_value
+             |FROM part LEFT JOIN shipped ON p_partkey = l_partkey
+             |GROUP BY 1 ORDER BY brand""".stripMargin))
   )
 }

@@ -4509,4 +4509,145 @@ class QueriesSpec extends SparkTestBase {
     got.values.foreach { case (n, ae, ap, _) =>
       assert(ap <= ae && ae <= n) }
   }
+
+  test("q261 fill span equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q261_fill_span")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), tsDay(r.get(1))))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._2).max - xs.map(_._2).min) }
+    val exp = per.groupBy { case (n, _) =>
+      if (n >= 7) "b7plus" else s"b$n" }
+      .map { case (b, xs) =>
+        val sp = xs.map(_._2)
+        b -> ((xs.size.toLong, rnd6(sp.sum.toDouble / sp.size.toDouble),
+          rnd6(qCont(sp.map(_.toDouble), 0.5)),
+          rnd6(qCont(sp.map(_.toDouble), 0.9)),
+          rnd6(sp.count(_ == 0L).toDouble / sp.size.toDouble)))
+      }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q262 engagement deciles equal a driver ntile recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q262_user_engagement_deciles")(spark, sf())
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1).toSeq
+      .map { case (u, xs) => (u, xs.length.toLong, xs.map(_._2).sum) }
+    val ranked = per.sortBy { case (u, n0, _) => (-n0, u) }
+    val n = ranked.length.toLong
+    val q = n / 10
+    val r0 = n % 10
+    val big = r0 * (q + 1)
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) =>
+      val rn = i + 1L
+      if (rn <= big) ((rn - 1) / (q + 1) + 1).toInt
+      else (r0 + (rn - big - 1) / math.max(q, 1L) + 1).toInt
+    }
+    val totE = per.map(_._2).sum
+    val totV = per.map(_._3).sum
+    val exp = byDec.map { case (dec, xs) =>
+      val ev = xs.map(_._1._2).sum
+      val sv = xs.map(_._1._3).sum
+      dec -> ((xs.size.toLong, ev, rnd6(ev.toDouble / totE.toDouble),
+        rnd2(sv.toDouble / 100.0), rnd6(sv.toDouble / totV.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // d1 is the most-active decile: its event share is maximal
+    val shares = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(shares.head == shares.max)
+  }
+
+  test("q263 sentence stats equal a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q263_sentence_stats")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        val slens = r.getString(1).split("\\. ").map(_.trim)
+          .filter(_.nonEmpty)
+          .map(s0 => s0.split(" ").count(_.nonEmpty).toLong)
+        if (slens.isEmpty) None
+        else Some((r.getString(0), slens.length.toLong, slens.sum,
+          slens.count(_ > 40).toLong))
+      }
+    val exp = per.groupBy(_._1).map { case (src, xs) =>
+      val sents = xs.map(_._2).sum
+      val toks = xs.map(_._3).sum
+      val longs = xs.map(_._4).sum
+      src -> ((xs.length.toLong, sents,
+        rnd6(toks.toDouble / sents.toDouble),
+        rnd6(longs.toDouble / sents.toDouble),
+        rnd6(xs.count(x => x._3 > x._2 * 25).toDouble /
+          xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q264 price parity equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q264_price_parity")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natOf = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pn = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"),
+        col("l_quantity")).collect()
+      .map(r => ((r.getLong(1), natOf(cust(r.getLong(0)))),
+        (BigInt(math.round(r.getDouble(2) * 100)),
+          BigInt(math.round(r.getDouble(3) * 100)))))
+      .groupBy(_._1).map { case ((pk, nat), xs) =>
+        (pk, nat, xs.map(_._2._1).sum.toDouble / xs.map(_._2._2).sum
+          .toDouble) }
+    val parity = pn.groupBy(_._1).toSeq.collect {
+      case (pk, xs) if xs.size >= 2 =>
+        val ups = xs.map(_._3)
+        (brand(pk), ups.max / ups.min)
+    }
+    val exp = parity.groupBy(_._1).map { case (b, xs) =>
+      val ps = xs.map(_._2).toSeq
+      val viol = ps.count(_ > 1.2).toLong
+      b -> ((ps.length.toLong, viol,
+        rnd6(viol.toDouble / ps.length.toDouble), rnd6(qCont(ps, 0.5))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q265 dead catalogue equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q265_dead_catalogue")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val shipped = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey")).collect().map(_.getLong(0)).toSet
+    val parts = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val exp = parts.groupBy(_._2).map { case (b, xs) =>
+      val dead = xs.filterNot(x => shipped(x._1))
+      b -> ((xs.length.toLong, dead.length.toLong,
+        rnd6(dead.length.toDouble / xs.length.toDouble),
+        rnd2(dead.map(x => BigInt(x._3)).sum.toDouble / 100.0)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
