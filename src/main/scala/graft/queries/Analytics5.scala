@@ -2715,6 +2715,298 @@ object Analytics5 {
              |    THEN CAST(round(p_retailprice*100) AS BIGINT)
              |    ELSE 0 END) AS DOUBLE)/100.0, 2) AS locked_retail_value
              |FROM part LEFT JOIN shipped ON p_partkey = l_partkey
-             |GROUP BY 1 ORDER BY brand""".stripMargin))
+             |GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q266: SEASONAL brand share swing — per brand: its revenue
+    // share within each ship quarter, then the max−min share SWING
+    // across quarters: "which brands are seasonal vs steady" — the
+    // share-STABILITY readout next to q230's leaderboard turnover
+    // (composition) and q129's daily movers (volume); a brand can
+    // grow every quarter and still hold a flat share, or hold flat
+    // revenue while its share whipsaws. Shares derive from exact
+    // DECIMAL(38,0) quarter totals in mirrored chains; the swing is
+    // max−min over ≤|quarters| deterministic doubles (order-FREE —
+    // an avg of the per-quarter shares would be a float sum in
+    // shuffle order and is deliberately not offered; the overall
+    // share is the exact grand-total ratio instead).
+    //
+    // Scale shape: revenue collapses to the (brand, quarter) grain in
+    // one exchange (part dim co-partitioned/broadcast); the quarter
+    // totals and the swing ride the ≤|brands|×|quarters| aggregate
+    // (bounded-window class); output |brands| rows.
+    QueryDef(
+      "q266_brand_seasonality",
+      (s, d) => {
+        val bq = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            concat(year(col("l_shipdate")), lit("-Q"),
+              quarter(col("l_shipdate"))).as("qtr"), revMicro.as("rm"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("qtr"))
+          .agg(sum(col("rm").cast("decimal(38,0)")).as("rev"))
+        val wq = Window.partitionBy(col("qtr"))
+        val wAll = Window.partitionBy(lit(1))
+        val shares = bq
+          .withColumn("share",
+            col("rev").cast("double") /
+              sum(col("rev")).over(wq).cast("double"))
+          .withColumn("grand", sum(col("rev")).over(wAll))
+        shares.groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_quarters"),
+            round(sum(col("rev")).cast("double") / 10000.0, 2)
+              .as("revenue"),
+            round(sum(col("rev")).cast("double") /
+              max(col("grand")).cast("double"), 6).as("overall_share"),
+            round(max(col("share")) - min(col("share")), 6)
+              .as("share_swing"))
+          .select(col("p_brand").as("brand"), col("n_quarters"),
+            col("revenue"), col("overall_share"), col("share_swing"))
+          .orderBy(col("brand"))
+      },
+      Some(s"""WITH bq AS (SELECT p_brand,
+             |    CAST(year(l_shipdate) AS VARCHAR) || '-Q' ||
+             |      CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |sh AS (SELECT p_brand, qtr, rev,
+             |    CAST(rev AS DOUBLE) /
+             |      CAST(sum(rev) OVER (PARTITION BY qtr) AS DOUBLE)
+             |      AS share,
+             |    sum(rev) OVER () AS grand
+             |  FROM bq)
+             |SELECT p_brand AS brand,
+             |  CAST(count(*) AS BIGINT) AS n_quarters,
+             |  round(CAST(sum(rev) AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(sum(rev) AS DOUBLE)/CAST(max(grand) AS DOUBLE),
+             |    6) AS overall_share,
+             |  round(max(share) - min(share), 6) AS share_swing
+             |FROM sh GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q267: duplicate TEXT MASS — per source: total characters,
+    // characters sitting in NON-CANONICAL exact-duplicate docs
+    // (q22's md5 min-doc_id rule), and the duplicate char share:
+    // the BYTES face of the dedup counts (q22/q260 count DOCS; the
+    // storage bill and the training-token budget scale with MASS —
+    // one duplicated 100 k-char doc outweighs fifty duplicated
+    // tweets). Canonical rule identical to q22/q260 so all three
+    // readouts reconcile.
+    //
+    // Scale shape: digest + length compute map-side; one fp-grain
+    // exchange + join-back (q260's shape); rollup |sources| rows.
+    QueryDef(
+      "q267_dup_text_mass",
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(lower(col("text"))).as("h"),
+            length(col("text")).cast("long").as("n_ch"))
+        val keep = f.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+        f.join(keep, Seq("h"))
+          .select(col("source"), col("n_ch"),
+            (col("doc_id") =!= col("keep")).as("dup"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_ch")).cast("long").as("n_chars"),
+            count(when(col("dup"), 1)).cast("long").as("dup_docs"),
+            sum(when(col("dup"), col("n_ch")).otherwise(lit(0L)))
+              .cast("long").as("dup_chars"),
+            round(sum(when(col("dup"), col("n_ch")).otherwise(lit(0L)))
+              .cast("double") / sum(col("n_ch")).cast("double"), 6)
+              .as("dup_char_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, md5(lower(text)) AS h,
+             |    CAST(len(text) AS BIGINT) AS n_ch
+             |  FROM documents),
+             |k AS (SELECT h, min(doc_id) AS keep FROM f GROUP BY 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_ch) AS BIGINT) AS n_chars,
+             |  CAST(count(*) FILTER (WHERE doc_id <> keep) AS BIGINT)
+             |    AS dup_docs,
+             |  CAST(sum(CASE WHEN doc_id <> keep THEN n_ch ELSE 0 END)
+             |    AS BIGINT) AS dup_chars,
+             |  round(CAST(sum(CASE WHEN doc_id <> keep THEN n_ch
+             |    ELSE 0 END) AS DOUBLE)/CAST(sum(n_ch) AS DOUBLE), 6)
+             |    AS dup_char_share
+             |FROM f JOIN k USING (h)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q268: part-SIZE demand curve — demand profiled by q169's
+    // size bands ((size−1) div 10 + 1): distinct parts sold, exact
+    // quantity, exact revenue, revenue per part, and the band's
+    // revenue share: "does the catalogue's size spectrum match what
+    // actually sells" — the demand-side face of q169's supply-side
+    // banding and q181's size-predicated brackets; read against
+    // q265's dead-catalogue share it closes the size axis.
+    //
+    // Scale shape: fact collapses through the partkey join (dim
+    // co-partitioned/broadcast) onto the ≤4-band grain in one
+    // exchange; the distinct-part count dedups at the (band, part)
+    // grain — catalogue-bounded; the share window rides ≤4 rows.
+    QueryDef(
+      "q268_size_demand",
+      (s, d) => {
+        val banded = t(s, d, "lineitem")
+          .select(col("l_partkey"), fxUnits(col("l_quantity"), 100)
+            .as("qu"), revMicro.as("rm"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .select((expr("(p_size - 1) div 10").cast("int") + 1)
+            .as("size_band"), col("l_partkey"), col("qu"), col("rm"))
+        val agg = banded.groupBy(col("size_band"))
+          .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+            sum(col("qu").cast("decimal(38,0)")).as("sq"),
+            sum(col("rm").cast("decimal(38,0)")).as("rev"))
+        val all = Window.partitionBy(lit(1))
+        agg.select(col("size_band"), col("n_parts"),
+          round(col("sq").cast("double") / 100.0, 2).as("quantity"),
+          round(col("rev").cast("double") / 10000.0, 2).as("revenue"),
+          round(col("rev").cast("double") /
+            col("n_parts").cast("double") / 10000.0, 2)
+            .as("revenue_per_part"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(all).cast("double"), 6).as("rev_share"))
+          .orderBy(col("size_band"))
+      },
+      Some(s"""WITH banded AS (SELECT
+             |    CAST((p_size - 1) // 10 AS INTEGER) + 1 AS size_band,
+             |    l_partkey,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qu,
+             |    CAST($revMicroSql AS HUGEINT) AS rm
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |agg AS (SELECT size_band,
+             |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |    sum(CAST(qu AS HUGEINT)) AS sq, sum(rm) AS rev
+             |  FROM banded GROUP BY 1)
+             |SELECT size_band, n_parts,
+             |  round(CAST(sq AS DOUBLE)/100.0, 2) AS quantity,
+             |  round(CAST(rev AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(rev AS DOUBLE)/CAST(n_parts AS DOUBLE)/10000.0,
+             |    2) AS revenue_per_part,
+             |  round(CAST(rev AS DOUBLE)/CAST(sum(rev) OVER () AS DOUBLE),
+             |    6) AS rev_share
+             |FROM agg ORDER BY size_band""".stripMargin)),
+
+    // ── q269: MONTH × WEEKDAY revenue heatmap — order revenue on the
+    // (calendar month, ISO weekday) grid with each cell's
+    // INDEPENDENCE index: observed revenue over the expected revenue
+    // if month and weekday were independent (row_tot·col_tot/grand):
+    // index ≫ 1 names the "payday Friday in March" interactions that
+    // q124's marginal DOW profile and q106's daily density can't
+    // see — the standard BI heatmap with the standard expected-value
+    // normalization (q147's independence algebra on a revenue
+    // measure). Exact DECIMAL(38,0) cell totals; the index is one
+    // mirrored double chain; the windows ride the ≤12×7 aggregate.
+    //
+    // Scale shape: orders collapse onto the ≤12×7 cell grain in one
+    // exchange; row/col/grand totals are windows over that bounded
+    // frame (coverageCurve's class) — never a second corpus pass.
+    QueryDef(
+      "q269_month_dow_heatmap",
+      (s, d) => {
+        val cells = t(s, d, "orders")
+          .select(month(col("o_orderdate")).cast("int").as("mon"),
+            (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("int")
+              .as("dow"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .groupBy(col("mon"), col("dow"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).as("rev"))
+        val wRow = Window.partitionBy(col("mon"))
+        val wCol = Window.partitionBy(col("dow"))
+        val wAll = Window.partitionBy(lit(1))
+        cells
+          .withColumn("row_tot", sum(col("rev")).over(wRow))
+          .withColumn("col_tot", sum(col("rev")).over(wCol))
+          .withColumn("grand", sum(col("rev")).over(wAll))
+          .select(col("mon"), col("dow"), col("n_orders"),
+            round(col("rev").cast("double") / 100.0, 2).as("revenue"),
+            round(col("rev").cast("double") /
+              (col("row_tot").cast("double") *
+                col("col_tot").cast("double") /
+                col("grand").cast("double")), 6).as("independence_idx"))
+          .orderBy(col("mon"), col("dow"))
+      },
+      Some("""WITH cells AS (SELECT
+             |    CAST(month(o_orderdate) AS INTEGER) AS mon,
+             |    CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    sum(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+             |      AS HUGEINT)) AS rev
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT mon, dow, n_orders,
+             |  round(CAST(rev AS DOUBLE)/100.0, 2) AS revenue,
+             |  round(CAST(rev AS DOUBLE) /
+             |    (CAST(sum(rev) OVER (PARTITION BY mon) AS DOUBLE) *
+             |     CAST(sum(rev) OVER (PARTITION BY dow) AS DOUBLE) /
+             |     CAST(sum(rev) OVER () AS DOUBLE)), 6)
+             |    AS independence_idx
+             |FROM cells ORDER BY mon, dow""".stripMargin)),
+
+    // ── q270: supplier LOAD BALANCE per nation — line volume spread
+    // across each nation's suppliers: suppliers, lines, the load CV
+    // in the reduced form √(n·Σc² − (Σc)²)/Σc (q243's scale-free
+    // algebra on counts), and the max/mean load ratio: "is one
+    // supplier carrying the nation" — the capacity-BALANCE readout
+    // next to q253's brand-level HHI (same risk family, the
+    // geography axis) and q169's supplier diversity. Exact integer
+    // count moments in DECIMAL(38,0); two mirrored chains.
+    //
+    // Scale shape: the fact collapses to the supplier grain in one
+    // suppkey exchange; nation moments accumulate map-side onto the
+    // |nations| grain (supplier/nation dims broadcast).
+    QueryDef(
+      "q270_supplier_load_balance",
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+        val cd = col("c").cast("decimal(19,0)")
+        val m = per.groupBy(col("n_name"))
+          .agg(count(lit(1)).cast("long").as("n_suppliers"),
+            sum(col("c").cast("decimal(38,0)")).as("sc"),
+            sum((cd * cd).cast("decimal(38,0)")).as("scc"),
+            max(col("c")).as("mx"))
+        val nD = col("n_suppliers").cast("double")
+        val scD = col("sc").cast("double")
+        // no n >= 2 filter: a single-supplier nation is well-defined
+        // (cv = 0, max/mean = 1) and tiny fixtures would otherwise
+        // read empty
+        m.select(col("n_name").as("nation"), col("n_suppliers"),
+            col("sc").cast("long").as("n_lines"),
+            round(sqrt(nD * col("scc").cast("double") - scD * scD) / scD,
+              6).as("load_cv"),
+            round(col("mx").cast("double") * nD / scD, 6)
+              .as("max_over_mean"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH per AS (SELECT n_name, l_suppkey,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |m AS (SELECT n_name,
+             |    CAST(count(*) AS BIGINT) AS n_suppliers,
+             |    sum(CAST(c AS HUGEINT)) AS sc,
+             |    sum(CAST(c AS HUGEINT)*c) AS scc,
+             |    max(c) AS mx
+             |  FROM per GROUP BY 1)
+             |SELECT n_name AS nation, n_suppliers,
+             |  CAST(sc AS BIGINT) AS n_lines,
+             |  round(sqrt(CAST(n_suppliers AS DOUBLE)*CAST(scc AS DOUBLE)
+             |    - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))
+             |    / CAST(sc AS DOUBLE), 6) AS load_cv,
+             |  round(CAST(mx AS DOUBLE)*CAST(n_suppliers AS DOUBLE)
+             |    / CAST(sc AS DOUBLE), 6) AS max_over_mean
+             |FROM m ORDER BY nation""".stripMargin))
   )
 }

@@ -4650,4 +4650,145 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  test("q266 brand seasonality equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q266_brand_seasonality")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bq = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map { r =>
+        val ld = tsDate(r.get(1))
+        val q = (ld.getMonthValue - 1) / 3 + 1
+        ((brand(r.getLong(0)), s"${ld.getYear}-Q$q"),
+          BigInt(math.round(r.getDouble(2) * 100)) *
+            BigInt(100 - math.round(r.getDouble(3) * 100)))
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val qtrTot = bq.groupBy(_._1._2).map { case (q, xs) =>
+      q -> xs.values.sum }
+    val grand = bq.values.sum
+    val exp = bq.groupBy(_._1._1).map { case (b, xs) =>
+      val shares = xs.map { case ((_, q), rev) =>
+        rev.toDouble / qtrTot(q).toDouble }
+      val tot = xs.values.sum
+      b -> ((xs.size.toLong, rnd2(tot.toDouble / 10000.0),
+        rnd6(tot.toDouble / grand.toDouble),
+        rnd6(shares.max - shares.min)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q267 dup text mass equals a driver recompute; mass >= doc law") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q267_dup_text_mass")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        md5hex(r.getString(2).toLowerCase), r.getString(2).length.toLong))
+    val keep = docs.groupBy(_._3).map { case (_, xs) =>
+      xs.map(_._1).min }.toSet
+    val exp = docs.groupBy(_._2).map { case (src, xs) =>
+      val dups = xs.filterNot(x => keep(x._1))
+      src -> ((xs.length.toLong, xs.map(_._4).sum,
+        dups.length.toLong, dups.map(_._4).sum,
+        rnd6(dups.map(_._4).sum.toDouble / xs.map(_._4).sum.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q268 size demand equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q268_size_demand")(spark, sf())
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val size = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_size")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map { r =>
+        val pk = r.getLong(0)
+        ((size(pk) - 1) / 10 + 1, pk,
+          BigInt(math.round(r.getDouble(1) * 100)),
+          BigInt(math.round(r.getDouble(2) * 100)) *
+            BigInt(100 - math.round(r.getDouble(3) * 100)))
+      }
+    val grand = li.map(_._4).sum
+    val exp = li.groupBy(_._1).map { case (band, xs) =>
+      val np = xs.map(_._2).distinct.length.toLong
+      val sq = xs.map(_._3).sum
+      val rev = xs.map(_._4).sum
+      band -> ((np, rnd2(sq.toDouble / 100.0),
+        rnd2(rev.toDouble / 10000.0),
+        rnd2(rev.toDouble / np.toDouble / 10000.0),
+        rnd6(rev.toDouble / grand.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q269 month-dow heatmap equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q269_month_dow_heatmap")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map { r =>
+        val ld = tsDate(r.get(0))
+        ((ld.getMonthValue, ld.getDayOfWeek.getValue),
+          BigInt(math.round(r.getDouble(1) * 100)))
+      }
+    val cells = os.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val rowT = cells.groupBy(_._1._1).map { case (m, xs) =>
+      m -> xs.values.map(_._2).sum }
+    val colT = cells.groupBy(_._1._2).map { case (w, xs) =>
+      w -> xs.values.map(_._2).sum }
+    val grand = cells.values.map(_._2).sum
+    val exp = cells.map { case ((m, w), (n, rev)) =>
+      (m, w) -> ((n, rnd2(rev.toDouble / 100.0),
+        rnd6(rev.toDouble / (rowT(m).toDouble * colT(w).toDouble /
+          grand.toDouble))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q270 supplier load balance equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q270_supplier_load_balance")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val sup = graft.sources.Tables(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natm = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val per = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+      .groupBy(identity).toSeq
+      .map { case (sk, xs) => (natm(sup(sk)), xs.length.toLong) }
+    val exp = per.groupBy(_._1).map { case (nat, xs) =>
+        val cs = xs.map(_._2)
+        val n = cs.size.toLong
+        val sc = cs.map(BigInt(_)).sum
+        val scc = cs.map(c => BigInt(c) * BigInt(c)).sum
+        nat -> ((n, sc.toLong,
+          rnd6(math.sqrt(n.toDouble * scc.toDouble -
+            sc.toDouble * sc.toDouble) / sc.toDouble),
+          rnd6(cs.max.toDouble * n.toDouble / sc.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
