@@ -542,7 +542,13 @@ class QueriesSpec extends SparkTestBase {
       // token stream map-side (and the |sources| mass rollup) —
       // q129/q144's dimension-bounded fanout class; the corpus never
       // shuffles
-      "q224_packing_efficiency")
+      "q224_packing_efficiency",
+      // q252 (r9): the |types|-row dimension broadcast-fans the
+      // generated |days| calendar to densify the Fano day series —
+      // exactly q129/q144's dimension-bounded densify class; the
+      // corpus enters only through the pre-aggregated (type, day)
+      // counts
+      "q252_burstiness")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
