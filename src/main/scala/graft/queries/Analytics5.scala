@@ -3007,6 +3007,340 @@ object Analytics5 {
              |    / CAST(sc AS DOUBLE), 6) AS load_cv,
              |  round(CAST(mx AS DOUBLE)*CAST(n_suppliers AS DOUBLE)
              |    / CAST(sc AS DOUBLE), 6) AS max_over_mean
-             |FROM m ORDER BY nation""".stripMargin))
+             |FROM m ORDER BY nation""".stripMargin)),
+
+    // ── q271: CASING profile — per source: letters, the UPPERCASE
+    // letter share (exact integer ratio), and the count+share of
+    // SHOUTING docs (more than 30% of letters uppercase, integer
+    // cross predicate 10·upper > 3·letters on docs with letters):
+    // all-caps spam, scraped headings, and OCR'd titles survive the
+    // length/stopword screens — the casing axis completes the
+    // character-class screens (q244 digits, q247 scripts). Counts
+    // come from two regexp_replace length diffs — the literal
+    // [a-z]/[A-Z] classes both dialects agree on.
+    //
+    // Scale shape: both counts compute MAP-SIDE in codegen — text
+    // never shuffles, three integers per doc move; rollup |sources|
+    // rows.
+    QueryDef(
+      "q271_casing_profile",
+      (s, d) => {
+        val nLower = length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z]", ""))
+        val nUpper = length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Z]", ""))
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            (nLower + nUpper).cast("long").as("letters"),
+            nUpper.cast("long").as("upper"))
+        per.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("letters")).cast("long").as("n_letters"),
+            round(sum(col("upper")).cast("double") /
+              sum(col("letters")).cast("double"), 6).as("upper_share"),
+            count(when(col("letters") > 0 &&
+              col("upper") * 10 > col("letters") * 3, 1)).cast("long")
+              .as("shouting_docs"),
+            round(count(when(col("letters") > 0 &&
+              col("upper") * 10 > col("letters") * 3, 1)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("shouting_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(2*len(text) - len(regexp_replace(text, '[a-z]', '',
+             |        'g'))
+             |      - len(regexp_replace(text, '[A-Z]', '', 'g'))
+             |      AS BIGINT) AS letters,
+             |    CAST(len(text) - len(regexp_replace(text, '[A-Z]', '',
+             |      'g')) AS BIGINT) AS upper
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(letters) AS BIGINT) AS n_letters,
+             |  round(CAST(sum(upper) AS DOUBLE)/CAST(sum(letters)
+             |    AS DOUBLE), 6) AS upper_share,
+             |  CAST(count(*) FILTER (WHERE letters > 0
+             |    AND upper*10 > letters*3) AS BIGINT) AS shouting_docs,
+             |  round(CAST(count(*) FILTER (WHERE letters > 0
+             |    AND upper*10 > letters*3) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS shouting_share
+             |FROM per GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q272: weekly revenue VOLATILITY per nation — weekly order
+    // revenue (customer nation, epoch-week bins) over the DENSIFIED
+    // week axis, per nation: weeks, exact total, and the week-to-week
+    // CV in the scale-free form √(n·Σr² − (Σr)²)/Σr: "is demand
+    // steady or lumpy by geography" — q252's dispersion lens moved
+    // from event counts to MONEY on the nation axis (q163 reads WoW
+    // direction; this scores the volatility level). Exact integer
+    // cent moments in DECIMAL(38,0); silent weeks are 0 observations
+    // (q106/q252's lesson).
+    //
+    // Scale shape: ONE custkey exchange reaches the nation (customer
+    // dim co-partitioned/broadcast); revenue collapses to the
+    // (nation, week) grain; the densify is a |nations|×|weeks|
+    // broadcast-range frame; moments map-side onto |nations| rows;
+    // week bounds via the parquet-stat probe class.
+    QueryDef(
+      "q272_revenue_volatility",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val b = o.agg(min(epochDay(col("o_orderdate"))).as("dmin"),
+          max(epochDay(col("o_orderdate"))).as("dmax")).head()
+        val wmin = Math.floorDiv(b.getLong(0), 7L)
+        val wmax = Math.floorDiv(b.getLong(1), 7L)
+        val nw = o
+          .select(col("o_custkey"), epochDay(col("o_orderdate")).as("day"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), expr("day div 7").as("week"),
+            col("cents"))
+          .groupBy(col("n_name"), col("week"))
+          .agg(sum(col("cents")).cast("long").as("r"))
+        val nations = t(s, d, "nation").select(col("n_name"))
+        val cal = s.range(wmin, wmax + 1).toDF("week")
+          .crossJoin(broadcast(nations))
+        val dense = cal.join(nw, Seq("n_name", "week"), "left")
+          .select(col("n_name"), coalesce(col("r"), lit(0L)).as("r"))
+        val rd = col("r").cast("decimal(19,0)")
+        val m = dense.groupBy(col("n_name"))
+          .agg(count(lit(1)).cast("long").as("n_weeks"),
+            sum(col("r").cast("decimal(38,0)")).as("sr"),
+            sum((rd * rd).cast("decimal(38,0)")).as("srr"))
+        val nD = col("n_weeks").cast("double")
+        val srD = col("sr").cast("double")
+        m.filter(col("sr") > 0)
+          .select(col("n_name").as("nation"), col("n_weeks"),
+            round(srD / 100.0, 2).as("total_revenue"),
+            round(sqrt(nD * col("srr").cast("double") - srD * srD) / srD,
+              6).as("weekly_cv"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH b AS (SELECT
+             |    min(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT)) // 7 AS wmin,
+             |    max(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT)) // 7 AS wmax
+             |  FROM orders),
+             |nw AS (SELECT n_name,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS week,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+             |      AS BIGINT) AS r
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |cal AS (SELECT n.n_name, w.week
+             |  FROM nation n,
+             |    (SELECT unnest(range(wmin, wmax + 1)) AS week FROM b) w),
+             |dense AS (SELECT cal.n_name, coalesce(r, 0) AS r
+             |  FROM cal LEFT JOIN nw
+             |    ON nw.n_name = cal.n_name AND nw.week = cal.week),
+             |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_weeks,
+             |    sum(CAST(r AS HUGEINT)) AS sr,
+             |    sum(CAST(r AS HUGEINT)*r) AS srr
+             |  FROM dense GROUP BY 1)
+             |SELECT n_name AS nation, n_weeks,
+             |  round(CAST(sr AS DOUBLE)/100.0, 2) AS total_revenue,
+             |  round(sqrt(CAST(n_weeks AS DOUBLE)*CAST(srr AS DOUBLE)
+             |    - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))
+             |    / CAST(sr AS DOUBLE), 6) AS weekly_cv
+             |FROM m WHERE sr > 0 ORDER BY nation""".stripMargin)),
+
+    // ── q273: doc-LENGTH Gini per source — inequality of token mass
+    // across a source's documents (q153's exact rank-weighted Gini
+    // algebra, the document axis): a source at Gini ≈ 0 is uniform
+    // shards, ≈ 1 is a few megadocs among stubs — the packing planner
+    // (q90/q224) and the storage layout care which. Ranking is the
+    // two-pass [[Q.globalRankByRange]] over (source, len, doc_id)
+    // with per-source offsets (q153's shape — never a source-keyed
+    // corpus window); moments exact in DECIMAL(38,0).
+    //
+    // Scale shape: lengths compute map-side; ONE range exchange
+    // orders the corpus; the offset probe is a |sources|-row
+    // broadcast; moments land on |sources| rows.
+    QueryDef(
+      "q273_length_gini",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(filter(split(lower(col("text")), " "),
+              tk => length(tk) > 0)).cast("long").as("len"))
+        val ranked = globalRankByRange(base,
+          Seq(col("source"), col("len"), col("doc_id")))
+        val offsets = ranked.groupBy(col("source"))
+          .agg(min(col("rn")).as("rn0"))
+        val dec38 = "decimal(38,0)"
+        val g = ranked.join(broadcast(offsets), Seq("source"))
+          .withColumn("i", col("rn") - col("rn0") + 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("len").cast(dec38)).as("sx"),
+            sum((col("i").cast("decimal(19,0)") *
+              col("len").cast("decimal(19,0)")).cast(dec38)).as("six"))
+        val nD = col("n_docs").cast("double")
+        val sxD = col("sx").cast("double")
+        g.select(col("source"), col("n_docs"),
+          col("sx").cast("long").as("n_tokens"),
+          when(col("sx") > 0,
+            round((lit(2.0) * col("six").cast("double") -
+              (nD + lit(1.0)) * sxD) / (nD * sxD), 6)).as("length_gini"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source, doc_id,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS len
+             |  FROM documents),
+             |r AS (SELECT source, len,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY len, doc_id) AS i
+             |  FROM b),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    sum(CAST(len AS HUGEINT)) AS sx,
+             |    sum(CAST(i AS HUGEINT)*len) AS six
+             |  FROM r GROUP BY 1)
+             |SELECT source, n_docs, CAST(sx AS BIGINT) AS n_tokens,
+             |  CASE WHEN sx > 0 THEN
+             |    round((2.0*CAST(six AS DOUBLE)
+             |      - (CAST(n_docs AS DOUBLE)+1.0)*CAST(sx AS DOUBLE))
+             |      /(CAST(n_docs AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+             |  END AS length_gini
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ── q274: brand REPLENISHMENT cycle — customers who bought the
+    // SAME part again: per brand, the repurchasing (customer, part)
+    // pairs among multi-purchase pairs, the repurchase share, and the
+    // exact median days between consecutive repurchases: "is this
+    // product line a consumable (short cycle) or a durable (no
+    // cycle)" — the product-axis rhythm next to q231's order-level
+    // cadence and q128's RFM frequency. Gap multiset is
+    // tie-break-invariant (q231's argument); the per-pair lag window
+    // is bounded by a pair's purchases.
+    //
+    // Scale shape: TWO fact joins (orderkey → custkey; partkey →
+    // brand — q234/q264's shape); the (customer, part) collapse
+    // dedups same-day repeats at the (pair, day) grain in one
+    // exchange; the lag rides per-pair windows; the brand rollup
+    // bounds its percentile buffers by pairs-per-brand.
+    QueryDef(
+      "q274_replenishment_cycle",
+      (s, d) => {
+        val pd = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            epochDay(col("l_shipdate")).as("day"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey"), col("day"))
+          .distinct()
+        val w = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+          .orderBy(col("day"))
+        val gaps = pd
+          .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        val pairs = gaps.groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(count(lit(1)).cast("long").as("n_buys"))
+        val pairGaps = gaps.filter(col("gap").isNotNull)
+          .select(col("l_partkey"), col("gap"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        val perBrand = pairs
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            count(when(col("n_buys") >= 2, 1)).cast("long")
+              .as("repurchase_pairs"),
+            round(count(when(col("n_buys") >= 2, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("repurchase_share"))
+        val med = pairGaps.groupBy(col("p_brand"))
+          .agg(round(expr("percentile(gap, 0.5)"), 6).as("median_cycle"))
+        perBrand.join(med, Seq("p_brand"), "left")
+          .select(col("p_brand").as("brand"), col("n_pairs"),
+            col("repurchase_pairs"), col("repurchase_share"),
+            col("median_cycle"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH pd AS (SELECT DISTINCT o_custkey, l_partkey,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |g AS (SELECT o_custkey, l_partkey, day,
+             |    day - lag(day) OVER (PARTITION BY o_custkey, l_partkey
+             |      ORDER BY day) AS gap
+             |  FROM pd),
+             |pairs AS (SELECT o_custkey, l_partkey,
+             |    CAST(count(*) AS BIGINT) AS n_buys
+             |  FROM g GROUP BY 1, 2),
+             |pb AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(count(*) FILTER (WHERE n_buys >= 2) AS BIGINT)
+             |      AS repurchase_pairs,
+             |    round(CAST(count(*) FILTER (WHERE n_buys >= 2) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE), 6) AS repurchase_share
+             |  FROM pairs JOIN part ON l_partkey = p_partkey GROUP BY 1),
+             |md AS (SELECT p_brand,
+             |    round(quantile_cont(gap, 0.5), 6) AS median_cycle
+             |  FROM g JOIN part ON l_partkey = p_partkey
+             |  WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT pb.p_brand AS brand, n_pairs, repurchase_pairs,
+             |  repurchase_share, median_cycle
+             |FROM pb LEFT JOIN md ON pb.p_brand = md.p_brand
+             |ORDER BY brand""".stripMargin)),
+
+    // ── q275: DISCOUNT DEPTH by brand — per brand: lines, the
+    // line-mean discount and the REVENUE-WEIGHTED mean discount
+    // (Σ disc·ep / Σep — both exact integer-product sums, so the
+    // weighting introduces no float accumulation), and the deep-
+    // discount share (≥ 8%): "who is buying revenue with margin" —
+    // the margin-erosion screen next to q237's demand lift (does the
+    // discount move units) and q173's promo share (how much revenue
+    // is discounted at all). A revenue-weighted mean far above the
+    // line mean names brands discounting exactly their big tickets.
+    //
+    // Scale shape: part dim co-partitioned/broadcast; all moments
+    // accumulate map-side onto the |brands| grain in one exchange.
+    QueryDef(
+      "q275_discount_depth",
+      (s, d) => {
+        val pct = fxUnits(col("l_discount"), 100)
+        val ep = fxUnits(col("l_extendedprice"), 100)
+        val m = t(s, d, "lineitem")
+          .select(col("l_partkey"), pct.as("pc"), ep.as("ep"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(col("pc").cast("decimal(38,0)")).as("sp"),
+            sum(col("ep").cast("decimal(38,0)")).as("se"),
+            sum((col("pc").cast("decimal(19,0)") *
+              col("ep").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .as("spe"),
+            count(when(col("pc") >= 8, 1)).cast("long").as("deep_lines"))
+        m.select(col("p_brand").as("brand"), col("n_lines"),
+          round(col("sp").cast("double") /
+            col("n_lines").cast("double"), 6).as("mean_discount_pct"),
+          round(col("spe").cast("double") /
+            col("se").cast("double"), 6).as("revw_discount_pct"),
+          round(col("deep_lines").cast("double") /
+            col("n_lines").cast("double"), 6).as("deep_share"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH li AS (SELECT p_brand,
+             |    CAST(round(l_discount*100) AS BIGINT) AS pc,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS ep
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+             |  round(CAST(sum(CAST(pc AS HUGEINT)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mean_discount_pct,
+             |  round(CAST(sum(CAST(pc AS HUGEINT)*ep) AS DOUBLE)
+             |    / CAST(sum(CAST(ep AS HUGEINT)) AS DOUBLE), 6)
+             |    AS revw_discount_pct,
+             |  round(CAST(count(*) FILTER (WHERE pc >= 8) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS deep_share
+             |FROM li GROUP BY 1 ORDER BY brand""".stripMargin))
   )
 }

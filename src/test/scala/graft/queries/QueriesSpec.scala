@@ -548,7 +548,12 @@ class QueriesSpec extends SparkTestBase {
       // exactly q129/q144's dimension-bounded densify class; the
       // corpus enters only through the pre-aggregated (type, day)
       // counts
-      "q252_burstiness")
+      "q252_burstiness",
+      // q272 (r9): the |nations|-row dimension broadcast-fans the
+      // generated |weeks| calendar — the same dimension-bounded
+      // densify class; the corpus enters only through the
+      // pre-aggregated (nation, week) revenue
+      "q272_revenue_volatility")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
@@ -4796,5 +4801,146 @@ class QueriesSpec extends SparkTestBase {
           rnd6(cs.max.toDouble * n.toDouble / sc.toDouble)))
     }
     assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q271 casing profile equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q271_casing_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val txt = r.getString(1)
+        val lo = txt.count(c => c >= 'a' && c <= 'z').toLong
+        val up = txt.count(c => c >= 'A' && c <= 'Z').toLong
+        (r.getString(0), lo + up, up)
+      }
+    val exp = per.groupBy(_._1).map { case (src, xs) =>
+      val letters = xs.map(_._2).sum
+      val up = xs.map(_._3).sum
+      val shout = xs.count(x => x._2 > 0 && x._3 * 10 > x._2 * 3).toLong
+      src -> ((xs.length.toLong, letters,
+        rnd6(up.toDouble / letters.toDouble), shout,
+        rnd6(shout.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q272 revenue volatility equals a driver recompute over dense weeks") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q272_revenue_volatility")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val natOf = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natName = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect().map { r =>
+        (natName(natOf(r.getLong(0))),
+          Math.floorDiv(tsDay(r.get(1)), 7L),
+          math.round(r.getDouble(2) * 100))
+      }
+    val wmin = os.map(_._2).min
+    val wmax = os.map(_._2).max
+    val nWeeks = wmax - wmin + 1
+    val exp = os.groupBy(_._1).collect { case (nat, xs) =>
+      val byW = xs.groupBy(_._2).map { case (_, ys) =>
+        ys.map(y => BigInt(y._3)).sum }
+      val rs = byW.toSeq ++ Seq.fill((nWeeks - byW.size).toInt)(BigInt(0))
+      val sr = rs.sum
+      val srr = rs.map(r0 => r0 * r0).sum
+      nat -> ((nWeeks, rnd2(sr.toDouble / 100.0),
+        rnd6(math.sqrt(nWeeks.toDouble * srr.toDouble -
+          sr.toDouble * sr.toDouble) / sr.toDouble)))
+    }.filter(_._2._2 > 0)
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q273 length gini equals a driver recompute; bounded") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q273_length_gini")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val per = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).toLowerCase.split(" ").count(_.nonEmpty).toLong))
+    val exp = per.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val n = sorted.length.toLong
+      val sx = sorted.map(x => BigInt(x._3)).sum
+      val six = sorted.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * BigInt(x._3) }.sum
+      src -> ((n, sx.toLong,
+        rnd6((2.0 * six.toDouble - (n + 1).toDouble * sx.toDouble) /
+          (n.toDouble * sx.toDouble))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    got.values.foreach { case (_, _, g) =>
+      assert(g >= -1e-9 && g < 1.0) }
+  }
+
+  test("q274 replenishment cycle equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q274_replenishment_cycle")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pd = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+      .collect()
+      .map(r => (cust(r.getLong(0)), r.getLong(1), tsDay(r.get(2))))
+      .distinct
+    val byPair = pd.groupBy(x => (x._1, x._2)).toSeq.map { case (k, xs) =>
+      (k._2, xs.map(_._3).sorted.toSeq) }
+    val pairsByBrand = byPair.groupBy(x => brand(x._1))
+    val exp = pairsByBrand.map { case (b, xs) =>
+      val nPairs = xs.size.toLong
+      val rep = xs.count(_._2.length >= 2).toLong
+      val gaps = xs.flatMap(x =>
+        x._2.sliding(2).collect { case Seq(a, c) => (c - a).toDouble })
+      b -> ((nPairs, rep, rnd6(rep.toDouble / nPairs.toDouble),
+        if (gaps.isEmpty) None else Some(rnd6(qCont(gaps, 0.5)))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q275 discount depth equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q275_discount_depth")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_discount"), col("l_extendedprice"))
+      .collect().map(r => (brand(r.getLong(0)),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100)))
+    val exp = li.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val sp = xs.map(x => BigInt(x._2)).sum
+      val se = xs.map(x => BigInt(x._3)).sum
+      val spe = xs.map(x => BigInt(x._2) * BigInt(x._3)).sum
+      b -> ((n, rnd6(sp.toDouble / n.toDouble),
+        rnd6(spe.toDouble / se.toDouble),
+        rnd6(xs.count(_._2 >= 8).toDouble / n.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    // revenue weighting is a reweighting, not an extrapolation: the
+    // weighted mean stays within the discount domain
+    got.values.foreach { case (_, m, w, _) =>
+      assert(w >= 0.0 && w <= 10.0 && m >= 0.0 && m <= 10.0) }
   }
 }
