@@ -686,9 +686,14 @@ object Analytics5 {
     // the exact median top-brand share. The assortment-BREADTH readout
     // next to q128's RFM value scores and q135's basket pairs: do
     // segments concentrate on one brand or spread. The median rides
-    // per-customer ratios that are each ONE exact-integer division —
-    // deterministic doubles, q41's exact-percentile class (q55's
-    // sketch is the named 100 TB twin).
+    // per-customer shares QUANTIZED to integer micro-units BEFORE the
+    // percentile (mx·10⁶ div tot — the q107/q241 discipline): a median
+    // of raw float ratios has no terminating-decimal guarantee, so a
+    // 1-ulp interpolation difference between engines could flip the
+    // rounded digit (r9 ADVICE; the observed decimal-chain flake
+    // class). Median of longs lands on k or k+0.5 micro — the display
+    // /10⁶ terminates at 7 decimals, where rounding is tie-free.
+    // q55's sketch is the named 100 TB twin.
     //
     // Scale shape: part dim joins partkey-co-partitioned (AQE
     // broadcast when small); ONE orderkey exchange reaches custkey;
@@ -711,8 +716,8 @@ object Analytics5 {
           .agg(sum(col("n")).cast("long").as("tot"),
             max(col("n")).cast("long").as("mx"),
             count(lit(1)).cast("long").as("n_brands"))
-          .withColumn("top_share",
-            col("mx").cast("double") / col("tot").cast("double"))
+          .withColumn("sharem",
+            expr("mx * CAST(1000000 AS BIGINT) DIV tot"))
         pc.join(t(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
@@ -722,7 +727,7 @@ object Analytics5 {
               count(lit(1)).cast("double"), 6).as("avg_brands"),
             round(count(when(col("mx") * 2 >= col("tot"), 1)).cast("double")
               / count(lit(1)).cast("double"), 6).as("loyal_share"),
-            round(expr("percentile(top_share, 0.5)"), 6)
+            round(expr("percentile(sharem, 0.5)") / lit(1000000.0), 7)
               .as("p50_top_share"))
           .orderBy(col("c_mktsegment"))
       },
@@ -736,14 +741,14 @@ object Analytics5 {
              |    CAST(max(n) AS BIGINT) AS mx,
              |    CAST(count(*) AS BIGINT) AS n_brands
              |  FROM cb GROUP BY 1),
-             |pr AS (SELECT *, CAST(mx AS DOUBLE)/CAST(tot AS DOUBLE)
-             |    AS top_share FROM pc)
+             |pr AS (SELECT *, (mx*1000000)//tot AS sharem FROM pc)
              |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
              |  round(CAST(sum(n_brands) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS avg_brands,
              |  round(CAST(count(*) FILTER (WHERE mx*2 >= tot) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS loyal_share,
-             |  round(quantile_cont(top_share, 0.5), 6) AS p50_top_share
+             |  round(quantile_cont(sharem, 0.5)/1000000.0, 7)
+             |    AS p50_top_share
              |FROM pr JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
@@ -1949,9 +1954,15 @@ object Analytics5 {
     // repricing under us" — the pricing-INTEGRITY audit next to
     // q243's cross-part dispersion and q227's demand slope (q186
     // decomposes revenue price×volume at the aggregate; this names
-    // the drifting lines). The ratio computes as the integer cross
-    // product (ep₂·q₁)/(ep₁·q₂) — DECIMAL(38,0) products, ONE
-    // division — so no intermediate float unit price exists; the
+    // the drifting lines). NO float ratio exists anywhere: the drift
+    // predicate is the exact integer cross-multiply (num/den > 1.2 ⟺
+    // 5·num > 6·den) over the DECIMAL(38,0) cross products
+    // num = ep₂·q₁, den = ep₁·q₂, and the median rides the
+    // micro-quantized integer ratio num·10⁶ div den (the q107/q241
+    // discipline — r9 ADVICE: a raw float-ratio median has no
+    // terminating-decimal guarantee, so engine rounding can diverge
+    // by one ulp at the display digit; median of longs lands on k or
+    // k+0.5 micro, and /10⁶ terminates at 7 decimals, tie-free). The
     // half boundary is the integer midpoint of the ship-day span
     // (q228's deterministic cut).
     //
@@ -1987,17 +1998,24 @@ object Analytics5 {
         val den = (col("ep1").cast("decimal(19,0)") *
           col("q2").cast("decimal(19,0)")).cast("decimal(38,0)")
         val withRatio = per
-          .withColumn("ratio", num.cast("double") / den.cast("double"))
+          .withColumn("num", num)
+          .withColumn("den", den)
+          .withColumn("drifted",
+            col("num") * lit(5) > col("den") * lit(6) ||
+              col("num") * lit(5) < col("den") * lit(4))
+          .withColumn("rm",
+            expr("CAST(num * 1000000 AS DECIMAL(38,0)) DIV den"))
           .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
         withRatio.groupBy(col("p_brand"))
           .agg(count(lit(1)).cast("long").as("n_parts"),
-            count(when(col("ratio") > 1.2 || col("ratio") < 0.8, 1))
-              .cast("long").as("drifted_parts"),
-            round(count(when(col("ratio") > 1.2 || col("ratio") < 0.8, 1))
-              .cast("double") / count(lit(1)).cast("double"), 6)
+            count(when(col("drifted"), 1)).cast("long")
+              .as("drifted_parts"),
+            round(count(when(col("drifted"), 1)).cast("double")
+              / count(lit(1)).cast("double"), 6)
               .as("drift_share"),
-            round(expr("percentile(ratio, 0.5)"), 6).as("median_ratio"))
+            round(expr("percentile(rm, 0.5)") / lit(1000000.0), 7)
+              .as("median_ratio"))
           .select(col("p_brand").as("brand"), col("n_parts"),
             col("drifted_parts"), col("drift_share"), col("median_ratio"))
           .orderBy(col("brand"))
@@ -2031,17 +2049,20 @@ object Analytics5 {
              |      ELSE 0 END) AS BIGINT) AS q2
              |  FROM lineitem, b GROUP BY 1),
              |r AS (SELECT l_partkey,
-             |    CAST(CAST(ep2 AS HUGEINT)*q1 AS DOUBLE) /
-             |      CAST(CAST(ep1 AS HUGEINT)*q2 AS DOUBLE) AS ratio
-             |  FROM per WHERE q1 > 0 AND q2 > 0)
+             |    CAST(ep2 AS HUGEINT)*q1 AS num,
+             |    CAST(ep1 AS HUGEINT)*q2 AS den
+             |  FROM per WHERE q1 > 0 AND q2 > 0),
+             |rr AS (SELECT l_partkey,
+             |    num*5 > den*6 OR num*5 < den*4 AS drifted,
+             |    (num*1000000)//den AS rm
+             |  FROM r)
              |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
-             |  CAST(count(*) FILTER (WHERE ratio > 1.2 OR ratio < 0.8)
-             |    AS BIGINT) AS drifted_parts,
-             |  round(CAST(count(*) FILTER (WHERE ratio > 1.2
-             |    OR ratio < 0.8) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
-             |    AS drift_share,
-             |  round(quantile_cont(ratio, 0.5), 6) AS median_ratio
-             |FROM r JOIN part ON l_partkey = p_partkey
+             |  CAST(count(*) FILTER (WHERE drifted) AS BIGINT)
+             |    AS drifted_parts,
+             |  round(CAST(count(*) FILTER (WHERE drifted) AS DOUBLE)
+             |    /CAST(count(*) AS DOUBLE), 6) AS drift_share,
+             |  round(quantile_cont(rm, 0.5)/1000000.0, 7) AS median_ratio
+             |FROM rr JOIN part ON l_partkey = p_partkey
              |GROUP BY 1 ORDER BY brand""".stripMargin)),
 
     // ── q255: VALUE ROUNDNESS audit — per event type: events, the
@@ -2301,11 +2322,18 @@ object Analytics5 {
         val dec38 = "decimal(38,0)"
         val kd = col("k").cast("decimal(19,0)")
         val vd = col("vc").cast("decimal(19,0)")
+        // integer-shape guard BEFORE the cast, mirrored in the oracle:
+        // engine cast semantics on a non-integer string diverge (Spark
+        // nulls/truncates, DuckDB TRY_CAST('1.5') ROUNDS to 2), so the
+        // shared contract is "a field the JSON parser read, shaped
+        // ^-?[0-9]+$" — robust to a fixture re-serialization emitting
+        // floats or different spacing (r9 ADVICE finding).
         val m = t(s, d, "events")
           .select(col("event_type"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            get_json_object(col("props"), "$.k").as("ks"),
             fxUnits(col("value"), 100).as("vc"))
-          .filter(col("k").isNotNull)
+          .filter(col("ks").rlike("^-?[0-9]+$"))
+          .withColumn("k", col("ks").cast("long"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(kd.cast(dec38)).as("sk"),
@@ -2325,12 +2353,13 @@ object Analytics5 {
               (sqrt(dk) * sqrt(dv)), 6).as("corr_k_value"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH e AS (SELECT event_type,
-             |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1)
-             |      AS BIGINT) AS k,
+      Some("""WITH x AS (SELECT event_type,
+             |    json_extract_string(props, '$.k') AS ks,
              |    CAST(round(value*100) AS BIGINT) AS vc
-             |  FROM events
-             |  WHERE regexp_extract(props, '"k": (-?[0-9]+)', 1) <> ''),
+             |  FROM events),
+             |e AS (SELECT event_type, CAST(ks AS BIGINT) AS k, vc
+             |  FROM x
+             |  WHERE ks IS NOT NULL AND regexp_full_match(ks, '-?[0-9]+')),
              |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |    sum(CAST(k AS HUGEINT)) AS sk,
              |    sum(CAST(vc AS HUGEINT)) AS sv,
@@ -2605,7 +2634,13 @@ object Analytics5 {
     // division of two per-nation ratios — both engines run the
     // identical double chain (each per-nation ratio is one exact-
     // integer division, deterministic; max/min over those doubles is
-    // order-free).
+    // order-free; mx/mn and ·10⁶ are single correctly-rounded IEEE
+    // ops, so floor(parity·10⁶) is the same long in both engines).
+    // The MEDIAN then rides that micro-quantized long, not the raw
+    // float (r9 ADVICE: a float-ratio median has no terminating-
+    // decimal guarantee, so engine rounding can diverge at the
+    // display digit); median of longs is k or k+0.5 micro and the
+    // /10⁶ display terminates at 7 decimals, tie-free.
     //
     // Scale shape: TWO fact joins reach the customer nation (q234's
     // shape — orderkey then custkey, dims broadcast); the collapse to
@@ -2636,6 +2671,8 @@ object Analytics5 {
             max(col("up")).as("mx"), min(col("up")).as("mn"))
           .filter(col("n_nations") >= 2)
           .select(col("l_partkey"), (col("mx") / col("mn")).as("parity"))
+          .withColumn("parim",
+            floor(col("parity") * lit(1000000.0)).cast("long"))
         per.join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
@@ -2644,7 +2681,7 @@ object Analytics5 {
               .as("violators"),
             round(count(when(col("parity") > 1.2, 1)).cast("double") /
               count(lit(1)).cast("double"), 6).as("violator_share"),
-            round(expr("percentile(parity, 0.5)"), 6)
+            round(expr("percentile(parim, 0.5)") / lit(1000000.0), 7)
               .as("median_parity"))
           .select(col("p_brand").as("brand"), col("n_parts"),
             col("violators"), col("violator_share"), col("median_parity"))
@@ -2660,14 +2697,18 @@ object Analytics5 {
              |  JOIN customer ON o_custkey = c_custkey
              |  GROUP BY 1, 2),
              |per AS (SELECT l_partkey, max(up)/min(up) AS parity
-             |  FROM pn GROUP BY 1 HAVING count(*) >= 2)
+             |  FROM pn GROUP BY 1 HAVING count(*) >= 2),
+             |pm AS (SELECT l_partkey, parity,
+             |    CAST(floor(parity*1000000.0) AS BIGINT) AS parim
+             |  FROM per)
              |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
              |  CAST(count(*) FILTER (WHERE parity > 1.2) AS BIGINT)
              |    AS violators,
              |  round(CAST(count(*) FILTER (WHERE parity > 1.2) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS violator_share,
-             |  round(quantile_cont(parity, 0.5), 6) AS median_parity
-             |FROM per JOIN part ON l_partkey = p_partkey
+             |  round(quantile_cont(parim, 0.5)/1000000.0, 7)
+             |    AS median_parity
+             |FROM pm JOIN part ON l_partkey = p_partkey
              |GROUP BY 1 ORDER BY brand""".stripMargin)),
 
     // ── q265: DEAD CATALOGUE — per brand: parts never shipped, the
@@ -2728,7 +2769,14 @@ object Analytics5 {
     // max−min over ≤|quarters| deterministic doubles (order-FREE —
     // an avg of the per-quarter shares would be a float sum in
     // shuffle order and is deliberately not offered; the overall
-    // share is the exact grand-total ratio instead).
+    // share is the exact grand-total ratio instead). The quarter
+    // grid is DENSIFIED (r9 ADVICE; q252/q272's silent-bin lesson):
+    // an absent brand-quarter is a 0-share observation, so an
+    // intermittent brand swings from 0 to its max share — computed
+    // via the total-quarter scalar rather than materializing the
+    // brand×quarter grid (equivalent: the dense grid's min share is
+    // 0 exactly when the brand missed a quarter). n_quarters stays
+    // the ACTIVE quarter count (the intermittency readout itself).
     //
     // Scale shape: revenue collapses to the (brand, quarter) grain in
     // one exchange (part dim co-partitioned/broadcast); the quarter
@@ -2752,13 +2800,15 @@ object Analytics5 {
             col("rev").cast("double") /
               sum(col("rev")).over(wq).cast("double"))
           .withColumn("grand", sum(col("rev")).over(wAll))
-        shares.groupBy(col("p_brand"))
+        val nq = bq.agg(countDistinct(col("qtr")).cast("long").as("nq"))
+        shares.crossJoin(broadcast(nq)).groupBy(col("p_brand"))
           .agg(count(lit(1)).cast("long").as("n_quarters"),
             round(sum(col("rev")).cast("double") / 10000.0, 2)
               .as("revenue"),
             round(sum(col("rev")).cast("double") /
               max(col("grand")).cast("double"), 6).as("overall_share"),
-            round(max(col("share")) - min(col("share")), 6)
+            round(when(count(lit(1)) < max(col("nq")), max(col("share")))
+              .otherwise(max(col("share")) - min(col("share"))), 6)
               .as("share_swing"))
           .select(col("p_brand").as("brand"), col("n_quarters"),
             col("revenue"), col("overall_share"), col("share_swing"))
@@ -2775,14 +2825,17 @@ object Analytics5 {
              |      CAST(sum(rev) OVER (PARTITION BY qtr) AS DOUBLE)
              |      AS share,
              |    sum(rev) OVER () AS grand
+             |  FROM bq),
+             |tq AS (SELECT CAST(count(DISTINCT qtr) AS BIGINT) AS nq
              |  FROM bq)
              |SELECT p_brand AS brand,
              |  CAST(count(*) AS BIGINT) AS n_quarters,
              |  round(CAST(sum(rev) AS DOUBLE)/10000.0, 2) AS revenue,
              |  round(CAST(sum(rev) AS DOUBLE)/CAST(max(grand) AS DOUBLE),
              |    6) AS overall_share,
-             |  round(max(share) - min(share), 6) AS share_swing
-             |FROM sh GROUP BY 1 ORDER BY brand""".stripMargin)),
+             |  round(CASE WHEN count(*) < max(nq) THEN max(share)
+             |    ELSE max(share) - min(share) END, 6) AS share_swing
+             |FROM sh, tq GROUP BY 1 ORDER BY brand""".stripMargin)),
 
     // ── q267: duplicate TEXT MASS — per source: total characters,
     // characters sitting in NON-CANONICAL exact-duplicate docs
@@ -3220,7 +3273,11 @@ object Analytics5 {
     // cycle)" — the product-axis rhythm next to q231's order-level
     // cadence and q128's RFM frequency. Gap multiset is
     // tie-break-invariant (q231's argument); the per-pair lag window
-    // is bounded by a pair's purchases.
+    // is bounded by a pair's purchases. The median here is over
+    // INTEGER day gaps — it lands on k or k+0.5 exactly (terminates
+    // at 1 decimal), so unlike the float-ratio medians the r9 ADVICE
+    // flagged (q234/q254/q264, all quantized since), round(·, 6) is
+    // tie-free by construction and needs no micro-unit pass.
     //
     // Scale shape: TWO fact joins (orderkey → custkey; partkey →
     // brand — q234/q264's shape); the (customer, part) collapse

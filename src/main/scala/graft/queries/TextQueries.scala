@@ -379,14 +379,20 @@ object TextQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── q15: JSON extraction (ref: JSON settings read/write
-    // `Batch Processor.py:87-97`; fixture `events.props`).
-    // Oracle uses a regexp so the driver's DuckDB needs no json
-    // extension; Spark side uses the real JSON path function.
+    // `Batch Processor.py:87-97`; fixture `events.props`). Both sides
+    // parse the JSON properly (get_json_object / json_extract_string)
+    // and admit only integer-SHAPED field values before the cast —
+    // engine casts of a non-integer string diverge (Spark truncates or
+    // nulls, DuckDB TRY_CAST rounds), so the shape guard IS the shared
+    // contract, robust to a fixture re-serialization (r9 ADVICE
+    // discipline, same fix as q259).
     QueryDef(
       "q15_json_extract",
       (s, d) => {
         t(s, d, "events")
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("ks", get_json_object(col("props"), "$.k"))
+          .withColumn("k", when(col("ks").rlike("^-?[0-9]+$"),
+            col("ks").cast("long")))
           .groupBy(col("event_type"))
           .agg(
             count(col("k")).as("n_k"),
@@ -396,9 +402,13 @@ object TextQueries {
               .as("avg_k"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH j AS (SELECT event_type,
-             |  CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
-             |  FROM events)
+      Some("""WITH x AS (SELECT event_type,
+             |    json_extract_string(props, '$.k') AS ks FROM events),
+             |j AS (SELECT event_type,
+             |  CAST(CASE WHEN ks IS NOT NULL
+             |    AND regexp_full_match(ks, '-?[0-9]+') THEN ks END
+             |    AS BIGINT) AS k
+             |  FROM x)
              |SELECT event_type, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k,
              |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)/CAST(count(k) AS DOUBLE) AS avg_k
              |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),

@@ -3436,6 +3436,11 @@ class QueriesSpec extends SparkTestBase {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** 7-decimal display for micro-unit medians (k or k+0.5 micro →
+    * terminates at 7 decimals, where rounding is tie-free). */
+  private def rnd7(x: Double): Double =
+    BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q226 growth accounting equals a driver recompute; flows conserve") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q226_growth_accounting")(spark, sf())
@@ -3794,7 +3799,8 @@ class QueriesSpec extends SparkTestBase {
       val n = xs.size.toLong
       sg -> ((n, rnd6(xs.map(_._4).sum.toDouble / n.toDouble),
         rnd6(xs.count(x => x._3 * 2 >= x._2).toDouble / n.toDouble),
-        rnd6(qCont(xs.map(x => x._3.toDouble / x._2.toDouble).toSeq, 0.5))))
+        rnd7(qCont(xs.map(x => (x._3 * 1000000L / x._2).toDouble).toSeq,
+          0.5) / 1e6)))
     }
     assert(got == exp, s"got $got expected $exp")
   }
@@ -4340,15 +4346,21 @@ class QueriesSpec extends SparkTestBase {
       val (ep2, q2) = (h2.map(x => BigInt(x._3)).sum,
         h2.map(x => BigInt(x._4)).sum)
       if (q1 > 0 && q2 > 0)
-        Some((brand(pk), (ep2 * q1).toDouble / (ep1 * q2).toDouble))
+        Some((brand(pk), ep2 * q1, ep1 * q2))
       else None
     }
     val exp = ratios.groupBy(_._1).map { case (b, xs) =>
-      val rs = xs.map(_._2)
-      val drifted = rs.count(r => r > 1.2 || r < 0.8).toLong
-      b -> ((rs.length.toLong, drifted,
-        rnd6(drifted.toDouble / rs.length.toDouble),
-        rnd6(qCont(rs, 0.5))))
+      // mirrors the query: exact cross-multiply predicate, micro-
+      // quantized integer ratio median, 7-decimal display
+      val drifted = xs.count { case (_, num, den) =>
+        num * 5 > den * 6 || num * 5 < den * 4
+      }.toLong
+      val rms = xs.map { case (_, num, den) =>
+        ((num * 1000000) / den).toDouble
+      }
+      b -> ((xs.length.toLong, drifted,
+        rnd6(drifted.toDouble / xs.length.toDouble),
+        rnd7(qCont(rms, 0.5) / 1e6)))
     }
     assert(got == exp, s"got $got expected $exp")
   }
@@ -4636,8 +4648,11 @@ class QueriesSpec extends SparkTestBase {
     val exp = parity.groupBy(_._1).map { case (b, xs) =>
       val ps = xs.map(_._2).toSeq
       val viol = ps.count(_ > 1.2).toLong
+      // mirrors the query: median over floor(parity·10⁶) longs
+      val pms = ps.map(p => math.floor(p * 1000000.0))
       b -> ((ps.length.toLong, viol,
-        rnd6(viol.toDouble / ps.length.toDouble), rnd6(qCont(ps, 0.5))))
+        rnd6(viol.toDouble / ps.length.toDouble),
+        rnd7(qCont(pms, 0.5) / 1e6)))
     }
     assert(got == exp, s"got $got expected $exp")
   }
@@ -4687,9 +4702,11 @@ class QueriesSpec extends SparkTestBase {
       val shares = xs.map { case ((_, q), rev) =>
         rev.toDouble / qtrTot(q).toDouble }
       val tot = xs.values.sum
+      // densified grid: a missed quarter is a 0-share observation
+      val minShare = if (xs.size < qtrTot.size) 0.0 else shares.min
       b -> ((xs.size.toLong, rnd2(tot.toDouble / 10000.0),
         rnd6(tot.toDouble / grand.toDouble),
-        rnd6(shares.max - shares.min)))
+        rnd6(shares.max - minShare)))
     }
     assert(got == exp, s"got $got expected $exp")
   }
