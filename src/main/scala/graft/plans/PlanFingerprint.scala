@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{And, Expression,
-  GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan,
-  LessThanOrEqual, Literal, MultiCommutativeOp}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseAnd,
+  BitwiseOr, BitwiseXor, Expression, GreaterThan, GreaterThanOrEqual, In,
+  InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, MultiCommutativeOp,
+  Multiply, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -44,11 +45,24 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *     builder emits whichever orientation its code path produced,
   *     and the two base lineages produce opposite orientations of
   *     the same predicate.
-  *  4. Commutative-conjunct order is re-sorted by the NORMALIZED
-  *     rendering: canonicalization orders `multicommutativeop`
-  *     operands by expression hashCode, which a broadcast handle or
-  *     plan-embedded object identity perturbs (measured: q154's
-  *     cold-vs-warm flip was only `bloom_might_contain`'s position).
+  *  4. EVERY commutative operator's operand order is re-imposed by the
+  *     NORMALIZED rendering, bottom-up: canonicalization orders
+  *     commutative operands by expression hashCode, which a broadcast
+  *     handle or plan-embedded object identity perturbs (measured:
+  *     q154's cold-vs-warm flip was only `bloom_might_contain`'s
+  *     position) — and, the r10 root-cause of the rare per-JVM
+  *     decimal-chain flip (q108/q137/q214/q216, ~1 in 15 JVMs since
+  *     r8): a canonicalized subtree containing a `MultiCommutativeOp`
+  *     carries that node's `Class[_]` member, whose `hashCode` is
+  *     IDENTITY-based and therefore per-JVM, so the hashCode sort of a
+  *     PLAIN BINARY commutative parent (`ln(x) * 1e6` vs
+  *     `1e6 * ln(x)`) flipped with the JVM's identity-hash draw
+  *     (captured live: two divergent r10 plan dumps differ in exactly
+  *     that operand order). Hence the pass covers binary
+  *     Multiply/Add/bitwise and Or-disjuncts, not just
+  *     `multicommutativeop` operands and And-conjuncts, and runs
+  *     transformUp so a parent's sort key renders already-normalized
+  *     children.
   *  5. String-level scrubs: opaque literals print their array object
   *     identity (`[J@1a2b3c` — centroid/LUT/survivor literals differ
   *     by JVM ADDRESS even when bit-identical); broadcast handles
@@ -94,6 +108,11 @@ object PlanFingerprint {
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case o => Seq(o)
+  }
+
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
     case o => Seq(o)
   }
 
@@ -190,12 +209,26 @@ object PlanFingerprint {
         In(v, Seq(Literal(
           inToken(hset.iterator.map(x => strNorm(String.valueOf(x))).toSeq))))
     }
-    val canon = inNorm.transformAllExpressions {
-      case m: MultiCommutativeOp =>
-        m.withNewChildren(
-          m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
-      case a @ And(_, _) =>
-        splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
+    // 4c. deterministic operand order for EVERY commutative operator,
+    // BOTTOM-UP: a parent's sort key is its children's rendering, so
+    // children must be normalized first or the key itself carries the
+    // per-JVM order being erased (the r10 decimal-chain root cause —
+    // see scaladoc #4; binary Multiply/Add/bitwise and Or are covered
+    // because canonicalization hashCode-sorts THEIR operands too).
+    val canon = inNorm.transformUp {
+      case p => p.transformExpressionsUp {
+        case m: MultiCommutativeOp =>
+          m.withNewChildren(
+            m.operands.sortBy(e => strNorm(e.toString)).toIndexedSeq)
+        case a @ And(_, _) =>
+          splitConjuncts(a).sortBy(e => strNorm(e.toString)).reduce(And)
+        case o @ Or(_, _) =>
+          splitDisjuncts(o).sortBy(e => strNorm(e.toString)).reduce(Or)
+        case b @ (_: Multiply | _: Add | _: BitwiseAnd | _: BitwiseOr |
+            _: BitwiseXor) if b.children.size == 2 =>
+          b.withNewChildren(
+            b.children.sortBy(e => strNorm(e.toString)).toIndexedSeq)
+      }
     }
     strNorm(canon.toString)
   }

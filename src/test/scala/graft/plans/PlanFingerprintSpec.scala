@@ -121,6 +121,57 @@ class PlanFingerprintSpec extends SparkTestBase {
       "lambda object identity leaked into the fingerprint")
   }
 
+  test("commutative operand order does not move the hash (binary, MCO-bearing)") {
+    // the r10 decimal-chain root cause: Spark canonicalization orders
+    // commutative operands by hashCode; a subtree containing a
+    // MultiCommutativeOp carries that node's Class[_] member whose
+    // hashCode is per-JVM identity, so a BINARY parent's operand order
+    // (ln(x)*1e6 vs 1e6*ln(x)) flipped with the JVM — the fingerprint
+    // now imposes rendering order on every commutative operator
+    def one(c: org.apache.spark.sql.Column) =
+      df().select(c.as("x")).limit(10)
+    val l = col("o_totalprice")
+    assert(PlanFingerprint.hash(one(l * lit(2.0))) ==
+      PlanFingerprint.hash(one(lit(2.0) * l)),
+      "binary multiply operand order leaked into the fingerprint")
+    // the captured q108 shape: ln(3-term decimal product) * literal —
+    // the 3-term chain canonicalizes to a MultiCommutativeOp
+    val chain = (col("o_orderkey").cast("decimal(19,0)") *
+      col("o_custkey").cast("decimal(19,0)")).cast("decimal(38,0)") *
+      col("o_totalprice").cast("decimal(19,0)")
+    val lnc = log(chain.cast("double"))
+    assert(PlanFingerprint.hash(one(lnc * lit(1000000.0))) ==
+      PlanFingerprint.hash(one(lit(1000000.0) * lnc)),
+      "MCO-bearing multiply operand order leaked into the fingerprint")
+    assert(PlanFingerprint.hash(one(l + lit(1.0))) ==
+      PlanFingerprint.hash(one(lit(1.0) + l)),
+      "binary add operand order leaked into the fingerprint")
+    // sensitivity direction: different operands must still differ
+    assert(PlanFingerprint.hash(one(l * lit(2.0))) !=
+      PlanFingerprint.hash(one(l * lit(3.0))),
+      "a changed factor should move the hash")
+  }
+
+  test("decimal-chain watch list fingerprints are pinned (r10 flake sampler)") {
+    // every `sbt test` run is one more fresh-JVM sample of the
+    // q108/q137/q214/q216 family that flipped ~1 in 15 JVMs before the
+    // r10 commutative-order fix — a failure here means the per-JVM
+    // flip is BACK: capture with SPARK_GRAFT_PLAN_PRINT=1 OrderHash
+    // forward <names> and diff against the banked dumps (BASELINE.md
+    // flake watch). Hashes are sf0.001 (the spec fixture).
+    val expected = Map(
+      "q108_js_divergence" -> "d28c36ff",
+      "q137_user_mix_divergence" -> "122e1b7f",
+      "q214_revenue_acf" -> "da35d64c",
+      "q216_ks_drift" -> "13e02902")
+    val got = expected.keys.toSeq.sorted.map { n =>
+      n -> PlanFingerprint.hash(graft.SparkEntry.queries(n)(spark, sf()))
+    }.toMap
+    assert(got == expected,
+      s"decimal-chain fingerprint flip: got $got expected $expected — " +
+        "bank a SPARK_GRAFT_PLAN_PRINT=1 dump and diff (BASELINE.md)")
+  }
+
   test("conjunct order inside a filter does not move the hash") {
     val a = df().filter(col("o_totalprice") > 0.0 &&
         col("o_orderstatus") === "O")
