@@ -408,6 +408,56 @@ object DedupQueries {
         size(col("seg")).cast("long").as("ntok"))
   }
 
+  /** q276's whole pipeline over an arbitrary `(doc_id, text)` frame —
+    * factored out so the spec can feed CRAFTED documents (the
+    * 10-token cross-doc duplicate q223's fixed grid provably misses,
+    * and a shifted copy) through the exact production path.
+    *
+    * Content-defined segmentation: a token whose md5 leads with hex
+    * 0/1 OPENS a segment (P=1/8, mean ≈8 tokens). Boundaries are a
+    * function of content alone, so two copies of a passage share
+    * their interior boundaries at any position — the property the
+    * fixed 16-token grid lacks.
+    */
+  private[graft] def cdcDupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .withColumn("tk",
+        filter(split(col("text"), " "), tk => length(tk) > 0))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("ti", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ti"))
+    val seg = toks
+      .withColumn("bd",
+        when(substring(md5(col("tok")), 1, 1).isin("0", "1"), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("bd")).over(w))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        min(col("ti")).cast("long").as("tok_start"),
+        count(lit(1)).cast("long").as("ntok"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("ti"), col("tok")))),
+            x => x.getField("tok")), " ")).as("hh"))
+    val dfq = seg.groupBy(col("hh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dup = seg.join(dfq, Seq("hh")).filter(col("df") >= 2)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("sid"))
+    dup
+      .withColumn("grp", col("sid") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("tok_start")).cast("long").as("span_start_tok"),
+        count(lit(1)).cast("long").as("span_segs"),
+        sum(col("ntok")).cast("long").as("span_tokens"),
+        min(col("df")).cast("long").as("min_df"))
+      .filter(col("span_tokens") >= 8)
+      .select(col("doc_id"), col("span_start_tok"), col("span_segs"),
+        col("span_tokens"), col("min_df"))
+      .orderBy(col("doc_id"), col("span_start_tok"))
+  }
+
   /** The q76/q81/q223 segment-derivation CTE chain (DuckDB twin of
     * [[docSegments]]), shared so the oracles cannot drift.
     */
@@ -757,6 +807,71 @@ object DedupQueries {
               |  min_df, doc_longest_segs, doc_run_tokens
               |FROM runs JOIN per USING (doc_id)
               |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ── q276: CONTENT-DEFINED duplicated spans — q223's residual
+    // (r9 verdict gap): a duplicated passage SHORTER than 16 tokens,
+    // or one whose copies sit at different offsets, never fills a
+    // fixed 16-token segment with identical content, so the fixed
+    // grid is blind to it. Here segment boundaries are ANCHORED ON
+    // CONTENT (a token whose md5 leads with hex 0/1 opens a segment —
+    // P=1/8, mean ≈8 tokens, the CDC/winnowing idea from the
+    // published dedup literature): the copies of a passage carry the
+    // same interior boundaries WHEREVER they sit, so any duplicated
+    // region containing ≥1 complete interior segment is caught —
+    // down to ~8 tokens and at ANY relative alignment, without a
+    // distributed suffix array. Runs of adjacent duplicated segments
+    // merge exactly as in q223; only runs of ≥8 duplicated tokens
+    // report (a trivial 1-2-token common segment is real duplication
+    // but not a cuttable span). min_df is the weakest cross-document
+    // evidence inside the run (q223's caveat: a run's segments need
+    // not share the SAME partner document).
+    //
+    // Scale shape: one corpus scan; the boundary flag and segment id
+    // are per-DOC windows (bounded by a document's token count, never
+    // corpus-wide); df is one segment-grain exchange joined back on
+    // the digest; the run merge is again a per-doc window. Identical
+    // exchange structure to q223 — the finer grain only multiplies
+    // the segment-row count ~2× (mean 8 vs 16 tokens).
+    QueryDef(
+      "q276_dup_spans_cdc",
+      (s, d) => cdcDupSpans(t(s, d, "documents")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |      AS t
+             |  FROM documents),
+             |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS ti,
+             |    t[i] AS tok
+             |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+             |  WHERE len(t) > 0),
+             |b AS (SELECT doc_id, ti, tok,
+             |    CASE WHEN substring(md5(tok), 1, 1) IN ('0', '1')
+             |      THEN 1 ELSE 0 END AS bd
+             |  FROM tok),
+             |sg AS (SELECT doc_id, ti, tok,
+             |    sum(bd) OVER (PARTITION BY doc_id ORDER BY ti) AS sid
+             |  FROM b),
+             |seg AS (SELECT doc_id, sid,
+             |    CAST(min(ti) AS BIGINT) AS tok_start,
+             |    CAST(count(*) AS BIGINT) AS ntok,
+             |    md5(string_agg(tok, ' ' ORDER BY ti)) AS hh
+             |  FROM sg GROUP BY 1, 2),
+             |dfq AS (SELECT hh, count(DISTINCT doc_id) AS df
+             |  FROM seg GROUP BY 1),
+             |dup AS (SELECT seg.doc_id, sid, tok_start, ntok, df
+             |  FROM seg JOIN dfq USING (hh) WHERE df >= 2),
+             |r AS (SELECT *, sid - row_number()
+             |    OVER (PARTITION BY doc_id ORDER BY sid) AS grp
+             |  FROM dup),
+             |runs AS (SELECT doc_id,
+             |    CAST(min(tok_start) AS BIGINT) AS span_start_tok,
+             |    CAST(count(*) AS BIGINT) AS span_segs,
+             |    CAST(sum(ntok) AS BIGINT) AS span_tokens,
+             |    CAST(min(df) AS BIGINT) AS min_df
+             |  FROM r GROUP BY doc_id, grp)
+             |SELECT doc_id, span_start_tok, span_segs, span_tokens,
+             |  min_df
+             |FROM runs WHERE span_tokens >= 8
+             |ORDER BY doc_id, span_start_tok""".stripMargin)),
 
     // ── q84: QUALITY-aware survivor selection — collapse each near-dup
     // cluster to its highest-quality member instead of q36's min-id

@@ -347,6 +347,85 @@ class QualityQueriesSpec extends SparkTestBase {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("q276 catches a 10-token MISALIGNED cross-doc duplicate that q223's fixed grid misses") {
+    // the r9 verdict's named residual: a duplicated passage shorter
+    // than 16 tokens whose copies sit at DIFFERENT offsets. Crafted
+    // phrase (verified md5 boundary classes): `india` and `mike` open
+    // segments (md5 hex 0/1); alpha..golf and hotel do not — so the
+    // content-defined segment `india alpha bravo charlie delta echo
+    // foxtrot golf` (8 tokens) exists INSIDE both copies wherever
+    // they sit, while every fixed 16-token segment of either doc
+    // mixes in non-shared context.
+    val P = "india alpha bravo charlie delta echo foxtrot golf mike hotel"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val rows = Seq(
+      (0L, P + " juliet kilo lima november", "en", "s"), // phrase at tok 0
+      (1L, "romeo sierra tango " + P + " oscar quebec victor", "en", "s"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q276_dup_spans_cdc")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L, 1L, 8L, 2L), (1L, 3L, 1L, 8L, 2L)),
+      s"got ${got.toSeq}")
+    // and q223 (fixed 16-token grid) is provably blind to it
+    val q223 = SparkEntry.queries("q223_dup_spans")(spark, tmp).collect()
+    assert(q223.isEmpty, s"q223 unexpectedly found ${q223.length} spans")
+  }
+
+  test("q276 runs are row-identical to a driver-side CDC merge on real docs") {
+    // full-pipeline recompute in plain Scala over sf0.001: tokenize,
+    // content-defined boundaries (md5 hex 0/1), segment digests, df,
+    // adjacent-run merge, span_tokens >= 8 — must match EXACTLY
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def segsOf(text: String): Seq[(Long, Int, Int, String)] = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      if (tk.isEmpty) return Nil
+      var sid = 0L
+      val withSid = tk.zipWithIndex.map { case (t, i) =>
+        if ("01".contains(md5hex(t).head)) sid += 1
+        (sid, i, t)
+      }
+      withSid.groupBy(_._1).toSeq.map { case (s, xs) =>
+        (s, xs.map(_._2).min, xs.length,
+          md5hex(xs.sortBy(_._2).map(_._3).mkString(" ")))
+      }
+    }
+    val all = docs.map { case (id, t) => id -> segsOf(t) }
+      .filter(_._2.nonEmpty)
+    val df = scala.collection.mutable.Map[String, Set[Long]]()
+    all.foreach { case (id, segs) =>
+      segs.foreach { case (_, _, _, h) =>
+        df(h) = df.getOrElse(h, Set()) + id }
+    }
+    val expected = all.flatMap { case (id, segs) =>
+      val dup = segs.filter { case (_, _, _, h) => df(h).size >= 2 }
+        .sortBy(_._1)
+      val runs = dup.foldLeft(List.empty[List[(Long, Int, Int, String)]]) {
+        case (acc, s) => acc match {
+          case cur :: rest if cur.head._1 == s._1 - 1 => (s :: cur) :: rest
+          case _ => List(s) :: acc
+        }
+      }.reverse.map(_.reverse)
+      runs.map { r =>
+        (id, r.head._2.toLong, r.length.toLong,
+          r.map(_._3).sum.toLong,
+          r.map(x => df(x._4).size).min.toLong)
+      }.filter(_._4 >= 8L)
+    }.toSet
+    val got = SparkEntry.queries("q276_dup_spans_cdc")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("q77 scores corpus-typical text low and rare-continuation text high") {
     // docs 0-3 share one dominant bigram chain, so their continuations
     // are corpus-typical (low -ln p). Doc 4 uses the SAME frequent
