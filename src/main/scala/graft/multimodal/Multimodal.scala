@@ -604,6 +604,102 @@ object Multimodal {
     }
   }
 
+  /** Deterministic DERIVED-fixture synthesis for the audio face of
+    * the corpus (r9 verdict #4): the driver's documents fixture
+    * carries no genuine audio near-duplicate — every exact-dup doc is
+    * shorter than the envelope minimum — so q190's driver-level
+    * rows-only check was degenerate (0 rows indistinguishable from a
+    * broken query). Docs with `doc_id % 125 ∈ {0,1}` therefore
+    * publish a REAL RIFF-WAVE payload of a waveform SHARED by the
+    * pair group (g = doc_id div 125): variant 0 as 16-bit PCM,
+    * variant 1 as 8-bit PCM with an extra LIST chunk — exactly the
+    * container/bit-depth duplication the envelope fingerprint exists
+    * to catch. Window amplitudes walk with steps ≥ 12 (8-bit units),
+    * 24× the worst requantization error, so both variants code the
+    * SAME derivative-sign envelope by construction; everything is a
+    * pure function of doc_id (deterministic-artifact rule).
+    */
+  object Fixtures {
+    private val W = 65
+    private val SamplesPerWindow = 32
+
+    /** xorshift64* — explicit and spec-stable (no JDK PRNG). */
+    private def nextRand(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      x * 0x2545F4914F6CDD1DL
+    }
+
+    /** Per-window |amplitude| walk in 8-bit units: range [30, 120],
+      * step 12..31, direction reflecting at the bounds (both bounds
+      * can never reject one step: 2·31 < 120 − 30).
+      */
+    private[graft] def windowAmps(group: Long): Array[Int] = {
+      val amps = new Array[Int](W)
+      var r = nextRand(group * 0x9E3779B97F4A7C15L + 1L)
+      var a = 30 + java.lang.Long.remainderUnsigned(r, 91L).toInt
+      var dir = if ((r & 1L) == 0L) 1 else -1
+      var w = 0
+      while (w < W) {
+        amps(w) = a
+        r = nextRand(r)
+        val step = 12 + java.lang.Long.remainderUnsigned(r, 20L).toInt
+        if (a + dir * step < 30 || a + dir * step > 120) dir = -dir
+        a += dir * step
+        w += 1
+      }
+      amps
+    }
+
+    private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le16(b, v & 0xffff); le16(b, (v >> 16) & 0xffff)
+    }
+    private def tag(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+
+    /** Minimal RIFF-WAVE PCM encoder (8/16-bit mono; optional LIST
+      * chunk so the two variants differ at the container level too).
+      */
+    private[graft] def buildWav(
+        bits: Int, amps: Array[Int], extraChunk: Boolean): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val dataLen = amps.length * SamplesPerWindow * bytesPerSample
+      val b = new java.io.ByteArrayOutputStream()
+      tag(b, "RIFF"); le32(b, 0); tag(b, "WAVE") // size patched below
+      tag(b, "fmt "); le32(b, 16)
+      le16(b, 1); le16(b, 1) // PCM, mono
+      le32(b, 8000); le32(b, 8000 * bytesPerSample)
+      le16(b, bytesPerSample); le16(b, bits)
+      if (extraChunk) { tag(b, "LIST"); le32(b, 4); tag(b, "INFO") }
+      tag(b, "data"); le32(b, dataLen)
+      var w = 0
+      while (w < amps.length) {
+        var i = 0
+        while (i < SamplesPerWindow) {
+          if (bits == 16) le16(b, amps(w) * 256) // positive 16-bit
+          else b.write(128 + amps(w)) // unsigned, centered on 128
+          i += 1
+        }
+        w += 1
+      }
+      val out = b.toByteArray
+      val riffSize = out.length - 8
+      var k = 0
+      while (k < 4) { out(4 + k) = ((riffSize >> (8 * k)) & 0xff).toByte; k += 1 }
+      out
+    }
+
+    /** The seeded audio payload for doc `id` (id % 125 must be 0/1). */
+    def seededWav(id: Long): Array[Byte] = {
+      val amps = windowAmps(id / 125)
+      if (id % 125 == 0L) buildWav(16, amps, extraChunk = false)
+      else buildWav(8, amps, extraChunk = true)
+    }
+  }
+
   /** Decode metadata for every record — `mapPartitions` so that real
     * decoders can set up codec context once per partition (the batch
     * shape that matters at 100 TB: payload bytes never shuffle; the

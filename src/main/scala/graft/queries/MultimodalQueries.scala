@@ -112,27 +112,50 @@ object MultimodalQueries {
         .select(col("doc_a"), col("doc_b"), col("matched"), col("n_short"))
     }
 
-  /** Audio fingerprints, persisted per (session, dir): (doc_id, sig).
-    * Real RIFF-WAVE PCM payloads code their energy envelope; the text
-    * fixtures code the canonicalized bytes as centered 8-bit samples.
+  /** The corpus's derived AUDIO payloads: docs with doc_id % 125 ∈
+    * {0,1} publish a real synthesized RIFF-WAVE (the seeded
+    * container/bit-depth near-dup pairs —
+    * [[graft.multimodal.Multimodal.Fixtures.seededWav]], r9 verdict
+    * #4: without them the fixture holds no audio near-dup at all and
+    * q190's rows-only driver check was degenerate); every other doc
+    * keeps the canonicalized text bytes as the stand-in payload.
     */
-  private val audioSigCache = new StampedCache("audio_fp_sigs")
+  private[graft] def audioPayloads(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        val content =
+          if (id % 125 < 2) graft.multimodal.Multimodal.Fixtures.seededWav(id)
+          else txt.getBytes("UTF-8")
+        (id, content)
+      }.toDF("doc_id", "content")
+  }
+
+  /** Audio fingerprints, persisted per (session, dir): (doc_id, sig).
+    * Real RIFF-WAVE PCM payloads (including the seeded pairs) code
+    * their energy envelope; the text-byte stand-ins code the
+    * canonicalized bytes as centered 8-bit samples. Store name bakes
+    * in the seeding layout (durable-artifact-identity rule).
+    */
+  private val audioSigCache = new StampedCache("audio_fp_sigs_seed125")
 
   private[graft] def audioSigs(
       s: org.apache.spark.sql.SparkSession, d: String) =
     audioSigCache.get(s, d) {
       graft.functions.GraftFunctions.register(s)
-      t(s, d, "documents").select(
+      audioPayloads(s, d).select(
         col("doc_id"),
-        graft.functions.GraftFunctions.audioFp64(
-          lower(col("text")).cast("binary")).as("sig"))
+        graft.functions.GraftFunctions.audioFp64(col("content")).as("sig"))
     }
 
   /** q190's verified near-dup audio pairs — the q27/q73 mining shape
     * verbatim over the envelope fingerprint: 4×16-bit block index,
     * salted miner, exact Hamming ≤ 3 verify, persisted pair set.
     */
-  private val audioPairsCache = new StampedCache("audio_fp_pairs")
+  private val audioPairsCache = new StampedCache("audio_fp_pairs_seed125")
 
   private def audioPairs(
       s: org.apache.spark.sql.SparkSession, d: String) =
@@ -247,9 +270,13 @@ object MultimodalQueries {
     // and requantization-invariant by construction (it reads only
     // PCM and compares adjacent window energies), so re-packaged
     // duplicates land within a few Hamming bits; mining is the
-    // q27/q73 block family verbatim. No oracle (rows-only);
+    // q27/q73 block family verbatim. The derived payload base seeds
+    // one 16-bit/8-bit container-variant pair per 125 docs
+    // ([[audioPayloads]]) so the driver's rows-only check observes
+    // real positives (r9 verdict #4). No oracle (rows-only);
     // MultimodalSpec gates container-rewrite identity, exact ×4
-    // volume-scale identity, noise ≤2 bits, mining ≡ brute force.
+    // volume-scale identity, noise ≤2 bits, mining ≡ brute force,
+    // and that every seeded pair is mined.
     QueryDef(
       "q190_audio_fp_dedup",
       (s, d) => audioPairs(s, d).orderBy(col("doc_a"), col("doc_b")),

@@ -506,4 +506,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.Decoders.audioFingerprint64(nonPcm) ==
       Multimodal.Decoders.audioFingerprint64(nonPcm.clone()))
   }
+
+  test("seeded audio fixture: variants share the envelope, differ as bytes; q190 mines every seeded pair") {
+    // the pair group's two payloads are genuinely different media
+    // objects (16-bit vs 8-bit PCM, different chunk layout) carrying
+    // the same waveform — the fingerprint must land at Hamming 0
+    for (g <- 0L to 3L) {
+      val a = Multimodal.Fixtures.seededWav(g * 125)
+      val b = Multimodal.Fixtures.seededWav(g * 125 + 1)
+      assert(!java.util.Arrays.equals(a, b), "variants must differ as bytes")
+      assert(a.length != b.length, "bit depths must differ")
+      val ha = Multimodal.Decoders.audioFingerprint64(a)
+      val hb = Multimodal.Decoders.audioFingerprint64(b)
+      assert(ha.isDefined && ha == hb,
+        s"group $g: 16-bit and 8-bit variants code different envelopes")
+      // determinism: same id → same bytes
+      assert(java.util.Arrays.equals(a,
+        Multimodal.Fixtures.seededWav(g * 125)))
+    }
+    // distinct groups must NOT collide (different walks, far apart)
+    val h0 = Multimodal.Decoders.audioFingerprint64(
+      Multimodal.Fixtures.seededWav(0L)).get
+    val h1 = Multimodal.Decoders.audioFingerprint64(
+      Multimodal.Fixtures.seededWav(125L)).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) > 3,
+      "seeded groups collide — the mined pairs would be wrong")
+    // end-to-end: the driver-level rows-only check is non-degenerate —
+    // q190 on the sf0.001 fixture (500 docs → groups 0..3) reports
+    // every seeded pair
+    val got = graft.SparkEntry.queries("q190_audio_fp_dedup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = (0L to 3L).map(g => (g * 125, g * 125 + 1)).toSet
+    assert(seeded.subsetOf(got),
+      s"missing seeded pairs: ${seeded -- got}; got ${got.size} rows")
+  }
 }

@@ -675,10 +675,10 @@ class QueriesSpec extends SparkTestBase {
     val got = SparkEntry.queries("q190_audio_fp_dedup")(spark, sf())
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     graft.functions.GraftFunctions.register(spark)
-    val sigs = graft.sources.Tables(spark, sf(), "documents").select(
-      col("doc_id"),
-      graft.functions.GraftFunctions.audioFp64(
-        lower(col("text")).cast("binary")).as("sig"))
+    // the PRODUCTION payload base (text stand-ins + the seeded
+    // container-variant WAV pairs — r10): brute force must see the
+    // same signatures the miner sees
+    val sigs = MultimodalQueries.audioSigs(spark, sf())
       // the decoder's NULL refusal is excluded from mining — refused
       // payloads must never form a mutual-duplicate clique (and 0L is
       // a legitimate code that STAYS minable — r8 review)
@@ -690,9 +690,11 @@ class QueriesSpec extends SparkTestBase {
       .filter(col("hd") <= 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(got == brute, "block mining must equal brute-force hamming<=3")
-    // on THIS corpus the honest pair set is empty (text stand-ins have
-    // no duplicate audio; the probe confirming 0 brute pairs ran
-    // driver-side) — so the pairing behavior is gated on REAL WAV
+    // the text stand-ins alone carry no audio near-dup (r9's 0-row
+    // degeneracy); the seeded WAV pairs make the set non-empty, so
+    // equality above is no longer vacuous
+    assert(got.nonEmpty, "seeded corpus must mine at least the WAV pairs")
+    // the pairing behavior is additionally gated on crafted REAL WAV
     // payloads: re-containered / volume-scaled / requantized copies of
     // one waveform must land in the same 16-bit block (minable) within
     // Hamming ≤ 3 of each other, while a different waveform stays out
