@@ -146,4 +146,45 @@ class GraftSqlSpec extends SparkTestBase {
       .head().getLong(0)
     assert(self == nDocs)
   }
+
+  test("release accounting and quality audit read as SQL views (r9 verdict ask)") {
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-sql-release").toString + "/out"
+    val report = graft.Release.release(spark, sf(), dest, shardCount = 4)
+    graft.GraftSql.openRelease(spark, report)
+    // the one-row report view mirrors the Scala report exactly
+    val r = spark.sql(
+      """SELECT input_docs, dup_dropped, quality_dropped, mix_dropped,
+        |  released_docs, n_shards FROM release_report""".stripMargin)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      (report.inputDocs, report.dupDropped, report.qualityDropped,
+        report.mixDropped, report.releasedDocs, report.shards.size.toLong))
+    // the shard view reconciles in plain SQL: sum(rows) = released_docs
+    val shardAgg = spark.sql(
+      """SELECT count(*), sum(rows) FROM release_shards""").head()
+    assert(shardAgg.getLong(0) == report.shards.size.toLong)
+    assert(shardAgg.getLong(1) == report.releasedDocs)
+    val shards = spark.sql(
+      "SELECT shard, rows, digest FROM release_shards ORDER BY shard")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(shards == report.shards.map(m => (m.shard, m.rows, m.digest)))
+    // the audit view equals QualityRules.audit row for row
+    import graft.operators.QualityRules.Rule
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val rules = Seq(
+      Rule("has_text", length(col("text")) > 0),
+      Rule("id_nonneg", col("doc_id") >= 0),
+      Rule("lang_known", col("lang").isin("en", "de", "fr")))
+    graft.GraftSql.openAudit(spark, docs, rules)
+    val viaSql = spark.sql(
+      "SELECT rule, n_rows, n_bad, bad_frac FROM quality_audit ORDER BY rule")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    val viaApi = graft.operators.QualityRules.audit(docs, rules)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(viaSql == viaApi && viaSql.size == rules.size)
+  }
 }
