@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure the STREAMING maintenance path's micro-batch
+  * latency/throughput — the batch-bench twin the r9 verdict asked for,
+  * so regressions in [[graft.streaming.DocumentPipeline.upsertBatch]]
+  * become measurable like query regressions.
+  *
+  * Seeds a standing state with the first `initDocs` documents of the
+  * corpus (one untimed bulk upsert), then times `batches` delta
+  * upserts of `deltaSize` docs each against the growing standing
+  * state, with the FULL five-artifact config (bucketed corpus +
+  * shingle index + candidates + pHash signatures + bigram LM) — the
+  * heaviest honest maintenance shape. Prints ONE JSON line with the
+  * per-batch seconds and the derived band.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches]
+  * (defaults 3000 / 500 / 4 — sf0.1's 5000 docs leave 4 full deltas).
+  */
+object TimePipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val initDocs = args.headOption.map(_.toLong).getOrElse(3000L)
+    val deltaSize = if (args.length > 1) args(1).toLong else 500L
+    val batches = if (args.length > 2) args(2).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-timepipe").toString
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def upsert(lo: Long, hi: Long) =
+      graft.streaming.DocumentPipeline.upsertBatch(
+        slice(lo, hi),
+        corpusPath = s"$root/corpus",
+        shinglesPath = s"$root/shingles",
+        candidatesPath = s"$root/cands",
+        numBuckets = Some(16),
+        signaturesPath = Some(s"$root/sigs"),
+        lmPath = Some(s"$root/lm"))
+    // untimed seed: the standing state the deltas run against
+    upsert(0L, initDocs)
+    val secs = (0 until batches).map { b =>
+      val lo = initDocs + b * deltaSize
+      val t0 = System.nanoTime()
+      val rep = upsert(lo, lo + deltaSize)
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"batch $b: $s%.2f s ($rep)")
+      s
+    }
+    val sorted = secs.sorted
+    val median = sorted(sorted.size / 2)
+    println(s"""{"metric":"pipeline_upsert_batch","sf_dir":"$sfDir",""" +
+      s""""init_docs":$initDocs,"delta_size":$deltaSize,""" +
+      s""""batches":[${secs.map(x => f"$x%.3f").mkString(",")}],""" +
+      f""""median_sec":$median%.3f,"min_sec":${sorted.head}%.3f,""" +
+      f""""max_sec":${sorted.last}%.3f,""" +
+      f""""docs_per_sec":${deltaSize / median}%.1f}""")
+    spark.stop()
+  }
+}
