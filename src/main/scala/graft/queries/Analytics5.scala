@@ -3398,6 +3398,388 @@ object Analytics5 {
              |    AS revw_discount_pct,
              |  round(CAST(count(*) FILTER (WHERE pc >= 8) AS DOUBLE)
              |    / CAST(count(*) AS DOUBLE), 6) AS deep_share
-             |FROM li GROUP BY 1 ORDER BY brand""".stripMargin))
+             |FROM li GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q277: TEMPLATE SKELETONS — structural (form-letter) duplicate
+    // families: every digit run collapses to `9`, every letter run to
+    // `a` (case-normalized, runs of spaces to one), so two documents
+    // generated from the SAME template with different payloads share
+    // a skeleton that exact-hash dedup (q22: byte-identical only) and
+    // even shingle dedup (q25: payload tokens differ) both miss — the
+    // third axis of the dedup family (exact bytes → near tokens →
+    // STRUCTURE). Top-20 skeleton families by document frequency with
+    // an example doc and the source spread (a family spanning sources
+    // is a syndicated template, not a crawl artifact).
+    //
+    // Scale shape: the skeleton digest computes map-side (three
+    // codegen'd regex passes + md5 — rows carry 16-byte digests,
+    // never skeleton text); ONE digest-grain exchange; top-20 as
+    // TakeOrdered, no global sort.
+    QueryDef(
+      "q277_template_skeletons",
+      (s, d) => {
+        val skel = md5(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")), "[0-9]+", "9"), "[a-z]+", "a"), " +", " "))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), skel.as("skeleton_md5"))
+          .groupBy(col("skeleton_md5"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("example_doc"))
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("skeleton_md5"))
+          .limit(20)
+      },
+      Some("""WITH sk AS (SELECT doc_id, source,
+             |    md5(regexp_replace(regexp_replace(regexp_replace(
+             |      lower(text), '[0-9]+', '9', 'g'), '[a-z]+', 'a', 'g'),
+             |      ' +', ' ', 'g')) AS skeleton_md5
+             |  FROM documents),
+             |agg AS (SELECT skeleton_md5,
+             |    count(DISTINCT doc_id) AS df,
+             |    count(DISTINCT source) AS n_sources,
+             |    min(doc_id) AS example_doc
+             |  FROM sk GROUP BY 1)
+             |SELECT skeleton_md5, df, n_sources, example_doc
+             |FROM agg WHERE df >= 2
+             |ORDER BY df DESC, skeleton_md5 LIMIT 20""".stripMargin)),
+
+    // ── q278: BRAND REACH — the market-penetration curve: per brand,
+    // its first ship day, the nations (of the buying customer) it
+    // ever reached, and the exact days from launch to HALF coverage
+    // (the ⌈n/2⌉-th nation's first-purchase day): "did this line roll
+    // out everywhere at once or crawl market by market" — the
+    // adoption-axis companion to q233's volume ramp (how much) and
+    // q177's share (how big); this reads how WIDE, how fast. All
+    // integer day arithmetic; nation order ties break on nationkey.
+    //
+    // Scale shape: q234's two-fact-join shape reaches the customer
+    // nation (dims broadcast); the collapse to (brand, nation) first
+    // days is one exchange; the half-coverage rank is a per-brand
+    // window over ≤|nations| rows (bounded-cardinality class).
+    QueryDef(
+      "q278_brand_reach",
+      (s, d) => {
+        val bn = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            epochDay(col("l_shipdate")).as("day"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("c_nationkey"))
+          .agg(min(col("day")).as("first_day"))
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("first_day"), col("c_nationkey"))
+        val ranked = bn
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_nations",
+            count(lit(1)).over(Window.partitionBy(col("p_brand"))))
+          .withColumn("launch",
+            min(col("first_day")).over(Window.partitionBy(col("p_brand"))))
+        ranked
+          // integral DIV: a Column `/` is double division and would
+          // silently drop every brand with an EVEN nation count
+          .filter(col("rk") === expr("(n_nations + 1) DIV 2"))
+          .select(col("p_brand").as("brand"),
+            col("n_nations").cast("long").as("n_nations"),
+            col("launch").cast("long").as("launch_day"),
+            (col("first_day") - col("launch")).cast("long")
+              .as("days_to_half_coverage"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH bn AS (SELECT p_brand, c_nationkey,
+             |    min(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) AS BIGINT)) AS first_day
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |r AS (SELECT p_brand, first_day,
+             |    row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY first_day, c_nationkey) AS rk,
+             |    count(*) OVER (PARTITION BY p_brand) AS n_nations,
+             |    min(first_day) OVER (PARTITION BY p_brand) AS launch
+             |  FROM bn)
+             |SELECT p_brand AS brand,
+             |  CAST(n_nations AS BIGINT) AS n_nations,
+             |  CAST(launch AS BIGINT) AS launch_day,
+             |  CAST(first_day - launch AS BIGINT) AS days_to_half_coverage
+             |FROM r WHERE rk = (n_nations + 1) // 2
+             |ORDER BY brand""".stripMargin)),
+
+    // ── q279: SPEND VELOCITY — per market segment: the median
+    // per-customer DAILY spend rate over each customer's active span
+    // (total cents · 10⁶ div span days — micro-quantized BEFORE the
+    // percentile, the r10 ratio-median discipline from q234/q254/
+    // q264), plus the customers too short-lived to rate (single
+    // order day): "how fast does a segment's customer burn money
+    // while active" — the tempo face of q128's RFM monetary total
+    // (which ignores the span) and q231's cadence (which ignores the
+    // money).
+    //
+    // Scale shape: the fact collapses to the customer grain (span
+    // bounds + exact cents) in the orderkey→custkey exchanges; the
+    // segment rollup bounds the percentile buffer by
+    // customers-per-segment; output |segments| rows.
+    QueryDef(
+      "q279_spend_velocity",
+      (s, d) => {
+        val per = t(s, d, "orders")
+          .select(col("o_custkey"),
+            epochDay(col("o_orderdate")).as("day"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("cents").cast("decimal(38,0)")).as("spend"),
+            (max(col("day")) - min(col("day"))).cast("long").as("span"))
+        val rated = per
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          // rate exists only over a real span; 10⁶·cents DIV days —
+          // decimal, never a float (spend·10⁶ crosses 2⁶³ at 100 TB)
+          .withColumn("ratem", when(col("span") > 0,
+            expr("CAST(spend * 1000000 AS DECIMAL(38,0)) DIV span")))
+        rated.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            count(when(col("span") === 0, 1)).cast("long")
+              .as("single_day_customers"),
+            round(expr("percentile(ratem, 0.5)") / lit(1000000.0), 7)
+              .as("median_cents_per_day"))
+          .select(col("c_mktsegment").as("segment"), col("n_customers"),
+            col("single_day_customers"), col("median_cents_per_day"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |    sum(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+             |      AS HUGEINT)) AS spend,
+             |    max(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT))
+             |    - min(CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT)) AS span
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT c_mktsegment, span,
+             |    CASE WHEN span > 0 THEN (spend*1000000)//span END AS ratem
+             |  FROM per JOIN customer ON o_custkey = c_custkey)
+             |SELECT c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(count(*) FILTER (WHERE span = 0) AS BIGINT)
+             |    AS single_day_customers,
+             |  round(quantile_cont(ratem, 0.5)/1000000.0, 7)
+             |    AS median_cents_per_day
+             |FROM r GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ── q280: SUPPLIER SWITCHING — among q274's repurchase pairs (a
+    // customer re-buying the SAME part on a later day), how many came
+    // from a DIFFERENT supplier the second time: per brand, the
+    // repurchase pairs, the switched pairs (≥2 distinct suppliers
+    // across the pair's purchases), and the switch share: "is demand
+    // loyal to the product but promiscuous on supply" — the
+    // supply-churn face of q274's cycle (when they re-buy) and q169's
+    // supplier diversity (how many suppliers exist); this reads
+    // whether the SAME buyer actually rotates them.
+    //
+    // Scale shape: one orderkey exchange reaches custkey; the
+    // (customer, part) collapse carries both distinct counts in one
+    // exchange (day + supplier grain bounded per pair); the brand
+    // rollup rides the partkey-co-partitioned dim join.
+    QueryDef(
+      "q280_supplier_switching",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            epochDay(col("l_shipdate")).as("day"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(countDistinct(col("day")).as("n_days"),
+            countDistinct(col("l_suppkey")).as("n_supp"))
+          .filter(col("n_days") >= 2)
+        pairs
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("repurchase_pairs"),
+            count(when(col("n_supp") >= 2, 1)).cast("long")
+              .as("switched_pairs"),
+            round(count(when(col("n_supp") >= 2, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("switch_share"))
+          .select(col("p_brand").as("brand"), col("repurchase_pairs"),
+            col("switched_pairs"), col("switch_share"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH p AS (SELECT o_custkey, l_partkey,
+             |    count(DISTINCT CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(l_shipdate AS DATE)) AS BIGINT)) AS n_days,
+             |    count(DISTINCT l_suppkey) AS n_supp
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2)
+             |SELECT p_brand AS brand,
+             |  CAST(count(*) AS BIGINT) AS repurchase_pairs,
+             |  CAST(count(*) FILTER (WHERE n_supp >= 2) AS BIGINT)
+             |    AS switched_pairs,
+             |  round(CAST(count(*) FILTER (WHERE n_supp >= 2) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS switch_share
+             |FROM p JOIN part ON l_partkey = p_partkey
+             |WHERE n_days >= 2 GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // ── q281: BASKET ENTROPY — per order, the Shannon entropy of its
+    // brand mix (H = ln n − (Σ c·ln c)/n over per-brand line counts),
+    // then per segment: the median order entropy and the share of
+    // single-brand (H = 0) orders: "does a segment shop focused or
+    // scattered within one basket" — the within-ORDER diversity
+    // companion to q234's across-history loyalty and q238's basket
+    // size/value profile. Exactness: each ln(c) term quantizes to
+    // integer micro-nats map-side (q107's entropy discipline), the
+    // per-order H derives by integer DIV, and the segment median
+    // rides those longs (the r10 ratio-median rule) — no float
+    // accumulates anywhere.
+    //
+    // Scale shape: the (order, brand) collapse and the order collapse
+    // are successive grain reductions in the partkey/orderkey
+    // exchanges; the custkey join brings the segment; the rollup
+    // bounds the percentile buffer by orders-per-segment.
+    QueryDef(
+      "q281_basket_entropy",
+      (s, d) => {
+        val ob = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"), col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val per = ob.groupBy(col("l_orderkey"))
+          .agg(sum(col("c")).cast("long").as("n"),
+            sum((round(lit(1000000.0) * log(col("c").cast("double")), 0)
+              .cast("long") * col("c")).cast("decimal(38,0)"))
+              .as("clnc"))
+          .withColumn("hm",
+            round(lit(1000000.0) * log(col("n").cast("double")), 0)
+              .cast("long") -
+              expr("CAST(clnc AS DECIMAL(38,0)) DIV n"))
+        per
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            count(when(col("hm") === 0, 1)).cast("long")
+              .as("single_brand_orders"),
+            round(expr("percentile(hm, 0.5)") / lit(1000000.0), 7)
+              .as("median_entropy_nats"))
+          .select(col("c_mktsegment").as("segment"), col("n_orders"),
+            col("single_brand_orders"), col("median_entropy_nats"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH ob AS (SELECT l_orderkey, p_brand,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |per AS (SELECT l_orderkey, CAST(sum(c) AS BIGINT) AS n,
+             |    sum(CAST(CAST(round(1000000.0*ln(c)) AS BIGINT)
+             |      AS HUGEINT) * c) AS clnc
+             |  FROM ob GROUP BY 1),
+             |h AS (SELECT l_orderkey, n,
+             |    CAST(round(1000000.0*ln(n)) AS BIGINT)
+             |      - clnc//n AS hm
+             |  FROM per)
+             |SELECT c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(count(*) FILTER (WHERE hm = 0) AS BIGINT)
+             |    AS single_brand_orders,
+             |  round(quantile_cont(hm, 0.5)/1000000.0, 7)
+             |    AS median_entropy_nats
+             |FROM h
+             |JOIN orders ON h.l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ── q282: REPEAT-BASKET SHARE — for each customer's consecutive
+    // order pair (by order date, orderkey tie-break), the share of
+    // the later order's distinct parts ALREADY in the earlier one;
+    // per segment: transitions, the any-repeat share, and the median
+    // repeat share (micro-quantized longs, the r10 rule): "do repeat
+    // orders re-buy the basket or explore" — the basket-CONTINUITY
+    // readout between q274 (same-part cycles, ignores the rest of
+    // the basket) and q228 (spend migration, ignores composition).
+    //
+    // Scale shape: the per-order distinct part SET collapses in the
+    // orderkey exchange (array payload bounded by basket size); the
+    // lag is a per-customer window over that customer's orders
+    // (bounded); set intersection is a codegen'd array op on two
+    // basket-sized arrays — never a join.
+    QueryDef(
+      "q282_repeat_basket_share",
+      (s, d) => {
+        val baskets = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              epochDay(col("o_orderdate")).as("day")),
+            col("l_orderkey") === col("o_orderkey"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val trans = baskets
+          .withColumn("prev", lag(col("parts"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("inter",
+            size(array_intersect(col("parts"), col("prev"))).cast("long"))
+          .withColumn("sharem",
+            expr("inter * CAST(1000000 AS BIGINT) DIV size(parts)"))
+        trans
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("long").as("n_transitions"),
+            count(when(col("inter") >= 1, 1)).cast("long")
+              .as("any_repeat"),
+            round(count(when(col("inter") >= 1, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("any_repeat_share"),
+            round(expr("percentile(sharem, 0.5)") / lit(1000000.0), 7)
+              .as("median_repeat_share"))
+          .select(col("c_mktsegment").as("segment"), col("n_transitions"),
+            col("any_repeat"), col("any_repeat_share"),
+            col("median_repeat_share"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey,
+             |    list_sort(list_distinct(list(l_partkey))) AS parts
+             |  FROM lineitem GROUP BY 1),
+             |o AS (SELECT o_orderkey, o_custkey,
+             |    CAST(datediff('day', DATE '1970-01-01',
+             |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day, parts
+             |  FROM b JOIN orders ON l_orderkey = o_orderkey),
+             |tr AS (SELECT o_custkey, parts,
+             |    lag(parts) OVER (PARTITION BY o_custkey
+             |      ORDER BY day, o_orderkey) AS prev
+             |  FROM o),
+             |x AS (SELECT o_custkey,
+             |    CAST(len(list_intersect(parts, prev)) AS BIGINT)
+             |      AS inter,
+             |    (CAST(len(list_intersect(parts, prev)) AS BIGINT)
+             |      * 1000000) // CAST(len(parts) AS BIGINT) AS sharem
+             |  FROM tr WHERE prev IS NOT NULL)
+             |SELECT c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_transitions,
+             |  CAST(count(*) FILTER (WHERE inter >= 1) AS BIGINT)
+             |    AS any_repeat,
+             |  round(CAST(count(*) FILTER (WHERE inter >= 1) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS any_repeat_share,
+             |  round(quantile_cont(sharem, 0.5)/1000000.0, 7)
+             |    AS median_repeat_share
+             |FROM x JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }

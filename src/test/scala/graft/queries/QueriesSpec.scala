@@ -4962,4 +4962,180 @@ class QueriesSpec extends SparkTestBase {
     got.values.foreach { case (_, m, w, _) =>
       assert(w >= 0.0 && w <= 10.0 && m >= 0.0 && m <= 10.0) }
   }
+
+  test("q277 template skeletons equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q277_template_skeletons")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sk = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val skel = r.getString(2).toLowerCase
+          .replaceAll("[0-9]+", "9").replaceAll("[a-z]+", "a")
+          .replaceAll(" +", " ")
+        (md5hex(skel), r.getLong(0), r.getString(1))
+      }
+    val exp = sk.groupBy(_._1).toSeq.map { case (h, xs) =>
+      (h, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._3).distinct.length.toLong, xs.map(_._2).min)
+    }.filter(_._2 >= 2).sortBy(x => (-x._2, x._1)).take(20)
+    assert(got == exp, s"got ${got.take(3)} expected ${exp.take(3)}")
+  }
+
+  test("q278 brand reach equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q278_brand_reach")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bn = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+      .collect()
+      .map(r => ((brand(r.getLong(1)), nat(cust(r.getLong(0)))),
+        tsDay(r.get(2))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val exp = bn.groupBy(_._1._1).map { case (b, xs) =>
+      val firsts = xs.toSeq.map { case ((_, n), d) => (d, n) }
+        .sortBy(identity)
+      val launch = firsts.map(_._1).min
+      val half = firsts((firsts.length + 1) / 2 - 1)._1
+      b -> ((firsts.length.toLong, launch, half - launch))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q279 spend velocity equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q279_spend_velocity")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val seg = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), tsDay(r.get(1)),
+        BigInt(math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).map { case (c, xs) =>
+        (seg(c), xs.map(_._3).sum,
+          xs.map(_._2).max - xs.map(_._2).min)
+      }
+    val exp = per.groupBy(_._1).map { case (sg, xs) =>
+      val rates = xs.toSeq.collect { case (_, sp, span) if span > 0 =>
+        ((sp * 1000000) / span).toDouble }
+      sg -> ((xs.size.toLong, xs.count(_._3 == 0L).toLong,
+        rnd7(qCont(rates, 0.5) / 1e6)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q280 supplier switching equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q280_supplier_switching")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_shipdate")).collect()
+      .map(r => ((cust(r.getLong(0)), r.getLong(1)),
+        (tsDay(r.get(3)), r.getLong(2))))
+      .groupBy(_._1).toSeq.map { case ((_, pk), xs) =>
+        (brand(pk), xs.map(_._2._1).distinct.length,
+          xs.map(_._2._2).distinct.length)
+      }.filter(_._2 >= 2)
+    val exp = pairs.groupBy(_._1).map { case (b, xs) =>
+      val sw = xs.count(_._3 >= 2).toLong
+      b -> ((xs.size.toLong, sw,
+        rnd6(sw.toDouble / xs.size.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q281 basket entropy equals a driver recompute; single-brand orders code exactly 0") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q281_basket_entropy")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val cust = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seg = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brand = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hm = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), brand(r.getLong(1))))
+      .groupBy(_._1).map { case (ok, xs) =>
+        val cs = xs.groupBy(_._2).values.map(_.size.toLong)
+        val n = cs.sum
+        val clnc = cs.map(c =>
+          BigInt(math.round(1e6 * math.log(c.toDouble))) * c).sum
+        (ok, math.round(1e6 * math.log(n.toDouble)) -
+          (clnc / n).toLong)
+      }
+    // a single-brand order has c = n → H quantizes to exactly 0
+    hm.foreach { case (_, h) => assert(h >= 0L) }
+    val exp = hm.toSeq.map { case (ok, h) => (seg(cust(ok)), h) }
+      .groupBy(_._1).map { case (sg, xs) =>
+        sg -> ((xs.size.toLong, xs.count(_._2 == 0L).toLong,
+          rnd7(qCont(xs.map(_._2.toDouble), 0.5) / 1e6)))
+      }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q282 repeat basket share equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q282_repeat_basket_share")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val seg = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val parts = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).toSet }
+    val orders = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect()
+      .map(r => (r.getLong(1), tsDay(r.get(2)), r.getLong(0)))
+      .filter(o => parts.contains(o._3))
+    val trans = orders.groupBy(_._1).toSeq.flatMap { case (c, os) =>
+      os.sortBy(o => (o._2, o._3)).map(_._3).toSeq.sliding(2)
+        .filter(_.size == 2).map { w =>
+          val (prev, cur) = (w(0), w(1))
+          val inter = (parts(cur) & parts(prev)).size.toLong
+          (seg(c), inter, inter * 1000000L / parts(cur).size)
+        }
+    }
+    val exp = trans.groupBy(_._1).map { case (sg, xs) =>
+      val any = xs.count(_._2 >= 1).toLong
+      sg -> ((xs.size.toLong, any,
+        rnd6(any.toDouble / xs.size.toDouble),
+        rnd7(qCont(xs.map(_._3.toDouble), 0.5) / 1e6)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
