@@ -3780,6 +3780,397 @@ object Analytics5 {
              |  round(quantile_cont(sharem, 0.5)/1000000.0, 7)
              |    AS median_repeat_share
              |FROM x JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY segment""".stripMargin))
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // ── q283: TAX×DISCOUNT joint grid — per (discount pct, tax pct)
+    // cell: lines, exact revenue, and the cell's effective price
+    // multiplier (1−d)(1+t) as exact integer basis points: "are taxes
+    // and discounts INDEPENDENT levers or do they travel together" —
+    // the pricing-policy audit q275 (discount alone, by brand) and
+    // q211 (aggregate Q1 sums) cannot see; a populated high-d/high-t
+    // diagonal means discounts are quietly clawed back as tax. Both
+    // pcts are exact integer cents-of-percent; the multiplier
+    // (100−d)(100+t) is one integer product (basis points), so every
+    // column is exact.
+    //
+    // Scale shape: pure map-side classification; one exchange onto
+    // the ≤|d|×|t| (≈11×9) grid — bounded-cardinality class.
+    QueryDef(
+      "q283_tax_discount_grid",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(fxUnits(col("l_discount"), 100).as("dp"),
+            fxUnits(col("l_tax"), 100).as("tp"),
+            revMicro.as("rm"))
+          .groupBy(col("dp"), col("tp"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            round(sum(col("rm").cast("decimal(38,0)")).cast("double")
+              / 10000.0, 2).as("revenue"))
+          .withColumn("mult_bp",
+            ((lit(100L) - col("dp")) * (lit(100L) + col("tp")))
+              .cast("long"))
+          .select(col("dp").as("discount_pct"), col("tp").as("tax_pct"),
+            col("n_lines"), col("revenue"), col("mult_bp"))
+          .orderBy(col("discount_pct"), col("tax_pct"))
+      },
+      Some(s"""SELECT CAST(round(l_discount*100) AS BIGINT) AS discount_pct,
+             |  CAST(round(l_tax*100) AS BIGINT) AS tax_pct,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  round(CAST(sum(CAST($revMicroSql AS HUGEINT)) AS DOUBLE)
+             |    / 10000.0, 2) AS revenue,
+             |  (100 - CAST(round(l_discount*100) AS BIGINT))
+             |    * (100 + CAST(round(l_tax*100) AS BIGINT)) AS mult_bp
+             |FROM lineitem GROUP BY 1, 2
+             |ORDER BY discount_pct, tax_pct""".stripMargin)),
+
+    // ── q284: STATUS consistency audit — the order-vs-line state
+    // machine: an order is 'F' iff every line is 'F', 'O' iff every
+    // line is 'O', else 'P' (the TPC-H generation rule); per order
+    // status: orders, orders whose line mix CONTRADICTS the rule, and
+    // the violation share. q101 audits KEYS (orphans); this audits
+    // STATE AGREEMENT between the two grains — the referential-
+    // semantics face of data-quality (a loader that re-stated orders
+    // without restating lines corrupts exactly this invariant).
+    //
+    // Scale shape: the line mix collapses to per-order counts in the
+    // orderkey exchange (co-partitioned with the orders join); the
+    // rollup lands on |statuses| rows.
+    QueryDef(
+      "q284_status_consistency",
+      (s, d) => {
+        val mix = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            count(when(col("l_linestatus") === "F", 1)).cast("long")
+              .as("nf"))
+        val expected = when(col("nf") === col("n"), lit("F"))
+          .when(col("nf") === 0L, lit("O")).otherwise(lit("P"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .join(mix, col("o_orderkey") === col("l_orderkey"))
+          .withColumn("bad", col("o_orderstatus") =!= expected)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            count(when(col("bad"), 1)).cast("long").as("violations"),
+            round(count(when(col("bad"), 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("violation_share"))
+          .select(col("o_orderstatus").as("status"), col("n_orders"),
+            col("violations"), col("violation_share"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH mix AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (WHERE l_linestatus = 'F')
+             |      AS BIGINT) AS nf
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT o_orderstatus,
+             |    o_orderstatus <> (CASE WHEN nf = n THEN 'F'
+             |      WHEN nf = 0 THEN 'O' ELSE 'P' END) AS bad
+             |  FROM orders JOIN mix ON o_orderkey = l_orderkey)
+             |SELECT o_orderstatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS violations,
+             |  round(CAST(count(*) FILTER (WHERE bad) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS violation_share
+             |FROM j GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // ── q285: SUPPLIER balance-vs-volume deciles — suppliers ranked
+    // into exact account-balance deciles (q258's customer arithmetic
+    // on the supply side): per decile, suppliers, shipped revenue,
+    // and the revenue share: "does working capital track business
+    // volume" — a flat profile says balance is independent of
+    // throughput; a loaded top decile says the biggest books carry
+    // the flow. Decile = exact global rank arithmetic
+    // ([[Q.exactDecile]] — no ntile window nondeterminism), balance
+    // ties broken by suppkey.
+    //
+    // Scale shape: the balance rank is the two-pass range exchange
+    // (globalRankByRange — never a single-partition window); revenue
+    // collapses to the supplier grain in one suppkey exchange;
+    // the rollup lands on 10 rows.
+    QueryDef(
+      "q285_supplier_balance_deciles",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), fxUnits(col("s_acctbal"), 100).as("bal"))
+        val n = sup.count()
+        val ranked = globalRankByRange(sup, Seq(col("bal"), col("s_suppkey")))
+          .withColumn("decile", exactDecile(col("rn"), n))
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revMicro.cast("decimal(38,0)")).as("rm"))
+        val w = Window.partitionBy(lit(1))
+        ranked
+          .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).cast("long").as("n_suppliers"),
+            sum(coalesce(col("rm"), lit(0L).cast("decimal(38,0)")))
+              .as("rmv"))
+          .withColumn("grand", sum(col("rmv")).over(w))
+          .select(col("decile"),
+            col("n_suppliers"),
+            round(col("rmv").cast("double") / 10000.0, 2).as("revenue"),
+            round(col("rmv").cast("double") /
+              col("grand").cast("double"), 6).as("revenue_share"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH sup AS (SELECT s_suppkey,
+             |    CAST(round(s_acctbal*100) AS BIGINT) AS bal
+             |  FROM supplier),
+             |dec AS (SELECT s_suppkey, ntile(10) OVER (
+             |    ORDER BY bal, s_suppkey) AS decile FROM sup),
+             |rev AS (SELECT l_suppkey,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rm
+             |  FROM lineitem GROUP BY 1),
+             |agg AS (SELECT decile,
+             |    CAST(count(*) AS BIGINT) AS n_suppliers,
+             |    sum(coalesce(rm, 0)) AS rmv
+             |  FROM dec LEFT JOIN rev ON s_suppkey = l_suppkey
+             |  GROUP BY 1)
+             |SELECT decile, n_suppliers,
+             |  round(CAST(rmv AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(rmv AS DOUBLE)/CAST(sum(rmv) OVER () AS DOUBLE),
+             |    6) AS revenue_share
+             |FROM agg ORDER BY decile""".stripMargin)),
+
+    // ── q286: PRIORITY discount bias — per order priority: lines,
+    // mean discount (exact integer ratio), the revenue-weighted mean
+    // (q275's exact weighting), and the deep-discount (≥8%) share:
+    // "do urgent orders pay list price" — a negative bias (urgent <
+    // relaxed) means ops is pricing urgency, a flat profile means
+    // discounts are a pure sales lever. The priority axis completes
+    // q275's brand axis and q237's lift.
+    //
+    // Scale shape: one orderkey exchange brings the priority onto the
+    // fact; all moments accumulate map-side onto |priorities| rows.
+    QueryDef(
+      "q286_priority_discount_bias",
+      (s, d) => {
+        val m = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            fxUnits(col("l_discount"), 100).as("pc"),
+            fxUnits(col("l_extendedprice"), 100).as("ep"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(col("pc").cast("decimal(38,0)")).as("sp"),
+            sum(col("ep").cast("decimal(38,0)")).as("se"),
+            sum((col("pc").cast("decimal(19,0)") *
+              col("ep").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .as("spe"),
+            count(when(col("pc") >= 8, 1)).cast("long").as("deep"))
+        m.select(col("o_orderpriority").as("priority"), col("n_lines"),
+          round(col("sp").cast("double") /
+            col("n_lines").cast("double"), 6).as("mean_discount_pct"),
+          round(col("spe").cast("double") /
+            col("se").cast("double"), 6).as("revw_discount_pct"),
+          round(col("deep").cast("double") /
+            col("n_lines").cast("double"), 6).as("deep_share"))
+          .orderBy(col("priority"))
+      },
+      Some("""WITH li AS (SELECT o_orderpriority,
+             |    CAST(round(l_discount*100) AS BIGINT) AS pc,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS ep
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT o_orderpriority AS priority,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  round(CAST(sum(CAST(pc AS HUGEINT)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mean_discount_pct,
+             |  round(CAST(sum(CAST(pc AS HUGEINT)*ep) AS DOUBLE)
+             |    / CAST(sum(CAST(ep AS HUGEINT)) AS DOUBLE), 6)
+             |    AS revw_discount_pct,
+             |  round(CAST(count(*) FILTER (WHERE pc >= 8) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS deep_share
+             |FROM li GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // ── q287: PRODUCT-WORD revenue — explode the part NAME vocabulary
+    // and attribute shipped revenue to each word: top-20 words by
+    // revenue with part counts: "which product words sell" — the
+    // text-to-money bridge (q59's TF-IDF ranks words by statistics;
+    // this ranks them by the till) and the merchandising twin of
+    // q218's important PARTS. Name tokens are space-split and
+    // lower()ed; a part's revenue attributes to each of its DISTINCT
+    // words once (a word repeated in one name must not double its
+    // till).
+    //
+    // Scale shape: revenue first collapses to the part grain (one
+    // partkey exchange), THEN the ≤|part|·|name words| explode runs
+    // on the dim-sized frame, never on the fact; top-20 as
+    // TakeOrdered.
+    QueryDef(
+      "q287_product_word_revenue",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(revMicro.cast("decimal(38,0)")).as("rm"))
+        t(s, d, "part")
+          .join(rev, col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"), col("rm"),
+            explode(array_distinct(filter(
+              split(lower(col("p_name")), " "),
+              tk => length(tk) > 0))).as("word"))
+          .groupBy(col("word"))
+          .agg(countDistinct(col("p_partkey")).as("n_parts"),
+            round(sum(col("rm")).cast("double") / 10000.0, 2)
+              .as("revenue"))
+          .orderBy(col("revenue").desc, col("word"))
+          .limit(20)
+      },
+      Some(s"""WITH rev AS (SELECT l_partkey,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rm
+             |  FROM lineitem GROUP BY 1),
+             |w AS (SELECT p_partkey, rm, w.word
+             |  FROM part JOIN rev ON p_partkey = l_partkey,
+             |    unnest(list_distinct(list_filter(
+             |      string_split(lower(p_name), ' '),
+             |      x -> len(x) > 0))) AS w(word)),
+             |agg AS (SELECT word,
+             |    count(DISTINCT p_partkey) AS n_parts,
+             |    round(CAST(sum(rm) AS DOUBLE)/10000.0, 2) AS revenue
+             |  FROM w GROUP BY 1)
+             |SELECT word, n_parts, revenue FROM agg
+             |ORDER BY revenue DESC, word LIMIT 20""".stripMargin)),
+
+    // ── q288: VOLUME-DISCOUNT curve — per exact order quantity (the
+    // lineitem grain's integer units): lines, the mean realized unit
+    // price in micro-cents (Σep·10⁶ DIV Σqty-units — one integral
+    // division of exact sums), and the mean discount: "does buying
+    // more actually cost less per unit" — the quantity axis of the
+    // price surface (q227 regresses demand per brand; q254/q264 audit
+    // drift/parity; this reads the posted CURVE). A flat unit-price
+    // column with a rising discount column means the discount is
+    // nominal — list prices absorb it.
+    //
+    // Scale shape: pure map-side classification onto the ≤50-value
+    // quantity domain; one bounded exchange.
+    QueryDef(
+      "q288_volume_discount_curve",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(fxUnits(col("l_quantity"), 100).as("qu"),
+            fxUnits(col("l_extendedprice"), 100).as("ep"),
+            fxUnits(col("l_discount"), 100).as("pc"))
+          .groupBy(col("qu"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(col("ep").cast("decimal(38,0)")).as("sep"),
+            sum(col("qu").cast("decimal(38,0)")).as("squ"),
+            sum(col("pc").cast("decimal(38,0)")).as("spc"))
+          .withColumn("upm",
+            expr("CAST(sep * 1000000 AS DECIMAL(38,0)) DIV squ"))
+          .select((col("qu") / lit(100L)).cast("long").as("quantity"),
+            col("n_lines"),
+            round(col("upm").cast("double") / 1000000.0, 7)
+              .as("unit_price_cents"),
+            round(col("spc").cast("double") /
+              col("n_lines").cast("double"), 6).as("mean_discount_pct"))
+          .orderBy(col("quantity"))
+      },
+      Some("""WITH li AS (SELECT
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qu,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS ep,
+             |    CAST(round(l_discount*100) AS BIGINT) AS pc
+             |  FROM lineitem),
+             |g AS (SELECT qu, CAST(count(*) AS BIGINT) AS n_lines,
+             |    sum(CAST(ep AS HUGEINT)) AS sep,
+             |    sum(CAST(qu AS HUGEINT)) AS squ,
+             |    sum(CAST(pc AS HUGEINT)) AS spc
+             |  FROM li GROUP BY 1)
+             |SELECT qu // 100 AS quantity, n_lines,
+             |  round(CAST((sep*1000000)//squ AS DOUBLE)/1000000.0, 7)
+             |    AS unit_price_cents,
+             |  round(CAST(spc AS DOUBLE)/CAST(n_lines AS DOUBLE), 6)
+             |    AS mean_discount_pct
+             |FROM g ORDER BY quantity""".stripMargin)),
+
+    // ── q289: TOKEN-LENGTH profile — per language: tokens, mean token
+    // length in chars (exact integer ratio), the exact median token
+    // length (integer percentile — terminates at 1 decimal, tie-free
+    // by construction), and the ≥15-char token share: the MORPHOLOGY
+    // screen (agglutinative text, URL/code contamination, and broken
+    // tokenizers all announce themselves here first) next to q30's
+    // lang-ID, q247's script mix, and q32's counts — those read how
+    // MANY tokens; this reads their SHAPE.
+    //
+    // Scale shape: lengths explode map-side but collapse to the
+    // (lang, token-length) grain (≤|langs|×max-len rows) BEFORE the
+    // exchange; the median derives from the bounded histogram by
+    // exact cumulative arithmetic, never a corpus-wide percentile
+    // buffer.
+    QueryDef(
+      "q289_token_length_profile",
+      (s, d) => {
+        val tl = t(s, d, "documents")
+          .select(col("lang"), explode(filter(
+            split(col("text"), " "), tk => length(tk) > 0)).as("tok"))
+          .select(col("lang"), length(col("tok")).cast("long").as("len"))
+          .groupBy(col("lang"), col("len"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("len"))
+        val wAll = Window.partitionBy(col("lang"))
+        val h = tl
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .withColumn("slen", sum((col("len").cast("decimal(19,0)") *
+            col("c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .over(wAll))
+          .withColumn("long_toks",
+            sum(when(col("len") >= 15, col("c")).otherwise(lit(0L)))
+              .over(wAll))
+        // exact median from the histogram: lo = first len with
+        // 2·cum ≥ n, hi = first len with 2·cum ≥ n + 2·(n mod 2 = 0)
+        // — for even n the median is (k_{n/2} + k_{n/2+1})/2
+        val lo = h.filter(col("cum") * 2 >= col("n"))
+          .groupBy(col("lang")).agg(min(col("len")).as("mlo"))
+        val hi = h.filter(col("cum") * 2 >= col("n") + 2 ||
+            col("n") % 2 === 1 && col("cum") * 2 >= col("n"))
+          .groupBy(col("lang")).agg(min(col("len")).as("mhi"))
+        val per = h.groupBy(col("lang"))
+          .agg(max(col("n")).as("n_tokens"),
+            max(col("slen")).as("slen"),
+            max(col("long_toks")).as("long_toks"))
+        per.join(lo, Seq("lang")).join(hi, Seq("lang"))
+          .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+            round(col("slen").cast("double") /
+              col("n_tokens").cast("double"), 6).as("mean_len"),
+            round((col("mlo") + col("mhi")).cast("double") / 2.0, 1)
+              .as("median_len"),
+            round(col("long_toks").cast("double") /
+              col("n_tokens").cast("double"), 6).as("long_share"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT lang, len(w.t) AS len
+             |  FROM documents,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS w(t)),
+             |h AS (SELECT lang, CAST(len AS BIGINT) AS len,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2),
+             |x AS (SELECT lang, len, c,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY len) AS cum,
+             |    sum(c) OVER (PARTITION BY lang) AS n,
+             |    sum(CAST(len AS HUGEINT)*c) OVER (PARTITION BY lang)
+             |      AS slen,
+             |    sum(CASE WHEN len >= 15 THEN c ELSE 0 END)
+             |      OVER (PARTITION BY lang) AS long_toks
+             |  FROM h),
+             |lo AS (SELECT lang, min(len) AS mlo FROM x
+             |  WHERE cum*2 >= n GROUP BY 1),
+             |hi AS (SELECT lang, min(len) AS mhi FROM x
+             |  WHERE cum*2 >= n + 2 OR (n % 2 = 1 AND cum*2 >= n)
+             |  GROUP BY 1),
+             |per AS (SELECT lang, max(n) AS n_tokens, max(slen) AS slen,
+             |    max(long_toks) AS long_toks
+             |  FROM x GROUP BY 1)
+             |SELECT per.lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(CAST(slen AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |    AS mean_len,
+             |  round(CAST(mlo + mhi AS DOUBLE)/2.0, 1) AS median_len,
+             |  round(CAST(long_toks AS DOUBLE)/CAST(n_tokens AS DOUBLE),
+             |    6) AS long_share
+             |FROM per JOIN lo ON per.lang = lo.lang
+             |JOIN hi ON per.lang = hi.lang
+             |ORDER BY lang""".stripMargin))
   )
 }

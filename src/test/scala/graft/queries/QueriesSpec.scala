@@ -5138,4 +5138,182 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  private def liCents(): Array[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100),
+        math.round(r.getDouble(3) * 100)))
+  }
+
+  test("q283 tax-discount grid equals a driver recompute; multiplier exact") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q283_tax_discount_grid")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_discount"), col("l_tax"), col("l_extendedprice"))
+      .collect().map { r =>
+        val (dp, tp, ep) = (math.round(r.getDouble(0) * 100),
+          math.round(r.getDouble(1) * 100),
+          BigInt(math.round(r.getDouble(2) * 100)))
+        ((dp, tp), ep * (100 - dp))
+      }
+    val exp = li.groupBy(_._1).map { case ((dp, tp), xs) =>
+      (dp, tp) -> ((xs.length.toLong,
+        rnd2(xs.map(_._2).sum.toDouble / 10000.0),
+        (100 - dp) * (100 + tp)))
+    }
+    assert(got == exp, s"sizes got ${got.size} exp ${exp.size}")
+  }
+
+  test("q284 status consistency equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q284_status_consistency")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val mix = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (ok, xs) =>
+        ok -> (if (xs.forall(_._2 == "F")) "F"
+               else if (xs.forall(_._2 == "O")) "O" else "P")
+      }
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(o => mix.contains(o._1))
+    val exp = os.groupBy(_._2).map { case (st, xs) =>
+      val bad = xs.count(o => mix(o._1) != st).toLong
+      st -> ((xs.length.toLong, bad,
+        rnd6(bad.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q285 supplier balance deciles equals a driver recompute; shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q285_supplier_balance_deciles")(spark, sf())
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val sup = graft.sources.Tables(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_acctbal")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .sortBy(x => (x._2, x._1))
+    val n = sup.length.toLong
+    val (q, rr) = (n / 10, n % 10)
+    def decOf(rn: Long): Int =
+      if (rn <= rr * (q + 1)) ((rn - 1) / (q + 1) + 1).toInt
+      else (rr + (rn - rr * (q + 1) - 1) / q.max(1L) + 1).toInt
+    val rev = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        BigInt(math.round(r.getDouble(1) * 100)) *
+          BigInt(100 - math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val perDec = sup.zipWithIndex
+      .map { case ((sk, _), i) =>
+        (decOf(i + 1L), rev.getOrElse(sk, BigInt(0))) }
+      .groupBy(_._1)
+    val grand = rev.values.sum
+    val exp = perDec.map { case (dc, xs) =>
+      val rm = xs.map(_._2).sum
+      dc -> ((xs.length.toLong, rnd2(rm.toDouble / 10000.0),
+        rnd6(rm.toDouble / grand.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("q286 priority discount bias equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q286_priority_discount_bias")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val prio = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = liCents().map { case (ok, _, ep, pc) => (prio(ok), ep, pc) }
+      .groupBy(_._1).map { case (p, xs) =>
+        val nL = xs.length.toLong
+        val sp = xs.map(x => BigInt(x._3)).sum
+        val se = xs.map(x => BigInt(x._2)).sum
+        val spe = xs.map(x => BigInt(x._3) * x._2).sum
+        p -> ((nL, rnd6(sp.toDouble / nL.toDouble),
+          rnd6(spe.toDouble / se.toDouble),
+          rnd6(xs.count(_._3 >= 8).toDouble / nL.toDouble)))
+      }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q287 product word revenue equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q287_product_word_revenue")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val rev = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        BigInt(math.round(r.getDouble(1) * 100)) *
+          BigInt(100 - math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val words = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .filter(r => rev.contains(r.getLong(0)))
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+          .distinct.map(w => (w, r.getLong(0)))
+      }
+    val exp = words.groupBy(_._1).toSeq.map { case (w, xs) =>
+      (w, xs.map(_._2).distinct.length.toLong,
+        rnd2(xs.map(x => rev(x._2)).sum.toDouble / 10000.0))
+    }.sortBy(x => (-x._3, x._1)).take(20)
+    assert(got == exp, s"got ${got.take(3)} expected ${exp.take(3)}")
+  }
+
+  test("q288 volume discount curve equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q288_volume_discount_curve")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val exp = liCents().map { case (_, qu, ep, pc) => (qu, ep, pc) }
+      .groupBy(_._1).map { case (qu, xs) =>
+        val sep = xs.map(x => BigInt(x._2)).sum
+        val squ = xs.map(x => BigInt(x._1)).sum
+        val spc = xs.map(x => BigInt(x._3)).sum
+        (qu / 100) -> ((xs.length.toLong,
+          rnd7(((sep * 1000000) / squ).toDouble / 1e6),
+          rnd6(spc.toDouble / xs.length.toDouble)))
+      }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q289 token length profile equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q289_token_length_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val lens = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t.length.toLong)))
+    val exp = lens.groupBy(_._1).map { case (lg, xs) =>
+      val s = xs.map(_._2).sorted
+      val n = s.length
+      val med =
+        if (n % 2 == 1) s(n / 2).toDouble
+        else (s(n / 2 - 1) + s(n / 2)).toDouble / 2.0
+      lg -> ((n.toLong,
+        rnd6(s.map(BigInt(_)).sum.toDouble / n.toDouble),
+        BigDecimal(med).setScale(1,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rnd6(s.count(_ >= 15L).toDouble / n.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
 }
