@@ -3804,8 +3804,12 @@ object Analytics5 {
             revMicro.as("rm"))
           .groupBy(col("dp"), col("tp"))
           .agg(count(lit(1)).cast("long").as("n_lines"),
+            // 4-decimal display: the micro-cent sum TERMINATES at 4
+            // decimals, so rounding there is tie-free (the q243/q246
+            // half-cent lesson; round(·, 2) hit a live …855 tie at
+            // sf0.01)
             round(sum(col("rm").cast("decimal(38,0)")).cast("double")
-              / 10000.0, 2).as("revenue"))
+              / 10000.0, 4).as("revenue"))
           .withColumn("mult_bp",
             ((lit(100L) - col("dp")) * (lit(100L) + col("tp")))
               .cast("long"))
@@ -3817,7 +3821,7 @@ object Analytics5 {
              |  CAST(round(l_tax*100) AS BIGINT) AS tax_pct,
              |  CAST(count(*) AS BIGINT) AS n_lines,
              |  round(CAST(sum(CAST($revMicroSql AS HUGEINT)) AS DOUBLE)
-             |    / 10000.0, 2) AS revenue,
+             |    / 10000.0, 4) AS revenue,
              |  (100 - CAST(round(l_discount*100) AS BIGINT))
              |    * (100 + CAST(round(l_tax*100) AS BIGINT)) AS mult_bp
              |FROM lineitem GROUP BY 1, 2
@@ -3909,7 +3913,7 @@ object Analytics5 {
           .withColumn("grand", sum(col("rmv")).over(w))
           .select(col("decile"),
             col("n_suppliers"),
-            round(col("rmv").cast("double") / 10000.0, 2).as("revenue"),
+            round(col("rmv").cast("double") / 10000.0, 4).as("revenue"),
             round(col("rmv").cast("double") /
               col("grand").cast("double"), 6).as("revenue_share"))
           .orderBy(col("decile"))
@@ -3928,7 +3932,7 @@ object Analytics5 {
              |  FROM dec LEFT JOIN rev ON s_suppkey = l_suppkey
              |  GROUP BY 1)
              |SELECT decile, n_suppliers,
-             |  round(CAST(rmv AS DOUBLE)/10000.0, 2) AS revenue,
+             |  round(CAST(rmv AS DOUBLE)/10000.0, 4) AS revenue,
              |  round(CAST(rmv AS DOUBLE)/CAST(sum(rmv) OVER () AS DOUBLE),
              |    6) AS revenue_share
              |FROM agg ORDER BY decile""".stripMargin)),
@@ -4013,7 +4017,7 @@ object Analytics5 {
               tk => length(tk) > 0))).as("word"))
           .groupBy(col("word"))
           .agg(countDistinct(col("p_partkey")).as("n_parts"),
-            round(sum(col("rm")).cast("double") / 10000.0, 2)
+            round(sum(col("rm")).cast("double") / 10000.0, 4)
               .as("revenue"))
           .orderBy(col("revenue").desc, col("word"))
           .limit(20)
@@ -4028,7 +4032,7 @@ object Analytics5 {
              |      x -> len(x) > 0))) AS w(word)),
              |agg AS (SELECT word,
              |    count(DISTINCT p_partkey) AS n_parts,
-             |    round(CAST(sum(rm) AS DOUBLE)/10000.0, 2) AS revenue
+             |    round(CAST(sum(rm) AS DOUBLE)/10000.0, 4) AS revenue
              |  FROM w GROUP BY 1)
              |SELECT word, n_parts, revenue FROM agg
              |ORDER BY revenue DESC, word LIMIT 20""".stripMargin)),
@@ -4171,6 +4175,6 @@ object Analytics5 {
              |    6) AS long_share
              |FROM per JOIN lo ON per.lang = lo.lang
              |JOIN hi ON per.lang = hi.lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY per.lang""".stripMargin))
   )
 }

@@ -5165,7 +5165,7 @@ class QueriesSpec extends SparkTestBase {
       }
     val exp = li.groupBy(_._1).map { case ((dp, tp), xs) =>
       (dp, tp) -> ((xs.length.toLong,
-        rnd2(xs.map(_._2).sum.toDouble / 10000.0),
+        rnd4(xs.map(_._2).sum.toDouble / 10000.0),
         (100 - dp) * (100 + tp)))
     }
     assert(got == exp, s"sizes got ${got.size} exp ${exp.size}")
@@ -5222,7 +5222,7 @@ class QueriesSpec extends SparkTestBase {
     val grand = rev.values.sum
     val exp = perDec.map { case (dc, xs) =>
       val rm = xs.map(_._2).sum
-      dc -> ((xs.length.toLong, rnd2(rm.toDouble / 10000.0),
+      dc -> ((xs.length.toLong, rnd4(rm.toDouble / 10000.0),
         rnd6(rm.toDouble / grand.toDouble)))
     }
     assert(got == exp, s"got $got expected $exp")
@@ -5270,7 +5270,7 @@ class QueriesSpec extends SparkTestBase {
       }
     val exp = words.groupBy(_._1).toSeq.map { case (w, xs) =>
       (w, xs.map(_._2).distinct.length.toLong,
-        rnd2(xs.map(x => rev(x._2)).sum.toDouble / 10000.0))
+        rnd4(xs.map(x => rev(x._2)).sum.toDouble / 10000.0))
     }.sortBy(x => (-x._3, x._1)).take(20)
     assert(got == exp, s"got ${got.take(3)} expected ${exp.take(3)}")
   }
