@@ -553,7 +553,11 @@ class QueriesSpec extends SparkTestBase {
       // generated |weeks| calendar — the same dimension-bounded
       // densify class; the corpus enters only through the
       // pre-aggregated (nation, week) revenue
-      "q272_revenue_volatility")
+      "q272_revenue_volatility",
+      // q266 (r10): the 1-row total-quarter scalar broadcasts into the
+      // (brand, quarter) aggregate for the densified swing —
+      // q49/q127/q168's scalar-broadcast shape
+      "q266_brand_seasonality")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans cartesian")
