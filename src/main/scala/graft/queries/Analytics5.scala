@@ -3420,10 +3420,16 @@ object Analytics5 {
       (s, d) => {
         val skel = md5(regexp_replace(regexp_replace(regexp_replace(
           lower(col("text")), "[0-9]+", "9"), "[a-z]+", "a"), " +", " "))
+        // count(1), not countDistinct(doc_id) — one row per doc makes
+        // them equal, and TWO distinct aggregates in one Aggregate
+        // trigger Spark's RewriteDistinctAggregates Expand whose gid
+        // branch numbering is PER-JVM hash order (caught by the r10
+        // OrderHash sweeps: the fingerprint flipped with the JVM).
+        // One distinct group plans Expand-free and deterministically.
         t(s, d, "documents")
           .select(col("doc_id"), col("source"), skel.as("skeleton_md5"))
           .groupBy(col("skeleton_md5"))
-          .agg(countDistinct(col("doc_id")).as("df"),
+          .agg(count(lit(1)).cast("long").as("df"),
             countDistinct(col("source")).as("n_sources"),
             min(col("doc_id")).as("example_doc"))
           .filter(col("df") >= 2)
@@ -3591,15 +3597,30 @@ object Analytics5 {
     QueryDef(
       "q280_supplier_switching",
       (s, d) => {
-        val pairs = t(s, d, "lineitem")
+        // two distinct PRE-COLLAPSES + a pair-grain join instead of
+        // two countDistinct in one Aggregate: the multi-distinct form
+        // triggers Spark's Expand rewrite whose gid numbering is
+        // per-JVM hash order (the r10 OrderHash catch — see q277),
+        // and at scale the Expand triples the fact rows anyway while
+        // each pre-collapse shrinks monotonically
+        val base = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             epochDay(col("l_shipdate")).as("day"))
           .join(t(s, d, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_partkey"), col("l_suppkey"),
+            col("day"))
+        val days = base.select(col("o_custkey"), col("l_partkey"), col("day"))
+          .distinct()
           .groupBy(col("o_custkey"), col("l_partkey"))
-          .agg(countDistinct(col("day")).as("n_days"),
-            countDistinct(col("l_suppkey")).as("n_supp"))
+          .agg(count(lit(1)).cast("long").as("n_days"))
+        val supps = base
+          .select(col("o_custkey"), col("l_partkey"), col("l_suppkey"))
+          .distinct()
+          .groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(count(lit(1)).cast("long").as("n_supp"))
+        val pairs = days.join(supps, Seq("o_custkey", "l_partkey"))
           .filter(col("n_days") >= 2)
         pairs
           .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
