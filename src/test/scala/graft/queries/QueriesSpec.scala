@@ -465,6 +465,39 @@ class QueriesSpec extends SparkTestBase {
       "q114 must stay one-scan + grouped-topk")
   }
 
+  test("plan audit: no multi-distinct Expand rewrite anywhere in the suite") {
+    // Two countDistinct over different columns in ONE aggregate make
+    // Spark's RewriteDistinctAggregates build an Expand whose gid
+    // branch numbering follows per-JVM hash order (r10 OrderHash
+    // catch: q277/q280 fingerprints flipped with the JVM). The
+    // fingerprint deliberately does NOT normalize that shape — the
+    // house rule is to author around it (count at the right grain, or
+    // distinct pre-collapses + join, which also beats the Expand at
+    // scale). The rewrite's `gid` attribute is the tell; rollup/cube
+    // Expands use spark_grouping_id and stay allowed.
+    // the rewrite's tell: aggregate FILTERs on a gid equality (either
+    // orientation — the orientation itself is the per-JVM draw). A
+    // user column merely NAMED gid (q47's grouping_id alias) or a
+    // rollup/cube Expand does not match.
+    val tell = java.util.regex.Pattern.compile(
+      "FILTER \\(WHERE \\((gid#\\d+ = \\d+|\\d+ = gid#\\d+)\\)\\)")
+    // positive control: the detector must FIRE on a genuine
+    // multi-distinct aggregate (two countDistinct, different columns)
+    import org.apache.spark.sql.functions._
+    val control = graft.sources.Tables(spark, sf(), "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")),
+        countDistinct(col("o_orderpriority")))
+      .queryExecution.optimizedPlan.toString
+    assert(tell.matcher(control).find(),
+      "detector lost the multi-distinct Expand tell")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.optimizedPlan.toString
+      assert(!tell.matcher(plan).find(),
+        s"$name plans a multi-distinct Expand (per-JVM gid order)")
+    }
+  }
+
   test("plan audit: no cartesian products; BNLJ only where it's the design") {
     // BNLJ allowlist: q23/q71/q78 broadcast a SINGLE-ROW side (the
     // query vector), q59 the corpus-size scalar, and q80 the tiny
