@@ -4196,6 +4196,438 @@ object Analytics5 {
              |    6) AS long_share
              |FROM per JOIN lo ON per.lang = lo.lang
              |JOIN hi ON per.lang = hi.lang
-             |ORDER BY per.lang""".stripMargin))
+             |ORDER BY per.lang""".stripMargin)),
+
+    // ── q290: ACQUISITION curve — per order month: active customers,
+    // NEW customers (first-ever order that month), and the new-vs-
+    // returning revenue split: "is growth acquisition or retention" —
+    // the order-book face of q226's weekly event-user growth
+    // accounting (different clock, different grain, different
+    // money). No distinct aggregate anywhere: the (month, customer)
+    // collapse makes activity a plain count and is_new a min-month
+    // comparison (the r10 no-multi-distinct rule).
+    //
+    // Scale shape: one custkey exchange builds the (month, customer)
+    // grain with exact cents; the first-month frame is a second
+    // collapse of the SAME grain (customer-grain, ≤|customers| rows);
+    // the rollup lands on |months| rows.
+    QueryDef(
+      "q290_acquisition_curve",
+      (s, d) => {
+        val mc = t(s, d, "orders")
+          .select(col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .groupBy(col("m"), col("o_custkey"))
+          .agg(sum(col("cents").cast("decimal(38,0)")).as("spend"))
+        val first = mc.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("m0"))
+        mc.join(first, Seq("o_custkey"))
+          .withColumn("is_new", col("m") === col("m0"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).cast("long").as("active_customers"),
+            count(when(col("is_new"), 1)).cast("long")
+              .as("new_customers"),
+            round(sum(when(col("is_new"), col("spend"))
+              .otherwise(lit(0L).cast("decimal(38,0)"))).cast("double")
+              / 100.0, 2).as("new_revenue"),
+            round(sum(when(!col("is_new"), col("spend"))
+              .otherwise(lit(0L).cast("decimal(38,0)"))).cast("double")
+              / 100.0, 2).as("returning_revenue"))
+          .select(col("m").as("month"), col("active_customers"),
+            col("new_customers"), col("new_revenue"),
+            col("returning_revenue"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH mc AS (SELECT strftime(CAST(o_orderdate AS DATE),
+             |      '%Y-%m') AS m, o_custkey,
+             |    sum(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+             |      AS HUGEINT)) AS spend
+             |  FROM orders GROUP BY 1, 2),
+             |f AS (SELECT o_custkey, min(m) AS m0 FROM mc GROUP BY 1)
+             |SELECT m AS month,
+             |  CAST(count(*) AS BIGINT) AS active_customers,
+             |  CAST(count(*) FILTER (WHERE m = m0) AS BIGINT)
+             |    AS new_customers,
+             |  round(CAST(sum(CASE WHEN m = m0 THEN spend ELSE 0 END)
+             |    AS DOUBLE)/100.0, 2) AS new_revenue,
+             |  round(CAST(sum(CASE WHEN m <> m0 THEN spend ELSE 0 END)
+             |    AS DOUBLE)/100.0, 2) AS returning_revenue
+             |FROM mc JOIN f USING (o_custkey)
+             |GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ── q291: NATION trade balance — per nation: EXPORT revenue (its
+    // suppliers' shipped lines) vs IMPORT spend (its customers'
+    // bought lines), the net, and an exact net-exporter flag (decimal
+    // compare, no float): the per-nation BALANCE readout over the
+    // same flows q196 reports pairwise — a trade ledger collapses the
+    // matrix to its row/column sums. Revenue cents display at 4
+    // decimals (micro-sums terminate there — the q283 lesson).
+    //
+    // Scale shape: two independent fact collapses (suppkey grain;
+    // orderkey→custkey grain), each one exchange with dims broadcast;
+    // the full-outer stitch runs on |nations| rows.
+    QueryDef(
+      "q291_trade_balance",
+      (s, d) => {
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val exp0 = t(s, d, "lineitem")
+          .select(col("l_suppkey"), revMicro.as("rm"))
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(sum(col("rm").cast("decimal(38,0)")).as("exports"))
+        val imp0 = t(s, d, "lineitem")
+          .select(col("l_orderkey"), revMicro.as("rm"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(sum(col("rm").cast("decimal(38,0)")).as("imports"))
+        val z = lit(0L).cast("decimal(38,0)")
+        nat.join(exp0, col("n_nationkey") === exp0("nk"), "left")
+          .join(imp0, col("n_nationkey") === imp0("nk"), "left")
+          .select(col("n_name").as("nation"),
+            coalesce(col("exports"), z).as("e"),
+            coalesce(col("imports"), z).as("i"))
+          .select(col("nation"),
+            round(col("e").cast("double") / 10000.0, 4).as("exports"),
+            round(col("i").cast("double") / 10000.0, 4).as("imports"),
+            round((col("e") - col("i")).cast("double") / 10000.0, 4)
+              .as("net"),
+            when(col("e") > col("i"), 1).otherwise(0).cast("int")
+              .as("net_exporter"))
+          .orderBy(col("nation"))
+      },
+      Some(s"""WITH e AS (SELECT s_nationkey AS nk,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS exports
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1),
+             |i AS (SELECT c_nationkey AS nk,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS imports
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1),
+             |j AS (SELECT n_name AS nation,
+             |    coalesce(exports, 0) AS ex, coalesce(imports, 0) AS im
+             |  FROM nation
+             |  LEFT JOIN e ON n_nationkey = e.nk
+             |  LEFT JOIN i ON n_nationkey = i.nk)
+             |SELECT nation,
+             |  round(CAST(ex AS DOUBLE)/10000.0, 4) AS exports,
+             |  round(CAST(im AS DOUBLE)/10000.0, 4) AS imports,
+             |  round(CAST(ex - im AS DOUBLE)/10000.0, 4) AS net,
+             |  CAST(CASE WHEN ex > im THEN 1 ELSE 0 END AS INTEGER)
+             |    AS net_exporter
+             |FROM j ORDER BY nation""".stripMargin)),
+
+    // ── q292: SIZE-PRICE curve — per part size: catalogue count, the
+    // mean retail price (exact integer ratio), and shipped revenue:
+    // does the price book scale with the size attribute and does
+    // demand follow — the catalogue-axis companion to q288's
+    // quantity curve (posted attribute vs purchased amount).
+    //
+    // Scale shape: the dim aggregates alone on |sizes|; revenue
+    // collapses to the part grain in one exchange then joins the
+    // ≤|parts| dim frame; rollup |sizes| rows.
+    QueryDef(
+      "q292_size_price_curve",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(revMicro.cast("decimal(38,0)")).as("rm"))
+        val z = lit(0L).cast("decimal(38,0)")
+        t(s, d, "part")
+          .select(col("p_partkey"), col("p_size"),
+            fxUnits(col("p_retailprice"), 100).as("cents"))
+          .join(rev, col("p_partkey") === col("l_partkey"), "left")
+          .groupBy(col("p_size"))
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            round(sum(col("cents").cast("decimal(38,0)")).cast("double")
+              / count(lit(1)).cast("double"), 6).as("mean_retail_cents"),
+            round(sum(coalesce(col("rm"), z)).cast("double") / 10000.0, 4)
+              .as("revenue"))
+          .select(col("p_size").cast("long").as("size"), col("n_parts"),
+            col("mean_retail_cents"), col("revenue"))
+          .orderBy(col("size"))
+      },
+      Some(s"""WITH rev AS (SELECT l_partkey,
+             |    sum(CAST($revMicroSql AS HUGEINT)) AS rm
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(p_size AS BIGINT) AS size,
+             |  CAST(count(*) AS BIGINT) AS n_parts,
+             |  round(CAST(sum(CAST(CAST(round(p_retailprice*100)
+             |    AS BIGINT) AS HUGEINT)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mean_retail_cents,
+             |  round(CAST(sum(coalesce(rm, 0)) AS DOUBLE)/10000.0, 4)
+             |    AS revenue
+             |FROM part LEFT JOIN rev ON p_partkey = l_partkey
+             |GROUP BY 1 ORDER BY size""".stripMargin)),
+
+    // ── q293: PUNCTUATION profile — per source: comma, period, and
+    // quote rates per token (each an exact count ratio): prose
+    // punctuates, lists and logs don't, templated text punctuates
+    // IDENTICALLY — the third character-class screen alongside q244
+    // (digits), q247 (scripts), q271 (casing). Counts are
+    // length-difference arithmetic (no regex), identical in both
+    // dialects.
+    //
+    // Scale shape: pure map-side character counting; one |sources|
+    // exchange.
+    QueryDef(
+      "q293_punctuation_profile",
+      (s, d) => {
+        def cnt(ch: String) =
+          (length(col("text")) -
+            length(regexp_replace(col("text"),
+              java.util.regex.Pattern.quote(ch), "")))
+            .cast("long")
+        val m = t(s, d, "documents")
+          .select(col("source"),
+            size(filter(split(col("text"), " "),
+              tk => length(tk) > 0)).cast("long").as("toks"),
+            cnt(",").as("commas"), cnt(".").as("periods"),
+            cnt("\"").as("quotes"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("toks")).cast("long").as("n_tokens"),
+            sum(col("commas")).cast("long").as("nc"),
+            sum(col("periods")).cast("long").as("np"),
+            sum(col("quotes")).cast("long").as("nq"))
+        m.select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("nc").cast("double") /
+            col("n_tokens").cast("double"), 6).as("commas_per_token"),
+          round(col("np").cast("double") /
+            col("n_tokens").cast("double"), 6).as("periods_per_token"),
+          round(col("nq").cast("double") /
+            col("n_tokens").cast("double"), 6).as("quotes_per_token"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (SELECT source,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS BIGINT) AS toks,
+             |    CAST(len(text) - len(replace(text, ',', ''))
+             |      AS BIGINT) AS commas,
+             |    CAST(len(text) - len(replace(text, '.', ''))
+             |      AS BIGINT) AS periods,
+             |    CAST(len(text) - len(replace(text, '"', ''))
+             |      AS BIGINT) AS quotes
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(commas) AS DOUBLE)
+             |    / CAST(sum(toks) AS DOUBLE), 6) AS commas_per_token,
+             |  round(CAST(sum(periods) AS DOUBLE)
+             |    / CAST(sum(toks) AS DOUBLE), 6) AS periods_per_token,
+             |  round(CAST(sum(quotes) AS DOUBLE)
+             |    / CAST(sum(toks) AS DOUBLE), 6) AS quotes_per_token
+             |FROM m GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ── q294: order-value QUARTILES by priority — per priority:
+    // orders and the exact p25/p50/p75 of the order value in CENTS:
+    // the distribution-shape readout behind q286's means (a flat mean
+    // can hide a fattening tail). Quartiles of integer cents land on
+    // quarter-cent fractions — they TERMINATE at 2 decimals, so the
+    // cent display at round(·, 2) is tie-free by construction (the
+    // q243/q246 discipline).
+    //
+    // Scale shape: one custkey-free scan collapses to the priority
+    // grain; the percentile buffers are bounded by orders-per-
+    // priority; output |priorities| rows.
+    QueryDef(
+      "q294_value_quartiles",
+      (s, d) => {
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            fxUnits(col("o_totalprice"), 100).as("cents"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            round(expr("percentile(cents, 0.25)"), 2).as("p25_cents"),
+            round(expr("percentile(cents, 0.5)"), 2).as("p50_cents"),
+            round(expr("percentile(cents, 0.75)"), 2).as("p75_cents"))
+          .select(col("o_orderpriority").as("priority"), col("n_orders"),
+            col("p25_cents"), col("p50_cents"), col("p75_cents"))
+          .orderBy(col("priority"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderpriority AS priority,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(quantile_cont(cents, 0.25), 2) AS p25_cents,
+             |  round(quantile_cont(cents, 0.5), 2) AS p50_cents,
+             |  round(quantile_cont(cents, 0.75), 2) AS p75_cents
+             |FROM o GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // ── q296: BRAND-TYPE affinity — per brand: its modal part type
+    // (tie → lexicographic min), that type's share of the brand's
+    // catalogue, and the LIFT over the type's global share — computed
+    // as ONE exact integer cross ratio bt·n/(b·t), no chained float
+    // division: "is this brand a specialist or a generalist" — the
+    // catalogue-positioning readout next to q240's assortment overlap
+    // (which compares brands pairwise; this scores each against the
+    // market).
+    //
+    // Scale shape: dim-only — the (brand, type) grid is bounded
+    // (≤|brands|×|types|); the modal pick is a per-brand window over
+    // ≤|types| rows; the global type frame broadcasts.
+    QueryDef(
+      "q296_brand_type_affinity",
+      (s, d) => {
+        val bt = t(s, d, "part")
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(count(lit(1)).cast("long").as("bt"))
+        val b = bt.groupBy(col("p_brand"))
+          .agg(sum(col("bt")).cast("long").as("bn"))
+        val ty = t(s, d, "part")
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).cast("long").as("tn"))
+        val n = t(s, d, "part").count()
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("bt").desc, col("p_type"))
+        bt.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(b, Seq("p_brand"))
+          .join(broadcast(ty), Seq("p_type"))
+          .select(col("p_brand").as("brand"),
+            col("p_type").as("top_type"),
+            col("bt").as("n_parts"),
+            round(col("bt").cast("double") /
+              col("bn").cast("double"), 6).as("brand_share"),
+            round((col("bt") * lit(n)).cast("double") /
+              (col("bn") * col("tn")).cast("double"), 6).as("lift"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH bt AS (SELECT p_brand, p_type,
+             |    CAST(count(*) AS BIGINT) AS bt
+             |  FROM part GROUP BY 1, 2),
+             |b AS (SELECT p_brand, CAST(sum(bt) AS BIGINT) AS bn
+             |  FROM bt GROUP BY 1),
+             |ty AS (SELECT p_type, CAST(count(*) AS BIGINT) AS tn
+             |  FROM part GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+             |r AS (SELECT p_brand, p_type, bt,
+             |    row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY bt DESC, p_type) AS rk
+             |  FROM bt)
+             |SELECT p_brand AS brand, p_type AS top_type,
+             |  bt AS n_parts,
+             |  round(CAST(bt AS DOUBLE)/CAST(bn AS DOUBLE), 6)
+             |    AS brand_share,
+             |  round(CAST(bt*n AS DOUBLE)/CAST(bn*tn AS DOUBLE), 6)
+             |    AS lift
+             |FROM r JOIN b USING (p_brand) JOIN ty USING (p_type), n
+             |WHERE rk = 1 ORDER BY brand""".stripMargin)),
+
+    // ── q297: RETURNS×DISCOUNT interaction — per discount pct:
+    // lines, returned lines (returnflag = 'R'), the return share, and
+    // the returned revenue: "are discounted items returned more" —
+    // the quality-of-sale face of the discount axis (q275 reads
+    // margin given away; this reads revenue given BACK), and the
+    // interaction q257's brand-grain returns cannot resolve.
+    //
+    // Scale shape: pure map-side classification onto the ≤11-value
+    // discount domain; one bounded exchange.
+    QueryDef(
+      "q297_returns_discount",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(fxUnits(col("l_discount"), 100).as("pc"),
+            (col("l_returnflag") === "R").as("ret"),
+            revMicro.as("rm"))
+          .groupBy(col("pc"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            count(when(col("ret"), 1)).cast("long").as("returned_lines"),
+            round(count(when(col("ret"), 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("return_share"),
+            round(sum(when(col("ret"), col("rm").cast("decimal(38,0)"))
+              .otherwise(lit(0L).cast("decimal(38,0)"))).cast("double")
+              / 10000.0, 4).as("returned_revenue"))
+          .select(col("pc").as("discount_pct"), col("n_lines"),
+            col("returned_lines"), col("return_share"),
+            col("returned_revenue"))
+          .orderBy(col("discount_pct"))
+      },
+      Some(s"""SELECT CAST(round(l_discount*100) AS BIGINT)
+             |    AS discount_pct,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+             |    AS BIGINT) AS returned_lines,
+             |  round(CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+             |    AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+             |    AS return_share,
+             |  round(CAST(sum(CASE WHEN l_returnflag = 'R'
+             |    THEN CAST($revMicroSql AS HUGEINT) ELSE 0 END)
+             |    AS DOUBLE)/10000.0, 4) AS returned_revenue
+             |FROM lineitem GROUP BY 1
+             |ORDER BY discount_pct""".stripMargin)),
+
+    // ── q299: NEGATIVE-BALANCE census — per customer nation:
+    // customers, negative-balance customers (exact cents < 0, never a
+    // float compare), their share, and the ORDER exposure sitting on
+    // those books (orders + revenue): the receivables-risk screen
+    // that q175's percent_rank profile and q258's deciles don't
+    // collapse to a ledger row.
+    //
+    // Scale shape: the customer dim classifies map-side; order
+    // exposure collapses to the customer grain in one custkey
+    // exchange; rollup |nations| rows.
+    QueryDef(
+      "q299_negative_balance_census",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            (fxUnits(col("c_acctbal"), 100) < 0L).as("neg"))
+        val ords = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n_ord"),
+            sum(fxUnits(col("o_totalprice"), 100)
+              .cast("decimal(38,0)")).as("spend"))
+        val z = lit(0L).cast("decimal(38,0)")
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "left")
+          .join(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            count(when(col("neg"), 1)).cast("long").as("neg_customers"),
+            round(count(when(col("neg"), 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("neg_share"),
+            sum(when(col("neg"), coalesce(col("n_ord"), lit(0L)))
+              .otherwise(lit(0L))).cast("long").as("neg_orders"),
+            round(sum(when(col("neg"), coalesce(col("spend"), z))
+              .otherwise(z)).cast("double") / 100.0, 2)
+              .as("neg_revenue"))
+          .select(col("n_name").as("nation"), col("n_customers"),
+            col("neg_customers"), col("neg_share"), col("neg_orders"),
+            col("neg_revenue"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+             |    CAST(round(c_acctbal*100) AS BIGINT) < 0 AS neg
+             |  FROM customer),
+             |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord,
+             |    sum(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+             |      AS HUGEINT)) AS spend
+             |  FROM orders GROUP BY 1)
+             |SELECT n_name AS nation,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(count(*) FILTER (WHERE neg) AS BIGINT)
+             |    AS neg_customers,
+             |  round(CAST(count(*) FILTER (WHERE neg) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS neg_share,
+             |  CAST(sum(CASE WHEN neg THEN coalesce(n_ord, 0)
+             |    ELSE 0 END) AS BIGINT) AS neg_orders,
+             |  round(CAST(sum(CASE WHEN neg THEN coalesce(spend, 0)
+             |    ELSE 0 END) AS DOUBLE)/100.0, 2) AS neg_revenue
+             |FROM c LEFT JOIN o ON c_custkey = o_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 }

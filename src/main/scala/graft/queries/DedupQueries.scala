@@ -873,6 +873,133 @@ object DedupQueries {
              |FROM runs WHERE span_tokens >= 8
              |ORDER BY doc_id, span_start_tok""".stripMargin)),
 
+    // ── q295: DEDUP QUALITY GAP — per source: kept vs dropped doc
+    // counts under q36's cluster map, and the mean q31 quality score
+    // of each side: "is dedup deleting good content or trash" — the
+    // reassurance readout a curation review wants BEFORE shipping a
+    // survivor rule (a dropped-mean ABOVE the kept-mean argues for
+    // q84's best-quality survivors instead of first-crawled). Scores
+    // quantize to micro longs map-side (a raw float SUM would be
+    // shuffle-order-dependent — the exactness rule), sums ride
+    // DECIMAL(38,0), and each mean is one mirrored double chain;
+    // zero-token docs score NULL and are excluded from means (but
+    // counted in kept/dropped).
+    //
+    // Scale shape: two cached narrow bases (cluster map, scores) join
+    // the (doc_id, source) projection; one |sources| exchange.
+    QueryDef(
+      "q295_dedup_quality_gap",
+      (s, d) => {
+        val cm = clusterMap(s, d).select(col("doc_id"), col("is_dup"))
+        val qs = TextQueries.qualityScores(s, d)
+          .select(col("doc_id"),
+            round(col("score") * lit(1000000.0), 0).cast("long").as("sm"))
+        val m = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .join(cm, Seq("doc_id"))
+          .join(qs, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(when(col("is_dup") === 0, 1)).cast("long").as("kept"),
+            count(when(col("is_dup") === 1, 1)).cast("long").as("dropped"),
+            count(when(col("is_dup") === 0 && col("sm").isNotNull, 1))
+              .cast("long").as("ks"),
+            count(when(col("is_dup") === 1 && col("sm").isNotNull, 1))
+              .cast("long").as("ds"),
+            sum(when(col("is_dup") === 0, col("sm"))
+              .cast("decimal(38,0)")).as("sk"),
+            sum(when(col("is_dup") === 1, col("sm"))
+              .cast("decimal(38,0)")).as("sd"))
+        val mk = m("sk").cast("double") / m("ks").cast("double") /
+          lit(1000000.0)
+        val md = m("sd").cast("double") / m("ds").cast("double") /
+          lit(1000000.0)
+        m.select(col("source"), col("kept"), col("dropped"),
+          round(mk, 6).as("kept_mean_score"),
+          round(md, 6).as("dropped_mean_score"),
+          round(mk - md, 6).as("quality_gap"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $pairsSql,
+              |$clusterLabSql,
+              |${TextQueries.QualityCteSql},
+              |cm AS (SELECT d.doc_id, d.source,
+              |    CASE WHEN COALESCE(l.cluster, d.doc_id) <> d.doc_id
+              |      THEN 1 ELSE 0 END AS is_dup
+              |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              |x AS (SELECT cm.doc_id, source, is_dup,
+              |    CAST(round(1000000*q.score) AS BIGINT) AS sm
+              |  FROM cm LEFT JOIN q ON q.doc_id = cm.doc_id),
+              |g AS (SELECT source,
+              |    CAST(count(*) FILTER (WHERE is_dup = 0) AS BIGINT)
+              |      AS kept,
+              |    CAST(count(*) FILTER (WHERE is_dup = 1) AS BIGINT)
+              |      AS dropped,
+              |    CAST(count(*) FILTER (WHERE is_dup = 0
+              |      AND sm IS NOT NULL) AS BIGINT) AS ks,
+              |    CAST(count(*) FILTER (WHERE is_dup = 1
+              |      AND sm IS NOT NULL) AS BIGINT) AS ds,
+              |    sum(CASE WHEN is_dup = 0 THEN sm END) AS sk,
+              |    sum(CASE WHEN is_dup = 1 THEN sm END) AS sd
+              |  FROM x GROUP BY 1)
+              |SELECT source, kept, dropped,
+              |  round(CAST(sk AS DOUBLE)/CAST(ks AS DOUBLE)/1000000.0,
+              |    6) AS kept_mean_score,
+              |  round(CAST(sd AS DOUBLE)/CAST(ds AS DOUBLE)/1000000.0,
+              |    6) AS dropped_mean_score,
+              |  round(CAST(sk AS DOUBLE)/CAST(ks AS DOUBLE)/1000000.0
+              |    - CAST(sd AS DOUBLE)/CAST(ds AS DOUBLE)/1000000.0,
+              |    6) AS quality_gap
+              |FROM g ORDER BY source""".stripMargin)),
+
+    // ── q298: SENTENCE duplication mass — per source: sentences,
+    // sentences whose exact text recurs in ≥2 DOCUMENTS, and the dup
+    // share: the sentence-grain rung of the duplication ladder
+    // between q22 (whole doc), q76/q223 (fixed 16-token segments),
+    // and q276 (content-defined spans) — boilerplate legal lines and
+    // templated openers live exactly at this grain (q263 reads
+    // sentence SHAPE; this reads sentence REUSE). Same '. '-splitter
+    // as q263 so the two readouts reconcile; df counts distinct
+    // documents via a (doc, hash) pre-collapse — no distinct
+    // aggregate (the r10 rule).
+    //
+    // Scale shape: one corpus scan explodes to the sentence grain
+    // with 16-byte digests (never sentence text); the (doc, hash)
+    // dedup and the hash-grain df are successive collapses; join-back
+    // on the digest, |sources| rollup.
+    QueryDef(
+      "q298_sentence_dup_mass",
+      (s, d) => {
+        val sents = filter(transform(split(col("text"), "\\. "),
+          x => trim(x)), x => length(x) > 0)
+        val sent = t(s, d, "documents")
+          .select(col("source"), col("doc_id"), explode(sents).as("sx"))
+          .select(col("source"), col("doc_id"), md5(col("sx")).as("h"))
+        val dfq = sent.select(col("doc_id"), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).cast("long").as("df"))
+        sent.join(dfq, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_sentences"),
+            count(when(col("df") >= 2, 1)).cast("long")
+              .as("dup_sentences"),
+            round(count(when(col("df") >= 2, 1)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("dup_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sent AS (SELECT source, doc_id, md5(s.sx) AS h
+              |  FROM documents,
+              |    unnest(list_filter(list_transform(
+              |      string_split(text, '. '), x -> trim(x)),
+              |      x -> len(x) > 0)) AS s(sx)),
+              |dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+              |  FROM (SELECT DISTINCT doc_id, h FROM sent) GROUP BY 1)
+              |SELECT source,
+              |  CAST(count(*) AS BIGINT) AS n_sentences,
+              |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT)
+              |    AS dup_sentences,
+              |  round(CAST(count(*) FILTER (WHERE df >= 2) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE), 6) AS dup_share
+              |FROM sent JOIN dfq USING (h)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ── q84: QUALITY-aware survivor selection — collapse each near-dup
     // cluster to its highest-quality member instead of q36's min-id
     // (the choice a real release pipeline makes: of N mirrored copies,

@@ -5353,4 +5353,271 @@ class QueriesSpec extends SparkTestBase {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  test("q290 acquisition curve equals a driver recompute; customers conserve") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q290_acquisition_curve")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val mc = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val ld = tsDate(r.get(1))
+        ((f"${ld.getYear}%04d-${ld.getMonthValue}%02d", r.getLong(0)),
+          BigInt(math.round(r.getDouble(2) * 100)))
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val first = mc.keys.groupBy(_._2).map { case (c, ks) =>
+      c -> ks.map(_._1).min }
+    val exp = mc.toSeq.groupBy(_._1._1).map { case (m, xs) =>
+      val isNew = xs.map { case ((_, c), sp) => (first(c) == m, sp) }
+      m -> ((xs.size.toLong, isNew.count(_._1).toLong,
+        rnd2(isNew.collect { case (true, sp) => sp }.sum.toDouble / 100.0),
+        rnd2(isNew.collect { case (false, sp) => sp }.sum.toDouble / 100.0)))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+    // month 1 is all-new; actives = new + returning customer-months
+    val firstMonth = got.keys.min
+    assert(got(firstMonth)._1 == got(firstMonth)._2)
+  }
+
+  test("q291 trade balance equals a driver recompute; global net sums to zero") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q291_trade_balance")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    val natName = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supNat = graft.sources.Tables(spark, sf(), "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cusNat = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ordCus = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp0 = scala.collection.mutable.Map[Int, BigInt]()
+    val imp0 = scala.collection.mutable.Map[Int, BigInt]()
+    graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount")).collect().foreach { r =>
+        val rm = BigInt(math.round(r.getDouble(2) * 100)) *
+          BigInt(100 - math.round(r.getDouble(3) * 100))
+        val en = supNat(r.getLong(1))
+        val in = cusNat(ordCus(r.getLong(0)))
+        exp0(en) = exp0.getOrElse(en, BigInt(0)) + rm
+        imp0(in) = imp0.getOrElse(in, BigInt(0)) + rm
+      }
+    val exp = natName.map { case (nk, nm) =>
+      val e = exp0.getOrElse(nk, BigInt(0))
+      val i = imp0.getOrElse(nk, BigInt(0))
+      nm -> ((rnd4(e.toDouble / 10000.0), rnd4(i.toDouble / 10000.0),
+        rnd4((e - i).toDouble / 10000.0), if (e > i) 1 else 0))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+    // the ledger closes: every line is one nation's export and
+    // another's (or its own) import, so nets sum to zero
+    assert(math.abs(got.values.map(_._3).sum) < 1e-3)
+  }
+
+  test("q292 size price curve equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q292_size_price_curve")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val rev = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        BigInt(math.round(r.getDouble(1) * 100)) *
+          BigInt(100 - math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val exp = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect()
+      .map(r => (r.getInt(1).toLong,
+        BigInt(math.round(r.getDouble(2) * 100)),
+        rev.getOrElse(r.getLong(0), BigInt(0))))
+      .groupBy(_._1).map { case (sz, xs) =>
+        sz -> ((xs.length.toLong,
+          rnd6(xs.map(_._2).sum.toDouble / xs.length.toDouble),
+          rnd4(xs.map(_._3).sum.toDouble / 10000.0)))
+      }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q293 punctuation profile equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q293_punctuation_profile")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val m = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1)
+        (r.getString(0), t.split(" ").count(_.nonEmpty).toLong,
+          t.count(_ == ',').toLong, t.count(_ == '.').toLong,
+          t.count(_ == '"').toLong)
+      }
+    val exp = m.groupBy(_._1).map { case (src, xs) =>
+      val tk = xs.map(_._2).sum
+      src -> ((xs.length.toLong, tk,
+        rnd6(xs.map(_._3).sum.toDouble / tk.toDouble),
+        rnd6(xs.map(_._4).sum.toDouble / tk.toDouble),
+        rnd6(xs.map(_._5).sum.toDouble / tk.toDouble)))
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("q294 value quartiles equals a driver recompute; quartiles ordered") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q294_value_quartiles")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val os = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100).toDouble))
+    val exp = os.groupBy(_._1).map { case (p, xs) =>
+      val vs = xs.map(_._2).toSeq
+      p -> ((vs.length.toLong, rnd2(qCont(vs, 0.25)),
+        rnd2(qCont(vs, 0.5)), rnd2(qCont(vs, 0.75))))
+    }
+    assert(got == exp, s"got $got expected $exp")
+    got.values.foreach { case (_, a, b, c) => assert(a <= b && b <= c) }
+  }
+
+  test("q295 dedup quality gap equals a driver recompute over the shared bases") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q295_dedup_quality_gap")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // recompute from the SAME cached bases the query composes — this
+    // pins the composition, not the bases (their own specs do that)
+    val dup = graft.queries.DedupQueries.clusterMap(spark, sf())
+      .select(col("doc_id"), col("is_dup")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sm = graft.queries.TextQueries.qualityScores(spark, sf())
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(x =>
+          math.round(1e6 * x.asInstanceOf[Double]))).toMap
+    val src = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = src.groupBy(_._2).map { case (sc, xs) =>
+      val kept = xs.filter(x => dup(x._1) == 0)
+      val dropped = xs.filter(x => dup(x._1) == 1)
+      def mean(g: Array[(Long, String)]): Option[Double] = {
+        val ss = g.flatMap(x => sm(x._1))
+        if (ss.isEmpty) None
+        else Some(ss.map(BigInt(_)).sum.toDouble / ss.length / 1e6)
+      }
+      sc -> ((kept.length.toLong, dropped.length.toLong,
+        mean(kept).map(rnd6), mean(dropped).map(rnd6)))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q296 brand type affinity equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q296_brand_type_affinity")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val parts = graft.sources.Tables(spark, sf(), "part")
+      .select(col("p_brand"), col("p_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = parts.length.toLong
+    val tyN = parts.groupBy(_._2).map { case (t0, xs) => t0 -> xs.length }
+    val exp = parts.groupBy(_._1).map { case (b, xs) =>
+      val byType = xs.groupBy(_._2).map { case (t0, ys) =>
+        (t0, ys.length.toLong) }.toSeq
+      val (topT, bt) = byType.sortBy { case (t0, c) => (-c, t0) }.head
+      b -> ((topT, bt,
+        rnd6(bt.toDouble / xs.length.toDouble),
+        rnd6((bt * n).toDouble / (xs.length.toLong * tyN(topT)).toDouble)))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q297 returns-discount equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q297_returns_discount")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val li = graft.sources.Tables(spark, sf(), "lineitem")
+      .select(col("l_discount"), col("l_returnflag"),
+        col("l_extendedprice")).collect()
+      .map { r =>
+        val pc = math.round(r.getDouble(0) * 100)
+        (pc, r.getString(1) == "R",
+          BigInt(math.round(r.getDouble(2) * 100)) * BigInt(100 - pc))
+      }
+    val exp = li.groupBy(_._1).map { case (pc, xs) =>
+      val ret = xs.filter(_._2)
+      pc -> ((xs.length.toLong, ret.length.toLong,
+        rnd6(ret.length.toDouble / xs.length.toDouble),
+        rnd4(ret.map(_._3).sum.toDouble / 10000.0)))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q298 sentence dup mass equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q298_sentence_dup_mass")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val sent = graft.sources.Tables(spark, sf(), "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(2).split("\\. ").map(_.trim).filter(_.nonEmpty)
+          .map(s0 => (r.getString(0), r.getLong(1), s0))
+      }
+    val df = sent.map(x => (x._2, x._3)).distinct.groupBy(_._2)
+      .map { case (s0, xs) => s0 -> xs.length }
+    val exp = sent.groupBy(_._1).map { case (src, xs) =>
+      val dup = xs.count(x => df(x._3) >= 2).toLong
+      src -> ((xs.length.toLong, dup,
+        rnd6(dup.toDouble / xs.length.toDouble)))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
+
+  test("q299 negative balance census equals a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q299_negative_balance_census")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val natName = graft.sources.Tables(spark, sf(), "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val ords = graft.sources.Tables(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val exp = graft.sources.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect()
+      .map(r => (natName(r.getInt(1)),
+        math.round(r.getDouble(2) * 100) < 0L,
+        ords.getOrElse(r.getLong(0), (0L, BigInt(0)))))
+      .groupBy(_._1).map { case (nm, xs) =>
+        val neg = xs.filter(_._2)
+        nm -> ((xs.length.toLong, neg.length.toLong,
+          rnd6(neg.length.toDouble / xs.length.toDouble),
+          neg.map(_._3._1).sum,
+          rnd2(neg.map(_._3._2).sum.toDouble / 100.0)))
+      }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
+  }
 }
