@@ -2326,13 +2326,16 @@ object Analytics5 {
         // engine cast semantics on a non-integer string diverge (Spark
         // nulls/truncates, DuckDB TRY_CAST('1.5') ROUNDS to 2), so the
         // shared contract is "a field the JSON parser read, shaped
-        // ^-?[0-9]+$" — robust to a fixture re-serialization emitting
-        // floats or different spacing (r9 ADVICE finding).
+        // ^-?[0-9]{1,18}$" — robust to a fixture re-serialization
+        // emitting floats or different spacing (r9 ADVICE finding);
+        // the {1,18} bound keeps every admitted string representable
+        // in int64 so both engines' plain casts are total (r10 ADVICE:
+        // unbounded digits would NULL in Spark but RAISE in DuckDB).
         val m = t(s, d, "events")
           .select(col("event_type"),
             get_json_object(col("props"), "$.k").as("ks"),
             fxUnits(col("value"), 100).as("vc"))
-          .filter(col("ks").rlike("^-?[0-9]+$"))
+          .filter(col("ks").rlike("^-?[0-9]{1,18}$"))
           .withColumn("k", col("ks").cast("long"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"),
@@ -2359,7 +2362,8 @@ object Analytics5 {
              |  FROM events),
              |e AS (SELECT event_type, CAST(ks AS BIGINT) AS k, vc
              |  FROM x
-             |  WHERE ks IS NOT NULL AND regexp_full_match(ks, '-?[0-9]+')),
+             |  WHERE ks IS NOT NULL
+             |    AND regexp_full_match(ks, '-?[0-9]{1,18}')),
              |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |    sum(CAST(k AS HUGEINT)) AS sk,
              |    sum(CAST(vc AS HUGEINT)) AS sv,

@@ -389,9 +389,14 @@ object TextQueries {
     QueryDef(
       "q15_json_extract",
       (s, d) => {
+        // {1,18} bound: every 18-digit string is representable in
+        // int64, so BOTH engines' plain casts are total over the
+        // admitted shape — an unbounded [0-9]+ would let a >19-digit
+        // value NULL in Spark's non-ANSI cast but RAISE in DuckDB's
+        // CAST (r10 ADVICE finding).
         t(s, d, "events")
           .withColumn("ks", get_json_object(col("props"), "$.k"))
-          .withColumn("k", when(col("ks").rlike("^-?[0-9]+$"),
+          .withColumn("k", when(col("ks").rlike("^-?[0-9]{1,18}$"),
             col("ks").cast("long")))
           .groupBy(col("event_type"))
           .agg(
@@ -406,7 +411,7 @@ object TextQueries {
              |    json_extract_string(props, '$.k') AS ks FROM events),
              |j AS (SELECT event_type,
              |  CAST(CASE WHEN ks IS NOT NULL
-             |    AND regexp_full_match(ks, '-?[0-9]+') THEN ks END
+             |    AND regexp_full_match(ks, '-?[0-9]{1,18}') THEN ks END
              |    AS BIGINT) AS k
              |  FROM x)
              |SELECT event_type, count(k) AS n_k, min(k) AS min_k, max(k) AS max_k,
