@@ -2688,12 +2688,14 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("q192 recall audit equals a recomputation from q25/q26 and stays high") {
+  test("q192 recall audit equals a recomputation from the audit pairs and stays high") {
     // the audit must be EXACTLY the banded join of its two inputs —
-    // recompute it driver-side from the declared q25/q26 outputs
-    val exact = SparkEntry.queries("q25_dedup_ngram_jaccard")(spark, sf())
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
-    val found = SparkEntry.queries("q26_dedup_minhash")(spark, sf())
+    // recompute it driver-side from the declared audit pair frames
+    // (the seeded corpus's exact ground truth and the LSH miner's
+    // verified finds over the same corpus)
+    val exact = graft.queries.DedupQueries.auditExactPairs(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val found = graft.queries.DedupQueries.auditLshPairs(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def band(j: Double): Double = math.min(math.floor(j * 20), 19.0) / 20.0
     val expect = exact.groupBy { case (_, j) => band(j) }.map {
@@ -2708,10 +2710,17 @@ class QueriesSpec extends SparkTestBase {
       .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
     assert(got == expect, s"got=$got expect=$expect")
-    // q26 verifies candidates, so found ⊆ exact: n_found ≤ n_exact
+    // the LSH side verifies candidates, so found ⊆ exact per band
     got.foreach { case (b, (ne, nf, _)) =>
       assert(nf <= ne, s"band $b found $nf > exact $ne")
     }
+    // the seeded prefix variants must make the mid-range audit
+    // non-vacuous: ≥5 populated bands, of which ≥3 below 0.85
+    // (r10 verdict ask #4 — before seeding only the ≥0.9 bands held
+    // any pairs and the audit's mid-range said nothing)
+    assert(got.size >= 5, s"only ${got.size} bands populated: $got")
+    assert(got.keys.count(_ < 0.85) >= 3,
+      s"mid-range bands unpopulated: ${got.keys.toSeq.sorted}")
     // banding theory (16 bands × 2 rows): recall ≈ 1−(1−j²)^16 ≥ 0.99
     // at j = 0.5 — gate the measured overall recall well below that
     val (neTot, nfTot) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
