@@ -18,7 +18,8 @@ object SparkEntry {
       DedupQueries.defs ++ MultimodalQueries.defs ++ Analytics.defs ++
       Analytics.defs2 ++ Analytics2.defs ++ Analytics2.defs2 ++
       Analytics2.defs3 ++ Analytics2.defs4 ++ Analytics3.defs ++
-      Analytics4.defs ++ Analytics5.defs ++ HtmlQueries.defs
+      Analytics4.defs ++ Analytics5.defs ++ HtmlQueries.defs ++
+      EventQueries.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query name")
 

@@ -63,6 +63,67 @@ object HtmlQueries {
       "'</p></div><footer>&copy; 2026 Corpus &amp; Sons</footer>" +
       "</body></html>'"
 
+  /** Messy raw URL per document — deterministic from (doc_id, source),
+    * with case / default-port / query-order / fragment variants so
+    * distinct raw strings collapse under canonicalization exactly like
+    * a real crawl frontier's do. Mirrored bit-for-bit by [[rawUrlSql]].
+    */
+  private def rawUrl: Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("http://")).otherwise(lit("HTTP://")),
+      when(id % 4 < 2, concat(lit("www."), col("source"), lit(".example.com")))
+        .otherwise(concat(lit("WWW."), upper(col("source")), lit(".Example.COM"))),
+      when(id % 8 < 4, lit("")).otherwise(lit(":80")),
+      lit("/docs/"), (id % 50).cast("string"),
+      when(id % 2 === 0, concat(lit("?a=1&b="), (id % 3).cast("string")))
+        .otherwise(concat(lit("?b="), (id % 3).cast("string"), lit("&a=1"))),
+      when(id % 5 === 0, concat(lit("#s"), (id % 7).cast("string")))
+        .otherwise(lit("")))
+  }
+
+  private val rawUrlSql =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END) || " +
+      "(CASE WHEN doc_id % 4 < 2 THEN 'www.' || source || '.example.com' " +
+      "ELSE 'WWW.' || upper(source) || '.Example.COM' END) || " +
+      "(CASE WHEN doc_id % 8 < 4 THEN '' ELSE ':80' END) || " +
+      "'/docs/' || CAST(doc_id % 50 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) " +
+      "ELSE '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '#s' || CAST(doc_id % 7 AS VARCHAR) " +
+      "ELSE '' END)"
+
+  /** Canonical form of a URL column: fragment dropped, scheme+host
+    * lowercased, default :80 dropped, query parameters sorted. Path
+    * case is preserved (paths are case-sensitive; only the authority
+    * is not). The companion [[canonicalUrlSql]] mirrors each step.
+    */
+  private def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val head = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?]+", 0)
+    val headC = regexp_replace(lower(head), ":80$", "")
+    val tail = noFrag.substr(length(head) + 1, lit(1000000))
+    val pathPart = regexp_replace(tail, "\\?.*", "")
+    val qPart = when(instr(tail, "?") > 0,
+      tail.substr(instr(tail, "?") + 1, lit(1000000))).otherwise(lit(""))
+    concat(headC, pathPart,
+      when(qPart === "", lit(""))
+        .otherwise(concat(lit("?"),
+          array_join(sort_array(split(qPart, "&")), "&"))))
+  }
+
+  private def canonicalUrlSql(urlExpr: String): String = {
+    val noFrag = s"regexp_replace($urlExpr, '#.*', '', 'g')"
+    val head = s"regexp_extract($noFrag, '^[a-zA-Z]+://[^/?]+')"
+    val headC = s"regexp_replace(lower($head), ':80$$', '')"
+    val tail = s"substr($noFrag, length($head) + 1)"
+    val pathPart = s"regexp_replace($tail, '\\?.*', '', 'g')"
+    val qPart = s"(CASE WHEN instr($tail, '?') > 0 " +
+      s"THEN substr($tail, instr($tail, '?') + 1) ELSE '' END)"
+    s"$headC || $pathPart || (CASE WHEN $qPart = '' THEN '' ELSE " +
+      s"'?' || array_to_string(list_sort(string_split($qPart, '&')), '&') END)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q300: HTML boilerplate extraction — per source: pages, pages
@@ -115,6 +176,195 @@ object HtmlQueries {
              |SELECT source, n_docs, n_roundtrip, html_chars, text_chars,
              |  CAST(text_chars * 1000000 // html_chars AS DOUBLE)
              |    / 1000000.0 AS keep_ratio
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ── q301: URL canonicalization census — the crawl-frontier dedup
+    // face. Each document derives a messy raw URL (case, default-port,
+    // query-order, fragment variants); canonicalization collapses the
+    // variants, and the census reports, per source, how many raw
+    // spellings fold into how many canonical pages. A real frontier
+    // runs exactly this before fetch scheduling: without it the same
+    // page is crawled once per spelling.
+    //
+    // Scale shape: URL build + canonicalize are map-side string
+    // expressions on the corpus scan. The census aggregates in TWO
+    // single-distinct levels — (source, canonical) then source — so no
+    // multi-distinct Expand rewrite appears (the suite-wide plan audit
+    // bans it); each level is one exchange on its own grain.
+    QueryDef(
+      "q301_url_canonicalize",
+      (s, d) => {
+        val urls = t(s, d, "documents")
+          .select(col("source"), rawUrl.as("url"))
+          .withColumn("canonical", canonicalUrl(col("url")))
+        urls
+          .groupBy(col("source"), col("canonical"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("url")).cast("long").as("nr"))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("n")).cast("long").as("n_urls"),
+            count(lit(1)).cast("long").as("n_canonical"),
+            sum(col("nr")).cast("long").as("n_raw_distinct"))
+          .withColumn("collapse_ratio",
+            expr("CAST(n_raw_distinct * 1000000 DIV n_canonical AS DOUBLE)" +
+              " / 1000000.0"))
+          .select(col("source"), col("n_urls"), col("n_canonical"),
+            col("n_raw_distinct"), col("collapse_ratio"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH u AS (SELECT source, $rawUrlSql AS url FROM documents),
+             |c AS (SELECT source, url, ${canonicalUrlSql("url")} AS canonical
+             |  FROM u),
+             |g1 AS (SELECT source, canonical,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT url) AS BIGINT) AS nr
+             |  FROM c GROUP BY 1, 2),
+             |g AS (SELECT source,
+             |    CAST(sum(n) AS BIGINT) AS n_urls,
+             |    CAST(count(*) AS BIGINT) AS n_canonical,
+             |    CAST(sum(nr) AS BIGINT) AS n_raw_distinct
+             |  FROM g1 GROUP BY 1)
+             |SELECT source, n_urls, n_canonical, n_raw_distinct,
+             |  CAST(n_raw_distinct * 1000000 // n_canonical AS DOUBLE)
+             |    / 1000000.0 AS collapse_ratio
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ── q302: outlink census — the link-graph face of the crawl
+    // ingest. Each derived page embeds three anchors (two spread
+    // targets, one skew target: doc_id % 100, so ~1% of the id space
+    // absorbs a third of all in-links — the hub shape a real web graph
+    // has); extraction is regexp_extract_all over the page, and the
+    // census reports per source the link mass, distinct-target count,
+    // and the top in-degree target (ties break to the smallest id).
+    //
+    // Scale shape: link extraction rides the scan (map-side regexp +
+    // explode); the per-(source, target) count is one exchange at edge
+    // grain, the top-1 is a TakeOrdered-style window over the already
+    // collapsed target grain, and the page/link totals join back at
+    // |sources| grain (broadcast).
+    QueryDef(
+      "q302_outlink_census",
+      (s, d) => {
+        val pages = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            concat(
+              lit("<p>"),
+              lit("<a href=\"/doc/"), ((col("doc_id") * 31 + 7) % 1000)
+                .cast("string"), lit("\">rel</a> "),
+              lit("<a href=\"/doc/"), ((col("doc_id") * 17 + 3) % 1000)
+                .cast("string"), lit("\">more</a> "),
+              lit("<a href=\"/doc/"), (col("doc_id") % 100)
+                .cast("string"), lit("\">hub</a>"),
+              lit("</p>")).as("html"))
+        val edges = pages
+          .select(col("source"),
+            explode(expr(
+              "regexp_extract_all(html, 'href=\"/doc/([0-9]+)\"', 1)"))
+              .as("target"))
+          .select(col("source"), col("target").cast("long").as("target"))
+        val byTarget = edges
+          .groupBy(col("source"), col("target"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val top = byTarget
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))
+              .orderBy(col("c").desc, col("target").asc)))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("target").as("top_target"),
+            col("c").as("top_target_links"))
+        val totals = byTarget
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_links"),
+            count(lit(1)).cast("long").as("n_targets"))
+        totals.join(top, Seq("source"))
+          .select(col("source"), col("n_links"), col("n_targets"),
+            col("top_target"), col("top_target_links"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH p AS (SELECT source, doc_id,
+             |    '<p><a href="/doc/' || CAST((doc_id*31+7) % 1000 AS VARCHAR)
+             |    || '">rel</a> <a href="/doc/'
+             |    || CAST((doc_id*17+3) % 1000 AS VARCHAR)
+             |    || '">more</a> <a href="/doc/'
+             |    || CAST(doc_id % 100 AS VARCHAR) || '">hub</a></p>' AS html
+             |  FROM documents),
+             |e0 AS (SELECT source, unnest(regexp_extract_all(html,
+             |    'href="/doc/([0-9]+)"', 1)) AS t
+             |  FROM p),
+             |e AS (SELECT source, CAST(t AS BIGINT) AS target FROM e0),
+             |bt AS (SELECT source, target, CAST(count(*) AS BIGINT) AS c
+             |  FROM e GROUP BY 1, 2),
+             |tp AS (SELECT source, target AS top_target,
+             |    c AS top_target_links,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY c DESC, target ASC) AS rk
+             |  FROM bt),
+             |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_links,
+             |    CAST(count(*) AS BIGINT) AS n_targets
+             |  FROM bt GROUP BY 1)
+             |SELECT tt.source, n_links, n_targets, top_target,
+             |  top_target_links
+             |FROM tt JOIN tp ON tt.source = tp.source AND tp.rk = 1
+             |ORDER BY tt.source""".stripMargin)),
+
+    // ── q303: robots-style path-prefix filter — the fetch-policy face.
+    // A crawl respects per-host path-prefix disallow rules; here a
+    // fixed three-prefix blocklist classifies every canonical URL's
+    // path, and the census reports allowed/blocked mass per source.
+    // Prefix semantics are the robots.txt ones: '/docs/1' blocks
+    // /docs/1 AND /docs/10…/docs/19 (string prefix, not path segment).
+    //
+    // Scale shape: pure map-side classification on the corpus scan
+    // (the blocklist is a literal predicate, pushed into the scan's
+    // project) + one |sources|-grain aggregate. At 100 TB the rule set
+    // would broadcast; the per-row cost is identical.
+    QueryDef(
+      "q303_robots_filter",
+      (s, d) => {
+        val urls = t(s, d, "documents")
+          .select(col("source"), canonicalUrl(rawUrl).as("canonical"))
+          .withColumn("path",
+            regexp_replace(
+              regexp_replace(col("canonical"), "^[a-z]+://[^/]+", ""),
+              "\\?.*", ""))
+          .withColumn("blocked",
+            col("path").startsWith("/docs/1") ||
+              col("path").startsWith("/docs/3") ||
+              col("path").startsWith("/docs/42"))
+        urls
+          .groupBy(col("source"))
+          .agg(
+            count(when(!col("blocked"), 1)).cast("long").as("n_allowed"),
+            count(when(col("blocked"), 1)).cast("long").as("n_blocked"))
+          .withColumn("blocked_ratio",
+            expr("CAST(n_blocked * 1000000 DIV (n_allowed + n_blocked)" +
+              " AS DOUBLE) / 1000000.0"))
+          .select(col("source"), col("n_allowed"), col("n_blocked"),
+            col("blocked_ratio"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH c AS (SELECT source,
+             |    ${canonicalUrlSql(rawUrlSql)} AS canonical
+             |  FROM documents),
+             |p AS (SELECT source,
+             |    regexp_replace(regexp_replace(canonical,
+             |      '^[a-z]+://[^/]+', ''), '\\?.*', '', 'g') AS path
+             |  FROM c),
+             |f AS (SELECT source,
+             |    (path LIKE '/docs/1%' OR path LIKE '/docs/3%'
+             |     OR path LIKE '/docs/42%') AS blocked
+             |  FROM p),
+             |g AS (SELECT source,
+             |    CAST(count(*) FILTER (WHERE NOT blocked) AS BIGINT)
+             |      AS n_allowed,
+             |    CAST(count(*) FILTER (WHERE blocked) AS BIGINT)
+             |      AS n_blocked
+             |  FROM f GROUP BY 1)
+             |SELECT source, n_allowed, n_blocked,
+             |  CAST(n_blocked * 1000000 // (n_allowed + n_blocked)
+             |    AS DOUBLE) / 1000000.0 AS blocked_ratio
              |FROM g ORDER BY source""".stripMargin))
   )
 }

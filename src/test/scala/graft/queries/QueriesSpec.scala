@@ -5629,4 +5629,43 @@ class QueriesSpec extends SparkTestBase {
     assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(3)} " +
       s"expected ${exp.toSeq.sortBy(_._1).take(3)}")
   }
+
+  test("q304 sessionization equals a driver recompute; multi-event sessions exist") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q304_sessionize")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._4, x._2))
+      // split on gap > 30 min; each group = (events, errors, dur_us)
+      val groups = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (Nil, e) => List(List((e._4, e._3)))
+        case (cur :: done, e) if e._4 - cur.head._1 > gapUs =>
+          List((e._4, e._3)) :: cur :: done
+        case (cur :: done, e) => ((e._4, e._3) :: cur) :: done
+      }
+      groups.map { g =>
+        (g.length.toLong, g.head._1 - g.last._1,
+          g.count(_._2 == "error").toLong)
+      }
+    }
+    val exp = sessions.groupBy(s0 => math.min(s0._1, 10L)).map {
+      case (b, xs) =>
+        b -> ((xs.length.toLong, xs.map(_._1).sum,
+          rnd6(xs.map(_._2).sum.toDouble / xs.length.toDouble / 1000000.0),
+          xs.count(_._3 > 0).toLong))
+    }
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(4)} " +
+      s"expected ${exp.toSeq.sortBy(_._1).take(4)}")
+    // non-vacuous: sessions longer than one event exist, and the
+    // histogram has both short and capped-bucket mass at this sf
+    assert(got.keys.exists(_ > 1L), "all sessions single-event")
+    assert(got.values.map(_._1).sum > got.getOrElse(1L, (0L, 0L, 0.0, 0L))._1,
+      "no multi-event session mass")
+  }
 }

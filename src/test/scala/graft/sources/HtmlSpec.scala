@@ -131,4 +131,97 @@ class HtmlSpec extends SparkTestBase {
       assert(rt == n, s"$src: $rt/$n round-tripped")
     }
   }
+
+  // ── q301–q303 share the derived messy-URL corpus; this is the plain-
+  // Scala reimplementation of the build + canonicalization both specs
+  // recompute from
+  private def rawUrlLocal(id: Long, src: String): String = {
+    val scheme = if (id % 2 == 0) "http://" else "HTTP://"
+    val host =
+      if (id % 4 < 2) s"www.$src.example.com"
+      else s"WWW.${src.toUpperCase}.Example.COM"
+    val port = if (id % 8 < 4) "" else ":80"
+    val q = if (id % 2 == 0) s"?a=1&b=${id % 3}" else s"?b=${id % 3}&a=1"
+    val frag = if (id % 5 == 0) s"#s${id % 7}" else ""
+    s"$scheme$host$port/docs/${id % 50}$q$frag"
+  }
+
+  private def canonicalLocal(u: String): String = {
+    val noFrag = u.replaceAll("#.*", "")
+    val head = "^[a-zA-Z]+://[^/?]+".r.findFirstIn(noFrag).getOrElse("")
+    val headC = head.toLowerCase.replaceAll(":80$", "")
+    val tail = noFrag.substring(head.length)
+    val path = tail.replaceAll("\\?.*", "")
+    val qi = tail.indexOf('?')
+    val q = if (qi >= 0) tail.substring(qi + 1) else ""
+    headC + path +
+      (if (q.isEmpty) "" else "?" + q.split("&", -1).sorted.mkString("&"))
+  }
+
+  private def docIds() = graft.queries.Q.t(spark, sf(), "documents")
+    .select(col("doc_id"), col("source")).collect()
+    .map(r => (r.getLong(0), r.getString(1)))
+
+  test("q301 equals a plain-Scala recompute; variants genuinely collapse") {
+    val urls = docIds().map { case (id, src) =>
+      val r = rawUrlLocal(id, src); (src, r, canonicalLocal(r))
+    }
+    val expect = urls.groupBy(_._1).map { case (src, xs) =>
+      val nCanon = xs.map(_._3).distinct.length.toLong
+      val nRaw = xs.map(_._2).distinct.length.toLong
+      (src, (xs.length.toLong, nCanon, nRaw,
+        (nRaw * 1000000L / nCanon).toDouble / 1000000.0))
+    }
+    val got = graft.SparkEntry.queries("q301_url_canonicalize")(spark, sf())
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // the census must be non-vacuous: raw spellings genuinely collapse
+    // (distinct raw URLs exceed canonical pages in every source)
+    got.foreach { case (src, (_, nCanon, nRaw, _)) =>
+      assert(nRaw > nCanon, s"$src: no variant collapse ($nRaw raw, $nCanon canonical)")
+    }
+  }
+
+  test("q302 equals a plain-Scala recompute; the hub targets dominate") {
+    val edges = docIds().flatMap { case (id, src) =>
+      Seq((src, (id * 31 + 7) % 1000), (src, (id * 17 + 3) % 1000),
+        (src, id % 100))
+    }
+    val expect = edges.groupBy(_._1).map { case (src, xs) =>
+      val byT = xs.groupBy(_._2).map { case (t, g) => (t, g.length.toLong) }
+      val (topT, topC) = byT.toSeq.sortBy { case (t, c) => (-c, t) }.head
+      (src, (xs.length.toLong, byT.size.toLong, topT, topC))
+    }
+    val got = graft.SparkEntry.queries("q302_outlink_census")(spark, sf())
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // skew sanity: a hub target (doc_id % 100 fan-in) must beat the
+    // uniform in-degree by a wide margin
+    got.foreach { case (src, (nLinks, nTargets, _, topC)) =>
+      assert(topC * nTargets > 2 * nLinks,
+        s"$src: no hub skew (top=$topC links=$nLinks targets=$nTargets)")
+    }
+  }
+
+  test("q303 equals a plain-Scala recompute; both classes non-empty") {
+    val cls = docIds().map { case (id, src) =>
+      val path = s"/docs/${id % 50}"
+      (src, path.startsWith("/docs/1") || path.startsWith("/docs/3") ||
+        path.startsWith("/docs/42"))
+    }
+    val expect = cls.groupBy(_._1).map { case (src, xs) =>
+      val b = xs.count(_._2).toLong
+      val a = xs.length.toLong - b
+      (src, (a, b, (b * 1000000L / (a + b)).toDouble / 1000000.0))
+    }
+    val got = graft.SparkEntry.queries("q303_robots_filter")(spark, sf())
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    got.foreach { case (src, (a, b, _)) =>
+      assert(a > 0 && b > 0, s"$src: degenerate filter (allowed=$a blocked=$b)")
+    }
+  }
 }
