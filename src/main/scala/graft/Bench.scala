@@ -107,20 +107,32 @@ object Bench {
       val plan =
         if (ok && lastDf.contains(name)) planHash(lastDf(name)) else ""
       val spread = if (ts.isEmpty) 0.0 else ts.max - ts.min
-      (name, if (ts.isEmpty) 0.0 else median(ts), spread, plan, ok)
+      // pass-1 wall time, reported per query as `cold`: with the index
+      // store enabled and starting empty, the first pass of every
+      // stamped-cache query (q25-family, q36, q73/q75, q77, q295, …)
+      // carries its one-time mine/build while the median measures the
+      // SERVING path — so the suite-wide amortization claim ("mine at
+      // ingest, read forever") is measured in the committed artifact,
+      // not just in ad-hoc probes. For non-cached queries cold ≈ median
+      // (plus first-pass JIT warmth), a useful noise floor.
+      val first = ts.headOption.getOrElse(0.0)
+      (name, if (ts.isEmpty) 0.0 else median(ts), spread, plan, ok, first)
     }
     // failed queries appear ONLY in `failed`, never in `queries` — a
     // median contaminated by a fast-failure duration would read as a
     // valid timing to anyone consuming the map without cross-checking
-    val qs = results.collect { case (k, v, _, _, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, _, _, true, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    val spreads = results.collect { case (k, _, sp, _, true) =>
+    val spreads = results.collect { case (k, _, sp, _, true, _) =>
       s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, sp)
     }.mkString("{", ",", "}")
-    val plans = results.collect { case (k, _, _, p, true) =>
+    val plans = results.collect { case (k, _, _, p, true, _) =>
       s"\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    val colds = results.collect { case (k, _, _, _, true, f) =>
+      s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, f)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, true, _) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The regression-gate slice: the FIXED q01–q54 query set of the
     // round-2 ≈30.5 s baseline record. The suite keeps growing (140+
@@ -131,7 +143,7 @@ object Bench {
     // appended.
     def qNum(name: String): Int =
       name.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
-    val sliceResults = results.filter { case (k, _, _, _, ok) => ok && qNum(k) <= 54 }
+    val sliceResults = results.filter { case (k, _, _, _, ok, _) => ok && qNum(k) <= 54 }
     val slice = sliceResults.map(_._2).sum
     val nSlice = sliceResults.size
     val nQueries = results.count(_._5)
@@ -149,6 +161,7 @@ object Bench {
          |"n_queries":$nQueries,"slice_q01_q54":$slice,"n_slice":$nSlice,
          |"queries":$qs,
          |"spread":$spreads,
+         |"cold":$colds,
          |"plans":$plans,
          |"failed":$failedJson,"sf":"$sfDir","cpus":"$cpus",
          |"order":"round_robin","index_store":"$storeState"}

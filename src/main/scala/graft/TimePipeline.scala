@@ -40,33 +40,57 @@ object TimePipeline {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     def slice(lo: Long, hi: Long) =
       docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-    def upsert(lo: Long, hi: Long) =
-      graft.streaming.DocumentPipeline.upsertBatch(
+    // per-batch per-stage seconds, in the order upsertBatch reports them
+    val stageRows =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def upsert(lo: Long, hi: Long, record: Boolean) = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val rep = graft.streaming.DocumentPipeline.upsertBatch(
         slice(lo, hi),
         corpusPath = s"$root/corpus",
         shinglesPath = s"$root/shingles",
         candidatesPath = s"$root/cands",
         numBuckets = Some(16),
         signaturesPath = Some(s"$root/sigs"),
-        lmPath = Some(s"$root/lm"))
+        lmPath = Some(s"$root/lm"),
+        onStage = (name, s) => { acc(name) = acc.getOrElse(name, 0.0) + s })
+      if (record) stageRows += acc.toMap
+      rep
+    }
+    // even-n median averages the two middle elements (exact for the
+    // default batches=4, where upper-middle alone biased the band)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // untimed seed: the standing state the deltas run against
-    upsert(0L, initDocs)
+    upsert(0L, initDocs, record = false)
     val secs = (0 until batches).map { b =>
       val lo = initDocs + b * deltaSize
       val t0 = System.nanoTime()
-      val rep = upsert(lo, lo + deltaSize)
+      val rep = upsert(lo, lo + deltaSize, record = true)
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"batch $b: $s%.2f s ($rep)")
       s
     }
-    val sorted = secs.sorted
-    val median = sorted(sorted.size / 2)
+    val med = median(secs)
+    // per-stage medians across the timed batches, plus the residual
+    // (driver/planning time between stages) so the table sums to the
+    // batch wall clock and the biggest term is visible at a glance
+    val stageNames = stageRows.flatMap(_.keys).distinct
+    val stageMed = stageNames
+      .map(n => n -> median(stageRows.map(_.getOrElse(n, 0.0)).toSeq))
+    val residual = med - stageMed.map(_._2).sum
+    val stagesJson = (stageMed :+ ("residual" -> residual))
+      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
     println(s"""{"metric":"pipeline_upsert_batch","sf_dir":"$sfDir",""" +
       s""""init_docs":$initDocs,"delta_size":$deltaSize,""" +
       s""""batches":[${secs.map(x => f"$x%.3f").mkString(",")}],""" +
-      f""""median_sec":$median%.3f,"min_sec":${sorted.head}%.3f,""" +
-      f""""max_sec":${sorted.last}%.3f,""" +
-      f""""docs_per_sec":${deltaSize / median}%.1f}""")
+      f""""median_sec":$med%.3f,"min_sec":${secs.min}%.3f,""" +
+      f""""max_sec":${secs.max}%.3f,""" +
+      f""""docs_per_sec":${deltaSize / med}%.1f,""" +
+      s""""stage_median_sec":{$stagesJson}}""")
     spark.stop()
   }
 }

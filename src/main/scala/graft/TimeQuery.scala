@@ -1,14 +1,23 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual queries by name without running the whole
   * bench — median-of-N with the same noop-sink methodology as
   * [[Bench]], same local[32] shape as the driver's bench run.
   *
+  * Also reports per-query SPILL bytes (memory + disk, summed over the
+  * median run's tasks) — the constrained-heap scale probe's evidence
+  * channel: a query that completes at sf10 under a small heap either
+  * fit (spill 0) or degraded gracefully (spill > 0, still finished),
+  * and the table in BASELINE records which.
+  *
   * Usage: runMain graft.TimeQuery q26_dedup_minhash [q25_...] —
   * env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_BENCH_RUNS
-  * as in Bench.
+  * as in Bench; heap via SPARK_DRIVER_MEM (build.sbt -Xmx).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
@@ -24,19 +33,43 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // task-grain spill accumulation across the whole JVM; reset (read
+    // current value as the run's baseline) around each timed run
+    val memSpill = new AtomicLong(0L)
+    val diskSpill = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
     // opt-in durable index tier, same env contract as Bench/Verify —
     // without this a cold-vs-warm store measurement silently measures
     // store-off twice
     graft.sources.IndexStore.enableFromEnv(spark)
     args.foreach { name =>
-      val times = (1 to runs).map { _ =>
+      val measured = (1 to runs).map { _ =>
+        val mem0 = memSpill.get(); val disk0 = diskSpill.get()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a moment
+        // so the run's spill lands in its own window
+        Thread.sleep(200)
+        (secs, memSpill.get() - mem0, diskSpill.get() - disk0)
+      }
+      val times = measured.map(_._1).sorted
       val med = times(times.size / 2)
-      println(f"TIME $name%-28s median=$med%7.3f s  all=${times.map(t => f"$t%.3f").mkString(",")}")
+      val spillMem = measured.map(_._2).max
+      val spillDisk = measured.map(_._3).max
+      println(f"TIME $name%-28s median=$med%7.3f s  " +
+        f"all=${times.map(t => f"$t%.3f").mkString(",")}  " +
+        f"spill_mem=${spillMem / (1 << 20)}%d MiB spill_disk=${spillDisk / (1 << 20)}%d MiB")
     }
     spark.stop()
   }

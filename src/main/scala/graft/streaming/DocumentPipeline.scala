@@ -114,9 +114,22 @@ object DocumentPipeline {
       numBuckets: Option[Int] = None,
       signaturesPath: Option[String] = None,
       lmPath: Option[String] = None,
-      onCommitted: String => Unit = _ => ()): BatchReport = {
+      onCommitted: String => Unit = _ => (),
+      onStage: (String, Double) => Unit = (_, _) => ()): BatchReport = {
     val spark = batch.sparkSession
     val B = graft.operators.PartitionedCommit.BucketCol
+    // Stage attribution seam (r10 verdict ask #1): every expensive
+    // phase reports its wall seconds so TimePipeline can publish a
+    // per-stage latency table instead of one opaque batch figure.
+    // The forcing actions it introduces (scrub count, mine count) land
+    // on persisted frames the later consumers read back from cache, so
+    // attribution costs ~nothing and pins WHERE lazy work executes.
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     // Healed standing read, not bare fs.exists(): a crash inside a
     // commit's swap leaves a path (or one bucket of it) absent with
     // the only copy at `.__old__`. A bare exists() gate would read
@@ -142,6 +155,9 @@ object DocumentPipeline {
       .withColumn("text", graft.queries.TextQueries.scrubPii(col("text")))
       .persist()
     try {
+      // forces dedup + PII scrub into the persisted cache once, so the
+      // five downstream consumers all read scrubbed rows from memory
+      timed("scrub")(scrubbed.count())
       val deltaSh = scrubbed.select(col("doc_id"),
         graft.queries.DedupQueries.shingleHashes(
           filter(split(col("text"), " "), tk => length(tk) > 0)).as("s"))
@@ -164,7 +180,12 @@ object DocumentPipeline {
       // it must fully materialize before that index is rewritten
       val newCands = mined.select(CandSchema.map(col): _*).persist()
       try {
-        val replaced = standing(corpusPath) match {
+        // the count both yields the report's newCandidates figure and
+        // FORCES the mine here, against the still-pre-batch standing
+        // index, before any commit rewrites it — making "mine" its own
+        // attributable stage and leaving the commits below pure writes
+        val newCandidates = timed("mine")(newCands.count())
+        val replaced = timed("replaced_probe")(standing(corpusPath) match {
           case None => 0L
           case Some(c) =>
             val slice = numBuckets match {
@@ -176,11 +197,11 @@ object DocumentPipeline {
               case None => c
             }
             slice.join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
-        }
+        })
 
         // candidates first: the standing shingle index must still
         // describe the pre-batch corpus while the mine executes
-        val candidateRows = numBuckets match {
+        val candidateRows = timed("commit_candidates")(numBuckets match {
           case None =>
             val keptCands = standing(candidatesPath).map(
               _.join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
@@ -221,7 +242,7 @@ object DocumentPipeline {
             graft.operators.PartitionedCommit.commitPartitions(
               spark, merged, candidatesPath, touched)
             graft.operators.PartitionedCommit.standingCount(spark, candidatesPath)
-        }
+        })
         // `onCommitted(artifact)` fires after EACH lockstep commit
         // lands — candidates/shingles/corpus always, then signatures
         // and lm when those paths are maintained — an ops progress
@@ -230,20 +251,19 @@ object DocumentPipeline {
         // proves the replay heals every such interleaving to the
         // one-pass rebuild state
         onCommitted("candidates")
-        val newCandidates = newCands.count()
-        val shingleRows = CorpusMaintenance.upsertBatch(
-          deltaSh, shinglesPath, "doc_id", numBuckets)
+        val shingleRows = timed("commit_shingles")(CorpusMaintenance
+          .upsertBatch(deltaSh, shinglesPath, "doc_id", numBuckets))
         onCommitted("shingles")
-        val corpusRows = CorpusMaintenance.upsertBatch(
-          scrubbed, corpusPath, "doc_id", numBuckets)
+        val corpusRows = timed("commit_corpus")(CorpusMaintenance
+          .upsertBatch(scrubbed, corpusPath, "doc_id", numBuckets))
         onCommitted("corpus")
         val sigRows = signaturesPath.fold(0L) { p =>
           graft.functions.GraftFunctions.register(spark)
-          val n = CorpusMaintenance.upsertBatch(
+          val n = timed("commit_signatures")(CorpusMaintenance.upsertBatch(
             scrubbed.select(col("doc_id"),
               graft.functions.GraftFunctions.phash64(
                 lower(col("text")).cast("binary")).as("sig")),
-            p, "doc_id", numBuckets)
+            p, "doc_id", numBuckets))
           onCommitted("signatures")
           n
         }
@@ -263,7 +283,7 @@ object DocumentPipeline {
         var batchNll: Option[Double] = None
         val lmRows = lmPath.fold(0L) { p =>
           val lm = graft.operators.IncrementalLm
-          standing(p).foreach { tf =>
+          timed("lm_score")(standing(p).foreach { tf =>
             // the vocabulary-sized aggregate persists across its two
             // consumers (cost table + OOV mass) so the corpus-grain
             // standing tf table is scanned ONCE per batch for the
@@ -281,10 +301,10 @@ object DocumentPipeline {
               counts.unpersist()
               ()
             }
-          }
-          val n = CorpusMaintenance.upsertGroups(
+          })
+          val n = timed("commit_lm")(CorpusMaintenance.upsertGroups(
             lm.docTf(scrubbed), p, "doc_id", numBuckets,
-            retireKeys = Some(batchIds))
+            retireKeys = Some(batchIds)))
           onCommitted("lm")
           n
         }
