@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * per-batch seconds and the derived band.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches]
-  * (defaults 3000 / 500 / 4 — sf0.1's 5000 docs leave 4 full deltas).
+  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode]
+  * (defaults 3000 / 500 / 4 / par — sf0.1's 5000 docs leave 4 full
+  * deltas; mode `par` overlaps the four independent artifact commits,
+  * `seq` is the pre-r11 sequential order for A/B comparison).
   */
 object TimePipeline {
   def main(args: Array[String]): Unit = {
@@ -27,6 +29,7 @@ object TimePipeline {
     val initDocs = args.headOption.map(_.toLong).getOrElse(3000L)
     val deltaSize = if (args.length > 1) args(1).toLong else 500L
     val batches = if (args.length > 2) args(2).toInt else 4
+    val parallel = if (args.length > 3) args(3) == "par" else true
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,7 +56,12 @@ object TimePipeline {
         numBuckets = Some(16),
         signaturesPath = Some(s"$root/sigs"),
         lmPath = Some(s"$root/lm"),
-        onStage = (name, s) => { acc(name) = acc.getOrElse(name, 0.0) + s })
+        // parallel mode fires onStage from pool threads — synchronize
+        onStage = (name, s) => acc.synchronized {
+          acc(name) = acc.getOrElse(name, 0.0) + s
+          ()
+        },
+        parallelCommits = parallel)
       if (record) stageRows += acc.toMap
       rep
     }
@@ -84,7 +92,11 @@ object TimePipeline {
     val residual = med - stageMed.map(_._2).sum
     val stagesJson = (stageMed :+ ("residual" -> residual))
       .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    // NOTE: in `par` mode stage times overlap, so their sum exceeds the
+    // batch wall clock and `residual` goes negative — the stage table
+    // then reads as attribution of concurrent work, not a waterfall.
     println(s"""{"metric":"pipeline_upsert_batch","sf_dir":"$sfDir",""" +
+      s""""mode":"${if (parallel) "par" else "seq"}",""" +
       s""""init_docs":$initDocs,"delta_size":$deltaSize,""" +
       s""""batches":[${secs.map(x => f"$x%.3f").mkString(",")}],""" +
       f""""median_sec":$med%.3f,"min_sec":${secs.min}%.3f,""" +

@@ -47,6 +47,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DocumentPipeline {
 
+  /** Daemon pool for [[upsertBatch]]'s parallel-commit mode — sized for
+    * the four post-candidate artifact commits. Threads are daemons so a
+    * wedged commit can never pin the JVM open; tasks never block on
+    * each other (no nested futures), so the fixed size cannot deadlock
+    * even with concurrent [[upsertBatch]] callers.
+    */
+  private lazy val CommitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-commit")
+          t.setDaemon(true)
+          t
+        }))
+
   /** What one micro-batch did: committed corpus/shingle-index rows,
     * committed candidate rows, how many of those candidates are new
     * this batch, how many standing docs the batch replaced, and (when
@@ -98,6 +114,16 @@ object DocumentPipeline {
     * the aggregate counts / cost table derive by vocabulary-bounded
     * aggregation ([[graft.operators.IncrementalLm.countsFromTf]]).
     * Like every artifact here, the LM describes the SCRUBBED text.
+    *
+    * `parallelCommits = true` overlaps the four post-candidate commits
+    * (shingles, corpus, signatures, LM) on a small daemon pool — they
+    * touch disjoint artifacts and read only their own standing state
+    * plus caches forced before any commit starts, so results are
+    * byte-identical to the sequential order and replay healing holds
+    * for any surviving subset (spec-proved). The candidates commit
+    * stays first either way. In this mode `onCommitted`/`onStage`
+    * callbacks may interleave across threads; callers that record must
+    * synchronize (the crash-matrix spec keeps the sequential default).
     * Each batch is also scored against the PRE-batch standing model
     * (unseen bigrams at the OOV cost) and the token-weighted mean
     * −ln p ships in the report as `batchNll` — the LM twin of
@@ -115,7 +141,8 @@ object DocumentPipeline {
       signaturesPath: Option[String] = None,
       lmPath: Option[String] = None,
       onCommitted: String => Unit = _ => (),
-      onStage: (String, Double) => Unit = (_, _) => ()): BatchReport = {
+      onStage: (String, Double) => Unit = (_, _) => (),
+      parallelCommits: Boolean = false): BatchReport = {
     val spark = batch.sparkSession
     val B = graft.operators.PartitionedCommit.BucketCol
     // Stage attribution seam (r10 verdict ask #1): every expensive
@@ -251,14 +278,34 @@ object DocumentPipeline {
         // proves the replay heals every such interleaving to the
         // one-pass rebuild state
         onCommitted("candidates")
-        val shingleRows = timed("commit_shingles")(CorpusMaintenance
-          .upsertBatch(deltaSh, shinglesPath, "doc_id", numBuckets))
-        onCommitted("shingles")
-        val corpusRows = timed("commit_corpus")(CorpusMaintenance
-          .upsertBatch(scrubbed, corpusPath, "doc_id", numBuckets))
-        onCommitted("corpus")
-        val sigRows = signaturesPath.fold(0L) { p =>
-          graft.functions.GraftFunctions.register(spark)
+        // The four remaining commits touch four DISJOINT artifacts and
+        // read only their own standing state plus the already-forced
+        // caches (`scrubbed`, `newCands`) — no ordering between them
+        // changes any committed byte, and replay heals ANY surviving
+        // subset (each thunk drops its own batch keys and recommits
+        // identical rows), not just prefixes — the property the crash
+        // matrix spec proves pairwise. `parallelCommits` overlaps them
+        // on the daemon pool: per-stage attribution (TimePipeline, the
+        // r10 ask) measured these commits at ~2/3 of batch wall time,
+        // dominated by per-commit planning + staged-swap latency that
+        // concurrent Spark jobs absorb.
+        signaturesPath.foreach(_ =>
+          // registry mutation is not a thing to race from the pool —
+          // register once, up front, on the caller thread
+          graft.functions.GraftFunctions.register(spark))
+        val doShingles: () => Long = () => {
+          val n = timed("commit_shingles")(CorpusMaintenance
+            .upsertBatch(deltaSh, shinglesPath, "doc_id", numBuckets))
+          onCommitted("shingles")
+          n
+        }
+        val doCorpus: () => Long = () => {
+          val n = timed("commit_corpus")(CorpusMaintenance
+            .upsertBatch(scrubbed, corpusPath, "doc_id", numBuckets))
+          onCommitted("corpus")
+          n
+        }
+        val doSigs: () => Long = () => signaturesPath.fold(0L) { p =>
           val n = timed("commit_signatures")(CorpusMaintenance.upsertBatch(
             scrubbed.select(col("doc_id"),
               graft.functions.GraftFunctions.phash64(
@@ -280,34 +327,51 @@ object DocumentPipeline {
         // it happens, not at the next corpus-wide quality audit.
         // Unseen bigrams price at the OOV cost, so fully-foreign text
         // reads as HIGH nll, never as p = 1.
-        var batchNll: Option[Double] = None
-        val lmRows = lmPath.fold(0L) { p =>
-          val lm = graft.operators.IncrementalLm
-          timed("lm_score")(standing(p).foreach { tf =>
-            // the vocabulary-sized aggregate persists across its two
-            // consumers (cost table + OOV mass) so the corpus-grain
-            // standing tf table is scanned ONCE per batch for the
-            // drift score, not twice
-            val counts = lm.countsFromTf(tf.drop(B)).persist()
-            try {
-              val scored = lm.score(
-                scrubbed, lm.costTable(counts), lm.oovCost(counts))
-              val agg = scored.agg(
-                sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
-                .head()
-              if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
-                batchNll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
-            } finally {
-              counts.unpersist()
-              ()
-            }
-          })
-          val n = timed("commit_lm")(CorpusMaintenance.upsertGroups(
-            lm.docTf(scrubbed), p, "doc_id", numBuckets,
-            retireKeys = Some(batchIds)))
-          onCommitted("lm")
-          n
-        }
+        val doLm: () => (Long, Option[Double]) = () =>
+          lmPath.fold((0L, Option.empty[Double])) { p =>
+            val lm = graft.operators.IncrementalLm
+            var nll: Option[Double] = None
+            timed("lm_score")(standing(p).foreach { tf =>
+              // the vocabulary-sized aggregate persists across its two
+              // consumers (cost table + OOV mass) so the corpus-grain
+              // standing tf table is scanned ONCE per batch for the
+              // drift score, not twice
+              val counts = lm.countsFromTf(tf.drop(B)).persist()
+              try {
+                val scored = lm.score(
+                  scrubbed, lm.costTable(counts), lm.oovCost(counts))
+                val agg = scored.agg(
+                  sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
+                  .head()
+                if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
+                  nll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
+              } finally {
+                counts.unpersist()
+                ()
+              }
+            })
+            // the score above reads the PRE-batch standing model; the
+            // commit below rewrites it — strictly ordered WITHIN this
+            // thunk, so the parallel mode preserves the drift contract
+            val n = timed("commit_lm")(CorpusMaintenance.upsertGroups(
+              lm.docTf(scrubbed), p, "doc_id", numBuckets,
+              retireKeys = Some(batchIds)))
+            onCommitted("lm")
+            (n, nll)
+          }
+        val (shingleRows, corpusRows, sigRows, (lmRows, batchNll)) =
+          if (!parallelCommits) (doShingles(), doCorpus(), doSigs(), doLm())
+          else {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: scala.concurrent.ExecutionContext = CommitPool
+            val fs = Future(doShingles())
+            val fc = Future(doCorpus())
+            val fg = Future(doSigs())
+            val fl = Future(doLm())
+            (Await.result(fs, Duration.Inf), Await.result(fc, Duration.Inf),
+              Await.result(fg, Duration.Inf), Await.result(fl, Duration.Inf))
+          }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,
           sigRows, lmRows, batchNll)
@@ -337,14 +401,15 @@ object DocumentPipeline {
       numBuckets: Option[Int] = None,
       signaturesPath: Option[String] = None,
       lmPath: Option[String] = None,
-      onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+      onBatch: BatchReport => Unit = _ => (),
+      parallelCommits: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
           batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets,
-          signaturesPath, lmPath))
+          signaturesPath, lmPath, parallelCommits = parallelCommits))
         ()
       }
       .start()

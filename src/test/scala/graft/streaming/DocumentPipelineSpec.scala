@@ -242,6 +242,86 @@ class DocumentPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("parallel commits: quintet identical to sequential; mid-flight kill heals on replay") {
+    // parallelCommits overlaps the four post-candidate commits; the
+    // contract is (a) byte-identical final state to the sequential
+    // order, and (b) a kill while SOME of the four have landed (an
+    // arbitrary subset, not a prefix) heals on replay — strictly more
+    // states than the sequential crash matrix covers.
+    val b1 = Seq((1L, s"$base a1"), (2L, s"$base a2"))
+    val b2 = Seq((3L, s"$base a3"),
+      (2L, "rewritten into an entirely different document now"))
+    graft.functions.GraftFunctions.register(spark)
+    def run(p: Paths, b: Seq[(Long, String)], par: Boolean,
+        onC: String => Unit = _ => ()) =
+      DocumentPipeline.upsertBatch(docs(b: _*), p.corpus, p.shingles,
+        p.cands, numBuckets = Some(4),
+        signaturesPath = Some(p.root + "/sigs"),
+        lmPath = Some(p.root + "/lm"),
+        onCommitted = onC, parallelCommits = par)
+    def snap5(p: Paths) = (
+      spark.read.parquet(p.corpus).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(p.shingles).select("doc_id", "s").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)),
+      spark.read.parquet(p.root + "/sigs").select("doc_id", "sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      lmStored(p.root + "/lm"))
+    val ctl = Paths(tmp("docpipe-par-ctl"))
+    run(ctl, b1, par = false)
+    val ctlRep = run(ctl, b2, par = false)
+    val want = snap5(ctl)
+    // (a) parallel end state ≡ sequential end state, same report
+    val par = Paths(tmp("docpipe-par"))
+    run(par, b1, par = true)
+    val parRep = run(par, b2, par = true)
+    assert(snap5(par) == want, "parallel quintet != sequential quintet")
+    assert(parRep == ctlRep, s"parallel report drifted: $parRep vs $ctlRep")
+    // (b) a parallel-phase death leaves an ARBITRARY SUBSET of the four
+    // commits landed, not a prefix. Construct those states exactly (run
+    // the batch fully, then roll the artifacts OUTSIDE the subset back
+    // to their pre-batch snapshot — deterministic, no racing zombie
+    // threads like an in-flight kill would leave) and require replay to
+    // converge to the control for representative subsets: none landed,
+    // one landed, a non-contiguous pair landed.
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).sorted().forEach { f =>
+        val d = java.nio.file.Paths.get(dst).resolve(s.relativize(f))
+        if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.createDirectories(d)
+        else java.nio.file.Files.copy(f, d)
+        ()
+      }
+    }
+    def deleteDir(dir: String): Unit = {
+      val d = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+    }
+    val arts = Seq("shingles", "corpus", "sigs", "lm")
+    for (landed <- Seq(Set.empty[String], Set("corpus"),
+        Set("shingles", "lm"))) {
+      val p = Paths(tmp(s"docpipe-par-subset"))
+      run(p, b1, par = true)
+      val pre = tmp("docpipe-par-pre")
+      arts.foreach(a => copyDir(s"${p.root}/$a", s"$pre/$a"))
+      run(p, b2, par = true)
+      // roll back everything NOT in `landed` — candidates stay (they
+      // commit first, before the parallel phase, in both modes)
+      arts.filterNot(landed).foreach { a =>
+        deleteDir(s"${p.root}/$a")
+        copyDir(s"$pre/$a", s"${p.root}/$a")
+      }
+      run(p, b2, par = true)
+      assert(snap5(p) == want,
+        s"subset $landed landed: healed parallel quintet != control")
+    }
+  }
+
   test("PII is scrubbed before any artifact sees the text") {
     val p = Paths(tmp("docpipe-pii"))
     DocumentPipeline.upsertBatch(
