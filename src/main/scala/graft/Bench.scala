@@ -29,7 +29,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // 64m is sized for the 8–30 g bench heaps; constrained-memory
+      // runs pass SPARK_GRAFT_BROADCAST (see TimeQuery — the sf10
+      // 4 GiB probe's sizing rule: threshold scales with executor
+      // memory, or AQE promotes fact sides the heap can't host)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.ui.enabled", "false")
       // Round-robin repetitions expose Spark's whole-stage-codegen
       // cache default (100 entries) as a benchmark artifact: ~194

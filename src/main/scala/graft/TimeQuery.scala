@@ -25,13 +25,40 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // the broadcast threshold must scale with executor memory: 64m
+      // serialized ≈ several× that deserialized, ×concurrent tasks —
+      // fine on the 8–30 g bench heaps, fatal at 4 g (the probe's q274
+      // catch: AQE promoted a 15 M-row fact side that fit the 64 m
+      // rule and the driver died building it). Constrained runs pass
+      // SPARK_GRAFT_BROADCAST=16m — the same sizing a real cluster
+      // does per executor-memory tier.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Constrained-memory knob (the spill-probe lesson): with AQE on,
+    // raising the INITIAL shuffle partition count lets each reduce
+    // task hold 1/Nth the state — AQE coalesces the cheap stages back
+    // down, so well-sized stages pay nothing. This is exactly the
+    // partition-sizing move a real cluster makes when per-task state
+    // outgrows executor memory (q135's pair-grain aggregate at sf10
+    // under a 4 GiB heap OOMs at 32 partitions, completes at 256).
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").foreach(n => builder
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // Second constrained-memory knob: by default HALF the unified pool
+    // is protected for cached blocks (spark.memory.storageFraction
+    // 0.5), so a multi-query session whose earlier queries stamped
+    // their index caches leaves later agg-heavy queries only ~1/2 the
+    // execution memory their solo run had (q274 at sf10/4 GiB passed
+    // solo, OOMed ninth-in-session). Lowering the PROTECTED fraction
+    // lets execution evict cache instead of dying — the tuning an
+    // agg-heavy production executor runs with.
+    sys.env.get("SPARK_GRAFT_STORAGE_FRACTION").foreach(f => builder
+      .config("spark.memory.storageFraction", f))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // task-grain spill accumulation across the whole JVM; reset (read
     // current value as the run's baseline) around each timed run

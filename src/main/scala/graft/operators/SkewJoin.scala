@@ -112,11 +112,33 @@ object SkewJoin {
       "occ must not already carry __k/__bx/__by columns")
     def side(df: DataFrame, sfx: String): DataFrame =
       df.select(col(keyCol).as("__k") +: payload.map(c => col(c).as(c + sfx)): _*)
+    // Physical-join safety gate, decided the way the hot-key split is —
+    // by MEASURING, not by trusting stats: Catalyst's size estimate for
+    // a frame behind an explode reflects the narrow child, not the
+    // fan-out, so a corpus-sized occurrence frame can read as
+    // broadcast-eligible (q86's 28M-row deletion-variant frame at sf10
+    // estimated under the 64 MB threshold and the driver died building
+    // the broadcast under a 4 GiB heap — the constrained-memory probe's
+    // catch). Past the safe-row bound, both joined() sides get the
+    // merge hint: sort-merge is the SPILLABLE plan, the 100 TB
+    // contract. UNDER the bound the join is left unhinted, so a
+    // genuinely small corpus keeps the (faster) broadcast self-join —
+    // hinting unconditionally measured 2.2× on q86 at sf0.1. The count
+    // is one job, memoized per canonicalized occ plan for the session
+    // (a repeated mine re-decides for free; measured +~1 s per q86 run
+    // at sf0.1 unmemoized). A corpus that GROWS past the bound under
+    // an identical plan in one session would keep a stale "small"
+    // verdict — the maintained-index paths hold corpus versions in
+    // distinct stamped plans, so the key changes when the data does.
+    val bigOcc = bigOccMemo.computeIfAbsent(
+      occ.queryExecution.analyzed.semanticHash(),
+      _ => occ.count() > BroadcastSafeOccRows)
     def joined(x: DataFrame, y: DataFrame, saltKeys: Seq[String]): DataFrame = {
       val cond = (Seq("__k") ++ saltKeys)
         .map(k => col(s"x.$k") === col(s"y.$k"))
         .reduce(_ && _) && (col(s"${idCol}_a") < col(s"${idCol}_b"))
-      x.as("x").join(y.as("y"), cond).drop("__k", "__bx", "__by")
+      val xh = if (bigOcc) x.hint("merge") else x
+      xh.as("x").join(y.as("y"), cond).drop("__k", "__bx", "__by")
     }
     val dfAgg = occ.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("df"))
@@ -167,4 +189,19 @@ object SkewJoin {
     * split falls back to broadcast joins.
     */
   private val MaxInlineHot = 1000
+
+  /** Occurrence-row bound above which the self-join sides are forced
+    * to sort-merge: ~2 M rows × a few tens of bytes is past any sane
+    * broadcast even before the fan-out a hot key adds, while every
+    * genuinely-small corpus (where the broadcast self-join wins) sits
+    * orders of magnitude below it.
+    */
+  private val BroadcastSafeOccRows = 2000000L
+
+  /** Session-lifetime memo of the occ-size verdict, keyed by the
+    * analyzed plan's semantic hash (see the call site for staleness
+    * notes). Bool is tiny; the map lives as long as the JVM.
+    */
+  private val bigOccMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
 }

@@ -2717,13 +2717,19 @@ object Relational {
     // marginals away — q111's PMI argument on baskets instead of
     // token windows). Support ≥ 2 kills the single-co-occurrence
     // noise lift is notorious for. Scale shape: lineitem collapses
-    // to the DISTINCT (order, part) grain first (one hash agg);
-    // the pair self-join keys on l_orderkey, where fanout is
-    // BASKET-bounded (≤ 13² per order on any corpus — order size is
-    // a domain constant, never corpus-scale); marginal order-counts
-    // attach via |parts|-keyed equi-joins; the 1-row order total
-    // broadcasts (q91's scalar shape); lift derives from exact
-    // DECIMAL(38,0)/HUGEINT integer products with ONE division,
+    // to the DISTINCT (order, part) grain first (one hash agg), then
+    // to BASKETS (sorted part lists per order — bounded by order
+    // size, a domain constant ≤ ~13, never corpus-scale); pairs
+    // explode from each basket MAP-SIDE via an index HOF (sortedness
+    // gives part_a < part_b for free), so only the pair-grain agg
+    // exchanges — q121's rule. The pre-r11 form self-joined op on
+    // l_orderkey instead: same output, but it sorted the corpus-grain
+    // frame TWICE for the SMJ, and the sf10-under-4 GiB probe killed
+    // it in the spill-merge (hundreds of spill-file readers × tasks);
+    // the basket HOF removes that join at every scale. Marginal
+    // order-counts attach via |parts|-keyed equi-joins; the 1-row
+    // order total broadcasts (q91's scalar shape); lift derives from
+    // exact DECIMAL(38,0)/HUGEINT integer products with ONE division,
     // round 6; top-20 is TakeOrdered.
     QueryDef(
       "q135_market_basket",
@@ -2736,9 +2742,14 @@ object Relational {
           .agg(count(lit(1)).cast("long").as("o_cnt"))
         val tot = op.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).cast("long").as("n_orders"))
-        val pairs = op.toDF("l_orderkey", "part_a")
-          .join(op.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
-          .filter(col("part_a") < col("part_b"))
+        val baskets = op.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        val pairs = baskets
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
+          .select(col("p.part_a"), col("p.part_b"))
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).cast("long").as("c_ab"))
           .filter(col("c_ab") >= 2)
