@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * per-batch seconds and the derived band.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode]
-  * (defaults 3000 / 500 / 4 / par — sf0.1's 5000 docs leave 4 full
-  * deltas; mode `par` overlaps the four independent artifact commits,
-  * `seq` is the pre-r11 sequential order for A/B comparison).
+  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode] [buckets]
+  * (defaults 3000 / 500 / 4 / par / 16 — sf0.1's 5000 docs leave 4
+  * full deltas; mode `par` overlaps the four independent artifact
+  * commits, `seq` is the pre-r11 sequential order for A/B comparison;
+  * `buckets` sizes the partitioned layout — the O(batch) commit
+  * contract requires buckets ∝ corpus so per-bucket mass stays
+  * constant, and the standing-size sweep measures exactly that rule).
   */
 object TimePipeline {
   def main(args: Array[String]): Unit = {
@@ -30,6 +33,7 @@ object TimePipeline {
     val deltaSize = if (args.length > 1) args(1).toLong else 500L
     val batches = if (args.length > 2) args(2).toInt else 4
     val parallel = if (args.length > 3) args(3) == "par" else true
+    val buckets = if (args.length > 4) args(4).toInt else 16
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,7 +57,7 @@ object TimePipeline {
         corpusPath = s"$root/corpus",
         shinglesPath = s"$root/shingles",
         candidatesPath = s"$root/cands",
-        numBuckets = Some(16),
+        numBuckets = Some(buckets),
         signaturesPath = Some(s"$root/sigs"),
         lmPath = Some(s"$root/lm"),
         // parallel mode fires onStage from pool threads — synchronize
@@ -96,7 +100,7 @@ object TimePipeline {
     // batch wall clock and `residual` goes negative — the stage table
     // then reads as attribution of concurrent work, not a waterfall.
     println(s"""{"metric":"pipeline_upsert_batch","sf_dir":"$sfDir",""" +
-      s""""mode":"${if (parallel) "par" else "seq"}",""" +
+      s""""mode":"${if (parallel) "par" else "seq"}","buckets":$buckets,""" +
       s""""init_docs":$initDocs,"delta_size":$deltaSize,""" +
       s""""batches":[${secs.map(x => f"$x%.3f").mkString(",")}],""" +
       f""""median_sec":$med%.3f,"min_sec":${secs.min}%.3f,""" +
