@@ -43,6 +43,25 @@ object PartitionedCommit {
   def bucketOf(key: Column, numBuckets: Int): Column =
     pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
 
+  /** RANGE bucket of a monotone numeric key: `floor(key / span)` —
+    * the append-ingest layout the r11 standing-size sweep motivated.
+    * Hash bucketing spreads every batch over ~all buckets, so commit
+    * cost grows with corpus once batches span the bucket set; under
+    * range bucketing an arrival-ordered batch (new ids are the next
+    * id range — the normal ingest shape) lands in ONE new bucket
+    * (two at a span boundary) and the commit stages + swaps only
+    * that — true O(batch) write cost at ANY corpus size, with the
+    * bucket count growing alongside the data instead of being fixed
+    * at table creation. Updates to old keys still touch exactly the
+    * bucket holding them (a key never migrates). The trade: bucket
+    * mass follows key-range density, so a skewed id allocation skews
+    * bucket sizes where hash bucketing would not.
+    */
+  def rangeBucketOf(key: Column, span: Long): Column = {
+    require(span > 0, "span must be positive")
+    floor(key.cast("long") / span).cast("int")
+  }
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

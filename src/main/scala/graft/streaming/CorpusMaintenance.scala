@@ -88,7 +88,8 @@ object CorpusMaintenance {
       prepared: DataFrame, keys: DataFrame, corpusPath: String,
       keyCol: String, numBuckets: Option[Int]): Long = numBuckets match {
     case Some(n) =>
-      upsertPreparedPartitioned(prepared, keys, corpusPath, keyCol, n)
+      upsertPreparedPartitioned(prepared, keys, corpusPath, keyCol,
+        graft.operators.PartitionedCommit.bucketOf(_, n))
     case None =>
       val spark = prepared.sparkSession
       // Crash recovery: a destination absent because CommitSink's swap
@@ -114,35 +115,61 @@ object CorpusMaintenance {
   /** Partition-grain upsert — same merge semantics as the full-rewrite
     * path (spec-proved equal), but the corpus is hive-partitioned by
     * `pmod(xxhash64(key), n)` and the commit stages + swaps ONLY the
-    * buckets holding batch keys: per-batch write cost is O(batch), not
-    * O(corpus), the 100 TB contract. The standing read of the touched
-    * slice prunes at planning time; untouched bucket directories are
-    * never listed by the swap, rewritten, or renamed. Returns the
-    * total standing corpus rows (footer counts, no data pages) for
-    * report parity with the full-rewrite path.
+    * buckets holding batch keys: per-batch write cost is O(touched
+    * bucket mass) — O(batch) while batch keys cluster into few
+    * buckets; see the honest-bound note on
+    * [[graft.streaming.DocumentPipeline]] and [[upsertBatchRange]]
+    * for the append layout where that clustering is structural. The
+    * standing read of the touched slice prunes at planning time;
+    * untouched bucket directories are never listed by the swap,
+    * rewritten, or renamed. Returns the total standing corpus rows
+    * (footer counts, no data pages) for report parity with the
+    * full-rewrite path.
     */
   def upsertBatchPartitioned(
       batch: DataFrame, corpusPath: String, keyCol: String,
       numBuckets: Int): Long = {
     val deduped = dedupBatch(batch, keyCol)
     upsertPreparedPartitioned(deduped, deduped.select(col(keyCol)),
-      corpusPath, keyCol, numBuckets)
+      corpusPath, keyCol,
+      graft.operators.PartitionedCommit.bucketOf(_, numBuckets))
+  }
+
+  /** RANGE-partitioned upsert — the append-ingest layout
+    * ([[graft.operators.PartitionedCommit.rangeBucketOf]]): keys
+    * bucket by `floor(key / span)`, so an arrival-ordered batch (the
+    * next id range) touches ONE new bucket and the commit cost is
+    * O(batch) at ANY corpus size — the contract hash bucketing loses
+    * once batches span its fixed bucket set (the r11 sweep: 23.3 s
+    * at n = 16 vs 64.3 s at n = 160 for the same 500-doc batch at
+    * 30 k standing docs, both rewriting ~everything). Same merge
+    * semantics and crash contract; updates to old keys rewrite
+    * exactly the buckets holding them. Layout is chosen at table
+    * creation and must stay consistent across calls (span included).
+    */
+  def upsertBatchRange(
+      batch: DataFrame, corpusPath: String, keyCol: String,
+      span: Long): Long = {
+    val deduped = dedupBatch(batch, keyCol)
+    upsertPreparedPartitioned(deduped, deduped.select(col(keyCol)),
+      corpusPath, keyCol,
+      graft.operators.PartitionedCommit.rangeBucketOf(_, span))
   }
 
   private def upsertPreparedPartitioned(
       prepared: DataFrame, keys: DataFrame, corpusPath: String,
-      keyCol: String, numBuckets: Int): Long = {
+      keyCol: String, bucketOf: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Long = {
     import graft.operators.PartitionedCommit
     val spark = prepared.sparkSession
     val B = PartitionedCommit.BucketCol
-    val bucketed = prepared
-      .withColumn(B, PartitionedCommit.bucketOf(col(keyCol), numBuckets))
+    val bucketed = prepared.withColumn(B, bucketOf(col(keyCol)))
     // touched buckets derive from the KEY set, not the batch rows:
     // a retire-only key (empty new group) still names a bucket whose
     // standing rows must be rewritten without it.
-    // ≤ numBuckets rows — driver-safe by construction
+    // ≤ |batch| rows — driver-safe by construction
     val touched = keys
-      .select(PartitionedCommit.bucketOf(col(keyCol), numBuckets).as(B))
+      .select(bucketOf(col(keyCol)).as(B))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val merged = PartitionedCommit.readIfAny(spark, corpusPath) match {
       case None => bucketed
