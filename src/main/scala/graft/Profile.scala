@@ -174,20 +174,20 @@ object Profile {
       .createTempDirectory("graft-profile-cdc").toString
     val vCols = Seq("ts_us", "event_id")
     graft.streaming.ChangelogCompaction.applyDelta(
-      evC, s"$cdcRoot/v1", "user_id", vCols, Some(32))
+      evC, s"$cdcRoot/v1", "user_id", vCols, Some(graft.operators.PartitionedCommit.Layout.Hash(32)))
     graft.streaming.ChangelogCompaction.applyDelta(
-      evC10, s"$cdcRoot/v10", "user_id", vCols, Some(32))
+      evC10, s"$cdcRoot/v10", "user_id", vCols, Some(graft.operators.PartitionedCommit.Layout.Hash(32)))
     val keys = evC.select(col("user_id")).distinct().limit(3)
       .collect().map(_.getLong(0))
     val delta1 = evC.filter(col("user_id").isin(keys: _*))
     val delta10 = delta1.withColumn("user_id", col("user_id") * 10 + lit(1L))
     val cd1 = timedS("cdc 3-key delta into 1x") {
       graft.streaming.ChangelogCompaction.applyDelta(
-        delta1, s"$cdcRoot/v1", "user_id", vCols, Some(32)); ()
+        delta1, s"$cdcRoot/v1", "user_id", vCols, Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     val cd10 = timedS("cdc 3-key delta into 10x") {
       graft.streaming.ChangelogCompaction.applyDelta(
-        delta10, s"$cdcRoot/v10", "user_id", vCols, Some(32)); ()
+        delta10, s"$cdcRoot/v10", "user_id", vCols, Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     println(f"PHASE cdc 10x/1x delta cost ratio ${cd10 / cd1}%8.3f (≈1.0 = O(delta), 10 = O(view))")
 
@@ -255,11 +255,11 @@ object Profile {
     val (dc10, ds10, dk10) = dpPaths("10x")
     timedS("docpipe standing build 1x") {
       graft.streaming.DocumentPipeline.upsertBatch(
-        docs, dc1, ds1, dk1, numBuckets = Some(32)); ()
+        docs, dc1, ds1, dk1, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     timedS("docpipe standing build 10x") {
       graft.streaming.DocumentPipeline.upsertBatch(
-        docsDp10, dc10, ds10, dk10, numBuckets = Some(32)); ()
+        docsDp10, dc10, ds10, dk10, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     // the delta: 20 existing docs re-delivered with edited text (the
     // replace path — retire + re-shingle + re-mine), same ids per run
@@ -268,11 +268,11 @@ object Profile {
     val deltaDocs10 = shift(deltaDocs, "doc_id", 1)
     val dp1 = timedS("docpipe 20-doc delta into 1x") {
       graft.streaming.DocumentPipeline.upsertBatch(
-        deltaDocs, dc1, ds1, dk1, numBuckets = Some(32)); ()
+        deltaDocs, dc1, ds1, dk1, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     val dp10 = timedS("docpipe 20-doc delta into 10x") {
       graft.streaming.DocumentPipeline.upsertBatch(
-        deltaDocs10, dc10, ds10, dk10, numBuckets = Some(32)); ()
+        deltaDocs10, dc10, ds10, dk10, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(32))); ()
     }
     println(f"PHASE docpipe 10x/1x delta cost ratio ${dp10 / dp1}%8.3f (≈1.0 = O(delta), 10 = O(corpus))")
 

@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   * per-batch seconds and the derived band.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode] [buckets]
-  * (defaults 3000 / 500 / 4 / par / 16 — sf0.1's 5000 docs leave 4
-  * full deltas; mode `par` overlaps the four independent artifact
+  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode] [layout]
+  * (defaults 3000 / 500 / 4 / par / hash16 — sf0.1's 5000 docs leave
+  * 4 full deltas; mode `par` overlaps the four independent artifact
   * commits, `seq` is the pre-r11 sequential order for A/B comparison;
-  * `buckets` sizes the partitioned layout — the O(batch) commit
-  * contract requires buckets ∝ corpus so per-bucket mass stays
-  * constant, and the standing-size sweep measures exactly that rule).
+  * `layout` is `hash<N>` (fixed key-hash buckets — commit cost
+  * O(touched-bucket mass), degrading to O(corpus) once batches span
+  * the bucket set, the r11 sweep's finding) or `range<SPAN>`
+  * (arrival-order buckets — the O(batch) commit contract for
+  * monotone doc ids; SPAN ≈ deltaSize makes each batch land in ~one
+  * new bucket). A bare integer is accepted as `hash<N>` for
+  * compatibility with the r11 sweep invocations.)
   */
 object TimePipeline {
   def main(args: Array[String]): Unit = {
@@ -33,7 +37,12 @@ object TimePipeline {
     val deltaSize = if (args.length > 1) args(1).toLong else 500L
     val batches = if (args.length > 2) args(2).toInt else 4
     val parallel = if (args.length > 3) args(3) == "par" else true
-    val buckets = if (args.length > 4) args(4).toInt else 16
+    val layoutArg = if (args.length > 4) args(4) else "hash16"
+    import graft.operators.PartitionedCommit.Layout
+    val layout: Layout =
+      if (layoutArg.startsWith("range")) Layout.Range(layoutArg.drop(5).toLong)
+      else if (layoutArg.startsWith("hash")) Layout.Hash(layoutArg.drop(4).toInt)
+      else Layout.Hash(layoutArg.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,7 +66,7 @@ object TimePipeline {
         corpusPath = s"$root/corpus",
         shinglesPath = s"$root/shingles",
         candidatesPath = s"$root/cands",
-        numBuckets = Some(buckets),
+        layout = Some(layout),
         signaturesPath = Some(s"$root/sigs"),
         lmPath = Some(s"$root/lm"),
         // parallel mode fires onStage from pool threads — synchronize
@@ -100,7 +109,7 @@ object TimePipeline {
     // batch wall clock and `residual` goes negative — the stage table
     // then reads as attribution of concurrent work, not a waterfall.
     println(s"""{"metric":"pipeline_upsert_batch","sf_dir":"$sfDir",""" +
-      s""""mode":"${if (parallel) "par" else "seq"}","buckets":$buckets,""" +
+      s""""mode":"${if (parallel) "par" else "seq"}","layout":"$layoutArg",""" +
       s""""init_docs":$initDocs,"delta_size":$deltaSize,""" +
       s""""batches":[${secs.map(x => f"$x%.3f").mkString(",")}],""" +
       f""""median_sec":$med%.3f,"min_sec":${secs.min}%.3f,""" +

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * [[Bench]], same local[32] shape as the driver's bench run.
   *
   * Also reports per-query SPILL bytes (memory + disk, summed over the
-  * median run's tasks) — the constrained-heap scale probe's evidence
+  * tasks of the run whose time is the median) — the constrained-heap
+  * scale probe's evidence
   * channel: a query that completes at sf10 under a small heap either
   * fit (spill 0) or degraded gracefully (spill > 0, still finished),
   * and the table in BASELINE records which.
@@ -86,14 +87,18 @@ object TimeQuery {
           .write.mode("overwrite").format("noop").save()
         val secs = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously; give the bus a moment
-        // so the run's spill lands in its own window
+        // so the run's spill lands in its own window (best-effort — a
+        // straggler task-end past 200 ms attributes to the next run;
+        // acceptable tolerance for a dev tool, noted here so the
+        // numbers are read with it)
         Thread.sleep(200)
         (secs, memSpill.get() - mem0, diskSpill.get() - disk0)
       }
       val times = measured.map(_._1).sorted
       val med = times(times.size / 2)
-      val spillMem = measured.map(_._2).max
-      val spillDisk = measured.map(_._3).max
+      // spill of the run WHOSE TIME IS THE MEDIAN — the run the
+      // headline figure describes (matches the object doc)
+      val (_, spillMem, spillDisk) = measured.find(_._1 == med).get
       println(f"TIME $name%-28s median=$med%7.3f s  " +
         f"all=${times.map(t => f"$t%.3f").mkString(",")}  " +
         f"spill_mem=${spillMem / (1 << 20)}%d MiB spill_disk=${spillDisk / (1 << 20)}%d MiB")

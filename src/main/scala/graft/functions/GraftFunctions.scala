@@ -48,11 +48,19 @@ object GraftFunctions {
         ((es: Seq[Expression]) => HyperplaneLsh(es(0), lshPlanesT(t))))
   }
 
-  /** Idempotent per-session registration — call before using wrappers. */
+  /** Idempotent per-session registration — call before using wrappers.
+    * A name already present in the session's registry (a prior call,
+    * or [[graft.plans.GraftExtensions]] at session build) is left
+    * alone: re-registering via createOrReplaceTempFunction logs a
+    * replaced-function WARN per name per call, which a bench loop
+    * turns into hundreds of lines of registry noise.
+    */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 

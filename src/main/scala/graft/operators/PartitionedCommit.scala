@@ -35,6 +35,37 @@ object PartitionedCommit {
     */
   val BucketCol = "__bucket"
 
+  /** How a partitioned standing table maps keys to bucket directories —
+    * chosen at table creation and REQUIRED consistent across every
+    * later commit (span/bucket-count included): a key must land in the
+    * same directory on every call or the merge anti-join misses its
+    * standing rows.
+    *
+    *   - [[Layout.Hash]]: `pmod(xxhash64(key), n)` — mass-uniform for
+    *     any key distribution, but a batch of random keys touches
+    *     ~min(batch, n) buckets, so commit cost degrades to
+    *     O(corpus) once batches span the bucket set (the r11
+    *     standing-size sweep's finding).
+    *   - [[Layout.Range]]: `floor(key / span)` over a monotone numeric
+    *     key — an arrival-ordered ingest batch (the next id range)
+    *     touches ONE new bucket and commit cost is O(batch) at ANY
+    *     corpus size; bucket count grows with the data. The trade:
+    *     bucket mass follows key-range density.
+    */
+  sealed trait Layout { def bucketOf(key: Column): Column }
+  object Layout {
+    final case class Hash(numBuckets: Int) extends Layout {
+      require(numBuckets > 0, "numBuckets must be positive")
+      def bucketOf(key: Column): Column =
+        PartitionedCommit.bucketOf(key, numBuckets)
+    }
+    final case class Range(span: Long) extends Layout {
+      require(span > 0, "span must be positive")
+      def bucketOf(key: Column): Column =
+        PartitionedCommit.rangeBucketOf(key, span)
+    }
+  }
+
   /** Stable bucket of a key: `pmod(xxhash64(key), n)` — deterministic
     * across engines/sessions, uniform for any key type, independent of
     * every payload column (so a document update never migrates
@@ -59,7 +90,20 @@ object PartitionedCommit {
     */
   def rangeBucketOf(key: Column, span: Long): Column = {
     require(span > 0, "span must be positive")
-    floor(key.cast("long") / span).cast("int")
+    // EXACT long arithmetic, not Column `/` (double division): keys
+    // above 2^53 would otherwise round before dividing and a key near
+    // a span boundary could land in the wrong bucket — breaking the
+    // "a key never migrates" invariant the merge relies on. Subtract
+    // the floor-remainder first so the integral division (`div`,
+    // truncating) is exact and truncation coincides with floor even
+    // for negative keys: k=-1, span=2 → pmod=1 → (-2 div 2)=-1.
+    // The int cast is safe by construction of the LAYOUT, not the key:
+    // bucket id = key range / span = the table's directory count, and
+    // a table with >2^31 partition directories is unoperable long
+    // before the cast wraps (span is chosen to keep bucket count in
+    // the thousands).
+    val k = key.cast("long")
+    call_function("div", k - pmod(k, lit(span)), lit(span)).cast("int")
   }
 
   private def fsOf(spark: SparkSession, p: Path) =

@@ -131,7 +131,13 @@ object SkewJoin {
     // verdict — the maintained-index paths hold corpus versions in
     // distinct stamped plans, so the key changes when the data does.
     val bigOcc = bigOccMemo.computeIfAbsent(
-      occ.queryExecution.analyzed.semanticHash(),
+      // full canonicalized plan string, not its 32-bit semanticHash():
+      // a hash collision between two occ plans would silently reuse
+      // the wrong verdict — a wrong "small" re-creates exactly the
+      // driver-OOM broadcast this gate exists to prevent. The string
+      // is built once per mine construction (microseconds next to the
+      // count job it keys) and collides only on genuine plan equality.
+      occ.queryExecution.analyzed.canonicalized.toString,
       _ => occ.count() > BroadcastSafeOccRows)
     def joined(x: DataFrame, y: DataFrame, saltKeys: Seq[String]): DataFrame = {
       val cond = (Seq("__k") ++ saltKeys)
@@ -199,9 +205,12 @@ object SkewJoin {
   private val BroadcastSafeOccRows = 2000000L
 
   /** Session-lifetime memo of the occ-size verdict, keyed by the
-    * analyzed plan's semantic hash (see the call site for staleness
-    * notes). Bool is tiny; the map lives as long as the JVM.
+    * analyzed plan's full canonicalized string (see the call site for
+    * staleness notes — a same-plan corpus GROWING within one session
+    * keeps its verdict; maintained-index paths version their plans).
+    * Entries are few (one per distinct mine shape) and plan strings
+    * are KBs; the map lives as long as the JVM.
     */
   private val bigOccMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

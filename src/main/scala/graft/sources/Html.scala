@@ -118,4 +118,19 @@ object Html {
     spark.read.option("wholetext", "true").text(dir)
       .select(input_file_name().as("path"), col("value").as("html"))
       .withColumn("text", articleText(col("html"), minLineChars))
+
+  /** Extracted pages → ingest-pipeline documents: `(doc_id, text,
+    * url)`, doc_id = xxhash64(url) — deterministic, so a re-crawled
+    * page UPDATES its document through
+    * [[graft.streaming.DocumentPipeline.upsertBatch]]'s key-replace
+    * semantics instead of duplicating it. Composes on
+    * [[readHtml]]'s and [[Warc.readPages]]'s shared `(url?, html,
+    * text)` contract (readHtml pages carry no url; pass `path` as the
+    * url column there). Map-side only.
+    */
+  def docsFromPages(pages: DataFrame, urlCol: String = "url"): DataFrame =
+    pages.select(
+      xxhash64(col(urlCol)).as("doc_id"),
+      col("text"),
+      col(urlCol).as("url"))
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.DataFrame
   * (max is idempotent), and exactly q109's batch semantics — the spec
   * pins incremental ≡ batch-compact-of-the-whole-log.
   *
-  * Scale: the partitioned mode (`numBuckets = Some(n)`) is the 100 TB
+  * Scale: the partitioned mode (`layout = Some(...)`) is the 100 TB
   * contract — the view is hive-partitioned by key-hash bucket
   * ([[graft.operators.PartitionedCommit]]) and a delta stages + swaps
   * only its touched buckets: per-delivery cost is O(delta + touched
@@ -69,10 +69,11 @@ object ChangelogCompaction {
   def applyDelta(
       delta: DataFrame, path: String, keyCol: String,
       versionCols: Seq[String],
-      numBuckets: Option[Int] = None): Long = {
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None)
+      : Long = {
     val spark = delta.sparkSession
     val dd = latestPerKey(delta, keyCol, versionCols)
-    numBuckets match {
+    layout match {
       case None =>
         // full-rewrite mode: honest O(view) per delivery — the merge
         // is simply latest-per-key over standing ∪ delta (standing
@@ -82,16 +83,16 @@ object ChangelogCompaction {
           else latestPerKey(
             spark.read.parquet(path).unionByName(dd), keyCol, versionCols)
         graft.operators.CommitSink.writeVerified(spark, merged, path)
-      case Some(n) =>
+      case Some(l) =>
         import graft.operators.PartitionedCommit
         val B = PartitionedCommit.BucketCol
-        // ≤ numBuckets rows — driver-safe by construction
+        // ≤ |delta| rows — driver-safe by construction
         val touched = dd
-          .select(PartitionedCommit.bucketOf(col(keyCol), n).as(B))
+          .select(l.bucketOf(col(keyCol)).as(B))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
         val merged = PartitionedCommit.readIfAny(spark, path) match {
           case None =>
-            dd.withColumn(B, PartitionedCommit.bucketOf(col(keyCol), n))
+            dd.withColumn(B, l.bucketOf(col(keyCol)))
           case Some(standing) =>
             // touched slice prunes at planning time; untouched keys in
             // a touched bucket survive as the max of their own single
@@ -100,7 +101,7 @@ object ChangelogCompaction {
               standing.filter(col(B).isin(touched: _*)).drop(B)
                 .unionByName(dd),
               keyCol, versionCols)
-              .withColumn(B, PartitionedCommit.bucketOf(col(keyCol), n))
+              .withColumn(B, l.bucketOf(col(keyCol)))
         }
         PartitionedCommit.commitPartitions(spark, merged, path, touched)
     }
@@ -118,12 +119,13 @@ object ChangelogCompaction {
       checkpoint: String,
       keyCol: String,
       versionCols: Seq[String],
-      numBuckets: Option[Int] = None): StreamingQuery =
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None)
+      : StreamingQuery =
     changelog.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyDelta(batch, path, keyCol, versionCols, numBuckets)
+        applyDelta(batch, path, keyCol, versionCols, layout)
         ()
       }
       .start()

@@ -15,13 +15,14 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale note: the default (unpartitioned) layout rewrites the merged
   * corpus per commit — honest, but O(corpus) per batch. The
-  * partitioned mode (`numBuckets = Some(n)`) is the 100 TB contract:
-  * the corpus is hive-partitioned by a stable key-hash bucket and
-  * each commit stages + swaps only the buckets holding batch keys —
-  * O(batch) write cost ([[graft.operators.PartitionedCommit]];
-  * partitioned ≡ full-rewrite results is spec-proved). The batch side
-  * (small) broadcasts into the anti-join either way, so the merge
-  * itself never shuffles the corpus.
+  * partitioned mode (`layout = Some(...)`) is the 100 TB contract:
+  * the corpus is hive-partitioned by a stable key bucket
+  * ([[graft.operators.PartitionedCommit.Layout]] — hash for
+  * mass-uniformity, range for O(batch) commits under arrival-ordered
+  * keys) and each commit stages + swaps only the buckets holding
+  * batch keys (partitioned ≡ full-rewrite results is spec-proved).
+  * The batch side (small) broadcasts into the anti-join either way,
+  * so the merge itself never shuffles the corpus.
   */
 object CorpusMaintenance {
 
@@ -53,10 +54,10 @@ object CorpusMaintenance {
 
   def upsertBatch(
       batch: DataFrame, corpusPath: String, keyCol: String,
-      numBuckets: Option[Int] = None): Long = {
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None): Long = {
     val deduped = dedupBatch(batch, keyCol)
     upsertPrepared(deduped, deduped.select(col(keyCol)),
-      corpusPath, keyCol, numBuckets)
+      corpusPath, keyCol, layout)
   }
 
   /** Group upsert: the unit of replacement is ALL rows of a key —
@@ -75,21 +76,23 @@ object CorpusMaintenance {
     */
   def upsertGroups(
       batch: DataFrame, corpusPath: String, keyCol: String,
-      numBuckets: Option[Int] = None,
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None,
       retireKeys: Option[DataFrame] = None): Long = {
     val rows = batch.filter(col(keyCol).isNotNull)
     val keys = retireKeys.fold(rows.select(col(keyCol)))(rk =>
       rows.select(col(keyCol))
         .unionByName(rk.select(col(keyCol)).filter(col(keyCol).isNotNull)))
-    upsertPrepared(rows, keys, corpusPath, keyCol, numBuckets)
+    upsertPrepared(rows, keys, corpusPath, keyCol, layout)
   }
 
   private def upsertPrepared(
       prepared: DataFrame, keys: DataFrame, corpusPath: String,
-      keyCol: String, numBuckets: Option[Int]): Long = numBuckets match {
-    case Some(n) =>
+      keyCol: String,
+      layout: Option[graft.operators.PartitionedCommit.Layout]): Long =
+    layout match {
+    case Some(l) =>
       upsertPreparedPartitioned(prepared, keys, corpusPath, keyCol,
-        graft.operators.PartitionedCommit.bucketOf(_, n))
+        l.bucketOf)
     case None =>
       val spark = prepared.sparkSession
       // Crash recovery: a destination absent because CommitSink's swap
@@ -128,12 +131,9 @@ object CorpusMaintenance {
     */
   def upsertBatchPartitioned(
       batch: DataFrame, corpusPath: String, keyCol: String,
-      numBuckets: Int): Long = {
-    val deduped = dedupBatch(batch, keyCol)
-    upsertPreparedPartitioned(deduped, deduped.select(col(keyCol)),
-      corpusPath, keyCol,
-      graft.operators.PartitionedCommit.bucketOf(_, numBuckets))
-  }
+      numBuckets: Int): Long =
+    upsertBatch(batch, corpusPath, keyCol,
+      Some(graft.operators.PartitionedCommit.Layout.Hash(numBuckets)))
 
   /** RANGE-partitioned upsert — the append-ingest layout
     * ([[graft.operators.PartitionedCommit.rangeBucketOf]]): keys
@@ -149,12 +149,9 @@ object CorpusMaintenance {
     */
   def upsertBatchRange(
       batch: DataFrame, corpusPath: String, keyCol: String,
-      span: Long): Long = {
-    val deduped = dedupBatch(batch, keyCol)
-    upsertPreparedPartitioned(deduped, deduped.select(col(keyCol)),
-      corpusPath, keyCol,
-      graft.operators.PartitionedCommit.rangeBucketOf(_, span))
-  }
+      span: Long): Long =
+    upsertBatch(batch, corpusPath, keyCol,
+      Some(graft.operators.PartitionedCommit.Layout.Range(span)))
 
   private def upsertPreparedPartitioned(
       prepared: DataFrame, keys: DataFrame, corpusPath: String,
@@ -193,12 +190,13 @@ object CorpusMaintenance {
       corpusPath: String,
       checkpoint: String,
       keyCol: String = "doc_id",
-      numBuckets: Option[Int] = None): StreamingQuery =
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None)
+      : StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, corpusPath, keyCol, numBuckets)
+        upsertBatch(batch, corpusPath, keyCol, layout)
         ()
       }
       .start()

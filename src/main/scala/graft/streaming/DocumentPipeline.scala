@@ -38,26 +38,34 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape: the batch side of every join is micro-batch-sized and
   * broadcasts (anti-joins for the drops, the delta side of the mine) —
-  * the standing corpus and index never shuffle. With `numBuckets =
-  * Some(n)` the stored trio is hive-partitioned by a stable key-hash
-  * bucket and each commit rewrites ONLY the buckets the batch touches
-  * ([[graft.operators.PartitionedCommit]]); the default unpartitioned
-  * layout keeps the original whole-artifact rewrite.
+  * the standing corpus and index never shuffle. With `layout =
+  * Some(...)` the stored artifacts are hive-partitioned by a stable
+  * key bucket and each commit rewrites ONLY the buckets the batch
+  * touches ([[graft.operators.PartitionedCommit]]); the default
+  * unpartitioned layout keeps the original whole-artifact rewrite.
   *
-  * HONEST WRITE-COST BOUND (r11 standing-size sweep): the bucketed
-  * commit is O(touched-bucket MASS), which equals O(batch) only while
-  * the batch's keys cluster into few buckets. Under HASH bucketing a
-  * random 500-key batch touches ~min(batch, n) buckets — i.e. at
+  * WRITE-COST BOUND BY LAYOUT (r11 standing-size sweep + the r12
+  * range wiring): the bucketed commit is O(touched-bucket MASS),
+  * which equals O(batch) only while the batch's keys cluster into few
+  * buckets. Under [[graft.operators.PartitionedCommit.Layout.Hash]]
+  * a random 500-key batch touches ~min(batch, n) buckets — at
   * batch ≥ n every commit rewrites the whole artifact, and RAISING n
   * doesn't restore O(batch): measured at 30 k standing docs, 500-doc
   * batches cost 23.3 s with n = 16 and 64.3 s with n = 160 (touched
   * ≈ all buckets either way, and per-bucket fixed costs — stage,
-  * swap, verify read-back, per 5 artifacts — scale with n). The true
-  * O(batch) layouts are (a) range/arrival-order bucketing, where an
-  * append-heavy ingest touches one new bucket per batch, and (b) an
-  * append-delta tier folded by periodic compaction; both are future
-  * rungs, and until one lands the per-batch floor grows with
-  * corpus/n past the point where batches span all buckets.
+  * swap, verify read-back, per 5 artifacts — scale with n). Under
+  * [[graft.operators.PartitionedCommit.Layout.Range]] the clustering
+  * is STRUCTURAL for arrival-ordered ingest (the normal shape — new
+  * ids are the next id range): the doc-keyed artifacts (corpus,
+  * shingles, signatures, LM tf) land in one new bucket per batch, so
+  * their commits are O(batch) at ANY corpus size. The candidates
+  * artifact (keyed by doc_a = the SMALLER id of each pair) is the
+  * honest exception: a new doc pairing with an old near-dup files
+  * under the OLD doc's range, so its commit touches one bucket per
+  * distinct old-partner range — bounded by the batch's CANDIDATE
+  * count (near-dup hits, typically ≪ batch), not by corpus size,
+  * but not single-bucket. Non-monotone keys fall back to Hash (or an
+  * append-delta tier + compaction, the named future rung).
   */
 object DocumentPipeline {
 
@@ -101,16 +109,18 @@ object DocumentPipeline {
     * and the scored candidates at `candidatesPath` (the
     * `pair_candidates` schema, containment ≥ `floor`).
     *
-    * `numBuckets = Some(n)` selects the partition-grain layout
-    * ([[graft.operators.PartitionedCommit]]): corpus and shingle index
-    * bucket by `doc_id`, candidates by `doc_a`, and each commit
-    * rewrites ONLY the buckets the batch touches — for candidates,
-    * the buckets holding dropped (victim) pairs, found by a
-    * column-pruned scan of `(doc_a, doc_b)`, plus the buckets of the
-    * newly mined pairs. Corpus-wide READS (the mine's standing index
-    * side) still scan everything; WRITES are O(batch) — the 100 TB
-    * contract. The layout is chosen at table creation and must stay
-    * consistent across calls.
+    * `layout = Some(l)` selects the partition-grain layout
+    * ([[graft.operators.PartitionedCommit.Layout]] — Hash(n) or
+    * Range(span)): corpus and shingle index bucket by `doc_id`,
+    * candidates by `doc_a`, and each commit rewrites ONLY the buckets
+    * the batch touches — for candidates, the buckets holding dropped
+    * (victim) pairs, found by a column-pruned scan of
+    * `(doc_a, doc_b)`, plus the buckets of the newly mined pairs.
+    * Corpus-wide READS (the mine's standing index side) still scan
+    * everything; WRITES are O(touched-bucket mass) — O(batch) under
+    * Range with arrival-ordered ids (see the object doc's bound).
+    * The layout is chosen at table creation and must stay consistent
+    * across calls.
     *
     * `signaturesPath = Some(p)` additionally maintains the pHash
     * signature table (`doc_id, sig` — q73/q75's mining base) in
@@ -151,7 +161,7 @@ object DocumentPipeline {
       shinglesPath: String,
       candidatesPath: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
-      numBuckets: Option[Int] = None,
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None,
       signaturesPath: Option[String] = None,
       lmPath: Option[String] = None,
       onCommitted: String => Unit = _ => (),
@@ -178,7 +188,7 @@ object DocumentPipeline {
     // the mine delta-only — on the very replay that is supposed to
     // heal the crash. Partitioned frames keep their bucket column;
     // `.drop(B)` is a no-op on the unpartitioned layout.
-    def standing(p: String): Option[DataFrame] = numBuckets match {
+    def standing(p: String): Option[DataFrame] = layout match {
       case Some(_) =>
         graft.operators.PartitionedCommit.readIfAny(spark, p)
       case None =>
@@ -229,11 +239,10 @@ object DocumentPipeline {
         val replaced = timed("replaced_probe")(standing(corpusPath) match {
           case None => 0L
           case Some(c) =>
-            val slice = numBuckets match {
+            val slice = layout match {
               // batch ids can only live in their own buckets — prune
-              case Some(n) => c.filter(col(B).isin(
-                scrubbed.select(graft.operators.PartitionedCommit
-                  .bucketOf(col("doc_id"), n)).distinct()
+              case Some(l) => c.filter(col(B).isin(
+                scrubbed.select(l.bucketOf(col("doc_id"))).distinct()
                   .collect().map(_.getInt(0)).toSeq: _*))
               case None => c
             }
@@ -242,7 +251,7 @@ object DocumentPipeline {
 
         // candidates first: the standing shingle index must still
         // describe the pre-batch corpus while the mine executes
-        val candidateRows = timed("commit_candidates")(numBuckets match {
+        val candidateRows = timed("commit_candidates")(layout match {
           case None =>
             val keptCands = standing(candidatesPath).map(
               _.join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
@@ -251,9 +260,8 @@ object DocumentPipeline {
             graft.operators.CommitSink.writeVerified(
               spark, keptCands.fold(newCands)(_.unionByName(newCands)),
               candidatesPath)
-          case Some(n) =>
-            val newB = newCands.withColumn(B,
-              graft.operators.PartitionedCommit.bucketOf(col("doc_a"), n))
+          case Some(l) =>
+            val newB = newCands.withColumn(B, l.bucketOf(col("doc_a")))
             val standingC = standing(candidatesPath)
             // victim pairs (touching a batch id on EITHER side) may
             // live in any bucket: find their buckets with a
@@ -309,13 +317,13 @@ object DocumentPipeline {
           graft.functions.GraftFunctions.register(spark))
         val doShingles: () => Long = () => {
           val n = timed("commit_shingles")(CorpusMaintenance
-            .upsertBatch(deltaSh, shinglesPath, "doc_id", numBuckets))
+            .upsertBatch(deltaSh, shinglesPath, "doc_id", layout))
           onCommitted("shingles")
           n
         }
         val doCorpus: () => Long = () => {
           val n = timed("commit_corpus")(CorpusMaintenance
-            .upsertBatch(scrubbed, corpusPath, "doc_id", numBuckets))
+            .upsertBatch(scrubbed, corpusPath, "doc_id", layout))
           onCommitted("corpus")
           n
         }
@@ -324,7 +332,7 @@ object DocumentPipeline {
             scrubbed.select(col("doc_id"),
               graft.functions.GraftFunctions.phash64(
                 lower(col("text")).cast("binary")).as("sig")),
-            p, "doc_id", numBuckets))
+            p, "doc_id", layout))
           onCommitted("signatures")
           n
         }
@@ -368,7 +376,7 @@ object DocumentPipeline {
             // commit below rewrites it — strictly ordered WITHIN this
             // thunk, so the parallel mode preserves the drift contract
             val n = timed("commit_lm")(CorpusMaintenance.upsertGroups(
-              lm.docTf(scrubbed), p, "doc_id", numBuckets,
+              lm.docTf(scrubbed), p, "doc_id", layout,
               retireKeys = Some(batchIds)))
             onCommitted("lm")
             (n, nll)
@@ -378,13 +386,26 @@ object DocumentPipeline {
           else {
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
+            import scala.util.{Failure, Success}
             implicit val ec: scala.concurrent.ExecutionContext = CommitPool
             val fs = Future(doShingles())
             val fc = Future(doCorpus())
             val fg = Future(doSigs())
             val fl = Future(doLm())
-            (Await.result(fs, Duration.Inf), Await.result(fc, Duration.Inf),
-              Await.result(fg, Duration.Inf), Await.result(fl, Duration.Inf))
+            // Settle ALL four before surfacing any failure: rethrowing
+            // on the first Await while siblings still run would let a
+            // zombie commit keep staging/swapping its artifact while
+            // the caller unwinds and a foreachBatch replay re-enters
+            // upsertBatch on the same paths — a concurrent-commit race
+            // the heal contract (landed SUBSETS, not in-flight
+            // writers) does not cover. After this barrier no commit
+            // outlives the upsertBatch call, failed or not.
+            val settled = Await.result(
+              Future.sequence(Seq(fs, fc, fg, fl)
+                .map(_.transform(t => Success(t)))), Duration.Inf)
+            settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+            (fs.value.get.get, fc.value.get.get,
+              fg.value.get.get, fl.value.get.get)
           }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,
@@ -412,7 +433,7 @@ object DocumentPipeline {
       candidatesPath: String,
       checkpoint: String,
       floor: Double = graft.queries.DedupQueries.CandidateFloor,
-      numBuckets: Option[Int] = None,
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None,
       signaturesPath: Option[String] = None,
       lmPath: Option[String] = None,
       onBatch: BatchReport => Unit = _ => (),
@@ -422,7 +443,7 @@ object DocumentPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
-          batch, corpusPath, shinglesPath, candidatesPath, floor, numBuckets,
+          batch, corpusPath, shinglesPath, candidatesPath, floor, layout,
           signaturesPath, lmPath, parallelCommits = parallelCommits))
         ()
       }

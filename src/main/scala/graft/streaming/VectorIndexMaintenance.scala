@@ -56,7 +56,7 @@ object VectorIndexMaintenance {
       cents: Array[Array[Double]],
       driftThreshold: Double =
         graft.operators.IncrementalVectors.DefaultDriftThreshold,
-      numBuckets: Option[Int] = None): BatchReport = {
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None): BatchReport = {
     val spark = batch.sparkSession
     // dedup BEFORE measuring anything: the report must describe the
     // state the commit produces, not raw at-least-once duplicates
@@ -75,7 +75,7 @@ object VectorIndexMaintenance {
       // drift vs the assignment as it stood BEFORE this delivery (an
       // absent table = first delivery = nothing to drift from); healed
       // existence so a mid-commit crash doesn't read as first delivery
-      val hasStanding = numBuckets match {
+      val hasStanding = layout match {
         case Some(_) => graft.operators.PartitionedCommit
           .healInterrupted(spark, assignedPath)
         case None => graft.operators.CommitSink
@@ -88,10 +88,10 @@ object VectorIndexMaintenance {
             .drop(graft.operators.PartitionedCommit.BucketCol), assignedDelta)
       val corpusRows = CorpusMaintenance.upsertBatch(
         assignedDelta.select(col("vec_id"), col("embedding")),
-        corpusPath, "vec_id", numBuckets)
+        corpusPath, "vec_id", layout)
       val assignedRows = CorpusMaintenance.upsertBatch(
         assignedDelta.select(col("vec_id"), col("cids")),
-        assignedPath, "vec_id", numBuckets)
+        assignedPath, "vec_id", layout)
       BatchReport(corpusRows, assignedRows, drift, drift > driftThreshold)
     } finally {
       assignedDelta.unpersist()
@@ -114,14 +114,14 @@ object VectorIndexMaintenance {
       checkpoint: String,
       driftThreshold: Double =
         graft.operators.IncrementalVectors.DefaultDriftThreshold,
-      numBuckets: Option[Int] = None,
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None,
       onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatch(
-          batch, corpusPath, assignedPath, cents, driftThreshold, numBuckets))
+          batch, corpusPath, assignedPath, cents, driftThreshold, layout))
         ()
       }
       .start()
@@ -154,7 +154,7 @@ object VectorIndexMaintenance {
       books: Array[Array[Array[Double]]],
       driftThreshold: Double =
         graft.operators.IncrementalPq.DefaultDriftThreshold,
-      numBuckets: Option[Int] = None): PqBatchReport = {
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None): PqBatchReport = {
     val spark = batch.sparkSession
     val deduped = CorpusMaintenance.dedupBatch(
       batch.select(col("vec_id"), col("embedding"))
@@ -162,7 +162,7 @@ object VectorIndexMaintenance {
       "vec_id").persist()
     try {
       val codesDelta = graft.operators.IncrementalPq.encode(deduped, books)
-      val hasStanding = numBuckets match {
+      val hasStanding = layout match {
         case Some(_) => graft.operators.PartitionedCommit
           .healInterrupted(spark, codesPath)
         case None => graft.operators.CommitSink
@@ -174,9 +174,9 @@ object VectorIndexMaintenance {
           spark.read.parquet(codesPath)
             .drop(graft.operators.PartitionedCommit.BucketCol), codesDelta)
       val corpusRows = CorpusMaintenance.upsertBatch(
-        deduped, corpusPath, "vec_id", numBuckets)
+        deduped, corpusPath, "vec_id", layout)
       val codeRows = CorpusMaintenance.upsertBatch(
-        codesDelta, codesPath, "vec_id", numBuckets)
+        codesDelta, codesPath, "vec_id", layout)
       PqBatchReport(corpusRows, codeRows, drift, drift > driftThreshold)
     } finally {
       deduped.unpersist()
@@ -197,14 +197,14 @@ object VectorIndexMaintenance {
       checkpoint: String,
       driftThreshold: Double =
         graft.operators.IncrementalPq.DefaultDriftThreshold,
-      numBuckets: Option[Int] = None,
+      layout: Option[graft.operators.PartitionedCommit.Layout] = None,
       onBatch: PqBatchReport => Unit = _ => ()): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onBatch(upsertBatchPq(
-          batch, corpusPath, codesPath, books, driftThreshold, numBuckets))
+          batch, corpusPath, codesPath, books, driftThreshold, layout))
         ()
       }
       .start()

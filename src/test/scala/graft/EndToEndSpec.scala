@@ -164,7 +164,7 @@ class EndToEndSpec extends SparkTestBase {
     def deliver(rows: (Long, String, String)*) =
       graft.streaming.DocumentPipeline.upsertBatch(
         rows.toSeq.toDF("doc_id", "text", "source"),
-        corpus, shingles, cands, numBuckets = Some(4),
+        corpus, shingles, cands, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(4)),
         signaturesPath = Some(sigs), lmPath = Some(lm))
     // delivery 1: a near-dup pair split by source + a PII doc
     val r1 = deliver(

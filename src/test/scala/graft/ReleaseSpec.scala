@@ -157,7 +157,7 @@ class ReleaseSpec extends SparkTestBase {
     graft.streaming.DocumentPipeline.upsertBatch(
       docs((20L, s"$b alpha"), (21L, s"$b betaq"),
         (22L, "independent content thirteen fourteen fifteen sixteen")),
-      corpus, shingles, cands, numBuckets = Some(4))
+      corpus, shingles, cands, layout = Some(graft.operators.PartitionedCommit.Layout.Hash(4)))
     // simulate a crash that parked one corpus bucket mid-swap
     val dirs = new java.io.File(corpus).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))

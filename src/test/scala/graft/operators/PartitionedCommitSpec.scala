@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   * restores a bucket parked mid-swap; an emptied bucket's directory is
   * removed.
   */
+import graft.operators.PartitionedCommit.Layout
+
 class PartitionedCommitSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -46,7 +48,7 @@ class PartitionedCommitSpec extends SparkTestBase {
     batches.foreach { rows =>
       val df = rows.toDF("doc_id", "text", "source")
       val nFlat = CorpusMaintenance.upsertBatch(df, flat, "doc_id")
-      val nPart = CorpusMaintenance.upsertBatch(df, part, "doc_id", Some(8))
+      val nPart = CorpusMaintenance.upsertBatch(df, part, "doc_id", Some(Layout.Hash(8)))
       assert(nFlat == nPart, "standing row counts must agree")
       val a = spark.read.parquet(flat)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
@@ -79,14 +81,14 @@ class PartitionedCommitSpec extends SparkTestBase {
     val root = tmp("pc-touch") + "/docs"
     val n = 8
     val b1 = (1L to 24L).map(i => (i, s"t$i", "s1")).toDF("doc_id", "text", "source")
-    CorpusMaintenance.upsertBatch(b1, root, "doc_id", Some(n))
+    CorpusMaintenance.upsertBatch(b1, root, "doc_id", Some(Layout.Hash(n)))
     val before = snapshot(root)
     assert(before.size > 1, "fixture must span several buckets")
 
     val updated = 1L
     CorpusMaintenance.upsertBatch(
       Seq((updated, "t1-v2", "s2")).toDF("doc_id", "text", "source"),
-      root, "doc_id", Some(n))
+      root, "doc_id", Some(Layout.Hash(n)))
     val after = snapshot(root)
     val touchedDir = s"__bucket=${bucketOf(updated, n)}"
     before.keySet.foreach { dir =>
@@ -126,7 +128,7 @@ class PartitionedCommitSpec extends SparkTestBase {
     val n = 8
     CorpusMaintenance.upsertBatch(
       (1L to 24L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source"),
-      root, "doc_id", Some(n))
+      root, "doc_id", Some(Layout.Hash(n)))
     val standing = spark.read.parquet(root)
       .drop(PartitionedCommit.BucketCol)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -148,7 +150,7 @@ class PartitionedCommitSpec extends SparkTestBase {
     assert(healed == standing, "parked bucket must be restored on read")
     CorpusMaintenance.upsertBatch(
       Seq((99L, "new", "s")).toDF("doc_id", "text", "source"),
-      root, "doc_id", Some(n))
+      root, "doc_id", Some(Layout.Hash(n)))
     assert(spark.read.parquet(root).count() == 25)
   }
 }

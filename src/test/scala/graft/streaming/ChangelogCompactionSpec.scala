@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * semantics) in ANY arrival order, idempotently under replay, in both
   * the full-rewrite and partition-grain commit modes.
   */
+import graft.operators.PartitionedCommit.Layout
+
 class ChangelogCompactionSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -35,7 +37,7 @@ class ChangelogCompactionSpec extends SparkTestBase {
       log().filter(col("event_id") % 3 === 0),
       log().filter(col("event_id") % 3 === 1),
       log().filter(col("event_id") % 3 === 2))
-    for (buckets <- Seq(None, Some(4))) {
+    for (buckets <- Seq(None, Some(Layout.Hash(4)))) {
       val path = tmp(s"cdc-${buckets.isDefined}") + "/view"
       parts.foreach(p =>
         ChangelogCompaction.applyDelta(p, path, "user_id", V, buckets))
@@ -61,10 +63,10 @@ class ChangelogCompactionSpec extends SparkTestBase {
   test("applyDelta is idempotent under at-least-once replay") {
     val path = tmp("cdc-replay") + "/view"
     val d1 = log().filter(col("event_id") < 500)
-    ChangelogCompaction.applyDelta(d1, path, "user_id", V, Some(4))
+    ChangelogCompaction.applyDelta(d1, path, "user_id", V, Some(Layout.Hash(4)))
     val first = asSet(spark.read.parquet(path)
       .select(log().columns.map(col): _*))
-    ChangelogCompaction.applyDelta(d1, path, "user_id", V, Some(4)) // replay
+    ChangelogCompaction.applyDelta(d1, path, "user_id", V, Some(Layout.Hash(4))) // replay
     val second = asSet(spark.read.parquet(path)
       .select(log().columns.map(col): _*))
     assert(first == second)
@@ -72,7 +74,7 @@ class ChangelogCompactionSpec extends SparkTestBase {
 
   test("the standing view matches q109's declared compaction") {
     val path = tmp("cdc-q109") + "/view"
-    ChangelogCompaction.applyDelta(log(), path, "user_id", V, Some(4))
+    ChangelogCompaction.applyDelta(log(), path, "user_id", V, Some(Layout.Hash(4)))
     val got = spark.read.parquet(path)
       .select("user_id", "ts_us", "event_id", "event_type", "value")
       .collect()
@@ -93,7 +95,7 @@ class ChangelogCompactionSpec extends SparkTestBase {
     val in = MemoryStream[(Long, Long, Long, String, Double)]
     val q = ChangelogCompaction.maintain(
       in.toDF().toDF("user_id", "ts_us", "event_id", "event_type", "value"),
-      path, tmp("cdc-ckpt"), "user_id", V, Some(2))
+      path, tmp("cdc-ckpt"), "user_id", V, Some(Layout.Hash(2)))
     in.addData((1L, 100L, 1L, "a", 1.0), (2L, 100L, 2L, "a", 1.0))
     q.processAllAvailable()
     in.addData((1L, 200L, 3L, "b", 2.0), (3L, 50L, 4L, "c", 3.0))

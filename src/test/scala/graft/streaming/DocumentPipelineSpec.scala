@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   * over the maintained corpus, PII never reaches any stored artifact,
   * and an updated document drops its stale candidates.
   */
+import graft.operators.PartitionedCommit.Layout
+
 class DocumentPipelineSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -255,7 +257,7 @@ class DocumentPipelineSpec extends SparkTestBase {
     def run(p: Paths, b: Seq[(Long, String)], par: Boolean,
         onC: String => Unit = _ => ()) =
       DocumentPipeline.upsertBatch(docs(b: _*), p.corpus, p.shingles,
-        p.cands, numBuckets = Some(4),
+        p.cands, layout = Some(Layout.Hash(4)),
         signaturesPath = Some(p.root + "/sigs"),
         lmPath = Some(p.root + "/lm"),
         onCommitted = onC, parallelCommits = par)
@@ -343,14 +345,14 @@ class DocumentPipelineSpec extends SparkTestBase {
 
   test("partitioned trio: converges, update drops cross-bucket pairs, replay idempotent") {
     val p = Paths(tmp("docpipe-part"))
-    val nb = Some(8)
+    val nb = Some(Layout.Hash(8))
     val r1 = DocumentPipeline.upsertBatch(
       docs((1L, s"$base a1"), (2L, "totally unrelated content here six seven")),
-      p.corpus, p.shingles, p.cands, numBuckets = nb)
+      p.corpus, p.shingles, p.cands, layout = nb)
     assert(r1.corpusRows == 2 && r1.replacedDocs == 0)
     val r2 = DocumentPipeline.upsertBatch(
       docs((3L, s"$base a3"), (4L, "another fresh island of text nine ten")),
-      p.corpus, p.shingles, p.cands, numBuckets = nb)
+      p.corpus, p.shingles, p.cands, layout = nb)
     assert(r2.corpusRows == 4 && r2.newCandidates >= 1)
     val stored = candSet(spark.read.parquet(p.cands))
     assert(stored == rebuilt(p),
@@ -362,7 +364,7 @@ class DocumentPipelineSpec extends SparkTestBase {
     // this exercises the cross-bucket victim probe
     val r3 = DocumentPipeline.upsertBatch(
       docs((3L, "rewritten into an entirely different document now")),
-      p.corpus, p.shingles, p.cands, numBuckets = nb)
+      p.corpus, p.shingles, p.cands, layout = nb)
     assert(r3.replacedDocs == 1 && r3.corpusRows == 4)
     val afterUpd = candSet(spark.read.parquet(p.cands))
     assert(!afterUpd.exists { case (a, b, _, _, _) => a == 1L && b == 3L },
@@ -379,7 +381,7 @@ class DocumentPipelineSpec extends SparkTestBase {
     val before = snap()
     DocumentPipeline.upsertBatch(
       docs((3L, "rewritten into an entirely different document now")),
-      p.corpus, p.shingles, p.cands, numBuckets = nb)
+      p.corpus, p.shingles, p.cands, layout = nb)
     assert(snap() == before, "partitioned replay changed stored state")
   }
 
@@ -389,7 +391,7 @@ class DocumentPipelineSpec extends SparkTestBase {
     val in = MemoryStream[(Long, String)]
     val q = DocumentPipeline.maintain(
       in.toDF().toDF("doc_id", "text"), p.corpus, p.shingles, p.cands,
-      tmp("docpipe-ckpt-part"), numBuckets = Some(4))
+      tmp("docpipe-ckpt-part"), layout = Some(Layout.Hash(4)))
     in.addData((1L, s"$base a1"), (2L, "unrelated content one two three"))
     q.processAllAvailable()
     in.addData((3L, s"$base a3"))
@@ -483,19 +485,151 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(r4.batchNll.isEmpty, s"$r4")
   }
 
+  test("range layout: quintet parity with hash + unpartitioned; append leaves " +
+      "doc-keyed buckets untouched; old-key update + crash replay heal") {
+    // The O(batch) ingest contract wired end-to-end (r11 verdict ask
+    // #1): under Layout.Range an ARRIVAL-ORDERED batch (the next id
+    // range) must create exactly its own new bucket in every
+    // doc-keyed artifact (corpus, shingles, signatures, LM tf) and
+    // rewrite NO pre-existing bucket file — fingerprinted by
+    // (name, mtime, length) as in CorpusMaintenanceSpec. Candidates
+    // are the documented exception (keyed by doc_a = the OLD partner
+    // of a cross-batch pair). End state must equal the unpartitioned
+    // and hash-layout controls on all five artifacts.
+    graft.functions.GraftFunctions.register(spark)
+    val b1 = Seq((0L, s"$base a1"),
+      (1L, "totally unrelated content here six seven"))
+    val b2 = Seq((2L, s"$base a3"),
+      (3L, "another fresh island of text nine ten"))
+    val b3 = Seq((1L, "rewritten into an entirely different document now"))
+    def run(p: Paths, b: Seq[(Long, String)], l: Option[Layout],
+        onC: String => Unit = _ => ()) =
+      DocumentPipeline.upsertBatch(docs(b: _*), p.corpus, p.shingles,
+        p.cands, layout = l, signaturesPath = Some(p.root + "/sigs"),
+        lmPath = Some(p.root + "/lm"), onCommitted = onC)
+    def snap5(p: Paths) = (
+      spark.read.parquet(p.corpus).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(p.shingles).select("doc_id", "s").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)),
+      spark.read.parquet(p.root + "/sigs").select("doc_id", "sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      lmStored(p.root + "/lm"))
+    val ctl = Paths(tmp("docpipe-range-ctl"))
+    Seq(b1, b2, b3).foreach(b => run(ctl, b, None))
+    val want = snap5(ctl)
+    assert(want._3.exists { case (a, b, _, _, _) => a == 0L && b == 2L },
+      s"fixture must mine the cross-batch (0,2) pair: ${want._3}")
+
+    val B = graft.operators.PartitionedCommit.BucketCol
+    def bucketFiles(path: String): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(B))
+        .map(d => d.getName -> d.listFiles()
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet)
+        .toMap
+    val rl = Some(Layout.Range(2L)): Option[Layout]
+    val rng = Paths(tmp("docpipe-range"))
+    run(rng, b1, rl)
+    val docKeyed = Seq(rng.corpus, rng.shingles,
+      rng.root + "/sigs", rng.root + "/lm")
+    val before = docKeyed.map(a => a -> bucketFiles(a)).toMap
+    before.values.foreach(fp => assert(fp.keySet == Set(s"$B=0")))
+    run(rng, b2, rl) // arrival-ordered append: ids 2..3 = bucket 1
+    docKeyed.foreach { a =>
+      val after = bucketFiles(a)
+      assert(after.keySet == before(a).keySet + s"$B=1",
+        s"$a: append must create exactly bucket 1: ${after.keySet}")
+      before(a).foreach { case (b, files) =>
+        assert(after(b) == files,
+          s"$a: append rewrote untouched bucket $b (O(batch) broken)")
+      }
+    }
+    run(rng, b3, rl) // old-key update: doc 1 lives in bucket 0
+    assert(snap5(rng) == want, "range quintet != unpartitioned control")
+
+    val hsh = Paths(tmp("docpipe-range-hash"))
+    Seq(b1, b2, b3).foreach(b => run(hsh, b, Some(Layout.Hash(4))))
+    assert(snap5(hsh) == want, "hash quintet != unpartitioned control")
+
+    // crash between lockstep commits on the range layout heals on replay
+    case class Killed() extends RuntimeException("killed")
+    for (point <- Seq("candidates", "shingles", "corpus", "signatures", "lm")) {
+      val p = Paths(tmp(s"docpipe-range-crash-$point"))
+      run(p, b1, rl)
+      run(p, b2, rl)
+      intercept[Killed] {
+        run(p, b3, rl, onC = a => if (a == point) throw Killed())
+      }
+      run(p, b3, rl)
+      assert(snap5(p) == want,
+        s"range crash after $point: healed quintet != control")
+    }
+  }
+
+  test("raw html pages flow through the pipeline identically to pre-extracted text") {
+    // the crawl face composes with the maintenance face (r11 verdict
+    // ask #6): delivering PAGES (url, html) through Html.articleText +
+    // docsFromPages must produce byte-identical artifacts to
+    // delivering the SAME extraction's output as pre-extracted
+    // (doc_id, text) rows — i.e. extraction inside the delivery is
+    // exactly the q300 chain, not a second dialect of it.
+    val proseA = (1 to 14).map(i => s"word$i").mkString(" ")
+    val proseB = proseA + " tail"
+    def page(p: String) =
+      s"<html><head><title>t</title></head><body><p>$p</p>" +
+        "<div>nav</div><script>var x=1;</script></body></html>"
+    val pages = Seq(
+      ("http://x.test/1", page(proseA)),
+      ("http://x.test/2", page(proseB)),
+      ("http://x.test/3", page("a totally unrelated island of content here")))
+      .toDF("url", "html")
+      .withColumn("text", graft.sources.Html.articleText(col("html")))
+    val asDocs = graft.sources.Html.docsFromPages(pages)
+
+    val viaPages = Paths(tmp("docpipe-pages"))
+    DocumentPipeline.upsertBatch(asDocs,
+      viaPages.corpus, viaPages.shingles, viaPages.cands)
+    // control: the q300-chain output collected FIRST, then delivered
+    // as plain pre-extracted rows
+    val pre = asDocs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.toDF("doc_id", "text", "url")
+    val viaText = Paths(tmp("docpipe-pretext"))
+    DocumentPipeline.upsertBatch(pre,
+      viaText.corpus, viaText.shingles, viaText.cands)
+
+    def snap(p: Paths) = (
+      spark.read.parquet(p.corpus).select("doc_id", "text", "url")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet,
+      spark.read.parquet(p.shingles).select("doc_id", "s").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(p.cands)))
+    val got = snap(viaPages)
+    assert(got == snap(viaText),
+      "html-page delivery != pre-extracted delivery of the same extraction")
+    // non-vacuous: the extraction stripped chrome, and the near-dup
+    // pair (pages 1, 2) was mined
+    assert(got._1.forall { case (_, t, _) =>
+      !t.contains("nav") && !t.contains("var x") })
+    assert(got._3.nonEmpty, "near-dup pages must mine a candidate")
+  }
+
   test("LM retire-only update: a one-token replacement removes its stale rows") {
     // partitioned layout so the retire-only bucket rewrite is exercised
     val p = Paths(tmp("docpipe-lm-retire"))
     val lm = p.root + "/lm"
     DocumentPipeline.upsertBatch(
       docs((1L, s"$base a1"), (2L, "some multi token document body here")),
-      p.corpus, p.shingles, p.cands, numBuckets = Some(4), lmPath = Some(lm))
+      p.corpus, p.shingles, p.cands, layout = Some(Layout.Hash(4)), lmPath = Some(lm))
     assert(lmStored(lm).exists(_._1 == 2L))
     // doc 2 shrinks to ONE token: its new LM group is empty, and its
     // old bigrams must leave the table anyway
     DocumentPipeline.upsertBatch(
       docs((2L, "single")),
-      p.corpus, p.shingles, p.cands, numBuckets = Some(4), lmPath = Some(lm))
+      p.corpus, p.shingles, p.cands, layout = Some(Layout.Hash(4)), lmPath = Some(lm))
     assert(!lmStored(lm).exists(_._1 == 2L),
       "stale bigrams of the shrunk doc must retire")
     assert(lmStored(lm) == lmRecompute(p))

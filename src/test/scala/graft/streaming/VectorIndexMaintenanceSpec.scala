@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * rebuild at the same centroids, and a drifting delivery raises the
   * refit flag while a like-distributed one does not.
   */
+import graft.operators.PartitionedCommit.Layout
+
 class VectorIndexMaintenanceSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -65,16 +67,16 @@ class VectorIndexMaintenanceSpec extends SparkTestBase {
     val root = tmp("vmaint-part")
     val corpus = root + "/vectors"
     val assigned = root + "/ivf_assigned"
-    val nb = Some(4)
+    val nb = Some(Layout.Hash(4))
     val B = graft.operators.PartitionedCommit.BucketCol
     val r1 = VectorIndexMaintenance.upsertBatch(
       Seq(xVec(1), yVec(2), xVec(3), yVec(4)).toDF("vec_id", "embedding"),
-      corpus, assigned, cents, numBuckets = nb)
+      corpus, assigned, cents, layout = nb)
     assert(r1.corpusRows == 4 && r1.drift == 0.0)
     // update (id 2 re-delivered) + insert, balanced against standing
     val r2 = VectorIndexMaintenance.upsertBatch(
       Seq(yVec(2), xVec(5)).toDF("vec_id", "embedding"),
-      corpus, assigned, cents, numBuckets = nb)
+      corpus, assigned, cents, layout = nb)
     assert(r2.corpusRows == 5 && !r2.refitNeeded, s"$r2")
     val storedCorpus = spark.read.parquet(corpus).drop(B)
     val rebuild = graft.operators.IncrementalVectors
