@@ -100,10 +100,18 @@ object TimePipeline {
     // (driver/planning time between stages) so the table sums to the
     // batch wall clock and the biggest term is visible at a glance
     val stageNames = stageRows.flatMap(_.keys).distinct
-    val stageMed = stageNames
+    // "<stage>.<phase>" entries are commit INTERNALS (PartitionedCommit
+    // phase hook) — they are parts of their parent stage's time, so
+    // they report in their own map and stay out of the residual math
+    val (phaseNames, topNames) = stageNames.partition(_.contains('.'))
+    val stageMed = topNames
+      .map(n => n -> median(stageRows.map(_.getOrElse(n, 0.0)).toSeq))
+    val phaseMed = phaseNames.sorted
       .map(n => n -> median(stageRows.map(_.getOrElse(n, 0.0)).toSeq))
     val residual = med - stageMed.map(_._2).sum
     val stagesJson = (stageMed :+ ("residual" -> residual))
+      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    val phasesJson = phaseMed
       .map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
     // NOTE: in `par` mode stage times overlap, so their sum exceeds the
     // batch wall clock and `residual` goes negative — the stage table
@@ -115,7 +123,8 @@ object TimePipeline {
       f""""median_sec":$med%.3f,"min_sec":${secs.min}%.3f,""" +
       f""""max_sec":${secs.max}%.3f,""" +
       f""""docs_per_sec":${deltaSize / med}%.1f,""" +
-      s""""stage_median_sec":{$stagesJson}}""")
+      s""""stage_median_sec":{$stagesJson},""" +
+      s""""commit_phase_median_sec":{$phasesJson}}""")
     spark.stop()
   }
 }

@@ -173,14 +173,92 @@ object PartitionedCommit {
     * count over the touched buckets, read-back verified like
     * [[CommitSink.writeVerified]].
     */
+  /** Name of the per-bucket marker file (leading `_` so every parquet
+    * reader ignores it as data). A marker rides its bucket DIRECTORY
+    * through stage, swap, park, and heal — so whatever it records is
+    * exactly as atomic as the bucket's rows, which is what makes it
+    * usable as an applied-batch stamp for non-idempotent (additive)
+    * merges: see [[graft.operators.IncrementalLm]]'s counts artifact.
+    *
+    * Line 1 is always `rows=<n>` (the bucket's committed row count,
+    * derived from the same job that verifies the staged write); any
+    * further lines are caller payload via the `markers` parameter of
+    * [[commitPartitions]]. The rows line is what lets
+    * [[standingCount]] answer from O(buckets) driver-side reads
+    * instead of an O(table) count job per micro-batch.
+    */
+  val BucketMarkerFile = "_applied"
+
+  /** Commit-internals attribution hook (dev tooling — TimePipeline):
+    * while set on the calling thread, [[commitPartitions]] and the
+    * upsert helpers report their phase wall-seconds (`touched_probe`,
+    * `stage_write`, `verify`, `swap`, `standing_count`) through it.
+    * A DynamicVariable so concurrent commits on a pool each see the
+    * hook their own caller installed.
+    */
+  val phaseHook: scala.util.DynamicVariable[Option[(String, Double) => Unit]] =
+    new scala.util.DynamicVariable(None)
+
+  private[graft] def timedPhase[T](name: String)(f: => T): T =
+    phaseHook.value match {
+      case None => f
+      case Some(h) =>
+        val t0 = System.nanoTime()
+        val r = f
+        h(name, (System.nanoTime() - t0) / 1e9)
+        r
+    }
+
+  private def parseMarkerRows(content: String): Option[Long] =
+    content.linesIterator.toSeq.headOption
+      .filter(_.startsWith("rows="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("rows=").toLong).toOption)
+
+  /** Caller payload of a marker (everything after the rows line). */
+  def markerPayload(content: String): String =
+    content.linesIterator.drop(1).mkString("\n")
+
+  /** Read the per-bucket markers of a partitioned table: bucket id →
+    * marker content. Driver-side, O(buckets) small-file reads.
+    */
+  def readBucketMarkers(spark: SparkSession, root: String): Map[Int, String] = {
+    val f = fsOf(spark, new Path(root))
+    bucketDirs(spark, new Path(root)).flatMap { st =>
+      val m = new Path(st.getPath, BucketMarkerFile)
+      if (!f.exists(m)) None
+      else {
+        val in = f.open(m)
+        try {
+          val bytes = new Array[Byte](f.getFileStatus(m).getLen.toInt)
+          in.readFully(bytes)
+          Some(st.getPath.getName.stripPrefix(BucketCol + "=").toInt ->
+            new String(bytes, "UTF-8"))
+        } finally in.close()
+      }
+    }.toMap
+  }
+
   def commitPartitions(
       spark: SparkSession, df: DataFrame, root: String,
-      touched: Seq[Int]): Long = {
+      touched: Seq[Int]): Long =
+    commitPartitions(spark, df, root, touched, Map.empty)
+
+  /** As [[commitPartitions]], additionally writing `markers(b)` as the
+    * bucket's [[BucketMarkerFile]] (staged with the bucket, so marker
+    * and rows swap in atomically). A touched bucket that stages no
+    * rows (emptied) keeps no marker — absence reads as "no stamp",
+    * which callers must treat as apply-needed.
+    */
+  def commitPartitions(
+      spark: SparkSession, df: DataFrame, root: String,
+      touched: Seq[Int], markers: Map[Int, String]): Long = {
     require(df.columns.contains(BucketCol), s"df must carry $BucketCol")
     val staging = root + ".__staging__"
-    val obs = new org.apache.spark.sql.Observation("pc_commit_rows")
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+    val obs = new org.apache.spark.sql.Observation()
+    timedPhase("stage_write") {
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+    }
     val expected = obs.get("rows").asInstanceOf[Long]
     val stagingPath = new Path(staging)
     val f = fsOf(spark, stagingPath)
@@ -192,53 +270,91 @@ object PartitionedCommit {
     val undeclared = stagedDirs -- touched.map(b => s"$BucketCol=$b").toSet
     require(undeclared.isEmpty,
       s"staged buckets $undeclared not declared touched — rows would be dropped")
-    val actual =
-      if (stagedDirs.isEmpty) 0L else spark.read.parquet(staging).count()
+    // read-back verify, at BUCKET grain: the same one job both checks
+    // the staged rows against the observed write count and yields each
+    // bucket's rows line for its marker (so standingCount can answer
+    // from markers without an O(table) count job later)
+    val perBucket: Map[Int, Long] = timedPhase("verify") {
+      if (stagedDirs.isEmpty) Map.empty
+      else spark.read.parquet(staging).groupBy(col(BucketCol)).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val actual = perBucket.values.sum
     if (actual != expected)
       throw CommitSink.CommitVerificationFailed(root, expected, actual)
-
-    val rootPath = new Path(root)
-    val backupRoot = new Path(root + ".__old__")
-    // a backup root surviving a COMPLETED commit cannot exist (deleted
-    // below); one found here belongs to an interrupted commit whose
-    // replay this is — heal restored what it needed, clear the rest
-    if (f.exists(backupRoot)) f.delete(backupRoot, true)
-    f.mkdirs(backupRoot)
-    if (!f.exists(rootPath)) f.mkdirs(rootPath)
-    touched.foreach { b =>
-      val name = s"$BucketCol=$b"
-      val destDir = new Path(rootPath, name)
-      val stagedDir = new Path(stagingPath, name)
-      // park the old bucket first (dest left briefly absent, backup
-      // recoverable — the CommitSink swap contract, per bucket)
-      if (f.exists(destDir))
-        require(f.rename(destDir, new Path(backupRoot, name)),
-          s"could not stage out old $destDir")
-      if (stagedDirs.contains(name))
-        require(f.rename(stagedDir, destDir),
-          s"could not commit $stagedDir -> $destDir")
+    // markers are staged WITH their buckets, so marker and rows swap
+    // in atomically
+    perBucket.foreach { case (b, n) =>
+      val payload = markers.get(b).map("\n" + _).getOrElse("")
+      writeFile(f, new Path(new Path(stagingPath, s"$BucketCol=$b"),
+        BucketMarkerFile), s"rows=$n$payload")
     }
-    f.delete(backupRoot, true)
-    f.delete(stagingPath, true)
-    // A commit that empties the table (every staged bucket empty, all
-    // standing dirs parked) must leave it READABLE: zero bucket dirs
-    // would make the next spark.read fail schema inference, where the
-    // unpartitioned layout serves an empty-but-schema-bearing parquet.
-    // Write one empty marker bucket carrying the data schema — zero
-    // rows, swapped away by whichever later commit touches it.
-    if (bucketDirs(spark, rootPath).isEmpty)
-      df.drop(BucketCol).limit(0).write.mode("overwrite")
-        .parquet(new Path(rootPath,
-          s"$BucketCol=${touched.headOption.getOrElse(0)}").toString)
+
+    timedPhase("swap") {
+      val rootPath = new Path(root)
+      val backupRoot = new Path(root + ".__old__")
+      // a backup root surviving a COMPLETED commit cannot exist (deleted
+      // below); one found here belongs to an interrupted commit whose
+      // replay this is — heal restored what it needed, clear the rest
+      if (f.exists(backupRoot)) f.delete(backupRoot, true)
+      f.mkdirs(backupRoot)
+      if (!f.exists(rootPath)) f.mkdirs(rootPath)
+      touched.foreach { b =>
+        val name = s"$BucketCol=$b"
+        val destDir = new Path(rootPath, name)
+        val stagedDir = new Path(stagingPath, name)
+        // park the old bucket first (dest left briefly absent, backup
+        // recoverable — the CommitSink swap contract, per bucket)
+        if (f.exists(destDir))
+          require(f.rename(destDir, new Path(backupRoot, name)),
+            s"could not stage out old $destDir")
+        if (stagedDirs.contains(name))
+          require(f.rename(stagedDir, destDir),
+            s"could not commit $stagedDir -> $destDir")
+      }
+      f.delete(backupRoot, true)
+      f.delete(stagingPath, true)
+      // A commit that empties the table (every staged bucket empty, all
+      // standing dirs parked) must leave it READABLE: zero bucket dirs
+      // would make the next spark.read fail schema inference, where the
+      // unpartitioned layout serves an empty-but-schema-bearing parquet.
+      // Write one empty marker bucket carrying the data schema — zero
+      // rows, swapped away by whichever later commit touches it.
+      if (bucketDirs(spark, rootPath).isEmpty) {
+        val emptyDir = new Path(rootPath,
+          s"$BucketCol=${touched.headOption.getOrElse(0)}")
+        df.drop(BucketCol).limit(0).write.mode("overwrite")
+          .parquet(emptyDir.toString)
+        writeFile(f, new Path(emptyDir, BucketMarkerFile), "rows=0")
+      }
+    }
     actual
   }
 
-  /** Total standing rows of the table — parquet footer counts over a
-    * column-free scan, no data pages read. Per-batch report parity
-    * with the unpartitioned path's committed-count; skip it in a
-    * latency-critical ingest loop if the report total is not needed.
+  private def writeFile(
+      f: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Total standing rows of the table. Fast path: when EVERY bucket
+    * carries a rows marker (any table written only by marker-aware
+    * commits does), the total is the driver-side sum of the markers —
+    * O(buckets) small-file reads, no listing of data files, no Spark
+    * job, so the per-micro-batch report total stops costing O(table)
+    * as the corpus grows. A table with any unmarked bucket (written
+    * before markers existed) falls back to the count job.
     */
-  def standingCount(spark: SparkSession, root: String): Long =
-    if (!healInterrupted(spark, root)) 0L
-    else spark.read.parquet(root).count()
+  def standingCount(spark: SparkSession, root: String): Long = {
+    if (!healInterrupted(spark, root)) return 0L
+    val counts = timedPhase("standing_count") {
+      val dirs = bucketDirs(spark, new Path(root)).map(_.getPath.getName
+        .stripPrefix(BucketCol + "=").toInt)
+      val markers = readBucketMarkers(spark, root)
+      dirs.map(b => markers.get(b).flatMap(parseMarkerRows))
+    }
+    if (counts.forall(_.isDefined)) counts.flatten.sum
+    else timedPhase("standing_count_scan")(spark.read.parquet(root).count())
+  }
 }

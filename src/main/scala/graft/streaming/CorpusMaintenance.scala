@@ -165,9 +165,9 @@ object CorpusMaintenance {
     // a retire-only key (empty new group) still names a bucket whose
     // standing rows must be rewritten without it.
     // ≤ |batch| rows — driver-safe by construction
-    val touched = keys
+    val touched = PartitionedCommit.timedPhase("touched_probe")(keys
       .select(bucketOf(col(keyCol)).as(B))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted)
     val merged = PartitionedCommit.readIfAny(spark, corpusPath) match {
       case None => bucketed
       case Some(standing) => standing

@@ -181,6 +181,16 @@ object DocumentPipeline {
       onStage(name, (System.nanoTime() - t0) / 1e9)
       r
     }
+    // commit-internals grain (r11 verdict ask #3): while a commit
+    // stage runs, PartitionedCommit's phase hook forwards its internal
+    // phases (touched_probe / stage_write / verify / swap /
+    // standing_count) into onStage as "<stage>.<phase>" — so the
+    // attribution table can say WHICH part of a commit is the floor,
+    // not just which artifact. DynamicVariable: each pool thread sees
+    // only the hook its own stage installed.
+    def timedP[T](name: String)(f: => T): T =
+      timed(name)(graft.operators.PartitionedCommit.phaseHook.withValue(
+        Some((ph: String, s: Double) => onStage(s"$name.$ph", s)))(f))
     // Healed standing read, not bare fs.exists(): a crash inside a
     // commit's swap leaves a path (or one bucket of it) absent with
     // the only copy at `.__old__`. A bare exists() gate would read
@@ -251,7 +261,7 @@ object DocumentPipeline {
 
         // candidates first: the standing shingle index must still
         // describe the pre-batch corpus while the mine executes
-        val candidateRows = timed("commit_candidates")(layout match {
+        val candidateRows = timedP("commit_candidates")(layout match {
           case None =>
             val keptCands = standing(candidatesPath).map(
               _.join(broadcast(batchIds.toDF("doc_a")), Seq("doc_a"), "left_anti")
@@ -316,19 +326,19 @@ object DocumentPipeline {
           // register once, up front, on the caller thread
           graft.functions.GraftFunctions.register(spark))
         val doShingles: () => Long = () => {
-          val n = timed("commit_shingles")(CorpusMaintenance
+          val n = timedP("commit_shingles")(CorpusMaintenance
             .upsertBatch(deltaSh, shinglesPath, "doc_id", layout))
           onCommitted("shingles")
           n
         }
         val doCorpus: () => Long = () => {
-          val n = timed("commit_corpus")(CorpusMaintenance
+          val n = timedP("commit_corpus")(CorpusMaintenance
             .upsertBatch(scrubbed, corpusPath, "doc_id", layout))
           onCommitted("corpus")
           n
         }
         val doSigs: () => Long = () => signaturesPath.fold(0L) { p =>
-          val n = timed("commit_signatures")(CorpusMaintenance.upsertBatch(
+          val n = timedP("commit_signatures")(CorpusMaintenance.upsertBatch(
             scrubbed.select(col("doc_id"),
               graft.functions.GraftFunctions.phash64(
                 lower(col("text")).cast("binary")).as("sig")),
@@ -340,46 +350,89 @@ object DocumentPipeline {
         // upsert retires its old bigrams the same way it retires its
         // old shingles. retireKeys = the full batch id set, because a
         // replacement whose new text has < 2 tokens produces an EMPTY
-        // group — its stale rows must still leave the table. Before
-        // the upsert, the batch is scored against the PRE-batch
-        // standing model (the LM twin of VectorIndexMaintenance's
-        // quantizer-drift report): a delivery whose mean -ln p jumps
-        // is off-distribution — wrong language, spam, a broken
-        // upstream extractor — and surfaces in the report the moment
-        // it happens, not at the next corpus-wide quality audit.
-        // Unseen bigrams price at the OOV cost, so fully-foreign text
-        // reads as HIGH nll, never as p = 1.
+        // group — its stale rows must still leave the table.
+        //
+        // The AGGREGATE model (the q77 counts table) is maintained as
+        // its own artifact at `<lmPath>__counts` — w1-hash-bucketed,
+        // stamp-gated per bucket so the additive ± delta (new tf minus
+        // the batch keys' standing tf) applies exactly once under
+        // at-least-once replay ([[graft.operators.IncrementalLm]]'s
+        // section doc). That makes EVERY per-batch LM term delta-sized:
+        // the drift score reads only the batch-w1 bucket slice plus
+        // the marker-held total mass, where it previously re-aggregated
+        // the whole standing tf table per batch (the r11 lm_score
+        // corpus-term, 10.3 s at 30 k standing docs).
+        //
+        // The batch is scored against the PRE-batch standing model
+        // (the LM twin of VectorIndexMaintenance's quantizer-drift
+        // report): a delivery whose mean -ln p jumps is
+        // off-distribution — wrong language, spam, a broken upstream
+        // extractor — and surfaces in the report the moment it
+        // happens. Unseen bigrams price at the OOV cost, so
+        // fully-foreign text reads as HIGH nll, never as p = 1.
+        // Ordering WITHIN this thunk: score → counts commit → tf
+        // commit, so the parallel mode preserves both the drift
+        // contract and the counts artifact's replay algebra (a replay
+        // after a complete batch derives a zero delta because the tf
+        // table already holds the batch).
         val doLm: () => (Long, Option[Double]) = () =>
           lmPath.fold((0L, Option.empty[Double])) { p =>
             val lm = graft.operators.IncrementalLm
+            val countsPath = p + "__counts"
             var nll: Option[Double] = None
-            timed("lm_score")(standing(p).foreach { tf =>
-              // the vocabulary-sized aggregate persists across its two
-              // consumers (cost table + OOV mass) so the corpus-grain
-              // standing tf table is scanned ONCE per batch for the
-              // drift score, not twice
-              val counts = lm.countsFromTf(tf.drop(B)).persist()
-              try {
-                val scored = lm.score(
-                  scrubbed, lm.costTable(counts), lm.oovCost(counts))
-                val agg = scored.agg(
-                  sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
-                  .head()
-                if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
-                  nll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
-              } finally {
-                counts.unpersist()
+            val newTf = lm.docTf(scrubbed).persist()
+            try {
+              // standing tf rows of the batch keys, read BEFORE the tf
+              // commit (bucket-pruned under a partitioned layout) —
+              // the negative side of the counts delta
+              val oldTf = standing(p) match {
+                case None => newTf.limit(0)
+                case Some(tf) =>
+                  val slice = layout match {
+                    case Some(l) => tf.filter(col(B).isin(
+                      scrubbed.select(l.bucketOf(col("doc_id"))).distinct()
+                        .collect().map(_.getInt(0)).toSeq: _*))
+                    case None => tf
+                  }
+                  slice.drop(B)
+                    .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+                    .select(newTf.columns.map(col): _*)
+              }
+              // migration: a standing tf predating the counts artifact
+              // aggregates ONCE (atomic install), then stays incremental
+              if (graft.operators.PartitionedCommit
+                  .readIfAny(spark, countsPath).isEmpty)
+                standing(p).foreach(tf => lm.bootstrapCounts(countsPath,
+                  tf.drop(B)))
+              timed("lm_score") {
+                val mass = lm.totalMass(spark, countsPath)
+                if (mass > 0L) {
+                  val slice = lm.countsSlice(spark, countsPath,
+                    newTf.select("w1").distinct())
+                  val scored = lm.score(scrubbed, lm.costTable(slice),
+                    lm.oovCostOfMass(mass))
+                  val agg = scored.agg(
+                    sum(col("nll") * col("n_bigrams")), sum(col("n_bigrams")))
+                    .head()
+                  if (!agg.isNullAt(1) && agg.getLong(1) > 0L)
+                    nll = Some(agg.getDouble(0) / agg.getLong(1).toDouble)
+                }
+              }
+              timedP("lm_counts") {
+                val stamp = lm.batchStamp(scrubbed, Seq("doc_id", "text"))
+                lm.upsertCounts(countsPath, newTf, oldTf, stamp)
                 ()
               }
-            })
-            // the score above reads the PRE-batch standing model; the
-            // commit below rewrites it — strictly ordered WITHIN this
-            // thunk, so the parallel mode preserves the drift contract
-            val n = timed("commit_lm")(CorpusMaintenance.upsertGroups(
-              lm.docTf(scrubbed), p, "doc_id", layout,
-              retireKeys = Some(batchIds)))
-            onCommitted("lm")
-            (n, nll)
+              onCommitted("lm_counts")
+              val n = timedP("commit_lm")(CorpusMaintenance.upsertGroups(
+                newTf, p, "doc_id", layout,
+                retireKeys = Some(batchIds)))
+              onCommitted("lm")
+              (n, nll)
+            } finally {
+              newTf.unpersist()
+              ()
+            }
           }
         val (shingleRows, corpusRows, sigRows, (lmRows, batchNll)) =
           if (!parallelCommits) (doShingles(), doCorpus(), doSigs(), doLm())

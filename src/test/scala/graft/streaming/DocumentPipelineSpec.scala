@@ -215,7 +215,10 @@ class DocumentPipelineSpec extends SparkTestBase {
       val lm = spark.read.parquet(p.root + "/lm").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSet
-      (snap(p), sigs, lm)
+      val counts = spark.read.parquet(p.root + "/lm__counts")
+        .select("w1", "bigram", "bc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      (snap(p), sigs, lm, counts)
     }
     val ctl5 = Paths(tmp("docpipe-matrix5-ctl"))
     for (b <- Seq(b1, b2))
@@ -223,8 +226,13 @@ class DocumentPipelineSpec extends SparkTestBase {
         ctl5.cands, signaturesPath = Some(ctl5.root + "/sigs"),
         lmPath = Some(ctl5.root + "/lm"))
     val want5 = snap5(ctl5)
+    // the maintained aggregate counts must equal fit() over the corpus
+    assert(want5._4 == graft.operators.IncrementalLm
+      .fit(spark.read.parquet(ctl5.corpus)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet,
+      "maintained counts artifact != fit(corpus)")
     for (point <- Seq("candidates", "shingles", "corpus",
-        "signatures", "lm")) {
+        "signatures", "lm_counts", "lm")) {
       val p = Paths(tmp(s"docpipe-matrix5-$point"))
       DocumentPipeline.upsertBatch(docs(b1: _*), p.corpus, p.shingles,
         p.cands, signaturesPath = Some(p.root + "/sigs"),
@@ -269,7 +277,10 @@ class DocumentPipelineSpec extends SparkTestBase {
       candSet(spark.read.parquet(p.cands)),
       spark.read.parquet(p.root + "/sigs").select("doc_id", "sig")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-      lmStored(p.root + "/lm"))
+      lmStored(p.root + "/lm"),
+      spark.read.parquet(p.root + "/lm__counts")
+        .select("w1", "bigram", "bc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
     val ctl = Paths(tmp("docpipe-par-ctl"))
     run(ctl, b1, par = false)
     val ctlRep = run(ctl, b2, par = false)
@@ -515,7 +526,10 @@ class DocumentPipelineSpec extends SparkTestBase {
       candSet(spark.read.parquet(p.cands)),
       spark.read.parquet(p.root + "/sigs").select("doc_id", "sig")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-      lmStored(p.root + "/lm"))
+      lmStored(p.root + "/lm"),
+      spark.read.parquet(p.root + "/lm__counts")
+        .select("w1", "bigram", "bc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
     val ctl = Paths(tmp("docpipe-range-ctl"))
     Seq(b1, b2, b3).foreach(b => run(ctl, b, None))
     val want = snap5(ctl)
@@ -555,7 +569,8 @@ class DocumentPipelineSpec extends SparkTestBase {
 
     // crash between lockstep commits on the range layout heals on replay
     case class Killed() extends RuntimeException("killed")
-    for (point <- Seq("candidates", "shingles", "corpus", "signatures", "lm")) {
+    for (point <- Seq("candidates", "shingles", "corpus", "signatures",
+        "lm_counts", "lm")) {
       val p = Paths(tmp(s"docpipe-range-crash-$point"))
       run(p, b1, rl)
       run(p, b2, rl)
@@ -615,6 +630,52 @@ class DocumentPipelineSpec extends SparkTestBase {
     assert(got._1.forall { case (_, t, _) =>
       !t.contains("nav") && !t.contains("var x") })
     assert(got._3.nonEmpty, "near-dup pages must mine a candidate")
+  }
+
+  test("maintained counts artifact: delta upkeep ≡ fit(corpus) through append, " +
+      "update, retire-only, replay, and migration bootstrap") {
+    // the delta-sized lm_score contract (r11 verdict ask #2): the
+    // aggregate counts table is maintained by ± batch deltas (stamp-
+    // gated per bucket), never by re-aggregating the standing tf —
+    // and must stay EXACTLY equal to a one-pass fit over the corpus
+    // at every step, with the marker-held total mass matching too.
+    val p = Paths(tmp("docpipe-lmc"))
+    val lmp = p.root + "/lm"
+    val cp = lmp + "__counts"
+    def run(b: (Long, String)*) = DocumentPipeline.upsertBatch(
+      docs(b: _*), p.corpus, p.shingles, p.cands, lmPath = Some(lmp))
+    def countsSet() = spark.read.parquet(cp)
+      .select("w1", "bigram", "bc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def want() = graft.operators.IncrementalLm
+      .fit(spark.read.parquet(p.corpus)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def checkMass() = assert(
+      graft.operators.IncrementalLm.totalMass(spark, cp) ==
+        countsSet().toSeq.map(_._3).sum, "marker mass drifted from sum(bc)")
+
+    run((1L, "the cat sat on the mat"), (2L, "a dog ran in the park"))
+    assert(countsSet() == want()); checkMass()
+    run((3L, "the cat sat on the rug today")) // append
+    assert(countsSet() == want()); checkMass()
+    run((2L, "entirely new words for doc two")) // update: old bigrams retire
+    assert(countsSet() == want()); checkMass()
+    run((3L, "single")) // retire-only: empty new group, old rows leave
+    assert(countsSet() == want()); checkMass()
+    val before = countsSet()
+    run((3L, "single")) // replay of a completed batch: zero delta
+    assert(countsSet() == before, "replay must not re-apply the delta")
+    checkMass()
+    // migration: a standing tf WITHOUT a counts artifact (pre-counts
+    // era) bootstraps once, atomically, then continues incrementally
+    val d = java.nio.file.Paths.get(cp)
+    java.nio.file.Files.walk(d)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.delete(f); () })
+    run((4L, "yet another little document arrives"))
+    assert(countsSet() == want(),
+      "bootstrap + incremental != fit over the corpus")
+    checkMass()
   }
 
   test("LM retire-only update: a one-token replacement removes its stale rows") {
