@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 object EventQueries {
   import Q._
 
+  /** q305's step window: a funnel step must land within 24 h of the
+    * previous step's completion (epoch micros — the constant is baked
+    * into the DuckDB mirror, so a change must edit both).
+    */
+  val FunnelWindowUs: Long = 86400000000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q304: 30-minute-gap sessionization — THE canonical event-log
@@ -93,6 +99,120 @@ object EventQueries {
              |    AS mean_duration_sec,
              |  CAST(count(*) FILTER (WHERE n_errors > 0) AS BIGINT)
              |    AS sessions_with_error
-             |FROM s GROUP BY 1 ORDER BY len_bucket""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY len_bucket""".stripMargin)),
+
+    // ── q305: ordered WINDOWED FUNNEL conversion (view → click →
+    // purchase, each step within 24 h of the previous) — the second
+    // canonical event-log operator (every growth stack computes
+    // step-through rates, always with a step window): a user
+    // completes step k when an event of step k's type occurs STRICTLY
+    // AFTER their step-(k−1) completion and within the window.
+    // Matching is DECLARED greedy-earliest (first view, then the
+    // first click in its window, then the first purchase in that
+    // click's window) — the semantics product funnels implement; a
+    // later view could in principle open a window an earlier one
+    // misses, and re-anchoring variants are a different, costlier
+    // operator.
+    //
+    // Scale shape: ONE user_id exchange; each user's events collect
+    // into a sorted array (per-user counts are people-bounded — the
+    // q304 argument — so no whale keys) and the greedy match is a
+    // single codegen'd `aggregate` HOF fold carrying (depth,
+    // last_matched_us) — no self-join per step, no window, no
+    // repeated scans as steps are added. The result collapses to 3
+    // rows. The DuckDB mirror uses the equivalent conditional-min
+    // chaining (min view → min click > it → min purchase > that);
+    // the spec pins both against a driver recompute.
+    //
+    // Ties: strictly-greater on the epoch-micro timestamp in BOTH
+    // engines, so a click sharing its view's microsecond never
+    // counts — tie behavior is engine-identical by construction.
+    QueryDef(
+      "q305_funnel_steps",
+      (s, d) => {
+        val steps = Seq("view", "click", "purchase")
+        val winUs = FunnelWindowUs
+        val init = struct(
+          lit(0).cast("int").as("d"), lit(Long.MinValue).as("t"))
+        def advance(acc: org.apache.spark.sql.Column,
+            e: org.apache.spark.sql.Column) =
+          steps.zipWithIndex.foldLeft(when(lit(false), acc)) {
+            case (c, (step, i)) => c.when(
+              acc("d") === i && e("event_type") === step &&
+                (if (i == 0) lit(true)
+                 else e("us") > acc("t") && e("us") <= acc("t") + winUs),
+              struct(lit(i + 1).cast("int").as("d"), e("us").as("t")))
+          }.otherwise(acc)
+        val depths = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("us"), col("event_id"), col("event_type")))).as("evs"))
+          .select(aggregate(col("evs"), init, advance)("d").as("depth"))
+        val agg = depths.agg(
+          count(when(col("depth") >= 1, 1)).as("s1"),
+          count(when(col("depth") >= 2, 1)).as("s2"),
+          count(when(col("depth") >= 3, 1)).as("s3"))
+        def conv(n: org.apache.spark.sql.Column,
+            prev: org.apache.spark.sql.Column) =
+          when(prev > 0L, round(n.cast("double") / prev.cast("double"), 6))
+        agg.select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("step_name"),
+            col("s1").as("n"), col("s1").as("prev")),
+          struct(lit(2L).as("step"), lit("click").as("step_name"),
+            col("s2").as("n"), col("s1").as("prev")),
+          struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+            col("s3").as("n"), col("s2").as("prev")))).as("r"))
+          .crossJoin(agg.select(col("s1").as("base")))
+          .select(
+            col("r.step"), col("r.step_name"),
+            col("r.n").cast("long").as("n_users"),
+            conv(col("r.n"), col("r.prev")).as("conv_from_prev"),
+            conv(col("r.n"), col("base")).as("conv_overall"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+             |    FROM events),
+             |t1 AS (SELECT user_id, min(us) AS t FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.us) AS t FROM e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.us > t1.t
+             |    AND e.us <= t1.t + 86400000000 GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(e.us) AS t FROM e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.us > t2.t
+             |    AND e.us <= t2.t + 86400000000 GROUP BY 1),
+             |c AS (SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM t1) AS s1,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS s2,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS s3)
+             |SELECT step, step_name, n_users, conv_from_prev, conv_overall
+             |FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+             |    s1 AS n_users,
+             |    CASE WHEN s1 > 0 THEN
+             |      round(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE), 6)
+             |      END AS conv_from_prev,
+             |    CASE WHEN s1 > 0 THEN
+             |      round(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE), 6)
+             |      END AS conv_overall
+             |  FROM c
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), 'click', s2,
+             |    CASE WHEN s1 > 0 THEN
+             |      round(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END,
+             |    CASE WHEN s1 > 0 THEN
+             |      round(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END
+             |  FROM c
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), 'purchase', s3,
+             |    CASE WHEN s2 > 0 THEN
+             |      round(CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE), 6) END,
+             |    CASE WHEN s1 > 0 THEN
+             |      round(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END
+             |  FROM c)
+             |ORDER BY step""".stripMargin))
   )
 }

@@ -5668,4 +5668,41 @@ class QueriesSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum > got.getOrElse(1L, (0L, 0L, 0.0, 0L))._1,
       "no multi-event session mass")
   }
+
+  test("q305 funnel equals a greedy driver recompute; every step has mass") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q305_funnel_steps")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val evs = graft.sources.Tables(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val steps = Seq("view", "click", "purchase")
+    val w = graft.queries.EventQueries.FunnelWindowUs
+    val depths = evs.groupBy(_._1).values.map { xs =>
+      // greedy earliest match over the (us, event_id, type) order, the
+      // query's declared semantics: strictly-greater timestamps inside
+      // the 24 h step window only
+      xs.sortBy(x => (x._4, x._2, x._3))
+        .foldLeft((0, Long.MinValue)) { case ((d, t), e) =>
+          if (d < steps.length && e._3 == steps(d) &&
+            (d == 0 || (e._4 > t && e._4 <= t + w)))
+            (d + 1, e._4)
+          else (d, t)
+        }._1
+    }.toSeq
+    val s = (1 to 3).map(k => k.toLong -> depths.count(_ >= k).toLong).toMap
+    def r6(a: Long, b: Long) =
+      BigDecimal(a.toDouble / b.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      1L -> (("view", s(1L), r6(s(1L), s(1L)), r6(s(1L), s(1L)))),
+      2L -> (("click", s(2L), r6(s(2L), s(1L)), r6(s(2L), s(1L)))),
+      3L -> (("purchase", s(3L), r6(s(3L), s(2L)), r6(s(3L), s(1L)))))
+    assert(got == exp, s"got $got expected $exp")
+    // non-vacuous: real conversion at every step, and real drop-off
+    assert(s(1L) > 0 && s(3L) > 0, "funnel must have mass at every step")
+    assert(s(3L) < s(1L), "a funnel with no drop-off proves nothing")
+  }
 }
