@@ -213,6 +213,90 @@ object EventQueries {
              |    CASE WHEN s1 > 0 THEN
              |      round(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END
              |  FROM c)
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // ── q306: TIME-TO-CONVERT for q305's funnel — for each user who
+    // completes view → click → purchase (same greedy-earliest, same
+    // 24 h step windows, declared once in [[FunnelWindowUs]]), the
+    // per-leg latencies (view→click, click→purchase) roll up to
+    // exact-micro min/max and a once-rounded mean — the latency
+    // distribution a growth team reads NEXT to the conversion rates.
+    //
+    // Scale shape: identical to q305 (one user_id exchange, one
+    // sorted-array HOF fold per user — the fold state additionally
+    // carries the three matched timestamps, which costs nothing), a
+    // 1-row output. Float discipline: legs accumulate as exact epoch-
+    // micro longs; each mean is ONE double division rounded once.
+    QueryDef(
+      "q306_funnel_latency",
+      (s, d) => {
+        val steps = Seq("view", "click", "purchase")
+        val winUs = FunnelWindowUs
+        val mv = Long.MinValue
+        val init = struct(lit(0).cast("int").as("d"),
+          lit(mv).as("t1"), lit(mv).as("t2"), lit(mv).as("t3"))
+        def st(dd: Int, t1: org.apache.spark.sql.Column,
+            t2: org.apache.spark.sql.Column,
+            t3: org.apache.spark.sql.Column) =
+          struct(lit(dd).cast("int").as("d"),
+            t1.as("t1"), t2.as("t2"), t3.as("t3"))
+        def advance(acc: org.apache.spark.sql.Column,
+            e: org.apache.spark.sql.Column) =
+          when(acc("d") === 0 && e("event_type") === steps(0),
+            st(1, e("us"), lit(mv), lit(mv)))
+            .when(acc("d") === 1 && e("event_type") === steps(1) &&
+              e("us") > acc("t1") && e("us") <= acc("t1") + winUs,
+              st(2, acc("t1"), e("us"), lit(mv)))
+            .when(acc("d") === 2 && e("event_type") === steps(2) &&
+              e("us") > acc("t2") && e("us") <= acc("t2") + winUs,
+              st(3, acc("t1"), acc("t2"), e("us")))
+            .otherwise(acc)
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("us"), col("event_id"), col("event_type")))).as("evs"))
+          .select(aggregate(col("evs"), init, advance).as("f"))
+          .filter(col("f.d") === 3)
+          .select((col("f.t2") - col("f.t1")).as("vc"),
+            (col("f.t3") - col("f.t2")).as("cp"))
+          .agg(
+            count(lit(1)).cast("long").as("n_converted"),
+            round(sum(col("vc")).cast("double") /
+              count(lit(1)).cast("double") / 1000000.0, 6)
+              .as("view_click_mean_sec"),
+            min(col("vc")).cast("long").as("view_click_min_us"),
+            max(col("vc")).cast("long").as("view_click_max_us"),
+            round(sum(col("cp")).cast("double") /
+              count(lit(1)).cast("double") / 1000000.0, 6)
+              .as("click_purchase_mean_sec"),
+            min(col("cp")).cast("long").as("click_purchase_min_us"),
+            max(col("cp")).cast("long").as("click_purchase_max_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+             |    FROM events),
+             |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, t1.t1, min(e.us) AS t2 FROM e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.us > t1.t1
+             |    AND e.us <= t1.t1 + 86400000000 GROUP BY 1, 2),
+             |t3 AS (SELECT e.user_id, t2.t1, t2.t2, min(e.us) AS t3 FROM e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.us > t2.t2
+             |    AND e.us <= t2.t2 + 86400000000 GROUP BY 1, 2, 3)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |  round(CAST(sum(t2 - t1) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+             |    AS view_click_mean_sec,
+             |  CAST(min(t2 - t1) AS BIGINT) AS view_click_min_us,
+             |  CAST(max(t2 - t1) AS BIGINT) AS view_click_max_us,
+             |  round(CAST(sum(t3 - t2) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+             |    AS click_purchase_mean_sec,
+             |  CAST(min(t3 - t2) AS BIGINT) AS click_purchase_min_us,
+             |  CAST(max(t3 - t2) AS BIGINT) AS click_purchase_max_us
+             |FROM t3""".stripMargin))
   )
 }

@@ -5704,5 +5704,35 @@ class QueriesSpec extends SparkTestBase {
     // non-vacuous: real conversion at every step, and real drop-off
     assert(s(1L) > 0 && s(3L) > 0, "funnel must have mass at every step")
     assert(s(3L) < s(1L), "a funnel with no drop-off proves nothing")
+
+    // q306: the per-leg latencies of the SAME greedy windowed match
+    val legs = evs.groupBy(_._1).values.flatMap { xs =>
+      val f = xs.sortBy(x => (x._4, x._2, x._3))
+        .foldLeft((0, 0L, 0L, 0L)) { case ((d, t1, t2, t3), e) =>
+          if (d == 0 && e._3 == "view") (1, e._4, t2, t3)
+          else if (d == 1 && e._3 == "click" && e._4 > t1 && e._4 <= t1 + w)
+            (2, t1, e._4, t3)
+          else if (d == 2 && e._3 == "purchase" && e._4 > t2 && e._4 <= t2 + w)
+            (3, t1, t2, e._4)
+          else (d, t1, t2, t3)
+        }
+      if (f._1 == 3) Some((f._3 - f._2, f._4 - f._3)) else None
+    }.toSeq
+    val lat = SparkEntry.queries("q306_funnel_latency")(spark, sf())
+      .collect().head
+    // mirror the query's division ORDER (sum/n then /1e6) so the
+    // once-rounded double compares exactly
+    def meanSec(xs: Seq[Long]) = BigDecimal(
+      xs.sum.toDouble / xs.size.toDouble / 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lat.getLong(0) == legs.size.toLong)
+    assert(lat.getDouble(1) == meanSec(legs.map(_._1)))
+    assert(lat.getLong(2) == legs.map(_._1).min &&
+      lat.getLong(3) == legs.map(_._1).max)
+    assert(lat.getDouble(4) == meanSec(legs.map(_._2)))
+    assert(lat.getLong(5) == legs.map(_._2).min &&
+      lat.getLong(6) == legs.map(_._2).max)
+    assert(legs.nonEmpty && legs.map(_._1).min > 0L,
+      "latencies must be positive and present")
   }
 }
