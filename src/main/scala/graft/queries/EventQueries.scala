@@ -157,19 +157,25 @@ object EventQueries {
         def conv(n: org.apache.spark.sql.Column,
             prev: org.apache.spark.sql.Column) =
           when(prev > 0L, round(n.cast("double") / prev.cast("double"), 6))
+        // `base` (= s1) rides INSIDE each exploded struct: one corpus
+        // pass, no second plan of the per-user fold, no BNLJ — the
+        // 1-row aggregate already holds every column the 3-row
+        // explode needs.
         agg.select(explode(array(
           struct(lit(1L).as("step"), lit("view").as("step_name"),
-            col("s1").as("n"), col("s1").as("prev")),
+            col("s1").as("n"), col("s1").as("prev"),
+            col("s1").as("base")),
           struct(lit(2L).as("step"), lit("click").as("step_name"),
-            col("s2").as("n"), col("s1").as("prev")),
+            col("s2").as("n"), col("s1").as("prev"),
+            col("s1").as("base")),
           struct(lit(3L).as("step"), lit("purchase").as("step_name"),
-            col("s3").as("n"), col("s2").as("prev")))).as("r"))
-          .crossJoin(agg.select(col("s1").as("base")))
+            col("s3").as("n"), col("s2").as("prev"),
+            col("s1").as("base")))).as("r"))
           .select(
             col("r.step"), col("r.step_name"),
             col("r.n").cast("long").as("n_users"),
             conv(col("r.n"), col("r.prev")).as("conv_from_prev"),
-            conv(col("r.n"), col("base")).as("conv_overall"))
+            conv(col("r.n"), col("r.base")).as("conv_overall"))
           .orderBy(col("step"))
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
