@@ -1386,18 +1386,28 @@ object Analytics2 {
     QueryDef(
       "q188_cohort_matrix",
       (s, d) => {
-        val ev = t(s, d, "events")
+        // ONE corpus pass: per user, the set of active weeks
+        // (map-side collect_set partials dedup before the single
+        // user_id exchange — bounded by |calendar weeks|, a
+        // dimension); cohort = array_min, explode back to the
+        // (cohort, week) grain where each user contributes exactly
+        // one row per active week, so count(*) IS the distinct user
+        // count. The former first-week + distinct-activity frames
+        // were two scans of events whose exchanges Spark could not
+        // reuse (column pruning differs — the r12 q305
+        // duplicated-subtree class).
+        val perUser = t(s, d, "events")
           .select(col("user_id"),
             date_trunc("week", col("ts")).cast("date").as("wk"))
-        val firstWk = ev.groupBy(col("user_id"))
-          .agg(min(col("wk")).as("cohort_wk"))
-        val active = ev.distinct()
-        val cells = active
-          .join(firstWk, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(collect_set(col("wk")).as("wks"))
+          .select(array_min(col("wks")).as("cohort_wk"),
+            explode(col("wks")).as("wk"))
+        val cells = perUser
           .groupBy(col("cohort_wk"),
             (datediff(col("wk"), col("cohort_wk")).cast("long") / 7L)
               .cast("long").as("week_offset"))
-          .agg(countDistinct(col("user_id")).cast("long").as("n_active"))
+          .agg(count(lit(1)).cast("long").as("n_active"))
         val wCohort = Window.partitionBy(col("cohort_wk"))
         cells
           .withColumn("cohort_n",

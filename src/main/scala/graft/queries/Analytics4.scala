@@ -771,19 +771,32 @@ object Analytics4 {
     QueryDef(
       "q220_novelty_curve",
       (s, d) => {
-        val f = t(s, d, "documents")
+        // ONE text scan: collapse to the (fp, tranche) grain (tranche
+        // is a pure function of doc_id once the 1-row max broadcasts
+        // in — a thin doc_id-only branch, no text), then to the fp
+        // grain carrying the per-tranche counts as a list bounded by
+        // the 10 tranches. A family's novel doc is exactly its
+        // first_id's tranche, and that (fp, tranche) row always
+        // exists, so the exploded rollup reproduces the former
+        // doc-grain join exactly. The former first-per-family +
+        // join-back planned the md5(text) scan twice (the r12 q305
+        // duplicated-subtree class).
+        val mx = t(s, d, "documents").agg(max(col("doc_id")).as("mx"))
+        t(s, d, "documents")
           .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-        val mx = f.agg(max(col("doc_id")).as("mx"))
-        val first = f.groupBy(col("fp"))
-          .agg(min(col("doc_id")).as("first_id"))
-        f.join(first, Seq("fp"))
           .crossJoin(broadcast(mx))
-          .select(expr("(10 * doc_id) div (mx + 1)").as("tranche"),
-            when(col("doc_id") === col("first_id"), 1L).otherwise(0L)
-              .as("novel"))
-          .groupBy(col("tranche"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(col("novel")).cast("long").as("n_novel"))
+          .groupBy(col("fp"), expr("(10 * doc_id) div (mx + 1)").as("tranche"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            min(col("doc_id")).as("min_id"), max(col("mx")).as("mxc"))
+          .groupBy(col("fp"))
+          .agg(min(col("min_id")).as("first_id"), max(col("mxc")).as("mxx"),
+            collect_list(struct(col("tranche"), col("n"))).as("per_tr"))
+          .select(col("first_id"), col("mxx"), explode(col("per_tr")).as("e"))
+          .groupBy(col("e.tranche").as("tranche"))
+          .agg(sum(col("e.n")).cast("long").as("n_docs"),
+            count(when(col("e.tranche") ===
+              expr("(10 * first_id) div (mxx + 1)"), 1))
+              .cast("long").as("n_novel"))
           .select(col("tranche"), col("n_docs"), col("n_novel"),
             round(col("n_novel").cast("double") /
               col("n_docs").cast("double"), 6).as("novelty_rate"))
@@ -890,19 +903,29 @@ object Analytics4 {
     QueryDef(
       "q222_stickiness",
       (s, d) => {
-        val du = t(s, d, "events")
+        // ONE pass after the (day, user) dedup: collapse to the
+        // (week, user) grain carrying the user's active-day count AND
+        // a 7-bit day-of-week mask (days within a week are ≤ 7, and
+        // after the distinct each day is one bit, so sum of masks IS
+        // the bitwise OR); the week rollup then reads wau as row
+        // count, dau_sum as Σ per-user days, and days_active as the
+        // popcount of the OR'd masks. The former daily + weekly
+        // frames were two plan branches whose exchanges Spark could
+        // not reuse (the r12 q305 duplicated-subtree class), scanning
+        // events twice — and the weekly countDistinct is gone with
+        // them (no Expand risk).
+        t(s, d, "events")
           .select(datediff(col("ts").cast("date"), lit("1970-01-01")
             .cast("date")).cast("long").as("day"), col("user_id"))
           .distinct()
-          .withColumn("week", expr("day div 7"))
-        val daily = du.groupBy(col("week"), col("day"))
-          .agg(count(lit(1)).cast("long").as("dau"))
-        val weekly = du.groupBy(col("week"))
-          .agg(countDistinct(col("user_id")).cast("long").as("wau"))
-        daily.groupBy(col("week"))
-          .agg(count(lit(1)).cast("long").as("days_active"),
-            sum(col("dau")).cast("long").as("dau_sum"))
-          .join(weekly, Seq("week"))
+          .groupBy(expr("day div 7").as("week"), col("user_id"))
+          .agg(count(lit(1)).cast("long").as("ud"),
+            sum(expr("shiftleft(1L, CAST(day % 7 AS INT))"))
+              .cast("long").as("um"))
+          .groupBy(col("week"))
+          .agg(expr("bit_count(bit_or(um))").cast("long").as("days_active"),
+            sum(col("ud")).cast("long").as("dau_sum"),
+            count(lit(1)).cast("long").as("wau"))
           .select(col("week"), col("days_active"), col("dau_sum"),
             col("wau"),
             round(col("dau_sum").cast("double") /

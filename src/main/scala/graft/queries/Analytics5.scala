@@ -350,21 +350,40 @@ object Analytics5 {
         val fp = md5(concat_ws(" ",
           slice(filter(split(lower(col("text")), " "),
             tk => length(tk) > 0), 1, 16)))
-        val p = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), fp.as("fp"))
-        val fam = p.groupBy(col("fp"))
-          .agg(count(lit(1)).cast("long").as("fam_n"),
+        // ONE corpus pass: collapse to the (fp, source) grain first,
+        // roll the family census up from it, and carry the per-source
+        // counts through the fp aggregate as a collected list —
+        // bounded by |sources|, a dimension. After the explode each
+        // (fp, source) pair is exactly one row, so count(*) at the
+        // source grain IS the distinct-prefix count (no countDistinct,
+        // no Expand). The former census + join-back planned the text
+        // scan twice (exchanges not reusable — the r12 q305
+        // duplicated-subtree class). Integer counts only, so the
+        // regrouped sums hash-match the join-back form exactly.
+        val fsrc = t(s, d, "documents")
+          .select(col("source"), fp.as("fp"))
+          .groupBy(col("fp"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        fsrc.groupBy(col("fp"))
+          .agg(sum(col("n")).cast("long").as("fam_n"),
             when(min(col("source")) =!= max(col("source")), 1L)
-              .otherwise(0L).as("xsrc"))
-        p.join(fam, Seq("fp"))
+              .otherwise(0L).as("xsrc"),
+            collect_list(struct(col("source"), col("n"))).as("per_src"))
+          .select(col("fam_n"), col("xsrc"), explode(col("per_src")).as("e"))
+          .select(col("e.source").as("source"), col("e.n").as("n"),
+            col("fam_n"), col("xsrc"))
           .groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            countDistinct(col("fp")).cast("long").as("n_prefixes"),
-            count(when(col("fam_n") >= 2, 1)).cast("long").as("dup_docs"),
-            round(count(when(col("fam_n") >= 2, 1)).cast("double") /
-              count(lit(1)).cast("double"), 6).as("dup_share"),
-            count(when(col("fam_n") >= 2 && col("xsrc") === 1L, 1))
-              .cast("long").as("xsrc_dup_docs"))
+          .agg(sum(col("n")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_prefixes"),
+            sum(when(col("fam_n") >= 2, col("n")).otherwise(0L))
+              .cast("long").as("dup_docs"),
+            sum(when(col("fam_n") >= 2 && col("xsrc") === 1L, col("n"))
+              .otherwise(0L)).cast("long").as("xsrc_dup_docs"))
+          .select(col("source"), col("n_docs"), col("n_prefixes"),
+            col("dup_docs"),
+            round(col("dup_docs").cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_share"),
+            col("xsrc_dup_docs"))
           .orderBy(col("source"))
       },
       Some("""WITH p AS (SELECT doc_id, source,
@@ -775,14 +794,25 @@ object Analytics5 {
       (s, d) => {
         val toks = filter(split(lower(col("text")), " "),
           tk => length(tk) > 0)
+        val pfpC = md5(concat_ws(" ", slice(toks, lit(1), lit(16))))
+        val sfpC = md5(concat_ws(" ", slice(toks,
+          greatest(size(toks) - 15, lit(1)), lit(16))))
+        // ONE text pass (the md5-of-full-text tokenize is the fat
+        // step), zero joins: each doc's family sizes are
+        // count-over-window partitioned by its own fingerprints — the
+        // same two thin corpus exchanges the former census joins paid,
+        // WITHOUT the two extra md5(text) scans the separate pf/sfm
+        // groupBys planned (the r12 q305 duplicated-subtree class;
+        // count-only unbounded frames sort-spill per fingerprint
+        // family, the same memory story as the join's shuffle).
         val p = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            md5(concat_ws(" ", slice(toks, lit(1), lit(16)))).as("pfp"),
-            md5(concat_ws(" ", slice(toks,
-              greatest(size(toks) - 15, lit(1)), lit(16)))).as("sfp"))
-        val pf = p.groupBy(col("pfp")).agg(count(lit(1)).cast("long").as("pn"))
-        val sfm = p.groupBy(col("sfp")).agg(count(lit(1)).cast("long").as("sn"))
-        p.join(pf, Seq("pfp")).join(sfm, Seq("sfp"))
+          .select(col("source"), pfpC.as("pfp"), sfpC.as("sfp"))
+        val wP = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pfp"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sfp"))
+        p.withColumn("pn", count(lit(1)).over(wP))
+          .withColumn("sn", count(lit(1)).over(wS))
           .groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             count(when(col("pn") >= 2 && col("sn") < 2, 1)).cast("long")
@@ -1671,21 +1701,37 @@ object Analytics5 {
         val fp = md5(concat_ws(" ",
           slice(filter(split(lower(col("text")), " "),
             tk => length(tk) > 0), 1, 16)))
-        val p = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), fp.as("fp"))
-        val fam = p.groupBy(col("fp"))
-          .agg(count(lit(1)).cast("long").as("fam_n"),
+        // ONE corpus pass: collapse to the (fp, lang) grain first
+        // (count rides along), roll the family census up from it, and
+        // carry the per-lang counts through the fp aggregate as a
+        // collected list — bounded by |langs|, a dimension — so the
+        // lang report explodes back out without re-joining the
+        // doc-grain frame. The former census + join-back planned the
+        // text scan twice (exchanges not reusable — the r12 q305
+        // duplicated-subtree class). Integer counts only, so the
+        // regrouped sums hash-match the join-back form exactly.
+        val fl = t(s, d, "documents")
+          .select(col("lang"), fp.as("fp"))
+          .groupBy(col("fp"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        fl.groupBy(col("fp"))
+          .agg(sum(col("n")).cast("long").as("fam_n"),
             when(min(col("lang")) =!= max(col("lang")), 1L)
-              .otherwise(0L).as("xlang"))
-        p.join(fam, Seq("fp"))
+              .otherwise(0L).as("xlang"),
+            collect_list(struct(col("lang"), col("n"))).as("per_lang"))
+          .select(col("fam_n"), col("xlang"), explode(col("per_lang")).as("e"))
+          .select(col("e.lang").as("lang"), col("e.n").as("n"),
+            col("fam_n"), col("xlang"))
           .groupBy(col("lang"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            count(when(col("fam_n") >= 2, 1)).cast("long").as("dup_docs"),
-            count(when(col("fam_n") >= 2 && col("xlang") === 1L, 1))
-              .cast("long").as("xlang_docs"),
-            round(count(when(col("fam_n") >= 2 && col("xlang") === 1L, 1))
-              .cast("double") / count(lit(1)).cast("double"), 6)
-              .as("xlang_share"))
+          .agg(sum(col("n")).cast("long").as("n_docs"),
+            sum(when(col("fam_n") >= 2, col("n")).otherwise(0L))
+              .cast("long").as("dup_docs"),
+            sum(when(col("fam_n") >= 2 && col("xlang") === 1L, col("n"))
+              .otherwise(0L)).cast("long").as("xlang_docs"))
+          .select(col("lang"), col("n_docs"), col("dup_docs"),
+            col("xlang_docs"),
+            round(col("xlang_docs").cast("double") /
+              col("n_docs").cast("double"), 6).as("xlang_share"))
           .orderBy(col("lang"))
       },
       Some("""WITH p AS (SELECT doc_id, lang,

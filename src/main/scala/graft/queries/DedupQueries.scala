@@ -1145,8 +1145,23 @@ object DedupQueries {
         // masquerade as internal redundancy
         val src = t(s, d, "documents").select(col("doc_id"),
           coalesce(col("source"), lit(" null")).as("source"))
-        p.join(src.toDF("doc_a", "source_a"), "doc_a")
-          .join(src.toDF("doc_b", "source_b"), "doc_b")
+        // Melt each pair into its two (side, key) rows so the
+        // documents (doc_id, source) frame joins ONCE, then fold the
+        // sides back at the pair grain (exactPairs emits distinct
+        // doc_a < doc_b pairs, so the regroup is lossless). The
+        // former two per-side joins planned the documents scan twice
+        // and exchanged the corpus by doc_id twice (the r12 q305
+        // duplicated-subtree class); the melt exchanges the
+        // output-sized pair frame instead.
+        p.select(col("doc_a"), col("doc_b"), explode(array(
+            struct(lit("a").as("side"), col("doc_a").as("doc_id")),
+            struct(lit("b").as("side"), col("doc_b").as("doc_id")))).as("e"))
+          .select(col("doc_a"), col("doc_b"), col("e.side").as("side"),
+            col("e.doc_id").as("doc_id"))
+          .join(src, Seq("doc_id"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(when(col("side") === "a", col("source"))).as("source_a"),
+            max(when(col("side") === "b", col("source"))).as("source_b"))
           .groupBy(
             least(col("source_a"), col("source_b")).as("source_x"),
             greatest(col("source_a"), col("source_b")).as("source_y"))

@@ -1159,25 +1159,27 @@ object Relational {
     QueryDef(
       "q62_retention",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val first = ev.groupBy(col("user_id"))
-          .agg(min(to_date(col("ts"))).as("cohort"))
-        val act = ev.select(col("user_id"), to_date(col("ts")).as("d"))
-          .distinct()
-        // Pre-collapse to one row per (cohort, user) with a retained
-        // flag, then plain counts — each user has exactly ONE cohort,
-        // so count(*) IS the distinct user count. Equivalent to the
-        // former two-countDistinct form but without Spark's
-        // multi-distinct Expand: that rewrite triples the rows AND
-        // orders its gid branches by a hash-map iteration that varies
-        // per session, which made this query's canonical plan hash
-        // flip between bench runs (r8 PlanHash finding) — the
-        // attribution anchor must not wobble on identical code.
-        first.join(act, Seq("user_id"))
-          .groupBy(col("cohort"), col("user_id"))
-          .agg(max(when(col("d").between(
-            date_add(col("cohort"), 1), date_add(col("cohort"), 7)), 1L)
-            .otherwise(0L)).as("ret"))
+        // ONE corpus pass: per user, the set of active days (map-side
+        // collect_set partials dedup before the single user_id
+        // exchange — bounded by |calendar days|, a dimension); cohort
+        // = array_min, retained = any day in (cohort, cohort+7]. The
+        // former first-activity + distinct-activity frames were two
+        // separate scans of events whose exchanges Spark could not
+        // reuse (column pruning made the partial aggregates differ —
+        // the r12 q305 duplicated-subtree class). Each user has
+        // exactly ONE cohort, so count(*) at the cohort grain IS the
+        // distinct user count — the Expand-free shape kept from r8
+        // (gid branch order varies per session; the attribution
+        // anchor must not wobble on identical code).
+        t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .groupBy(col("user_id"))
+          .agg(collect_set(col("d")).as("days"))
+          .select(array_min(col("days")).as("cohort"), col("days"))
+          .select(col("cohort"),
+            when(exists(col("days"), x => x.between(
+              date_add(col("cohort"), 1), date_add(col("cohort"), 7))),
+              1L).otherwise(0L).as("ret"))
           .groupBy(col("cohort"))
           .agg(count(lit(1)).as("n_cohort"),
             sum(col("ret")).as("n_retained_7d"))
@@ -2802,36 +2804,46 @@ object Relational {
     QueryDef(
       "q136_funnel_window",
       (s, d) => {
-        val ev = t(s, d, "events")
-          .filter(col("event_type").isin("view", "click", "purchase"))
-          .select(col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
-        val v0 = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts_us")).as("v"))
-        val c0 = ev.filter(col("event_type") === "click")
-          .join(v0, Seq("user_id"))
-          .filter(col("ts_us") > col("v"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts_us")).as("c"), max(col("v")).as("v"))
-        val p0 = ev.filter(col("event_type") === "purchase")
-          .join(c0, Seq("user_id"))
-          .filter(col("ts_us") > col("c"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts_us")).as("p"), max(col("v")).as("v"))
+        // ONE corpus pass (q305's machinery): per user, fold the
+        // time-sorted event list once carrying (first view v, first
+        // click strictly after v, first purchase strictly after that)
+        // — ascending order makes the first qualifying hit the min,
+        // so the fold equals the former three per-step
+        // filter+join+min frames exactly (ties: strictly-greater on
+        // the epoch-micro stamp in both forms; an equal-stamp
+        // click/purchase never counts). The per-step frames scanned
+        // events twice and joined three times (exchanges not
+        // reusable — the r12 q305 duplicated-subtree class).
         val dayUs = 86400000000L
-        v0.join(c0.select(col("user_id"), lit(1L).as("clicked")),
-            Seq("user_id"), "left")
-          .join(p0.select(col("user_id"),
-            when(col("p") - col("v") <= dayUs, 1L).otherwise(0L)
-              .as("completed"), lit(1L).as("purchased")),
-            Seq("user_id"), "left")
+        val init = struct(lit(null).cast("long").as("v"),
+          lit(null).cast("long").as("c"), lit(null).cast("long").as("p"))
+        def step(a: org.apache.spark.sql.Column,
+            e: org.apache.spark.sql.Column) =
+          when(e("event_type") === "view" && a("v").isNull,
+            struct(e("us").as("v"), a("c").as("c"), a("p").as("p")))
+            .when(e("event_type") === "click" && a("v").isNotNull &&
+              e("us") > a("v") && a("c").isNull,
+              struct(a("v").as("v"), e("us").as("c"), a("p").as("p")))
+            .when(e("event_type") === "purchase" && a("c").isNotNull &&
+              e("us") > a("c") && a("p").isNull,
+              struct(a("v").as("v"), a("c").as("c"), e("us").as("p")))
+            .otherwise(a)
+        t(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(
+            col("us"), col("event_type")))).as("evs"))
+          .select(aggregate(col("evs"), init, step).as("f"))
+          .select(col("f.v").as("v"), col("f.c").as("c"), col("f.p").as("p"))
+          .filter(col("v").isNotNull)
           .agg(count(lit(1)).cast("long").as("n_viewers"),
-            sum(coalesce(col("clicked"), lit(0L))).cast("long")
-              .as("n_clicked_after"),
-            sum(coalesce(col("purchased"), lit(0L))).cast("long")
-              .as("n_purchased_after"),
-            sum(coalesce(col("completed"), lit(0L))).cast("long")
-              .as("n_completed_24h"))
+            count(col("c")).cast("long").as("n_clicked_after"),
+            count(col("p")).cast("long").as("n_purchased_after"),
+            sum(when(col("p").isNotNull &&
+              col("p") - col("v") <= dayUs, 1L).otherwise(0L))
+              .cast("long").as("n_completed_24h"))
           .select(col("n_viewers"), col("n_clicked_after"),
             col("n_purchased_after"), col("n_completed_24h"),
             round(col("n_purchased_after").cast("double") /

@@ -361,18 +361,51 @@ object TextQueries {
     * VANISH from the shipped mixture — silent data loss in an export,
     * where in the q69 report the same 0 is a visible row.
     */
+  /** Fold the smallest token-BEARING source mass out of a packed
+    * per-source struct array — null when no source bears tokens,
+    * matching the former `st.filter(>0).agg(min)` scalar exactly.
+    * Shared by [[sourceRates]] and q69 so the mixing arithmetic stays
+    * ONE definition even though q69 carries its sampling buckets
+    * through the same packed row.
+    */
+  private[graft] def minTokFold(srcs: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(srcs, lit(null).cast("long"),
+      (a, x) => when(x("src_tokens") > 0 &&
+        (a.isNull || x("src_tokens") < a), x("src_tokens")).otherwise(a))
+
+  /** `rate_k` from (`src_tokens`, `min_tok`) columns in scope — the
+    * single definition of the equalization arithmetic (exact integer
+    * DIV; zero-token sources rate 0; `floorOne` per the scaladoc
+    * above).
+    */
+  private[graft] def rateKCol(floorOne: Boolean)
+      : org.apache.spark.sql.Column = {
+    val raw = expr("min_tok * 1000 DIV src_tokens")
+    when(col("src_tokens") === 0, lit(0L))
+      .otherwise(if (floorOne) greatest(lit(1L), raw) else raw)
+  }
+
   private[graft] def sourceRates(
       tok: org.apache.spark.sql.DataFrame,
       floorOne: Boolean): org.apache.spark.sql.DataFrame = {
     val st = tok.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tok")).cast("long").as("src_tokens"))
-    val m = st.filter(col("src_tokens") > 0)
-      .agg(min(col("src_tokens")).as("min_tok"))
-    val raw = expr("min_tok * 1000 DIV src_tokens")
-    st.crossJoin(broadcast(m))
-      .withColumn("rate_k", when(col("src_tokens") === 0, lit(0L))
-        .otherwise(if (floorOne) greatest(lit(1L), raw) else raw))
+    // Pack the (bounded, |sources|-row) table into one row, fold the
+    // global min INSIDE it, explode back: the min never becomes a
+    // second plan branch, so the corpus subtree beneath `st` is
+    // planned exactly once. The former filter+agg+crossJoin scalar
+    // made Spark re-plan the whole scan→st chain for the min (column
+    // pruning diverged the partial aggregates, defeating exchange
+    // reuse — the r12 q305 duplicated-subtree class).
+    st.agg(collect_list(struct(col("source"), col("n_docs"),
+        col("src_tokens"))).as("srcs"))
+      .select(minTokFold(col("srcs")).as("min_tok"),
+        explode(col("srcs")).as("s"))
+      .select(col("s.source").as("source"), col("s.n_docs").as("n_docs"),
+        col("s.src_tokens").as("src_tokens"), col("min_tok"))
+      .withColumn("rate_k", rateKCol(floorOne))
       .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"))
   }
 
@@ -632,9 +665,21 @@ object TextQueries {
               tk => length(tk) > 0)).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // df via a term-partitioned window over tf, not a separate
+        // groupBy + join-back: the join form re-planned the tokenize
+        // scan for the df branch (Catalyst rewrites count-over-an-
+        // aggregate into a keys-only distinct, diverging the partials
+        // and defeating exchange reuse — the r12 q305
+        // duplicated-subtree class). The window's term exchange is
+        // the SAME exchange the old join needed on its probe side, so
+        // this is strictly one corpus pass cheaper; hot-term
+        // partitions sort-buffer with spill, the same memory story as
+        // the join's shuffle. The corpus-count branch reads no
+        // columns (metadata count), not a second text pass.
+        val wTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))
         val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
-        val scored = tf.join(dfreq, Seq("term"))
+        val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
           .crossJoin(broadcast(n))
           .withColumn("score",
             round(col("tf").cast("double") *
@@ -862,26 +907,47 @@ object TextQueries {
     QueryDef(
       "q69_domain_mix",
       (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
+        // ONE corpus pass. The sampling filter is a pure function of
+        // the doc_id's knuth bucket (0..999), so the corpus collapses
+        // to the (source, bucket) grain FIRST — ≤ 1000·|sources| rows,
+        // a dimension — and both the rate table and the sampled
+        // rollup derive from that one frame. Rates use the identical
+        // packed-row arithmetic as [[sourceRates]] (shared
+        // [[minTokFold]]/[[rateKCol]]; floorOne = false — in THIS
+        // report a rate of 0 is a visible row the operator reads, not
+        // silent loss), with the per-source bucket list riding inside
+        // the same pack so sampling is an array fold, not a second
+        // corpus branch: the former rates + join-back form planned
+        // the text scan twice (the r12 q305 duplicated-subtree
+        // class). min over token-BEARING sources only, and rate 0 for
+        // a zero-token source: an all-empty source would otherwise
+        // make min_tok = 0 and `0 DIV 0` throw under ANSI mode.
+        val bg = t(s, d, "documents")
+          .select(col("source"),
+            expr(Q.knuthBucketSql("doc_id", 1000)).as("kb"),
             tokenMass(s, d, col("text")).as("n_tok"))
-        // min over token-BEARING sources only, and rate 0 for a
-        // zero-token source: an all-empty source would otherwise make
-        // min_tok = 0 and `0 DIV 0` throw under ANSI mode, taking the
-        // whole mixing pass down with it (shared [[sourceRates]];
-        // floorOne = false — in THIS report a rate of 0 is a visible
-        // row the operator reads, not silent loss)
-        val rates = sourceRates(tok, floorOne = false)
-        val samp = tok.join(broadcast(rates.select(col("source"), col("rate_k"))),
-            Seq("source"))
-          .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_sampled"),
-            sum(col("n_tok")).cast("long").as("sampled_tokens"))
-        rates.join(samp, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_k"),
-            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
-            coalesce(col("sampled_tokens"), lit(0L)).cast("long")
+          .groupBy(col("source"), col("kb"))
+          .agg(count(lit(1)).cast("long").as("nb"),
+            sum(col("n_tok")).cast("long").as("tb"))
+        val st = bg.groupBy(col("source"))
+          .agg(sum(col("nb")).cast("long").as("n_docs"),
+            coalesce(sum(col("tb")), lit(0L)).cast("long").as("src_tokens"),
+            collect_list(struct(col("kb"), col("nb"),
+              coalesce(col("tb"), lit(0L)).as("tb"))).as("buckets"))
+        val sampled = filter(col("buckets"), b => b("kb") < col("rate_k"))
+        st.agg(collect_list(struct(col("source"), col("n_docs"),
+            col("src_tokens"), col("buckets"))).as("srcs"))
+          .select(minTokFold(col("srcs")).as("min_tok"),
+            explode(col("srcs")).as("s"))
+          .select(col("s.source").as("source"), col("s.n_docs").as("n_docs"),
+            col("s.src_tokens").as("src_tokens"), col("min_tok"),
+            col("s.buckets").as("buckets"))
+          .withColumn("rate_k", rateKCol(floorOne = false))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            col("rate_k"),
+            aggregate(sampled, lit(0L), (a, b) => a + b("nb"))
+              .as("n_sampled"),
+            aggregate(sampled, lit(0L), (a, b) => a + b("tb"))
               .as("sampled_tokens"))
           .orderBy(col("source"))
       },
@@ -928,19 +994,44 @@ object TextQueries {
     QueryDef(
       "q89_mix_temperature",
       (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
+        // ONE corpus pass, q69's packed shape: collapse to the
+        // (source, knuth-bucket) grain — ≤ 1000·|sources| rows, a
+        // dimension — then pack the per-source table into one row so
+        // the GLOBAL sums (t_all, w_all) fold inside it instead of
+        // becoming a second plan branch; sampling is an array fold
+        // over the bucket list riding in the same pack. The former
+        // totals-crossJoin + join-back form planned the text scan
+        // twice (the r12 q305 duplicated-subtree class). All
+        // arithmetic expressions are byte-identical to the previous
+        // form, so values hash-match.
+        def weightK(srcTokens: org.apache.spark.sql.Column) =
+          when(srcTokens === 0, lit(0L)).otherwise(
+            floor(sqrt(srcTokens.cast("double")) * 1000).cast("long"))
+        val bg = t(s, d, "documents")
+          .select(col("source"),
+            expr(Q.knuthBucketSql("doc_id", 1000)).as("kb"),
             tokenMass(s, d, col("text")).as("n_tok"))
-        val st = tok.groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(col("n_tok")).cast("long").as("src_tokens"))
-        val w = st.withColumn("weight_k",
-          when(col("src_tokens") === 0, lit(0L)).otherwise(
-            floor(sqrt(col("src_tokens").cast("double")) * 1000)
-              .cast("long")))
-        val tot = w.agg(sum(col("src_tokens")).cast("long").as("t_all"),
-          sum(col("weight_k")).cast("long").as("w_all"))
-        val rates = w.crossJoin(broadcast(tot))
+          .groupBy(col("source"), col("kb"))
+          .agg(count(lit(1)).cast("long").as("nb"),
+            sum(col("n_tok")).cast("long").as("tb"))
+        val st = bg.groupBy(col("source"))
+          .agg(sum(col("nb")).cast("long").as("n_docs"),
+            coalesce(sum(col("tb")), lit(0L)).cast("long").as("src_tokens"),
+            collect_list(struct(col("kb"), col("nb"),
+              coalesce(col("tb"), lit(0L)).as("tb"))).as("buckets"))
+        val sampled = filter(col("buckets"), b => b("kb") < col("rate_k"))
+        st.agg(collect_list(struct(col("source"), col("n_docs"),
+            col("src_tokens"), col("buckets"))).as("srcs"))
+          .select(
+            aggregate(col("srcs"), lit(0L),
+              (a, x) => a + x("src_tokens")).as("t_all"),
+            aggregate(col("srcs"), lit(0L),
+              (a, x) => a + weightK(x("src_tokens"))).as("w_all"),
+            explode(col("srcs")).as("s"))
+          .select(col("s.source").as("source"), col("s.n_docs").as("n_docs"),
+            col("s.src_tokens").as("src_tokens"),
+            weightK(col("s.src_tokens")).as("weight_k"),
+            col("t_all"), col("w_all"), col("s.buckets").as("buckets"))
           .withColumn("rate_k",
             when(col("src_tokens") === 0 || col("w_all") === 0, lit(0L))
               .otherwise(least(lit(1000L),
@@ -948,18 +1039,11 @@ object TextQueries {
                   / col("src_tokens").cast("double")
                   * col("weight_k").cast("double")
                   / col("w_all").cast("double") * 1000).cast("long"))))
-        val samp = tok
-          .join(broadcast(rates.select(col("source"), col("rate_k"))),
-            Seq("source"))
-          .filter(expr(Q.knuthBucketSql("doc_id", 1000)) < col("rate_k"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("n_sampled"),
-            sum(col("n_tok")).cast("long").as("sampled_tokens"))
-        rates.join(samp, Seq("source"), "left")
           .select(col("source"), col("n_docs"), col("src_tokens"),
             col("weight_k"), col("rate_k"),
-            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
-            coalesce(col("sampled_tokens"), lit(0L)).cast("long")
+            aggregate(sampled, lit(0L), (a, b) => a + b("nb"))
+              .as("n_sampled"),
+            aggregate(sampled, lit(0L), (a, b) => a + b("tb"))
               .as("sampled_tokens"))
           .orderBy(col("source"))
       },
@@ -1201,18 +1285,24 @@ object TextQueries {
     QueryDef(
       "q91_heavy_hitters",
       (s, d) => {
+        // TWO corpus passes — the declared mine-then-verify minimum.
+        // The mine pass now carries the exact per-partition token
+        // counts alongside the MG survivors ([[mgMine]], collected:
+        // bounded by (K+1)·P, the same envelope as broadcasting the
+        // candidate set), so n_total no longer costs a third scan and
+        // the φ threshold becomes a literal — no totals branch, no
+        // scalar crossJoin.
         val toks = t(s, d, "documents")
           .select(explode(tokenArray(s, d, col("text"))).as("tok"))
-        val cand = mgCandidates(toks, 1024)
-        val tot = t(s, d, "documents")
-          .agg(sum(tokenMass(s, d, col("text"))).cast("long").as("n_total"))
+        val (candToks, nTotal) = mgMine(toks, 1024)
+        val cand = s.createDataset(candToks)(
+          org.apache.spark.sql.Encoders.STRING).toDF("tok")
         toks.join(broadcast(cand), Seq("tok"), "left_semi")
           .groupBy(col("tok"))
           .agg(count(lit(1)).cast("long").as("cnt"))
-          .crossJoin(broadcast(tot))
-          .filter(col("cnt") * 500 > col("n_total"))
+          .filter(col("cnt") * 500 > lit(nTotal))
           .select(col("tok"), col("cnt"),
-            expr("cnt * 1000 DIV n_total").as("permille"))
+            expr(s"cnt * 1000 DIV ${nTotal}L").as("permille"))
           .orderBy(col("cnt").desc, col("tok"))
       },
       Some("""WITH toks AS (SELECT
@@ -1692,21 +1782,41 @@ object TextQueries {
               tk => length(tk) > 0)).as("term"))
           .groupBy(col("source"), col("term"))
           .agg(count(lit(1)).cast("long").as("c"))
-        val sizes = ts0.groupBy(col("source"))
-          .agg(count(lit(1)).cast("long").as("v"),
-            sum(col("c")).cast("long").as("mass"))
-        val shared = ts0.select(col("source").as("source_a"), col("term"))
-          .join(ts0.select(col("source").as("source_b"), col("term"),
-            col("c").as("c_b")), Seq("term"))
-          .filter(col("source_a") =!= col("source_b"))
-          .groupBy(col("source_a"), col("source_b"))
+        // ONE corpus pass, fully single-chain. Pair enumeration goes
+        // through per-term source lists (a term is held by at most
+        // |sources| sources — a dimension — so the collected list is
+        // bounded and the a×b fanout happens map-side), and the
+        // DIAGONAL cells ride along: (x, x) counts every term of x
+        // once, so n_shared(x,x) IS x's vocabulary size and
+        // mass_b_covered(x,x) IS x's token mass — the former separate
+        // `sizes` frame, whose broadcast join-back made Catalyst plan
+        // the text scan twice (the r12 q305 duplicated-subtree
+        // class). The ≤ |sources|² cell table then packs into one row
+        // where the off-diagonal report looks its diagonal values up
+        // with array folds. Exact integers end-to-end, so values
+        // hash-match the join-back form.
+        def diag(cs: org.apache.spark.sql.Column,
+            src: org.apache.spark.sql.Column) =
+          element_at(filter(cs, y =>
+            y("source_a") === src && y("source_b") === src), 1)
+        ts0.groupBy(col("term"))
+          .agg(collect_list(struct(col("source"), col("c"))).as("ss"))
+          .select(explode(col("ss")).as("a"), col("ss"))
+          .select(col("a.source").as("source_a"), explode(col("ss")).as("b"))
+          .groupBy(col("source_a"), col("b.source").as("source_b"))
           .agg(count(lit(1)).cast("long").as("n_shared"),
-            sum(col("c_b")).cast("long").as("mass_b_covered"))
-        shared
-          .join(broadcast(sizes.select(col("source").as("source_a"),
-            col("v").as("v_a"))), Seq("source_a"))
-          .join(broadcast(sizes.select(col("source").as("source_b"),
-            col("v").as("v_b"), col("mass").as("mass_b"))), Seq("source_b"))
+            sum(col("b.c")).cast("long").as("mass_b_covered"))
+          .agg(collect_list(struct(col("source_a"), col("source_b"),
+            col("n_shared"), col("mass_b_covered"))).as("cs"))
+          .select(explode(col("cs")).as("x"), col("cs"))
+          .filter(col("x.source_a") =!= col("x.source_b"))
+          .select(col("x.source_a").as("source_a"),
+            col("x.source_b").as("source_b"),
+            col("x.n_shared").as("n_shared"),
+            col("x.mass_b_covered").as("mass_b_covered"),
+            diag(col("cs"), col("x.source_a"))("n_shared").as("v_a"),
+            diag(col("cs"), col("x.source_b"))("n_shared").as("v_b"),
+            diag(col("cs"), col("x.source_b"))("mass_b_covered").as("mass_b"))
           .select(col("source_a"), col("source_b"), col("n_shared"),
             round(col("n_shared").cast("double") /
               (col("v_a") + col("v_b") - col("n_shared")).cast("double"), 6)
@@ -2364,12 +2474,21 @@ object TextQueries {
     * partition. Output is ≤ K rows per partition regardless of
     * vocabulary size.
     */
-  private[graft] def mgCandidates(
-      toks: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+  /** Per-partition MG summaries: one `(null, n_p)` row carrying the
+    * partition's token count, then the ≤ K survivors as `(tok, 0)`.
+    * The count rides in the SAME pass so callers that need the exact
+    * global token mass (q91's φ threshold) get it from the mine
+    * instead of a third corpus scan.
+    */
+  private def mgPartitionSummaries(
+      toks: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
     import toks.sparkSession.implicits._
     toks.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap[String, Long]()
+      var n = 0L
       it.foreach { tk =>
+        n += 1
         if (m.contains(tk)) m(tk) += 1
         else if (m.size < k) m(tk) = 1
         else {
@@ -2379,7 +2498,26 @@ object TextQueries {
           dead.foreach(m.remove)
         }
       }
-      m.keysIterator
-    }.toDF("tok").distinct()
+      Iterator.single((null: String, n)) ++ m.keysIterator.map(w => (w, 0L))
+    }
+  }
+
+  private[graft] def mgCandidates(
+      toks: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    mgPartitionSummaries(toks, k)
+      .filter(_._1 != null)
+      .map(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("tok").distinct()
+
+  /** Collect the mine pass once: (distinct survivor union, exact total
+    * token count). Bounded by (K+1)·P rows — the same envelope the
+    * caller already assumes when it BROADCASTS the candidate set.
+    */
+  private[graft] def mgMine(
+      toks: org.apache.spark.sql.DataFrame, k: Int): (Seq[String], Long) = {
+    val rows = mgPartitionSummaries(toks, k).collect()
+    (rows.iterator.collect { case (w, _) if w != null => w }
+       .toSeq.distinct,
+     rows.iterator.collect { case (null, n) => n }.sum)
   }
 }

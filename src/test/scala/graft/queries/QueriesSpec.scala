@@ -599,6 +599,96 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("plan audit: no duplicated executed scans (q305's r12 defect class)") {
+    // r12's q305 planned the SAME per-user fold twice — once under
+    // the explode, once under a crossJoin'd scalar projection — and
+    // the corpus work ran twice. The honest tell is in the FINAL
+    // adaptive plan after execution: the same FileScan (same paths,
+    // required schema, data + partition filters) executed more than
+    // once. Catalyst copies a shared logical subtree into every
+    // consumer; AQE's exchange reuse repairs it ONLY when the copies
+    // canonicalize identically, and column pruning silently diverges
+    // them (a consumer that drops one aggregate column gets a
+    // different partial aggregate, a different exchange, its own
+    // scan). Walking the final plan — descending into materialized
+    // query stages, NOT into ReusedExchange (that's the repaired
+    // case) — counts what actually ran.
+    //
+    // Allowlist: shapes whose second pass is the scale-correct design
+    // (each entry's alternative is worse at 100 TB):
+    //   q100 — exact MAD is inherently multi-pass (median, then the
+    //          deviation median, then the outlier count); every pass
+    //          is a column-pruned scan + map-side partials, where a
+    //          single-pass form needs a corpus shuffle onto the
+    //          |event types| dimension (skew funnel).
+    //   q118 — min/max bounds then bin: same bounds-then-second-pass
+    //          family as q100, both passes map-side only.
+    //   q127 — the coverage-curve total: the top-20 path cannot yield
+    //          the full-corpus mass, and the total branch prunes
+    //          n_orders, so the per-customer aggregate is planned
+    //          twice (cheap: partial-agg shuffles are per-key-grain).
+    //   q128 — RFM percentile thresholds over the per-customer frame:
+    //          the threshold branch prunes freq, same trade as q127.
+    //   q206 — the centroid-norm branch needs the per-(label, dim)
+    //          contributor count the pair-join branches prune; the
+    //          duplicated exchange is the (label, dim) grain — tiny —
+    //          but the scan beneath re-runs with it.
+    val dupOk = Set("q100_mad_outliers", "q118_value_hist",
+      "q127_revenue_concentration", "q128_customer_rfm",
+      "q206_label_affinity")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scanKeys(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          Seq(f.relation.location.rootPaths.mkString(",") + "|" +
+            f.requiredSchema.simpleString + "|" +
+            f.dataFilters.map(_.sql).mkString(",") + "|" +
+            f.partitionFilters.map(_.sql).mkString(","))
+        case _ => Nil
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case _: ReusedExchangeExec => Nil
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scanKeys)
+    }
+    def dupScans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      scanKeys(df.queryExecution.executedPlan)
+        .groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => s"${vs.size}x $k" }
+        .toSeq
+    }
+    // positive control: the pruning-divergence shape — a per-key
+    // frame with two aggregate columns whose scalar branch uses only
+    // one. Column pruning drops the other from that branch's partial
+    // aggregate, the exchanges stop canonicalizing equal, reuse dies,
+    // and the scan runs twice. The detector must fire on it.
+    import org.apache.spark.sql.functions._
+    val perKey = graft.sources.Tables(spark, sf(), "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"),
+        sum(col("value")).as("v"))
+    val control = perKey.crossJoin(
+      broadcast(perKey.agg(max(col("v")).as("mx"))))
+      .select(col("user_id"), col("c"), col("v"), col("mx"))
+    assert(dupScans(control).nonEmpty,
+      "detector lost the duplicated-scan tell on the control shape")
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (dupOk(name)) Nil
+      else {
+        val dups = dupScans(fn(spark, sf()))
+        if (dups.isEmpty) Nil else Seq(s"$name: ${dups.mkString("; ")}")
+      }
+    }
+    assert(bad.isEmpty,
+      "queries executing the same scan twice (no exchange reuse):\n" +
+        bad.mkString("\n"))
+  }
+
   test("q154 plans the bloom prefilter ahead of the exact semi-join") {
     val plan = SparkEntry.queries("q154_bloom_prune")(spark, sf())
       .queryExecution.executedPlan.toString
