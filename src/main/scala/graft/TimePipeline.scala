@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * per-batch seconds and the derived band.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode] [layout]
+  *   runMain graft.TimePipeline [initDocs] [deltaSize] [batches] [mode]
+  *     [layout] [compact<EVERY>x<FACTOR>]
   * (defaults 3000 / 500 / 4 / par / hash16 — sf0.1's 5000 docs leave
   * 4 full deltas; mode `par` overlaps the four independent artifact
   * commits, `seq` is the pre-r11 sequential order for A/B comparison;
@@ -38,11 +39,27 @@ object TimePipeline {
     val batches = if (args.length > 2) args(2).toInt else 4
     val parallel = if (args.length > 3) args(3) == "par" else true
     val layoutArg = if (args.length > 4) args(4) else "hash16"
+    // optional 6th arg `compact<EVERY>x<FACTOR>` (e.g. compact16x8):
+    // every EVERY timed batches, fold the cold fine range buckets into
+    // FACTOR-times-larger coarse ones (DocumentPipeline.compact) — the
+    // census-bounding tier for long range-layout runs. Compactions run
+    // BETWEEN batches and report their own seconds, so the batch band
+    // stays comparable to uncompacted runs.
+    val compactArg = if (args.length > 5) Some(args(5)) else None
+    val (compactEvery, compactFactor) = compactArg match {
+      case Some(s) if s.startsWith("compact") =>
+        val Array(e, fct) = s.stripPrefix("compact").split("x", 2)
+        (e.toInt, fct.toInt)
+      case Some(other) => sys.error(s"unrecognized compaction arg: $other")
+      case None => (0, 0)
+    }
     import graft.operators.PartitionedCommit.Layout
     val layout: Layout =
       if (layoutArg.startsWith("range")) Layout.Range(layoutArg.drop(5).toLong)
       else if (layoutArg.startsWith("hash")) Layout.Hash(layoutArg.drop(4).toInt)
       else Layout.Hash(layoutArg.toInt)
+    require(compactEvery == 0 || layout.isInstanceOf[Layout.Range],
+      "compaction applies to the range layout only")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,14 +104,43 @@ object TimePipeline {
     }
     // untimed seed: the standing state the deltas run against
     upsert(0L, initDocs, record = false)
+    val compactSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val secs = (0 until batches).map { b =>
       val lo = initDocs + b * deltaSize
       val t0 = System.nanoTime()
       val rep = upsert(lo, lo + deltaSize, record = true)
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"batch $b: $s%.2f s ($rep)")
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+        val c0 = System.nanoTime()
+        val reps = graft.streaming.DocumentPipeline.compact(
+          spark, s"$root/corpus", s"$root/shingles", s"$root/cands",
+          span = layout.asInstanceOf[Layout.Range].span,
+          factor = compactFactor,
+          signaturesPath = Some(s"$root/sigs"), lmPath = Some(s"$root/lm"))
+        val cs = (System.nanoTime() - c0) / 1e9
+        compactSecs += cs
+        System.err.println(f"compact after batch $b: $cs%.2f s " +
+          reps.map(r => s"${r.compacted}->${r.coarseCreated}").mkString(","))
+      }
       s
     }
+    // final directory census per artifact: the bounded-count claim
+    def census(p: String): (Int, Int) = {
+      val d = new java.io.File(p)
+      if (!d.exists()) (0, 0)
+      else {
+        val ids = d.listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+          .map(_.getName.stripPrefix("__bucket=").toInt)
+        (ids.count(_ >= 0), ids.count(_ < 0))
+      }
+    }
+    val censusJson = Seq("corpus", "shingles", "cands", "sigs", "lm")
+      .map { a =>
+        val (fine, coarse) = census(s"$root/$a")
+        s""""$a":{"fine":$fine,"coarse":$coarse}"""
+      }.mkString(",")
     val med = median(secs)
     // per-stage medians across the timed batches, plus the residual
     // (driver/planning time between stages) so the table sums to the
@@ -124,7 +170,10 @@ object TimePipeline {
       f""""max_sec":${secs.max}%.3f,""" +
       f""""docs_per_sec":${deltaSize / med}%.1f,""" +
       s""""stage_median_sec":{$stagesJson},""" +
-      s""""commit_phase_median_sec":{$phasesJson}}""")
+      s""""commit_phase_median_sec":{$phasesJson},""" +
+      s""""compact_every":$compactEvery,"compact_factor":$compactFactor,""" +
+      s""""compact_secs":[${compactSecs.map(x => f"$x%.3f").mkString(",")}],""" +
+      s""""bucket_census":{$censusJson}}""")
     spark.stop()
   }
 }

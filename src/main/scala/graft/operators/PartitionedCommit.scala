@@ -64,6 +64,49 @@ object PartitionedCommit {
       def bucketOf(key: Column): Column =
         PartitionedCommit.rangeBucketOf(key, span)
     }
+
+    /** A range table with a compacted COLD tier: keys in `[0,
+      * frontier)` live in coarse buckets of `coarseSpan` (directory id
+      * `-(1 + key div coarseSpan)` — the negative namespace, disjoint
+      * from the fine tier's non-negative ids), keys at or above the
+      * frontier in fine `span` buckets as before. Produced by
+      * [[PartitionedCommit.resolveRange]] from the table's own
+      * directories after a [[PartitionedCommit.compactRange]] — never
+      * constructed statically, because the frontier is table state.
+      *
+      * Non-negative keys ONLY: a negative key's fine id would collide
+      * with the coarse namespace, so routing raises loudly instead of
+      * silently splitting a key across two directories.
+      */
+    final case class RangeTiered(span: Long, coarseSpan: Long, frontier: Long)
+        extends Layout {
+      require(span > 0, "span must be positive")
+      require(coarseSpan > span && coarseSpan % span == 0,
+        s"coarseSpan must be a multiple of span above it: $coarseSpan/$span")
+      require(frontier > 0 && frontier % coarseSpan == 0,
+        s"frontier must be a positive multiple of coarseSpan: $frontier")
+      def bucketOf(key: Column): Column = {
+        val k = key.cast("long")
+        when(k < 0L,
+          raise_error(concat(lit("range-tiered layout requires " +
+            "non-negative keys, got "), k.cast("string"))).cast("int"))
+          .when(k < frontier,
+            PartitionedCommit.coarseBucketOf(k, coarseSpan))
+          .otherwise(PartitionedCommit.rangeBucketOf(k, span))
+      }
+    }
+  }
+
+  /** Coarse-tier directory id of a non-negative key: `-(1 + key div
+    * coarseSpan)` — the mirror-image namespace of [[rangeBucketOf]],
+    * so compacted buckets can coexist with fine ones in the single
+    * int-typed [[BucketCol]].
+    */
+  def coarseBucketOf(key: Column, coarseSpan: Long): Column = {
+    require(coarseSpan > 0, "coarseSpan must be positive")
+    val k = key.cast("long")
+    (lit(-1) - call_function("div", k - pmod(k, lit(coarseSpan)),
+      lit(coarseSpan))).cast("int")
   }
 
   /** Stable bucket of a key: `pmod(xxhash64(key), n)` — deterministic
@@ -129,6 +172,13 @@ object PartitionedCommit {
   def healInterrupted(spark: SparkSession, root: String): Boolean = {
     val rootPath = new Path(root)
     val f = fsOf(spark, rootPath)
+    // an interrupted COMPACTION owns the backup root for its whole
+    // swap (its parked fine dirs have no same-name destination, so the
+    // per-bucket restore below would resurrect them NEXT TO the coarse
+    // copies — duplicate rows); the manifest marks that ownership and
+    // routes to the all-or-nothing compaction heal instead
+    if (f.exists(new Path(rootPath, CompactionManifestFile)))
+      healCompaction(spark, root)
     val backupRoot = new Path(root + ".__old__")
     if (f.exists(backupRoot)) {
       bucketDirs(spark, backupRoot).foreach { st =>
@@ -356,5 +406,281 @@ object PartitionedCommit {
     }
     if (counts.forall(_.isDefined)) counts.flatten.sum
     else timedPhase("standing_count_scan")(spark.read.parquet(root).count())
+  }
+
+  // ───────────────────────── range-bucket compaction ──────────────────────
+  //
+  // The Range layout's O(batch) commit works BECAUSE every
+  // arrival-ordered batch creates its own new bucket — which means
+  // bucket count grows linearly with deliveries (a year of 15-minute
+  // batches ≈ 35 k directories per artifact), and partition discovery
+  // plus small-file overhead eventually dominates: the directory-grain
+  // twin of the row-file disease [[graft.sources.Compact]] documents.
+  // compactRange merges the COLD prefix of fine buckets into coarse
+  // ones (factor × larger span) behind the same stage/verify/swap
+  // discipline, so the census stays bounded while the hot tail keeps
+  // its O(batch) appends.
+
+  /** Marker file at the table root while a compaction swap is in
+    * flight. Its presence means the backup root belongs to the
+    * compaction (see [[healInterrupted]]); its content is the full
+    * swap plan, so [[healCompaction]] can roll the table to exactly
+    * one of the two consistent states.
+    */
+  val CompactionManifestFile = "_compacting"
+
+  /** Static layout descriptor written at first compaction (content
+    * never changes afterwards — the frontier itself is derived from
+    * the directory census, so it is exactly as atomic as the swap).
+    */
+  val LayoutFile = "_layout"
+
+  /** Effective layout of a range table: plain `Range(span)` until a
+    * compaction has run, `RangeTiered` with the frontier read from the
+    * coarse directory census afterwards. Pipelines resolve ONCE per
+    * batch per artifact (an O(buckets) driver listing they already pay
+    * for healing); committing with the unresolved layout against a
+    * compacted table would route updates of compacted keys to fine
+    * buckets and the merge anti-join would miss their standing rows.
+    */
+  def resolveRange(spark: SparkSession, root: String, span: Long): Layout = {
+    val f = fsOf(spark, new Path(root))
+    val lf = new Path(root, LayoutFile)
+    if (!f.exists(lf)) return Layout.Range(span)
+    val content = readSmallFile(f, lf)
+    val kv = content.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val fileSpan = kv("span").toLong
+    require(fileSpan == span,
+      s"table at $root was compacted under span=$fileSpan, caller says $span")
+    val coarseSpan = kv("coarse_span").toLong
+    val coarseIdx = bucketDirs(spark, new Path(root))
+      .map(_.getPath.getName.stripPrefix(BucketCol + "=").toInt)
+      .filter(_ < 0).map(c => -(c + 1))
+    if (coarseIdx.isEmpty) Layout.Range(span)
+    else Layout.RangeTiered(span, coarseSpan,
+      (coarseIdx.max.toLong + 1L) * coarseSpan)
+  }
+
+  /** As [[resolveRange]] for any layout: Hash and already-tiered
+    * layouts pass through untouched.
+    */
+  def resolve(spark: SparkSession, root: String, layout: Layout): Layout =
+    layout match {
+      case Layout.Range(span) => resolveRange(spark, root, span)
+      case other => other
+    }
+
+  final case class CompactionReport(
+      root: String,
+      fineBefore: Int, compacted: Int, coarseCreated: Int,
+      frontierBefore: Long, frontierAfter: Long, rows: Long)
+
+  /** Merge the cold prefix of fine range buckets into coarse ones of
+    * `factor × span`, keeping at least the `keepFine` highest fine
+    * buckets untouched (the hot append tail). Marker `rows=` lines are
+    * re-derived from the verified staged write; caller payloads are
+    * merged with `mergePayloads` (fine-id order) — the default refuses
+    * to merge non-empty payloads, because stamp semantics belong to
+    * the caller ([[IncrementalLm]]'s applied-batch stamps must not be
+    * silently concatenated).
+    *
+    * Crash contract: the swap is ALL-OR-NOTHING across every group of
+    * this run (per-group outcomes would tear the frontier — a hole in
+    * the coarse prefix routes updates of that range to a fine bucket
+    * its standing rows are not in). The manifest written before the
+    * first rename records the full plan; [[healCompaction]] completes
+    * the run iff every coarse directory landed, and rolls everything
+    * back otherwise.
+    */
+  def compactRange(
+      spark: SparkSession, root: String, span: Long, factor: Int,
+      keepFine: Int = 4,
+      mergePayloads: Seq[String] => String = defaultMergePayloads)
+      : CompactionReport = {
+    require(factor > 1, s"factor must merge buckets: $factor")
+    require(keepFine >= 0, s"keepFine must be non-negative: $keepFine")
+    healInterrupted(spark, root)
+    val rootPath = new Path(root)
+    val f = fsOf(spark, rootPath)
+    val coarseSpan = span * factor
+    val ids = bucketDirs(spark, rootPath)
+      .map(_.getPath.getName.stripPrefix(BucketCol + "=").toInt)
+    val fineIds = ids.filter(_ >= 0).sorted
+    val coarseIdx = ids.filter(_ < 0).map(c => -(c + 1))
+    val frontier0 =
+      if (coarseIdx.isEmpty) 0L else (coarseIdx.max.toLong + 1L) * coarseSpan
+    if (!coarseIdx.isEmpty) {
+      // negative ids with no layout descriptor are FINE buckets of
+      // negative keys (plain Range allows them) — compaction's coarse
+      // namespace would collide with them, so refuse loudly
+      require(f.exists(new Path(rootPath, LayoutFile)),
+        s"table at $root has negative buckets but no $LayoutFile — " +
+          "negative-key range tables cannot be compacted")
+      val lf = readSmallFile(f, new Path(rootPath, LayoutFile))
+      val prior = lf.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      require(prior("span").toLong == span && prior("coarse_span").toLong == coarseSpan,
+        s"table at $root compacted under ${prior("span")}/${prior("coarse_span")}, " +
+          s"caller says $span/$coarseSpan")
+    }
+    // fine ids below the existing frontier would already be mis-routed
+    val stray = fineIds.filter(fid => (fid.toLong + 1L) * span <= frontier0)
+    require(stray.isEmpty,
+      s"fine buckets $stray sit below the coarse frontier $frontier0")
+    // the hot tail stays fine; the new frontier is the largest
+    // coarse-aligned boundary at or below the first kept fine bucket
+    val tailFloorKey =
+      if (fineIds.size <= keepFine) frontier0 // nothing eligible
+      else if (keepFine == 0) (fineIds.max.toLong + 1L) * span
+      else fineIds.takeRight(keepFine).head.toLong * span
+    val frontier1 = (tailFloorKey / coarseSpan) * coarseSpan
+    val toCompact = fineIds.filter(fid => (fid.toLong + 1L) * span <= frontier1)
+    val rowsStanding = standingCount(spark, root)
+    if (frontier1 <= frontier0 || toCompact.isEmpty)
+      return CompactionReport(root, fineIds.size, 0, 0,
+        frontier0, frontier0, rowsStanding)
+    val groups: Map[Int, Seq[Int]] = toCompact
+      .groupBy(fid => (fid.toLong * span / coarseSpan).toInt)
+    val staging = root + ".__compact__"
+    val stagingPath = new Path(staging)
+    if (f.exists(stagingPath)) f.delete(stagingPath, true)
+    // stage: rows re-bucket by directory id alone (a fine bucket's
+    // keys all share one coarse group by construction), no key column
+    // knowledge needed
+    val obs = new org.apache.spark.sql.Observation()
+    val factorL = factor.toLong
+    timedPhase("compact_stage") {
+      spark.read.parquet(root)
+        .filter(col(BucketCol).isin(toCompact.map(Int.box): _*))
+        .withColumn(BucketCol,
+          (lit(-1) - call_function("div",
+            col(BucketCol).cast("long") - pmod(col(BucketCol).cast("long"),
+              lit(factorL)), lit(factorL))).cast("int"))
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
+    }
+    val expected = obs.get("rows").asInstanceOf[Long]
+    val perBucket: Map[Int, Long] = timedPhase("compact_verify") {
+      spark.read.parquet(staging).groupBy(col(BucketCol)).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    require(perBucket.values.sum == expected,
+      s"compaction staged ${perBucket.values.sum} rows, wrote $expected")
+    // merged markers ride the staged coarse dirs, same atomicity as rows
+    val fineMarkers = readBucketMarkers(spark, root)
+    groups.foreach { case (gi, fids) =>
+      val c = -(gi + 1)
+      val payload = mergePayloads(
+        fids.sorted.flatMap(fid => fineMarkers.get(fid).map(markerPayload)))
+      val sep = if (payload.isEmpty) "" else "\n" + payload
+      writeFile(f, new Path(new Path(stagingPath, s"$BucketCol=$c"),
+        BucketMarkerFile), s"rows=${perBucket.getOrElse(c, 0L)}$sep")
+    }
+    // an all-empty group stages no dir: write an empty one so the
+    // namespace stays a contiguous prefix (routing relies on it)
+    groups.keys.foreach { gi =>
+      val c = -(gi + 1)
+      val dir = new Path(stagingPath, s"$BucketCol=$c")
+      if (!f.exists(dir)) {
+        spark.read.parquet(root).filter(lit(false)).drop(BucketCol)
+          .write.mode("overwrite").parquet(dir.toString)
+        writeFile(f, new Path(dir, BucketMarkerFile), "rows=0")
+      }
+    }
+    // layout descriptor first (static content, idempotent rewrite)
+    writeFile(f, new Path(rootPath, LayoutFile),
+      s"span=$span\ncoarse_span=$coarseSpan")
+    // manifest = the full swap plan; from here until its deletion the
+    // backup root belongs to this compaction (healInterrupted routes
+    // to healCompaction on seeing it)
+    val manifest = (s"frontier=$frontier1" +:
+      groups.toSeq.sortBy(_._1).map { case (gi, fids) =>
+        s"group=${-(gi + 1)}:${fids.sorted.mkString(",")}" }).mkString("\n")
+    timedPhase("compact_swap") {
+      val backupRoot = new Path(root + ".__old__")
+      if (f.exists(backupRoot)) f.delete(backupRoot, true)
+      f.mkdirs(backupRoot)
+      writeFile(f, new Path(rootPath, CompactionManifestFile), manifest)
+      toCompact.foreach { fid =>
+        val name = s"$BucketCol=$fid"
+        require(f.rename(new Path(rootPath, name), new Path(backupRoot, name)),
+          s"could not park fine bucket $name")
+      }
+      groups.keys.toSeq.sorted.foreach { gi =>
+        val name = s"$BucketCol=${-(gi + 1)}"
+        require(f.rename(new Path(stagingPath, name), new Path(rootPath, name)),
+          s"could not commit coarse bucket $name")
+      }
+      f.delete(stagingPath, true)
+      f.delete(backupRoot, true)
+      f.delete(new Path(rootPath, CompactionManifestFile), false)
+    }
+    val rowsAfter = standingCount(spark, root)
+    require(rowsAfter == rowsStanding,
+      s"compaction changed standing rows: $rowsStanding -> $rowsAfter")
+    CompactionReport(root, fineIds.size, toCompact.size, groups.size,
+      frontier0, frontier1, rowsAfter)
+  }
+
+  /** Default payload merger: only empty payloads merge (to empty).
+    * Stamp-bearing buckets (e.g. applied-batch stamps) need semantics
+    * only their writer knows.
+    */
+  def defaultMergePayloads(payloads: Seq[String]): String = {
+    require(payloads.forall(_.isEmpty),
+      "buckets carry marker payloads; pass a mergePayloads that owns them")
+    ""
+  }
+
+  /** Roll an interrupted compaction to a consistent state: COMPLETE it
+    * when every coarse directory of the manifest landed (delete the
+    * parked fine dirs), ROLL BACK otherwise (delete the coarse dirs
+    * that landed — their rows are still in the parked fine dirs —
+    * and restore the parks). Idempotent: a crash during heal re-enters
+    * the same branch.
+    */
+  def healCompaction(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val f = fsOf(spark, rootPath)
+    val mf = new Path(rootPath, CompactionManifestFile)
+    if (!f.exists(mf)) return
+    val lines = readSmallFile(f, mf).linesIterator.toSeq
+    val plan: Seq[(Int, Seq[Int])] = lines.drop(1).map { l =>
+      val Array(c, fs0) = l.stripPrefix("group=").split(":", 2)
+      (c.toInt, if (fs0.isEmpty) Seq.empty[Int] else fs0.split(",").map(_.toInt).toSeq)
+    }
+    val backupRoot = new Path(root + ".__old__")
+    val allIn = plan.forall { case (c, _) =>
+      f.exists(new Path(rootPath, s"$BucketCol=$c")) }
+    if (allIn) {
+      if (f.exists(backupRoot)) f.delete(backupRoot, true)
+    } else {
+      plan.foreach { case (c, fids) =>
+        val coarseDir = new Path(rootPath, s"$BucketCol=$c")
+        if (f.exists(coarseDir)) f.delete(coarseDir, true)
+        fids.foreach { fid =>
+          val name = s"$BucketCol=$fid"
+          val parked = new Path(backupRoot, name)
+          val dest = new Path(rootPath, name)
+          if (f.exists(parked) && !f.exists(dest))
+            require(f.rename(parked, dest), s"could not restore $dest")
+        }
+      }
+      if (f.exists(backupRoot)) f.delete(backupRoot, true)
+    }
+    val staging = new Path(root + ".__compact__")
+    if (f.exists(staging)) f.delete(staging, true)
+    f.delete(mf, false)
+  }
+
+  private def readSmallFile(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
   }
 }

@@ -90,7 +90,13 @@ object CorpusMaintenance {
       keyCol: String,
       layout: Option[graft.operators.PartitionedCommit.Layout]): Long =
     layout match {
-    case Some(l) =>
+    case Some(l0) =>
+      // resolve against the table's own directories: after a
+      // compactRange the cold prefix lives in coarse buckets, and an
+      // update to a compacted key must route THERE or the anti-join
+      // misses its standing row (Layout.RangeTiered scaladoc)
+      val l = graft.operators.PartitionedCommit.resolve(
+        prepared.sparkSession, corpusPath, l0)
       upsertPreparedPartitioned(prepared, keys, corpusPath, keyCol,
         l.bucketOf)
     case None =>
