@@ -365,6 +365,113 @@ object HtmlQueries {
              |SELECT source, n_allowed, n_blocked,
              |  CAST(n_blocked * 1000000 // (n_allowed + n_blocked)
              |    AS DOUBLE) / 1000000.0 AS blocked_ratio
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ── q307: WARC container ingest, end-to-end under the oracle (r12
+    // verdict ask #7). The fixture ships no WARC files, so the query
+    // BUILDS them deterministically: every document becomes one HTTP
+    // response record (the q300 chrome page, HTML-escaped) framed in
+    // WARC/1.0, spread over 8 container files — half gzip'd, sniffed
+    // by magic — in four charset variants by doc_id % 4: utf-8
+    // labeled by HTTP header; utf-8 with BOM (BOM sniff); utf-16le
+    // with BOM; and utf-16le WITHOUT a BOM labeled only by the
+    // header — the exact page shape whose first character the r12
+    // decode bug dropped. All four encodings are total over Unicode,
+    // so [[graft.sources.Warc.readPages]] must return byte-exact HTML
+    // and the oracle can compute the expected extraction straight
+    // from the documents table ([[Html.articleTextSql]]), never
+    // parsing WARC itself: a regression ANYWHERE in record walk,
+    // gzip sniff, HTTP split, charset sniff, BOM strip, or extraction
+    // breaks the hash.
+    //
+    // Scale note: the container build is the TEST HARNESS (driver-
+    // side, bounded by the fixture), not the ingest path — production
+    // WARCs stream per-task via binaryFiles with one-record memory
+    // (Warc object doc). The read side measured here IS the
+    // production path.
+    QueryDef(
+      "q307_warc_ingest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            pageOf(col("doc_id"), col("text")).as("html"))
+        val rows = docs.select(col("doc_id"), col("html")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val dir = warcFixtureDir(d)
+        writeWarcFixture(dir, rows)
+        val pages = graft.sources.Warc.readPages(s, dir)
+          .select(regexp_extract(col("url"), "/d/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("text").as("extracted"))
+        pages.join(docs.select(col("doc_id"), col("source"), col("text")),
+            Seq("doc_id"))
+          .groupBy((col("doc_id") % 4).as("variant"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n_pages"),
+            count(when(col("extracted") === col("text"), 1)).cast("long")
+              .as("n_roundtrip"),
+            sum(length(col("extracted")).cast("long")).cast("long")
+              .as("text_chars"))
+          .orderBy(col("variant"), col("source"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source, text, $pageOfSql AS html
+             |  FROM documents),
+             |e AS (SELECT doc_id % 4 AS variant, source, text,
+             |    ${Html.articleTextSql("html")} AS extracted
+             |  FROM h)
+             |SELECT variant, source,
+             |  CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(count(*) FILTER (WHERE extracted = text) AS BIGINT)
+             |    AS n_roundtrip,
+             |  CAST(sum(length(extracted)) AS BIGINT) AS text_chars
+             |FROM e GROUP BY 1, 2 ORDER BY variant, source""".stripMargin))
   )
+
+  /** Fixture location keyed by the sf dir (stable across passes so a
+    * bench's five passes rebuild in place, nothing accumulates).
+    */
+  private def warcFixtureDir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-warc-q307-${math.abs(sfDir.hashCode)}").getAbsolutePath
+
+  /** Write the deterministic WARC container set: 8 files by
+    * doc_id % 8, files 0–3 gzip'd whole (magic-sniffed, extension
+    * deliberately unhelpful), records in doc_id order.
+    */
+  private def writeWarcFixture(
+      dir: String, rows: Array[(Long, String)]): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists()) d.listFiles().foreach(_.delete())
+    d.mkdirs()
+    val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+    def recordBytes(docId: Long, html: String): Array[Byte] = {
+      val (ctCharset, bom, cs) = (docId % 4).toInt match {
+        case 0 => ("; charset=utf-8", Array.empty[Byte], UTF8)
+        case 1 => ("", Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte), UTF8)
+        case 2 => ("", Array[Byte](0xFF.toByte, 0xFE.toByte),
+          java.nio.charset.StandardCharsets.UTF_16LE)
+        case _ => ("; charset=utf-16le", Array.empty[Byte],
+          java.nio.charset.StandardCharsets.UTF_16LE)
+      }
+      val body = bom ++ html.getBytes(cs)
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html$ctCharset" +
+        "\r\n\r\n").getBytes("ISO-8859-1")
+      val payload = http ++ body
+      val header = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$docId>\r\n" +
+        s"WARC-Target-URI: http://crawl.example.com/d/$docId\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      header ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    (0 until 8).foreach { k =>
+      val recs = rows.filter(_._1 % 8 == k)
+        .flatMap { case (id, html) => recordBytes(id, html) }
+      val f = new java.io.File(d, s"part-$k.warc")
+      val out: java.io.OutputStream =
+        if (k < 4) new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(f))
+        else new java.io.FileOutputStream(f)
+      try out.write(recs) finally out.close()
+    }
+  }
 }

@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * The record walk STREAMS (header lines + exactly Content-Length
   * payload bytes per record, gzip inflated on the fly — multi-member
   * `.warc.gz`, one member per record as crawlers write it, inflates
-  * transparently under `GZIPInputStream`), so per-task memory is one
-  * record, not one file — bounded by the crawl's own record cap.
+  * transparently under `GZIPInputStream`) straight off the task's
+  * open file handle (`binaryFiles` PortableDataStream), so per-task
+  * memory is one record, not one file — bounded by the crawl's own
+  * record cap, with NO cap on file size (r12 verdict: the former
+  * `binaryFile`-source path buffered whole files, ~1 GB of heap per
+  * task slot at the crawl convention, and refused files > 2 GiB).
   *
   * Charset handling, in sniffing order (the cheap deterministic core
   * of WHATWG encoding sniffing):
@@ -62,16 +66,41 @@ object Warc {
   val MetaSniffBytes = 1024
 
   /** Read a directory of `.warc` / `.warc.gz` files into one row per
-    * WARC record. Laziness discipline: `binaryFile` hands the task
-    * one file's bytes; the record iterator walks them without
-    * materializing more than the current record.
+    * WARC record. The task opens its file as a STREAM
+    * (`binaryFiles`'s PortableDataStream — whole-file grain, never
+    * split) and the record walk buffers exactly the current record:
+    * per-task memory is one record, not one file, and file size is
+    * unbounded (the former `binaryFile`-source implementation
+    * materialized the whole file as a byte array per task and
+    * hard-capped files at 2 GiB — at the ~1 GB/file crawl convention
+    * that was ~1 GB of heap per task slot). Records themselves stay
+    * ≤ 2 GiB (a JVM array; also any crawler's record cap).
     */
   def readWarc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseFile(p, bytes) }
+    spark.sparkContext.binaryFiles(dir)
+      .flatMap { case (p, pds) =>
+        val base = new BufferedInputStream(pds.open())
+        // gzip by magic, not extension — crawls mislabel
+        base.mark(2)
+        val b0 = base.read(); val b1 = base.read()
+        base.reset()
+        val in = new BufferedInputStream(
+          if (b0 == 0x1F && b1 == 0x8B) new GZIPInputStream(base) else base)
+        val recs = parseStream(p, in)
+        // close the file handle the moment the walk exhausts (task end
+        // would close it too, but a multi-file task should not hold
+        // every handle to completion)
+        new Iterator[WarcRecord] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): WarcRecord = recs.next()
+        }
+      }
       .toDF()
   }
 
@@ -215,12 +244,18 @@ object Warc {
     */
   private[sources] def decode(body: Array[Byte], charset: String): String = {
     val cs = Charset.forName(charset)
+    // skip ONLY a leading BOM that is actually present and matches the
+    // charset: UTF-16 labels also arrive from the Content-Type header
+    // or a meta tag on BOM-less pages, and an unconditional 2-byte
+    // skip there would silently drop the first character (r12 ADVICE)
     val skip =
       if (charset == "UTF-8" && body.length >= 3 &&
         (body(0) & 0xFF) == 0xEF && (body(1) & 0xFF) == 0xBB &&
         (body(2) & 0xFF) == 0xBF) 3
-      else if ((charset == "UTF-16LE" || charset == "UTF-16BE") &&
-        body.length >= 2) 2
+      else if (charset == "UTF-16LE" && body.length >= 2 &&
+        (body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xFE) 2
+      else if (charset == "UTF-16BE" && body.length >= 2 &&
+        (body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF) 2
       else 0
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)

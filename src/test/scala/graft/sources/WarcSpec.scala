@@ -131,6 +131,40 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("a BOM-less UTF-16 page labeled by header keeps its first character") {
+    // r12 ADVICE regression: decode() used to skip 2 leading bytes for
+    // ANY utf-16 label, eating the first character of pages whose
+    // label came from the HTTP header (or meta) with no BOM present.
+    val page = s"<html><body><p>X$prose</p></body></html>"
+    val dir = tmp("warc-u16")
+    val le = rec("response", "u16le", Some("http://a.test/u16le"),
+      "application/http; msgtype=response",
+      http("text/html; charset=utf-16le", page.getBytes("UTF-16LE")))
+    val be = rec("response", "u16be", Some("http://a.test/u16be"),
+      "application/http; msgtype=response",
+      http("text/html; charset=utf-16be", page.getBytes("UTF-16BE")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "u16.warc"), le ++ be)
+    val rows = Warc.readWarc(spark, dir)
+      .filter(col("html").isNotNull).collect()
+      .map(r => r.getAs[String]("record_id") -> r.getAs[String]("html"))
+      .toMap
+    assert(rows.size == 2)
+    rows.foreach { case (id, html) =>
+      assert(html == page, s"$id decoded wrong: ${html.take(30)}…")
+    }
+    // and a BOM'd UTF-16LE page still sheds exactly its BOM
+    val bomBody = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      page.getBytes("UTF-16LE")
+    val dir2 = tmp("warc-u16-bom")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "b.warc"),
+      rec("response", "u16bom", Some("http://a.test/u16bom"),
+        "application/http; msgtype=response", http("text/html", bomBody)))
+    val got = Warc.readWarc(spark, dir2).filter(col("html").isNotNull)
+      .head().getAs[String]("html")
+    assert(got == page, s"BOM handling drifted: ${got.take(30)}…")
+  }
+
   test("multi-member gzip parses to the identical record set") {
     def canon(dir: String) = Warc.readWarc(spark, dir)
       .select("record_id", "warc_type", "target_uri", "content_type",
