@@ -49,19 +49,29 @@ object GraftFunctions {
   }
 
   /** Idempotent per-session registration — call before using wrappers.
-    * A name already present in the session's registry (a prior call,
-    * or [[graft.plans.GraftExtensions]] at session build) is left
-    * alone: re-registering via createOrReplaceTempFunction logs a
-    * replaced-function WARN per name per call, which a bench loop
-    * turns into hundreds of lines of registry noise.
+    * The short-circuit is a SESSION-SCOPED "graft registered here"
+    * flag, not a bare name-exists probe: a user temp function that
+    * happens to hold a graft name must be REPLACED (the
+    * createOrReplaceTempFunction guarantee — graft's wrappers would
+    * otherwise silently call the user's expression; r12 ADVICE), while
+    * graft's own prior registration (an earlier call, or a session
+    * replay of this one) skips the re-register and its per-name
+    * replaced-function WARN, which a bench loop would otherwise turn
+    * into hundreds of lines of registry noise. At most one WARN round
+    * per session, and only when something else held the names.
     */
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = synchronized {
+    if (registeredSessions.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "built-in")
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    registeredSessions.put(spark, java.lang.Boolean.TRUE)
+    ()
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

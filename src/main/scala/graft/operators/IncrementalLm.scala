@@ -244,15 +244,25 @@ object IncrementalLm {
         // dropping it reconverges to the emptied state
         .filter(col("bc") > 0L)
         .select(col("w1"), col("bigram"), col("bc"), col(B))
-      // per-bucket mass rides the marker so the OOV total needs no scan
-      val massByBucket = merged.groupBy(col(B))
-        .agg(sum(col("bc")).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val markers = touched.map(b =>
-        b -> s"$stamp\nmass=${massByBucket.getOrElse(b, 0L)}").toMap
-      PartitionedCommit.commitPartitions(
-        spark, merged, countsPath, touched, markers)
-      touched.size
+      // per-bucket mass rides the marker so the OOV total needs no
+      // scan. Persisted: the mass rollup AND the commit's stage write
+      // both consume `merged` — unpersisted, the standing-bucket read
+      // + merge aggregation would execute twice per batch on the hot
+      // counts path (r12 ADVICE).
+      val mergedP = merged.persist()
+      try {
+        val massByBucket = mergedP.groupBy(col(B))
+          .agg(sum(col("bc")).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val markers = touched.map(b =>
+          b -> s"$stamp\nmass=${massByBucket.getOrElse(b, 0L)}").toMap
+        PartitionedCommit.commitPartitions(
+          spark, mergedP, countsPath, touched, markers)
+        touched.size
+      } finally {
+        mergedP.unpersist()
+        ()
+      }
     } finally {
       delta.unpersist()
       ()

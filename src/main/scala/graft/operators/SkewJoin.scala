@@ -131,13 +131,15 @@ object SkewJoin {
     // verdict — the maintained-index paths hold corpus versions in
     // distinct stamped plans, so the key changes when the data does.
     val bigOcc = bigOccMemo.computeIfAbsent(
-      // full canonicalized plan string, not its 32-bit semanticHash():
-      // a hash collision between two occ plans would silently reuse
-      // the wrong verdict — a wrong "small" re-creates exactly the
-      // driver-OOM broadcast this gate exists to prevent. The string
-      // is built once per mine construction (microseconds next to the
-      // count job it keys) and collides only on genuine plan equality.
-      occ.queryExecution.analyzed.canonicalized.toString,
+      // SHA-256 of the full canonicalized plan string, not the 32-bit
+      // semanticHash(): a 32-bit collision between two occ plans would
+      // silently reuse the wrong verdict — a wrong "small" re-creates
+      // exactly the driver-OOM broadcast this gate exists to prevent —
+      // while a 256-bit collision is not a real event. The digest
+      // (not the raw string) is the KEY, so versioned-plan streaming
+      // sessions hold 64 hex chars per corpus version, not MBs of
+      // plan text (r12 ADVICE; see the memo's bound below).
+      planDigest(occ.queryExecution.analyzed.canonicalized.toString),
       _ => occ.count() > BroadcastSafeOccRows)
     def joined(x: DataFrame, y: DataFrame, saltKeys: Seq[String]): DataFrame = {
       val cond = (Seq("__k") ++ saltKeys)
@@ -204,13 +206,28 @@ object SkewJoin {
     */
   private val BroadcastSafeOccRows = 2000000L
 
-  /** Session-lifetime memo of the occ-size verdict, keyed by the
-    * analyzed plan's full canonicalized string (see the call site for
-    * staleness notes — a same-plan corpus GROWING within one session
-    * keeps its verdict; maintained-index paths version their plans).
-    * Entries are few (one per distinct mine shape) and plan strings
-    * are KBs; the map lives as long as the JVM.
+  /** Session-lifetime memo of the occ-size verdict, keyed by a
+    * SHA-256 of the analyzed plan's full canonicalized string (see the
+    * call site for staleness notes — a same-plan corpus GROWING within
+    * one session keeps its verdict; maintained-index paths version
+    * their plans). The digest caps each entry at 64 hex chars where
+    * the raw plan string is KBs-to-MBs — maintained-index paths mint
+    * one distinct stamped plan per corpus version, so a long-lived
+    * streaming session would otherwise accumulate unbounded plan text
+    * (r12 ADVICE) — and the access-ordered map evicts past
+    * [[BigOccMemoMax]] entries, bounding the JVM-lifetime footprint
+    * outright. A 256-bit collision is not a real event (the r12
+    * 32-bit semanticHash concern does not transfer).
     */
-  private val bigOccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val BigOccMemoMax = 1024
+  private val bigOccMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > BigOccMemoMax
+    })
+
+  private def planDigest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
