@@ -36,6 +36,16 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.ui.enabled", "false")
+      // data-derived initial shuffle partitions (see
+      // Tables.suggestedInitPartitions): floors at cpus for the
+      // official sf0.1 bench — byte-identical plans to the fixed-cpus
+      // sessions this bench always ran — and scales with input bytes
+      // on larger rungs so state-heavy aggregates split before they
+      // spill-thrash (r12 verdict ask #6)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          graft.sources.Tables.suggestedInitPartitions(
+            sfDir, cpus.toInt).toString))
       // Round-robin repetitions expose Spark's whole-stage-codegen
       // cache default (100 entries) as a benchmark artifact: ~194
       // queries × several generated stages per pass evict the entire

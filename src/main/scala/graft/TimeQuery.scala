@@ -40,15 +40,22 @@ object TimeQuery {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.ui.enabled", "false")
-    // Constrained-memory knob (the spill-probe lesson): with AQE on,
-    // raising the INITIAL shuffle partition count lets each reduce
-    // task hold 1/Nth the state — AQE coalesces the cheap stages back
-    // down, so well-sized stages pay nothing. This is exactly the
+    // Partition sizing (the spill-probe lesson): with AQE on, raising
+    // the INITIAL shuffle partition count lets each reduce task hold
+    // 1/Nth the state — AQE coalesces the cheap stages back down, so
+    // well-sized stages pay nothing. This is exactly the
     // partition-sizing move a real cluster makes when per-task state
     // outgrows executor memory (q135's pair-grain aggregate at sf10
     // under a 4 GiB heap OOMs at 32 partitions, completes at 256).
-    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").foreach(n => builder
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // The DEFAULT is data-derived from the input bytes
+    // ([[graft.sources.Tables.suggestedInitPartitions]] — r12 verdict
+    // ask #6); the env var remains as an explicit override for
+    // constrained-memory probes.
+    builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+        graft.sources.Tables.suggestedInitPartitions(sfDir, cpus.toInt)
+          .toString))
     // Second constrained-memory knob: by default HALF the unified pool
     // is protected for cached blocks (spark.memory.storageFraction
     // 0.5), so a multi-query session whose earlier queries stamped

@@ -17,6 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Data-derived INITIAL shuffle partition count for a benchmark /
+    * ladder session over `sfDir`: `max(cpus, input bytes / 32 MiB)`.
+    * With AQE on, a high initial count only splits the stages that
+    * need it — the coalescer folds cheap stages back to ~cpus, so
+    * well-sized work pays nothing, while state-heavy aggregates (the
+    * q135 pair grain, ~30× input in aggregate state) get tasks whose
+    * state share fits executor memory. The divisor is the rule the
+    * 4 GiB spill probe and the sf100 ladder both validated: sf100's
+    * ~18 GB input / 32 MiB ≈ 540 ≈ the hand-tuned 512 that brought
+    * q135 from 18.3× to 13.5×, while sf0.1's ~200 MB floors at cpus —
+    * so the official bench plans are byte-identical to the fixed-cpus
+    * sessions it always ran (r12 verdict ask #6: no hand-set
+    * SPARK_GRAFT_INIT_PARTITIONS on the ladder).
+    */
+  def suggestedInitPartitions(sfDir: String, cpus: Int): Int = {
+    val d = new java.io.File(sfDir)
+    val bytes =
+      if (!d.exists()) 0L
+      else d.listFiles().filter(_.isFile).map(_.length()).sum
+    math.max(cpus, (bytes / (32L << 20)).toInt)
+  }
+
   // once-per-path guard for the nanos-era magnitude check below
   private val nanosRangeChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()

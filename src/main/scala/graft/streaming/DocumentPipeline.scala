@@ -283,6 +283,18 @@ object DocumentPipeline {
             val l = resolved(candidatesPath).get
             val newB = newCands.withColumn(B, l.bucketOf(col("doc_a")))
             val standingC = standing(candidatesPath)
+            // Bounded-cost argument (r13 adversarial sweep,
+            // graft.AdversarialCands): touched buckets ≤ distinct
+            // doc_a partner ranges + the batch's own buckets, and a
+            // bucket's rewrite mass ≤ its standing pair rows + the
+            // batch's pairs — output-sized, never corpus-scale. A
+            // hot-template clique CONCENTRATES rather than spreads:
+            // 31 k clique pairs touched 2 buckets and committed
+            // FASTER than a 26-pair normal batch (8 buckets). The
+            // quantity that grows quadratically is the clique's own
+            // pair count — inherent to pair-grain near-dup output,
+            // collapsed by the cluster/survivor read faces.
+            //
             // victim pairs (touching a batch id on EITHER side) may
             // live in any bucket: find their buckets with a
             // column-pruned probe — only (doc_a|doc_b, __bucket) leave
@@ -430,7 +442,13 @@ object DocumentPipeline {
               }
               timedP("lm_counts") {
                 val stamp = lm.batchStamp(scrubbed, Seq("doc_id", "text"))
-                lm.upsertCounts(countsPath, newTf, oldTf, stamp)
+                val nb = lm.upsertCounts(countsPath, newTf, oldTf, stamp)
+                // a COUNT, not seconds — dotted so the attribution
+                // table files it with the commit internals, outside
+                // the residual math (the r12 verdict's ladder ask:
+                // the touched-bucket count is the term that grows
+                // with batch vocabulary, watch it alongside the time)
+                onStage("lm_counts.touched_buckets", nb.toDouble)
                 ()
               }
               onCommitted("lm_counts")
