@@ -59,6 +59,22 @@ object Compact {
       spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): CompactReport = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    // refuse a bucket-partitioned standing table OUTRIGHT: this
+    // rewriter reads the dir flat and would fold the `__bucket=`
+    // directories into plain row files, destroying the partition
+    // layout and every `_applied` marker (exactly-once stamps, the
+    // marker-held row counts). Those tables compact at the BUCKET
+    // grain instead — [[graft.operators.PartitionedCommit
+    // .compactRange]].
+    locally {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(
+          graft.operators.PartitionedCommit.BucketCol + "=")),
+        s"$dir is a bucket-partitioned standing table — use " +
+          "PartitionedCommit.compactRange, not the flat-file compactor")
+    }
     CommitSink.healInterrupted(spark, dir)
     val before = dataFiles(spark, dir)
     val bytesBefore = before.map(_._2).sum

@@ -93,6 +93,26 @@ class CompactSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 4000)
   }
 
+  test("a bucket-partitioned standing table is refused outright") {
+    // the flat rewriter would fold __bucket= dirs into plain row files
+    // and destroy the _applied marker discipline — those tables
+    // compact at the bucket grain (PartitionedCommit.compactRange)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = s"${tmp()}/t"
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+      .withColumn(graft.operators.PartitionedCommit.BucketCol,
+        graft.operators.PartitionedCommit.rangeBucketOf(col("k"), 5L))
+    graft.operators.PartitionedCommit.commitPartitions(
+      spark, df, dir, (0 to 4))
+    val e = intercept[IllegalArgumentException] {
+      Compact.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("compactRange"), e.getMessage)
+    // untouched: still reads back whole
+    assert(spark.read.parquet(dir).count() == 20)
+  }
+
   test("a compacted table still round-trips the verified-commit read path") {
     val dir = s"${tmp()}/t"
     writeFragmented(dir, rows = 300, files = 12)
