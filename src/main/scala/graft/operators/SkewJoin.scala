@@ -130,17 +130,33 @@ object SkewJoin {
     // an identical plan in one session would keep a stale "small"
     // verdict — the maintained-index paths hold corpus versions in
     // distinct stamped plans, so the key changes when the data does.
-    val bigOcc = bigOccMemo.computeIfAbsent(
-      // SHA-256 of the full canonicalized plan string, not the 32-bit
-      // semanticHash(): a 32-bit collision between two occ plans would
-      // silently reuse the wrong verdict — a wrong "small" re-creates
-      // exactly the driver-OOM broadcast this gate exists to prevent —
-      // while a 256-bit collision is not a real event. The digest
-      // (not the raw string) is the KEY, so versioned-plan streaming
-      // sessions hold 64 hex chars per corpus version, not MBs of
-      // plan text (r12 ADVICE; see the memo's bound below).
-      planDigest(occ.queryExecution.analyzed.canonicalized.toString),
-      _ => occ.count() > BroadcastSafeOccRows)
+    // SHA-256 of the full canonicalized plan string, not the 32-bit
+    // semanticHash(): a 32-bit collision between two occ plans would
+    // silently reuse the wrong verdict — a wrong "small" re-creates
+    // exactly the driver-OOM broadcast this gate exists to prevent —
+    // while a 256-bit collision is not a real event. The digest
+    // (not the raw string) is the KEY, so versioned-plan streaming
+    // sessions hold 64 hex chars per corpus version, not MBs of
+    // plan text (r12 ADVICE; see the memo's bound below).
+    val occDigest =
+      planDigest(occ.queryExecution.analyzed.canonicalized.toString)
+    // The count() probe runs OUTSIDE the memo's mutex: the map is a
+    // synchronizedMap, so computeIfAbsent would hold the single global
+    // lock for the duration of a full Spark job and serialize every
+    // concurrent miner (DocumentPipeline's parallel commits) behind
+    // one count (r13 ADVICE). Miss path = run the job unlocked, then
+    // putIfAbsent; a concurrent duplicate count for the SAME plan is
+    // possible but both compute the identical verdict, and first-in
+    // wins keeps the map consistent.
+    val bigOcc: Boolean = {
+      val hit = bigOccMemo.get(occDigest)
+      if (hit != null) hit.booleanValue()
+      else {
+        val v: java.lang.Boolean = occ.count() > BroadcastSafeOccRows
+        val prev = bigOccMemo.putIfAbsent(occDigest, v)
+        (if (prev != null) prev else v).booleanValue()
+      }
+    }
     def joined(x: DataFrame, y: DataFrame, saltKeys: Seq[String]): DataFrame = {
       val cond = (Seq("__k") ++ saltKeys)
         .map(k => col(s"x.$k") === col(s"y.$k"))

@@ -2733,6 +2733,21 @@ object Relational {
     // order total broadcasts (q91's scalar shape); lift derives from
     // exact DECIMAL(38,0)/HUGEINT integer products with ONE division,
     // round 6; top-20 is TakeOrdered.
+    //
+    // A-priori support prune (considered, MEASURED VACUOUS here): any
+    // pair with c_ab ≥ 2 needs both parts in ≥ 2 baskets, so parts
+    // with o_cnt < 2 could leave `op` before the basket build. On
+    // this fixture the floor prunes NOTHING — 0 of 2 000 parts at
+    // sf0.01 and 0 of 20 000 at sf0.1 have support < 2 (TPC-H's
+    // uniform part→order assignment puts every part in ~30 orders at
+    // every SF, and the replica scaling preserves the per-replica
+    // distribution) — while the semi-join would add two corpus-grain
+    // exchanges (op re-keyed to l_partkey, then back to l_orderkey).
+    // On a Zipf-tailed retail corpus the same one-line prune (semi-
+    // join op against marg.filter(o_cnt >= 2)) IS the classic
+    // a-priori first pass and pays for itself; the support floor is
+    // data-dependent, so the prune belongs behind a measured gate,
+    // not in the fixture plan.
     QueryDef(
       "q135_market_basket",
       (s, d) => {
@@ -2804,39 +2819,40 @@ object Relational {
     QueryDef(
       "q136_funnel_window",
       (s, d) => {
-        // ONE corpus pass (q305's machinery): per user, fold the
-        // time-sorted event list once carrying (first view v, first
-        // click strictly after v, first purchase strictly after that)
-        // — ascending order makes the first qualifying hit the min,
-        // so the fold equals the former three per-step
-        // filter+join+min frames exactly (ties: strictly-greater on
-        // the epoch-micro stamp in both forms; an equal-stamp
-        // click/purchase never counts). The per-step frames scanned
-        // events twice and joined three times (exchanges not
-        // reusable — the r12 q305 duplicated-subtree class).
+        // ONE corpus pass, SKEW-BOUNDED state: three chained
+        // user-partitioned windows — v = min view stamp, c = min
+        // click strictly after v, p = min purchase strictly after c
+        // (the sequential dependency is legal because each window
+        // reads the previous one's output; same partitioning → ONE
+        // exchange + ONE sort for all three, and the groupBy after
+        // them reuses the distribution). Equal to the former
+        // sorted-list fold exactly: "first qualifying in ascending
+        // order" IS "min qualifying", with strictly-greater on the
+        // epoch-micro stamp in both forms (an equal-stamp
+        // click/purchase never counts). The fold buffered each
+        // user's FULL event list in a non-spillable aggregation
+        // buffer — unbounded per-group state under a bot-grade
+        // skewed user (r13 ADVICE) — where WindowExec's per-group
+        // buffer spills past a threshold, so the hot user costs disk,
+        // not heap. Still one corpus scan (the r12 duplicated-
+        // subtree class stays fixed).
         val dayUs = 86400000000L
-        val init = struct(lit(null).cast("long").as("v"),
-          lit(null).cast("long").as("c"), lit(null).cast("long").as("p"))
-        def step(a: org.apache.spark.sql.Column,
-            e: org.apache.spark.sql.Column) =
-          when(e("event_type") === "view" && a("v").isNull,
-            struct(e("us").as("v"), a("c").as("c"), a("p").as("p")))
-            .when(e("event_type") === "click" && a("v").isNotNull &&
-              e("us") > a("v") && a("c").isNull,
-              struct(a("v").as("v"), e("us").as("c"), a("p").as("p")))
-            .when(e("event_type") === "purchase" && a("c").isNotNull &&
-              e("us") > a("c") && a("p").isNull,
-              struct(a("v").as("v"), a("c").as("c"), e("us").as("p")))
-            .otherwise(a)
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
         t(s, d, "events")
           .filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_type"))
+          .withColumn("v", min(when(col("event_type") === "view",
+            col("us"))).over(byUser))
+          .withColumn("c", min(when(col("event_type") === "click" &&
+            col("us") > col("v"), col("us"))).over(byUser))
+          .withColumn("p", min(when(col("event_type") === "purchase" &&
+            col("us") > col("c"), col("us"))).over(byUser))
           .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(struct(
-            col("us"), col("event_type")))).as("evs"))
-          .select(aggregate(col("evs"), init, step).as("f"))
-          .select(col("f.v").as("v"), col("f.c").as("c"), col("f.p").as("p"))
+          .agg(max(col("v")).as("v"), max(col("c")).as("c"),
+            max(col("p")).as("p"))
+          .drop("user_id")
           .filter(col("v").isNotNull)
           .agg(count(lit(1)).cast("long").as("n_viewers"),
             count(col("c")).cast("long").as("n_clicked_after"),

@@ -32,10 +32,22 @@ object Tables {
     * SPARK_GRAFT_INIT_PARTITIONS on the ladder).
     */
   def suggestedInitPartitions(sfDir: String, cpus: Int): Int = {
-    val d = new java.io.File(sfDir)
+    // Recursive byte sum, not a top-level listFiles: a fixture laid
+    // out as Spark-written per-table DIRECTORIES (part-files under
+    // table dirs) would read bytes=0 under a flat listing and silently
+    // floor at cpus, defeating exactly the data-derived scaling this
+    // exists for (r13 ADVICE). Depth-bounded walk; IO errors → 0
+    // (floor at cpus, the safe default).
+    val d = java.nio.file.Paths.get(sfDir)
     val bytes =
-      if (!d.exists()) 0L
-      else d.listFiles().filter(_.isFile).map(_.length()).sum
+      if (!java.nio.file.Files.isDirectory(d)) 0L
+      else {
+        val walk = java.nio.file.Files.walk(d, 8)
+        try walk.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        catch { case _: java.io.IOException => 0L }
+        finally walk.close()
+      }
     math.max(cpus, (bytes / (32L << 20)).toInt)
   }
 

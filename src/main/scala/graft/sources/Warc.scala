@@ -65,6 +65,17 @@ object Warc {
     */
   val MetaSniffBytes = 1024
 
+  /** Loud per-record payload cap. The walk buffers exactly
+    * Content-Length bytes per record, so a CORRUPT length (crawler
+    * bug, truncated gzip member mid-header) is the one input that
+    * could blow task memory — this bounds the allocation and names
+    * the record instead. 1 GiB sits above every real crawler's record
+    * cap (Common Crawl truncates response payloads at 1 MiB; whole
+    * FILES are ~1 GB by convention, and a single record is always a
+    * fraction of its file) while staying well under task heap.
+    */
+  val MaxRecordBytes: Long = 1L << 30
+
   /** Read a directory of `.warc` / `.warc.gz` files into one row per
     * WARC record. The task opens its file as a STREAM
     * (`binaryFiles`'s PortableDataStream — whole-file grain, never
@@ -87,10 +98,17 @@ object Warc {
         base.reset()
         val in = new BufferedInputStream(
           if (b0 == 0x1F && b1 == 0x8B) new GZIPInputStream(base) else base)
+        // Guarantee the handle closes even when the walk is NOT fully
+        // consumed — limit()/take(), or a task failing mid-iteration.
+        // Spark registers no completion close for binaryFiles streams
+        // itself (r13 ADVICE), so we do; the eager in-iterator close
+        // below stays the fast path for a multi-file task that should
+        // not hold every exhausted handle to task end.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
         val recs = parseStream(p, in)
-        // close the file handle the moment the walk exhausts (task end
-        // would close it too, but a multi-file task should not hold
-        // every handle to completion)
         new Iterator[WarcRecord] {
           private var closed = false
           override def hasNext: Boolean = {
@@ -287,7 +305,10 @@ object Warc {
   }
 
   private def readExactly(in: InputStream, n: Long): Array[Byte] = {
-    require(n <= Int.MaxValue, s"record of $n bytes exceeds the 2 GiB cap")
+    require(n >= 0 && n <= MaxRecordBytes,
+      s"WARC record declares $n payload bytes — past MaxRecordBytes " +
+        s"($MaxRecordBytes); corrupt Content-Length or an out-of-spec " +
+        "crawler record (refusing to buffer it)")
     val out = new Array[Byte](n.toInt)
     var off = 0
     while (off < n) {
