@@ -395,10 +395,8 @@ object HtmlQueries {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"),
             pageOf(col("doc_id"), col("text")).as("html"))
-        val rows = docs.select(col("doc_id"), col("html")).collect()
-          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
         val dir = warcFixtureDir(d)
-        writeWarcFixture(dir, rows)
+        writeWarcFixture(dir, docs.select(col("doc_id"), col("html")))
         val pages = graft.sources.Warc.readPages(s, dir)
           .select(regexp_extract(col("url"), "/d/(\\d+)$", 1)
             .cast("long").as("doc_id"), col("text").as("extracted"))
@@ -432,20 +430,22 @@ object HtmlQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-warc-q307-${math.abs(sfDir.hashCode)}").getAbsolutePath
 
-  /** Write the deterministic WARC container set: 8 files by
-    * doc_id % 8, files 0–3 gzip'd whole (magic-sniffed, extension
-    * deliberately unhelpful), records in doc_id order.
+  /** Record framing for the q307 fixture, in its own zero-field
+    * serializable module so the distributed writer's task closure
+    * captures THIS and not the (closure-laden) query registry object.
     */
-  private def writeWarcFixture(
-      dir: String, rows: Array[(Long, String)]): Unit = {
-    val d = new java.io.File(dir)
-    if (d.exists()) d.listFiles().foreach(_.delete())
-    d.mkdirs()
-    val UTF8 = java.nio.charset.StandardCharsets.UTF_8
-    def recordBytes(docId: Long, html: String): Array[Byte] = {
+  private object WarcFixtureRecord extends Serializable {
+    /** One framed WARC record (header + HTTP response + trailing
+      * CRLFs) in the fixture's charset variant for `docId` — a pure
+      * function of (docId, html), so any task that writes docId's
+      * record writes the same bytes.
+      */
+    def bytes(docId: Long, html: String): Array[Byte] = {
+      val UTF8 = java.nio.charset.StandardCharsets.UTF_8
       val (ctCharset, bom, cs) = (docId % 4).toInt match {
         case 0 => ("; charset=utf-8", Array.empty[Byte], UTF8)
-        case 1 => ("", Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte), UTF8)
+        case 1 =>
+          ("", Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte), UTF8)
         case 2 => ("", Array[Byte](0xFF.toByte, 0xFE.toByte),
           java.nio.charset.StandardCharsets.UTF_16LE)
         case _ => ("; charset=utf-16le", Array.empty[Byte],
@@ -463,15 +463,65 @@ object HtmlQueries {
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
       header ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
     }
-    (0 until 8).foreach { k =>
-      val recs = rows.filter(_._1 % 8 == k)
-        .flatMap { case (id, html) => recordBytes(id, html) }
-      val f = new java.io.File(d, s"part-$k.warc")
-      val out: java.io.OutputStream =
-        if (k < 4) new java.util.zip.GZIPOutputStream(
-          new java.io.FileOutputStream(f))
-        else new java.io.FileOutputStream(f)
-      try out.write(recs) finally out.close()
+  }
+
+  /** Write the deterministic WARC container set: 8 files by
+    * doc_id % 8, files 0–3 gzip'd whole (magic-sniffed, extension
+    * deliberately unhelpful), records in doc_id order.
+    *
+    * DISTRIBUTED (r13 verdict ask #5): the documents never collect to
+    * the driver — rows repartition by their container key and each
+    * task streams its containers' records straight to disk. A
+    * container's bytes are a pure function of (its doc set, doc_id
+    * order), so the output is byte-identical to the old driver-side
+    * build; tasks stage to a sibling dir and atomically rename in, so
+    * a retried/speculated task rewrites the identical file and the
+    * read side never sees a partial container. (Local-fs fixture
+    * harness — the production ingest path is [[graft.sources.Warc]];
+    * see the scale note above.)
+    */
+  private def writeWarcFixture(
+      dir: String, docHtml: org.apache.spark.sql.DataFrame): Unit = {
+    val d = new java.io.File(dir)
+    val stage = new java.io.File(dir + ".__stage__")
+    Seq(d, stage).foreach { f =>
+      if (f.exists()) f.listFiles().foreach(_.delete())
+      f.mkdirs()
     }
+    docHtml
+      .withColumn("fk", (col("doc_id") % 8).cast("int"))
+      .repartition(8, col("fk"))
+      .sortWithinPartitions(col("fk"), col("doc_id"))
+      .select(col("fk"), col("doc_id"), col("html"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curFk = -1
+        var out: java.io.OutputStream = null
+        var tmp: java.io.File = null
+        def closeAndInstall(): Unit = if (out != null) {
+          out.close()
+          java.nio.file.Files.move(tmp.toPath,
+            new java.io.File(dir, s"part-$curFk.warc").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          out = null
+        }
+        try {
+          it.foreach { r =>
+            val fk = r.getInt(0)
+            if (fk != curFk) {
+              closeAndInstall()
+              curFk = fk
+              tmp = java.io.File.createTempFile(s"part-$fk-", ".tmp",
+                new java.io.File(dir + ".__stage__"))
+              val raw = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(tmp))
+              out = if (fk < 4) new java.util.zip.GZIPOutputStream(raw)
+                else raw
+            }
+            out.write(WarcFixtureRecord.bytes(r.getLong(1), r.getString(2)))
+          }
+          closeAndInstall()
+        } finally if (out != null) out.close()
+      }
   }
 }
