@@ -45,14 +45,28 @@ object TimePipeline {
     // census-bounding tier for long range-layout runs. Compactions run
     // BETWEEN batches and report their own seconds, so the batch band
     // stays comparable to uncompacted runs.
-    val compactArg = if (args.length > 5) Some(args(5)) else None
-    val (compactEvery, compactFactor) = compactArg match {
-      case Some(s) if s.startsWith("compact") =>
-        val Array(e, fct) = s.stripPrefix("compact").split("x", 2)
-        (e.toInt, fct.toInt)
-      case Some(other) => sys.error(s"unrecognized compaction arg: $other")
-      case None => (0, 0)
+    // trailing args (any order past the layout): `compact<E>x<F>` and
+    // `postings<B>` (maintain the w1h-bucketed postings artifact with
+    // B buckets and mine through it — the r13 bucket-pruned-mine rung)
+    val trailing = args.drop(5)
+    // `compact<E>x<F>` or `compact<E>x<F>c<CAP>` — CAP re-tiers the
+    // coarse tier whenever it exceeds CAP dirs (the geometric ladder)
+    val compactArg = trailing.find(_.startsWith("compact"))
+    val (compactEvery, compactFactor, coarseCap) = compactArg match {
+      case Some(s) =>
+        val Array(e, fct0) = s.stripPrefix("compact").split("x", 2)
+        val (fct, cap) = fct0.split("c", 2) match {
+          case Array(a, b) => (a.toInt, b.toInt)
+          case Array(a) => (a.toInt, 0)
+        }
+        (e.toInt, fct, cap)
+      case None => (0, 0, 0)
     }
+    val postingsBuckets = trailing.find(_.startsWith("postings"))
+      .map(_.stripPrefix("postings").toInt)
+    trailing.filterNot(a =>
+      a.startsWith("compact") || a.startsWith("postings")).foreach(a =>
+      sys.error(s"unrecognized arg: $a"))
     import graft.operators.PartitionedCommit.Layout
     val layout: Layout =
       if (layoutArg.startsWith("range")) Layout.Range(layoutArg.drop(5).toLong)
@@ -86,6 +100,9 @@ object TimePipeline {
         layout = Some(layout),
         signaturesPath = Some(s"$root/sigs"),
         lmPath = Some(s"$root/lm"),
+        postingsPath = postingsBuckets.map(_ => s"$root/postings"),
+        postingsBuckets = postingsBuckets.getOrElse(
+          graft.operators.ShingleIndex.DefaultBuckets),
         // parallel mode fires onStage from pool threads — synchronize
         onStage = (name, s) => acc.synchronized {
           acc(name) = acc.getOrElse(name, 0.0) + s
@@ -117,7 +134,8 @@ object TimePipeline {
           spark, s"$root/corpus", s"$root/shingles", s"$root/cands",
           span = layout.asInstanceOf[Layout.Range].span,
           factor = compactFactor,
-          signaturesPath = Some(s"$root/sigs"), lmPath = Some(s"$root/lm"))
+          signaturesPath = Some(s"$root/sigs"), lmPath = Some(s"$root/lm"),
+          coarseCap = coarseCap)
         val cs = (System.nanoTime() - c0) / 1e9
         compactSecs += cs
         System.err.println(f"compact after batch $b: $cs%.2f s " +
@@ -136,7 +154,8 @@ object TimePipeline {
         (ids.count(_ >= 0), ids.count(_ < 0))
       }
     }
-    val censusJson = Seq("corpus", "shingles", "cands", "sigs", "lm")
+    val censusJson = (Seq("corpus", "shingles", "cands", "sigs", "lm") ++
+      postingsBuckets.map(_ => "postings"))
       .map { a =>
         val (fine, coarse) = census(s"$root/$a")
         s""""$a":{"fine":$fine,"coarse":$coarse}"""
@@ -172,6 +191,8 @@ object TimePipeline {
       s""""stage_median_sec":{$stagesJson},""" +
       s""""commit_phase_median_sec":{$phasesJson},""" +
       s""""compact_every":$compactEvery,"compact_factor":$compactFactor,""" +
+      s""""coarse_cap":$coarseCap,""" +
+      s""""postings_buckets":${postingsBuckets.getOrElse(0)},""" +
       s""""compact_secs":[${compactSecs.map(x => f"$x%.3f").mkString(",")}],""" +
       s""""bucket_census":{$censusJson}}""")
     spark.stop()

@@ -288,3 +288,76 @@ case class ShingleHash(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** [[ShingleHash]]'s postings twin: the same distinct `n`-gram hashes
+  * `g` (BIT-identical — same seed-42 hash of the same space-joined
+  * window, same first-occurrence dedup, empty below `n` tokens), each
+  * paired with the seed-42 xxhash64 of its window's FIRST token
+  * (`w1h`) — the prefix key the maintained shingle-postings index
+  * buckets on ([[graft.operators.ShingleIndex]], the lm_counts
+  * `hash(w1)` discipline applied to the dedup miner). Output
+  * `array<struct<w1h: long, g: long>>`; a duplicate window keeps its
+  * first occurrence, and since a given `g` names one window string,
+  * every occurrence carries the same `w1h`.
+  */
+case class ShinglePostings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "window must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1h", LongType, nullable = false),
+      StructField("g", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"shingle_postings expects array<string>, got ${o.catalogString}")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    if (sz < n)
+      return new GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val seen = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) {
+        // concat_ws skips nulls; mirror that with empty-skip semantics
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val joined = UTF8String.concatWs(sep, window: _*)
+      val g = XxHash64Function.hash(joined, StringType, 42L)
+      if (!seen.containsKey(g)) {
+        // a null/absent first token hashes as the empty string — the
+        // same value concat_ws's null-skip would have contributed
+        val w1 = if (window(0) == null) UTF8String.EMPTY_UTF8 else window(0)
+        seen.put(g, XxHash64Function.hash(w1, StringType, 42L))
+      }
+      i += 1
+    }
+    val out =
+      new Array[org.apache.spark.sql.catalyst.InternalRow](seen.size())
+    val it = seen.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getValue.longValue(), e.getKey.longValue())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

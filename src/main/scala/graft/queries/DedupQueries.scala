@@ -334,8 +334,17 @@ object DedupQueries {
     * na, nb, jaccard, containment), kept where containment ≥ `floor`.
     */
   private[graft] def scoreCandidates(
-      hits: DataFrame, sh: DataFrame, floor: Double): DataFrame = {
-    val card = sh.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+      hits: DataFrame, sh: DataFrame, floor: Double): DataFrame =
+    scoreCandidatesCards(hits,
+      sh.select(col("doc_id"), size(col("s")).cast("long").as("n")), floor)
+
+  /** [[scoreCandidates]] with the cardinalities `(doc_id, n)` already
+    * at hand — the postings-index path ([[graft.operators
+    * .ShingleIndex]]) carries `n` on every posting row, so it never
+    * materializes a corpus-wide shingle frame just to size it.
+    */
+  private[graft] def scoreCandidatesCards(
+      hits: DataFrame, card: DataFrame, floor: Double): DataFrame = {
     hits
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))

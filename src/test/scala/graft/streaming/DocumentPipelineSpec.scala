@@ -678,6 +678,82 @@ class DocumentPipelineSpec extends SparkTestBase {
     checkMass()
   }
 
+  test("postings-pruned mine: parity, migration bootstrap, crash matrix") {
+    val si = graft.operators.ShingleIndex
+    def postingsSet(path: String) = spark.read.parquet(path)
+      .select("doc_id", "w1h", "g", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def corpusPostings(p: Paths) = si.postings(
+      spark.read.parquet(p.corpus).select(col("doc_id"), col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch 1 runs LEGACY (no postings); batch 2 turns the artifact
+    // on — the migration bootstrap must derive it from the pre-batch
+    // corpus, mine through it, and land the batch into it
+    val p = Paths(tmp("docpipe-postings"))
+    val pp = p.root + "/postings"
+    DocumentPipeline.upsertBatch(
+      docs((1L, s"$base a1"), (2L, s"$base a2"),
+        (5L, "unrelated island of words entirely alone")),
+      p.corpus, p.shingles, p.cands)
+    val r2 = DocumentPipeline.upsertBatch(
+      docs((3L, s"$base a3"),
+        (2L, "rewritten into an entirely different document now")),
+      p.corpus, p.shingles, p.cands,
+      postingsPath = Some(pp), postingsBuckets = 16)
+    assert(r2.postingsTouchedBuckets > 0, r2.toString)
+    assert(si.recordedBuckets(spark, pp).contains(16))
+    assert(postingsSet(pp) == corpusPostings(p),
+      "postings artifact != one-pass derivation from the stored corpus")
+    val stored = candSet(spark.read.parquet(p.cands))
+    assert(stored == rebuilt(p),
+      "pruned-mine candidates != one-pass rebuild")
+    assert(stored.exists { case (a, b, _, _, _) => a == 1L && b == 3L } &&
+      !stored.exists { case (a, b, _, _, _) => a == 1L && b == 2L },
+      s"replacement must swap the (1,2) pair for (1,3): $stored")
+    // crash matrix with the postings commit in the sequence:
+    // candidates -> postings -> shingles -> corpus; kill after each,
+    // replay, require quartet == never-crashed control == rebuild
+    val b1 = Seq((1L, s"$base a1"), (2L, s"$base a2"))
+    val b2 = Seq((3L, s"$base a3"),
+      (2L, "rewritten into an entirely different document now"))
+    def snap4(q: Paths) = (
+      spark.read.parquet(q.corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(q.shingles).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet,
+      candSet(spark.read.parquet(q.cands)),
+      postingsSet(q.root + "/postings"))
+    val ctl = Paths(tmp("docpipe-postings-ctl"))
+    for (b <- Seq(b1, b2))
+      DocumentPipeline.upsertBatch(docs(b: _*), ctl.corpus, ctl.shingles,
+        ctl.cands, postingsPath = Some(ctl.root + "/postings"),
+        postingsBuckets = 16)
+    val want = snap4(ctl)
+    assert(want._4 == corpusPostings(ctl))
+    case class Killed() extends RuntimeException("killed between commits")
+    for (point <- Seq("candidates", "postings", "shingles", "corpus")) {
+      val q = Paths(tmp(s"docpipe-postings-$point"))
+      val qp = q.root + "/postings"
+      DocumentPipeline.upsertBatch(docs(b1: _*), q.corpus, q.shingles,
+        q.cands, postingsPath = Some(qp), postingsBuckets = 16)
+      intercept[Killed] {
+        DocumentPipeline.upsertBatch(
+          docs(b2: _*), q.corpus, q.shingles, q.cands,
+          postingsPath = Some(qp), postingsBuckets = 16,
+          onCommitted = a => if (a == point) throw Killed())
+      }
+      DocumentPipeline.upsertBatch(docs(b2: _*), q.corpus, q.shingles,
+        q.cands, postingsPath = Some(qp), postingsBuckets = 16)
+      assert(snap4(q) == want,
+        s"crash after $point: healed quartet != never-crashed control")
+      assert(candSet(spark.read.parquet(q.cands)) == rebuilt(q),
+        s"crash after $point: candidates != one-pass rebuild")
+    }
+  }
+
   test("LM retire-only update: a one-token replacement removes its stale rows") {
     // partitioned layout so the retire-only bucket rewrite is exercised
     val p = Paths(tmp("docpipe-lm-retire"))
