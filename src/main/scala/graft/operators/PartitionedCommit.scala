@@ -480,18 +480,34 @@ object PartitionedCommit {
     * `factor × span`, keeping at least the `keepFine` highest fine
     * buckets untouched (the hot append tail). Marker `rows=` lines are
     * re-derived from the verified staged write; caller payloads are
-    * merged with `mergePayloads` (fine-id order) — the default refuses
-    * to merge non-empty payloads, because stamp semantics belong to
-    * the caller ([[IncrementalLm]]'s applied-batch stamps must not be
-    * silently concatenated).
+    * merged with `mergePayloads` (source-id order) — the default
+    * refuses to merge non-empty payloads, because stamp semantics
+    * belong to the caller ([[IncrementalLm]]'s applied-batch stamps
+    * must not be silently concatenated).
+    *
+    * RE-TIERING (the geometric census ladder, r13 verdict ask #2):
+    * when the table was previously compacted at a SMALLER coarse span
+    * and `span × factor` is a multiple of it, this run folds the
+    * existing coarse tier too — every old coarse directory plus the
+    * cold fine prefix re-buckets into the new, larger coarse span, and
+    * the layout descriptor advances with the same all-or-nothing
+    * manifest. A caller that re-tiers whenever the coarse census
+    * exceeds a cap gets a census bounded by the cap at ANY corpus
+    * size, paying one cold-tier rewrite per geometric doubling —
+    * amortized O(log corpus) rewrites per row, the LSM bargain. A
+    * re-tier whose new frontier would not cover the existing one
+    * (`frontier0` not aligned to the new span and too little cold
+    * fine mass to bridge the gap) returns a no-op report — retry
+    * after more deliveries.
     *
     * Crash contract: the swap is ALL-OR-NOTHING across every group of
     * this run (per-group outcomes would tear the frontier — a hole in
     * the coarse prefix routes updates of that range to a fine bucket
     * its standing rows are not in). The manifest written before the
-    * first rename records the full plan; [[healCompaction]] completes
-    * the run iff every coarse directory landed, and rolls everything
-    * back otherwise.
+    * first rename records the full plan INCLUDING the old and new
+    * coarse spans; [[healCompaction]] completes the run iff every
+    * coarse directory landed (rewriting the layout to the new span),
+    * and rolls everything back otherwise (restoring the old span).
     */
   def compactRange(
       spark: SparkSession, root: String, span: Long, factor: Int,
@@ -507,10 +523,11 @@ object PartitionedCommit {
     val ids = bucketDirs(spark, rootPath)
       .map(_.getPath.getName.stripPrefix(BucketCol + "=").toInt)
     val fineIds = ids.filter(_ >= 0).sorted
-    val coarseIdx = ids.filter(_ < 0).map(c => -(c + 1))
-    val frontier0 =
-      if (coarseIdx.isEmpty) 0L else (coarseIdx.max.toLong + 1L) * coarseSpan
-    if (!coarseIdx.isEmpty) {
+    val coarseIds = ids.filter(_ < 0)
+    // the coarse span the EXISTING negative ids are keyed by (differs
+    // from coarseSpan exactly when this run re-tiers)
+    var oldCoarseSpan = coarseSpan
+    if (!coarseIds.isEmpty) {
       // negative ids with no layout descriptor are FINE buckets of
       // negative keys (plain Range allows them) — compaction's coarse
       // namespace would collide with them, so refuse loudly
@@ -520,10 +537,18 @@ object PartitionedCommit {
       val lf = readSmallFile(f, new Path(rootPath, LayoutFile))
       val prior = lf.linesIterator.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      require(prior("span").toLong == span && prior("coarse_span").toLong == coarseSpan,
-        s"table at $root compacted under ${prior("span")}/${prior("coarse_span")}, " +
-          s"caller says $span/$coarseSpan")
+      oldCoarseSpan = prior("coarse_span").toLong
+      require(prior("span").toLong == span &&
+        coarseSpan % oldCoarseSpan == 0 && coarseSpan >= oldCoarseSpan,
+        s"table at $root compacted under ${prior("span")}/$oldCoarseSpan, " +
+          s"caller says $span/$coarseSpan — the new coarse span must be " +
+          "an equal-or-larger multiple of the recorded one")
     }
+    val retier = oldCoarseSpan != coarseSpan
+    val coarseIdx = coarseIds.map(c => -(c + 1))
+    val frontier0 =
+      if (coarseIdx.isEmpty) 0L
+      else (coarseIdx.max.toLong + 1L) * oldCoarseSpan
     // fine ids below the existing frontier would already be mis-routed
     val stray = fineIds.filter(fid => (fid.toLong + 1L) * span <= frontier0)
     require(stray.isEmpty,
@@ -537,26 +562,36 @@ object PartitionedCommit {
     val frontier1 = (tailFloorKey / coarseSpan) * coarseSpan
     val toCompact = fineIds.filter(fid => (fid.toLong + 1L) * span <= frontier1)
     val rowsStanding = standingCount(spark, root)
-    if (frontier1 <= frontier0 || toCompact.isEmpty)
+    // a plain run needs the frontier to ADVANCE; a re-tier must at
+    // least COVER the old frontier (equality folds coarse-only), and
+    // must have something to fold
+    val sources: Seq[Int] =
+      (if (retier) coarseIds.sorted else Seq.empty[Int]) ++ toCompact
+    if (frontier1 < frontier0 || (!retier && frontier1 <= frontier0) ||
+        sources.isEmpty)
       return CompactionReport(root, fineIds.size, 0, 0,
         frontier0, frontier0, rowsStanding)
-    val groups: Map[Int, Seq[Int]] = toCompact
-      .groupBy(fid => (fid.toLong * span / coarseSpan).toInt)
+    // range start of a source directory (old coarse ids sit below the
+    // old frontier, fine ids above it — both fold by where their KEYS
+    // live, which is what the new coarse index is a function of)
+    def startOf(id: Int): Long =
+      if (id >= 0) id.toLong * span else (-(id + 1)).toLong * oldCoarseSpan
+    val groups: Map[Int, Seq[Int]] = sources
+      .groupBy(id => (startOf(id) / coarseSpan).toInt)
+    val destOf: Map[Int, Int] = groups.flatMap { case (gi, ss) =>
+      ss.map(_ -> -(gi + 1)) }
     val staging = root + ".__compact__"
     val stagingPath = new Path(staging)
     if (f.exists(stagingPath)) f.delete(stagingPath, true)
-    // stage: rows re-bucket by directory id alone (a fine bucket's
-    // keys all share one coarse group by construction), no key column
-    // knowledge needed
+    // stage: rows re-bucket by directory id alone (a source bucket's
+    // keys all share one coarse group by construction — spans divide
+    // evenly), no key column knowledge needed
     val obs = new org.apache.spark.sql.Observation()
-    val factorL = factor.toLong
     timedPhase("compact_stage") {
       spark.read.parquet(root)
-        .filter(col(BucketCol).isin(toCompact.map(Int.box): _*))
+        .filter(col(BucketCol).isin(sources.map(Int.box): _*))
         .withColumn(BucketCol,
-          (lit(-1) - call_function("div",
-            col(BucketCol).cast("long") - pmod(col(BucketCol).cast("long"),
-              lit(factorL)), lit(factorL))).cast("int"))
+          element_at(typedLit(destOf), col(BucketCol)))
         .observe(obs, count(lit(1)).as("rows"))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
     }
@@ -567,51 +602,70 @@ object PartitionedCommit {
     }
     require(perBucket.values.sum == expected,
       s"compaction staged ${perBucket.values.sum} rows, wrote $expected")
-    // merged markers ride the staged coarse dirs, same atomicity as rows
-    val fineMarkers = readBucketMarkers(spark, root)
-    groups.foreach { case (gi, fids) =>
+    // an all-empty group stages no dir: write an empty (schema-bearing)
+    // one so the namespace stays a contiguous prefix (routing relies on
+    // it). This MUST run before the marker loop — writeFile's create()
+    // makes parent dirs, so once any marker lands the exists() probe
+    // can no longer tell "staged data" from "marker only" (r13 ADVICE:
+    // the backfill was dead code when it ran after the markers).
+    groups.keys.foreach { gi =>
+      val c = -(gi + 1)
+      val dir = new Path(stagingPath, s"$BucketCol=$c")
+      if (!f.exists(dir))
+        spark.read.parquet(root).filter(lit(false)).drop(BucketCol)
+          .write.mode("overwrite").parquet(dir.toString)
+    }
+    // merged markers ride the staged coarse dirs, same atomicity as
+    // rows; the loop covers every group, including the backfilled
+    // all-empty ones (rows=0 + their source markers' merged payload)
+    val srcMarkers = readBucketMarkers(spark, root)
+    groups.foreach { case (gi, ss) =>
       val c = -(gi + 1)
       val payload = mergePayloads(
-        fids.sorted.flatMap(fid => fineMarkers.get(fid).map(markerPayload)))
+        ss.sorted.flatMap(sid => srcMarkers.get(sid).map(markerPayload)))
       val sep = if (payload.isEmpty) "" else "\n" + payload
       writeFile(f, new Path(new Path(stagingPath, s"$BucketCol=$c"),
         BucketMarkerFile), s"rows=${perBucket.getOrElse(c, 0L)}$sep")
     }
-    // an all-empty group stages no dir: write an empty one so the
-    // namespace stays a contiguous prefix (routing relies on it)
-    groups.keys.foreach { gi =>
-      val c = -(gi + 1)
-      val dir = new Path(stagingPath, s"$BucketCol=$c")
-      if (!f.exists(dir)) {
-        spark.read.parquet(root).filter(lit(false)).drop(BucketCol)
-          .write.mode("overwrite").parquet(dir.toString)
-        writeFile(f, new Path(dir, BucketMarkerFile), "rows=0")
-      }
-    }
-    // layout descriptor first (static content, idempotent rewrite)
-    writeFile(f, new Path(rootPath, LayoutFile),
-      s"span=$span\ncoarse_span=$coarseSpan")
-    // manifest = the full swap plan; from here until its deletion the
-    // backup root belongs to this compaction (healInterrupted routes
-    // to healCompaction on seeing it)
-    val manifest = (s"frontier=$frontier1" +:
-      groups.toSeq.sortBy(_._1).map { case (gi, fids) =>
-        s"group=${-(gi + 1)}:${fids.sorted.mkString(",")}" }).mkString("\n")
+    // layout descriptor: static + idempotent on a plain run, so it can
+    // land before the manifest; a RE-TIER's descriptor must move in
+    // lockstep with the swap, so it is written inside the protected
+    // window below and healed to whichever side the swap resolves
+    if (!retier)
+      writeFile(f, new Path(rootPath, LayoutFile),
+        s"span=$span\ncoarse_span=$coarseSpan")
+    // manifest = the full swap plan (including both coarse spans, so
+    // heal can restore the matching layout descriptor); from here
+    // until its deletion the backup root belongs to this compaction
+    // (healInterrupted routes to healCompaction on seeing it)
+    val manifest = (Seq(s"frontier=$frontier1", s"span=$span",
+      s"coarse_span_old=$oldCoarseSpan", s"coarse_span_new=$coarseSpan") ++
+      groups.toSeq.sortBy(_._1).map { case (gi, ss) =>
+        s"group=${-(gi + 1)}:${ss.sorted.mkString(",")}" }).mkString("\n")
     timedPhase("compact_swap") {
       val backupRoot = new Path(root + ".__old__")
       if (f.exists(backupRoot)) f.delete(backupRoot, true)
       f.mkdirs(backupRoot)
       writeFile(f, new Path(rootPath, CompactionManifestFile), manifest)
-      toCompact.foreach { fid =>
-        val name = s"$BucketCol=$fid"
+      // park EVERY source before committing ANY destination: a re-tier
+      // destination can share its name with an old coarse source (the
+      // key-0 group is -1 under both spans), and heal disambiguates
+      // "old source" from "new destination" at that name by whether
+      // the backup holds the source — which only works if no
+      // destination lands while an unparked source remains
+      sources.foreach { sid =>
+        val name = s"$BucketCol=$sid"
         require(f.rename(new Path(rootPath, name), new Path(backupRoot, name)),
-          s"could not park fine bucket $name")
+          s"could not park source bucket $name")
       }
       groups.keys.toSeq.sorted.foreach { gi =>
         val name = s"$BucketCol=${-(gi + 1)}"
         require(f.rename(new Path(stagingPath, name), new Path(rootPath, name)),
           s"could not commit coarse bucket $name")
       }
+      if (retier)
+        writeFile(f, new Path(rootPath, LayoutFile),
+          s"span=$span\ncoarse_span=$coarseSpan")
       f.delete(stagingPath, true)
       f.delete(backupRoot, true)
       f.delete(new Path(rootPath, CompactionManifestFile), false)
@@ -619,7 +673,7 @@ object PartitionedCommit {
     val rowsAfter = standingCount(spark, root)
     require(rowsAfter == rowsStanding,
       s"compaction changed standing rows: $rowsStanding -> $rowsAfter")
-    CompactionReport(root, fineIds.size, toCompact.size, groups.size,
+    CompactionReport(root, fineIds.size, sources.size, groups.size,
       frontier0, frontier1, rowsAfter)
   }
 
@@ -634,11 +688,19 @@ object PartitionedCommit {
   }
 
   /** Roll an interrupted compaction to a consistent state: COMPLETE it
-    * when every coarse directory of the manifest landed (delete the
-    * parked fine dirs), ROLL BACK otherwise (delete the coarse dirs
-    * that landed — their rows are still in the parked fine dirs —
-    * and restore the parks). Idempotent: a crash during heal re-enters
-    * the same branch.
+    * when every coarse directory of the manifest landed and every
+    * parked source left (delete the backup), ROLL BACK otherwise
+    * (delete the destination dirs that landed — their rows are still
+    * in the parked source dirs — and restore the parks). A RE-TIER
+    * run's layout descriptor is rewritten to whichever coarse span the
+    * resolved side uses, so routing and census never disagree.
+    * Idempotent: a crash during heal re-enters the same branch.
+    *
+    * Name collisions (re-tier only): a destination can share its
+    * directory name with an old coarse SOURCE (key-0's group is -1
+    * under every span). The swap parks all sources before committing
+    * any destination, so at such a name "backup holds it" ⟺ the root
+    * copy, if any, is the new destination; heal keys on that.
     */
   def healCompaction(spark: SparkSession, root: String): Unit = {
     val rootPath = new Path(root)
@@ -646,32 +708,76 @@ object PartitionedCommit {
     val mf = new Path(rootPath, CompactionManifestFile)
     if (!f.exists(mf)) return
     val lines = readSmallFile(f, mf).linesIterator.toSeq
-    val plan: Seq[(Int, Seq[Int])] = lines.drop(1).map { l =>
+    val kv = lines.filterNot(_.startsWith("group="))
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val plan: Seq[(Int, Seq[Int])] = lines.filter(_.startsWith("group=")).map { l =>
       val Array(c, fs0) = l.stripPrefix("group=").split(":", 2)
       (c.toInt, if (fs0.isEmpty) Seq.empty[Int] else fs0.split(",").map(_.toInt).toSeq)
     }
+    val sourceIds = plan.flatMap(_._2).toSet
     val backupRoot = new Path(root + ".__old__")
-    val allIn = plan.forall { case (c, _) =>
-      f.exists(new Path(rootPath, s"$BucketCol=$c")) }
-    if (allIn) {
+    val staging = new Path(root + ".__compact__")
+    def parked(id: Int) = f.exists(new Path(backupRoot, s"$BucketCol=$id"))
+    def inRoot(id: Int) = f.exists(new Path(rootPath, s"$BucketCol=$id"))
+    // a collision-named root dir only counts as the DESTINATION when
+    // its source twin is parked (sources park before any commit)
+    def destLanded(c: Int) =
+      inRoot(c) && (!sourceIds.contains(c) || parked(c))
+    // the swap creates the backup root BEFORE the manifest and deletes
+    // it only after every rename landed — so "no backup root" by
+    // itself proves the swap completed (and makes the collision-named
+    // destination unambiguous even though its parked twin is gone)
+    val complete = !f.exists(backupRoot) ||
+      (plan.forall { case (c, _) => destLanded(c) } &&
+        sourceIds.forall(s => plan.exists(_._1 == s) || !inRoot(s)))
+    // a re-tier moves the layout descriptor WITH the swap; old
+    // manifests (no span lines) belong to plain runs whose descriptor
+    // was static — leave it alone for those
+    def writeLayoutSpan(csKey: String): Unit =
+      (kv.get("span"), kv.get(csKey)) match {
+        case (Some(sp), Some(cs))
+            if kv.get("coarse_span_old") != kv.get("coarse_span_new") =>
+          writeFile(f, new Path(rootPath, LayoutFile),
+            s"span=$sp\ncoarse_span=$cs")
+        case _ => ()
+      }
+    if (complete) {
+      writeLayoutSpan("coarse_span_new")
       if (f.exists(backupRoot)) f.delete(backupRoot, true)
+      if (f.exists(staging)) f.delete(staging, true)
+      f.delete(mf, false)
     } else {
-      plan.foreach { case (c, fids) =>
-        val coarseDir = new Path(rootPath, s"$BucketCol=$c")
-        if (f.exists(coarseDir)) f.delete(coarseDir, true)
-        fids.foreach { fid =>
-          val name = s"$BucketCol=$fid"
-          val parked = new Path(backupRoot, name)
+      // pass 1: remove every landed destination — BEFORE any restore,
+      // because a landed dest can occupy the root name of a DIFFERENT
+      // group's parked source (re-tier: source -2 of group 0, dest -2
+      // of group 1), and a restore skipped for "name taken" whose
+      // taker is then deleted would strand the source in the backup
+      plan.foreach { case (c, _) =>
+        val destDir = new Path(rootPath, s"$BucketCol=$c")
+        // keep the root copy when it is an UNPARKED source wearing the
+        // destination's name — deleting it would destroy standing rows
+        if (f.exists(destDir) && (!sourceIds.contains(c) || parked(c)))
+          f.delete(destDir, true)
+      }
+      // pass 2: restore every parked source
+      plan.foreach { case (_, ss) =>
+        ss.foreach { sid =>
+          val name = s"$BucketCol=$sid"
+          val park = new Path(backupRoot, name)
           val dest = new Path(rootPath, name)
-          if (f.exists(parked) && !f.exists(dest))
-            require(f.rename(parked, dest), s"could not restore $dest")
+          if (f.exists(park) && !f.exists(dest))
+            require(f.rename(park, dest), s"could not restore $dest")
         }
       }
+      writeLayoutSpan("coarse_span_old")
+      // manifest BEFORE backup: a crash between the two re-enters the
+      // non-compaction heal (which leaves restored dests alone), never
+      // the complete branch above — whose layout rewrite would undo
+      // the rollback's (the backup-absent shortcut would claim it)
+      f.delete(mf, false)
+      if (f.exists(staging)) f.delete(staging, true)
       if (f.exists(backupRoot)) f.delete(backupRoot, true)
     }
-    val staging = new Path(root + ".__compact__")
-    if (f.exists(staging)) f.delete(staging, true)
-    f.delete(mf, false)
   }
 
   private def readSmallFile(
