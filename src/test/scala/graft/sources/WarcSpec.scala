@@ -206,4 +206,19 @@ class WarcSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("a corrupt Content-Length past MaxRecordBytes refuses to buffer") {
+    // a crawler-side bogus length is the ONE input that could blow
+    // task memory under the one-record walk — the guard must name the
+    // record loudly BEFORE allocating, not OOM trying
+    val bogus = (s"WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:t:bogus>\r\n" +
+      s"Content-Length: ${Warc.MaxRecordBytes + 1}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ http("text/html", "tiny".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseFile("x.warc", bogus).toList
+    }
+    assert(e.getMessage.contains("MaxRecordBytes"), e.getMessage)
+  }
 }
