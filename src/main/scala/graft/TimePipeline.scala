@@ -122,6 +122,23 @@ object TimePipeline {
     // untimed seed: the standing state the deltas run against
     upsert(0L, initDocs, record = false)
     val compactSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def compactAll(): Seq[graft.operators.PartitionedCommit.CompactionReport] =
+      graft.streaming.DocumentPipeline.compact(
+        spark, s"$root/corpus", s"$root/shingles", s"$root/cands",
+        span = layout.asInstanceOf[Layout.Range].span,
+        factor = compactFactor,
+        signaturesPath = Some(s"$root/sigs"), lmPath = Some(s"$root/lm"),
+        coarseCap = coarseCap)
+    // with compaction configured, fold the SEED census before timing
+    // (untimed, reported separately): a large seed otherwise leaves
+    // every timed batch paying its one-dir-per-delivery census — the
+    // r13 sf10 rung's "compact after seed" methodology
+    if (compactEvery > 0) {
+      val c0 = System.nanoTime()
+      val reps = compactAll()
+      System.err.println(f"seed compact: ${(System.nanoTime() - c0) / 1e9}%.1f s " +
+        reps.map(r => s"${r.compacted}->${r.coarseCreated}").mkString(","))
+    }
     val secs = (0 until batches).map { b =>
       val lo = initDocs + b * deltaSize
       val t0 = System.nanoTime()
@@ -130,12 +147,7 @@ object TimePipeline {
       System.err.println(f"batch $b: $s%.2f s ($rep)")
       if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
         val c0 = System.nanoTime()
-        val reps = graft.streaming.DocumentPipeline.compact(
-          spark, s"$root/corpus", s"$root/shingles", s"$root/cands",
-          span = layout.asInstanceOf[Layout.Range].span,
-          factor = compactFactor,
-          signaturesPath = Some(s"$root/sigs"), lmPath = Some(s"$root/lm"),
-          coarseCap = coarseCap)
+        val reps = compactAll()
         val cs = (System.nanoTime() - c0) / 1e9
         compactSecs += cs
         System.err.println(f"compact after batch $b: $cs%.2f s " +

@@ -368,17 +368,22 @@ object DocumentPipeline {
         // proves the replay heals every such interleaving to the
         // one-pass rebuild state
         onCommitted("candidates")
-        // postings commit SECOND, still before the pool: its retired
-        // rows derive from the pre-batch corpus text of the replaced
-        // ids, so it must land before the corpus commit can start —
-        // after it lands, the derivation is idempotent whatever the
-        // corpus holds ([[graft.operators.ShingleIndex]] object doc)
-        val postingsTouched = postingsPath.fold(0) { pp =>
+        // postings commit: its retired rows derive from the pre-batch
+        // corpus text of the replaced ids, so it must land before the
+        // CORPUS commit can start — after it lands, the derivation is
+        // idempotent whatever the corpus holds ([[graft.operators
+        // .ShingleIndex]] object doc). In parallel mode it joins the
+        // pool and only the corpus thunk gates on it (the other
+        // artifacts are disjoint), so its fixed vocabulary-bounded
+        // price hides behind the shingle/signature/LM commits. A pure
+        // APPEND batch (replaced == 0 — the steady ingest shape) skips
+        // the old-postings derivation outright: nothing stands to
+        // retire, so the corpus slice read + re-shingling would be
+        // two jobs for an empty frame.
+        val doPostings: () => Int = () => postingsPath.fold(0) { pp =>
           val nb = timedP("commit_postings") {
             val oldDocs = standing(corpusPath) match {
-              case None =>
-                scrubbed.select(col("doc_id"), col("text")).limit(0)
-              case Some(c) =>
+              case Some(c) if replaced > 0L =>
                 val slice = resolved(corpusPath) match {
                   // replaced ids only live in their own buckets — prune
                   case Some(l) => c.filter(col(B).isin(
@@ -388,6 +393,8 @@ object DocumentPipeline {
                 }
                 slice.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
                   .select(col("doc_id"), col("text"))
+              case _ =>
+                scrubbed.select(col("doc_id"), col("text")).limit(0)
             }
             graft.operators.ShingleIndex.upsert(spark, pp, deltaP.get,
               graft.operators.ShingleIndex.postings(oldDocs), batchIds,
@@ -399,6 +406,9 @@ object DocumentPipeline {
           onCommitted("postings")
           nb
         }
+        // sequential mode keeps the explicit order: postings, then the
+        // remaining four (corpus after postings by construction)
+        val postingsTouchedSeq = if (parallelCommits) 0 else doPostings()
         // The four remaining commits touch four DISJOINT artifacts and
         // read only their own standing state plus the already-forced
         // caches (`scrubbed`, `newCands`) — no ordering between them
@@ -529,18 +539,26 @@ object DocumentPipeline {
               ()
             }
           }
-        val (shingleRows, corpusRows, sigRows, (lmRows, batchNll)) =
-          if (!parallelCommits) (doShingles(), doCorpus(), doSigs(), doLm())
+        val (shingleRows, corpusRows, sigRows, (lmRows, batchNll),
+            postingsTouched) =
+          if (!parallelCommits)
+            (doShingles(), doCorpus(), doSigs(), doLm(), postingsTouchedSeq)
           else {
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
             import scala.util.{Failure, Success}
             implicit val ec: scala.concurrent.ExecutionContext = CommitPool
+            val fp = Future(doPostings())
             val fs = Future(doShingles())
-            val fc = Future(doCorpus())
+            // the ONE ordering edge in the pool: corpus runs AFTER the
+            // postings commit (whose retired rows derive from the
+            // pre-batch corpus text) — composed with map, so no pool
+            // thread blocks waiting; a postings failure propagates
+            // into fc and the corpus never commits over it
+            val fc = fp.map(_ => doCorpus())
             val fg = Future(doSigs())
             val fl = Future(doLm())
-            // Settle ALL four before surfacing any failure: rethrowing
+            // Settle ALL five before surfacing any failure: rethrowing
             // on the first Await while siblings still run would let a
             // zombie commit keep staging/swapping its artifact while
             // the caller unwinds and a foreachBatch replay re-enters
@@ -549,11 +567,11 @@ object DocumentPipeline {
             // writers) does not cover. After this barrier no commit
             // outlives the upsertBatch call, failed or not.
             val settled = Await.result(
-              Future.sequence(Seq(fs, fc, fg, fl)
+              Future.sequence(Seq[Future[Any]](fp, fs, fc, fg, fl)
                 .map(_.transform(t => Success(t)))), Duration.Inf)
             settled.collectFirst { case Failure(e) => e }.foreach(throw _)
             (fs.value.get.get, fc.value.get.get,
-              fg.value.get.get, fl.value.get.get)
+              fg.value.get.get, fl.value.get.get, fp.value.get.get)
           }
         BatchReport(
           corpusRows, shingleRows, candidateRows, newCandidates, replaced,

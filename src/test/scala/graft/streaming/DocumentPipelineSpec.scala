@@ -268,6 +268,7 @@ class DocumentPipelineSpec extends SparkTestBase {
         p.cands, layout = Some(Layout.Hash(4)),
         signaturesPath = Some(p.root + "/sigs"),
         lmPath = Some(p.root + "/lm"),
+        postingsPath = Some(p.root + "/postings"), postingsBuckets = 16,
         onCommitted = onC, parallelCommits = par)
     def snap5(p: Paths) = (
       spark.read.parquet(p.corpus).select("doc_id", "text").collect()
@@ -280,7 +281,11 @@ class DocumentPipelineSpec extends SparkTestBase {
       lmStored(p.root + "/lm"),
       spark.read.parquet(p.root + "/lm__counts")
         .select("w1", "bigram", "bc").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet,
+      spark.read.parquet(p.root + "/postings")
+        .select("doc_id", "w1h", "g", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet)
     val ctl = Paths(tmp("docpipe-par-ctl"))
     run(ctl, b1, par = false)
     val ctlRep = run(ctl, b2, par = false)
@@ -315,9 +320,14 @@ class DocumentPipelineSpec extends SparkTestBase {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { java.nio.file.Files.delete(f); () })
     }
-    val arts = Seq("shingles", "corpus", "sigs", "lm")
-    for (landed <- Seq(Set.empty[String], Set("corpus"),
-        Set("shingles", "lm"))) {
+    // subsets respect the one ordering edge the pool enforces (corpus
+    // commits only after postings), so "corpus landed without
+    // postings" — a state the live system cannot produce, and whose
+    // heal the postings old-derivation deliberately does not promise
+    // — is excluded; everything else is an arbitrary subset
+    val arts = Seq("shingles", "corpus", "sigs", "lm", "postings")
+    for (landed <- Seq(Set.empty[String], Set("postings"),
+        Set("shingles", "lm"), Set("postings", "corpus", "lm"))) {
       val p = Paths(tmp(s"docpipe-par-subset"))
       run(p, b1, par = true)
       val pre = tmp("docpipe-par-pre")
