@@ -153,6 +153,7 @@ object ShingleIndex {
     val stage = new org.apache.hadoop.fs.Path(path + ".__bootstage__")
     postings(corpusDocs)
       .withColumn(B, bucketOf(col("w1h"), numBuckets))
+      .repartition(col(B)) // one file per bucket dir (see upsert)
       .write.partitionBy(B).mode("overwrite").parquet(stage.toString)
     val lp = new org.apache.hadoop.fs.Path(stage, LayoutFile)
     val out = f.create(lp, true)
@@ -189,7 +190,16 @@ object ShingleIndex {
           .select(withB.columns.map(col): _*)
           .unionByName(withB)
       }
-      PartitionedCommit.commitPartitions(spark, merged, path, touched)
+      // ONE file per bucket dir, not one per (task × bucket):
+      // partitionBy splits every upstream task's rows into its own
+      // file per dir, so an unrepartitioned merge staged ~tasks×
+      // touched small files per commit and the NEXT batch's pruned
+      // read paid the accumulated file census (measured: the 30-
+      // bucket append commit priced ~7 s at 30 k standing, file-open
+      // bound). The shuffle this buys is vocabulary-bounded — the
+      // merged frame IS the touched-bucket slice plus the batch.
+      PartitionedCommit.commitPartitions(spark,
+        merged.repartition(col(B)), path, touched)
       touched.size
     } finally {
       withB.unpersist()
