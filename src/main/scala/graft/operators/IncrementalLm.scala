@@ -256,8 +256,14 @@ object IncrementalLm {
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val markers = touched.map(b =>
           b -> s"$stamp\nmass=${massByBucket.getOrElse(b, 0L)}").toMap
+        // one file per bucket dir, not one per (task × bucket):
+        // partitionBy splits every upstream task's rows into its own
+        // file per dir, so each batch's ~25-bucket commit staged
+        // tasks× that many small files and later pruned reads paid
+        // the accumulated census (the ShingleIndex.upsert finding);
+        // the extra shuffle is vocabulary-bounded
         PartitionedCommit.commitPartitions(
-          spark, mergedP, countsPath, touched, markers)
+          spark, mergedP.repartition(col(B)), countsPath, touched, markers)
         touched.size
       } finally {
         mergedP.unpersist()
@@ -283,7 +289,8 @@ object IncrementalLm {
     if (f.exists(root)) return
     val stage = new org.apache.hadoop.fs.Path(countsPath + ".__bootstage__")
     val counts = countsFromTf(tf).withColumn(B, countsBucket(col("w1")))
-    counts.write.partitionBy(B).mode("overwrite").parquet(stage.toString)
+    counts.repartition(col(B)) // one file per bucket dir (see upsertCounts)
+      .write.partitionBy(B).mode("overwrite").parquet(stage.toString)
     val mass = spark.read.parquet(stage.toString)
       .groupBy(col(B)).agg(sum(col("bc")).as("m"), count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
