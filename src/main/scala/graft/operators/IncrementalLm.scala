@@ -256,14 +256,8 @@ object IncrementalLm {
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val markers = touched.map(b =>
           b -> s"$stamp\nmass=${massByBucket.getOrElse(b, 0L)}").toMap
-        // one file per bucket dir, not one per (task × bucket):
-        // partitionBy splits every upstream task's rows into its own
-        // file per dir, so each batch's ~25-bucket commit staged
-        // tasks× that many small files and later pruned reads paid
-        // the accumulated census (the ShingleIndex.upsert finding);
-        // the extra shuffle is vocabulary-bounded
         PartitionedCommit.commitPartitions(
-          spark, mergedP.repartition(col(B)), countsPath, touched, markers)
+          spark, mergedP, countsPath, touched, markers)
         touched.size
       } finally {
         mergedP.unpersist()

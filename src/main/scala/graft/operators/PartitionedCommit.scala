@@ -306,7 +306,18 @@ object PartitionedCommit {
     val staging = root + ".__staging__"
     val obs = new org.apache.spark.sql.Observation()
     timedPhase("stage_write") {
-      df.observe(obs, count(lit(1)).as("rows"))
+      // one file per bucket dir, not one per (upstream task × bucket):
+      // partitionBy splits EVERY writing task's rows into its own file
+      // per dir, so a wide-touched commit (a bulk seed touching
+      // thousands of range buckets; a vocabulary artifact touching
+      // ~30 hash buckets from 32 tasks) staged tasks× that many small
+      // files and every later pruned read paid the accumulated file
+      // census (measured: the 30-bucket postings commit at 7 s,
+      // file-open bound, before this). The repartition's shuffle moves
+      // only the staged bytes the write pays for anyway — commit
+      // inputs are touched-slice-sized by the callers' contract.
+      df.repartition(col(BucketCol))
+        .observe(obs, count(lit(1)).as("rows"))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(staging)
     }
     val expected = obs.get("rows").asInstanceOf[Long]

@@ -190,16 +190,9 @@ object ShingleIndex {
           .select(withB.columns.map(col): _*)
           .unionByName(withB)
       }
-      // ONE file per bucket dir, not one per (task × bucket):
-      // partitionBy splits every upstream task's rows into its own
-      // file per dir, so an unrepartitioned merge staged ~tasks×
-      // touched small files per commit and the NEXT batch's pruned
-      // read paid the accumulated file census (measured: the 30-
-      // bucket append commit priced ~7 s at 30 k standing, file-open
-      // bound). The shuffle this buys is vocabulary-bounded — the
-      // merged frame IS the touched-bucket slice plus the batch.
-      PartitionedCommit.commitPartitions(spark,
-        merged.repartition(col(B)), path, touched)
+      // commitPartitions stages one file per bucket dir (its own
+      // repartition) — the vocabulary-bounded merge needs nothing here
+      PartitionedCommit.commitPartitions(spark, merged, path, touched)
       touched.size
     } finally {
       withB.unpersist()
