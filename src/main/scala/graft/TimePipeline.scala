@@ -208,5 +208,10 @@ object TimePipeline {
       s""""compact_secs":[${compactSecs.map(x => f"$x%.3f").mkString(",")}],""" +
       s""""bucket_census":{$censusJson}}""")
     spark.stop()
+    // the standing five-artifact state can reach tens of GB on the
+    // sf100 ladder — never leave it behind
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
   }
 }

@@ -114,5 +114,9 @@ object TimeWarc {
       s""""xmx_mb":${rt.maxMemory() >> 20},"tasks":$cpus,""" +
       s""""text_chars":${agg.getLong(1)}}""")
     spark.stop()
+    // a GB-scale synthetic container set must not outlive its run
+    java.nio.file.Files.walk(dir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
   }
 }
