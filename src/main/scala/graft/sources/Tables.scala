@@ -55,6 +55,53 @@ object Tables {
   private val nanosRangeChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  // ── resolved-table memo (metadata only — the catalog pattern) ──
+  //
+  // `spark.read.parquet(path)` pays path existence checks, file
+  // listing, and a footer read for schema inference EVERY call —
+  // measured ~60–80 ms per call on this container (q101 builds 7
+  // audit edges over 14 table reads: 0.97 s of its 2.6 s bench time
+  // was DataFrame construction; suite-wide, construction was 37 s of
+  // the 201 s bench total, ~19%). A warehouse never re-infers a
+  // table's schema per query — the catalog carries it (guide §6: the
+  // strongest practical argument for manifest-bearing table formats
+  // is exactly not re-listing per read). This memo is that catalog:
+  // the RESOLVED DataFrame (logical plan: schema + file index), keyed
+  // by session identity + path + a content fingerprint (file count,
+  // total bytes, max mtime), so a rewritten fixture re-resolves and a
+  // dead session's entries are GC-able (WeakHashMap on the session).
+  // NO row data is cached: a DataFrame is an immutable plan, and
+  // every action against it re-reads the parquet bytes — reusing one
+  // across queries is semantically identical to `spark.table` against
+  // a catalog table, which is what these reads model at 100 TB.
+  private val resolvedMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def pathFingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val a = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"f:${a.size}:${a.lastModifiedTime.toMillis}"
+      } else if (java.nio.file.Files.isDirectory(p)) {
+        val walk = java.nio.file.Files.walk(p, 4)
+        try {
+          var n = 0L; var bytes = 0L; var mt = 0L
+          walk.forEach { q =>
+            if (java.nio.file.Files.isRegularFile(q)) {
+              n += 1; bytes += java.nio.file.Files.size(q)
+              val m = java.nio.file.Files.getLastModifiedTime(q).toMillis
+              if (m > mt) mt = m
+            }
+          }
+          s"d:$n:$bytes:$mt"
+        } finally walk.close()
+      } else "missing" // let the resolve below raise the real error
+    } catch { case _: java.io.IOException => "ioerror" }
+  }
+
   // an analysis error's useful text may sit behind wrapper exceptions
   private def msgChain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
@@ -62,6 +109,32 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
+    val path = s"$sfDir/$name.parquet"
+    val perSession = resolvedMemo.synchronized {
+      var m = resolvedMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        resolvedMemo.put(spark, m)
+      }
+      m
+    }
+    // fingerprint INSIDE the key: a rewritten fixture under the same
+    // path re-resolves instead of serving a stale schema/file index
+    val key = s"$path#${pathFingerprint(path)}"
+    val hit = perSession.get(key)
+    if (hit != null) return hit
+    val df = resolve(spark, sfDir, name)
+    // bound the memo (a long-lived service session over many sfDirs):
+    // the working set is |tables| × |sfDirs in play|, so 256 is
+    // generous; overflow clears wholesale — correctness is unaffected,
+    // the next call just re-resolves
+    if (perSession.size > 256) perSession.clear()
+    perSession.put(key, df)
+    df
+  }
+
+  private def resolve(
+      spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two physical layouts across fixture
       // generations: parquet TIMESTAMP(NANOS) — which Spark's reader
