@@ -31,7 +31,15 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.mode("overwrite").format("noop").save()
+      // collect(), NOT a noop write: the write spawns its OWN
+      // QueryExecution, leaving df's AdaptiveSparkPlan UNEXECUTED —
+      // its plan string then shows the pre-AQE initial plan where
+      // exchange/stage reuse is invisible and every shared subtree
+      // prints as a fresh copy. collect() finalizes df's own adaptive
+      // plan, the thing the duplicated-scan audit walks. Query
+      // outputs are result-sized (every query ends in an aggregate /
+      // limit), so the driver-side collect is bounded.
+      df.collect()
       val raw = df.queryExecution.executedPlan.toString
       // Drop InMemoryRelation subtrees: a cached base's BUILD plan is
       // printed inside the node but not re-executed by this query —
@@ -53,13 +61,44 @@ object PlanDump {
       // naive Exchange count would bill every reuse as a real exchange
       val realExch = p.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      // EXECUTED scan multiplicity via the audit walker (QueriesSpec's
+      // duplicated-scan test): descend into materialized query stages
+      // but NOT into ReusedExchange, so a scan counted twice here ran
+      // twice — the string counts above can over-report because the
+      // final adaptive plan re-prints a shared stage per consumer.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def scanKeys(pl: SparkPlan,
+          seen: java.util.IdentityHashMap[SparkPlan, Unit]): Seq[String] = {
+        if (seen.containsKey(pl)) return Nil
+        seen.put(pl, ())
+        val self = pl match {
+          case f: FileSourceScanExec =>
+            Seq(f.relation.location.rootPaths.mkString(",").split("/").last)
+          case _ => Nil
+        }
+        val kids: Seq[SparkPlan] = pl match {
+          case _: ReusedExchangeExec => Nil
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scanKeys(_, seen))
+      }
+      val ran = scanKeys(df.queryExecution.executedPlan,
+        new java.util.IdentityHashMap[SparkPlan, Unit]())
+        .groupBy(identity).map { case (k, vs) => s"$k=${vs.size}" }
+        .toSeq.sorted.mkString(",")
       println(s"PLAN $name scans=${n("Scan parquet")}" +
         s" cachedReads=${n("InMemoryTableScan")}" +
         s" exch=$realExch" +
         s" reused=${n("ReusedExchange")}" +
         s" bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}" +
         s" bnlj=${n("BroadcastNestedLoopJoin")}" +
-        s" codegen=${n("\\*\\(")}")
+        s" codegen=${n("\\*\\(")}" +
+        s" ranScans[$ran]")
       if (full) println(raw)
     }
     spark.stop()
