@@ -323,12 +323,23 @@ object Analytics2 {
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
             .otherwise(0)).as("sup_late"))
-        val perOrder = osl.groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"))
+        // STRAIGHT-LINE blame attribution (r14): the former shape
+        // consumed osl twice (per-order counts, then a join-back of
+        // the late rows) — Catalyst clones shared subtrees per
+        // consumer and the diverged column pruning killed exchange
+        // reuse, so the lineitem⨝orders tower and its (order,
+        // supplier) aggregate EXECUTED twice (PlanDump ranScans:
+        // lineitem×2, orders×2). On an order with n_late = 1 the
+        // blamed supplier IS max(when(sup_late = 1, suppkey)) — the
+        // only late one — so one more grain collapse to the order
+        // grain carries everything and the self-join disappears: one
+        // scan of each table, two corpus-grain exchanges total.
+        // Output unchanged (oracle hash-green).
+        osl.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"),
+            max(when(col("sup_late") === 1, col("l_suppkey")))
+              .as("l_suppkey"))
           .filter(col("n_supp") >= 2 && col("n_late") === 1)
-          .select(col("l_orderkey").as("bo"))
-        osl.filter(col("sup_late") === 1)
-          .join(perOrder, col("l_orderkey") === col("bo"))
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).cast("long").as("n_blamed"))
           .join(broadcast(t(s, d, "supplier")

@@ -660,8 +660,17 @@ object Analytics5 {
             .as("m"), col("l_partkey"), revMicro.as("rm"))
           .groupBy(col("l_partkey"), col("m"))
           .agg(sum(col("rm").cast("decimal(38,0)")).as("rev"))
-        val intro = pm.groupBy(col("l_partkey")).agg(min(col("m")).as("im"))
-        val cells = pm.join(intro, Seq("l_partkey"))
+        // intro month as a per-part WINDOW MIN over pm instead of a
+        // separate aggregate branch joined back (r14): the branch form
+        // cloned the pm tower per consumer (diverged pruning, no
+        // exchange reuse — lineitem scanned and collapsed TWICE,
+        // PlanDump ranScans). The window partitions on l_partkey — a
+        // part's months, ≤|months| rows per partition, q130's bounded
+        // class — so one lineitem scan feeds everything. Output
+        // unchanged (oracle hash-green).
+        val cells = pm
+          .withColumn("im",
+            min(col("m")).over(Window.partitionBy(col("l_partkey"))))
           .select(date_format(col("im"), "yyyy-MM").as("cohort"),
             when(months_between(col("m"), col("im")) >= 3, lit("3+"))
               .otherwise(months_between(col("m"), col("im"))
