@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "pass at least one query name")
+    require(args.nonEmpty, "pass at least one query name, or ALL")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val full = sys.env.get("SPARK_GRAFT_PLAN_FULL").contains("1")
@@ -29,7 +29,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
+    // ALL = the whole registry in declaration order — the suite-wide
+    // duplicated-scan sweep at finalized-plan truth.
+    val names =
+      if (args.sameElements(Array("ALL"))) SparkEntry.queryNames
+      else args.toSeq
+    names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // collect(), NOT a noop write: the write spawns its OWN
       // QueryExecution, leaving df's AdaptiveSparkPlan UNEXECUTED —

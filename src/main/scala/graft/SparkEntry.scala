@@ -31,6 +31,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
 
+  /** Declaration-order names (dev tooling: PlanDump ALL). */
+  def queryNames: Seq[String] = all.map(_.name)
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate operators
     * (q26/q27 LSH, q29 ANN) → driver records a rows-only check.
