@@ -1117,12 +1117,21 @@ object Analytics5 {
     // (an absent pair means zero overlap — both engines agree);
     // pairs are unordered, named (a < b) by nation name.
     //
-    // Scale shape: the shipped-assortment frame collapses to the
-    // distinct (nation, part) grain in one exchange (supplier/nation
-    // dims AQE-broadcast); the pair enumeration self-joins on
-    // partkey with per-part fanout bounded by |nations| (≤25
-    // co-suppliers per part — never all-pairs over parts); sizes are
-    // |nations|-grain; the output is ≤|nations|² rows.
+    // Scale shape (r14 single-scan rewrite): the former shape branched
+    // the distinct (nation, part) frame three ways — a size aggregate
+    // plus both sides of the partkey self-join. The SELF-JOIN sides
+    // are identical plans, so AQE exchange reuse already ran them off
+    // one scan; the size branch pruned partkey away, fell out of
+    // reuse, and re-executed the whole corpus tower (finalized-plan
+    // ranScans: lineitem×2). The join now keeps the DIAGONAL
+    // (nat_a <= nat_b): the (a,a) row's count IS nation a's
+    // assortment size, so na/nb come from windows over the
+    // ≤|nations|²-row pair aggregate (q130's dimension-bounded class)
+    // and the size branch disappears — one lineitem scan, per-part
+    // join fanout still ≤|nations|, no object aggregate (a collect_
+    // set variant was tried and measured +40% locally: ObjectHash-
+    // Aggregate beats codegen dedup only above the scan it saves).
+    // Output unchanged (oracle hash-green).
     QueryDef(
       "q240_assortment_overlap",
       (s, d) => {
@@ -1136,17 +1145,18 @@ object Analytics5 {
             col("s_nationkey") === col("n_nationkey"))
           .select(col("n_name").as("nat"), col("l_partkey").as("pk"))
           .distinct()
-        val sz = np.groupBy(col("nat"))
-          .agg(count(lit(1)).cast("long").as("n_parts"))
         val a = np.toDF("nat_a", "pk")
         val b = np.toDF("nat_b", "pk")
-        val com = a.join(b, Seq("pk"))
-          .filter(col("nat_a") < col("nat_b"))
+        val agg = a.join(b, Seq("pk"))
+          .filter(col("nat_a") <= col("nat_b"))
           .groupBy(col("nat_a"), col("nat_b"))
           .agg(count(lit(1)).cast("long").as("n_common"))
-        com
-          .join(sz.toDF("nat_a", "na"), Seq("nat_a"))
-          .join(sz.toDF("nat_b", "nb"), Seq("nat_b"))
+        val diag = max(when(col("nat_a") === col("nat_b"),
+          col("n_common")))
+        agg
+          .withColumn("na", diag.over(Window.partitionBy(col("nat_a"))))
+          .withColumn("nb", diag.over(Window.partitionBy(col("nat_b"))))
+          .filter(col("nat_a") < col("nat_b"))
           .select(col("nat_a"), col("nat_b"), col("na"), col("nb"),
             col("n_common"),
             round(col("n_common").cast("double") /
@@ -2462,17 +2472,30 @@ object Analytics5 {
         val pfp = md5(concat_ws(" ",
           slice(filter(split(lower(col("text")), " "),
             tk => length(tk) > 0), 1, 16)))
+        // both stage minima ride WINDOWS over the one digested frame
+        // (r14): the former min-per-family aggregate + join-back of
+        // each stage cloned the scan + BOTH digests per consumer
+        // (Catalyst per-consumer copy, diverged pruning — documents
+        // EXECUTED 3×, finalized-plan ranScans, and the md5 + prefix
+        // digest re-computed each time). min() over a family
+        // partition is constant-memory per group (no set buffering —
+        // safe on a corpus-sized boilerplate family, unlike a
+        // collect_set/countDistinct window), and each window's
+        // exchange is the SAME fp-grain exchange the old aggregate
+        // paid. The left-join null case (a pf family with no exact
+        // survivor) maps to min(when(...)) returning null — the
+        // comparison is null, count(when(pf_surv, 1)) skips it on
+        // both engines, exactly the former semantics. Output
+        // unchanged (oracle hash-green).
         val f = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             md5(lower(col("text"))).as("h"), pfp.as("pf"))
-        val exMin = f.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-        val s1 = f.join(exMin, Seq("h"))
-          .withColumn("ex_surv", col("doc_id") === col("keep"))
-        val pfMin = s1.filter(col("ex_surv")).groupBy(col("pf"))
-          .agg(min(col("doc_id")).as("pkeep"))
-        val s2 = s1.join(pfMin, Seq("pf"), "left")
-          .withColumn("pf_surv",
-            col("ex_surv") && col("doc_id") === col("pkeep"))
+        val s2 = f
+          .withColumn("ex_surv", col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .withColumn("pf_surv", col("ex_surv") && col("doc_id") ===
+            min(when(col("ex_surv"), col("doc_id")))
+              .over(Window.partitionBy(col("pf"))))
         s2.groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             count(when(col("ex_surv"), 1)).cast("long").as("after_exact"),
@@ -2854,13 +2877,22 @@ object Analytics5 {
           .agg(sum(col("rm").cast("decimal(38,0)")).as("rev"))
         val wq = Window.partitionBy(col("qtr"))
         val wAll = Window.partitionBy(lit(1))
+        // nq rides the SAME global window the grand total already
+        // pays for (r14): the former 1-row countDistinct branch
+        // cloned the whole corpus tower (Catalyst per-consumer copy,
+        // diverged pruning — lineitem and part scanned TWICE,
+        // finalized-plan ranScans) to count quarters that are already
+        // present in the ≤|brands|×|quarters| aggregate this window
+        // walks. collect_set is order-free, so the count is exact and
+        // deterministic. Output unchanged (oracle hash-green).
         val shares = bq
           .withColumn("share",
             col("rev").cast("double") /
               sum(col("rev")).over(wq).cast("double"))
           .withColumn("grand", sum(col("rev")).over(wAll))
-        val nq = bq.agg(countDistinct(col("qtr")).cast("long").as("nq"))
-        shares.crossJoin(broadcast(nq)).groupBy(col("p_brand"))
+          .withColumn("nq",
+            size(collect_set(col("qtr")).over(wAll)).cast("long"))
+        shares.groupBy(col("p_brand"))
           .agg(count(lit(1)).cast("long").as("n_quarters"),
             round(sum(col("rev")).cast("double") / 10000.0, 2)
               .as("revenue"),
@@ -2910,14 +2942,20 @@ object Analytics5 {
     QueryDef(
       "q267_dup_text_mass",
       (s, d) => {
-        val f = t(s, d, "documents")
+        // canonical-min via a WINDOW on the digested frame (r14): the
+        // min-per-family aggregate + join-back cloned the scan and
+        // the md5(lower(text)) digest (documents EXECUTED 2×,
+        // finalized-plan ranScans); min() over the h partition is the
+        // same fp-grain exchange with constant per-group memory, one
+        // text read, one digest. Output unchanged (oracle hash-green).
+        t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             md5(lower(col("text"))).as("h"),
             length(col("text")).cast("long").as("n_ch"))
-        val keep = f.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-        f.join(keep, Seq("h"))
           .select(col("source"), col("n_ch"),
-            (col("doc_id") =!= col("keep")).as("dup"))
+            (col("doc_id") =!=
+              min(col("doc_id")).over(Window.partitionBy(col("h"))))
+              .as("dup"))
           .groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("n_ch")).cast("long").as("n_chars"),
@@ -3661,7 +3699,24 @@ object Analytics5 {
         // triggers Spark's Expand rewrite whose gid numbering is
         // per-JVM hash order (the r10 OrderHash catch — see q277),
         // and at scale the Expand triples the fact rows anyway while
-        // each pre-collapse shrinks monotonically
+        // each pre-collapse shrinks monotonically.
+        //
+        // r14: the two pre-collapses ride ONE chain. The former
+        // branches pruned different columns (day vs suppkey) out of
+        // the clone Catalyst makes per consumer, fell out of exchange
+        // reuse, and EXECUTED the lineitem⨝orders tower twice
+        // (finalized-plan ranScans: lineitem×2). Each joined row now
+        // emits its two (role, value) facets — ('d', day) and
+        // ('s', suppkey) — through one 2-element explode, so the SAME
+        // dedup → count → 2-role pivot chain carries both distinct
+        // counts: identical shuffle mass to the two branches combined
+        // (day-rows + supp-rows), one scan, all codegen aggregates.
+        // (Tried and rejected: a shared 4-tuple distinct() parity
+        // frame — the optimizer collapses distinct∘project∘distinct
+        // per branch, re-diverging the clones; and a collect_set
+        // single-aggregation — measured +30% locally, ObjectHash-
+        // Aggregate beats the codegen dedup levels only above the
+        // scan it saves.) Output unchanged (oracle hash-green).
         val base = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             epochDay(col("l_shipdate")).as("day"))
@@ -3670,16 +3725,20 @@ object Analytics5 {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey"), col("l_partkey"), col("l_suppkey"),
             col("day"))
-        val days = base.select(col("o_custkey"), col("l_partkey"), col("day"))
+        val pairs = base
+          .select(col("o_custkey"), col("l_partkey"),
+            explode(array(
+              struct(lit("d").as("r"), col("day").as("v")),
+              struct(lit("s").as("r"), col("l_suppkey").as("v"))))
+              .as("e"))
+          .select(col("o_custkey"), col("l_partkey"),
+            col("e.r").as("r"), col("e.v").as("v"))
           .distinct()
+          .groupBy(col("o_custkey"), col("l_partkey"), col("r"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
           .groupBy(col("o_custkey"), col("l_partkey"))
-          .agg(count(lit(1)).cast("long").as("n_days"))
-        val supps = base
-          .select(col("o_custkey"), col("l_partkey"), col("l_suppkey"))
-          .distinct()
-          .groupBy(col("o_custkey"), col("l_partkey"))
-          .agg(count(lit(1)).cast("long").as("n_supp"))
-        val pairs = days.join(supps, Seq("o_custkey", "l_partkey"))
+          .agg(max(when(col("r") === "d", col("cnt"))).as("n_days"),
+            max(when(col("r") === "s", col("cnt"))).as("n_supp"))
           .filter(col("n_days") >= 2)
         pairs
           .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),

@@ -1071,17 +1071,27 @@ object DedupQueries {
       (s, d) => {
         val sents = filter(transform(split(col("text"), "\\. "),
           x => trim(x)), x => length(x) > 0)
-        val sent = t(s, d, "documents")
+        // df ≥ 2 is the ONLY fact the rollup reads, and "a hash seen
+        // in ≥2 distinct documents" is exactly min(doc_id) ≠
+        // max(doc_id) over the hash family — two constant-memory
+        // windows sharing ONE digest-grain exchange (r14). The former
+        // (doc, hash) pre-collapse + df aggregate + join-back cloned
+        // the scan AND the sentence explode per consumer (documents
+        // EXECUTED 2×, finalized-plan ranScans). No distinct
+        // aggregate appears, keeping the r10 rule this query already
+        // declared. Output unchanged (oracle hash-green).
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+        t(s, d, "documents")
           .select(col("source"), col("doc_id"), explode(sents).as("sx"))
           .select(col("source"), col("doc_id"), md5(col("sx")).as("h"))
-        val dfq = sent.select(col("doc_id"), col("h")).distinct()
-          .groupBy(col("h")).agg(count(lit(1)).cast("long").as("df"))
-        sent.join(dfq, Seq("h"))
+          .withColumn("dup",
+            min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH))
           .groupBy(col("source"))
           .agg(count(lit(1)).cast("long").as("n_sentences"),
-            count(when(col("df") >= 2, 1)).cast("long")
+            count(when(col("dup"), 1)).cast("long")
               .as("dup_sentences"),
-            round(count(when(col("df") >= 2, 1)).cast("double") /
+            round(count(when(col("dup"), 1)).cast("double") /
               count(lit(1)).cast("double"), 6).as("dup_share"))
           .orderBy(col("source"))
       },

@@ -2755,24 +2755,41 @@ object Relational {
         val dec38 = "decimal(38,0)"
         val op = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val marg = op.groupBy(col("l_partkey"))
-          .agg(count(lit(1)).cast("long").as("o_cnt"))
+        // marg rides the DIAGONAL of the pair explode (r14): the
+        // former per-part order-count branch cloned the lineitem→
+        // distinct→baskets corpus tower (Catalyst per-consumer copy,
+        // diverged pruning, no exchange reuse — lineitem EXECUTED 3×,
+        // finalized-plan ranScans). The explode now starts each
+        // window at i+1 instead of i+2, so every basket also emits
+        // (x, x) — and count(a, a) IS part a's basket count, the
+        // exact `marg`. o_a/o_b come from windows over the pair
+        // aggregate (partition (a, *) / (*, b) always contains its
+        // diagonal), c_ab=1 off-diagonals drop BEFORE the windows so
+        // the window mass matches the old filtered join input. The
+        // 1-row order total keeps its own pruned scan: n_orders is
+        // not derivable from pair counts, and that branch reads ONE
+        // int64 column. lineitem executions 3 → 2; both |parts|-keyed
+        // joins gone. Output unchanged (oracle hash-green).
         val tot = op.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).cast("long").as("n_orders"))
         val baskets = op.groupBy(col("l_orderkey"))
           .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        val diag = (side: String) => max(when(
+          col("part_a") === col("part_b"), col("c_ab")))
+          .over(Window.partitionBy(col(side)))
         val pairs = baskets
           .select(explode(expr(
             "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), " +
+              "transform(slice(ps, i + 1, size(ps)), " +
               "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
           .select(col("p.part_a"), col("p.part_b"))
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).cast("long").as("c_ab"))
-          .filter(col("c_ab") >= 2)
+          .filter(col("part_a") === col("part_b") || col("c_ab") >= 2)
         pairs
-          .join(marg.toDF("part_a", "o_a"), Seq("part_a"))
-          .join(marg.toDF("part_b", "o_b"), Seq("part_b"))
+          .withColumn("o_a", diag("part_a"))
+          .withColumn("o_b", diag("part_b"))
+          .filter(col("part_a") < col("part_b"))
           .crossJoin(broadcast(tot))
           .select(col("part_a"), col("part_b"), col("c_ab"),
             round((col("c_ab").cast(dec19) * col("n_orders").cast(dec19))

@@ -2271,16 +2271,29 @@ object TextQueries {
       "q202_ngram_diversity",
       (s, d) => {
         val tk = filter(split(col("text"), " "), x => length(x) > 0)
-        val base = t(s, d, "documents").select(col("source"), tk.as("tk"))
-        val uni = base
-          .select(col("source"), lit("1_unigram").as("grain"),
-            explode(col("tk")).as("g"))
-        val tri = base.filter(size(col("tk")) >= 3)
-          .select(col("source"), lit("3_trigram").as("grain"),
-            explode(transform(sequence(lit(0), size(col("tk")) - 3),
-              i => concat_ws(" ", col("tk")(i), col("tk")(i + 1),
-                col("tk")(i + 2)))).as("g"))
-        uni.unionByName(tri)
+        // ONE scan, ONE tokenize (r14): the former unigram/trigram
+        // UNION branched the tokenized frame — Catalyst clones shared
+        // subtrees per consumer, so documents was scanned AND
+        // split-tokenized twice (finalized-plan ranScans:
+        // documents×2, and tokenize dominates this query). Both
+        // grains now emit from one (grain, gram) struct array per
+        // doc: the trigram arm maps over slice(tk, 3, n) — empty for
+        // docs under 3 tokens, exactly the old size≥3 filter — where
+        // the slice element at 0-based i IS tk[i+2], closing each
+        // window started at tk[i]. Same exploded mass, same
+        // downstream aggregate. Output unchanged (oracle hash-green).
+        t(s, d, "documents")
+          .select(col("source"), tk.as("tk"))
+          .select(col("source"), explode(expr(
+            """concat(
+              |  transform(tk, x ->
+              |    named_struct('grain', '1_unigram', 'g', x)),
+              |  transform(slice(tk, 3, size(tk)), (x, i) ->
+              |    named_struct('grain', '3_trigram', 'g',
+              |      concat_ws(' ', tk[i], tk[i + 1], x))))""".stripMargin))
+            .as("e"))
+          .select(col("source"), col("e.grain").as("grain"),
+            col("e.g").as("g"))
           .groupBy(col("source"), col("grain"), col("g"))
           .agg(count(lit(1)).cast("long").as("n"))
           .groupBy(col("source"), col("grain"))
